@@ -1,0 +1,165 @@
+"""L4 multimodal columns: opaque binary payloads + typed metadata,
+decode / feature-extract as Arrow-batched Pandas UDFs over mapInPandas.
+
+There is no real image/audio/video test data (and no codec libs in the
+container), so the payload is the document text encoded as bytes and
+the "decode" is a clearly-marked deterministic fake — but the
+Spark-side plumbing is real: binary columns, explicit output schema,
+mapInPandas batch iteration, and partition-preserving map-only plans.
+A production decode swaps `_fake_decode` for a real codec (see
+`decode_binary` below, which raises NotImplementedError).
+
+Scale: all map-only — binary payloads never shuffle; feature rows are
+a tiny projection of the input partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from open_pulsar_spark.registry import query
+from open_pulsar_spark.tables import load_table
+
+KINDS = ("image", "audio", "video")
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, kind, payload: binary, n_bytes).
+
+    Models the multimodal data layout: one opaque binary column plus
+    typed metadata columns; kind assigned deterministically.
+    """
+    return docs.select(
+        "doc_id",
+        F.element_at(F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
+    )
+
+
+def decode_binary(payload: bytes, kind: str) -> dict:
+    """Real decode hook — intentionally unimplemented in this container
+    (no PIL/ffmpeg). Production implementations plug in here."""
+    raise NotImplementedError(
+        "binary decode requires codec libraries not present in this environment; "
+        "use _fake_decode (deterministic) for tests"
+    )
+
+
+def _fake_decode(n_bytes: int, kind: str) -> tuple[int, int, int]:
+    """Deterministic fake decode: (width, height, n_frames) derived
+    purely from payload size so tests and the SQL oracle agree."""
+    if kind == "image":
+        return (n_bytes % 640 + 16, n_bytes * 7 % 480 + 16, 1)
+    if kind == "audio":
+        return (0, 0, n_bytes % 10000)  # n_frames ≙ samples
+    return (n_bytes % 640 + 16, n_bytes * 7 % 480 + 16, n_bytes % 300 + 1)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    The batch shape is the real contract: each pandas batch carries the
+    binary column through Arrow; a production decoder would call into
+    a codec per batch. Deterministic fake keeps it testable.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len).astype("int64")
+            feats = [
+                _fake_decode(nb, k) for nb, k in zip(n, pdf["kind"], strict=True)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "n_bytes": n,
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# multimodal_binary_meta — binary column + fingerprint metadata.
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text)               AS payload_sha256
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata: size + SHA-256 content fingerprint —
+    the dedup/integrity key for multimodal corpora (the reference's
+    hash-integrity idea, agent-loop.sh:250-251, applied to blobs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+        ).alias("kind"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# multimodal_features — mapInPandas decode-stub feature extraction.
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents)
+    SELECT doc_id, kind, n_bytes,
+           CASE kind WHEN 'audio' THEN 0 ELSE n_bytes % 640 + 16 END     AS width,
+           CASE kind WHEN 'audio' THEN 0 ELSE n_bytes * 7 % 480 + 16 END AS height,
+           CASE kind WHEN 'image' THEN 1
+                     WHEN 'audio' THEN n_bytes % 10000
+                     ELSE n_bytes % 300 + 1 END                          AS n_frames
+    FROM b
+    ORDER BY doc_id
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the real mapInPandas/Arrow path with
+    the deterministic fake decoder — schema, batch shape, and
+    partitioning are exactly what a real codec-backed decoder uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(with_binary_payload(docs)).orderBy("doc_id")

@@ -1,0 +1,493 @@
+"""L1 relational core — declared queries over the TPC-H-ish tables.
+
+Everything here is Catalyst-native DataFrame code: filters and column
+pruning push down to the parquet scan, joins pick broadcast vs
+sort-merge via AQE, aggregations do map-side partial aggregation. No
+Python UDFs in this module.
+
+Scale notes (100 TB posture) per query are in each docstring. The
+general rules:
+  - dimension tables (region/nation, and customer/supplier relative to
+    the fact tables) are broadcast — no shuffle of the fact table for
+    dim joins when the dim fits the broadcast threshold;
+  - fact-fact joins (orders ⋈ lineitem) shuffle on the join key, which
+    is also the natural bucketing key for a production layout;
+  - all money aggregates are rounded in BOTH the Spark and oracle
+    text so double summation-order noise can't flip the value hash.
+
+Reference parity: the reference has no relational joins (SURVEY.md
+§2.3) — these queries fill the declared gap for the driver's
+correctness oracle, exercising the J/A/W/O-family Spark primitives
+inventoried in SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_pulsar_spark.registry import query
+from open_pulsar_spark.tables import load_table
+
+
+def _money(col):  # stable 2-dp money sum
+    return F.round(F.sum(col), 2)
+
+
+# --------------------------------------------------------------------------
+# q1_pricing_summary — TPC-H Q1 shape: scan → filter → hash agg → sort.
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report.
+
+    Scale: single scan + partial agg; the groupBy key has ~6 distinct
+    values so the shuffle is a few rows per partition. Filter and the
+    9-column projection push to parquet.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q3_top_revenue_orders — TPC-H Q3 shape: dim-filter → 3-way join → topk.
+# --------------------------------------------------------------------------
+@query(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped-revenue orders for one market segment.
+
+    Scale: customer (filtered to 1 segment) broadcasts into orders;
+    orders⋈lineitem shuffles on orderkey (the natural bucket key).
+    Top-k is a TakeOrderedAndProject — no global sort materialization.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q5_region_revenue — TPC-H Q5 shape: snowflake join through region.
+# --------------------------------------------------------------------------
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue by nation within one region.
+
+    Scale: region→nation→supplier collapses to a broadcast dim;
+    customer joins it broadcast too; the only big shuffles are
+    orders⋈customer (on custkey) and lineitem⋈orders (on orderkey).
+    """
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    nat_in_region = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(nat_in_region), supplier.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = customer.select("c_custkey", "c_nationkey")
+
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# mktsegment_order_stats — join + multi-agg with distinct count.
+# --------------------------------------------------------------------------
+@query(
+    "mktsegment_order_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                         AS n_orders,
+           count(DISTINCT o_custkey)        AS n_customers,
+           round(sum(o_totalprice), 2)      AS total_revenue,
+           round(avg(o_totalprice), 6)      AS avg_order_value,
+           round(max(o_totalprice), 2)      AS max_order_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def mktsegment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order stats per market segment (broadcast dim join + distinct agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            _money(F.col("o_totalprice")).alias("total_revenue"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_order_value"),
+            F.round(F.max("o_totalprice"), 2).alias("max_order_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# customers_without_orders — anti join (SURVEY §2.3 gap: semi/anti).
+# --------------------------------------------------------------------------
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers that never ordered — left_anti join.
+
+    Scale: anti join shuffles both sides on custkey; at 100 TB the
+    orders side would first be reduced to distinct o_custkey (Catalyst
+    does this via the aggregate below the join).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# big_spender_nations — semi join + dim chain (SURVEY §2.3 F2/J3 shape).
+# --------------------------------------------------------------------------
+@query(
+    "big_spender_nations",
+    oracle="""
+    SELECT n_name, count(*) AS n_big_spenders
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders GROUP BY o_custkey
+        HAVING sum(o_totalprice) > 400000
+    )
+    GROUP BY n_name
+    ORDER BY n_big_spenders DESC, n_name
+    """,
+)
+def big_spender_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count per nation of customers whose lifetime spend > 400k.
+
+    The reference's authorization semi-filter (telegram-agent.py:552-555)
+    generalized: membership-set semi join, here derived from an
+    aggregate instead of a config set.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .where(F.col("spend") > 400000)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_big_spenders"))
+        .orderBy(F.desc("n_big_spenders"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# top3_orders_per_customer — window ranking top-k per group (SURVEY §2.5 gap).
+# --------------------------------------------------------------------------
+@query(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    )
+    WHERE rk <= 3 AND o_custkey < 100
+    ORDER BY o_custkey, rk
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer (deterministic tiebreak on key).
+
+    Scale: one shuffle on o_custkey, per-partition sort; no global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") <= 3) & (F.col("o_custkey") < 100))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rk",
+        )
+        .orderBy("o_custkey", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# order_priority_rollup — ROLLUP grouping sets (SURVEY §2.4 gap).
+# --------------------------------------------------------------------------
+@query(
+    "order_priority_rollup",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           count(*)                         AS n,
+           round(sum(o_totalprice), 2)      AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY orderstatus, orderpriority
+    """,
+)
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status × priority rollup with subtotals and a grand total."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _money(F.col("o_totalprice")).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n",
+            "total",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# brand_size_pivot — conditional aggregation / pivot shape.
+# --------------------------------------------------------------------------
+@query(
+    "brand_size_pivot",
+    oracle="""
+    SELECT p_type,
+           count(*) FILTER (WHERE p_size < 10)                  AS small_n,
+           count(*) FILTER (WHERE p_size >= 10 AND p_size < 30) AS medium_n,
+           count(*) FILTER (WHERE p_size >= 30)                 AS large_n,
+           round(avg(p_retailprice), 6)                         AS avg_price
+    FROM part
+    GROUP BY p_type
+    ORDER BY p_type
+    """,
+)
+def brand_size_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-bucket pivot per part type — map-side conditional aggregation."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_type")
+        .agg(
+            F.sum(F.when(F.col("p_size") < 10, 1).otherwise(0)).alias("small_n"),
+            F.sum(
+                F.when((F.col("p_size") >= 10) & (F.col("p_size") < 30), 1).otherwise(0)
+            ).alias("medium_n"),
+            F.sum(F.when(F.col("p_size") >= 30, 1).otherwise(0)).alias("large_n"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+        .orderBy("p_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# purchase_error_users — set ops (SURVEY §2.7 gap: intersect/except).
+# --------------------------------------------------------------------------
+@query(
+    "purchase_error_users",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+         s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+    SELECT user_id, 'purchase_and_error' AS cohort FROM (SELECT * FROM p INTERSECT SELECT * FROM e)
+    UNION ALL
+    SELECT user_id, 'purchase_not_signup' AS cohort FROM (SELECT * FROM p EXCEPT SELECT * FROM s)
+    ORDER BY cohort, user_id
+    """,
+)
+def purchase_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohorts built with INTERSECT / EXCEPT / UNION ALL."""
+    ev = load_table(spark, sf_dir, "events")
+    by_type = lambda t: ev.where(F.col("event_type") == t).select("user_id").distinct()
+    p, e, s = by_type("purchase"), by_type("error"), by_type("signup")
+    return (
+        p.intersect(e)
+        .withColumn("cohort", F.lit("purchase_and_error"))
+        .unionAll(p.exceptAll(s).withColumn("cohort", F.lit("purchase_not_signup")))
+        .orderBy("cohort", "user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# user_running_revenue — running-sum analytic window (SURVEY §2.4 A4).
+# --------------------------------------------------------------------------
+@query(
+    "user_running_revenue",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+    WHERE user_id < 5 AND event_type = 'purchase'
+    ORDER BY user_id, seq
+    """,
+)
+def user_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running purchase total — the reference's running session
+    token accumulator (agent-loop.sh:706, SURVEY §2.4 A4) as a window agg."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("user_id") < 5) & (F.col("event_type") == "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+            ).alias("running_value"),
+            F.row_number().over(w).alias("seq"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_daily_summary — date ops + JSON extraction (SURVEY §2.8 X4/X5).
+# --------------------------------------------------------------------------
+@query(
+    "events_daily_summary",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day,
+           event_type,
+           count(*)                                        AS n,
+           round(sum(value), 2)                            AS total_value,
+           sum(json_extract_string(props, '$.k')::BIGINT)  AS sum_k
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def events_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type rollup with a semi-structured JSON payload column —
+    the reference's date-partitioned audit log + defensive JSON reads
+    (agent-loop.sh:527-546, :418-422) as declarative expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -1,0 +1,242 @@
+"""L4 text-analysis operators over the `documents` table: token stats,
+quality scoring, language-ID heuristic, BPE-ish token counting,
+content fingerprinting.
+
+Everything is built-in expression work (split / array lambdas / regexp
+/ md5) — JVM-side, whole-stage-codegen-able, zero Python UDFs. At
+100 TB these are embarrassingly parallel map-only plans: no shuffle at
+all except the final orderBy the driver's compare needs.
+
+Reference parity: generalizes the reference's scalar string layer
+(SURVEY.md §2.8 X1-X11 — slugify, truncation, hashing, JSON pulls)
+into the text-pipeline operators the north star calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_pulsar_spark.registry import query
+from open_pulsar_spark.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def _tokens(col):
+    return F.split(col, " ")
+
+
+# --------------------------------------------------------------------------
+# doc_text_stats — token counting + lexical stats.
+# --------------------------------------------------------------------------
+@query(
+    "doc_text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks, length(text) AS n_chars
+               FROM documents)
+    SELECT doc_id, lang, n_chars,
+           len(toks)                                   AS n_tokens,
+           len(list_distinct(toks))                    AS n_distinct_tokens,
+           round((n_chars - len(toks) + 1) * 1.0 / len(toks), 6) AS avg_token_len,
+           round(len(list_filter(toks, x -> x IN {_SW_SQL})) * 1.0 / len(toks), 6)
+                                                       AS stopword_ratio
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical statistics (map-only plan, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            F.round(
+                (F.length("text") - n_tokens + 1) * F.lit(1.0) / n_tokens, 6
+            ).alias("avg_token_len"),
+            F.round(
+                F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+                * F.lit(1.0)
+                / n_tokens,
+                6,
+            ).alias("stopword_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_quality_score — composite quality heuristic.
+# --------------------------------------------------------------------------
+@query(
+    "doc_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+                 len(list_filter(toks, x -> x IN {_SW_SQL})) * 1.0 / len(toks) AS swr
+          FROM t)
+    SELECT doc_id,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.4 * ttr
+               + 0.2 * least(swr / 0.1, 1.0), 6) AS quality,
+           CASE WHEN 0.4 * least(n_tokens / 100.0, 1.0)
+                   + 0.4 * ttr
+                   + 0.2 * least(swr / 0.1, 1.0) >= 0.6
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score = 0.4·length + 0.4·type-token-ratio + 0.2·stopword
+    signal, with a keep/drop verdict — the standard pretraining-corpus
+    filter shape, all JVM-side arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens
+    swr = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * F.lit(1.0) / n_tokens
+    quality = (
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.4 * ttr
+        + 0.2 * F.least(swr / F.lit(0.1), F.lit(1.0))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.round(quality, 6).alias("quality"),
+            F.when(quality >= 0.6, "keep").otherwise("drop").alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_lang_id — n-gram/marker language-ID heuristic vs the labeled lang.
+# --------------------------------------------------------------------------
+_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "de", "y"),
+    "fr": ("le", "la", "de", "et"),
+    "de": ("der", "die", "das", "und"),
+    "zh": ("的", "是", "了", "和"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({words})))"
+
+
+@query(
+    "doc_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 {_marker_sql('en')} AS s_en, {_marker_sql('es')} AS s_es,
+                 {_marker_sql('fr')} AS s_fr, {_marker_sql('de')} AS s_de,
+                 {_marker_sql('zh')} AS s_zh
+          FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+                WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+                WHEN s_es >= greatest(s_fr, s_de, s_zh) THEN 'es'
+                WHEN s_fr >= greatest(s_de, s_zh) THEN 'fr'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END AS lang_pred
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID vote (deterministic tie order
+    en>es>fr>de>zh), compared against the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def _score(markers: tuple[str, ...]):
+        # NB: a one-arg lambda — F.filter treats two-arg lambdas as (x, i)
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = {lang: _score(markers) for lang, markers in _MARKERS.items()}
+    s = docs.select("doc_id", "lang", *[v.alias(f"s_{k}") for k, v in scores.items()])
+    c = {k: F.col(f"s_{k}") for k in _MARKERS}
+    pred = (
+        F.when(F.greatest(*c.values()) == 0, "und")
+        .when(c["en"] >= F.greatest(c["es"], c["fr"], c["de"], c["zh"]), "en")
+        .when(c["es"] >= F.greatest(c["fr"], c["de"], c["zh"]), "es")
+        .when(c["fr"] >= F.greatest(c["de"], c["zh"]), "fr")
+        .when(c["de"] >= c["zh"], "de")
+        .otherwise("zh")
+    )
+    return s.select("doc_id", "lang", pred.alias("lang_pred")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# doc_token_bpeish — regex token counting (BPE-ish pre-tokenizer classes).
+# --------------------------------------------------------------------------
+@query(
+    "doc_token_bpeish",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]'))
+             AS n_bpeish_tokens,
+           len(str_split(text, ' ')) AS n_ws_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex class
+    split (letters / capitalized / digits / punct) — the cheap
+    proxy-token-count every corpus pipeline wants."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(
+                F.expr(
+                    r"regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]', 0)"
+                )
+            ).alias("n_bpeish_tokens"),
+            F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_fingerprint — md5 content fingerprint + per-source rollup.
+# --------------------------------------------------------------------------
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fingerprint,
+           substr(md5(text), 1, 8) AS shard_key
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content fingerprint (md5 hex) — the reference's
+    SHA-256 input-integrity fingerprint idea (agent-loop.sh:250-251,
+    SURVEY §2.8 X3) as a per-document column, plus the 8-hex shard key
+    a 100 TB layout would bucket on."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("fingerprint"),
+            F.substring(F.md5("text"), 1, 8).alias("shard_key"),
+        )
+        .orderBy("doc_id")
+    )

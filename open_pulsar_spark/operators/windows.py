@@ -1,0 +1,235 @@
+"""Temporal operators over the events stream table: sessionization,
+as-of join, tumbling and session windows.
+
+The reference's only temporal semantics are per-key sessionization and
+arrival-order processing (SURVEY.md §2.5 W1/W2, §2.9); the event-time
+operators here are the declared north-star gap fill, expressed with
+built-in window functions so Catalyst plans them (one shuffle on the
+partition key each, no Python).
+
+All durations are emitted as integral microseconds (unix_micros /
+epoch_us) — identical in Spark and DuckDB, immune to float noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_pulsar_spark.registry import query
+from open_pulsar_spark.tables import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+# --------------------------------------------------------------------------
+# user_sessionize — gap-based sessionization via lag + running sum.
+# --------------------------------------------------------------------------
+@query(
+    "user_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+               CASE WHEN epoch_us(ts::TIMESTAMP)
+                         - epoch_us(lag(ts::TIMESTAMP) OVER w) > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           count(*)                                   AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts))      AS duration_us
+    FROM numbered
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def user_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize events per user with a 30-minute inactivity gap.
+
+    The reference's group-sessionization (agent-loop.sh:634-640,
+    SURVEY §2.5 W1: segment id = running sum of change flags) applied to
+    event time. One shuffle on user_id; the two window functions share
+    the same partitioning so Catalyst reuses the sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > SESSION_GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return (
+        flagged.withColumn("session_seq", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# --------------------------------------------------------------------------
+# click_asof_purchase — as-of join (most recent purchase at click time).
+# --------------------------------------------------------------------------
+@query(
+    "click_asof_purchase",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           p.event_id            AS purchase_event_id,
+           round(p.value, 2)     AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+)
+def click_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click paired with the user's most recent
+    purchase at-or-before the click.
+
+    Spark has no native ASOF JOIN; the scalable composition is
+    union-tag + `last(..., ignorenulls)` over a per-user time-ordered
+    window — ONE shuffle on user_id, no range-join explosion, no
+    Python. (The applyInPandas + pd.merge_asof alternative ships
+    every row through Arrow; this stays in the JVM.)
+
+    At equal timestamps the purchase sorts before the click (kind 0 <
+    kind 1), giving the inclusive `click.ts >= purchase.ts` semantics
+    of DuckDB's ASOF JOIN.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("event_id", "purchase_event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        purchases.unionByName(clicks)
+        .select(
+            "event_id",
+            "user_id",
+            "kind",
+            F.last("purchase_event_id", ignorenulls=True).over(w).alias(
+                "purchase_event_id"
+            ),
+            F.round(F.last("purchase_value", ignorenulls=True).over(w), 2).alias(
+                "purchase_value"
+            ),
+        )
+        .where(F.col("kind") == 1)
+        .drop("kind")
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_hourly_tumbling — tumbling event-time window (batch form).
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP),
+                    '%Y-%m-%d %H:%M') AS hour,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregate via F.window — the same
+    expression works under readStream + withWatermark (see
+    open_pulsar_spark.streaming); batch mode here so the oracle can
+    check it."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_session_window — native session_window vs manual SQL sessions.
+# --------------------------------------------------------------------------
+@query(
+    "events_session_window",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts::TIMESTAMP AS ts,
+               CASE WHEN epoch_us(ts::TIMESTAMP)
+                         - epoch_us(lag(ts::TIMESTAMP) OVER w) > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window(ts, gap) — Spark's built-in session
+    assignment, checked against the lag+cumsum SQL formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

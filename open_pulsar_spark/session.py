@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults are sized for the local[32] test harness but every knob is the
+one you would also set on a 1000-executor cluster:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing).
+- UTC session timezone (oracle comparisons against DuckDB are UTC-naive).
+- Arrow enabled for the Pandas-UDF path (the only Python hot path).
+- shuffle.partitions ~ cores locally; on a real cluster AQE's coalesce
+  makes the static number mostly irrelevant as long as it's not tiny.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "open-pulsar-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
+        # refuses by default; read as long, converted in tables.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-mode niceties; harmless on a cluster
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,55 @@
+"""Test-table catalog: the driver's TPC-H-ish star schema + docs/embeddings.
+
+Tables live as one parquet file per table under a scale-factor dir
+(TESTDATA.md).  At 100 TB each of these would be a partitioned parquet
+/ Delta dataset; `load_table` keeps that substitution to one place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor: these
+# are bounded catalogs (5 regions, 25 nations), not fact tables.
+BROADCASTABLE = {"region", "nation"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
+        # default. The conf is runtime-settable, so set it here too —
+        # callers (e.g. the verify driver) may hand us a session built
+        # without it. Then truncate ns -> us exactly like DuckDB's
+        # TIMESTAMP_NS -> TIMESTAMP cast so oracle comparisons are
+        # bit-identical.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql can see them."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
