@@ -165,7 +165,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join whose fan-out is bounded by real collisions and (b) the
     verify join over candidates. No all-pairs stage anywhere.
     """
-    sigs = _minhash_signature(spark, sf_dir)
+    # persist: the signature subplan feeds the band self-join AND the
+    # verify join — without it Spark recomputes shingling+minhash 4×.
+    sigs = _minhash_signature(spark, sf_dir).persist()
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -191,9 +193,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sh = _shingled(spark, sf_dir)
-    x = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    x = sigs.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    y = sigs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jacc = inter * F.lit(1.0) / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
@@ -325,7 +326,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole block join: 32 bits in 4 blocks of 8 — any pair within
     hamming 3 shares at least one identical block, so candidates come
     from an equi-join on (block_idx, block_value), never a cross join."""
-    sig = doc_simhash(spark, sf_dir)  # (doc_id, simhash), already computed plan
+    # persist: both sides of the block self-join reference the simhash
+    # subplan (explode + md5 + 32-way agg) — cache it, compute once.
+    sig = doc_simhash(spark, sf_dir).persist()
     blocks = sig.select(
         "doc_id",
         "simhash",

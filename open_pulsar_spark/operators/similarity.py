@@ -132,7 +132,9 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is scanned once; ranking partitions by query_id. Cost is
     O(|queries| × |corpus|) multiply-adds with no corpus shuffle.
     """
-    emb = _normalized(spark, sf_dir)
+    # persist: corpus and broadcast query side share the normalization
+    # subplan (64-term dot) — cache so it's computed once.
+    emb = _normalized(spark, sf_dir).persist()
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -185,7 +187,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     An IVF variant would replace the hash with learned centroids; the
     plumbing (assign → equi-join → rank) is identical.
     """
-    emb = _normalized(spark, sf_dir).withColumn("bucket", _bucket_col())
+    # persist: bucket assignment is 6 unrolled plane dots — compute once
+    # for both the corpus side and the broadcast query side.
+    emb = _normalized(spark, sf_dir).withColumn("bucket", _bucket_col()).persist()
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -219,26 +223,62 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.4), exact all-pairs.
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4), exact all-pairs via
+    Arrow-batched blocked matmul.
 
-    This is the ground-truth formulation; at 100 TB the candidate set
-    would come from the LSH bucket equi-join first (same verify
-    expression, see ann_lsh_bucketed) — the quadratic form is kept as
-    the correctness baseline the approximate path is measured against.
+    All-pairs vector math is the one pattern where row-at-a-time JVM
+    expressions lose by orders of magnitude to vectorized BLAS: each
+    partition multiplies its block of normalized vectors against the
+    broadcast corpus matrix (numpy matmul), emitting only pairs over
+    threshold. O(n²·d) FLOPs but ~GFLOP/s per core instead of ~MFLOP/s.
+
+    Scale: at 100 TB the corpus no longer broadcasts whole — block BOTH
+    sides (grid of corpus chunks joined to row blocks) or prefilter
+    candidates with the LSH bucket equi-join (ann_lsh_bucketed) before
+    this exact verify. The per-block compute kernel stays identical.
+
+    Parity: numpy's pairwise summation differs from the oracle's
+    sequential loop only at ~1e-16 relative; the 6-dp rounding absorbs
+    it (a disagreement needs a cosine within 1e-15 of the threshold or
+    a rounding boundary — measure-zero for continuous data).
     """
-    emb = _normalized(spark, sf_dir)
-    a = emb.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    import pandas as pd
+
+    emb = _normalized(spark, sf_dir).select(
+        "vec_id", F.expr("transform(v, x -> x / nrm)").alias("u")
     )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    # Broadcast the normalized corpus (id-sorted for deterministic output).
+    corpus = (
+        emb.orderBy("vec_id").select("vec_id", "u").toPandas()
     )
+    ids = np.asarray(corpus["vec_id"], dtype=np.int64)
+    mat = np.stack(corpus["u"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    out_schema = "a_id LONG, b_id LONG, cos DOUBLE"
+
+    def fn(batches):
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            block = np.stack(pdf["u"].to_numpy()).astype(np.float64)
+            b_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            sims = block @ c_mat.T  # (block, corpus)
+            hit_r, hit_c = np.where(
+                (sims >= 0.4) & (b_ids[:, None] < c_ids[None, :])
+            )
+            if len(hit_r):
+                yield pd.DataFrame(
+                    {
+                        "a_id": b_ids[hit_r],
+                        "b_id": c_ids[hit_c],
+                        "cos": sims[hit_r, hit_c],
+                    }
+                )
+
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id", "b_id", (dot_cols("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos")
-        )
-        .where(F.col("cos") >= 0.4)
+        emb.mapInPandas(fn, out_schema)
         .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
         .orderBy("a_id", "b_id")
     )
