@@ -1,0 +1,89 @@
+"""Bounded-sink chunking (SURVEY §2.8 X2; reference behavior at
+telegram-agent.py:200-246, reimplemented from the documented contract,
+not the code).
+
+Contract (mirrors the reference's tested invariants,
+tests/test-telegram-agent.py:165-179):
+  - text within `limit` chars → exactly one chunk, unlabeled;
+  - otherwise split into chunks, preferring paragraph boundaries
+    ("\\n\\n"), then sentence boundaries (". "), then hard cuts;
+  - when more than one chunk, each is prefixed "[i/N] " and the
+    prefixed chunk still fits `limit` (header budget 8 chars);
+  - no content is lost: stripping labels and re-joining reproduces the
+    source text's content.
+
+Exposed both as a plain Python function (unit-testable, used by the
+streaming sink) and as a Spark UDF returning array<string> (explode
+for one-row-per-chunk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+CHUNK_LIMIT = 4096
+HEADER_BUDGET = 8  # room reserved for a "[i/N] " label
+
+
+def _split_piece(piece: str, avail: int) -> list[str]:
+    """Split one oversized piece at sentence boundaries, else hard."""
+    out: list[str] = []
+    while len(piece) > avail:
+        window = piece[: avail + 1]
+        cut = window.rfind(". ")
+        if cut <= 0:
+            cut = avail
+        else:
+            cut += 1  # keep the period with the left side
+        out.append(piece[:cut])
+        piece = piece[cut:].lstrip(" ")
+    if piece:
+        out.append(piece)
+    return out
+
+
+def chunk_text(text: str, limit: int = CHUNK_LIMIT) -> list[str]:
+    """Split `text` into labeled chunks of at most `limit` chars."""
+    if text is None:
+        return []
+    if len(text) <= limit:
+        return [text]
+    avail = limit - HEADER_BUDGET
+
+    # 1) paragraph-preferring accumulation
+    chunks: list[str] = []
+    current = ""
+    for para in text.split("\n\n"):
+        candidate = f"{current}\n\n{para}" if current else para
+        if len(candidate) <= avail:
+            current = candidate
+            continue
+        if current:
+            chunks.append(current)
+            current = ""
+        if len(para) <= avail:
+            current = para
+        else:
+            # 2) sentence boundaries, then 3) hard cuts
+            pieces = _split_piece(para, avail)
+            chunks.extend(pieces[:-1])
+            current = pieces[-1] if pieces else ""
+    if current:
+        chunks.append(current)
+
+    if len(chunks) == 1:
+        return chunks
+    n = len(chunks)
+    return [f"[{i + 1}/{n}] {c}" for i, c in enumerate(chunks)]
+
+
+def chunk_text_udf(limit: int = CHUNK_LIMIT) -> Column:
+    """Factory for a chunking UDF: col(text) → array<string>.
+
+    A plain (non-pandas) UDF is acceptable here because chunking only
+    runs on sink-bound reply rows (small cardinality), never in the
+    scan/agg hot path.
+    """
+    return F.udf(lambda t: chunk_text(t, limit), ArrayType(StringType()))

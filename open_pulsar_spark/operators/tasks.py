@@ -87,7 +87,14 @@ def _sql_values(rows: list[tuple[int, str]]) -> str:
     """,
 )
 def parse_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Markdown task-file parse as a DataFrame pipeline (SURVEY §2.1 S1;
+    """Markdown task-file parse over the golden fixture (SURVEY §2.1 S1).
+    The reusable engine operator is `parse_task_lines` below."""
+    lines = spark.createDataFrame(TASK_FILE_LINES, "line_id INT, raw STRING")
+    return parse_task_lines(lines)
+
+
+def parse_task_lines(lines: DataFrame) -> DataFrame:
+    """Markdown task-list parse as a DataFrame pipeline (SURVEY §2.1 S1;
     reference: agent-loop.sh:185-227 + flush_task :173-183).
 
     `## H` opens a group, `- t` opens a task, indented lines continue
@@ -96,8 +103,12 @@ def parse_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp classification → forward-fill group (last ignorenulls) →
     task segment id (running sum of starts) → ordered merge of
     continuations.
+
+    Input: (line_id INT, raw STRING). Scale note: the global
+    Window.orderBy serializes — correct for a config-sized task file
+    (its real-world cardinality); a giant input would first split on
+    heading boundaries and parallelize per section.
     """
-    lines = spark.createDataFrame(TASK_FILE_LINES, "line_id INT, raw STRING")
     w = Window.orderBy("line_id").rowsBetween(Window.unboundedPreceding, 0)
     line = F.regexp_replace("raw", "\r$", "")
     cls = lines.select(

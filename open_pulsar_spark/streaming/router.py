@@ -1,0 +1,117 @@
+"""Message-stream routing — the reference's dispatch pipeline
+(telegram-agent.py:538-572, SURVEY §3.2) as pure DataFrame transforms.
+
+Every function here takes and returns a DataFrame and works unchanged
+on a batch frame or a streaming frame (`readStream`): projection of
+the nested update struct, non-text filter, authorization semi-join,
+and the 3-way command/chat/task router. The classifier is a column
+expression (deterministic heuristic) so the whole route stays
+JVM-side; an LLM classifier would swap in as a pandas UDF producing
+the same label column (SURVEY §2.10 U3).
+
+Scale: auth is a broadcast semi-join (the allowed set is config-sized);
+everything else is stateless map work — no shuffle in the router.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Raw update shape (reference: telegram-agent.py:543-546, 622-624).
+MESSAGE_STRUCT = StructType(
+    [
+        StructField("chat", StructType([StructField("id", LongType())])),
+        StructField(
+            "from",
+            StructType(
+                [StructField("id", LongType()), StructField("username", StringType())]
+            ),
+        ),
+        StructField("text", StringType()),
+    ]
+)
+UPDATE_SCHEMA = StructType(
+    [
+        StructField("update_id", LongType()),
+        StructField("message", MESSAGE_STRUCT),
+        StructField("edited_message", MESSAGE_STRUCT),
+    ]
+)
+
+
+def project_updates(updates: DataFrame) -> DataFrame:
+    """Nested update → flat (update_id, chat_id, from_id, username, text);
+    falls back message → edited_message (SURVEY §2.2 F10)."""
+    msg = F.coalesce(F.col("message"), F.col("edited_message"))
+    return updates.select(
+        "update_id",
+        msg["chat"]["id"].alias("chat_id"),
+        msg["from"]["id"].alias("from_id"),
+        msg["from"]["username"].alias("username"),
+        msg["text"].alias("text"),
+    )
+
+
+def filter_text(messages: DataFrame) -> DataFrame:
+    """Drop empty/absent text (photos, stickers) — SURVEY §2.2 F3."""
+    return messages.where(F.length(F.trim(F.coalesce("text", F.lit("")))) > 0)
+
+
+def filter_authorized(
+    spark: SparkSession, messages: DataFrame, allowed_ids: set[int]
+) -> DataFrame:
+    """Authorization semi-filter (SURVEY §2.2 F2): keep rows whose
+    from_id is in the allowed set; an EMPTY set allows everyone.
+
+    Implemented as a broadcast left-semi join so the stream side never
+    shuffles."""
+    if not allowed_ids:
+        return messages
+    allowed = spark.createDataFrame(
+        [(i,) for i in sorted(allowed_ids)], "from_id LONG"
+    )
+    return messages.join(F.broadcast(allowed), "from_id", "left_semi")
+
+
+def classify_heuristic() -> F.Column:
+    """Deterministic task-vs-chat classifier column (stand-in for the
+    LLM classifier U3; failure→'chat' default becomes `otherwise`).
+
+    Heuristic: imperative task-ish openers or long multi-step text →
+    'task'; everything else 'chat'."""
+    t = F.lower(F.trim(F.col("text")))
+    return (
+        F.when(
+            t.rlike(r"^(run|build|fix|implement|create|add|refactor|deploy|write)\b"),
+            "task",
+        )
+        .when(F.length(t) > 200, "task")
+        .otherwise("chat")
+    )
+
+
+def route(messages: DataFrame, mode: str = "auto") -> DataFrame:
+    """3-way router (SURVEY §2.2 F4/F7): command / chat / task.
+
+    `/...` text is always a command; otherwise `mode` pins the branch
+    or 'auto' consults the classifier column. Adds `route`, and for
+    commands the parsed `cmd` / `cmd_args` (F11: split on first
+    whitespace, strip a @botname suffix)."""
+    if mode not in ("auto", "chat", "task"):
+        raise ValueError(f"bad mode {mode!r}")
+    branch = F.lit(mode) if mode != "auto" else classify_heuristic()
+    is_cmd = F.col("text").startswith("/")
+    parts = F.split(F.trim("text"), r"\s+", 2)
+    return messages.select(
+        "*",
+        F.when(is_cmd, "command").otherwise(branch).alias("route"),
+        F.when(is_cmd, F.regexp_replace(parts[0], "@.*$", "")).alias("cmd"),
+        F.when(is_cmd, F.element_at(parts, 2)).alias("cmd_args"),
+    )

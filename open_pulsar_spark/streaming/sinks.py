@@ -1,0 +1,78 @@
+"""Sinks (SURVEY §2.11): chunked reply sink and the date-partitioned
+append-only audit log.
+
+K1 (chunked sink): replies longer than the sink limit are split by
+functions.chunking and written one row per chunk with [i/N] labels.
+K3 (audit log): `[ts] STATUS | group > task` lines, truncated result,
+partitioned by date — `partitionBy('log_date')` parquet append, the
+scalable form of the reference's per-day logfile append
+(agent-loop.sh:527-546).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from open_pulsar_spark.functions.chunking import CHUNK_LIMIT, chunk_text_udf
+
+RESULT_TRUNCATE = 300  # audit-sink result clamp (reference :541)
+
+
+def explode_chunks(replies: DataFrame, limit: int = CHUNK_LIMIT) -> DataFrame:
+    """(…, reply) → one row per ≤limit-char chunk with chunk_idx/n_chunks.
+
+    Usable inside foreachBatch for an external messaging sink, or as a
+    plain transform ahead of any bounded-message writer.
+    """
+    chunks = chunk_text_udf(limit)(F.col("reply"))
+    return (
+        replies.withColumn("chunks", chunks)
+        .select(
+            "*",
+            F.posexplode("chunks").alias("chunk_idx", "chunk"),
+            F.size("chunks").alias("n_chunks"),
+        )
+        .drop("chunks", "reply")
+    )
+
+
+def audit_lines(state: DataFrame) -> DataFrame:
+    """Task-state rows → audit-log lines + a date partition column.
+
+    Input needs (finished_at: timestamp, status, grp, task, result).
+    """
+    line = F.concat(
+        F.lit("["),
+        F.date_format("finished_at", "yyyy-MM-dd HH:mm:ss"),
+        F.lit("] "),
+        F.upper("status"),
+        F.lit(" | "),
+        F.col("grp"),
+        F.lit(" > "),
+        F.col("task"),
+        F.lit(" :: "),
+        F.substring(F.regexp_replace(F.coalesce("result", F.lit("")), "\n", " "), 1, RESULT_TRUNCATE),
+    )
+    return state.select(
+        F.date_format("finished_at", "yyyy-MM-dd").alias("log_date"),
+        line.alias("line"),
+    )
+
+
+def write_audit(state: DataFrame, path: str) -> None:
+    """Append audit lines, partitioned by day (batch form)."""
+    audit_lines(state).write.mode("append").partitionBy("log_date").parquet(path)
+
+
+def write_audit_stream(state: DataFrame, path: str, checkpoint: str):
+    """Streaming form: date-partitioned append sink with checkpoint."""
+    return (
+        audit_lines(state)
+        .writeStream.outputMode("append")
+        .partitionBy("log_date")
+        .option("checkpointLocation", checkpoint)
+        .format("parquet")
+        .option("path", path)
+        .start()
+    )

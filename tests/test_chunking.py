@@ -1,0 +1,68 @@
+"""Chunking invariants — ported from the reference's test contract
+(tests/test-telegram-agent.py:165-179): every chunk within the limit,
+[i/N] labels when split, no content loss."""
+
+from __future__ import annotations
+
+import re
+
+from open_pulsar_spark.functions.chunking import CHUNK_LIMIT, chunk_text
+
+
+def strip_label(chunk: str) -> str:
+    return re.sub(r"^\[\d+/\d+\] ", "", chunk)
+
+
+def test_short_text_single_unlabeled_chunk():
+    assert chunk_text("hello world") == ["hello world"]
+
+
+def test_exact_limit_not_split():
+    text = "x" * CHUNK_LIMIT
+    assert chunk_text(text) == [text]
+
+
+def test_long_text_all_chunks_within_limit():
+    text = "word " * 3000  # 15k chars, no paragraph breaks
+    chunks = chunk_text(text)
+    assert len(chunks) > 1
+    assert all(len(c) <= CHUNK_LIMIT for c in chunks)
+
+
+def test_labels_are_sequential_over_n():
+    text = "a" * 10000
+    chunks = chunk_text(text)
+    n = len(chunks)
+    for i, c in enumerate(chunks):
+        assert c.startswith(f"[{i + 1}/{n}] ")
+
+
+def test_no_content_loss_hard_cuts():
+    text = "a" * 10000
+    rejoined = "".join(strip_label(c) for c in chunk_text(text))
+    assert rejoined == text
+
+
+def test_paragraph_boundaries_preferred():
+    paras = [f"paragraph {i} " + "y" * 1500 for i in range(6)]
+    text = "\n\n".join(paras)
+    chunks = chunk_text(text)
+    assert all(len(c) <= CHUNK_LIMIT for c in chunks)
+    # chunks start at paragraph starts (no mid-paragraph cut needed here)
+    for c in chunks:
+        assert strip_label(c).startswith("paragraph")
+
+
+def test_sentence_boundaries_when_paragraph_too_big():
+    sentences = " ".join(f"Sentence number {i} is here." for i in range(400))
+    chunks = chunk_text(sentences)
+    assert all(len(c) <= CHUNK_LIMIT for c in chunks)
+    # every cut lands after a period (sentence boundary), so chunks
+    # minus the final one end with '.'
+    assert all(strip_label(c).rstrip().endswith(".") for c in chunks[:-1])
+
+
+def test_custom_limit():
+    chunks = chunk_text("z" * 1000, limit=100)
+    assert all(len(c) <= 100 for c in chunks)
+    assert "".join(strip_label(c) for c in chunks) == "z" * 1000

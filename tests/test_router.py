@@ -1,0 +1,60 @@
+"""Router semantics (reference telegram-agent.py:538-572): projection,
+non-text filter, auth semi-join, command/chat/task routing."""
+
+from __future__ import annotations
+
+from open_pulsar_spark.streaming.router import (
+    UPDATE_SCHEMA,
+    filter_authorized,
+    filter_text,
+    project_updates,
+    route,
+)
+
+
+def _updates(spark):
+    rows = [
+        (1, {"chat": {"id": 10}, "from": {"id": 100, "username": "alice"}, "text": "hello"}, None),
+        (2, None, {"chat": {"id": 11}, "from": {"id": 101, "username": "bob"}, "text": "edited!"}),
+        (3, {"chat": {"id": 12}, "from": {"id": 102, "username": "carol"}, "text": None}, None),
+        (4, {"chat": {"id": 13}, "from": {"id": 103, "username": "dan"}, "text": "/status@mybot now"}, None),
+        (5, {"chat": {"id": 14}, "from": {"id": 100, "username": "alice"}, "text": "fix the build please"}, None),
+    ]
+    return spark.createDataFrame(rows, UPDATE_SCHEMA)
+
+
+def test_projection_falls_back_to_edited_message(spark):
+    out = {r.update_id: r for r in project_updates(_updates(spark)).collect()}
+    assert out[1].chat_id == 10 and out[1].text == "hello"
+    assert out[2].chat_id == 11 and out[2].text == "edited!"  # edited_message
+    assert out[3].text is None
+
+
+def test_non_text_filter(spark):
+    msgs = filter_text(project_updates(_updates(spark)))
+    assert {r.update_id for r in msgs.collect()} == {1, 2, 4, 5}
+
+
+def test_auth_semi_join_and_allow_all(spark):
+    msgs = project_updates(_updates(spark))
+    kept = filter_authorized(spark, msgs, {100, 103})
+    assert {r.update_id for r in kept.collect()} == {1, 4, 5}
+    # empty set = allow everyone (reference :91-94 warning path)
+    assert filter_authorized(spark, msgs, set()).count() == msgs.count()
+
+
+def test_route_command_chat_task(spark):
+    msgs = filter_text(project_updates(_updates(spark)))
+    routed = {r.update_id: r for r in route(msgs, mode="auto").collect()}
+    assert routed[4].route == "command"
+    assert routed[4].cmd == "/status"        # @botname stripped
+    assert routed[4].cmd_args == "now"
+    assert routed[5].route == "task"         # imperative opener
+    assert routed[1].route == "chat"
+
+
+def test_route_pinned_mode(spark):
+    msgs = filter_text(project_updates(_updates(spark)))
+    routed = {r.update_id: r.route for r in route(msgs, mode="task").collect()}
+    assert routed[1] == "task"               # pinned overrides heuristic
+    assert routed[4] == "command"            # commands always win

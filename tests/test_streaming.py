@@ -1,0 +1,152 @@
+"""Structured Streaming behavior: watermarked windows over a file
+source, streaming dedup, per-chat stateful sessions across
+micro-batches, and checkpointed offset semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pytest
+
+from open_pulsar_spark.streaming.events_stream import (
+    EVENT_SCHEMA,
+    dedup_within_watermark,
+    read_event_stream,
+    tumbling_counts,
+)
+from open_pulsar_spark.streaming.sessions import chat_turns
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path / uuid.uuid4().hex[:8])
+
+
+def _run_stream(df, name, checkpoint):
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_tumbling_window_emits_after_watermark_passes(spark, workdir):
+    src, ckpt = f"{workdir}/src", f"{workdir}/ckpt"
+    # batch 1: events in the 10:00 window; batch 2 much later so the
+    # watermark (2h) passes 10:00-11:00 and append mode finalizes it
+    _write_events(spark, src, [
+        (1, _ts(5), 7, "click", 1.0, "{}"),
+        (2, _ts(20), 7, "click", 2.0, "{}"),
+        (3, _ts(25), 8, "view", 5.0, "{}"),
+    ])
+    _write_events(spark, src, [
+        (4, dt.datetime(2024, 1, 1, 14, 0), 7, "click", 1.0, "{}"),
+    ])
+    out = tumbling_counts(read_event_stream(spark, src), window="1 hour", watermark="2 hours")
+    _run_stream(out, "tumbling_out", ckpt)
+    rows = {(r.window_start, r.event_type): r for r in spark.sql("select * from tumbling_out").collect()}
+    key = (dt.datetime(2024, 1, 1, 10, 0), "click")
+    assert key in rows
+    assert rows[key].n == 2 and rows[key].total_value == 3.0
+    # the 14:00 window is NOT emitted: watermark hasn't passed it
+    assert (dt.datetime(2024, 1, 1, 14, 0), "click") not in rows
+
+
+def test_dedup_within_watermark_drops_replays(spark, workdir):
+    src, ckpt = f"{workdir}/src", f"{workdir}/ckpt"
+    _write_events(spark, src, [
+        (1, _ts(0), 1, "click", 1.0, "{}"),
+        (1, _ts(0), 1, "click", 1.0, "{}"),   # exact replay, same batch
+        (2, _ts(1), 1, "view", 1.0, "{}"),
+    ])
+    _write_events(spark, src, [
+        (1, _ts(0), 1, "click", 1.0, "{}"),   # replay in a later batch
+        (3, _ts(2), 1, "click", 1.0, "{}"),
+    ])
+    out = dedup_within_watermark(read_event_stream(spark, src), watermark="1 hour")
+    _run_stream(out, "dedup_out", ckpt)
+    ids = [r.event_id for r in spark.sql("select * from dedup_out").collect()]
+    assert sorted(ids) == [1, 2, 3]
+
+
+def test_chat_sessions_thread_across_microbatches(spark, workdir):
+    src, ckpt = f"{workdir}/msgs", f"{workdir}/ckpt"
+    schema = "update_id LONG, chat_id LONG, text STRING"
+    spark.createDataFrame([(1, 10, "hello")], schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(2, 10, "again"), (3, 10, "and again"), (4, 11, "other chat")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    msgs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _run_stream(chat_turns(msgs), "chat_out", ckpt)
+    rows = {r.update_id: r for r in spark.sql("select * from chat_out").collect()}
+    assert rows[1].status == "ok"
+    # session threaded across micro-batches: update 2's session derives
+    # from update 1's (state persisted), so it differs from a fresh one
+    assert rows[2].status == "ok"
+    assert rows[2].session_id != rows[1].session_id
+    # in-flight dedup: second message for chat 10 in the SAME batch → busy
+    assert rows[3].status == "busy"
+    assert rows[4].status == "ok"          # other chat unaffected (T5 isolation)
+
+
+def test_chat_reset_clears_session(spark, workdir):
+    src, ckpt = f"{workdir}/msgs", f"{workdir}/ckpt"
+    schema = "update_id LONG, chat_id LONG, text STRING"
+    spark.createDataFrame([(1, 10, "hi")], schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(2, 10, "/reset")], schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(3, 10, "fresh start")], schema).coalesce(1).write.mode("append").parquet(src)
+    msgs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    _run_stream(chat_turns(msgs), "reset_out", ckpt)
+    rows = {r.update_id: r for r in spark.sql("select * from reset_out").collect()}
+    assert rows[2].status == "reset" and rows[2].session_id is None
+    # post-reset session restarts the chain: equals md5('|fresh start')-prefix
+    import hashlib
+    expected = hashlib.md5(b"|fresh start").hexdigest()[:12]
+    assert rows[3].session_id == expected
+
+
+def test_checkpoint_resume_does_not_reprocess(spark, workdir):
+    """Offset semantics (SURVEY T1): restarting a query on the same
+    checkpoint continues from the committed offset — no reprocessing
+    (a durable file sink; memory sinks can't recover checkpoints)."""
+    src, ckpt, out = f"{workdir}/src", f"{workdir}/ckpt", f"{workdir}/out"
+
+    def run_once():
+        q = (
+            dedup_within_watermark(read_event_stream(spark, src))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _write_events(spark, src, [(1, _ts(0), 1, "click", 1.0, "{}")])
+    run_once()
+    # add data, restart on the SAME checkpoint
+    _write_events(spark, src, [(2, _ts(1), 1, "view", 1.0, "{}")])
+    run_once()
+    ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2]   # each file processed exactly once across restarts
