@@ -1,0 +1,173 @@
+"""L1 analytic extensions: CUBE grouping sets, ranking-function family,
+exact quantiles, and unpivot — the remaining Catalyst-built-in surface
+flagged as gaps in SURVEY.md §2.4/§2.5.
+
+All JVM-side; ranking orders always carry a unique tiebreaker wherever
+the function's output depends on intra-tie row order (ntile, lag,
+lead), and deliberately rank over a coarsened key where tie behavior
+itself is under test (rank vs dense_rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_pulsar_spark.registry import query
+from open_pulsar_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# order_cube — CUBE with grouping_id.
+# --------------------------------------------------------------------------
+@query(
+    "order_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           grouping(o_orderstatus, o_orderpriority) AS gid,
+           count(*)                         AS n,
+           round(sum(o_totalprice), 2)      AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, orderstatus, orderpriority
+    """,
+)
+def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over status × priority with the grouping-id bitmask
+    (same bitmask semantics in Spark's grouping_id and DuckDB's
+    GROUPING — verified)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "gid",
+            "n",
+            "total",
+        )
+        .orderBy("gid", "orderstatus", "orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# customer_balance_ranks — rank / dense_rank / ntile / lag / lead.
+# --------------------------------------------------------------------------
+@query(
+    "customer_balance_ranks",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(c_acctbal, 2) AS acctbal,
+           rank()       OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, -2) DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, -2) DESC) AS drnk,
+           ntile(4)     OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           lag(c_custkey)  OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS prev_custkey,
+           lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS next_custkey
+    FROM customer
+    WHERE c_custkey < 200
+    ORDER BY c_nationkey, quartile, c_custkey
+    """,
+)
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family per nation: rank/dense_rank over a
+    coarsened balance (so ties exist and the two differ), ntile +
+    lag/lead over a unique ordering (tie order must be deterministic
+    for those). One shuffle on c_nationkey serves all five windows."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    by_bucket = Window.partitionBy("c_nationkey").orderBy(
+        F.desc(F.round("c_acctbal", -2))
+    )
+    by_exact = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.rank().over(by_bucket).alias("rnk"),
+            F.dense_rank().over(by_bucket).alias("drnk"),
+            F.ntile(4).over(by_exact).alias("quartile"),
+            F.lag("c_custkey").over(by_exact).alias("prev_custkey"),
+            F.lead("c_custkey").over(by_exact).alias("next_custkey"),
+        )
+        .orderBy("c_nationkey", "quartile", "c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# quantity_quantiles — exact median / percentiles.
+# --------------------------------------------------------------------------
+@query(
+    "quantity_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity)                   AS med_qty,
+           quantile_cont(l_quantity, 0.25)      AS p25_qty,
+           quantile_cont(l_quantity, 0.75)      AS p75_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per return flag (Spark `percentile`
+    ≙ DuckDB `quantile_cont` — verified equal). At 100 TB you'd reach
+    for percentile_approx and accept the sketch error; the exact form
+    is the oracle-checkable one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("median(l_quantity)").alias("med_qty"),
+            F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# part_size_unpivot — wide → long (stack).
+# --------------------------------------------------------------------------
+@query(
+    "part_size_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT p_type,
+               count(*) FILTER (WHERE p_size < 10)                  AS small_n,
+               count(*) FILTER (WHERE p_size >= 10 AND p_size < 30) AS medium_n,
+               count(*) FILTER (WHERE p_size >= 30)                 AS large_n
+        FROM part GROUP BY p_type)
+    SELECT p_type, 'small' AS size_class, small_n AS n FROM wide
+    UNION ALL SELECT p_type, 'medium', medium_n FROM wide
+    UNION ALL SELECT p_type, 'large', large_n FROM wide
+    ORDER BY p_type, size_class
+    """,
+)
+def part_size_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot the size-bucket pivot back to long form via stack()."""
+    part = load_table(spark, sf_dir, "part")
+    wide = part.groupBy("p_type").agg(
+        F.sum(F.when(F.col("p_size") < 10, 1).otherwise(0)).alias("small_n"),
+        F.sum(
+            F.when((F.col("p_size") >= 10) & (F.col("p_size") < 30), 1).otherwise(0)
+        ).alias("medium_n"),
+        F.sum(F.when(F.col("p_size") >= 30, 1).otherwise(0)).alias("large_n"),
+    )
+    return (
+        wide.selectExpr(
+            "p_type",
+            "stack(3, 'small', small_n, 'medium', medium_n, 'large', large_n)"
+            " AS (size_class, n)",
+        )
+        .orderBy("p_type", "size_class")
+    )

@@ -44,6 +44,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from open_pulsar_spark.operators import (  # noqa: F401
+        analytics,
         dedup,
         multimodal,
         relational,

@@ -1,0 +1,40 @@
+"""Message-bus abstraction: file bus end-to-end, connector gating."""
+
+from __future__ import annotations
+
+import pytest
+
+from open_pulsar_spark.sources.bus import BusConfig, read_bus, write_bus
+from open_pulsar_spark.streaming.events_stream import EVENT_SCHEMA
+
+
+def test_file_bus_roundtrip(spark, tmp_path):
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), 1, "click", 1.0, "{}")], EVENT_SCHEMA
+    ).coalesce(1).write.parquet(src)
+    stream = read_bus(spark, BusConfig(uri=f"file://{src}", schema=EVENT_SCHEMA))
+    assert stream.isStreaming
+    q = write_bus(
+        stream, BusConfig(uri="memory://bus_out"), checkpoint=str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("select * from bus_out").count() == 1
+
+
+def test_file_bus_requires_schema(spark):
+    with pytest.raises(ValueError, match="schema"):
+        read_bus(spark, BusConfig(uri="file:///tmp/x"))
+
+
+def test_pulsar_gated_with_clear_error(spark):
+    with pytest.raises(RuntimeError, match="pulsar connector"):
+        read_bus(spark, BusConfig(uri="pulsar://localhost:6650/topic"))
+
+
+def test_unknown_scheme_rejected(spark):
+    with pytest.raises(ValueError, match="unknown bus scheme"):
+        read_bus(spark, BusConfig(uri="carrier-pigeon://coop/topic"))
