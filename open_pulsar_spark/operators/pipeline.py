@@ -27,6 +27,7 @@ Policy parity (reference file:line):
 from __future__ import annotations
 
 import hashlib
+import json
 import re
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -36,6 +37,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from open_pulsar_spark.operators.tasks import ERROR_CLASSES
+
+ERROR_TAIL_BYTES = 3000  # classify over the log tail only (agent-loop.sh:397)
 
 MAX_ATTEMPTS = 5
 CONTEXT_WINDOW = 200_000
@@ -103,11 +106,40 @@ class ScriptedModel:
 
 def classify_error_text(text: str) -> str:
     """Python port of the classify_error regex CASE (same table the
-    declarative operator uses — operators.tasks.ERROR_CLASSES)."""
+    declarative operator uses — operators.tasks.ERROR_CLASSES),
+    applied to the last ERROR_TAIL_BYTES of the log (S6 tail scan)."""
+    tail = text[-ERROR_TAIL_BYTES:]
     for name, rx in ERROR_CLASSES:
-        if re.search(rx, text, re.IGNORECASE):
+        if re.search(rx, tail, re.IGNORECASE):
             return name
     return "unknown"
+
+
+def analyze_failure(raw_analysis: str) -> dict:
+    """Schema-enforced failure-analysis contract (SURVEY §2.10 U4;
+    reference agent-loop.sh:548-587): the analyzer must return JSON
+    {retry: bool, reason: str, hint: str}; anything unparsable falls
+    back to a safe default — the `from_json`+`coalesce` pattern in
+    Python form for the executor-side policy loop."""
+    default = {"retry": True, "reason": "unparsable analysis", "hint": ""}
+    try:
+        doc = json.loads(raw_analysis)
+    except (TypeError, ValueError):
+        return default
+    if not isinstance(doc, dict) or not isinstance(doc.get("retry"), bool):
+        return default
+    return {
+        "retry": doc["retry"],
+        "reason": str(doc.get("reason", "")),
+        "hint": str(doc.get("hint", "")),
+    }
+
+
+def file_fingerprint(lines: list[tuple[int, str]]) -> str:
+    """SHA-256 of the task-file content (SURVEY §2.2 F8; reference
+    agent-loop.sh:250-251) — the resume-integrity key."""
+    blob = "\n".join(raw for _, raw in sorted(lines)).encode()
+    return hashlib.sha256(blob).hexdigest()
 
 
 def backoff_sec(attempt: int, rate_limited: bool) -> int:
@@ -142,11 +174,42 @@ def run_pipeline(
     fallback_model: str = "fallback",
     max_attempts: int = MAX_ATTEMPTS,
     context_window: int = CONTEXT_WINDOW,
+    boot_context: str | None = None,
+    prior_state: DataFrame | None = None,
+    prior_hash: str | None = None,
 ) -> DataFrame:
     """Execute a markdown task list through the state machine; returns
-    the final state table (one row per task)."""
+    the final state table (one row per task).
+
+    Resume semantics (SURVEY F1/F8/T6): pass the previous run's state
+    as `prior_state` plus the fingerprint it was built against as
+    `prior_hash` — a changed task file refuses to resume (hash guard),
+    finished rows (completed/failed) are carried through untouched
+    (skip filter), and rows stuck in 'running' (a killed run) are
+    re-executed like interrupted ones (SIGKILL recovery).
+
+    `boot_context` is the boot-file scan (SURVEY S2): a config-time
+    scalar prepended to every prompt — broadcast by closure capture.
+    """
     model = model or ScriptedModel()
+    if prior_state is not None and prior_hash is not None:
+        current = file_fingerprint(lines)
+        if current != prior_hash:
+            raise ValueError(
+                f"task file changed since the interrupted run "
+                f"(hash {current[:12]} != stored {prior_hash[:12]}); refusing to resume"
+            )
     tasks = sessionize_segments(parse_markdown(spark, lines))
+
+    carried = None
+    if prior_state is not None:
+        finished = prior_state.where(F.col("status").isin("completed", "failed"))
+        carried = finished
+        # skip-filter: only unfinished tasks re-run ('running' rows from a
+        # killed driver re-run like 'interrupted' ones)
+        tasks = tasks.join(
+            finished.select("task_idx"), "task_idx", "left_anti"
+        )
 
     def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("task_idx")
@@ -164,6 +227,8 @@ def run_pipeline(
             while attempts < max_attempts:
                 attempts += 1
                 prompt_parts = []
+                if boot_context:
+                    prompt_parts.append(f"[boot] {boot_context}")
                 if summary:
                     prompt_parts.append(f"[context summary] {summary}")
                 if hint:
@@ -221,7 +286,10 @@ def run_pipeline(
             )
         return pd.DataFrame(out)
 
-    return tasks.groupBy("segment_id").applyInPandas(run_segment, STATE_SCHEMA)
+    state = tasks.groupBy("segment_id").applyInPandas(run_segment, STATE_SCHEMA)
+    if carried is not None:
+        state = state.unionByName(carried.select(*state.columns))
+    return state
 
 
 def status_summary(state: DataFrame) -> DataFrame:

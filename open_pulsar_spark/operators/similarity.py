@@ -208,6 +208,102 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ann_ivf_coarse — IVF-style coarse quantization ANN.
+# --------------------------------------------------------------------------
+CENTROID_MOD = 137
+CENTROID_RESIDUE = 3  # vec_id % 137 == 3 → deterministic centroid subset
+
+_CENTROID_SQL = f"vec_id % {CENTROID_MOD} = {CENTROID_RESIDUE}"
+
+@query(
+    "ann_ivf_coarse",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_SQL} AS nrm
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e WHERE {_CENTROID_SQL}),
+    assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC,
+                                c.centroid_id) AS rn
+            FROM e CROSS JOIN c)
+        WHERE rn = 1),
+    q AS (SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qn, a.centroid_id
+          FROM e JOIN assigned a ON e.vec_id = a.vec_id
+          WHERE e.vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS cos
+        FROM q
+        JOIN assigned a ON a.centroid_id = q.centroid_id
+        JOIN e ON e.vec_id = a.vec_id AND e.vec_id <> q.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: a deterministic centroid subset partitions the
+    corpus into inverted lists (nearest-centroid assignment); a query
+    probes only its own list.
+
+    Scale: assignment is a map-side argmax against the BROADCAST
+    centroid set (linear in corpus × k centroids); the probe join is an
+    equi-join on centroid_id. Swap the arithmetic centroid choice for
+    k-means centroids and the plumbing — assign → equi-join → rank —
+    is production IVF. nprobe>1 = join against the top-n assigned
+    centroids instead of rank-1.
+    """
+    emb = _normalized(spark, sf_dir).persist()
+    cent = emb.where(
+        F.col("vec_id") % CENTROID_MOD == CENTROID_RESIDUE
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    arn = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "centroid_id")
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "centroid_id",
+            (dot_cols("v", "cv") / (F.col("nrm") * F.col("cn"))).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(arn))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    q = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .join(assigned, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("centroid_id").alias("qcentroid"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(q), F.col("centroid_id") == F.col("qcentroid"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(emb, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot_cols("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    return _rank_topk(scored)
+
+
+# --------------------------------------------------------------------------
 # dedup_embedding_cosine — vector near-duplicate pairs (exact).
 # --------------------------------------------------------------------------
 @query(

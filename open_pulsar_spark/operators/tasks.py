@@ -408,6 +408,91 @@ def doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# task_log_names — deterministic ranked log naming (agent-loop.sh:270-274, W3).
+# ---------------------------------------------------------------------------
+_SLUG_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(lower({col}), "
+    "'[^a-z0-9]+', '-', 'g'), '-{{2,}}', '-', 'g'), '^-+|-+$', '', 'g')"
+)
+
+
+@query(
+    "task_log_names",
+    oracle=rf"""
+    WITH lines(line_id, raw) AS (VALUES {_sql_values(TASK_FILE_LINES)}),
+    clean AS (SELECT line_id, regexp_replace(raw, chr(13) || '$', '') AS line FROM lines),
+    cls AS (
+        SELECT line_id, line,
+               CASE WHEN regexp_matches(line, '^##\s+')
+                    THEN trim(regexp_replace(line, '^##\s+', '')) END AS grp_raw,
+               CASE WHEN regexp_matches(line, '^- ') THEN 1 ELSE 0 END AS is_start,
+               CASE WHEN regexp_matches(line, '^- ') THEN substr(line, 3) END AS content
+        FROM clean),
+    filled AS (
+        SELECT *,
+               coalesce(last_value(grp_raw IGNORE NULLS)
+                   OVER (ORDER BY line_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   'ungrouped') AS grp
+        FROM cls),
+    tasks AS (
+        SELECT row_number() OVER (ORDER BY line_id) AS task_idx, grp, content AS task
+        FROM filled WHERE is_start = 1)
+    SELECT task_idx,
+           printf('%03d-%s--%s', task_idx,
+                  substr({_SLUG_SQL.format(col='grp')}, 1, 30),
+                  substr({_SLUG_SQL.format(col='task')}, 1, 50)) AS log_name
+    FROM tasks
+    ORDER BY task_idx
+    """,
+)
+def task_log_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-task log names: zero-padded ordinal + slugified group (≤30)
+    and task (≤50) — SURVEY §2.5 W3 + §2.6 O2 truncations (reference
+    agent-loop.sh:270-274). Ranking over the parse output; continuation
+    lines don't alter the name (it uses the task's first line)."""
+    lines = spark.createDataFrame(TASK_FILE_LINES, "line_id INT, raw STRING")
+    w = Window.orderBy("line_id").rowsBetween(Window.unboundedPreceding, 0)
+    line = F.regexp_replace("raw", "\r$", "")
+    cls = lines.select(
+        "line_id",
+        F.when(
+            line.rlike(r"^##\s+"), F.trim(F.regexp_replace(line, r"^##\s+", ""))
+        ).alias("grp_raw"),
+        F.when(line.rlike("^- "), 1).otherwise(0).alias("is_start"),
+        F.when(line.rlike("^- "), F.expr("substr(regexp_replace(raw, '\r$', ''), 3)")).alias(
+            "content"
+        ),
+    )
+    filled = cls.withColumn(
+        "grp",
+        F.coalesce(F.last("grp_raw", ignorenulls=True).over(w), F.lit("ungrouped")),
+    ).where(F.col("is_start") == 1)
+
+    def slug(col):
+        return F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(col), "[^a-z0-9]+", "-"), "-{2,}", "-"
+            ),
+            "^-+|-+$",
+            "",
+        )
+
+    return (
+        filled.withColumn("task_idx", F.row_number().over(Window.orderBy("line_id")))
+        .select(
+            "task_idx",
+            F.format_string(
+                "%03d-%s--%s",
+                F.col("task_idx"),
+                F.substring(slug(F.col("grp")), 1, 30),
+                F.substring(slug(F.col("content")), 1, 50),
+            ).alias("log_name"),
+        )
+        .orderBy("task_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
 # session_segments — group sessionization (agent-loop.sh:634-640, W1).
 # ---------------------------------------------------------------------------
 SEGMENT_FIXTURE: list[tuple[int, str]] = [
