@@ -1,0 +1,82 @@
+"""Skew-mitigation utilities: salted joins and two-stage aggregation.
+
+The synthetic test tables are uniform, so no registered query NEEDS
+salting — but at 100 TB skewed keys are the norm (one hot customer,
+one viral document). Two mechanisms, in preference order:
+
+1. AQE skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`,
+   on in the session factory) — handles sort-merge join skew
+   transparently by splitting oversized partitions. Prefer it.
+2. Explicit salting (this module) — for aggregations whose single hot
+   group overwhelms one reducer even after partial aggregation, and
+   for joins where AQE can't help (e.g. a broadcast side too big to
+   broadcast and a shuffle key with pathological frequency).
+
+Both transforms preserve semantics exactly; tests assert equivalence
+against the unsalted plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame:
+    """Add a uniform random salt column in [0, buckets)."""
+    return df.withColumn(col_name, (F.rand(seed=42) * buckets).cast("int"))
+
+
+def salted_agg_sum(
+    df: DataFrame, key: str, value: str, buckets: int = 16
+) -> DataFrame:
+    """Two-stage sum: partial aggregate on (key, salt) — spreading one
+    hot key over `buckets` reducers — then final aggregate on key.
+
+    Equivalent to `df.groupBy(key).agg(sum(value))`; use when a single
+    group's row count dwarfs the rest so even map-side partial
+    aggregation leaves one reducer with most of the data.
+    """
+    partial = (
+        with_salt(df, buckets)
+        .groupBy(key, "_salt")
+        .agg(F.sum(value).alias("_partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").alias(f"sum_{value}"))
+
+
+def salted_join(
+    skewed: DataFrame, small: DataFrame, key: str, buckets: int = 16
+) -> DataFrame:
+    """Equi-join a skew-keyed big side against a modest dimension by
+    salting the big side and EXPLODING the dimension `buckets`× so each
+    salted partition finds its match.
+
+    Use only when the dimension is too big for broadcast but small
+    enough to replicate `buckets`× (classic mid-size-dim skew). With a
+    broadcastable dim, `F.broadcast` already avoids the skew; with
+    sort-merge, prefer AQE skew splitting.
+    """
+    salted_big = with_salt(skewed, buckets)
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return salted_big.join(replicated, [key, "_salt"]).drop("_salt")
+
+
+def top_frequency_keys(df: DataFrame, key: str, n: int = 10) -> DataFrame:
+    """Skew diagnostic: the n heaviest keys with their share of rows."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .count()
+        .withColumn("share", F.round(F.col("count") / F.lit(total), 4))
+        .orderBy(F.desc("count"), key)
+        .limit(n)
+    )
+
+
+def salt_expr(key: Column, buckets: int) -> Column:
+    """Deterministic content-derived salt (hash-based) for cases where
+    reproducibility across retries matters more than uniformity."""
+    return F.pmod(F.hash(key), F.lit(buckets))

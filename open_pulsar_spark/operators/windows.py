@@ -192,6 +192,41 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# events_sliding_window — sliding event-time windows (batch form).
+# --------------------------------------------------------------------------
+@query(
+    "events_sliding_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP)
+                      - u.k * INTERVAL '10 minutes', '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS total_value
+    FROM events CROSS JOIN unnest(range(0, 3)) AS u(k)
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding every 10 — each event lands in 3
+    overlapping windows (the oracle generates the same 3 epoch-aligned
+    buckets explicitly). Streaming form: identical expression under
+    withWatermark (streaming/events_stream.sliding_value)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # events_session_window — native session_window vs manual SQL sessions.
 # --------------------------------------------------------------------------
 @query(
