@@ -292,6 +292,22 @@ def run_pipeline(
     return state
 
 
+def run_task_message(
+    spark: SparkSession,
+    text: str,
+    model: ModelFn | None = None,
+    **pipeline_kwargs,
+) -> str:
+    """U6 — the operator that invokes the engine recursively
+    (SURVEY §2.10; reference telegram-agent.py:323-345): a single
+    message becomes a one-task list, runs through the whole inner
+    pipeline, and reduces to a status string for the reply sink."""
+    lines = [(1, f"- {text.strip()}")]
+    state = run_pipeline(spark, lines, model=model, **pipeline_kwargs)
+    row = state.collect()[0]
+    return f"{row.status} (attempts={row.attempts})"
+
+
 def status_summary(state: DataFrame) -> DataFrame:
     """End-of-run summary aggregation (SURVEY A2)."""
     return (

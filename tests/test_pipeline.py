@@ -95,6 +95,15 @@ def test_status_summary(spark):
     assert summary == {"completed": 1, "failed": 1}
 
 
+def test_run_task_message_recursive_invocation(spark):
+    from open_pulsar_spark.operators.pipeline import run_task_message
+
+    assert run_task_message(spark, "do a thing") == "completed (attempts=1)"
+    assert (
+        run_task_message(spark, "broken !fail:auth:1") == "failed (attempts=1)"
+    )
+
+
 @pytest.mark.parametrize(
     ("text", "expected"),
     [
