@@ -14,7 +14,7 @@ into the text-pipeline operators the north star calls for.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from open_pulsar_spark.registry import query
@@ -211,6 +211,59 @@ def doc_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_tfidf_topterms — corpus TF-IDF, top terms per document.
+# --------------------------------------------------------------------------
+@query(
+    "doc_tfidf_topterms",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rk
+        FROM scored)
+    SELECT doc_id, term, tfidf, rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic corpus-statistics
+    join: explode → per-doc term counts → document frequencies →
+    broadcast df back onto tf → window top-k.
+
+    Scale: term DF table is vocabulary-sized (broadcastable); the only
+    big shuffles are the two groupBys on (doc_id, term) and (term) —
+    both natural keys. ln() is IEEE-identical across engines; rounded
+    to 6 dp anyway.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) * 1.0 / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
     )
 
 
