@@ -1,0 +1,137 @@
+"""CLI entry points mirroring the reference's operational surface
+(SURVEY §3.3): run a markdown task file with persistent, resumable
+state; --dry-run shows the parsed plan; --status aggregates the state
+table; --reset drops it.
+
+State layout under --state-dir:
+    state.parquet/   one row per task (the D2 state table)
+    fingerprint      sha-256 of the task file at init (F8 hash guard)
+
+Resume: a rerun on the same state dir skips finished tasks, re-runs
+interrupted/running ones, and refuses if the task file changed.
+
+    python -m open_pulsar_spark.cli run tasks.md --state-dir .pulsar-state
+    python -m open_pulsar_spark.cli status --state-dir .pulsar-state
+    python -m open_pulsar_spark.cli dry-run tasks.md
+    python -m open_pulsar_spark.cli reset --state-dir .pulsar-state
+
+The model defaults to the deterministic stub; a real backend plugs in
+through operators.pipeline.ModelFn.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _read_lines(path: str) -> list[tuple[int, str]]:
+    with open(path, encoding="utf-8") as fh:
+        return [(i + 1, line.rstrip("\n")) for i, line in enumerate(fh)]
+
+
+def _state_paths(state_dir: str) -> tuple[str, str]:
+    return os.path.join(state_dir, "state.parquet"), os.path.join(state_dir, "fingerprint")
+
+
+def cmd_dry_run(spark: SparkSession, path: str) -> int:
+    from open_pulsar_spark.operators.pipeline import parse_markdown, sessionize_segments
+
+    tasks = sessionize_segments(parse_markdown(spark, _read_lines(path)))
+    for r in tasks.orderBy("task_idx").collect():
+        print(f"  [{r.task_idx:03d}] ({r.grp} / segment {r.segment_id}) {r.task}")
+    print(f"{tasks.count()} task(s) parsed; nothing executed")
+    return 0
+
+
+def cmd_run(spark: SparkSession, path: str, state_dir: str) -> int:
+    from open_pulsar_spark.operators.pipeline import (
+        file_fingerprint,
+        run_pipeline,
+        status_summary,
+    )
+
+    lines = _read_lines(path)
+    fp = file_fingerprint(lines)
+    state_path, fp_path = _state_paths(state_dir)
+    prior = prior_hash = None
+    if os.path.exists(state_path):
+        prior = spark.read.parquet(state_path)
+        with open(fp_path, encoding="utf-8") as fh:
+            prior_hash = fh.read().strip()
+    state = run_pipeline(
+        spark, lines, prior_state=prior, prior_hash=prior_hash
+    ).cache()
+    os.makedirs(state_dir, exist_ok=True)
+    state.write.mode("overwrite").parquet(state_path)
+    with open(fp_path, "w", encoding="utf-8") as fh:
+        fh.write(fp)
+    for r in status_summary(state).collect():
+        print(f"{r.status}: {r.n}")
+    failed = state.where(state.status == "failed").count()
+    return 1 if failed else 0
+
+
+def cmd_status(spark: SparkSession, state_dir: str) -> int:
+    state_path, _ = _state_paths(state_dir)
+    if not os.path.exists(state_path):
+        print("no state found")
+        return 1
+    state = spark.read.parquet(state_path)
+    from open_pulsar_spark.operators.pipeline import status_summary
+
+    for r in status_summary(state).collect():
+        print(f"{r.status}: {r.n}")
+    for r in state.where(state.status == "failed").orderBy("task_idx").collect():
+        print(f"  failed [{r.task_idx:03d}] {r.grp} > {r.task}")
+    return 0
+
+
+def cmd_reset(state_dir: str) -> int:
+    if os.path.isdir(state_dir):
+        shutil.rmtree(state_dir)
+        print(f"removed {state_dir}")
+    else:
+        print("no state to remove")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="open_pulsar_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p_run = sub.add_parser("run")
+    p_run.add_argument("task_file")
+    p_run.add_argument("--state-dir", default=".pulsar-state")
+    p_dry = sub.add_parser("dry-run")
+    p_dry.add_argument("task_file")
+    p_status = sub.add_parser("status")
+    p_status.add_argument("--state-dir", default=".pulsar-state")
+    p_reset = sub.add_parser("reset")
+    p_reset.add_argument("--state-dir", default=".pulsar-state")
+    args = ap.parse_args(argv)
+
+    if args.cmd == "reset":
+        return cmd_reset(args.state_dir)
+
+    from open_pulsar_spark import get_spark
+
+    spark = get_spark("open-pulsar-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd == "dry-run":
+            return cmd_dry_run(spark, args.task_file)
+        if args.cmd == "run":
+            return cmd_run(spark, args.task_file, args.state_dir)
+        if args.cmd == "status":
+            return cmd_status(spark, args.state_dir)
+        raise AssertionError(args.cmd)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

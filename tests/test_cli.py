@@ -1,0 +1,73 @@
+"""CLI surface (SURVEY §3.3): run/resume with persisted state,
+dry-run, status, reset — driven through the command functions with a
+shared session (main() owns its own session lifecycle; see also the
+end-to-end subprocess drive in the repo verify skill)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from open_pulsar_spark.cli import cmd_dry_run, cmd_reset, cmd_run, cmd_status
+
+TASKS_MD = """## setup
+- prepare the environment
+- configure things
+## work
+- do the flaky part !fail:unknown:99
+"""
+
+
+@pytest.fixture()
+def task_file(tmp_path):
+    p = tmp_path / "tasks.md"
+    p.write_text(TASKS_MD)
+    return str(p)
+
+
+def test_dry_run_parses_without_executing(spark, task_file, capsys):
+    assert cmd_dry_run(spark, task_file) == 0
+    out = capsys.readouterr().out
+    assert "3 task(s) parsed" in out
+    assert "[001] (setup / segment 1) prepare the environment" in out
+
+
+def test_run_persists_state_and_reports_failure_exit(spark, task_file, tmp_path, capsys):
+    sd = str(tmp_path / "state")
+    assert cmd_run(spark, task_file, sd) == 1      # one failing task
+    out = capsys.readouterr().out
+    assert "completed: 2" in out and "failed: 1" in out
+    assert os.path.exists(os.path.join(sd, "state.parquet"))
+    assert os.path.exists(os.path.join(sd, "fingerprint"))
+
+
+def test_rerun_resumes_and_skips_finished(spark, task_file, tmp_path, capsys):
+    sd = str(tmp_path / "state")
+    cmd_run(spark, task_file, sd)
+    capsys.readouterr()
+    # second run: completed/failed rows carried, nothing re-executed
+    assert cmd_run(spark, task_file, sd) == 1
+    out = capsys.readouterr().out
+    assert "completed: 2" in out and "failed: 1" in out
+
+
+def test_rerun_refuses_changed_file(spark, task_file, tmp_path):
+    sd = str(tmp_path / "state")
+    cmd_run(spark, task_file, sd)
+    with open(task_file, "a") as fh:
+        fh.write("- a brand new task\n")
+    with pytest.raises(ValueError, match="refusing to resume"):
+        cmd_run(spark, task_file, sd)
+
+
+def test_status_and_reset(spark, task_file, tmp_path, capsys):
+    sd = str(tmp_path / "state")
+    cmd_run(spark, task_file, sd)
+    capsys.readouterr()
+    assert cmd_status(spark, sd) == 0
+    out = capsys.readouterr().out
+    assert "failed: 1" in out and "do the flaky part" in out
+    assert cmd_reset(sd) == 0
+    assert not os.path.isdir(sd)
+    assert cmd_status(spark, sd) == 1              # no state → exit 1
