@@ -1,0 +1,77 @@
+"""The composed message pipeline — SURVEY §3.2's entry point B as one
+streaming application: bus source → projection → filters → router →
+per-chat stateful turns → chunked reply sink.
+
+Each branch is its own streaming query over the same routed stream —
+the Spark-native form of the reference's executor-pool isolation
+(SURVEY T5): a slow task branch can never starve the chat branch
+because they are independent queries with independent state and
+checkpoints (and, on a cluster, independent fair-scheduler pools).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from open_pulsar_spark.streaming.router import (
+    filter_authorized,
+    filter_text,
+    project_updates,
+    route,
+)
+from open_pulsar_spark.streaming.sessions import ModelFn, chat_turns, stub_model
+from open_pulsar_spark.streaming.sinks import explode_chunks
+
+
+def build_message_pipeline(
+    spark: SparkSession,
+    updates: DataFrame,
+    allowed_ids: set[int] | None = None,
+    mode: str = "auto",
+    model: ModelFn = stub_model,
+) -> dict[str, DataFrame]:
+    """Wire the full route over a (batch or streaming) updates frame.
+
+    Returns the three branch frames — callers attach sinks per branch:
+      chat:     stateful turns → chunked replies
+      task:     rows destined for the task pipeline (operators.pipeline)
+      command:  parsed commands for the control-plane handler
+    """
+    msgs = route(
+        filter_authorized(spark, filter_text(project_updates(updates)), allowed_ids or set()),
+        mode=mode,
+    )
+    return {
+        "chat": chat_turns(msgs.where(msgs.route == "chat"), model=model),
+        "task": msgs.where(msgs.route == "task"),
+        "command": msgs.where(msgs.route == "command").select(
+            "chat_id", "update_id", "cmd", "cmd_args"
+        ),
+    }
+
+
+def start_chat_sink(
+    chat: DataFrame,
+    deliver,
+    checkpoint: str,
+    chunk_limit: int = 4096,
+):
+    """Chunked delivery sink for the chat branch (SURVEY K1): each
+    micro-batch is exploded into ≤chunk_limit labeled chunks and handed
+    to `deliver(batch_df, epoch_id)` — the external-messaging boundary.
+
+    Chunking runs inside foreachBatch (a batch context) rather than in
+    the streaming plan: sink-side formatting belongs at the sink, and
+    it keeps the streaming plan free of Python row-format seams after
+    the stateful operator.
+    """
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        deliver(explode_chunks(batch_df, limit=chunk_limit), epoch_id)
+
+    return (
+        chat.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

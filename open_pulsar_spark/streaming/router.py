@@ -113,5 +113,7 @@ def route(messages: DataFrame, mode: str = "auto") -> DataFrame:
         "*",
         F.when(is_cmd, "command").otherwise(branch).alias("route"),
         F.when(is_cmd, F.regexp_replace(parts[0], "@.*$", "")).alias("cmd"),
-        F.when(is_cmd, F.element_at(parts, 2)).alias("cmd_args"),
+        # try_element_at: a bare command ("/status") has no args slot,
+        # and ANSI mode makes element_at throw on out-of-bounds
+        F.when(is_cmd, F.try_element_at(parts, F.lit(2))).alias("cmd_args"),
     )

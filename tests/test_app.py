@@ -1,0 +1,113 @@
+"""End-to-end composed message pipeline (SURVEY §3.2): bus → router →
+stateful chat branch → chunked sink, driven as real streaming queries,
+plus a late-data watermark check."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from open_pulsar_spark.streaming.app import build_message_pipeline, start_chat_sink
+from open_pulsar_spark.streaming.events_stream import (
+    EVENT_SCHEMA,
+    read_event_stream,
+    tumbling_counts,
+)
+from open_pulsar_spark.streaming.router import UPDATE_SCHEMA
+
+
+def test_full_message_pipeline_streaming(spark, tmp_path):
+    src, ckpt = str(tmp_path / "updates"), str(tmp_path / "ckpt")
+    rows = [
+        (1, {"chat": {"id": 10}, "from": {"id": 1, "username": "a"}, "text": "hello there"}, None),
+        (2, {"chat": {"id": 10}, "from": {"id": 1, "username": "a"}, "text": "/status"}, None),
+        (3, {"chat": {"id": 11}, "from": {"id": 2, "username": "b"}, "text": "fix the login bug"}, None),
+        (4, {"chat": {"id": 12}, "from": {"id": 9, "username": "x"}, "text": "intruder!"}, None),
+    ]
+    spark.createDataFrame(rows, UPDATE_SCHEMA).coalesce(1).write.parquet(src)
+    updates = spark.readStream.schema(UPDATE_SCHEMA).parquet(src)
+    branches = build_message_pipeline(spark, updates, allowed_ids={1, 2})
+
+    delivered: list = []
+    queries = [
+        start_chat_sink(
+            branches["chat"],
+            lambda df, epoch: delivered.extend(df.collect()),
+            checkpoint=f"{ckpt}/chat",
+            chunk_limit=500,
+        )
+    ]
+    for name in ("task", "command"):
+        q = (
+            branches[name]
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"app_{name}")
+            .option("checkpointLocation", f"{ckpt}/{name}")
+            .start()
+        )
+        queries.append(q)
+    for q in queries:
+        q.processAllAvailable()
+        q.stop()
+
+    chat = delivered
+    task = spark.sql("select * from app_task").collect()
+    cmd = spark.sql("select * from app_command").collect()
+    # auth filter dropped user 9; router split the rest
+    assert [r.update_id for r in chat] == [1]
+    assert chat[0].chunk.startswith("ack:hello there")
+    assert [r.update_id for r in task] == [3]
+    assert [(r.update_id, r.cmd) for r in cmd] == [(2, "/status")]
+
+
+def test_late_event_beyond_watermark_is_dropped(spark, tmp_path):
+    src, ckpt = str(tmp_path / "ev"), str(tmp_path / "ck")
+
+    # FileStreamSource orders batches by file modification time; pin
+    # strictly increasing mtimes so arrival order is deterministic
+    import glob as _glob
+    import os as _os
+
+    clock = [1_700_000_000]
+    pinned: set[str] = set()
+
+    def write(rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        clock[0] += 60
+        for f in _glob.glob(f"{src}/*.parquet"):
+            if f not in pinned:
+                _os.utime(f, (clock[0], clock[0]))
+                pinned.add(f)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    write([(1, t0, 1, "click", 1.0, "{}")])
+    # advance event time far ahead → watermark moves past 10:00-11:00
+    write([(2, dt.datetime(2024, 1, 1, 15, 0), 1, "click", 1.0, "{}")])
+    # one more batch so the 10:00 window is EMITTED (watermark 13:00)
+    write([(3, dt.datetime(2024, 1, 1, 18, 0), 1, "click", 1.0, "{}")])
+    # a LATE event for the already-emitted 10:00 window — must be dropped
+    # (observed Spark subtlety: a late row landing in the same batch that
+    # evicts its window still merges in; once the window has been emitted
+    # in a previous batch, the row is dropped for good)
+    write([(4, dt.datetime(2024, 1, 1, 10, 30), 1, "click", 7.0, "{}")])
+    # and one more to trigger another emission round
+    write([(5, dt.datetime(2024, 1, 1, 21, 0), 1, "click", 1.0, "{}")])
+
+    out = tumbling_counts(
+        read_event_stream(spark, src), window="1 hour", watermark="2 hours"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.window_start: r for r in spark.sql("select * from late_out").collect()}
+    w10 = rows[dt.datetime(2024, 1, 1, 10, 0)]
+    # the late event (value 7.0) did NOT make it into the finalized window
+    assert w10.n == 1 and w10.total_value == 1.0
