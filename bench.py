@@ -35,8 +35,11 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
+    "ann_ivf_coarse",
     "doc_text_stats",
     "doc_quality_score",
+    "doc_tfidf_topterms",
+    "events_sliding_window",
     "multimodal_features",
 ]
 
