@@ -157,6 +157,98 @@ def click_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# events_funnel — ordered conversion funnel per user.
+# --------------------------------------------------------------------------
+@query(
+    "events_funnel",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               min(ts::TIMESTAMP) FILTER (WHERE event_type = 'signup')   AS t_signup,
+               min(ts::TIMESTAMP) FILTER (WHERE event_type = 'click')    AS t_click,
+               min(ts::TIMESTAMP) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id)
+    SELECT count(*) FILTER (WHERE t_signup IS NOT NULL) AS n_signup,
+           count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup) AS n_clicked_after,
+           count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup
+                             AND t_purchase > t_click) AS n_converted,
+           round(count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup
+                                   AND t_purchase > t_click) * 1.0
+                 / nullif(count(*) FILTER (WHERE t_signup IS NOT NULL), 0), 6)
+             AS conversion_rate
+    FROM stages
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup → first later click → first later
+    purchase, counted per user then aggregated. One shuffle on user_id
+    (conditional-min stage extraction), then a scalar rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    stages = ev.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    converted = clicked & (F.col("t_purchase") > F.col("t_click"))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return stages.agg(
+        cnt(signed).alias("n_signup"),
+        cnt(clicked).alias("n_clicked_after"),
+        cnt(converted).alias("n_converted"),
+        F.round(cnt(converted) * F.lit(1.0) / F.nullif(cnt(signed), F.lit(0)), 6).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# retention_cohorts — daily cohort × activity-day retention counts.
+# --------------------------------------------------------------------------
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('day', ts::TIMESTAMP)) AS cohort_day
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP) AS active_day
+        FROM events)
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           date_diff('day', f.cohort_day, a.active_day) AS day_offset,
+           count(*) AS n_active
+    FROM activity a JOIN firsts f USING (user_id)
+    WHERE date_diff('day', f.cohort_day, a.active_day) <= 7
+    GROUP BY 1, 2
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct
+    activity counted per day offset (first week). Two shuffles on
+    user_id (first-seen agg + distinct activity) then the cohort join —
+    at 100 TB both sides are already partitioned by user_id so the
+    join is co-located."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("active_day")).distinct()
+    offset = F.datediff(F.col("active_day"), F.col("cohort_day"))
+    return (
+        activity.join(firsts, "user_id")
+        .where(offset <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            offset.alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+# --------------------------------------------------------------------------
 # events_hourly_tumbling — tumbling event-time window (batch form).
 # --------------------------------------------------------------------------
 @query(
