@@ -122,10 +122,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # dedup_minhash_lsh — MinHash signatures → LSH banding → verified pairs.
 # --------------------------------------------------------------------------
-_band_sig_sql = ", ".join(
-    "mh[{}] || mh[{}] || mh[{}]".format(b * LSH_ROWS + 1, b * LSH_ROWS + 2, b * LSH_ROWS + 3)
-    for b in range(LSH_BANDS)
-)
+_MINHASH_PAIRS_CTE = f"""
+    shingled AS ({_SHINGLE_SQL}),
+    sigs AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, u.band,
+               CASE u.band {' '.join(
+                   f"WHEN {b} THEN mh[{b * LSH_ROWS + 1}] || mh[{b * LSH_ROWS + 2}] || mh[{b * LSH_ROWS + 3}]"
+                   for b in range(LSH_BANDS))} END AS sig
+        FROM sigs CROSS JOIN unnest(range(0, {LSH_BANDS})) AS u(band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN shingled x ON c.a_id = x.doc_id
+        JOIN shingled y ON c.b_id = y.doc_id
+        WHERE len(list_filter(x.sh, s -> list_contains(y.sh, s))) * 1.0 /
+              (len(x.sh) + len(y.sh)
+               - len(list_filter(x.sh, s -> list_contains(y.sh, s)))) >= {JACCARD_THRESHOLD}
+    )
+"""
 
 @query(
     "dedup_minhash_lsh",
@@ -204,6 +225,74 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", F.round(jacc, 6).alias("jaccard"))
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_clusters — transitive closure of near-dup pairs → representatives.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, min(v) AS cluster_rep,
+           CASE WHEN u = min(v) THEN 'keep' ELSE 'drop' END AS action
+    FROM reach GROUP BY u
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: transitive closure over the
+    MinHash-verified pair graph; every member maps to the cluster's
+    minimum doc_id, and only the representative survives ('keep').
+
+    Spark side is iterative min-label propagation (the standard
+    large-scale connected-components loop): each round joins labels
+    across edges and keeps the elementwise min, until a fixpoint. At
+    100 TB each round is one shuffle on the node id; round count is
+    the cluster diameter (tiny for dedup graphs — duplicate clusters
+    are cliques or near-cliques from the band join). The oracle states
+    the same closure as a recursive CTE.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .unionAll(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+        .persist()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u")).persist()
+    while True:
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select("u", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_rep"),
+        F.when(F.col("u") == F.col("label"), "keep").otherwise("drop").alias("action"),
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

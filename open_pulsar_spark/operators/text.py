@@ -14,6 +14,7 @@ into the text-pipeline operators the north star calls for.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -212,6 +213,52 @@ def doc_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# doc_llm_score — Arrow-batched pandas_udf scoring (the U-family path).
+# --------------------------------------------------------------------------
+@query(
+    "doc_llm_score",
+    oracle="""
+    SELECT doc_id,
+           round(('0x' || substr(md5(text), 1, 2))::BIGINT / 255.0, 6) AS model_score,
+           CASE WHEN ('0x' || substr(md5(text), 1, 2))::BIGINT / 255.0 >= 0.5
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_llm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scoring through the REAL batched-UDF contract
+    (SURVEY §2.10 U1-U3: rows stream through an Arrow-batched
+    `pandas_udf`, the model consumes a whole batch per call). The
+    "model" here is a deterministic stub (md5-derived score) so the
+    oracle can replicate it — a live classifier swaps in behind the
+    same signature with zero plan changes.
+
+    Scale: map-only; batch size (spark.sql.execution.arrow.
+    maxRecordsPerBatch) is the model's amortization unit.
+    """
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score_batch(texts: pd.Series) -> pd.Series:
+        # stands in for a batched model call: one vectorized pass per
+        # Arrow batch, never per-row Python
+        return texts.map(
+            lambda t: int(hashlib.md5(t.encode()).hexdigest()[:2], 16) / 255.0
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", score_batch("text").alias("raw"))
+    return scored.select(
+        "doc_id",
+        F.round("raw", 6).alias("model_score"),
+        F.when(F.col("raw") >= 0.5, "keep").otherwise("drop").alias("verdict"),
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,56 @@
+"""Physical-plan regression tests: the scale posture (pushdown,
+pruning, broadcast) is asserted, not just documented — a refactor that
+silently drops a pushed filter or broadcasts nothing fails here."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from open_pulsar_spark import registry
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        registry.all_queries()[name](spark, SF_SMALL).explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_and_projection_reach_the_scan(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan          # predicate pushdown
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]  # pruned
+    assert plan.count("HashAggregate") >= 2              # partial + final
+
+
+def test_q3_broadcasts_the_filtered_dimension(spark):
+    plan = plan_of(spark, "q3_top_revenue_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan       # dim filter pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_no_nested_loop_anywhere(spark):
+    plan = plan_of(spark, "q5_region_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_single_window_not_range_join(spark):
+    plan = plan_of(spark, "click_asof_purchase")
+    # the union+last formulation: no join node at all, one window
+    assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["doc_text_stats", "doc_quality_score", "doc_fingerprint"])
+def test_text_ops_are_map_only(spark, name):
+    plan = plan_of(spark, name)
+    # no aggregation/join exchanges — only the final presentation sort
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
