@@ -25,6 +25,29 @@ def test_file_bus_roundtrip(spark, tmp_path):
     assert spark.sql("select * from bus_out").count() == 1
 
 
+def test_file_bus_json_format(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    src = str(tmp_path / "jsrc")
+    schema = "update_id LONG, chat_id LONG, text STRING"
+    spark.createDataFrame([(1, 7, "hi")], schema).coalesce(1).write.json(src)
+    stream = read_bus(
+        spark,
+        BusConfig(
+            uri=f"file://{src}",
+            schema=StructType.fromDDL(schema),
+            file_format="json",
+        ),
+    )
+    q = write_bus(
+        stream, BusConfig(uri="memory://bus_json"), checkpoint=str(tmp_path / "jck")
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from bus_json").collect()
+    assert [(r.update_id, r.chat_id, r.text) for r in rows] == [(1, 7, "hi")]
+
+
 def test_file_bus_requires_schema(spark):
     with pytest.raises(ValueError, match="schema"):
         read_bus(spark, BusConfig(uri="file:///tmp/x"))
