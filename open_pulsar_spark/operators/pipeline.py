@@ -292,6 +292,49 @@ def run_pipeline(
     return state
 
 
+def summarize_segments(
+    state: DataFrame,
+    max_words: int = 500,
+) -> DataFrame:
+    """A8/U5 — the compaction aggregate as a standalone operator: fold a
+    whole segment's completed work into one ≤max_words summary row
+    (group of rows → one row, the canonical UDAF-via-applyInPandas;
+    reference compact_session, agent-loop.sh:428-455).
+
+    The summarizer is the deterministic stub (a real LLM consumes the
+    same collected batch). Scale: one shuffle on segment_id; each
+    group's payload is the segment's task list — bounded by segment
+    size, not table size.
+    """
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("task_idx")
+        done = pdf[pdf.status == "completed"]
+        words: list[str] = []
+        for r in done.itertuples():
+            words.extend(str(r.result).split())
+        summary = " ".join(words[:max_words])
+        return pd.DataFrame(
+            [
+                {
+                    "segment_id": int(pdf.segment_id.iloc[0]),
+                    "grp": pdf.grp.iloc[0],
+                    "n_tasks": len(pdf),
+                    "n_completed": len(done),
+                    "total_tokens": int(pdf.tokens.sum()),
+                    "summary": summary,
+                    "summary_words": min(len(words), max_words),
+                }
+            ]
+        )
+
+    schema = (
+        "segment_id LONG, grp STRING, n_tasks LONG, n_completed LONG, "
+        "total_tokens LONG, summary STRING, summary_words LONG"
+    )
+    return state.groupBy("segment_id").applyInPandas(fold, schema)
+
+
 def run_task_message(
     spark: SparkSession,
     text: str,

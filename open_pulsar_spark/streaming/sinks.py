@@ -65,6 +65,27 @@ def write_audit(state: DataFrame, path: str) -> None:
     audit_lines(state).write.mode("append").partitionBy("log_date").parquet(path)
 
 
+def idempotent_epoch_sink(path: str):
+    """foreachBatch writer with replay-safe semantics (the Spark
+    mapping of the reference's per-attempt VCS isolation, SURVEY C6):
+    each micro-batch lands in its own `epoch=<id>` partition with
+    dynamic partition OVERWRITE, so a re-delivered epoch (failure
+    replay) rewrites its partition instead of duplicating rows —
+    effectively exactly-once output on top of at-least-once delivery.
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return write
+
+
 def write_audit_stream(state: DataFrame, path: str, checkpoint: str):
     """Streaming form: date-partitioned append sink with checkpoint."""
     return (

@@ -95,6 +95,29 @@ def test_status_summary(spark):
     assert summary == {"completed": 1, "failed": 1}
 
 
+def test_summarize_segments_folds_group_to_one_row(spark):
+    from open_pulsar_spark.operators.pipeline import summarize_segments
+
+    state = run_pipeline(
+        spark,
+        [
+            (1, "## g1"),
+            (2, "- alpha"),
+            (3, "- beta !fail:unknown:99"),
+            (4, "## g2"),
+            (5, "- gamma"),
+        ],
+        model=ScriptedModel(),
+    )
+    out = {r.segment_id: r for r in summarize_segments(state, max_words=4).collect()}
+    assert len(out) == 2
+    s1 = out[1]
+    assert s1.n_tasks == 2 and s1.n_completed == 1
+    assert s1.summary_words <= 4
+    assert s1.summary.startswith("done[primary]")
+    assert out[2].n_completed == 1
+
+
 def test_run_task_message_recursive_invocation(spark):
     from open_pulsar_spark.operators.pipeline import run_task_message
 

@@ -24,6 +24,20 @@ def test_explode_chunks_one_row_per_chunk(spark):
     assert idxs == list(range(len(by_msg[2])))
 
 
+def test_idempotent_epoch_sink_replay_safe(spark, tmp_path):
+    from open_pulsar_spark.streaming.sinks import idempotent_epoch_sink
+
+    out = str(tmp_path / "epochs")
+    write = idempotent_epoch_sink(out)
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "id LONG, v STRING")
+    write(batch, epoch_id=7)
+    # replay of the SAME epoch (failure redelivery) — no duplication
+    write(batch, epoch_id=7)
+    write(spark.createDataFrame([(3, "c")], "id LONG, v STRING"), epoch_id=8)
+    rows = sorted((r.id, r.epoch) for r in spark.read.parquet(out).collect())
+    assert rows == [(1, 7), (2, 7), (3, 8)]
+
+
 def test_audit_sink_partitions_by_date_and_truncates(spark, tmp_path):
     out = str(tmp_path / "audit")
     state = spark.createDataFrame(
