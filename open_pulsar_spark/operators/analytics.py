@@ -136,6 +136,45 @@ def quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# order_history_scd2 — SCD2-style validity ranges via lead().
+# --------------------------------------------------------------------------
+@query(
+    "order_history_scd2",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM orders
+    WHERE o_custkey < 50
+    ORDER BY o_custkey, valid_from, o_orderkey
+    """,
+)
+def order_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) construction: each record's
+    validity window closes when the next version opens (`lead()`), the
+    open-ended row flagged current. The standard pattern for building
+    point-in-time joinable history without Delta MERGE — one shuffle
+    on the business key."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("valid_from"),
+            nxt.alias("valid_to"),
+            F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        )
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # part_size_unpivot — wide → long (stack).
 # --------------------------------------------------------------------------
 @query(

@@ -260,7 +260,46 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are cliques or near-cliques from the band join). The oracle states
     the same closure as a recursive CTE.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    pair_rows = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id").collect()
+    if len(pair_rows) <= SMALL_GRAPH_PAIRS:
+        # The verified pair graph is the SMALL output of LSH (≈0.1% of
+        # corpus); below the threshold a driver-side union-find beats N
+        # shuffle rounds. Above it, the distributed min-label loop runs.
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pair_rows:
+            for n in (r.a_id, r.b_id):
+                parent.setdefault(n, n)
+            ra, rb = find(r.a_id), find(r.b_id)
+            if ra != rb:  # union by min so the representative is min id
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = spark.createDataFrame(
+            [(n, find(n)) for n in parent], "u LONG, label LONG"
+        )
+    else:
+        pairs = spark.createDataFrame(pair_rows, "a_id LONG, b_id LONG")
+        labels = _propagate_labels_distributed(pairs)
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_rep"),
+        F.when(F.col("u") == F.col("label"), "keep").otherwise("drop").alias("action"),
+    ).orderBy("doc_id")
+
+
+SMALL_GRAPH_PAIRS = 100_000
+
+
+def _propagate_labels_distributed(pairs: DataFrame) -> DataFrame:
+    """Iterative min-label propagation (large-scale connected
+    components): one shuffle on the node id per round; rounds bounded
+    by cluster diameter. Used when the pair graph exceeds
+    SMALL_GRAPH_PAIRS."""
     edges = (
         pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
         .unionAll(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
@@ -288,11 +327,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        F.col("u").alias("doc_id"),
-        F.col("label").alias("cluster_rep"),
-        F.when(F.col("u") == F.col("label"), "keep").otherwise("drop").alias("action"),
-    ).orderBy("doc_id")
+    return labels
 
 
 # --------------------------------------------------------------------------
