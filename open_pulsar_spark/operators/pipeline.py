@@ -119,9 +119,14 @@ def analyze_failure(raw_analysis: str) -> dict:
     """Schema-enforced failure-analysis contract (SURVEY §2.10 U4;
     reference agent-loop.sh:548-587): the analyzer must return JSON
     {retry: bool, reason: str, hint: str}; anything unparsable falls
-    back to a safe default — the `from_json`+`coalesce` pattern in
+    back to retry=false (the reference's double fallback,
+    agent-loop.sh:576-586) — the `from_json`+`coalesce` pattern in
     Python form for the executor-side policy loop."""
-    default = {"retry": True, "reason": "unparsable analysis", "hint": ""}
+    default = {
+        "retry": False,
+        "reason": "Could not parse analysis output",
+        "hint": "",
+    }
     try:
         doc = json.loads(raw_analysis)
     except (TypeError, ValueError):
@@ -177,6 +182,7 @@ def run_pipeline(
     boot_context: str | None = None,
     prior_state: DataFrame | None = None,
     prior_hash: str | None = None,
+    analyzer: Callable[[str, str], str] | None = None,
 ) -> DataFrame:
     """Execute a markdown task list through the state machine; returns
     the final state table (one row per task).
@@ -192,6 +198,13 @@ def run_pipeline(
     scalar prepended to every prompt — broadcast by closure capture.
     """
     model = model or ScriptedModel()
+    # U4 analyzer: (task, error) → raw JSON verdict. The default stub
+    # always advises retry with a hint; a live LLM (or a deliberately
+    # broken stub, in tests) plugs in here.
+    analyzer = analyzer or (
+        lambda task, err: '{"retry": true, "reason": "transient", '
+        '"hint": "try a different approach"}'
+    )
     if prior_state is not None and prior_hash is not None:
         current = file_fingerprint(lines)
         if current != prior_hash:
@@ -267,8 +280,13 @@ def run_pipeline(
                 if error_class == "network":
                     backoff_total += backoff_sec(attempts, False)
                     continue
-                # unknown → retry with a generic hint (U4 analysis stub)
-                hint = "previous attempt failed; try a different approach"
+                # unknown → U4 analysis decides retry + hint; malformed
+                # analyzer output coalesces to retry=false
+                verdict = analyze_failure(analyzer(r.task, reply.error))
+                if not verdict["retry"]:
+                    status = "failed"
+                    break
+                hint = verdict["hint"] or "previous attempt failed; try a different approach"
             else:
                 status = "failed"
             if status == "failed":                  # C5: break the chain

@@ -73,6 +73,19 @@ def test_unknown_error_exhausts_attempts_then_fails(spark):
     assert r.error_class == "unknown"
 
 
+def test_unknown_error_with_no_retry_verdict_aborts(spark):
+    # a malformed analyzer verdict coalesces to retry=false (U4 double
+    # fallback) → the task fails after ONE attempt
+    state = run_pipeline(
+        spark,
+        [(1, "- cursed !fail:unknown:99")],
+        model=ScriptedModel(),
+        analyzer=lambda task, err: "this is not json at all",
+    )
+    r = state.collect()[0]
+    assert r.status == "failed" and r.attempts == 1
+
+
 def test_compaction_triggers_at_80_percent(spark):
     lines = [
         (1, "## g"),

@@ -65,10 +65,12 @@ def test_boot_context_reaches_prompts(spark):
 def test_analyze_failure_contract():
     ok = analyze_failure('{"retry": false, "reason": "bad input", "hint": "skip"}')
     assert ok == {"retry": False, "reason": "bad input", "hint": "skip"}
-    # unparsable / wrong-shape output falls back to a safe default
+    # unparsable / wrong-shape output falls back to retry=false
+    # (reference double-fallback semantics, agent-loop.sh:576-586)
     for bad in ["not json", '{"retry": "yes"}', "[]", None, '{"reason": "x"}']:
         out = analyze_failure(bad)
-        assert out["retry"] is True and out["reason"] == "unparsable analysis"
+        assert out["retry"] is False
+        assert out["reason"].startswith("Could not")
 
 
 def test_fingerprint_sensitive_to_content():
