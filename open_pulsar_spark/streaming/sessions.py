@@ -59,8 +59,20 @@ STATE_SCHEMA = StructType(
 )
 
 
-def make_chat_handler(model: ModelFn = stub_model):
-    """Build the applyInPandasWithState function for the chat branch."""
+def make_chat_handler(model: ModelFn = stub_model, ttl_ms: int | None = None):
+    """Build the applyInPandasWithState function for the chat branch.
+
+    With `ttl_ms`, idle chats are evicted by processing-time timeout —
+    at 100 TB the chat_id key space is unbounded, so state MUST have an
+    eviction policy (the reference's in-memory dicts grow forever;
+    SURVEY §4.3 flags exactly this).
+
+    Deployment note: ProcessingTimeTimeout makes the micro-batch engine
+    run no-data batches to fire timers (shouldRunAnotherBatch is always
+    true). ALWAYS pair ttl_ms with a processing-time trigger interval —
+    with the default ASAP trigger the query busy-loops empty batches,
+    and StreamingQuery.processAllAvailable() never returns (noNewData
+    is never signaled). Observe timer queries by polling the sink."""
 
     def handle(
         key: tuple[Any, ...],
@@ -68,6 +80,10 @@ def make_chat_handler(model: ModelFn = stub_model):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (chat_id,) = key
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # idle session evicted; next message starts fresh
+            yield pd.DataFrame([], columns=[f.name for f in OUTPUT_SCHEMA.fields])
+            return
         session_id, turns = (
             state.get if state.exists else (None, 0)
         )
@@ -99,24 +115,36 @@ def make_chat_handler(model: ModelFn = stub_model):
                          reply=reply, session_id=session_id, status="ok")
                 )
         state.update((session_id, turns))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
 
     return handle
 
 
-def chat_turns(messages: DataFrame, model: ModelFn = stub_model) -> DataFrame:
+def chat_turns(
+    messages: DataFrame,
+    model: ModelFn = stub_model,
+    ttl_ms: int | None = None,
+) -> DataFrame:
     """Wire the chat branch: group by chat_id → stateful handler.
 
     Works on a streaming frame (state persists across micro-batches
     via the checkpoint) and on a batch frame (single "batch" of state).
+    Pass `ttl_ms` to evict idle chats by processing-time timeout.
     """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         messages.groupBy("chat_id")
         .applyInPandasWithState(
-            make_chat_handler(model),
+            make_chat_handler(model, ttl_ms=ttl_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

@@ -125,6 +125,54 @@ def test_chat_reset_clears_session(spark, workdir):
     assert rows[3].session_id == expected
 
 
+def test_chat_session_ttl_evicts_idle_state(spark, workdir):
+    """Idle chats time out: after TTL passes with no traffic, the next
+    message starts a FRESH session chain (state was evicted).
+
+    Synchronization note: with ProcessingTimeTimeout, Spark's
+    FlatMapGroupsWithState*Exec.shouldRunAnotherBatch is always true —
+    the engine keeps constructing no-data batches to fire timers, so
+    `noNewData` is never signaled and processAllAvailable() would block
+    FOREVER. A timer query must use a real trigger interval and be
+    observed by polling the sink with a deadline."""
+    import hashlib
+    import time
+
+    def await_rows(name, pred, deadline_s=120):
+        end = time.monotonic() + deadline_s
+        while time.monotonic() < end:
+            rows = {r.update_id: r for r in spark.sql(f"select * from {name}").collect()}
+            if pred(rows):
+                return rows
+            time.sleep(0.2)
+        raise AssertionError(f"sink {name} never satisfied predicate")
+
+    src, ckpt = f"{workdir}/msgs", f"{workdir}/ckpt"
+    schema = "update_id LONG, chat_id LONG, text STRING"
+    spark.createDataFrame([(1, 10, "first")], schema).coalesce(1).write.mode("append").parquet(src)
+    msgs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        chat_turns(msgs, ttl_ms=300)
+        .writeStream.outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .format("memory")
+        .queryName("ttl_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        await_rows("ttl_out", lambda r: 1 in r)
+        time.sleep(1.5)  # idle > TTL: timer batches evict chat 10's state
+        spark.createDataFrame([(2, 10, "after idle")], schema).coalesce(1).write.mode("append").parquet(src)
+        rows = await_rows("ttl_out", lambda r: 2 in r)
+    finally:
+        q.stop()
+    # update 2 starts from scratch: md5('|after idle'), not chained on update 1
+    fresh = hashlib.md5(b"|after idle").hexdigest()[:12]
+    assert rows[2].session_id == fresh
+    assert rows[2].session_id != rows[1].session_id
+
+
 def test_checkpoint_resume_does_not_reprocess(spark, workdir):
     """Offset semantics (SURVEY T1): restarting a query on the same
     checkpoint continues from the committed offset — no reprocessing
