@@ -60,19 +60,37 @@ def cmd_run(spark: SparkSession, path: str, state_dir: str) -> int:
     state_path, fp_path = _state_paths(state_dir)
     prior = prior_hash = None
     if os.path.exists(state_path):
+        if not os.path.exists(fp_path):
+            # State without its fingerprint is unverifiable (F8 hash
+            # guard) — refuse to resume rather than silently rerun.
+            print(
+                f"state at {state_dir} has no fingerprint file; "
+                "refusing to resume (use reset to start over)",
+                file=sys.stderr,
+            )
+            return 2
         prior = spark.read.parquet(state_path)
         with open(fp_path, encoding="utf-8") as fh:
             prior_hash = fh.read().strip()
-    state = run_pipeline(
-        spark, lines, prior_state=prior, prior_hash=prior_hash
-    ).cache()
+    state = run_pipeline(spark, lines, prior_state=prior, prior_hash=prior_hash)
     os.makedirs(state_dir, exist_ok=True)
-    state.write.mode("overwrite").parquet(state_path)
+    # The new state's plan still READS the prior state.parquet, so never
+    # overwrite in place: write to a temp dir, then swap via renames
+    # (the reference's tmp+mv idiom, agent-loop.sh:315-319).
+    tmp_path = state_path + ".tmp"
+    old_path = state_path + ".old"
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    state.write.mode("overwrite").parquet(tmp_path)
+    if os.path.exists(state_path):
+        os.rename(state_path, old_path)
+    os.rename(tmp_path, state_path)
+    shutil.rmtree(old_path, ignore_errors=True)
     with open(fp_path, "w", encoding="utf-8") as fh:
         fh.write(fp)
-    for r in status_summary(state).collect():
+    written = spark.read.parquet(state_path)
+    for r in status_summary(written).collect():
         print(f"{r.status}: {r.n}")
-    failed = state.where(state.status == "failed").count()
+    failed = written.where(written.status == "failed").count()
     return 1 if failed else 0
 
 

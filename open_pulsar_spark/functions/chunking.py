@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 CHUNK_LIMIT = 4096
-HEADER_BUDGET = 8  # room reserved for a "[i/N] " label
+HEADER_BUDGET = 8  # initial "[i/N] " label reservation (covers N ≤ 99)
 
 
 def _split_piece(piece: str, avail: int) -> list[str]:
@@ -44,15 +44,8 @@ def _split_piece(piece: str, avail: int) -> list[str]:
     return out
 
 
-def chunk_text(text: str, limit: int = CHUNK_LIMIT) -> list[str]:
-    """Split `text` into labeled chunks of at most `limit` chars."""
-    if text is None:
-        return []
-    if len(text) <= limit:
-        return [text]
-    avail = limit - HEADER_BUDGET
-
-    # 1) paragraph-preferring accumulation
+def _accumulate(text: str, avail: int) -> list[str]:
+    """Paragraph-preferring accumulation into pieces of ≤ avail chars."""
     chunks: list[str] = []
     current = ""
     for para in text.split("\n\n"):
@@ -72,11 +65,38 @@ def chunk_text(text: str, limit: int = CHUNK_LIMIT) -> list[str]:
             current = pieces[-1] if pieces else ""
     if current:
         chunks.append(current)
+    return chunks
 
-    if len(chunks) == 1:
-        return chunks
-    n = len(chunks)
-    return [f"[{i + 1}/{n}] {c}" for i, c in enumerate(chunks)]
+
+def chunk_text(text: str, limit: int = CHUNK_LIMIT) -> list[str]:
+    """Split `text` into labeled chunks of at most `limit` chars."""
+    if text is None:
+        return []
+    if len(text) <= limit:
+        return [text]
+
+    # The label budget depends on the chunk COUNT ("[100/123] " is 10
+    # chars, not 8), which depends on the budget — so iterate: split
+    # with the current reservation, and if the resulting count needs a
+    # wider label, re-split with that width. The budget only grows
+    # (log10 of the count), so this terminates in ≤ a few rounds, and
+    # every labeled chunk provably fits `limit`.
+    budget = HEADER_BUDGET
+    while True:
+        avail = limit - budget
+        if avail < 1:
+            raise ValueError(
+                f"limit={limit} cannot fit a '[i/N] ' label plus content "
+                f"(needs > {budget})"
+            )
+        chunks = _accumulate(text, avail)
+        if len(chunks) == 1:
+            return chunks
+        n = len(chunks)
+        needed = len(f"[{n}/{n}] ")
+        if needed <= budget:
+            return [f"[{i + 1}/{n}] {c}" for i, c in enumerate(chunks)]
+        budget = needed
 
 
 def chunk_text_udf(limit: int = CHUNK_LIMIT) -> Column:

@@ -260,8 +260,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are cliques or near-cliques from the band join). The oracle states
     the same closure as a recursive CTE.
     """
-    pair_rows = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id").collect()
-    if len(pair_rows) <= SMALL_GRAPH_PAIRS:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id").persist()
+    # Branch on count(), not a full collect(): the count materializes
+    # the persisted pair set exactly once (executor-side; nothing ships
+    # to the driver), and only the small branch ever collects. A
+    # limit-probe would be cheaper per se but skips cache population,
+    # forcing the LSH pipeline to run twice.
+    if pairs.count() <= SMALL_GRAPH_PAIRS:
         # The verified pair graph is the SMALL output of LSH (≈0.1% of
         # corpus); below the threshold a driver-side union-find beats N
         # shuffle rounds. Above it, the distributed min-label loop runs.
@@ -273,17 +278,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x = parent[x]
             return x
 
-        for r in pair_rows:
+        for r in pairs.collect():
             for n in (r.a_id, r.b_id):
                 parent.setdefault(n, n)
             ra, rb = find(r.a_id), find(r.b_id)
             if ra != rb:  # union by min so the representative is min id
                 parent[max(ra, rb)] = min(ra, rb)
+        pairs.unpersist()
         labels = spark.createDataFrame(
             [(n, find(n)) for n in parent], "u LONG, label LONG"
         )
     else:
-        pairs = spark.createDataFrame(pair_rows, "a_id LONG, b_id LONG")
         labels = _propagate_labels_distributed(pairs)
     return labels.select(
         F.col("u").alias("doc_id"),

@@ -468,7 +468,7 @@ def user_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*)                                        AS n,
            round(sum(value), 2)                            AS total_value,
-           sum(json_extract_string(props, '$.k')::BIGINT)  AS sum_k
+           sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k
     FROM events
     GROUP BY 1, 2
     ORDER BY day, event_type

@@ -511,8 +511,8 @@ SEGMENT_FIXTURE: list[tuple[int, str]] = [
                     THEN 1 ELSE 0 END AS changed
         FROM tasks)
     SELECT idx, grp,
-           sum(changed) OVER (ORDER BY idx
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id
+           (sum(changed) OVER (ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS segment_id
     FROM flagged
     ORDER BY idx
     """,

@@ -37,10 +37,10 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
         SELECT user_id, ts, event_id,
-               sum(new_session) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS session_seq
+               (sum(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 )::BIGINT AS session_seq
         FROM flagged
     )
     SELECT user_id, session_seq,

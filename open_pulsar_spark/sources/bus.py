@@ -49,10 +49,17 @@ class BusConfig:
 
 
 def _has_format(spark: SparkSession, fmt: str) -> bool:
-    """True if a DataSource format is registered on the classpath."""
+    """True if a DataSource format is registered on the classpath.
+
+    lookupDataSource takes a SQLConf (not the SparkConf that
+    spark._jsc.sc().conf() returns — passing that makes py4j raise for
+    EVERY format, even parquet). Resolved via SQLConf.get() which is
+    correct on the driver thread.
+    """
     try:
+        sql_conf = spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
         spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
-            fmt, spark._jsc.sc().conf()
+            fmt, sql_conf
         )
         return True
     except Exception:  # noqa: BLE001 — py4j raises opaque wrapper types

@@ -61,3 +61,13 @@ def test_pulsar_gated_with_clear_error(spark):
 def test_unknown_scheme_rejected(spark):
     with pytest.raises(ValueError, match="unknown bus scheme"):
         read_bus(spark, BusConfig(uri="carrier-pigeon://coop/topic"))
+
+
+def test_has_format_detects_builtin_parquet(spark):
+    # ADVICE r1: lookupDataSource needs a SQLConf; the old SparkConf
+    # call made _has_format report False even for built-in formats.
+    from open_pulsar_spark.sources.bus import _has_format
+
+    assert _has_format(spark, "parquet") is True
+    assert _has_format(spark, "json") is True
+    assert _has_format(spark, "definitely-not-a-format") is False

@@ -66,3 +66,24 @@ def test_custom_limit():
     chunks = chunk_text("z" * 1000, limit=100)
     assert all(len(c) <= 100 for c in chunks)
     assert "".join(strip_label(c) for c in chunks) == "z" * 1000
+
+
+def test_over_100_chunks_labels_still_fit():
+    # ADVICE r1: "[100/123] " is 10 chars, over the initial 8-char
+    # reservation — the budget must widen with the chunk count.
+    limit = 100
+    text = "q" * 20_000
+    chunks = chunk_text(text, limit=limit)
+    assert len(chunks) >= 100
+    assert all(len(c) <= limit for c in chunks)
+    n = len(chunks)
+    for i, c in enumerate(chunks):
+        assert c.startswith(f"[{i + 1}/{n}] ")
+    assert "".join(strip_label(c) for c in chunks) == text
+
+
+def test_unsatisfiable_limit_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_text("w" * 5000, limit=9)

@@ -71,3 +71,14 @@ def test_status_and_reset(spark, task_file, tmp_path, capsys):
     assert cmd_reset(sd) == 0
     assert not os.path.isdir(sd)
     assert cmd_status(spark, sd) == 1              # no state → exit 1
+
+
+def test_missing_fingerprint_refuses_resume(spark, task_file, tmp_path, capsys):
+    # ADVICE r1: state.parquet without its fingerprint is unverifiable —
+    # refuse (exit 2) instead of raising FileNotFoundError.
+    sd = str(tmp_path / "state")
+    cmd_run(spark, task_file, sd)
+    capsys.readouterr()
+    os.remove(os.path.join(sd, "fingerprint"))
+    assert cmd_run(spark, task_file, sd) == 2
+    assert "refusing to resume" in capsys.readouterr().err

@@ -48,6 +48,45 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+# The driver's value-hash is typed: it tolerates integer-width
+# differences (int32 Spark vs BIGINT DuckDB hash-matched in round 1)
+# but NOT DuckDB HUGEINT/UHUGEINT (sum() of integers), which pandas
+# widens to float/object and the hash then mismatches even when the
+# Python ints compare equal. Map both schemas into coarse families and
+# fail on family mismatch so this is caught locally.
+_INT_FAMILY = {"tinyint", "smallint", "int", "integer", "bigint", "long", "ubigint",
+               "usmallint", "uinteger", "utinyint"}
+_FLOAT_FAMILY = {"float", "double", "real"}
+
+
+def _family(type_str: str) -> str:
+    t = str(type_str).strip().lower()
+    if t in _INT_FAMILY:
+        return "int"
+    if t in _FLOAT_FAMILY:
+        return "float"
+    if t in ("hugeint", "uhugeint"):
+        return "hugeint"  # never matches Spark — deliberate
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t in ("varchar", "string", "text"):
+        return "string"
+    if t.startswith("decimal"):
+        return t.replace(" ", "")
+    return t
+
+
+def typed_mismatches(sdf, dcols: list[str], dtypes: list) -> list[str]:
+    spark_types = {f.name.lower(): f.dataType.simpleString() for f in sdf.schema.fields}
+    bad = []
+    for c, dt in zip(dcols, dtypes, strict=True):
+        sfam = _family(spark_types.get(c.lower(), "?"))
+        dfam = _family(dt)
+        if sfam != dfam:
+            bad.append(f"{c}: spark={spark_types.get(c.lower())} duck={dt}")
+    return bad
+
+
 def compare(name: str, spark, con, sf_dir: str, qfn, sql: str | None) -> dict:
     t0 = time.time()
     sdf = qfn(spark, sf_dir)
@@ -68,6 +107,11 @@ def compare(name: str, spark, con, sf_dir: str, qfn, sql: str | None) -> dict:
     if len(srows) != len(drows):
         res["status"] = "ROWCOUNT_MISMATCH"
         res["duck_rows"] = len(drows)
+        return res
+    bad_types = typed_mismatches(sdf, dcols, rel.types)
+    if bad_types:
+        res["status"] = "TYPE_MISMATCH"
+        res["cols"] = bad_types
         return res
     ns, nd = normalize(srows, [c.lower() for c in scols]), normalize(
         drows, [c.lower() for c in dcols]
