@@ -1,30 +1,48 @@
 """L4 similarity search over the `embeddings` table (array<float>, 64-d).
 
-Two paths:
-  - ann_topk_bruteforce: exact cosine top-k — the baseline. The query
-    set broadcasts; the corpus streams; per-corpus-partition ranking
-    then a tiny global top-k. Linear in corpus size, no corpus shuffle.
-  - ann_lsh_bucketed: random-hyperplane (sign) LSH — the 100 TB path.
-    Bucket assignment is map-only; the probe is an equi-join on the
-    bucket id, so the candidate set is |bucket| per query, not
-    |corpus|.
+Paths:
+  - ann_topk_bruteforce: exact cosine top-k — the baseline.
+  - ann_lsh_bucketed: random-hyperplane (sign) LSH — candidates are
+    only same-bucket vectors.
+  - ann_ivf_coarse: IVF-flat — nearest-centroid inverted lists, a
+    query probes only its own list.
   - dedup_embedding_cosine: exact all-pairs threshold pairs — the
-    ground-truth near-dup formulation (quadratic on purpose; the LSH
-    bucket join is the scale path for the same verify expression).
+    ground-truth near-dup formulation.
 
-Float parity: dot products are an UNROLLED left-associative 64-term
-sum (`v[0]*u[0] + v[1]*u[1] + ...`) over the vector cast to double.
-Left-associative addition reproduces the sequential loop DuckDB's
-`list_dot_product` runs, so Spark and the oracle agree bit-for-bit
-(verified empirically), and unlike `F.aggregate`+`zip_with` (an
-interpreted higher-order function) it stays inside whole-stage
-codegen. Similarities are additionally rounded to 6 dp in the output.
+Execution model — Arrow-batched numpy, one shared kernel shape:
+vector math is the one pattern where row-at-a-time JVM expressions
+lose by orders of magnitude to vectorized BLAS. Every operator here
+is: (1) one small driver-side job collects the probe/centroid side
+(queries, hyperplanes, centroids — always the small side) and
+broadcasts it; (2) `mapInPandas` streams the corpus in Arrow batches,
+each batch doing a blocked matmul against the broadcast side and
+emitting only its local top-k / threshold survivors; (3) a final
+window ranks the (tiny) union of block candidates. The corpus is
+never shuffled and never collected.
+
+Scale: at 100 TB the corpus side stays partition-parallel (step 2 is
+map-only), and the broadcast side is bounded (queries, 64 buckets,
+k centroids). For all-pairs dedup the broadcast corpus no longer fits
+whole — block BOTH sides (grid of corpus chunks × row blocks) or
+prefilter candidates with the LSH bucket equi-join before the exact
+verify; the per-block kernel stays identical.
+
+Float parity with the DuckDB oracle: numpy's pairwise summation
+differs from DuckDB's sequential `list_dot_product` loop only at
+~1e-16 relative. Outputs round cosines to 6 dp, which absorbs it; the
+places where an unrounded comparison happens (threshold crossings,
+rank order, bucket sign, centroid argmax) would need two cosines —
+of distinct continuous-valued vectors — within ~1e-15 of each other
+or of the boundary to disagree, which is measure-zero for this data
+(verified empirically at sf0.001/sf0.01). Exact-duplicate vectors tie
+bit-for-bit in BOTH engines and are broken by id in both.
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from open_pulsar_spark.registry import query
@@ -36,37 +54,12 @@ TOP_K = 5
 N_PLANES = 6       # LSH hyperplanes → 64 buckets
 
 # Deterministic hyperplanes, rounded so the literals embedded in the
-# Spark plan and the oracle SQL are the exact same doubles.
+# numpy kernel and the oracle SQL are the exact same doubles.
 _PLANES: list[list[float]] = [
     [round(float(x), 6) for x in row]
     for row in np.random.RandomState(7).randn(N_PLANES, DIM)
 ]
-
-
-def dot_cols(a: str, b: str) -> Column:
-    """Unrolled codegen-friendly dot product of two array columns."""
-    e = F.col(a)[0] * F.col(b)[0]
-    for i in range(1, DIM):
-        e = e + F.col(a)[i] * F.col(b)[i]
-    return e
-
-
-def dot_lit(a: str, plane: list[float]) -> Column:
-    """Unrolled dot product of an array column with a literal vector."""
-    e = F.col(a)[0] * F.lit(plane[0])
-    for i in range(1, DIM):
-        e = e + F.col(a)[i] * F.lit(plane[i])
-    return e
-
-
-def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v: array<double>, nrm) — norm computed map-side once."""
-    return (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .withColumn("nrm", F.sqrt(dot_cols("v", "v")))
-    )
-
+_PLANES_MAT = np.asarray(_PLANES, dtype=np.float64)
 
 _NORM_SQL = "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
 
@@ -82,12 +75,54 @@ _BUCKET_SQL = " + ".join(
 )
 
 
-def _bucket_col() -> Column:
-    """LSH bucket id: sign bit per hyperplane, folded into an int."""
-    e = F.when(dot_lit("v", _PLANES[0]) > 0, F.lit(1)).otherwise(0)
-    for h in range(1, N_PLANES):
-        e = e + F.when(dot_lit("v", _PLANES[h]) > 0, F.lit(1 << h)).otherwise(0)
-    return e
+# ------------------------------------------------------------------ helpers
+def _corpus_numpy(spark: SparkSession, sf_dir: str):
+    """One driver-side job: (ids, norms, U) with U L2-normalized
+    float64, rows sorted by vec_id. This is the SMALL side at any
+    scale (probe vectors / centroids are chosen from it); the full
+    corpus only ever streams through mapInPandas."""
+    pdf = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+    return ids, v, v / nrm[:, None]
+
+
+def _block_norm(pdf: pd.DataFrame):
+    """(ids, raw, normalized) for one Arrow batch of the corpus."""
+    b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    raw = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.sqrt(np.einsum("ij,ij->i", raw, raw))
+    return b_ids, raw, raw / nrm[:, None]
+
+
+def _buckets_of(raw: np.ndarray) -> np.ndarray:
+    """Sign-LSH bucket ids for raw (un-normalized) vectors — the sign
+    is norm-invariant, matching the oracle's dot on raw doubles."""
+    bits = (raw @ _PLANES_MAT.T) > 0
+    return bits @ (1 << np.arange(N_PLANES)).astype(np.int64)
+
+
+def _topk_block(qid: int, cand_ids: np.ndarray, cos: np.ndarray) -> pd.DataFrame:
+    """Local top-K of one query within one block, ties broken by
+    neighbor id (same (cos DESC, neighbor_id) order as the final
+    window rank, so block-local pruning never drops a global top-K)."""
+    order = np.lexsort((cand_ids, -cos))[:TOP_K]
+    return pd.DataFrame(
+        {"query_id": qid, "neighbor_id": cand_ids[order], "cos": cos[order]}
+    )
+
+
+def _scan_scored(
+    spark: SparkSession, sf_dir: str, fn, schema="query_id LONG, neighbor_id LONG, cos DOUBLE"
+) -> DataFrame:
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return corpus.mapInPandas(fn, schema)
 
 
 def _rank_topk(scored: DataFrame) -> DataFrame:
@@ -128,26 +163,28 @@ def _rank_topk(scored: DataFrame) -> DataFrame:
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each of the first 8 vectors.
 
-    Scale: the query side is broadcast (queries are always small); the
-    corpus is scanned once; ranking partitions by query_id. Cost is
-    O(|queries| × |corpus|) multiply-adds with no corpus shuffle.
+    Queries broadcast; the corpus streams once through a blocked
+    matmul; each block emits only its local top-K per query, so the
+    final rank sees ≤ partitions × |queries| × K rows. Cost is
+    O(|queries| × |corpus|) FLOPs at BLAS speed, no corpus shuffle.
     """
-    # persist: corpus and broadcast query side share the normalization
-    # subplan (64-term dot) — cache so it's computed once.
-    emb = _normalized(spark, sf_dir).persist()
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    scored = emb.join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (dot_cols("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cos"),
-    )
-    return _rank_topk(scored)
+    ids, _, u = _corpus_numpy(spark, sf_dir)
+    qm = ids < N_QUERIES
+    bc = spark.sparkContext.broadcast((ids[qm], u[qm]))
+
+    def fn(batches):
+        q_ids, qn = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids, _, bn = _block_norm(pdf)
+            sims = bn @ qn.T                      # (block, nq)
+            for qi, qid in enumerate(q_ids):
+                m = b_ids != qid
+                if m.any():
+                    yield _topk_block(qid, b_ids[m], sims[m, qi])
+
+    return _rank_topk(_scan_scored(spark, sf_dir, fn))
 
 
 # --------------------------------------------------------------------------
@@ -181,30 +218,28 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: sign-LSH with 6 fixed hyperplanes → 64
     buckets; candidates are only corpus vectors in the query's bucket.
 
-    Scale: bucket assignment is map-only; the probe join is an
-    equi-join on bucket id (with the small query side broadcast), so
+    Bucket assignment is part of the block kernel (map-only); each
+    block scores only its rows whose bucket matches a query bucket, so
     work per query is |bucket| ≈ |corpus|/64 — the knob is N_PLANES.
-    An IVF variant would replace the hash with learned centroids; the
-    plumbing (assign → equi-join → rank) is identical.
     """
-    # persist: bucket assignment is 6 unrolled plane dots — compute once
-    # for both the corpus side and the broadcast query side.
-    emb = _normalized(spark, sf_dir).withColumn("bucket", _bucket_col()).persist()
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        F.col("bucket").alias("qbucket"),
-    )
-    scored = emb.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (dot_cols("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cos"),
-    )
-    return _rank_topk(scored)
+    ids, v, u = _corpus_numpy(spark, sf_dir)
+    qm = ids < N_QUERIES
+    bc = spark.sparkContext.broadcast((ids[qm], u[qm], _buckets_of(v[qm])))
+
+    def fn(batches):
+        q_ids, qn, q_buckets = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids, raw, bn = _block_norm(pdf)
+            b_buckets = _buckets_of(raw)
+            sims = bn @ qn.T
+            for qi, qid in enumerate(q_ids):
+                m = (b_buckets == q_buckets[qi]) & (b_ids != qid)
+                if m.any():
+                    yield _topk_block(qid, b_ids[m], sims[m, qi])
+
+    return _rank_topk(_scan_scored(spark, sf_dir, fn))
 
 
 # --------------------------------------------------------------------------
@@ -253,54 +288,42 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus into inverted lists (nearest-centroid assignment); a query
     probes only its own list.
 
-    Scale: assignment is a map-side argmax against the BROADCAST
-    centroid set (linear in corpus × k centroids); the probe join is an
-    equi-join on centroid_id. Swap the arithmetic centroid choice for
-    k-means centroids and the plumbing — assign → equi-join → rank —
-    is production IVF. nprobe>1 = join against the top-n assigned
-    centroids instead of rank-1.
+    Assignment is a block-kernel argmax against the BROADCAST centroid
+    matrix (linear in corpus × k centroids, map-only); a block scores
+    only rows assigned to a probed list. Swap the arithmetic centroid
+    choice for k-means centroids and this is production IVF; nprobe>1
+    = keep the top-n assigned centroids instead of rank-1.
+
+    The centroid argmax breaks exact-cos ties toward the smaller
+    centroid_id in both engines (centroid columns are id-sorted, and
+    `sims == rowmax` argmax picks the first).
     """
-    emb = _normalized(spark, sf_dir).persist()
-    cent = emb.where(
-        F.col("vec_id") % CENTROID_MOD == CENTROID_RESIDUE
-    ).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    arn = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "centroid_id")
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "centroid_id",
-            (dot_cols("v", "cv") / (F.col("nrm") * F.col("cn"))).alias("ccos"),
-        )
-        .withColumn("rn", F.row_number().over(arn))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
-    )
-    q = (
-        emb.where(F.col("vec_id") < N_QUERIES)
-        .join(assigned, "vec_id")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            F.col("centroid_id").alias("qcentroid"),
-        )
-    )
-    scored = (
-        assigned.join(F.broadcast(q), F.col("centroid_id") == F.col("qcentroid"))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .join(emb, "vec_id")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (dot_cols("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cos"),
-        )
-    )
-    return _rank_topk(scored)
+    ids, _, u = _corpus_numpy(spark, sf_dir)
+    cm = ids % CENTROID_MOD == CENTROID_RESIDUE
+    cent_ids, cent_u = ids[cm], u[cm]        # id-sorted → argmax tie → min id
+
+    def assign(un: np.ndarray) -> np.ndarray:
+        sims = un @ cent_u.T                 # (n, k)
+        best = sims.max(axis=1, keepdims=True)
+        return cent_ids[np.argmax(sims == best, axis=1)]
+
+    qm = ids < N_QUERIES
+    bc = spark.sparkContext.broadcast((ids[qm], u[qm], assign(u[qm])))
+
+    def fn(batches):
+        q_ids, qn, q_cent = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids, _, bn = _block_norm(pdf)
+            b_cent = assign(bn)
+            sims = bn @ qn.T
+            for qi, qid in enumerate(q_ids):
+                m = (b_cent == q_cent[qi]) & (b_ids != qid)
+                if m.any():
+                    yield _topk_block(qid, b_ids[m], sims[m, qi])
+
+    return _rank_topk(_scan_scored(spark, sf_dir, fn))
 
 
 # --------------------------------------------------------------------------
@@ -320,47 +343,20 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.4), exact all-pairs via
-    Arrow-batched blocked matmul.
-
-    All-pairs vector math is the one pattern where row-at-a-time JVM
-    expressions lose by orders of magnitude to vectorized BLAS: each
-    partition multiplies its block of normalized vectors against the
-    broadcast corpus matrix (numpy matmul), emitting only pairs over
-    threshold. O(n²·d) FLOPs but ~GFLOP/s per core instead of ~MFLOP/s.
-
-    Scale: at 100 TB the corpus no longer broadcasts whole — block BOTH
-    sides (grid of corpus chunks joined to row blocks) or prefilter
-    candidates with the LSH bucket equi-join (ann_lsh_bucketed) before
-    this exact verify. The per-block compute kernel stays identical.
-
-    Parity: numpy's pairwise summation differs from the oracle's
-    sequential loop only at ~1e-16 relative; the 6-dp rounding absorbs
-    it (a disagreement needs a cosine within 1e-15 of the threshold or
-    a rounding boundary — measure-zero for continuous data).
-    """
-    import pandas as pd
-
-    emb = _normalized(spark, sf_dir).select(
-        "vec_id", F.expr("transform(v, x -> x / nrm)").alias("u")
-    )
-    # Broadcast the normalized corpus (id-sorted for deterministic output).
-    corpus = (
-        emb.orderBy("vec_id").select("vec_id", "u").toPandas()
-    )
-    ids = np.asarray(corpus["vec_id"], dtype=np.int64)
-    mat = np.stack(corpus["u"].to_numpy()).astype(np.float64)
-    bc = spark.sparkContext.broadcast((ids, mat))
-
-    out_schema = "a_id LONG, b_id LONG, cos DOUBLE"
+    Arrow-batched blocked matmul: each corpus block multiplies against
+    the broadcast normalized corpus matrix and emits only pairs over
+    threshold. O(n²·d) FLOPs at BLAS speed; output is |survivors|,
+    never n²."""
+    ids, _, u = _corpus_numpy(spark, sf_dir)
+    bc = spark.sparkContext.broadcast((ids, u))
 
     def fn(batches):
-        c_ids, c_mat = bc.value
+        c_ids, c_u = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            block = np.stack(pdf["u"].to_numpy()).astype(np.float64)
-            b_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
-            sims = block @ c_mat.T  # (block, corpus)
+            b_ids, _, bn = _block_norm(pdf)
+            sims = bn @ c_u.T                      # (block, corpus)
             hit_r, hit_c = np.where(
                 (sims >= 0.4) & (b_ids[:, None] < c_ids[None, :])
             )
@@ -374,7 +370,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     return (
-        emb.mapInPandas(fn, out_schema)
+        _scan_scored(spark, sf_dir, fn, schema="a_id LONG, b_id LONG, cos DOUBLE")
         .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
         .orderBy("a_id", "b_id")
     )
