@@ -55,8 +55,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.all_queries()
 
-    # JVM/codegen warmup on the smallest table — not measured.
+    # Warmup, not measured: the session's FIRST job pays JVM/codegen
+    # init (~8s); run the scan-shaped query twice so neither sample of
+    # the first measured query absorbs it, and spawn the Arrow Python
+    # workers once so the first mapInPandas query doesn't pay worker
+    # startup either.
     qs["q1_pricing_summary"](spark, sf_dir).collect()
+    qs["q1_pricing_summary"](spark, sf_dir).collect()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     # The box is shared: a single sample can absorb a co-tenant burst.
     # Queries whose first sample looks slow get one re-run and report

@@ -43,9 +43,8 @@ SIMHASH_HAMMING_MAX = 3
 
 
 # ---------------------------------------------------------------- helpers
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, sh: distinct word-3-gram shingles)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _shingled_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) frame → (doc_id, sh: distinct word-3-gram shingles)."""
     return (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 3)
@@ -61,6 +60,11 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, sh: distinct word-3-gram shingles)."""
+    return _shingled_of(load_table(spark, sf_dir, "documents"))
+
+
 _SHINGLE_SQL = """
     SELECT doc_id,
            list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
@@ -70,26 +74,87 @@ _SHINGLE_SQL = """
 """
 
 
-def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh, mh: array of MINHASH_K lexicographic-min seeded md5)."""
-    sh = _shingled(spark, sf_dir)
-    mh = F.array(
-        *[
-            F.array_min(
-                F.expr(f"transform(sh, s -> md5(concat('{k}|', s)))")
-            )
-            for k in range(MINHASH_K)
-        ]
-    )
-    return sh.select("doc_id", "sh", mh.alias("mh"))
+# MinHash as k universal-hash permutations over ONE md5 per shingle:
+# h = first 32 bits of md5(shingle); h_k = (a_k*h + b_k) mod p with
+# p the largest 32-bit prime and a_k < 2^30 so a_k*h + b_k < 2^62
+# never overflows int64 in any engine (Spark 4 runs ANSI mode).
+#
+# Signatures are computed in an Arrow-batched per-doc kernel rather
+# than JVM expressions: both the interpreted higher-order transform
+# AND explode-then-aggregate pay seconds per million shingles (the
+# generator/lambda overhead dominates, measured ~5s/M rows), while
+# hashlib+numpy over the same arrays is ~10x cheaper — and Python's
+# md5 hexdigest is bit-identical to Spark's md5() and DuckDB's md5().
+# Map-only: no shuffle; the per-doc signature is embarrassingly
+# parallel at any scale.
+MINHASH_P = 4294967291
+_RS = __import__("numpy").random.RandomState(13)
+MINHASH_A = [int(x) for x in _RS.randint(1, 2**30, MINHASH_K, dtype="int64")]
+MINHASH_B = [int(x) for x in _RS.randint(0, MINHASH_P, MINHASH_K, dtype="int64")]
+
+_SIGS_SCHEMA = "doc_id long, n_shingles long, " + ", ".join(
+    f"m{k} long" for k in range(MINHASH_K)
+)
 
 
-_MINHASH_SQL = f"""
-    SELECT doc_id, sh,
-           [list_min([md5(k::VARCHAR || '|' || s) for s in sh])
-            for k in range(0, {MINHASH_K})] AS mh
-    FROM shingled
+def _minhash_sigs(shingled: DataFrame) -> DataFrame:
+    """(doc_id, n_shingles, m0..m{k-1}) via the Arrow kernel above."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    a = np.asarray(MINHASH_A, dtype=np.int64)[:, None]
+    b = np.asarray(MINHASH_B, dtype=np.int64)[:, None]
+    cols = ["doc_id", "n_shingles"] + [f"m{k}" for k in range(MINHASH_K)]
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                        for s in sh
+                    ),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                mins = ((a * hs[None, :] + b) % MINHASH_P).min(axis=1)
+                rows.append((doc_id, len(sh), *mins.tolist()))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return shingled.mapInPandas(fn, _SIGS_SCHEMA)
+
+
+_HASHED_SQL = """
+    SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+    FROM (SELECT doc_id, unnest(sh) AS t FROM shingled)
 """
+
+_SIGS_SQL = (
+    "SELECT doc_id, count(*) AS n_shingles, "
+    + ", ".join(
+        f"min(({MINHASH_A[k]} * h + {MINHASH_B[k]}) % {MINHASH_P}) AS m{k}"
+        for k in range(MINHASH_K)
+    )
+    + " FROM hashed GROUP BY doc_id"
+)
+
+_BANDS_SQL = f"""
+    SELECT doc_id, u.band,
+           CASE u.band {' '.join(
+               f"WHEN {b} THEN " + " || '|' || ".join(
+                   f"m{b * LSH_ROWS + r}::VARCHAR" for r in range(LSH_ROWS))
+               for b in range(LSH_BANDS))} END AS sig
+    FROM sigs CROSS JOIN unnest(range(0, {LSH_BANDS})) AS u(band)
+"""
+
+_MINHASH_CTES = f"""shingled AS ({_SHINGLE_SQL}),
+    hashed AS ({_HASHED_SQL}),
+    sigs AS ({_SIGS_SQL}),
+    bands AS ({_BANDS_SQL})"""
 
 
 # --------------------------------------------------------------------------
@@ -123,15 +188,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_minhash_lsh — MinHash signatures → LSH banding → verified pairs.
 # --------------------------------------------------------------------------
 _MINHASH_PAIRS_CTE = f"""
-    shingled AS ({_SHINGLE_SQL}),
-    sigs AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, u.band,
-               CASE u.band {' '.join(
-                   f"WHEN {b} THEN mh[{b * LSH_ROWS + 1}] || mh[{b * LSH_ROWS + 2}] || mh[{b * LSH_ROWS + 3}]"
-                   for b in range(LSH_BANDS))} END AS sig
-        FROM sigs CROSS JOIN unnest(range(0, {LSH_BANDS})) AS u(band)
-    ),
+    {_MINHASH_CTES},
     cand AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
@@ -151,15 +208,7 @@ _MINHASH_PAIRS_CTE = f"""
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH shingled AS ({_SHINGLE_SQL}),
-    sigs AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, u.band,
-               CASE u.band {' '.join(
-                   f"WHEN {b} THEN mh[{b * LSH_ROWS + 1}] || mh[{b * LSH_ROWS + 2}] || mh[{b * LSH_ROWS + 3}]"
-                   for b in range(LSH_BANDS))} END AS sig
-        FROM sigs CROSS JOIN unnest(range(0, {LSH_BANDS})) AS u(band)
-    ),
+    WITH {_MINHASH_CTES},
     cand AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
@@ -186,9 +235,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join whose fan-out is bounded by real collisions and (b) the
     verify join over candidates. No all-pairs stage anywhere.
     """
-    # persist: the signature subplan feeds the band self-join AND the
-    # verify join — without it Spark recomputes shingling+minhash 4×.
-    sigs = _minhash_signature(spark, sf_dir).persist()
+    # persist only the SMALL frames (signatures: 13 longs/doc; candidate
+    # pairs: |collisions| rows). Caching the shingle arrays themselves
+    # costs more than recomputing them (columnar-caching ~1M strings
+    # measured slower than the map-only rebuild), and at scale you would
+    # never cache the full shingle set — the verify step instead
+    # re-derives shingles for ONLY the candidate docs via a broadcast
+    # semi-join pushed to the documents scan.
+    sigs = _minhash_sigs(_shingled(spark, sf_dir)).persist()
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -196,8 +250,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat(
-                            *[F.col("mh")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
                         ).alias("sig"),
                     )
                     for b in range(LSH_BANDS)
@@ -212,10 +267,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
+        .persist()
+    )
+    cand_ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select("b_id"))
+        .distinct()
+    )
+    cand_sh = _shingled_of(
+        load_table(spark, sf_dir, "documents").join(F.broadcast(cand_ids), "doc_id")
     )
 
-    x = sigs.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    y = sigs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    x = cand_sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    y = cand_sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jacc = inter * F.lit(1.0) / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
@@ -343,9 +407,9 @@ def _propagate_labels_distributed(pairs: DataFrame) -> DataFrame:
     "minhash_band_profile",
     oracle=f"""
     WITH shingled AS ({_SHINGLE_SQL}),
-    sigs AS ({_MINHASH_SQL})
-    SELECT doc_id, len(sh) AS n_shingles,
-           mh[1] AS h0, mh[{MINHASH_K}] AS h_last
+    hashed AS ({_HASHED_SQL}),
+    sigs AS ({_SIGS_SQL})
+    SELECT doc_id, n_shingles, m0 AS h0, m{MINHASH_K - 1} AS h_last
     FROM sigs
     ORDER BY doc_id
     """,
@@ -353,12 +417,12 @@ def _propagate_labels_distributed(pairs: DataFrame) -> DataFrame:
 def minhash_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature endpoints — pins the signature
     computation itself (not just surviving pairs) to the oracle."""
-    sigs = _minhash_signature(spark, sf_dir)
+    sigs = _minhash_sigs(_shingled(spark, sf_dir))
     return sigs.select(
         "doc_id",
-        F.size("sh").alias("n_shingles"),
-        F.col("mh")[0].alias("h0"),
-        F.col("mh")[MINHASH_K - 1].alias("h_last"),
+        "n_shingles",
+        F.col("m0").alias("h0"),
+        F.col(f"m{MINHASH_K - 1}").alias("h_last"),
     ).orderBy("doc_id")
 
 
@@ -392,26 +456,43 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over word-3-gram shingle features: per shingle
     take 60 bits of md5, vote ±1 per bit position, fold sign votes
     into the signature. Shingles (not unigrams) because distinctive
-    features are what make SimHash discriminate — and one explode +
-    one groupBy on doc_id is still the whole plan."""
-    tok = _shingled(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("t")
+    features are what make SimHash discriminate.
+
+    Same Arrow per-doc kernel as MinHash (see _minhash_sigs): the
+    signature is map-only with no shuffle; Python md5 is bit-identical
+    to the oracle's md5, and the ±1 vote/fold is exact int math."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def fn(batches):
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
+                hvs = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        for s in sh
+                    ),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                bits = (hvs[:, None] >> bit_idx[None, :]) & 1   # (n, 32)
+                votes = (2 * bits - 1).sum(axis=0)
+                sig = int(((votes > 0).astype(np.int64) << bit_idx).sum())
+                out_ids.append(doc_id)
+                out_sigs.append(sig)
+            if out_ids:
+                yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
+
+    return (
+        _shingled(spark, sf_dir)
+        .mapInPandas(fn, "doc_id long, simhash long")
+        .orderBy("doc_id")
     )
-    h = tok.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint").alias("hv"),
-    )
-    sums = h.groupBy("doc_id").agg(
-        *[
-            F.sum((F.shiftright("hv", j).bitwiseAND(1)) * 2 - 1).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    simhash = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
-        simhash = term if simhash is None else simhash + term
-    return sums.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
