@@ -92,13 +92,45 @@ _RS = __import__("numpy").random.RandomState(13)
 MINHASH_A = [int(x) for x in _RS.randint(1, 2**30, MINHASH_K, dtype="int64")]
 MINHASH_B = [int(x) for x in _RS.randint(0, MINHASH_P, MINHASH_K, dtype="int64")]
 
-_SIGS_SCHEMA = "doc_id long, n_shingles long, " + ", ".join(
-    f"m{k} long" for k in range(MINHASH_K)
+_SIGS_SCHEMA = (
+    "doc_id long, n_shingles long, "
+    + ", ".join(f"m{k} long" for k in range(MINHASH_K))
+    + ", hs array<long>"
 )
 
 
-def _minhash_sigs(shingled: DataFrame) -> DataFrame:
-    """(doc_id, n_shingles, m0..m{k-1}) via the Arrow kernel above."""
+def _py_shingles(text: str | None) -> set[str] | None:
+    """Distinct word-3-gram shingles; None when the doc has < 3 tokens.
+
+    Token/filter semantics are IDENTICAL to _shingled_of / _SHINGLE_SQL:
+    split on single space (consecutive spaces yield empty tokens in
+    Python, Spark and DuckDB alike), docs under 3 tokens dropped.
+    """
+    if text is None:
+        return None
+    toks = text.split(" ")
+    if len(toks) < 3:
+        return None
+    return {
+        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    }
+
+
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) frame → (doc_id, n_shingles, m0..m{k-1}, hs).
+
+    One Arrow pass does tokenize → shingle → md5 → k permutations; the
+    JVM-expression shingling (interpreted transform + array_distinct)
+    costs more than the whole Python kernel, so the signature path
+    never materializes shingle arrays at all.
+
+    `hs` is the doc's DISTINCT 32-bit shingle-hash set (sorted array,
+    ~400 B/doc at default shingle counts): the compact sketch the
+    verify step intersects instead of re-reading text. That keeps
+    candidate verification a join over cached sketches at any scale —
+    the oracle intersects the same md5-derived hash sets, so Jaccard
+    parity is exact by construction.
+    """
     import hashlib
 
     import numpy as np
@@ -106,26 +138,30 @@ def _minhash_sigs(shingled: DataFrame) -> DataFrame:
 
     a = np.asarray(MINHASH_A, dtype=np.int64)[:, None]
     b = np.asarray(MINHASH_B, dtype=np.int64)[:, None]
-    cols = ["doc_id", "n_shingles"] + [f"m{k}" for k in range(MINHASH_K)]
+    cols = ["doc_id", "n_shingles"] + [f"m{k}" for k in range(MINHASH_K)] + ["hs"]
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
 
     def fn(batches):
         for pdf in batches:
             rows = []
-            for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sh = _py_shingles(text)
+                if sh is None:
+                    continue
+                # first 4 md5 bytes == hexdigest()[:8] == Spark/DuckDB
+                # ('0x'||substr(md5,1,8))::BIGINT
                 hs = np.fromiter(
-                    (
-                        int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-                        for s in sh
-                    ),
+                    (from_bytes(md5(s.encode()).digest()[:4], "big") for s in sh),
                     dtype=np.int64,
                     count=len(sh),
                 )
                 mins = ((a * hs[None, :] + b) % MINHASH_P).min(axis=1)
-                rows.append((doc_id, len(sh), *mins.tolist()))
+                rows.append((doc_id, len(sh), *mins.tolist(), np.unique(hs)))
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
 
-    return shingled.mapInPandas(fn, _SIGS_SCHEMA)
+    return docs.select("doc_id", "text").mapInPandas(fn, _SIGS_SCHEMA)
 
 
 _HASHED_SQL = """
@@ -151,9 +187,12 @@ _BANDS_SQL = f"""
     FROM sigs CROSS JOIN unnest(range(0, {LSH_BANDS})) AS u(band)
 """
 
+_HSETS_SQL = "SELECT doc_id, list_distinct(list(h)) AS hs FROM hashed GROUP BY doc_id"
+
 _MINHASH_CTES = f"""shingled AS ({_SHINGLE_SQL}),
     hashed AS ({_HASHED_SQL}),
     sigs AS ({_SIGS_SQL}),
+    hsets AS ({_HSETS_SQL}),
     bands AS ({_BANDS_SQL})"""
 
 
@@ -187,6 +226,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # dedup_minhash_lsh — MinHash signatures → LSH banding → verified pairs.
 # --------------------------------------------------------------------------
+_JACC_SQL = (
+    "len(list_intersect(x.hs, y.hs)) * 1.0 / "
+    "(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))"
+)
+
 _MINHASH_PAIRS_CTE = f"""
     {_MINHASH_CTES},
     cand AS (
@@ -197,52 +241,30 @@ _MINHASH_PAIRS_CTE = f"""
     pairs AS (
         SELECT c.a_id, c.b_id
         FROM cand c
-        JOIN shingled x ON c.a_id = x.doc_id
-        JOIN shingled y ON c.b_id = y.doc_id
-        WHERE len(list_filter(x.sh, s -> list_contains(y.sh, s))) * 1.0 /
-              (len(x.sh) + len(y.sh)
-               - len(list_filter(x.sh, s -> list_contains(y.sh, s)))) >= {JACCARD_THRESHOLD}
+        JOIN hsets x ON c.a_id = x.doc_id
+        JOIN hsets y ON c.b_id = y.doc_id
+        WHERE {_JACC_SQL} >= {JACCARD_THRESHOLD}
     )
 """
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_MINHASH_CTES},
-    cand AS (
-        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-        WHERE a.doc_id < b.doc_id
-    )
-    SELECT c.a_id, c.b_id,
-           round(len(list_filter(x.sh, s -> list_contains(y.sh, s))) * 1.0 /
-                 (len(x.sh) + len(y.sh)
-                  - len(list_filter(x.sh, s -> list_contains(y.sh, s)))), 6) AS jaccard
-    FROM cand c
-    JOIN shingled x ON c.a_id = x.doc_id
-    JOIN shingled y ON c.b_id = y.doc_id
-    WHERE len(list_filter(x.sh, s -> list_contains(y.sh, s))) * 1.0 /
-          (len(x.sh) + len(y.sh)
-           - len(list_filter(x.sh, s -> list_contains(y.sh, s)))) >= {JACCARD_THRESHOLD}
-    ORDER BY a_id, b_id
-    """,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs: MinHash(k=12) → 4 bands × 3 rows → candidate
-    equi-join on band signature → exact-Jaccard verify ≥ 0.5.
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered verified near-dup pairs (a_id, b_id, jaccard).
 
-    Scale: signatures are map-only; the only joins are (a) the band
-    equi-join whose fan-out is bounded by real collisions and (b) the
-    verify join over candidates. No all-pairs stage anywhere.
+    Scale: signatures + hash sketches are ONE map-only Arrow pass over
+    text, cached (~500 B/doc); the band self-join and the verify joins
+    all read that cached frame, so text is scanned exactly once and the
+    only shuffles are the candidate equi-join (fan-out bounded by real
+    collisions) and the two sketch lookups. No all-pairs stage, no
+    second pass over raw text — the exact-Jaccard verify intersects
+    32-bit hash sets instead of shingle strings (identical result,
+    modulo md5 collisions the oracle shares by construction).
     """
-    # persist only the SMALL frames (signatures: 13 longs/doc; candidate
-    # pairs: |collisions| rows). Caching the shingle arrays themselves
-    # costs more than recomputing them (columnar-caching ~1M strings
-    # measured slower than the map-only rebuild), and at scale you would
-    # never cache the full shingle set — the verify step instead
-    # re-derives shingles for ONLY the candidate docs via a broadcast
-    # semi-join pushed to the documents scan.
-    sigs = _minhash_sigs(_shingled(spark, sf_dir)).persist()
+    sigs = _minhash_sigs(load_table(spark, sf_dir, "documents")).persist()
+    # Materialize the cache BEFORE the self-join references it 4×: AQE
+    # runs the join's map stages concurrently, and racing tasks compute
+    # an unmaterialized cached partition redundantly (measured 2-10×
+    # kernel recompute); one cheap count() job pins it exactly once.
+    sigs.count()
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -267,28 +289,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
-        .persist()
-    )
-    cand_ids = (
-        cand.select(F.col("a_id").alias("doc_id"))
-        .union(cand.select("b_id"))
-        .distinct()
-    )
-    cand_sh = _shingled_of(
-        load_table(spark, sf_dir, "documents").join(F.broadcast(cand_ids), "doc_id")
     )
 
-    x = cand_sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    y = cand_sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jacc = inter * F.lit(1.0) / (F.size("sh_a") + F.size("sh_b") - inter)
+    x = sigs.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("hs_a"))
+    y = sigs.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jacc = inter * F.lit(1.0) / (F.size("hs_a") + F.size("hs_b") - inter)
     return (
         cand.join(x, "a_id")
         .join(y, "b_id")
         .where(jacc >= JACCARD_THRESHOLD)
         .select("a_id", "b_id", F.round(jacc, 6).alias("jaccard"))
-        .orderBy("a_id", "b_id")
     )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id, round({_JACC_SQL}, 6) AS jaccard
+    FROM cand c
+    JOIN hsets x ON c.a_id = x.doc_id
+    JOIN hsets y ON c.b_id = y.doc_id
+    WHERE {_JACC_SQL} >= {JACCARD_THRESHOLD}
+    ORDER BY a_id, b_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: MinHash(k=12) → 4 bands × 3 rows → candidate
+    equi-join on band signature → Jaccard verify ≥ 0.5 over the docs'
+    distinct shingle-hash sets (see _minhash_pairs for the scale
+    design)."""
+    return _minhash_pairs(spark, sf_dir).orderBy("a_id", "b_id")
 
 
 # --------------------------------------------------------------------------
@@ -324,7 +361,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are cliques or near-cliques from the band join). The oracle states
     the same closure as a recursive CTE.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id").persist()
+    pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id").persist()
     # Branch on count(), not a full collect(): the count materializes
     # the persisted pair set exactly once (executor-side; nothing ships
     # to the driver), and only the small branch ever collects. A
@@ -417,7 +454,7 @@ def _propagate_labels_distributed(pairs: DataFrame) -> DataFrame:
 def minhash_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature endpoints — pins the signature
     computation itself (not just surviving pairs) to the oracle."""
-    sigs = _minhash_sigs(_shingled(spark, sf_dir))
+    sigs = _minhash_sigs(load_table(spark, sf_dir, "documents"))
     return sigs.select(
         "doc_id",
         "n_shingles",
@@ -461,6 +498,11 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same Arrow per-doc kernel as MinHash (see _minhash_sigs): the
     signature is map-only with no shuffle; Python md5 is bit-identical
     to the oracle's md5, and the ±1 vote/fold is exact int math."""
+    return _simhash_sigs(spark, sf_dir).orderBy("doc_id")
+
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (doc_id, simhash) — the frame callers persist/join."""
     import hashlib
 
     import numpy as np
@@ -468,15 +510,19 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
 
+    md5 = hashlib.md5
+
     def fn(batches):
         for pdf in batches:
             out_ids, out_sigs = [], []
-            for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sh = _py_shingles(text)
+                if sh is None:
+                    continue
+                # 15 hex chars = 60 bits: hexdigest()[:15] ==
+                # ('0x'||substr(md5,1,15))::BIGINT in both engines.
                 hvs = np.fromiter(
-                    (
-                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-                        for s in sh
-                    ),
+                    (int(md5(s.encode()).hexdigest()[:15], 16) for s in sh),
                     dtype=np.int64,
                     count=len(sh),
                 )
@@ -489,9 +535,9 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
 
     return (
-        _shingled(spark, sf_dir)
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
         .mapInPandas(fn, "doc_id long, simhash long")
-        .orderBy("doc_id")
     )
 
 
@@ -537,8 +583,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming 3 shares at least one identical block, so candidates come
     from an equi-join on (block_idx, block_value), never a cross join."""
     # persist: both sides of the block self-join reference the simhash
-    # subplan (explode + md5 + 32-way agg) — cache it, compute once.
-    sig = doc_simhash(spark, sf_dir).persist()
+    # kernel — cache the UNordered frame (no sort exchange), compute once.
+    # count() materializes it before the join's concurrent map stages
+    # race on the cache (see _minhash_pairs).
+    sig = _simhash_sigs(spark, sf_dir).persist()
+    sig.count()
     blocks = sig.select(
         "doc_id",
         "simhash",
