@@ -210,3 +210,129 @@ def part_size_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type", "size_class")
     )
+
+
+# --------------------------------------------------------------------------
+# events_anomaly_mad — robust outlier detection (median / MAD).
+# --------------------------------------------------------------------------
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           count(*)                AS n_events,
+           round(min(m.med), 6)    AS med,
+           round(min(d.mad), 6)    AS mad,
+           count(*) FILTER (WHERE abs(e.value - m.med) > 3 * 1.4826 * d.mad)
+                                   AS n_anomalies
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust anomaly counts: |value − median| >
+    3·1.4826·MAD (the consistent-σ MAD rule, immune to the outliers it
+    hunts — the standard metric-quality screen over telemetry).
+
+    Three aggregations over the same grouping key; the two median
+    frames are O(#event_types) → broadcast back onto the fact scan, so
+    the fact table shuffles only for its own groupBy. Spark median ==
+    DuckDB median (quantile_cont interpolation, parity-verified).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    flagged = F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count(F.when(flagged, 1)).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_zorder_layout — Z-order clustering key for data layout.
+# --------------------------------------------------------------------------
+def _zspread_sql(v: str) -> str:
+    """Interleave-spread a 16-bit value's bits to even positions (the
+    classic mask chain) — plain & | << arithmetic, valid in BOTH Spark
+    SQL (shiftleft) and DuckDB (<<); this builds the DuckDB form."""
+    s = f"({v})"
+    for sh, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        s = f"(({s} | ({s} << {sh})) & {mask})"
+    return s
+
+
+_Z_X_SQL = _zspread_sql("user_id & 1023")
+_Z_Y_SQL = _zspread_sql("hour(ts) * 60 + minute(ts)")
+_Z_SQL = f"({_Z_X_SQL} | ({_Z_Y_SQL} << 1))"
+
+
+@query(
+    "events_zorder_layout",
+    oracle=f"""
+    SELECT {_Z_SQL} >> 16              AS zbucket,
+           count(*)                    AS n_events,
+           count(DISTINCT user_id)     AS n_users,
+           min({_Z_SQL})               AS z_min,
+           max({_Z_SQL})               AS z_max
+    FROM events
+    GROUP BY zbucket
+    ORDER BY zbucket
+    """,
+)
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, minute-of-day),
+    bucketed to the file-sized prefix z >> 16.
+
+    This is the layout-optimization operator: writing the fact table
+    sorted by z gives every parquet file a tight min/max envelope in
+    BOTH dimensions, so scans filtered on either user OR time prune
+    files (multi-dimensional data skipping à la Delta/Iceberg OPTIMIZE
+    ZORDER). The key itself is pure bit arithmetic — map-only,
+    codegen-able; the profile here exposes bucket occupancy and z
+    ranges, which is exactly what a table optimizer inspects to pick
+    file splits.
+    """
+
+    def spread(col):
+        s = col
+        for sh, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+            s = s.bitwiseOR(F.shiftleft(s, sh)).bitwiseAND(F.lit(mask))
+        return s
+
+    ev = load_table(spark, sf_dir, "events")
+    zx = spread(F.col("user_id").bitwiseAND(F.lit(1023)))
+    zy = spread(F.hour("ts") * 60 + F.minute("ts"))
+    z = zx.bitwiseOR(F.shiftleft(zy, 1))
+    return (
+        ev.select(z.alias("z"), "user_id")
+        .groupBy(F.shiftright("z", 16).alias("zbucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+        .orderBy("zbucket")
+    )

@@ -1,0 +1,313 @@
+"""L4 corpus-curation operators over `documents`: the decisions a
+large-scale pretraining-data pipeline makes between "raw crawl" and
+"training mix" — stratified sampling, source mixing weights, benchmark
+contamination checks, unigram-LM quality scoring, PII scrubbing.
+
+Scale posture, per operator:
+  - stratified sampling: a map-only hash predicate (no RNG state, no
+    shuffle) that pushes to the scan — the only correct way to sample
+    100 TB repeatably; re-running on an updated corpus keeps or drops
+    the SAME documents.
+  - mixing weights: one groupBy over (source) — output is O(#sources),
+    the shuffle is a rollup, and the weights then drive the sampler
+    above without materializing any intermediate corpus.
+  - contamination: the benchmark side is SMALL by construction →
+    broadcast its n-gram set; the corpus side stays map-only until the
+    final per-(doc, bench) count. Never joins corpus×corpus.
+  - unigram surprisal: two shuffles (vocabulary rollup, per-doc
+    re-join on token). The vocabulary is Zipf-skewed: the join is on
+    the token itself, so AQE's skew-join handles the head terms; at
+    100 TB you would additionally cap the vocab to top-N with a
+    min-count floor, which bounds the broadcast/shuffle side.
+  - PII scrub: map-only regexp work, JVM-side, whole-stage codegen.
+
+Reference parity: extends the reference's scalar string/regex layer
+(`agent-loop.sh` classify_error regex policy, reference
+`telegram-agent.py:200` truncation/sanitization) to the corpus-level
+operators the north star calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_pulsar_spark.registry import query
+from open_pulsar_spark.tables import load_table
+
+# Per-language keep rates (percent) for the stratified sampler: the
+# usual "downsample the head language, keep the tail" pretraining mix.
+SAMPLE_RATES = {"en": 60, "de": 90, "fr": 90, "es": 90, "zh": 80}
+SAMPLE_RATE_DEFAULT = 50
+
+MIX_WEIGHT_CAP = 5.0
+
+CONTAM_NGRAM = 5          # word-5-grams as the contamination unit
+CONTAM_MIN_SHARED = 2     # ≥2 shared 5-grams → flagged
+BENCH_MOD = 23            # doc_id % 23 == 0 → the held-out benchmark set
+
+
+def _hash_bucket_spark(col):
+    """First 32 bits of md5(doc_id) as an int in [0, 100) — the
+    deterministic sampling coin. Identical in DuckDB via
+    ('0x' || substr(md5(x), 1, 8))::BIGINT % 100."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
+_HASH_BUCKET_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+
+_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
+    + f" ELSE {SAMPLE_RATE_DEFAULT} END"
+)
+
+
+# --------------------------------------------------------------------------
+# corpus_sample_stratified — deterministic hash-based stratified sampling.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, {_HASH_BUCKET_SQL} AS bucket
+    FROM documents
+    WHERE {_HASH_BUCKET_SQL} < {_RATE_SQL}
+    ORDER BY doc_id
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each document iff hash(doc_id) mod 100 < rate(lang).
+
+    No RNG, no state: the sample is a pure function of the row, so it
+    is reproducible across runs/engines, composable (a 50% sample of a
+    60% sample is a 30% sample), and pushes down to the scan as a
+    plain predicate — the only sampling strategy that stays correct
+    when the 100 TB corpus is re-crawled incrementally.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket_spark(F.col("doc_id"))
+    rate = F.lit(SAMPLE_RATE_DEFAULT)
+    for lang, pct in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_mix_weights — per-source sampling weights for a target mix.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_mix_weights",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               count(*)                          AS n_docs,
+               sum(len(str_split(text, ' ')))::BIGINT AS n_tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share,
+           round(least({MIX_WEIGHT_CAP},
+                 (1.0 / count(*) OVER ()) /
+                 (n_tokens * 1.0 / sum(n_tokens) OVER ())), 6) AS weight
+    FROM per_source
+    ORDER BY source
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: per-source token share vs a uniform target
+    share; weight = target/actual capped at 5× (the usual 'upsample the
+    tail, never explode it' rule). One rollup shuffle; output is
+    O(#sources) and feeds the stratified sampler as its rate table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") * F.lit(1.0) / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count("*").over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(F.least(F.lit(MIX_WEIGHT_CAP), target / share), 6).alias("weight"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# benchmark_contamination — n-gram overlap against a held-out set.
+# --------------------------------------------------------------------------
+_CONTAM_CAT = " || ' ' || ".join(f"toks[i+{j}]" for j in range(CONTAM_NGRAM))
+_CONTAM_GRAMS_SQL = f"""
+    SELECT doc_id,
+           unnest(list_distinct([{_CONTAM_CAT}
+                                 for i in range(1, len(toks) - {CONTAM_NGRAM - 2})]))
+               AS g
+    FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+    WHERE len(toks) >= {CONTAM_NGRAM}
+"""
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH grams AS ({_CONTAM_GRAMS_SQL}),
+    bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+    corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % {BENCH_MOD} <> 0)
+    SELECT c.doc_id, b.bench_id, count(*)::BIGINT AS n_shared
+    FROM corpus c JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id, b.bench_id
+    HAVING count(*) >= {CONTAM_MIN_SHARED}
+    ORDER BY doc_id, bench_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: corpus documents sharing ≥2
+    distinct word-5-grams with any held-out benchmark document
+    (doc_id % 23 == 0 stands in for the eval set).
+
+    The benchmark n-gram set is small by construction → broadcast it;
+    the corpus side is a map-only explode, so the only shuffle is the
+    final per-(doc, bench) count. At 100 TB this is the standard
+    decontamination pass shape: corpus-side linear scan, never
+    corpus×corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= CONTAM_NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, size(toks) - {CONTAM_NGRAM}),"
+                        f" i -> array_join(slice(toks, i + 1, {CONTAM_NGRAM}), ' '))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    bench = grams.where(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    corpus = grams.where(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_unigram_logprob — corpus-LM surprisal as a quality signal.
+# --------------------------------------------------------------------------
+@query(
+    "doc_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
+    ),
+    vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT sum(c) AS total FROM vocab)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           round(avg(-ln(c * 1.0 / total)), 6) AS avg_surprisal
+    FROM tok JOIN vocab USING (t) CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram surprisal −avg(ln p(token)) under
+    the corpus's own unigram LM — the cheap perplexity proxy used to
+    rank document quality (gibberish and boilerplate score abnormally
+    high/low).
+
+    Two shuffles: the vocabulary rollup and the token re-join. The
+    token join key is Zipf-skewed, which is exactly what AQE skew-join
+    splitting is for (enabled in the session); at 100 TB, cap the
+    vocabulary with a min-count floor so the model side stays bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    return (
+        tok.join(vocab, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") * F.lit(1.0) / F.col("total"))), 6).alias(
+                "avg_surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_pii_scrub — regex PII redaction (emails / phones).
+# --------------------------------------------------------------------------
+# The synthetic corpus contains no PII, so the scrub operates on the
+# document text AUGMENTED with a deterministic contact line — both
+# engines build the same line, redact it, and fingerprint the result,
+# which pins the whole redact pipeline (patterns, replacement,
+# counting) rather than trivially matching nothing.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+_AUG_SQL = (
+    "text || ' contact user' || doc_id::VARCHAR || '@example.com or +1-555-' "
+    "|| lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS body FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(body, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(body, '{_PHONE_RE}'))::BIGINT AS n_phones,
+           md5(regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact emails/phone numbers; fingerprint the scrubbed
+    text so the oracle pins the exact replacement output. Map-only
+    regexp work that stays in whole-stage codegen — the shape of every
+    PII / boilerplate / markup-strip pass in a corpus pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(body, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(body, F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(body, F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")

@@ -54,3 +54,27 @@ def test_text_ops_are_map_only(spark, name):
     # no aggregation/join exchanges — only the final presentation sort
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    plan = plan_of(spark, "benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_map_only(spark):
+    plan = plan_of(spark, "corpus_sample_stratified")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_pii_scrub_is_map_only(spark):
+    plan = plan_of(spark, "doc_pii_scrub")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_anomaly_mad_broadcasts_stat_frames(spark):
+    plan = plan_of(spark, "events_anomaly_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
