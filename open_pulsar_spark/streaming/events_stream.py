@@ -124,3 +124,52 @@ def start_to_memory(df: DataFrame, name: str, checkpoint: str) -> "StreamingQuer
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER interval join: attribute each purchase to
+    the clicks of the same user within the preceding attribution
+    window — the streaming form of the batch as-of join
+    (click_asof_purchase).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH ends, so Structured Streaming can evict buffered rows
+    as the watermark advances: state per side is O(events within
+    watermark + interval), never unbounded. At 100 TB/day this is the
+    canonical attribution-join shape — key-partitioned state, no
+    driver involvement.
+    """
+    c = (
+        clicks.where(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "amount", "click_id", "click_ts")

@@ -198,3 +198,37 @@ def test_checkpoint_resume_does_not_reprocess(spark, workdir):
     run_once()
     ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert ids == [1, 2]   # each file processed exactly once across restarts
+
+
+def test_stream_stream_interval_join_attributes_within_window(spark, workdir):
+    from open_pulsar_spark.streaming.events_stream import click_purchase_attribution
+
+    src_c, src_p = f"{workdir}/clicks", f"{workdir}/purchases"
+    ckpt = f"{workdir}/ckpt"
+    # clicks at 10:00 and 10:50 for user 1; a click for user 2 at 10:05
+    _write_events(spark, src_c, [
+        (100, _ts(0), 1, "click", 0.0, "{}"),
+        (101, _ts(50), 1, "click", 0.0, "{}"),
+        (102, _ts(5), 2, "click", 0.0, "{}"),
+    ])
+    # purchase at 10:55 (user 1): attributes to the 10:50 click only
+    # (10:00 is outside the 30-minute window); purchase at 12:00
+    # (user 2): no click within window
+    _write_events(spark, src_p, [
+        (200, _ts(55), 1, "purchase", 9.99, "{}"),
+        (201, dt.datetime(2024, 1, 1, 12, 0), 2, "purchase", 5.0, "{}"),
+    ])
+    # advance both watermarks far enough to close the join state
+    late = dt.datetime(2024, 1, 1, 15, 0)
+    _write_events(spark, src_c, [(103, late, 9, "click", 0.0, "{}")])
+    _write_events(spark, src_p, [(202, late, 9, "purchase", 1.0, "{}")])
+
+    out = click_purchase_attribution(
+        read_event_stream(spark, src_c), read_event_stream(spark, src_p)
+    )
+    _run_stream(out, "attr_out", ckpt)
+    rows = spark.sql("select * from attr_out").collect()
+    attributed = {(r.purchase_id, r.click_id) for r in rows}
+    assert (200, 101) in attributed          # in-window click joins
+    assert (200, 100) not in attributed      # 55-min-old click excluded
+    assert all(r.purchase_id != 201 for r in rows)  # no click in window
