@@ -336,3 +336,58 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+# --------------------------------------------------------------------------
+# events_top_paths — user-journey prefix mining (ordered sequence agg).
+# --------------------------------------------------------------------------
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS arr
+        FROM events GROUP BY user_id
+    )
+    SELECT arr[1] || '>' || arr[2] || '>' || arr[3] AS path3,
+           count(*) AS n_users
+    FROM seq
+    WHERE len(arr) >= 3
+    GROUP BY path3
+    ORDER BY n_users DESC, path3
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step user journeys: per-user event sequence in
+    (ts, event_id) order, first three steps joined into a path label,
+    counted across users.
+
+    The ordered sequence is a single groupBy on user_id with an
+    order-embedded aggregate (sort_array over (ts, event_id, type)
+    structs — deterministic because event_id is unique), so journeys
+    never leave the natural user partitioning; the path rollup
+    aggregates O(#distinct paths) rows. This is the funnel-mining /
+    next-event-prediction feature shape over clickstreams.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda s: s["event_type"],
+    )
+    seq = ev.groupBy("user_id").agg(arr.alias("arr"))
+    path3 = F.concat_ws(
+        ">",
+        F.element_at("arr", 1),
+        F.element_at("arr", 2),
+        F.element_at("arr", 3),
+    )
+    return (
+        seq.where(F.size("arr") >= 3)
+        .select(path3.alias("path3"))
+        .groupBy("path3")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path3")
+        .limit(20)
+    )

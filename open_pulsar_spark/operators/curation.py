@@ -311,3 +311,153 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(body, F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# corpus_curation_pipeline — the end-to-end funnel, stage survivor counts.
+# --------------------------------------------------------------------------
+_QUALITY_KEEP_SQL = """
+    SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang,
+               len(str_split(text, ' ')) AS n_toks,
+               len(list_distinct(str_split(text, ' '))) * 1.0
+                   / len(str_split(text, ' ')) AS ttr,
+               len(list_filter(str_split(text, ' '),
+                               x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0
+                   / len(str_split(text, ' ')) AS swr
+        FROM documents)
+    WHERE 0.4 * least(n_toks / 100.0, 1.0) + 0.4 * ttr
+        + 0.2 * least(swr / 0.1, 1.0) >= 0.6
+"""
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH quality AS ({_QUALITY_KEEP_SQL}),
+    deduped AS (
+        SELECT doc_id, text, lang FROM (
+            SELECT doc_id, text, lang,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM quality)
+        WHERE rn = 1
+    ),
+    grams AS ({_CONTAM_GRAMS_SQL}),
+    bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+    contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM (SELECT doc_id, g FROM grams WHERE doc_id % {BENCH_MOD} <> 0) c
+        JOIN bench b ON c.g = b.g
+        GROUP BY c.doc_id, b.bench_id
+        HAVING count(*) >= {CONTAM_MIN_SHARED}
+    ),
+    decontam AS (
+        SELECT d.doc_id, d.lang FROM deduped d
+        WHERE d.doc_id % {BENCH_MOD} <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    sampled AS (
+        SELECT doc_id FROM decontam
+        WHERE {_HASH_BUCKET_SQL} < {_RATE_SQL}
+    )
+    SELECT * FROM (
+        SELECT 0 AS stage_id, 'input' AS stage, count(*) AS n_docs FROM documents
+        UNION ALL SELECT 1, 'quality', count(*) FROM quality
+        UNION ALL SELECT 2, 'exact_dedup', count(*) FROM deduped
+        UNION ALL SELECT 3, 'decontaminated', count(*) FROM decontam
+        UNION ALL SELECT 4, 'sampled', count(*) FROM sampled)
+    ORDER BY stage_id
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation funnel in one declarative plan: quality
+    filter → exact dedup → benchmark decontamination → stratified
+    sample, reporting survivor counts per stage.
+
+    Every stage is the same operator that exists standalone
+    (doc_quality_score, dedup_exact, benchmark_contamination,
+    corpus_sample_stratified) composed as DataFrame transformations —
+    Catalyst sees ONE plan, so the text scan is shared and each doc
+    flows through the funnel without materializing intermediates. At
+    100 TB the counts come from one pass plus the two small joins
+    (dedup hash rollup, broadcast bench grams).
+    """
+    from open_pulsar_spark.operators.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_toks
+    swr = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * F.lit(1.0) / n_toks
+    quality_score = (
+        0.4 * F.least(n_toks / F.lit(100.0), F.lit(1.0))
+        + 0.4 * ttr
+        + 0.2 * F.least(swr / F.lit(0.1), F.lit(1.0))
+    )
+    quality = docs.where(quality_score >= 0.6)
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= CONTAM_NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, size(toks) - {CONTAM_NGRAM}),"
+                        f" i -> array_join(slice(toks, i + 1, {CONTAM_NGRAM}), ' '))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    bench = grams.where(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    contaminated = (
+        grams.where(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
+        .select("doc_id")
+        .distinct()
+    )
+    decontam = deduped.where(F.col("doc_id") % BENCH_MOD != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    sampled = decontam.where(
+        _hash_bucket_spark(F.col("doc_id"))
+        < F.coalesce(
+            *[
+                F.when(F.col("lang") == lang, F.lit(pct))
+                for lang, pct in SAMPLE_RATES.items()
+            ],
+            F.lit(SAMPLE_RATE_DEFAULT),
+        )
+    )
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(i).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+        )
+
+    return (
+        stage(0, "input", docs)
+        .unionAll(stage(1, "quality", quality))
+        .unionAll(stage(2, "exact_dedup", deduped))
+        .unionAll(stage(3, "decontaminated", decontam))
+        .unionAll(stage(4, "sampled", sampled))
+        .orderBy("stage_id")
+    )

@@ -163,3 +163,71 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning are exactly what a real codec-backed decoder uses."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(with_binary_payload(docs)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# multimodal_frame_plan — uniform frame/sample selection plan.
+# --------------------------------------------------------------------------
+FRAME_SAMPLES = 8
+
+
+@query(
+    "multimodal_frame_plan",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents),
+    f AS (SELECT doc_id, kind,
+                 CASE kind WHEN 'image' THEN 1
+                           WHEN 'audio' THEN n_bytes % 10000
+                           ELSE n_bytes % 300 + 1 END AS n_frames
+          FROM b),
+    s AS (SELECT doc_id, kind, n_frames,
+                 least({FRAME_SAMPLES}, n_frames) AS k
+          FROM f WHERE n_frames >= 1)
+    SELECT doc_id, kind, n_frames, u.i AS sample_slot,
+           (u.i * n_frames) // k AS frame_idx
+    FROM s CROSS JOIN unnest(range(0, k)) AS u(i)
+    ORDER BY doc_id, sample_slot
+    """,
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame-sampling plan: for each media row pick up to 8
+    evenly-spaced frame indexes (floor(i·n/k)) — the deterministic
+    'which frames does the vision encoder see' operator. The plan is
+    pure arithmetic (map-only + a bounded explode ≤ 8×), so the
+    expensive decode step downstream touches exactly the planned
+    frames; at 100 TB the explode factor — not the codec — is the only
+    data-volume multiplier, and it is capped by construction.
+
+    Reference parity: the reference truncates/bounds its payloads
+    (telegram-agent.py:200-201 chunk limits); this is the multimodal
+    analogue — bounded extraction from unbounded media.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(with_binary_payload(docs))
+    s = feats.where(F.col("n_frames") >= 1).select(
+        "doc_id",
+        "kind",
+        "n_frames",
+        F.least(F.lit(FRAME_SAMPLES), F.col("n_frames")).alias("k"),
+    )
+    return (
+        s.select(
+            "doc_id",
+            "kind",
+            "n_frames",
+            F.explode(F.sequence(F.lit(0), F.col("k") - 1)).alias("sample_slot"),
+            "k",
+        )
+        .select(
+            "doc_id",
+            "kind",
+            "n_frames",
+            "sample_slot",
+            F.expr("(sample_slot * n_frames) div k").alias("frame_idx"),
+        )
+        .orderBy("doc_id", "sample_slot")
+    )

@@ -84,11 +84,14 @@ def _corpus_numpy(spark: SparkSession, sf_dir: str):
     pdf = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
         .toPandas()
     )
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    # id-sort locally: centroid/argmax tie-breaks depend on id order,
+    # and a driver-side argsort is free vs a Spark sort exchange + job.
+    order = np.argsort(ids, kind="stable")
+    ids, v = ids[order], v[order]
     nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
     return ids, v, v / nrm[:, None]
 
