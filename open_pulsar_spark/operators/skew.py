@@ -80,3 +80,41 @@ def salt_expr(key: Column, buckets: int) -> Column:
     """Deterministic content-derived salt (hash-based) for cases where
     reproducibility across retries matters more than uniformity."""
     return F.pmod(F.hash(key), F.lit(buckets))
+
+
+# --------------------------------------------------------------------------
+# skew_salted_user_totals — the salted two-stage aggregate, oracle-gated.
+# --------------------------------------------------------------------------
+from pyspark.sql import SparkSession  # noqa: E402
+
+from open_pulsar_spark.registry import query  # noqa: E402
+from open_pulsar_spark.tables import load_table  # noqa: E402
+
+
+@query(
+    "skew_salted_user_totals",
+    oracle="""
+    SELECT user_id, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 50
+    """,
+)
+def skew_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 per-user value totals computed through the SALTED
+    two-stage aggregate — the hot-key-safe plan — checked against the
+    plain GROUP BY oracle, proving the rewrite preserves semantics.
+
+    At 100 TB: stage 1 groups on (user_id, salt) so one viral user
+    spreads across 16 reducers; stage 2 reduces 16 partials per user.
+    Uniform data pays one extra tiny shuffle; skewed data avoids the
+    single overwhelmed reducer.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    totals = salted_agg_sum(ev, "user_id", "value", buckets=16)
+    return (
+        totals.select("user_id", F.round("sum_value", 2).alias("total_value"))
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(50)
+    )

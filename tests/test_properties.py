@@ -75,3 +75,31 @@ def test_classifier_finds_marker_anywhere_in_tail(prefix, cls):
     order = ["rate_limit", "context_overflow", "auth", "timeout", "network"]
     assert got in order
     assert order.index(got) <= order.index(cls)
+
+
+@settings(max_examples=300, deadline=None)
+@given(h=st.integers(min_value=0, max_value=2**32 - 1))
+def test_minhash_permutation_never_overflows_int64(h):
+    # ANSI mode (Spark 4) makes int64 overflow a query-killing error,
+    # so the universal-hash constants must keep a*h+b < 2^63 for every
+    # 32-bit input hash — the a < 2^30 bound is the invariant.
+    from open_pulsar_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    for a, b in zip(MINHASH_A, MINHASH_B):
+        v = a * h + b
+        assert 0 <= v < 2**62
+        assert 0 <= v % MINHASH_P < MINHASH_P
+
+
+@settings(max_examples=300, deadline=None)
+@given(n=st.integers(min_value=1, max_value=100_000))
+def test_frame_plan_indexes_valid_and_strictly_increasing(n):
+    # pure replica of multimodal_frame_plan's arithmetic: k uniform
+    # slots over n frames must be in-range, distinct, and ordered.
+    from open_pulsar_spark.operators.multimodal import FRAME_SAMPLES
+
+    k = min(FRAME_SAMPLES, n)
+    idx = [(i * n) // k for i in range(k)]
+    assert all(0 <= j < n for j in idx)
+    assert idx == sorted(set(idx))
+    assert idx[0] == 0
