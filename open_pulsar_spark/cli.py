@@ -23,15 +23,45 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import shutil
 import sys
 
 from pyspark.sql import SparkSession
 
+# Task-file boot directive, same syntax as the reference
+# (agent-loop.sh:50-64): `<!-- boot: relative/or/absolute/path -->`.
+_BOOT_DIRECTIVE = re.compile(r"^<!-- boot: (.+) -->$")
+
 
 def _read_lines(path: str) -> list[tuple[int, str]]:
     with open(path, encoding="utf-8") as fh:
         return [(i + 1, line.rstrip("\n")) for i, line in enumerate(fh)]
+
+
+def find_boot_file(task_path: str) -> str | None:
+    """Boot-file discovery with the reference's precedence
+    (agent-loop.sh:47-69): (1) a `<!-- boot: path -->` directive in the
+    task file (relative to the task file's directory), else (2)
+    `.pulsar/boot.md` next to the task file."""
+    task_dir = os.path.dirname(os.path.abspath(task_path))
+    with open(task_path, encoding="utf-8") as fh:
+        for line in fh:
+            m = _BOOT_DIRECTIVE.match(line.strip())
+            if m:
+                rel = m.group(1)
+                return rel if os.path.isabs(rel) else os.path.join(task_dir, rel)
+    default = os.path.join(task_dir, ".pulsar", "boot.md")
+    return default if os.path.exists(default) else None
+
+
+def load_boot_context(task_path: str) -> tuple[str | None, str | None]:
+    """(boot_path, boot_content) — (None, None) when no boot file."""
+    p = find_boot_file(task_path)
+    if p is None:
+        return None, None
+    with open(p, encoding="utf-8") as fh:
+        return p, fh.read().strip()
 
 
 def _state_paths(state_dir: str) -> tuple[str, str]:
@@ -41,6 +71,9 @@ def _state_paths(state_dir: str) -> tuple[str, str]:
 def cmd_dry_run(spark: SparkSession, path: str) -> int:
     from open_pulsar_spark.operators.pipeline import parse_markdown, sessionize_segments
 
+    boot_path, _ = load_boot_context(path)
+    if boot_path is not None:
+        print(f"boot: {boot_path}")
     tasks = sessionize_segments(parse_markdown(spark, _read_lines(path)))
     for r in tasks.orderBy("task_idx").collect():
         print(f"  [{r.task_idx:03d}] ({r.grp} / segment {r.segment_id}) {r.task}")
@@ -48,7 +81,13 @@ def cmd_dry_run(spark: SparkSession, path: str) -> int:
     return 0
 
 
-def cmd_run(spark: SparkSession, path: str, state_dir: str) -> int:
+def cmd_run(
+    spark: SparkSession,
+    path: str,
+    state_dir: str,
+    primary_model: str = "primary",
+    fallback_model: str = "fallback",
+) -> int:
     from open_pulsar_spark.operators.pipeline import (
         file_fingerprint,
         run_pipeline,
@@ -72,7 +111,16 @@ def cmd_run(spark: SparkSession, path: str, state_dir: str) -> int:
         prior = spark.read.parquet(state_path)
         with open(fp_path, encoding="utf-8") as fh:
             prior_hash = fh.read().strip()
-    state = run_pipeline(spark, lines, prior_state=prior, prior_hash=prior_hash)
+    _, boot_context = load_boot_context(path)
+    state = run_pipeline(
+        spark,
+        lines,
+        prior_state=prior,
+        prior_hash=prior_hash,
+        primary_model=primary_model,
+        fallback_model=fallback_model,
+        boot_context=boot_context,
+    )
     os.makedirs(state_dir, exist_ok=True)
     # The new state's plan still READS the prior state.parquet, so never
     # overwrite in place: write to a temp dir, then swap via renames
@@ -124,8 +172,12 @@ def main(argv: list[str] | None = None) -> int:
     p_run = sub.add_parser("run")
     p_run.add_argument("task_file")
     p_run.add_argument("--state-dir", default=".pulsar-state")
+    p_run.add_argument("--model", default="primary")
+    p_run.add_argument("--fallback-model", default="fallback")
     p_dry = sub.add_parser("dry-run")
     p_dry.add_argument("task_file")
+    p_dry.add_argument("--model", default="primary")
+    p_dry.add_argument("--fallback-model", default="fallback")
     p_status = sub.add_parser("status")
     p_status.add_argument("--state-dir", default=".pulsar-state")
     p_reset = sub.add_parser("reset")
@@ -143,7 +195,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "dry-run":
             return cmd_dry_run(spark, args.task_file)
         if args.cmd == "run":
-            return cmd_run(spark, args.task_file, args.state_dir)
+            return cmd_run(
+                spark,
+                args.task_file,
+                args.state_dir,
+                primary_model=args.model,
+                fallback_model=args.fallback_model,
+            )
         if args.cmd == "status":
             return cmd_status(spark, args.state_dir)
         raise AssertionError(args.cmd)

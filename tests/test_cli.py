@@ -82,3 +82,56 @@ def test_missing_fingerprint_refuses_resume(spark, task_file, tmp_path, capsys):
     os.remove(os.path.join(sd, "fingerprint"))
     assert cmd_run(spark, task_file, sd) == 2
     assert "refusing to resume" in capsys.readouterr().err
+
+
+def test_dry_run_banner_shows_default_boot_file(spark, tmp_path, capsys):
+    p = tmp_path / "tasks.md"
+    p.write_text(TASKS_MD)
+    boot_dir = tmp_path / ".pulsar"
+    boot_dir.mkdir()
+    (boot_dir / "boot.md").write_text("project context here")
+    assert cmd_dry_run(spark, str(p)) == 0
+    out = capsys.readouterr().out
+    assert f"boot: {boot_dir / 'boot.md'}" in out
+
+
+def test_dry_run_banner_omits_boot_when_absent(spark, task_file, capsys):
+    cmd_dry_run(spark, task_file)
+    assert "boot:" not in capsys.readouterr().out
+
+
+def test_task_file_boot_directive_takes_precedence(spark, tmp_path, capsys):
+    p = tmp_path / "tasks.md"
+    p.write_text("<!-- boot: custom-boot.md -->\n" + TASKS_MD)
+    (tmp_path / "custom-boot.md").write_text("directive wins")
+    boot_dir = tmp_path / ".pulsar"
+    boot_dir.mkdir()
+    (boot_dir / "boot.md").write_text("default loses")
+    cmd_dry_run(spark, str(p))
+    out = capsys.readouterr().out
+    assert "custom-boot.md" in out
+    assert ".pulsar" not in out
+
+
+def test_boot_context_reaches_model_prompts_via_run(spark, tmp_path):
+    # run with a boot file: every completed task's log records the
+    # [boot] prefix (pipeline prepends it to each prompt)
+    p = tmp_path / "tasks.md"
+    p.write_text("## g\n- only task\n")
+    boot_dir = tmp_path / ".pulsar"
+    boot_dir.mkdir()
+    (boot_dir / "boot.md").write_text("strict mode")
+    sd = str(tmp_path / "state")
+    assert cmd_run(spark, str(p), sd) == 0
+    state = spark.read.parquet(os.path.join(sd, "state.parquet"))
+    assert "[boot] strict mode" in state.collect()[0].result
+
+
+def test_fallback_model_flag_with_dry_run_parses(spark, task_file):
+    # reference parity: `--fallback-model <value>` + dry-run is accepted
+    from open_pulsar_spark.cli import main
+    import pytest as _pytest
+
+    # missing value → argparse error (exit code 2)
+    with _pytest.raises(SystemExit):
+        main(["dry-run", task_file, "--fallback-model"])

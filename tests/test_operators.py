@@ -50,3 +50,56 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "sum_disc_price" in df.columns
+
+
+def test_token_extraction_matches_reference_golden_fixture(spark):
+    # The reference's unit-test oracle (tests/test-features.sh:234-267):
+    # its exact fixture JSON must yield 3800 total tokens and a 200000
+    # context window through the engine's JSON-extraction expressions.
+    import pyspark.sql.functions as F
+
+    fixture = (
+        '{"type": "result", "session_id": "test-123",'
+        ' "usage": {"input_tokens": 1000, "cache_creation_input_tokens": 500,'
+        ' "cache_read_input_tokens": 2000, "output_tokens": 300},'
+        ' "modelUsage": {"claude-x": {"inputTokens": 1000, "outputTokens": 300,'
+        ' "contextWindow": 200000}}}'
+    )
+    # the reference reads the FIRST modelUsage entry's contextWindow
+    # without knowing the model name; Spark form: parse the block as a
+    # map and take the first value, defaulting to 200k.
+    def window_col():
+        mu = F.from_json(
+            F.get_json_object("j", "$.modelUsage"),
+            "map<string, struct<contextWindow: long>>",
+        )
+        return F.coalesce(
+            F.try_element_at(F.map_values(mu), F.lit(1))["contextWindow"],
+            F.lit(200000),
+        )
+
+    df = spark.createDataFrame([(fixture,)], "j STRING")
+    g = lambda p: F.coalesce(F.get_json_object("j", p).cast("bigint"), F.lit(0))
+    row = df.select(
+        (
+            g("$.usage.input_tokens")
+            + g("$.usage.cache_creation_input_tokens")
+            + g("$.usage.cache_read_input_tokens")
+            + g("$.usage.output_tokens")
+        ).alias("tokens"),
+        window_col().alias("window"),
+    ).collect()[0]
+    assert row.tokens == 3800
+    assert row.window == 200000
+
+    # distinguish extraction from the 200k fallback: a non-default
+    # window must come through, and a missing block must default.
+    df2 = spark.createDataFrame(
+        [
+            ('{"modelUsage": {"m": {"contextWindow": 150000}}}',),
+            ('{"result": "no usage"}',),
+        ],
+        "j STRING",
+    )
+    wins = [r.w for r in df2.select(window_col().alias("w")).collect()]
+    assert wins == [150000, 200000]
