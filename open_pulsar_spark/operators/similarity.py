@@ -377,3 +377,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# ann_lsh_recall — measured LSH-vs-exact top-k agreement.
+# --------------------------------------------------------------------------
+from open_pulsar_spark import registry as _registry  # noqa: E402
+
+
+@query(
+    "ann_lsh_recall",
+    oracle=f"""
+    WITH bf AS ({_registry.ORACLES["ann_topk_bruteforce"]}),
+    approx AS ({_registry.ORACLES["ann_lsh_bucketed"]})
+    SELECT count(DISTINCT bf.query_id)            AS n_queries,
+           count(*)                               AS n_bf,
+           count(approx.neighbor_id)              AS n_hit,
+           round(count(approx.neighbor_id) * 1.0 / count(*), 6) AS recall
+    FROM bf
+    LEFT JOIN approx ON bf.query_id = approx.query_id
+                    AND bf.neighbor_id = approx.neighbor_id
+    """,
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall of sign-LSH ANN against the exact top-5: the
+    fraction of true nearest neighbors the bucketed search returns.
+    This is the tuning loop for N_PLANES (buckets vs recall) run as a
+    query — at production scale you run it on a sampled slice exactly
+    like this before committing to an index parameterization.
+    """
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ap = ann_lsh_bucketed(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    joined = bf.join(
+        ap,
+        (bf["query_id"] == ap["query_id"]) & (bf["neighbor_id"] == ap["hit_id"]),
+        "left",
+    )
+    return joined.agg(
+        F.countDistinct(bf["query_id"]).alias("n_queries"),
+        F.count("*").alias("n_bf"),
+        F.count("hit_id").alias("n_hit"),
+        F.round(F.count("hit_id") * F.lit(1.0) / F.count("*"), 6).alias("recall"),
+    )
