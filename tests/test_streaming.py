@@ -232,3 +232,43 @@ def test_stream_stream_interval_join_attributes_within_window(spark, workdir):
     assert (200, 101) in attributed          # in-window click joins
     assert (200, 100) not in attributed      # 55-min-old click excluded
     assert all(r.purchase_id != 201 for r in rows)  # no click in window
+
+
+def test_streaming_curation_dedups_and_gates_quality(spark, workdir):
+    from open_pulsar_spark.streaming.curation_stream import (
+        DOC_STREAM_SCHEMA,
+        curate_stream,
+        read_doc_stream,
+    )
+
+    src, ckpt = f"{workdir}/docs", f"{workdir}/ckpt"
+    good = " ".join(f"tok{i}" for i in range(120))       # long, diverse → passes
+    junk = "the the the the the"                          # short, repetitive → fails
+
+    def write(rows):
+        spark.createDataFrame(rows, DOC_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write([
+        (1, _ts(0), good, "en"),
+        (2, _ts(1), junk, "en"),
+        (3, _ts(2), good, "en"),          # same content as 1 → deduped
+    ])
+    write([
+        (4, _ts(5), good, "en"),          # replay in a later batch → deduped
+        (5, _ts(6), good + " extra", "en"),
+    ])
+    out = curate_stream(read_doc_stream(spark, src))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curated_docs")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r.doc_id for r in spark.sql("select doc_id from curated_docs").collect())
+    # 1 survives; 2 fails quality; 3 and 4 are exact dups; 5 is new content
+    assert ids == [1, 5]
