@@ -1,0 +1,134 @@
+"""Streaming retry-with-backoff where backoff is DATA, not sleep
+(SURVEY §7.3 item 3; reference agent-loop.sh:373-391, 740-748).
+
+The reference retries a failed task by sleeping 2^attempt seconds in
+the worker loop. In Spark, sleeping in an executor blocks a core, so
+failed rows are instead RE-ENQUEUED with a `not_before` timestamp and
+flow back through the same source; each micro-batch processes only the
+rows that are due and defers the rest untouched. The loop:
+
+    work dir ──┐
+               ├─ readStream ── foreachBatch:
+    retry dir ─┘       due rows   → run model → ok → results dir
+                                            └ fail → retry dir
+                                              (attempt+1, not_before =
+                                               now + base·2^attempt,
+                                               capped — X7 semantics)
+                       not-due rows → rewritten to retry dir verbatim
+
+State never sleeps: a deferred row costs one parquet rewrite per
+trigger, executors keep draining due work, and the attempt cap turns a
+row into a terminal `failed` result instead of retrying forever. All
+effects run in `foreachBatch` on the driver (SURVEY §7.3 item 2:
+attempt-keyed, idempotent, no executor-side mutation).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+WORK_SCHEMA = StructType(
+    [
+        StructField("task_id", LongType()),
+        StructField("payload", StringType()),
+        StructField("attempt", IntegerType()),
+        StructField("not_before", TimestampType()),
+    ]
+)
+
+RESULT_SCHEMA = "task_id LONG, payload STRING, attempt INT, status STRING"
+
+MAX_ATTEMPTS = 5          # reference agent-loop.sh:14
+BACKOFF_CAP_SEC = 60      # reference agent-loop.sh:385-388
+
+
+def _append_rows(spark: SparkSession, rows: list[tuple], schema, path: str) -> None:
+    if rows:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            path
+        )
+
+
+def start_retry_pipeline(
+    spark: SparkSession,
+    work_dir: str,
+    retry_dir: str,
+    results_dir: str,
+    checkpoint: str,
+    model_fn,
+    base_backoff_sec: float = 1.0,
+    trigger_sec: str = "500 milliseconds",
+):
+    """Start the retry loop. `model_fn(payload, attempt) -> bool`
+    decides success. Returns the StreamingQuery (caller stops it)."""
+    os.makedirs(retry_dir, exist_ok=True)
+    os.makedirs(results_dir, exist_ok=True)
+    src = (
+        spark.readStream.schema(WORK_SCHEMA)
+        .parquet(work_dir)
+        .unionByName(spark.readStream.schema(WORK_SCHEMA).parquet(retry_dir))
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()  # control plane: O(tasks), not O(data)
+        if not rows:
+            return
+        now = dt.datetime.now()
+        results: list[tuple] = []
+        requeue: list[tuple] = []
+        for r in rows:
+            if r.not_before is not None and r.not_before > now:
+                requeue.append((r.task_id, r.payload, r.attempt, r.not_before))
+                continue
+            attempt = r.attempt
+            if model_fn(r.payload, attempt):
+                results.append((r.task_id, r.payload, attempt, "completed"))
+            elif attempt >= MAX_ATTEMPTS:
+                results.append((r.task_id, r.payload, attempt, "failed"))
+            else:
+                delay = min(base_backoff_sec * (2**attempt), BACKOFF_CAP_SEC)
+                requeue.append(
+                    (
+                        r.task_id,
+                        r.payload,
+                        attempt + 1,
+                        now + dt.timedelta(seconds=delay),
+                    )
+                )
+        _append_rows(spark, results, RESULT_SCHEMA, results_dir)
+        _append_rows(spark, requeue, WORK_SCHEMA, retry_dir)
+
+    return (
+        src.writeStream.foreachBatch(handle)
+        .trigger(processingTime=trigger_sec)
+        .option("checkpointLocation", checkpoint)
+        .queryName(f"retry-{uuid.uuid4().hex[:6]}")
+        .start()
+    )
+
+
+def read_results(spark: SparkSession, results_dir: str) -> DataFrame:
+    try:
+        return spark.read.schema(
+            "task_id LONG, payload STRING, attempt INT, status STRING"
+        ).parquet(results_dir)
+    except Exception:  # noqa: BLE001 — empty dir before first result
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+
+def _backoff_delay(attempt: int, base: float = 1.0) -> float:
+    """The X7 backoff expression as data (pure; property-testable)."""
+    return min(base * (2**attempt), BACKOFF_CAP_SEC)

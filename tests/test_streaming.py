@@ -272,3 +272,56 @@ def test_streaming_curation_dedups_and_gates_quality(spark, workdir):
     ids = sorted(r.doc_id for r in spark.sql("select doc_id from curated_docs").collect())
     # 1 survives; 2 fails quality; 3 and 4 are exact dups; 5 is new content
     assert ids == [1, 5]
+
+
+def test_retry_stream_backoff_is_data_not_sleep(spark, workdir):
+    import time
+
+    from open_pulsar_spark.streaming.retry_stream import (
+        WORK_SCHEMA,
+        read_results,
+        start_retry_pipeline,
+    )
+
+    wd, rd, res, ckpt = (
+        f"{workdir}/work",
+        f"{workdir}/retry",
+        f"{workdir}/results",
+        f"{workdir}/ckpt",
+    )
+    spark.createDataFrame(
+        [(1, "flaky", 1, None), (2, "solid", 1, None), (3, "doomed", 1, None)],
+        WORK_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(wd)
+
+    seen: dict[str, int] = {}
+
+    def model(payload: str, attempt: int) -> bool:
+        seen[payload] = seen.get(payload, 0) + 1
+        if payload == "solid":
+            return True
+        if payload == "flaky":
+            return attempt >= 2          # fails once, succeeds on retry
+        return False                     # doomed: always fails
+
+    q = start_retry_pipeline(
+        spark, wd, rd, res, ckpt, model, base_backoff_sec=0.5
+    )
+    try:
+        # poll with a deadline (processAllAvailable would never settle:
+        # the retry loop keeps creating files until quiescent)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            rows = {r.task_id: r for r in read_results(spark, res).collect()}
+            if len(rows) == 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    assert rows[2].status == "completed" and rows[2].attempt == 1
+    assert rows[1].status == "completed" and rows[1].attempt == 2
+    assert rows[3].status == "failed" and rows[3].attempt == 5
+    # the flaky task really went through the re-enqueue path
+    assert seen["flaky"] == 2
+    assert seen["doomed"] == 5
