@@ -19,6 +19,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Timed and reported under "extra" but NOT part of the headline total,
+# so "value" stays comparable across rounds.
+EXTRA = [
+    "corpus_sample_stratified",
+    "corpus_mix_weights",
+    "benchmark_contamination",
+    "doc_unigram_logprob",
+    "doc_pii_scrub",
+    "corpus_curation_pipeline",
+    "events_top_paths",
+    "events_anomaly_mad",
+    "events_zorder_layout",
+    "skew_salted_user_totals",
+    "orders_monthly_trend",
+    "multimodal_frame_plan",
+    "dedup_clusters",
+]
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -85,6 +103,15 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n = len(qs[name](spark, sf_dir).collect())
+        extra[name] = round(time.time() - t0, 3)
+        print(f"# extra {name}: {extra[name]}s ({n} rows)", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -92,6 +119,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra": extra,
                 "sf": sf,
             }
         )

@@ -391,3 +391,46 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path3")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# orders_monthly_trend — calendar rollup with MoM/YoY window arithmetic.
+# --------------------------------------------------------------------------
+@query(
+    "orders_monthly_trend",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+               count(*)                         AS n_orders,
+               round(sum(o_totalprice), 2)      AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2)   AS mom_delta,
+           round(revenue / lag(revenue, 12) OVER (ORDER BY month), 6) AS yoy_ratio
+    FROM monthly
+    ORDER BY month
+    """,
+)
+def orders_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month delta and year-over-year
+    ratio (lag 12 on the calendar spine) — the reporting-rollup shape.
+    One shuffle to O(#months) rows; the window then runs on a frame
+    small enough for a single partition at ANY raw data scale, which
+    is why a global ORDER BY window here is safe despite being the
+    usual red flag."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("mom_delta"),
+        F.round(F.col("revenue") / F.lag("revenue", 12).over(w), 6).alias("yoy_ratio"),
+    ).orderBy("month")
