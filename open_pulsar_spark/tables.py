@@ -27,22 +27,37 @@ TABLE_NAMES = (
 BROADCASTABLE = {"region", "nation"}
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Map every temporal column to plain TIMESTAMP (UTC wall clock).
+
+    The driver's parquet stores naive timestamps; depending on the
+    writer they arrive as TIMESTAMP(NANOS) (rejected unless read as
+    bigint) or timestamp[us] without tz (read as TIMESTAMP_NTZ under
+    Spark 4's inferTimestampNTZ). Both are the same naive instant that
+    DuckDB sees, so with a UTC session timezone the NTZ->TIMESTAMP cast
+    and the ns->us truncation are identity wall-clock mappings — and
+    downstream code (unix_micros, window(), watermarks) only has to
+    handle one type.
+    """
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif dtype == "bigint" and col == "ts":
+            # nanosAsLong path: ns -> us exactly like DuckDB's
+            # TIMESTAMP_NS -> TIMESTAMP cast (truncation).
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; one of {TABLE_NAMES}")
-    if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
-        # default. The conf is runtime-settable, so set it here too —
-        # callers (e.g. the verify driver) may hand us a session built
-        # without it. Then truncate ns -> us exactly like DuckDB's
-        # TIMESTAMP_NS -> TIMESTAMP cast so oracle comparisons are
-        # bit-identical.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Older driver testdata wrote events.ts as TIMESTAMP(NANOS), which
+    # Spark rejects by default; the conf is runtime-settable, so set it
+    # here too — callers (e.g. the verify driver) may hand us a session
+    # built without it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
