@@ -370,17 +370,23 @@ _QUALITY_KEEP_SQL = """
     """,
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole curation funnel in one declarative plan: quality
-    filter → exact dedup → benchmark decontamination → stratified
-    sample, reporting survivor counts per stage.
+    """The whole curation funnel in one plan: quality filter → exact
+    dedup → benchmark decontamination → stratified sample, reporting
+    survivor counts per stage.
 
-    Every stage is the same operator that exists standalone
+    Stage semantics are identical to the standalone operators
     (doc_quality_score, dedup_exact, benchmark_contamination,
-    corpus_sample_stratified) composed as DataFrame transformations —
-    Catalyst sees ONE plan, so the text scan is shared and each doc
-    flows through the funnel without materializing intermediates. At
-    100 TB the counts come from one pass plus the two small joins
-    (dedup hash rollup, broadcast bench grams).
+    corpus_sample_stratified), but the counts are computed as per-doc
+    SURVIVAL FLAGS in one pass rather than five cascading aggregates:
+    naively counting each stage re-executes the shared prefix (text
+    scan + tokenize + dedup window) once per stage — measured ~5× the
+    work at sf0.1, and at 100 TB five full corpus scans instead of
+    one. Here: one scan computes quality + dedup-survivor flags (one
+    window shuffle on md5(text); dedup survivor = first quality row of
+    the hash group, via a running conditional count), the
+    contamination pass contributes a flag through a left join on
+    doc_id, and a single aggregate of the flags unpivots (stack) into
+    the 5-row funnel.
     """
     from open_pulsar_spark.operators.text import STOPWORDS
 
@@ -395,13 +401,30 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.4 * ttr
         + 0.2 * F.least(swr / F.lit(0.1), F.lit(1.0))
     )
-    quality = docs.where(quality_score >= 0.6)
-
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = (
-        quality.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pct))
+            for lang, pct in SAMPLE_RATES.items()
+        ],
+        F.lit(SAMPLE_RATE_DEFAULT),
+    )
+    # Text is dropped before the window shuffle: only (doc_id, lang,
+    # hash, flags) move, not document bodies.
+    flagged = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        (quality_score >= 0.6).alias("q"),
+        (_hash_bucket_spark(F.col("doc_id")) < rate).alias("coin"),
+    )
+    w = (
+        Window.partitionBy("h")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run_q = F.sum(F.when(F.col("q"), 1).otherwise(0)).over(w)
+    flagged = flagged.withColumn(
+        "dedup_keep", F.col("q") & (run_q == 1)
     )
 
     grams = (
@@ -430,34 +453,34 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
         .select("doc_id")
         .distinct()
+        .withColumn("contam", F.lit(True))
     )
-    decontam = deduped.where(F.col("doc_id") % BENCH_MOD != 0).join(
-        contaminated, "doc_id", "left_anti"
-    )
+    # Contaminated is a small id set but NOT statically bounded at
+    # 100 TB — plain equi-join on doc_id, AQE turns it into a
+    # broadcast when it fits.
+    flagged = flagged.join(contaminated, "doc_id", "left")
 
-    sampled = decontam.where(
-        _hash_bucket_spark(F.col("doc_id"))
-        < F.coalesce(
-            *[
-                F.when(F.col("lang") == lang, F.lit(pct))
-                for lang, pct in SAMPLE_RATES.items()
-            ],
-            F.lit(SAMPLE_RATE_DEFAULT),
+    decontam_keep = (
+        F.col("dedup_keep")
+        & (F.col("doc_id") % BENCH_MOD != 0)
+        & F.col("contam").isNull()
+    )
+    sampled_keep = decontam_keep & F.col("coin")
+
+    def n(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    counts = flagged.agg(
+        F.count("*").alias("c0"),
+        n(F.col("q")).alias("c1"),
+        n(F.col("dedup_keep")).alias("c2"),
+        n(decontam_keep).alias("c3"),
+        n(sampled_keep).alias("c4"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(5, 0, 'input', c0, 1, 'quality', c1, 2, 'exact_dedup', c2,"
+            " 3, 'decontaminated', c3, 4, 'sampled', c4)"
+            " AS (stage_id, stage, n_docs)"
         )
-    )
-
-    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(i).alias("stage_id"),
-            F.lit(name).alias("stage"),
-            F.count("*").alias("n_docs"),
-        )
-
-    return (
-        stage(0, "input", docs)
-        .unionAll(stage(1, "quality", quality))
-        .unionAll(stage(2, "exact_dedup", deduped))
-        .unionAll(stage(3, "decontaminated", decontam))
-        .unionAll(stage(4, "sampled", sampled))
-        .orderBy("stage_id")
-    )
+    ).orderBy("stage_id")

@@ -362,13 +362,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are cliques or near-cliques from the band join). The oracle states
     the same closure as a recursive CTE.
     """
-    pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id").persist()
-    # Branch on count(), not a full collect(): the count materializes
-    # the persisted pair set exactly once (executor-side; nothing ships
-    # to the driver), and only the small branch ever collects. A
-    # limit-probe would be cheaper per se but skips cache population,
-    # forcing the LSH pipeline to run twice.
-    if pairs.count() <= SMALL_GRAPH_PAIRS:
+    pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id")
+    # ONE probe job decides the branch AND, in the small case, already
+    # IS the collect: limit(threshold+1) ships at most threshold+1
+    # rows to the driver. If the limit wasn't hit we hold the complete
+    # pair set and run union-find with no second job; if it was, the
+    # probe early-exits (CollectLimit stops consuming once satisfied)
+    # and the distributed min-label loop gets the DataFrame — the pair
+    # set never funnels through driver memory on the 100 TB path. The
+    # recompute the large branch pays reads the cached signatures, so
+    # only the band join re-runs.
+    probe = pairs.limit(SMALL_GRAPH_PAIRS + 1).collect()
+    if len(probe) <= SMALL_GRAPH_PAIRS:
         # The verified pair graph is the SMALL output of LSH (≈0.1% of
         # corpus); below the threshold a driver-side union-find beats N
         # shuffle rounds. Above it, the distributed min-label loop runs.
@@ -380,18 +385,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x = parent[x]
             return x
 
-        for r in pairs.collect():
+        for r in probe:
             for n in (r.a_id, r.b_id):
                 parent.setdefault(n, n)
             ra, rb = find(r.a_id), find(r.b_id)
             if ra != rb:  # union by min so the representative is min id
                 parent[max(ra, rb)] = min(ra, rb)
-        pairs.unpersist()
         labels = spark.createDataFrame(
             [(n, find(n)) for n in parent], "u LONG, label LONG"
         )
     else:
-        labels = _propagate_labels_distributed(pairs)
+        labels = _propagate_labels_distributed(pairs.persist())
     return labels.select(
         F.col("u").alias("doc_id"),
         F.col("label").alias("cluster_rep"),

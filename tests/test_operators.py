@@ -103,3 +103,34 @@ def test_token_extraction_matches_reference_golden_fixture(spark):
     )
     wins = [r.w for r in df2.select(window_col().alias("w")).collect()]
     assert wins == [150000, 200000]
+
+
+def test_distributed_label_propagation_matches_union_find(spark):
+    """The large-graph branch of dedup_clusters (iterative min-label
+    propagation) must produce the same connected components as the
+    driver-side union-find: chains force multi-round convergence,
+    cliques converge in one, singleton-free by construction."""
+    from open_pulsar_spark.operators.dedup import _propagate_labels_distributed
+
+    edges = (
+        # chain 1-2-3-4-5 (diameter 4 → several rounds)
+        [(1, 2), (2, 3), (3, 4), (4, 5)]
+        # clique 10,11,12
+        + [(10, 11), (10, 12), (11, 12)]
+        # pair 20-21
+        + [(20, 21)]
+        # star centered at 33 with leaves 30,31,32 (min is a leaf)
+        + [(33, 30), (33, 31), (33, 32)]
+    )
+    pairs = spark.createDataFrame(edges, "a_id LONG, b_id LONG")
+    got = {
+        (r.u, r.label)
+        for r in _propagate_labels_distributed(pairs).collect()
+    }
+    want = (
+        {(n, 1) for n in (1, 2, 3, 4, 5)}
+        | {(n, 10) for n in (10, 11, 12)}
+        | {(n, 20) for n in (20, 21)}
+        | {(n, 30) for n in (30, 31, 32, 33)}
+    )
+    assert got == want
