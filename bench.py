@@ -35,6 +35,10 @@ EXTRA = [
     "orders_monthly_trend",
     "multimodal_frame_plan",
     "dedup_clusters",
+    "events_value_band_join",
+    "events_rollup_cascade",
+    "source_kmv_distinct",
+    "doc_shard_packing",
 ]
 
 HEADLINE = [

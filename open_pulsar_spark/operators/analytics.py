@@ -434,3 +434,164 @@ def orders_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("mom_delta"),
         F.round(F.col("revenue") / F.lag("revenue", 12).over(w), 6).alias("yoy_ratio"),
     ).orderBy("month")
+
+
+# --------------------------------------------------------------------------
+# events_value_band_join — range join via interval bucketing.
+# --------------------------------------------------------------------------
+# Overlapping value bands (lo inclusive, hi exclusive): containment, not
+# equality, so a naive plan is a theta join (BroadcastNestedLoop — at
+# scale, O(rows × bands) with no pruning). Bucketing quantizes each
+# interval to fixed-width buckets so the join becomes an EQUI join on
+# the bucket id plus a cheap residual filter.
+VALUE_BANDS = [
+    ("B0", 0.0, 60.0),
+    ("B1", 40.0, 120.0),
+    ("B2", 100.0, 200.0),
+    ("B3", 180.0, 320.0),
+    ("B4", 300.0, 500.0),
+]
+BAND_BUCKET_W = 20.0
+
+_BANDS_SQL = "VALUES " + ", ".join(
+    f"('{b}', {lo}, {hi})" for b, lo, hi in VALUE_BANDS
+)
+
+
+@query(
+    "events_value_band_join",
+    oracle=f"""
+    WITH bands_raw(band_id, lo_d, hi_d) AS ({_BANDS_SQL}),
+    bands AS (SELECT band_id, lo_d::DOUBLE AS lo, hi_d::DOUBLE AS hi FROM bands_raw)
+    SELECT band_id, lo, hi,
+           count(*)::BIGINT        AS n_events,
+           round(avg(value), 4)    AS avg_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band_id, lo, hi
+    ORDER BY band_id
+    """,
+)
+def events_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (interval containment, overlapping bands) done the
+    scalable way: explode each band into its covering fixed-width
+    buckets, equi-join events on floor(value / W), re-check the exact
+    predicate, then aggregate per band.
+
+    Spark has no native range-join optimization; expressed naively the
+    ON >= / < condition compiles to BroadcastNestedLoopJoin — fine for
+    5 bands, quadratic the day the band table is "every auction's
+    active interval". Bucketing makes the fan-out explicit and bounded
+    (⌈span/W⌉ buckets per band), keeps the join an equi-join Catalyst
+    can hash, shuffle, or broadcast, and the residual filter runs
+    JVM-side post-join. The oracle states the same join declaratively.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(VALUE_BANDS, "band_id STRING, lo DOUBLE, hi DOUBLE")
+    # hi is exclusive: the last covering bucket is floor((hi - ulp)/W);
+    # sequence over ints then cast keeps it exact for band edges on
+    # bucket boundaries.
+    band_buckets = bands.select(
+        "band_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / BAND_BUCKET_W).cast("int"),
+                F.ceil(F.col("hi") / BAND_BUCKET_W).cast("int") - 1,
+            )
+        ).alias("bucket"),
+    )
+    tagged = ev.select(
+        "value", F.floor(F.col("value") / BAND_BUCKET_W).cast("int").alias("bucket")
+    )
+    return (
+        tagged.join(F.broadcast(band_buckets), "bucket")
+        .where((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("band_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_rollup_cascade — hypertable-style multi-grain continuous rollup.
+# --------------------------------------------------------------------------
+@query(
+    "events_rollup_cascade",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS b, count(*) AS n, sum(value) AS sv
+        FROM events GROUP BY 1
+    ),
+    daily AS (
+        SELECT date_trunc('day', b) AS b, sum(n)::BIGINT AS n, sum(sv) AS sv
+        FROM hourly GROUP BY 1
+    ),
+    monthly AS (
+        SELECT date_trunc('month', b) AS b, sum(n)::BIGINT AS n, sum(sv) AS sv
+        FROM daily GROUP BY 1
+    )
+    SELECT grain, bucket_start, n_events, round(sv, 2) AS sum_value
+    FROM (
+        SELECT 'hour'  AS grain, b AS bucket_start, n AS n_events, sv FROM hourly
+        UNION ALL
+        SELECT 'day', b, n, sv FROM daily
+        UNION ALL
+        SELECT 'month', b, n, sv FROM monthly
+    )
+    ORDER BY grain, bucket_start
+    """,
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: hourly partials
+    roll up to daily, daily to monthly — each level aggregates the
+    PREVIOUS level's output, never the raw events.
+
+    The raw table is scanned exactly once (the hourly partials are
+    cached; ~hours-many rows, trivially bounded); the day and month
+    shuffles move O(#hours) and O(#days) rows instead of O(#events).
+    This is the batch shape of a streaming continuous aggregate: at
+    100 TB the hourly layer is an incrementally-maintained table and
+    the coarser grains refresh from it, which is why sums (not avgs)
+    are the stored partial — they re-aggregate losslessly. Rounding
+    happens only at the edge, so cascading does not compound float
+    error differently from the oracle's identical cascade.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("b"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .cache()
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "b").alias("b"))
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    monthly = (
+        daily.groupBy(F.date_trunc("month", "b").alias("b"))
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+
+    def level(grain: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.col("b").alias("bucket_start"),
+            F.col("n").alias("n_events"),
+            "sv",
+        )
+
+    return (
+        level("hour", hourly)
+        .unionAll(level("day", daily))
+        .unionAll(level("month", monthly))
+        .select(
+            "grain",
+            "bucket_start",
+            "n_events",
+            F.round("sv", 2).alias("sum_value"),
+        )
+        .orderBy("grain", "bucket_start")
+    )

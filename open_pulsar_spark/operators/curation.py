@@ -484,3 +484,79 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (stage_id, stage, n_docs)"
         )
     ).orderBy("stage_id")
+
+
+# --------------------------------------------------------------------------
+# doc_shard_packing — token-budget shard assignment for training layout.
+# --------------------------------------------------------------------------
+SHARD_TOKEN_BUDGET = 2_000
+
+
+@query(
+    "doc_shard_packing",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang, len(str_split(text, ' '))::BIGINT AS n_toks
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, lang, n_toks,
+               floor((sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_toks) * 1.0 / {SHARD_TOKEN_BUDGET})::BIGINT AS shard_id
+        FROM sized
+    )
+    SELECT lang, shard_id,
+           count(*)::BIGINT        AS n_docs,
+           sum(n_toks)::BIGINT     AS sum_tokens,
+           min(doc_id)             AS first_doc,
+           max(doc_id)             AS last_doc
+    FROM packed
+    GROUP BY lang, shard_id
+    ORDER BY lang, shard_id
+    """,
+)
+def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training shards: within
+    each language, docs are laid out in doc_id order and a document
+    starts in the shard its EXCLUSIVE running token offset falls in
+    (offset div budget) — the deterministic contiguous-layout rule a
+    tokenize-and-concatenate training pipeline uses to split a corpus
+    into ~equal shard files.
+
+    One window shuffle on lang (the layout key), one rollup. Offsets,
+    not greedy bin-packing state: the assignment for a doc depends
+    only on the prefix sum before it, so it is reproducible, O(1) per
+    row, and recomputable incrementally when docs are appended — the
+    property that matters when re-sharding a 100 TB corpus. At real
+    scale the partition key is (lang, doc_id range) and the prefix
+    offsets chain across ranges from a per-range token-total manifest.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # floor, explicitly, on BOTH sides: Spark's double->long cast
+    # truncates but DuckDB's ::BIGINT rounds half-even, so an implicit
+    # cast silently disagrees at shard boundaries.
+    packed = sized.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_toks").over(w) - F.col("n_toks")) / SHARD_TOKEN_BUDGET
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("lang", "shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "shard_id")
+    )

@@ -1,0 +1,119 @@
+"""Distinct-count sketching over the corpus: a KMV (k-minimum-values)
+sketch with an exact-count accuracy harness.
+
+The reference has no sketching surface; this is the north-star "novel
+sketch" operator the engine needs at 100 TB, where exact per-group
+distinct counts of tokens are a full shuffle of the token universe.
+KMV ships k doubles per (group, partition) instead:
+
+  - hash every token to u ∈ [0,1) (first 60 bits of md5 / 2^60 —
+    deterministic, identical in DuckDB, exact in double);
+  - keep the k smallest u per group: done in TWO phases, a
+    per-input-partition partial (bounded: k values per group per
+    partition, computed map-side) and a merge (k-min of the union of
+    k-min lists == global k-min, because any value in the true global
+    bottom-k is in its partition's bottom-k);
+  - estimate distinct = (k-1) / u_k (the classic KMV estimator,
+    Bar-Yossef et al. 2002): u_k is the k-th order statistic of n
+    uniform draws, E[u_k] ≈ k/(n+1).
+
+The sketch is MERGEABLE — the merge phase is an ordinary aggregate, so
+it composes with partial aggregation, incremental refresh, and
+cross-dataset unions; at 100 TB the shuffle is k×8 bytes per group per
+map task, independent of corpus size.
+
+The query also computes the exact distinct count and relative error —
+the same measured-accuracy pattern as ann_lsh_recall: the approximate
+path is only "done" when its error is observable next to ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_pulsar_spark.registry import query
+from open_pulsar_spark.tables import load_table
+
+KMV_K = 64
+
+# First 15 hex chars of md5 = 60 bits; dividing by 2^60 is exact in
+# double (power of two), so Spark and DuckDB produce bit-identical u.
+_U_SPARK = "conv(substring(md5(t), 1, 15), 16, 10) / 1152921504606846976"
+_U_SQL = "('0x' || substr(md5(t), 1, 15))::BIGINT / 1152921504606846976.0"
+
+
+@query(
+    "source_kmv_distinct",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT source, unnest(str_split(text, ' ')) AS t
+        FROM documents
+    ),
+    hashed AS (SELECT source, t, {_U_SQL} AS u FROM tok),
+    ranked AS (
+        SELECT source, u,
+               row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+        FROM hashed
+    ),
+    kth AS (SELECT source, u AS u_k FROM ranked WHERE rn = {KMV_K}),
+    exact AS (SELECT source, count(DISTINCT t)::BIGINT AS n_exact FROM tok GROUP BY source)
+    SELECT e.source, e.n_exact,
+           CASE WHEN k.u_k IS NOT NULL
+                THEN round(({KMV_K} - 1) / k.u_k)::BIGINT
+                ELSE e.n_exact END                            AS n_est,
+           round(abs(CASE WHEN k.u_k IS NOT NULL
+                          THEN round(({KMV_K} - 1) / k.u_k)::BIGINT
+                          ELSE e.n_exact END - e.n_exact)
+                 * 1.0 / e.n_exact, 6)                        AS rel_err
+    FROM exact e LEFT JOIN kth k USING (source)
+    ORDER BY source
+    """,
+)
+def source_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token estimate via a mergeable KMV sketch,
+    next to the exact count and the relative error.
+
+    Phase 1 keeps the k smallest hashes per (source, input partition) —
+    `spark_partition_id` only shapes the partials, never the result:
+    the merged bottom-k is partitioning-invariant. Phase 2 merges by
+    flatten → sort → slice. Only the tiny (group, k-list) rows ever
+    shuffle. The exact count (the harness half) is the expensive full
+    distinct — at 100 TB you run the sketch and SAMPLE the exact check.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+    )
+    hashed = tok.select("source", "t", F.expr(_U_SPARK).alias("u"))
+    partial = (
+        hashed.groupBy("source", F.spark_partition_id().alias("pid"))
+        .agg(F.slice(F.array_sort(F.collect_set("u")), 1, KMV_K).alias("mins"))
+    )
+    merged = partial.groupBy("source").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("mins"))), 1, KMV_K
+        ).alias("mins")
+    )
+    # A group with fewer than k distinct values keeps ALL of them —
+    # the sketch is then exact, so the estimate is its size.
+    u_k = F.try_element_at("mins", F.lit(KMV_K))
+    est = F.when(
+        u_k.isNotNull(), F.round((KMV_K - 1) / u_k).cast("bigint")
+    ).otherwise(F.size("mins").cast("bigint"))
+    exact = tok.groupBy("source").agg(
+        F.count_distinct("t").alias("n_exact")
+    )
+    return (
+        exact.join(merged, "source")
+        .select(
+            "source",
+            "n_exact",
+            est.alias("n_est"),
+            F.round(
+                F.abs(est - F.col("n_exact")) * F.lit(1.0) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )

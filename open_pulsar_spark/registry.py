@@ -50,6 +50,7 @@ def load_all() -> None:
         multimodal,
         relational,
         similarity,
+        sketch,
         skew,
         tasks,
         text,
