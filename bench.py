@@ -39,6 +39,7 @@ EXTRA = [
     "events_rollup_cascade",
     "source_kmv_distinct",
     "doc_shard_packing",
+    "orders_above_customer_avg",
 ]
 
 HEADLINE = [

@@ -533,6 +533,26 @@ def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets chain across ranges from a per-range token-total manifest.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_shards(docs)
+        .groupBy("lang", "shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "shard_id")
+    )
+
+
+def assign_shards(
+    docs: DataFrame, budget: int = SHARD_TOKEN_BUDGET
+) -> DataFrame:
+    """Per-document shard assignment (doc_id, lang, n_toks, shard_id):
+    shard = exclusive-prefix token offset div budget, within lang in
+    doc_id order. Shared by the doc_shard_packing query (aggregated
+    view) and write_training_shards (the physical writer)."""
     sized = docs.select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_toks")
     )
@@ -544,19 +564,7 @@ def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floor, explicitly, on BOTH sides: Spark's double->long cast
     # truncates but DuckDB's ::BIGINT rounds half-even, so an implicit
     # cast silently disagrees at shard boundaries.
-    packed = sized.withColumn(
+    return sized.withColumn(
         "shard_id",
-        F.floor(
-            (F.sum("n_toks").over(w) - F.col("n_toks")) / SHARD_TOKEN_BUDGET
-        ).cast("long"),
-    )
-    return (
-        packed.groupBy("lang", "shard_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_toks").alias("sum_tokens"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
-        .orderBy("lang", "shard_id")
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / budget).cast("long"),
     )

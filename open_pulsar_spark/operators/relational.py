@@ -491,3 +491,65 @@ def events_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# orders_above_customer_avg — correlated scalar subquery, decorrelated.
+# --------------------------------------------------------------------------
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                      round(o_totalprice * 100)::BIGINT AS cents
+               FROM orders)
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS totalprice,
+           ((2 * (SELECT sum(o2.cents)::BIGINT FROM o o2
+                  WHERE o2.o_custkey = o.o_custkey)
+             + (SELECT count(*) FROM o o2 WHERE o2.o_custkey = o.o_custkey))
+            // (2 * (SELECT count(*) FROM o o2
+                     WHERE o2.o_custkey = o.o_custkey))) / 100.0 AS cust_avg
+    FROM o
+    WHERE 2 * o.cents * (SELECT count(*) FROM o o2
+                         WHERE o2.o_custkey = o.o_custkey)
+          > 3 * (SELECT sum(o2.cents)::BIGINT FROM o o2
+                 WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o.o_orderkey
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery ("orders 1.5× above this customer's
+    own average"), decorrelated into a window aggregate: the textbook
+    rewrite Catalyst itself applies to correlated subqueries.
+
+    The oracle states the correlated form; the Spark plan computes the
+    per-customer aggregate OVER (PARTITION BY o_custkey) — ONE shuffle
+    on the correlation key instead of a per-row subquery, and strictly
+    better than the self-join rewrite (no second scan of orders).
+
+    Money is summed in integer CENTS, the 1.5× threshold compared as
+    2·cents·n > 3·Σcents, and the average rounded half-up to whole
+    cents as (2·Σcents + n) div (2n) — integer arithmetic end to end,
+    so the survivor set and the reported average are bit-identical
+    across engines. (A double avg() differs in the last ulp between
+    summation orders, and even on an identical double input Spark's
+    BigDecimal HALF_UP round(x, 2) and DuckDB's C-library round can
+    disagree at a half-cent — both observed on this dataset.)
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", cents.alias("cents"))
+        .withColumn("sum_cents", F.sum("cents").over(w))
+        .withColumn("n", F.count("*").over(w))
+        .where(2 * F.col("cents") * F.col("n") > 3 * F.col("sum_cents"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            (
+                F.expr("(2 * sum_cents + n) div (2 * n)") / 100.0
+            ).alias("cust_avg"),
+        )
+        .orderBy("o_orderkey")
+    )

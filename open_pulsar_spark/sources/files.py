@@ -1,0 +1,109 @@
+"""Batch file sources with an explicit schema contract.
+
+The reference reads three on-disk formats — markdown task files, JSON
+config/usage payloads, and plain-text logs (`agent-loop.sh:236-268`,
+`:418-422`, `telegram-agent.py:60-78`) — each with hand-rolled "is
+this shaped right?" checks. This module is the Spark-side equivalent
+for the engine's batch inputs: one reader per format, always with an
+EXPLICIT schema, plus a drift check that fails loudly instead of
+silently nulling.
+
+Why explicit schemas matter at 100 TB:
+  - schema inference is a full extra pass over the data for CSV/JSON
+    (Spark samples, but correctness-grade inference reads everything);
+  - an inferred schema drifts with the sample — a column that is int
+    in today's files and string tomorrow flips the type under you;
+  - with a declared schema, the reader prunes columns at the scan and
+    pushes filters (parquet), and malformed rows are routed by
+    `mode=PERMISSIVE` into `_corrupt_record` where they can be
+    quarantined instead of killing the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+BATCH_FORMATS = ("parquet", "csv", "json", "text")
+
+
+class SchemaDriftError(ValueError):
+    """Raised when a source's columns do not satisfy the declared schema."""
+
+
+def read_batch(
+    spark: SparkSession,
+    path: str,
+    file_format: str = "parquet",
+    schema: StructType | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read a batch dataset with a declared schema.
+
+    parquet carries its own schema (the declared one, when given, acts
+    as the read contract — missing columns fail via check_schema);
+    csv/json REQUIRE a schema: inference is an extra data pass and a
+    correctness hazard. text yields one `value` column per line (the
+    log-tail shape).
+    """
+    if file_format not in BATCH_FORMATS:
+        raise ValueError(f"unknown format {file_format!r}; one of {BATCH_FORMATS}")
+    reader = spark.read
+    opts = dict(options or {})
+    if file_format == "csv":
+        opts.setdefault("header", "true")
+        opts.setdefault("mode", "PERMISSIVE")
+    if file_format == "json":
+        opts.setdefault("mode", "PERMISSIVE")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    if file_format in ("csv", "json"):
+        if schema is None:
+            raise ValueError(
+                f"{file_format} requires an explicit schema (inference is an "
+                "extra full pass and drifts with the sample)"
+            )
+        reader = reader.schema(schema)
+    df = getattr(reader, file_format)(path)
+    if schema is not None:
+        check_schema(df, schema)
+    return df
+
+
+def check_schema(df: DataFrame, expected: StructType) -> DataFrame:
+    """Fail loudly if `df` is missing declared columns or disagrees on
+    their types; extra columns are tolerated (projection prunes them).
+    Returns `df` projected to the declared columns, in declared order.
+    """
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    problems = []
+    for f in expected.fields:
+        if f.name not in actual:
+            problems.append(f"missing column {f.name!r}")
+        elif actual[f.name] != f.dataType:
+            problems.append(
+                f"column {f.name!r}: expected {f.dataType.simpleString()}, "
+                f"got {actual[f.name].simpleString()}"
+            )
+    if problems:
+        raise SchemaDriftError("; ".join(problems))
+    return df.select(*[f.name for f in expected.fields])
+
+
+def quarantine_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record"):
+    """Split a PERMISSIVE-parsed frame into (clean, quarantined).
+
+    The quarantine half keeps the raw record for replay after a parser
+    fix — the 100 TB answer to "one bad row killed the 6-hour job".
+    """
+    if corrupt_col not in df.columns:
+        return df, df.limit(0)
+    # Spark refuses to answer queries that reference ONLY the corrupt
+    # column of a raw JSON/CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # its documented workaround is to materialize the parsed frame
+    # first. Both halves then read the cached parse, not the file.
+    df = df.cache()
+    clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull())
+    return clean, bad

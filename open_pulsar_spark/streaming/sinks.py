@@ -97,3 +97,28 @@ def write_audit_stream(state: DataFrame, path: str, checkpoint: str):
         .option("path", path)
         .start()
     )
+
+
+def write_training_shards(docs: DataFrame, path: str, budget: int | None = None) -> None:
+    """Materialize a document set as token-budget training shards:
+    parquet partitioned by (lang, shard_id), one directory per shard,
+    docs laid out contiguously by doc_id within each shard.
+
+    The shard assignment is `curation.assign_shards` (exclusive prefix
+    token offset div budget — deterministic and incrementally
+    recomputable), so re-running on an appended corpus only writes NEW
+    shard partitions. repartition on the partition columns before the
+    write keeps it to one file per shard (the training-loader contract)
+    instead of one file per (task × shard).
+    """
+    from open_pulsar_spark.operators.curation import SHARD_TOKEN_BUDGET, assign_shards
+
+    assigned = assign_shards(docs, budget or SHARD_TOKEN_BUDGET)
+    out = docs.join(assigned.select("doc_id", "shard_id"), "doc_id")
+    (
+        out.repartition("lang", "shard_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("lang", "shard_id")
+        .parquet(path)
+    )
