@@ -325,3 +325,35 @@ def test_retry_stream_backoff_is_data_not_sleep(spark, workdir):
     # the flaky task really went through the re-enqueue path
     assert seen["flaky"] == 2
     assert seen["doomed"] == 5
+
+
+def test_token_quota_compacts_at_threshold(spark, workdir):
+    """transformWithStateInPandas quota ledger: per-chat running token
+    total persists across micro-batches; crossing 80% of the 200k
+    window emits 'compact' and restarts the meter at that message's
+    own tokens (reference compaction semantics)."""
+    from open_pulsar_spark.streaming.quota import token_quota
+
+    src, ckpt = f"{workdir}/tok", f"{workdir}/ckpt"
+    schema = "update_id LONG, chat_id LONG, tokens LONG"
+    # batch 1: chat 10 accumulates 150k; chat 20 stays tiny
+    spark.createDataFrame(
+        [(1, 10, 100_000), (2, 10, 50_000), (3, 20, 1_000)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: +20k -> 170k >= 160k threshold -> compact, meter restarts
+    # at 20k; next message lands on the fresh meter (state persisted)
+    spark.createDataFrame(
+        [(4, 10, 20_000), (5, 10, 30_000)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    msgs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _run_stream(token_quota(msgs), "quota_out", ckpt)
+    rows = {r.update_id: r for r in spark.sql("select * from quota_out").collect()}
+    assert rows[1].action == "ok" and rows[1].used_tokens == 100_000
+    assert rows[2].action == "ok" and rows[2].used_tokens == 150_000
+    assert rows[3].action == "ok" and rows[3].used_tokens == 1_000
+    assert rows[4].action == "compact" and rows[4].used_tokens == 170_000
+    assert rows[5].action == "ok" and rows[5].used_tokens == 50_000
