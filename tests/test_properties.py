@@ -103,3 +103,63 @@ def test_frame_plan_indexes_valid_and_strictly_increasing(n):
     assert all(0 <= j < n for j in idx)
     assert idx == sorted(set(idx))
     assert idx[0] == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    values=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, exclude_max=True, width=64),
+        min_size=0,
+        max_size=300,
+        unique=True,
+    ),
+    n_parts=st.integers(min_value=1, max_value=8),
+    k=st.integers(min_value=2, max_value=64),
+)
+def test_kmv_merge_equals_global_bottom_k(values, n_parts, k):
+    """The KMV merge law (sketch.py): bottom-k of the union of
+    per-partition bottom-k lists equals the global bottom-k, for ANY
+    assignment of values to partitions — the property that makes the
+    sketch mergeable / partitioning-invariant."""
+    parts: list[list[float]] = [[] for _ in range(n_parts)]
+    for i, v in enumerate(values):
+        parts[i % n_parts].append(v)
+    partials = [sorted(p)[:k] for p in parts]
+    merged = sorted(x for p in partials for x in p)[:k]
+    assert merged == sorted(values)[:k]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=200),
+    budget=st.integers(min_value=100, max_value=2000),
+)
+def test_shard_packing_offsets_invariants(sizes, budget):
+    """Offset-based shard assignment (curation.assign_shards math):
+    shards are contiguous and non-decreasing in layout order, every
+    shard's total stays under budget + one-doc overshoot, and appending
+    documents never changes existing assignments (incremental
+    recomputability)."""
+    def assign(szs):
+        out, off = [], 0
+        for s in szs:
+            out.append(off // budget)
+            off += s
+        return out
+
+    shards = assign(sizes)
+    # non-decreasing in layout order, starting at 0 (ids may SKIP when
+    # a single doc spans multiple budgets — that's correct: the next
+    # doc starts in the shard its offset lands in)
+    assert shards[0] == 0
+    assert all(b >= a for a, b in zip(shards, shards[1:]))
+    # per-shard total ≤ budget + (last doc overshoot): the shard's
+    # first doc starts below the boundary, so total < budget + max doc
+    totals: dict[int, int] = {}
+    for s, sz in zip(shards, sizes):
+        totals[s] = totals.get(s, 0) + sz
+    for s, tot in totals.items():
+        docs_in = [sz for sh, sz in zip(shards, sizes) if sh == s]
+        assert tot <= budget + max(docs_in)
+    # append-stability: assignments of a prefix never change
+    assert assign(sizes[: len(sizes) // 2]) == shards[: len(sizes) // 2]
