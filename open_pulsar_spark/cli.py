@@ -166,6 +166,22 @@ def cmd_reset(state_dir: str) -> int:
     return 0
 
 
+def cmd_query(spark: SparkSession, name: str, sf_dir: str, limit: int) -> int:
+    """Run one registered query (or list them all with name='list')."""
+    from open_pulsar_spark import registry
+
+    qs = registry.all_queries()
+    if name == "list":
+        for n in sorted(qs):
+            print(n)
+        return 0
+    if name not in qs:
+        print(f"unknown query {name!r}; `query list` shows all", file=sys.stderr)
+        return 2
+    qs[name](spark, sf_dir).show(limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="open_pulsar_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -182,7 +198,14 @@ def main(argv: list[str] | None = None) -> int:
     p_status.add_argument("--state-dir", default=".pulsar-state")
     p_reset = sub.add_parser("reset")
     p_reset.add_argument("--state-dir", default=".pulsar-state")
+    p_query = sub.add_parser("query")
+    p_query.add_argument("name", help="registered query name, or 'list'")
+    p_query.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_query.add_argument("--limit", type=int, default=20)
     args = ap.parse_args(argv)
+
+    if args.cmd == "query" and args.name == "list":
+        return cmd_query(None, "list", "", 0)  # no session needed to list
 
     if args.cmd == "reset":
         return cmd_reset(args.state_dir)
@@ -204,6 +227,8 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.cmd == "status":
             return cmd_status(spark, args.state_dir)
+        if args.cmd == "query":
+            return cmd_query(spark, args.name, args.sf_dir, args.limit)
         raise AssertionError(args.cmd)
     finally:
         spark.stop()

