@@ -40,6 +40,8 @@ EXTRA = [
     "source_kmv_distinct",
     "doc_shard_packing",
     "orders_above_customer_avg",
+    "q7_nation_volume",
+    "q10_returned_customers",
 ]
 
 HEADLINE = [

@@ -553,3 +553,129 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q7_nation_volume — TPC-H Q7 shape: fact⋈fact⋈fact with two dim lineages.
+# --------------------------------------------------------------------------
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate)::BIGINT AS l_year,
+           ((2 * sum(round(l.l_extendedprice * 100)::BIGINT
+                     * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
+             + 100) // 200) / 100.0 AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name < n2.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation shipping volume (TPC-H Q7 shape): the deepest join
+    tree in the surface — lineitem⋈supplier⋈orders⋈customer with TWO
+    independent nation lineages (supplier's and customer's).
+
+    Plan posture: nation is broadcast twice (25 rows, bounded by
+    schema); supplier and customer broadcast at test scale and
+    sort-merge on their keys at 100 TB (AQE decides); the one
+    unavoidable big shuffle is lineitem⋈orders on orderkey — the join
+    bucketing co-locates (tables.write_bucketed, test_bucketing). The
+    n1 < n2 predicate halves the output and is applied after the
+    broadcast joins, JVM-side.
+
+    Revenue is summed as exact integer ten-thousandths of a dollar
+    (price and discount are both 2-dp money; price_cents × (100−d₁₀₀)
+    is an integer) then rounded half-up to cents with integer div —
+    with 2k output groups a double sum lands on a half-cent rounding
+    boundary often enough that round(sum(double), 2) hash-mismatched
+    in practice; summing ints is order-independent in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(na.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(na.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(n1, su.s_nationkey == F.col("s_nk"))
+        .join(n2, cu.c_nationkey == F.col("c_nk"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("s")
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.expr("(2 * s + 100) div 200") / 100.0).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# q10_returned_customers — TPC-H Q10 shape: returns-driven top customers.
+# --------------------------------------------------------------------------
+@query(
+    "q10_returned_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned-merchandise revenue (TPC-H Q10
+    shape): returnflag filter pushes to the lineitem scan, nation
+    broadcasts, the orderkey join dominates and co-locates under the
+    bucketed layout, and the top-k is TakeOrderedAndProject (no global
+    sort materialized). revenue DESC ties broken by c_custkey so the
+    LIMIT is deterministic cross-engine.
+    """
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
