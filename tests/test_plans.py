@@ -78,3 +78,41 @@ def test_anomaly_mad_broadcasts_stat_frames(spark):
     plan = plan_of(spark, "events_anomaly_mad")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q7_broadcasts_dims_no_nested_loop(spark):
+    plan = plan_of(spark, "q7_nation_volume")
+    # both nation lineages + small dims broadcast; the n1<n2 predicate
+    # must not degrade anything to a nested-loop join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_pushes_returnflag_and_takeordered(spark):
+    plan = plan_of(spark, "q10_returned_customers")
+    assert "EqualTo(l_returnflag,R)" in plan      # filter at the scan
+    assert "TakeOrderedAndProject" in plan        # top-k, no global sort
+    assert "CartesianProduct" not in plan
+
+
+def test_band_range_join_is_equi_not_nested_loop(spark):
+    plan = plan_of(spark, "events_value_band_join")
+    # the whole point: interval containment via bucket equi-join
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_cascade_scans_events_once(spark):
+    plan = plan_of(spark, "events_rollup_cascade")
+    # hourly partials cached: day/month read InMemoryRelation, so the
+    # parquet scan of events appears exactly once in the plan
+    assert plan.count("Scan parquet") - plan.count("Scan parquet []") <= 1 or \
+        plan.count("events.parquet") <= 1
+
+
+def test_shard_packing_single_window_shuffle(spark):
+    plan = plan_of(spark, "doc_shard_packing")
+    assert "Window" in plan
+    assert "Join" not in plan
