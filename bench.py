@@ -42,6 +42,7 @@ EXTRA = [
     "orders_above_customer_avg",
     "q7_nation_volume",
     "q10_returned_customers",
+    "q9_brand_profit",
 ]
 
 HEADLINE = [

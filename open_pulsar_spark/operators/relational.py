@@ -679,3 +679,54 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q9_brand_profit — TPC-H Q9 shape: part-driven profit rollup by year.
+# --------------------------------------------------------------------------
+@query(
+    "q9_brand_profit",
+    oracle="""
+    SELECT p.p_brand, year(o.o_orderdate)::BIGINT AS o_year,
+           ((2 * sum(round(l.l_extendedprice * 100)::BIGINT
+                     * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
+             + 100) // 200) / 100.0 AS profit
+    FROM lineitem l
+    JOIN part p   ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY p.p_brand, o_year
+    ORDER BY p_brand, o_year
+    """,
+)
+def q9_brand_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by brand and order year for one product type (TPC-H Q9
+    shape, minus the partsupp cost leg the test schema doesn't carry).
+
+    Plan posture: the p_type filter pushes to the part scan and the
+    filtered part dim broadcasts into lineitem (partkey join never
+    shuffles the fact); lineitem⋈orders on orderkey is the single big
+    shuffle, co-located under the bucketed layout. Profit uses the
+    same exact integer-cents sum as q7 — order-independent, so the
+    value hash can't be flipped by double summation order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(pa.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("p_brand", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("s")
+        )
+        .select(
+            "p_brand",
+            "o_year",
+            (F.expr("(2 * s + 100) div 200") / 100.0).alias("profit"),
+        )
+        .orderBy("p_brand", "o_year")
+    )
