@@ -55,3 +55,26 @@ def test_unbucketed_join_shuffles_for_contrast(spark):
         assert "Exchange" in plan            # the layout, not luck, removed it
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_date_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """The SCALE.md layout claim for facts ('events by user_id+date'):
+    a date filter over a date-partitioned dataset must prune at the
+    FILE LISTING level (PartitionFilters in the scan), not scan
+    everything and filter rows."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMALL, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_date")
+    ev.write.partitionBy("event_date").parquet(path)
+
+    one_day = ev.select("event_date").distinct().limit(1).collect()[0][0]
+    back = spark.read.parquet(path).where(F.col("event_date") == one_day)
+    plan_buf = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan_buf
+    assert f"(event_date = {one_day})" in plan_buf or "isnotnull(event_date" in plan_buf
+    # and the pruned read returns exactly that day's rows
+    expected = ev.where(F.col("event_date") == one_day).count()
+    assert back.count() == expected > 0

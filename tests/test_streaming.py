@@ -357,3 +357,44 @@ def test_token_quota_compacts_at_threshold(spark, workdir):
     assert rows[3].action == "ok" and rows[3].used_tokens == 1_000
     assert rows[4].action == "compact" and rows[4].used_tokens == 170_000
     assert rows[5].action == "ok" and rows[5].used_tokens == 50_000
+
+
+def test_neardup_stream_filters_against_history_and_within_batch(spark, workdir):
+    """Incremental LSH dedup: batch 2's near-copy of a batch-1 doc is
+    dropped (history), two near-copies arriving together keep only the
+    lower doc_id (within-batch), and unrelated docs pass."""
+    from open_pulsar_spark.streaming.neardup_stream import start_neardup_stream
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    nearcopy = base + " extra"
+    other = " ".join(f"zzz{i}" for i in range(40))
+    other2 = " ".join(f"qqq{i}" for i in range(40))
+
+    src = f"{workdir}/docs"
+    schema = "doc_id LONG, text STRING"
+    # batch 1: base doc + an unrelated doc
+    spark.createDataFrame([(1, base), (2, other)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # batch 2: near-copy of doc 1 (drop), two near-copies of each other
+    # (keep 4, drop 5), and a fresh doc (keep)
+    spark.createDataFrame(
+        [(3, nearcopy), (4, other2), (5, other2 + " tail"), (6, "unique " * 40)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = start_neardup_stream(
+        spark,
+        stream,
+        index_path=f"{workdir}/index",
+        out_path=f"{workdir}/kept",
+        checkpoint=f"{workdir}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(f"{workdir}/kept").collect())
+    assert kept == [1, 2, 4, 6]
