@@ -157,3 +157,36 @@ def start_neardup_stream(
         .foreachBatch(step)
         .start()
     )
+
+
+def compact_index(spark: SparkSession, index_path: str, target_files: int = 8) -> int:
+    """Rewrite the signature index into `target_files` files.
+
+    foreachBatch appends one file set per micro-batch, so a long-lived
+    stream accretes small files (the classic streaming-sink problem) —
+    listing cost grows linearly and the band join's scan tasks shrink
+    below useful sizes. Compaction is the standard fix: read, coalesce,
+    rewrite to a temp dir, atomic-swap. Returns the row count.
+
+    At 100 TB this is the nightly OPTIMIZE job, and the rewrite also
+    re-clusters by band signature (sortWithinPartitions) so the
+    per-batch candidate join reads contiguous signature ranges.
+    """
+    import shutil
+
+    df = spark.read.schema(_INDEX_SCHEMA).parquet(index_path)
+    n = df.count()
+    tmp = index_path.rstrip("/") + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        df.repartition(target_files, "band", "sig")
+        .sortWithinPartitions("band", "sig")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = index_path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_path, old)
+    os.rename(tmp, index_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n

@@ -398,3 +398,36 @@ def test_neardup_stream_filters_against_history_and_within_batch(spark, workdir)
 
     kept = sorted(r.doc_id for r in spark.read.parquet(f"{workdir}/kept").collect())
     assert kept == [1, 2, 4, 6]
+
+
+def test_neardup_index_compaction_preserves_behavior(spark, workdir):
+    """Compacting the signature index must not change what the filter
+    drops: same dup detected after compaction, fewer files on disk."""
+    import os as _os
+
+    from open_pulsar_spark.streaming.neardup_stream import (
+        compact_index,
+        filter_batch_against_index,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    idx = f"{workdir}/index"
+    schema = "doc_id LONG, text STRING"
+    # several appends -> several file sets
+    for i in range(3):
+        docs = spark.createDataFrame([(i * 10, f"{'uniq%d ' % i * 40}")], schema)
+        filter_batch_against_index(spark, docs, idx)
+    filter_batch_against_index(
+        spark, spark.createDataFrame([(100, base)], schema), idx
+    )
+    files_before = len([f for f in _os.listdir(idx) if f.endswith(".parquet")])
+
+    n = compact_index(spark, idx, target_files=2)
+    files_after = len([f for f in _os.listdir(idx) if f.endswith(".parquet")])
+    assert n > 0 and files_after <= 2 < files_before
+
+    # near-copy of doc 100 is still caught against the compacted index
+    kept = filter_batch_against_index(
+        spark, spark.createDataFrame([(200, base + " extra")], schema), idx
+    )
+    assert kept.count() == 0
