@@ -294,11 +294,17 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     big shuffles are the two groupBys on (doc_id, term) and (term) —
     both natural keys. ln() is IEEE-identical across engines; rounded
     to 6 dp anyway.
+
+    DF is derived FROM the tf aggregate (count of (doc, term) groups
+    per term == count of distinct docs containing the term), not from
+    the raw token stream: the two branches then share an identical
+    (doc_id, term) exchange, which Spark reuses (ReusedExchange) — the
+    corpus is scanned and tokenized ONCE instead of once per branch.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.count()
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
