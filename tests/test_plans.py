@@ -116,3 +116,31 @@ def test_shard_packing_single_window_shuffle(spark):
     plan = plan_of(spark, "doc_shard_packing")
     assert "Window" in plan
     assert "Join" not in plan
+
+
+# Queries whose plans legitimately contain a nested-loop/cartesian node:
+# single-row broadcast scalars (a 1-row total joined onto every group),
+# tiny constant frames, or deliberately-bounded brute-force baselines.
+_NESTED_LOOP_ALLOWED = {
+    "doc_unigram_logprob",       # 1-row corpus total, broadcast
+    "backoff_schedule",          # 2-row constant rate_limited frame
+    "dedup_ngram_jaccard",       # bounded-slice brute-force baseline
+}
+
+
+def test_no_query_compiles_to_unbounded_nested_loop(spark):
+    """Engine-wide scale guardrail: every registered query's physical
+    plan is free of CartesianProduct, and free of
+    BroadcastNestedLoopJoin except where a documented bounded scalar /
+    baseline makes it safe. A refactor that silently turns an equi-join
+    into a nested loop fails here, not at 100 TB."""
+    from open_pulsar_spark import registry
+
+    offenders = {}
+    for name in sorted(registry.all_queries()):
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _NESTED_LOOP_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
