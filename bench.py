@@ -43,6 +43,7 @@ EXTRA = [
     "q7_nation_volume",
     "q10_returned_customers",
     "q9_brand_profit",
+    "dedup_embedding_lsh",
 ]
 
 HEADLINE = [

@@ -421,3 +421,111 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit_id").alias("n_hit"),
         F.round(F.count("hit_id") * F.lit(1.0) / F.count("*"), 6).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_embedding_lsh — bucketed near-dup pairs (the 100 TB dedup path).
+# --------------------------------------------------------------------------
+@query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_SQL} AS nrm,
+                      {_BUCKET_SQL} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    ORDER BY a_id, b_id
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH blocking — the scale path
+    next to dedup_embedding_cosine's exact all-pairs baseline.
+
+    Unlike the exact form (which broadcasts the whole normalized
+    corpus — the documented non-starter at 100 TB), this never
+    broadcasts or collects the corpus: the block kernel tags each
+    vector with its 64-way sign bucket (map-only), vectors SHUFFLE
+    ONCE on the bucket id, and each bucket's group runs an
+    applyInPandas all-pairs matmul over ~|corpus|/64 rows, emitting
+    only pairs over threshold. Cost is Σ|bucket|² instead of n² —
+    the standard blocking trade: pairs whose vectors land in
+    different buckets (lower-cosine ones, by the hyperplane bound)
+    are sacrificed, which dedup_lsh_recall-style harnesses measure.
+    A hot bucket is a skew unit (applyInPandas groups can't split);
+    the knob is N_PLANES — more planes, smaller buckets.
+    """
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def tag(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            _, raw, _ = _block_norm(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "bucket": _buckets_of(raw),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    tagged = corpus.mapInPandas(
+        tag, "vec_id LONG, bucket LONG, embedding ARRAY<FLOAT>"
+    )
+
+    def pairs_of(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, _, un = _block_norm(pdf)
+        order = np.argsort(ids, kind="stable")
+        ids, un = ids[order], un[order]
+        sims = un @ un.T
+        r, c = np.where(np.triu(sims >= 0.4, k=1))
+        return pd.DataFrame(
+            {"a_id": ids[r], "b_id": ids[c], "cos": sims[r, c]}
+        )
+
+    return (
+        tagged.groupBy("bucket")
+        .applyInPandas(
+            lambda _, pdf: pairs_of(pdf), "a_id LONG, b_id LONG, cos DOUBLE"
+        )
+        .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_embedding_lsh_recall — measured blocking recall vs the exact pairs.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_embedding_lsh_recall",
+    oracle=f"""
+    WITH exact AS ({{exact}}),
+    approx AS ({{approx}})
+    SELECT count(*)                                  AS n_exact,
+           count(approx.a_id)                        AS n_hit,
+           round(count(approx.a_id) * 1.0 / count(*), 6) AS recall
+    FROM exact LEFT JOIN approx USING (a_id, b_id)
+    """.format(
+        exact=_registry.ORACLES["dedup_embedding_cosine"].replace("ORDER BY a_id, b_id", ""),
+        approx=_registry.ORACLES["dedup_embedding_lsh"].replace("ORDER BY a_id, b_id", ""),
+    ),
+)
+def dedup_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall of the sign-LSH blocked near-dup pass against
+    the exact all-pairs ground truth — the approximate path ships with
+    its error observable, same contract as ann_lsh_recall /
+    dedup_lsh_recall. Single-bucket blocking at cos≥0.4 is
+    deliberately lossy (the hyperplane collision bound is weak that
+    far from 1.0); the measured number is what justifies — or vetoes —
+    the blocking parameterization for a given threshold."""
+    exact = dedup_embedding_cosine(spark, sf_dir).select("a_id", "b_id")
+    approx = dedup_embedding_lsh(spark, sf_dir).select(
+        "a_id", "b_id", F.lit(1).alias("hit")
+    )
+    return exact.join(approx, ["a_id", "b_id"], "left").agg(
+        F.count("*").alias("n_exact"),
+        F.count("hit").alias("n_hit"),
+        F.round(F.count("hit") * F.lit(1.0) / F.count("*"), 6).alias("recall"),
+    )
