@@ -44,6 +44,7 @@ EXTRA = [
     "q10_returned_customers",
     "q9_brand_profit",
     "dedup_embedding_lsh",
+    "corpus_sample_exact_k",
 ]
 
 HEADLINE = [

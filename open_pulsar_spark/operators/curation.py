@@ -568,3 +568,46 @@ def assign_shards(
         "shard_id",
         F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / budget).cast("long"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_sample_exact_k — exactly-k-per-group deterministic sampling.
+# --------------------------------------------------------------------------
+SAMPLE_EXACT_K = 20
+
+
+@query(
+    "corpus_sample_exact_k",
+    oracle=f"""
+    SELECT lang, doc_id, rk FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        FROM documents)
+    WHERE rk <= {SAMPLE_EXACT_K}
+    ORDER BY lang, rk
+    """,
+)
+def corpus_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k documents per language, deterministically: rank by
+    md5(doc_id) within each group and keep the first k.
+
+    The rate-based sampler (corpus_sample_stratified) is map-only but
+    delivers a BINOMIAL count per group; when the contract is "exactly
+    k eval docs per language", you rank on the hash instead — one
+    window shuffle on the group key, still reproducible across
+    runs/engines, and stable under corpus growth in the sense that a
+    doc only leaves the sample when a lower-hashed doc arrives. At
+    100 TB with a hot group, pre-filter with a loose hash-threshold
+    pass (keep ~3k per group probabilistically, map-only) before the
+    exact rank, so the window sorts thousands, not billions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= SAMPLE_EXACT_K)
+        .orderBy("lang", "rk")
+    )

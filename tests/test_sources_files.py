@@ -107,3 +107,11 @@ def test_write_training_shards_layout(spark, tmp_path):
         d = os.path.join(out, f"lang={r.lang}", f"shard_id={r.shard_id}")
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1
+
+
+def test_text_format_reads_lines(spark, tmp_path):
+    p = os.path.join(tmp_path, "log.txt")
+    with open(p, "w") as f:
+        f.write("line one\nline two\n")
+    df = read_batch(spark, p, "text")
+    assert sorted(r.value for r in df.collect()) == ["line one", "line two"]
