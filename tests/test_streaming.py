@@ -431,3 +431,51 @@ def test_neardup_index_compaction_preserves_behavior(spark, workdir):
         spark, spark.createDataFrame([(200, base + " extra")], schema), idx
     )
     assert kept.count() == 0
+
+
+def test_streaming_hourly_rollup_maintains_table_and_daily_refresh(spark, workdir):
+    """The hypertable base layer maintained from the stream: late
+    (within-watermark) rows update their hour's partition in place,
+    and the daily refresh aggregates the hourly table — totals match a
+    batch aggregation of ALL events."""
+    from open_pulsar_spark.streaming.rollup_stream import (
+        refresh_daily,
+        start_hourly_maintenance,
+    )
+
+    src, ckpt = f"{workdir}/ev", f"{workdir}/ckpt"
+    hourly, daily = f"{workdir}/hourly", f"{workdir}/daily"
+    # batch 1: two events in hour 10:00, one in 11:00
+    _write_events(
+        spark,
+        src,
+        [(1, _ts(5), 1, "click", 10.0, None), (2, _ts(50), 1, "click", 20.0, None),
+         (3, dt.datetime(2024, 1, 1, 11, 10), 2, "view", 5.0, None)],
+    )
+    # batch 2: a LATE row for hour 10:00 (within the 2h watermark) and
+    # a fresh row pushing the watermark forward
+    _write_events(
+        spark,
+        src,
+        [(4, _ts(59), 3, "click", 40.0, None),
+         (5, dt.datetime(2024, 1, 1, 12, 1), 1, "view", 1.0, None)],
+    )
+    events = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_hourly_maintenance(spark, events, hourly, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.b: (r.n, r.sv)
+        for r in spark.read.parquet(hourly).select("b", "n", "sv").collect()
+    }
+    assert got[dt.datetime(2024, 1, 1, 10, 0)] == (3, 70.0)  # late row folded in
+    assert got[dt.datetime(2024, 1, 1, 11, 0)] == (1, 5.0)
+    assert got[dt.datetime(2024, 1, 1, 12, 0)] == (1, 1.0)
+
+    day = refresh_daily(spark, hourly, daily).collect()
+    assert len(day) == 1 and (day[0].n, day[0].sv) == (5, 76.0)
