@@ -479,3 +479,49 @@ def test_streaming_hourly_rollup_maintains_table_and_daily_refresh(spark, workdi
 
     day = refresh_daily(spark, hourly, daily).collect()
     assert len(day) == 1 and (day[0].n, day[0].sv) == (5, 76.0)
+
+
+def test_token_quota_ttl_resets_idle_meter(spark, workdir):
+    """Quota TTL branch: after an idle period longer than ttl_ms the
+    chat's token meter is evicted, so the next message starts the
+    count from zero instead of the pre-idle total. Timer queries need
+    a real trigger + sink polling (see the session-TTL test note)."""
+    import time
+
+    from open_pulsar_spark.streaming.quota import token_quota
+
+    def await_rows(name, pred, deadline_s=120):
+        end = time.monotonic() + deadline_s
+        while time.monotonic() < end:
+            rows = {r.update_id: r for r in spark.sql(f"select * from {name}").collect()}
+            if pred(rows):
+                return rows
+            time.sleep(0.2)
+        raise AssertionError(f"sink {name} never satisfied predicate")
+
+    src, ckpt = f"{workdir}/tokmsgs", f"{workdir}/ckpt"
+    schema = "update_id LONG, chat_id LONG, tokens LONG"
+    spark.createDataFrame([(1, 10, 50_000)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    msgs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        token_quota(msgs, ttl_ms=300)
+        .writeStream.outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .format("memory")
+        .queryName("quota_ttl_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        await_rows("quota_ttl_out", lambda r: 1 in r)
+        time.sleep(1.5)  # idle > TTL: meter evicted
+        spark.createDataFrame([(2, 10, 10_000)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        rows = await_rows("quota_ttl_out", lambda r: 2 in r)
+    finally:
+        q.stop()
+    assert rows[1].used_tokens == 50_000
+    assert rows[2].used_tokens == 10_000  # fresh meter, not 60_000
