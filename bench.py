@@ -45,6 +45,7 @@ EXTRA = [
     "q9_brand_profit",
     "dedup_embedding_lsh",
     "corpus_sample_exact_k",
+    "multimodal_resize_specs",
 ]
 
 HEADLINE = [

@@ -231,3 +231,86 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "sample_slot")
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_resize_specs — aspect-preserving resize plan (Pandas-UDF stage).
+# --------------------------------------------------------------------------
+RESIZE_TARGET = 224
+
+
+def resize_specs(df: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """mapInPandas resize stage over decoded visual payloads: scale each
+    (width, height) to fit `target` on the long side, preserving aspect
+    ratio, with integer round-half-up so Spark and the oracle agree.
+
+    The plumbing is the production contract (Arrow batches in, resized
+    dims + output byte estimate out); a real implementation replaces
+    the arithmetic with a codec resize over `payload` in the same
+    batch loop. Audio rows (no spatial dims) are passed through with
+    zero dims upstream and must be filtered by the caller.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            m = pd.concat([w, h], axis=1).max(axis=1)
+            out_w = (2 * target * w + m) // (2 * m)
+            out_h = (2 * target * h + m) // (2 * m)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "width": w,
+                    "height": h,
+                    "out_w": out_w.astype("int64"),
+                    "out_h": out_h.astype("int64"),
+                    "out_bytes": (out_w * out_h * 3 * pdf["n_frames"]).astype("int64"),
+                }
+            )
+
+    schema = (
+        "doc_id LONG, kind STRING, width LONG, height LONG, "
+        "out_w LONG, out_h LONG, out_bytes LONG"
+    )
+    return df.mapInPandas(fn, schema)
+
+
+@query(
+    "multimodal_resize_specs",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents),
+    f AS (SELECT doc_id, kind,
+                 n_bytes % 640 + 16     AS width,
+                 n_bytes * 7 % 480 + 16 AS height,
+                 CASE kind WHEN 'image' THEN 1 ELSE n_bytes % 300 + 1 END AS n_frames
+          FROM b WHERE kind <> 'audio'),
+    m AS (SELECT *, greatest(width, height) AS mx FROM f)
+    SELECT doc_id, kind, width, height,
+           ((2 * {RESIZE_TARGET} * width + mx) // (2 * mx))::BIGINT  AS out_w,
+           ((2 * {RESIZE_TARGET} * height + mx) // (2 * mx))::BIGINT AS out_h,
+           (((2 * {RESIZE_TARGET} * width + mx) // (2 * mx))
+            * ((2 * {RESIZE_TARGET} * height + mx) // (2 * mx))
+            * 3 * n_frames)::BIGINT                                  AS out_bytes
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize_specs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plan for every visual payload: fit the long side to 224
+    preserving aspect (integer round-half-up — identical in both
+    engines), and estimate the decoded output volume (w·h·3·frames) —
+    the number a preprocessing pipeline uses to budget shuffle and
+    storage before running the actual codec. Map-only; the resize
+    itself is the Pandas-UDF stage `resize_specs`, whose Arrow batch
+    loop is where a real codec call lands."""
+    docs = load_table(spark, sf_dir, "documents")
+    visual = extract_features(with_binary_payload(docs)).where(
+        F.col("kind") != "audio"
+    )
+    return resize_specs(visual).orderBy("doc_id")
