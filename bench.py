@@ -96,40 +96,45 @@ def main() -> None:
     ).count()
 
     # The box is shared: a single sample can absorb a co-tenant burst.
-    # Queries whose first sample looks slow get one re-run and report
-    # the min — bounded overhead, de-noised tail. Cache cleared between
-    # queries so nothing rides on a previous query's persisted subplan.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spark.catalog.clearCache()
-        t0 = time.time()
-        n = len(qs[name](spark, sf_dir).collect())
-        best = time.time() - t0
-        if best > 3.0:
+    # Every query runs 3 samples (cache cleared between samples so
+    # nothing rides on a persisted subplan) and reports the MEDIAN plus
+    # the [min, max] spread — the median is robust to one burst, and
+    # the spread makes round-over-round deltas attributable: a delta
+    # inside the spread is noise, outside it is a real change.
+    def sample(name: str, runs: int = 3) -> tuple[float, list[float], int]:
+        times = []
+        n = 0
+        for _ in range(runs):
             spark.catalog.clearCache()
             t0 = time.time()
-            len(qs[name](spark, sf_dir).collect())
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            n = len(qs[name](spark, sf_dir).collect())
+            times.append(time.time() - t0)
+        times.sort()
+        return times[len(times) // 2], [times[0], times[-1]], n
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        med, (lo, hi), n = sample(name)
+        timings[name] = round(med, 3)
+        spreads[name] = [round(lo, 3), round(hi, 3)]
+        print(
+            f"# {name}: {timings[name]}s [{lo:.3f}..{hi:.3f}] ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
 
     extra: dict[str, float] = {}
+    extra_spreads: dict[str, list[float]] = {}
     for name in EXTRA:
-        spark.catalog.clearCache()
-        t0 = time.time()
-        n = len(qs[name](spark, sf_dir).collect())
-        best = time.time() - t0
-        if best > 3.0:
-            # same de-noising as the headline set: a slow first sample is
-            # usually first-run codegen or a co-tenant burst, not the query
-            spark.catalog.clearCache()
-            t0 = time.time()
-            len(qs[name](spark, sf_dir).collect())
-            best = min(best, time.time() - t0)
-        extra[name] = round(best, 3)
-        print(f"# extra {name}: {extra[name]}s ({n} rows)", file=sys.stderr)
+        med, (lo, hi), n = sample(name)
+        extra[name] = round(med, 3)
+        extra_spreads[name] = [round(lo, 3), round(hi, 3)]
+        print(
+            f"# extra {name}: {extra[name]}s [{lo:.3f}..{hi:.3f}] ({n} rows)",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -138,7 +143,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "extra": extra,
+                "extra_spread": extra_spreads,
+                "runs_per_query": 3,
                 "sf": sf,
             }
         )

@@ -19,6 +19,8 @@ for one-row-per-chunk).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
@@ -99,11 +101,17 @@ def chunk_text(text: str, limit: int = CHUNK_LIMIT) -> list[str]:
         budget = needed
 
 
-def chunk_text_udf(limit: int = CHUNK_LIMIT) -> Column:
+def chunk_text_udf(limit: int = CHUNK_LIMIT):
     """Factory for a chunking UDF: col(text) → array<string>.
 
-    A plain (non-pandas) UDF is acceptable here because chunking only
-    runs on sink-bound reply rows (small cardinality), never in the
-    scan/agg hot path.
+    Arrow-batched pandas_udf over the same `chunk_text` kernel: rows
+    arrive as a Series per batch (one Python call per ~10k rows, not
+    per row), so even though chunking normally only runs on sink-bound
+    reply rows, it stays cheap if a caller ever puts it in a wide scan.
     """
-    return F.udf(lambda t: chunk_text(t, limit), ArrayType(StringType()))
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _chunk(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: chunk_text(t, limit))
+
+    return _chunk

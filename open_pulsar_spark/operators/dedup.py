@@ -362,21 +362,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are cliques or near-cliques from the band join). The oracle states
     the same closure as a recursive CTE.
     """
-    pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id")
-    # ONE probe job decides the branch AND, in the small case, already
-    # IS the collect: limit(threshold+1) ships at most threshold+1
-    # rows to the driver. If the limit wasn't hit we hold the complete
-    # pair set and run union-find with no second job; if it was, the
-    # probe early-exits (CollectLimit stops consuming once satisfied)
-    # and the distributed min-label loop gets the DataFrame — the pair
-    # set never funnels through driver memory on the 100 TB path. The
-    # recompute the large branch pays reads the cached signatures, so
-    # only the band join re-runs.
-    probe = pairs.limit(SMALL_GRAPH_PAIRS + 1).collect()
-    if len(probe) <= SMALL_GRAPH_PAIRS:
-        # The verified pair graph is the SMALL output of LSH (≈0.1% of
-        # corpus); below the threshold a driver-side union-find beats N
-        # shuffle rounds. Above it, the distributed min-label loop runs.
+    # Materialize the verified pair graph EXACTLY ONCE: persist + count
+    # runs the (expensive) band join a single time; both branches below
+    # read the cached edges. The pair set is the SMALL output of LSH
+    # (≈0.1% of corpus) and is the CC edge set either way, so caching
+    # it is what the distributed loop would do anyway — the old
+    # limit-probe design re-ran the band join in the large branch.
+    pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id").persist()
+    n_pairs = pairs.count()
+    if n_pairs <= SMALL_GRAPH_PAIRS:
+        # Below the threshold a driver-side union-find beats N shuffle
+        # rounds; the collect reads the cache, bounded by construction.
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -385,7 +381,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x = parent[x]
             return x
 
-        for r in probe:
+        for r in pairs.collect():
             for n in (r.a_id, r.b_id):
                 parent.setdefault(n, n)
             ra, rb = find(r.a_id), find(r.b_id)
@@ -395,7 +391,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(n, find(n)) for n in parent], "u LONG, label LONG"
         )
     else:
-        labels = _propagate_labels_distributed(pairs.persist())
+        # 100 TB path: pairs stay distributed, min-label loop over the
+        # cached edge set — never through driver memory.
+        labels = _propagate_labels_distributed(pairs)
     return labels.select(
         F.col("u").alias("doc_id"),
         F.col("label").alias("cluster_rep"),

@@ -48,8 +48,22 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_binary(payload: bytes, kind: str) -> dict:
-    """Real decode hook — intentionally unimplemented in this container
-    (no PIL/ffmpeg). Production implementations plug in here."""
+    """Real decode hook. When Pillow is importable, image payloads are
+    decoded for real ((width, height, 1 frame)); audio/video and
+    PIL-less environments raise NotImplementedError — production
+    deployments plug their codecs in here, tests use `_fake_decode`
+    (deterministic) instead.
+    """
+    if kind == "image":
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError:
+            pass
+        else:
+            with Image.open(io.BytesIO(payload)) as img:
+                return {"width": img.width, "height": img.height, "n_frames": 1}
     raise NotImplementedError(
         "binary decode requires codec libraries not present in this environment; "
         "use _fake_decode (deterministic) for tests"

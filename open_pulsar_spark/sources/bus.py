@@ -66,77 +66,121 @@ def _has_format(spark: SparkSession, fmt: str) -> bool:
         return False
 
 
-def read_bus(spark: SparkSession, conf: BusConfig) -> DataFrame:
-    """Open a streaming DataFrame over the configured bus."""
+def bus_reader_spec(conf: BusConfig) -> tuple[str, dict[str, str], str | None]:
+    """Pure URI→connector mapping: (format, options, load_path).
+
+    Split out of `read_bus` so the connector CONTRACT — which format
+    name and which options a given bus URI produces — is unit-testable
+    without the connector JAR or a live broker. `read_bus` applies this
+    spec verbatim; nothing else decides options.
+    """
     parsed = urlparse(conf.uri)
     scheme = parsed.scheme or "file"
 
     if scheme == "file":
-        if conf.schema is None:
-            raise ValueError("file bus requires an explicit schema")
-        reader = (
-            spark.readStream.schema(conf.schema)
-            .option("maxFilesPerTrigger", conf.max_files_per_trigger)
-        )
-        for k, v in (conf.options or {}).items():
-            reader = reader.option(k, v)
-        return reader.format(conf.file_format).load(parsed.path)
+        opts = {"maxFilesPerTrigger": str(conf.max_files_per_trigger)}
+        opts.update(conf.options or {})
+        return conf.file_format, opts, parsed.path
 
     if scheme == "pulsar":
-        if not _has_format(spark, "pulsar"):
-            raise RuntimeError(
-                "pulsar connector not on the classpath; launch with "
-                "--packages io.streamnative.connectors:pulsar-spark-connector_2.13:<ver> "
-                "(JVM-side dependency, not pip-installable)"
-            )
         return (
-            spark.readStream.format("pulsar")
-            .option("service.url", f"pulsar://{parsed.netloc}")
-            .option("topics", parsed.path.lstrip("/"))
-            .option("startingOffsets", conf.starting_offsets)
-            .load()
+            "pulsar",
+            {
+                "service.url": f"pulsar://{parsed.netloc}",
+                "topics": parsed.path.lstrip("/"),
+                "startingOffsets": conf.starting_offsets,
+                **(conf.options or {}),
+            },
+            None,
         )
 
     if scheme == "kafka":
-        if not _has_format(spark, "kafka"):
-            raise RuntimeError(
-                "kafka source not on the classpath; launch with "
-                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-ver>"
-            )
         return (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", parsed.netloc)
-            .option("subscribe", parsed.path.lstrip("/"))
-            .option("startingOffsets", conf.starting_offsets)
-            .load()
+            "kafka",
+            {
+                "kafka.bootstrap.servers": parsed.netloc,
+                "subscribe": parsed.path.lstrip("/"),
+                "startingOffsets": conf.starting_offsets,
+                **(conf.options or {}),
+            },
+            None,
         )
 
     raise ValueError(f"unknown bus scheme {scheme!r} in {conf.uri!r}")
 
 
-def write_bus(df: DataFrame, conf: BusConfig, checkpoint: str, query_name: str = "bus_sink"):
-    """Start a streaming write to the configured bus/sink."""
+_MISSING_FORMAT_HINT = {
+    "pulsar": (
+        "pulsar connector not on the classpath; launch with "
+        "--packages io.streamnative.connectors:pulsar-spark-connector_2.13:<ver> "
+        "(JVM-side dependency, not pip-installable)"
+    ),
+    "kafka": (
+        "kafka source not on the classpath; launch with "
+        "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-ver>"
+    ),
+}
+
+
+def read_bus(spark: SparkSession, conf: BusConfig) -> DataFrame:
+    """Open a streaming DataFrame over the configured bus."""
+    fmt, opts, path = bus_reader_spec(conf)
+
+    if fmt in _MISSING_FORMAT_HINT and not _has_format(spark, fmt):
+        raise RuntimeError(_MISSING_FORMAT_HINT[fmt])
+
+    reader = spark.readStream
+    if path is not None:  # file source: schema is the read contract
+        if conf.schema is None:
+            raise ValueError("file bus requires an explicit schema")
+        reader = reader.schema(conf.schema)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    reader = reader.format(fmt)
+    return reader.load(path) if path is not None else reader.load()
+
+
+def bus_writer_spec(conf: BusConfig, query_name: str = "bus_sink") -> tuple[str, dict[str, str]]:
+    """Pure URI→sink mapping: (format, options). See bus_reader_spec."""
     parsed = urlparse(conf.uri)
     scheme = parsed.scheme or "file"
-    writer = df.writeStream.option("checkpointLocation", checkpoint)
 
     if scheme == "memory":
-        return writer.format("memory").queryName(parsed.netloc or query_name).start()
+        return "memory", {"queryName": parsed.netloc or query_name}
     if scheme == "file":
-        return (
-            writer.format(conf.file_format)
-            .option("path", parsed.path)
-            .outputMode("append")
-            .start()
-        )
+        return conf.file_format, {"path": parsed.path}
     if scheme == "pulsar":
-        spark = df.sparkSession
-        if not _has_format(spark, "pulsar"):
-            raise RuntimeError("pulsar connector not on the classpath (see read_bus)")
         return (
-            writer.format("pulsar")
-            .option("service.url", f"pulsar://{parsed.netloc}")
-            .option("topic", parsed.path.lstrip("/"))
-            .start()
+            "pulsar",
+            {
+                "service.url": f"pulsar://{parsed.netloc}",
+                "topic": parsed.path.lstrip("/"),
+                **(conf.options or {}),
+            },
+        )
+    if scheme == "kafka":
+        return (
+            "kafka",
+            {
+                "kafka.bootstrap.servers": parsed.netloc,
+                "topic": parsed.path.lstrip("/"),
+                **(conf.options or {}),
+            },
         )
     raise ValueError(f"unknown sink scheme {scheme!r} in {conf.uri!r}")
+
+
+def write_bus(df: DataFrame, conf: BusConfig, checkpoint: str, query_name: str = "bus_sink"):
+    """Start a streaming write to the configured bus/sink."""
+    fmt, opts = bus_writer_spec(conf, query_name)
+    writer = df.writeStream.option("checkpointLocation", checkpoint)
+
+    if fmt == "memory":
+        return writer.format("memory").queryName(opts["queryName"]).start()
+    if fmt in _MISSING_FORMAT_HINT and not _has_format(df.sparkSession, fmt):
+        raise RuntimeError(_MISSING_FORMAT_HINT[fmt])
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    if fmt not in ("pulsar", "kafka"):
+        writer = writer.outputMode("append")
+    return writer.format(fmt).start()

@@ -67,7 +67,7 @@ def read_batch(
         reader = reader.schema(schema)
     df = getattr(reader, file_format)(path)
     if schema is not None:
-        check_schema(df, schema)
+        df = check_schema(df, schema)
     return df
 
 

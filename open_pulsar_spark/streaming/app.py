@@ -6,7 +6,10 @@ Each branch is its own streaming query over the same routed stream —
 the Spark-native form of the reference's executor-pool isolation
 (SURVEY T5): a slow task branch can never starve the chat branch
 because they are independent queries with independent state and
-checkpoints (and, on a cluster, independent fair-scheduler pools).
+checkpoints, each started under its own fair-scheduler pool
+(`set_scheduler_pool` below — the streaming execution thread inherits
+the pool set on the thread that calls .start(), so every job of the
+branch lands in that pool).
 """
 
 from __future__ import annotations
@@ -50,11 +53,26 @@ def build_message_pipeline(
     }
 
 
+def set_scheduler_pool(spark: SparkSession, pool: str | None) -> None:
+    """Assign subsequent jobs started from THIS thread to a fair pool.
+
+    Called immediately before a branch's `.start()`: structured
+    streaming snapshots the caller thread's local properties into the
+    query's execution thread, so the branch's micro-batch jobs all run
+    in `pool`. With `spark.scheduler.mode=FAIR` on a cluster this is
+    the isolation the reference gets from separate executor pools —
+    a saturated task branch cannot starve the chat branch's scheduler
+    share. Passing None clears the assignment.
+    """
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+
+
 def start_chat_sink(
     chat: DataFrame,
     deliver,
     checkpoint: str,
     chunk_limit: int = 4096,
+    pool: str | None = "chat",
 ):
     """Chunked delivery sink for the chat branch (SURVEY K1): each
     micro-batch is exploded into ≤chunk_limit labeled chunks and handed
@@ -69,6 +87,7 @@ def start_chat_sink(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         deliver(explode_chunks(batch_df, limit=chunk_limit), epoch_id)
 
+    set_scheduler_pool(chat.sparkSession, pool)
     return (
         chat.writeStream.outputMode("append")
         .foreachBatch(process)

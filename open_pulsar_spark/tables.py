@@ -27,7 +27,31 @@ TABLE_NAMES = (
 BROADCASTABLE = {"region", "nation"}
 
 
-def _normalize_timestamps(df: DataFrame) -> DataFrame:
+def _parquet_nanos_columns(path: str) -> set[str]:
+    """Column names whose parquet logical type is TIMESTAMP(NANOS).
+
+    Footer-only read (no data IO). Used to gate the ns->us bigint
+    rescale below: a bigint column is only rescaled when the file
+    actually declares nanosecond timestamps — a plain int64 column that
+    merely shares the name must pass through untouched, otherwise its
+    values would be silently divided by 1000.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+    except Exception:
+        return set()
+    import pyarrow as pa
+
+    return {
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    }
+
+
+def _normalize_timestamps(df: DataFrame, nanos_cols: set[str] = frozenset()) -> DataFrame:
     """Map every temporal column to plain TIMESTAMP (UTC wall clock).
 
     The driver's parquet stores naive timestamps; depending on the
@@ -42,9 +66,10 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
-        elif dtype == "bigint" and col == "ts":
-            # nanosAsLong path: ns -> us exactly like DuckDB's
-            # TIMESTAMP_NS -> TIMESTAMP cast (truncation).
+        elif dtype == "bigint" and col in nanos_cols:
+            # nanosAsLong fired for this column (footer-verified):
+            # ns -> us exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP
+            # cast (truncation).
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     return df
 
@@ -61,7 +86,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver's vanilla session may not have set it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    path = f"{sf_dir}/{name}.parquet"
+    return _normalize_timestamps(
+        spark.read.parquet(path), _parquet_nanos_columns(path)
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -60,6 +60,101 @@ def test_full_message_pipeline_streaming(spark, tmp_path):
     assert [(r.update_id, r.cmd) for r in cmd] == [(2, "/status")]
 
 
+def test_heartbeat_listener_emits_progress_per_batch(spark, tmp_path):
+    """T8: the keepalive analogue — a StreamingQueryListener heartbeat
+    fires started + per-micro-batch progress events while a query runs
+    (reference behavior: telegram-agent.py:397-400 typing keepalive)."""
+    from open_pulsar_spark.streaming.heartbeat import (
+        attach_heartbeat,
+        detach_heartbeat,
+    )
+
+    src, ckpt = str(tmp_path / "hb_src"), str(tmp_path / "hb_ckpt")
+    spark.createDataFrame([(i,) for i in range(10)], "v LONG").coalesce(
+        2
+    ).write.parquet(src)
+
+    emitted: list = []
+    hb = attach_heartbeat(spark, emit=emitted.append)
+    try:
+        q = (
+            spark.readStream.schema("v LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("memory")
+            .queryName("hb_q")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        # listener bus is async; give it a beat to drain
+        import time
+
+        for _ in range(50):
+            done = (
+                "started" in {e["event"] for e in emitted}
+                and sum(
+                    e["num_input_rows"]
+                    for e in emitted
+                    if e["event"] == "progress"
+                )
+                >= 10
+            )
+            if done:
+                break
+            time.sleep(0.2)
+    finally:
+        detach_heartbeat(spark, hb)
+
+    kinds = [e["event"] for e in emitted]
+    assert "started" in kinds and "progress" in kinds
+    prog = [e for e in emitted if e["event"] == "progress"]
+    # two files, one per trigger → at least two progress beats, and the
+    # payload carries the fields a typing-indicator would key on
+    assert len(prog) >= 2
+    assert prog[0]["name"] == "hb_q"
+    assert sum(e["num_input_rows"] for e in prog) == 10
+
+
+def test_branch_jobs_run_in_assigned_scheduler_pool(spark, tmp_path):
+    """T5: the chat branch's micro-batch jobs carry the fair-scheduler
+    pool set at .start() time (reference: per-route executor pools,
+    telegram-agent.py:613-616)."""
+    from open_pulsar_spark.streaming.app import set_scheduler_pool
+
+    src, ckpt = str(tmp_path / "pool_src"), str(tmp_path / "pool_ckpt")
+    spark.createDataFrame([(1,)], "v LONG").write.parquet(src)
+
+    seen_pools: list = []
+
+    def probe(batch_df, epoch_id):
+        # runs on the query's execution thread — the thread whose jobs
+        # the scheduler assigns to the pool
+        seen_pools.append(
+            batch_df.sparkSession.sparkContext.getLocalProperty(
+                "spark.scheduler.pool"
+            )
+        )
+
+    set_scheduler_pool(spark, "chat")
+    try:
+        q = (
+            spark.readStream.schema("v LONG")
+            .parquet(src)
+            .writeStream.foreachBatch(probe)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        set_scheduler_pool(spark, None)
+
+    assert seen_pools == ["chat"]
+
+
 def test_late_event_beyond_watermark_is_dropped(spark, tmp_path):
     src, ckpt = str(tmp_path / "ev"), str(tmp_path / "ck")
 

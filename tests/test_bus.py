@@ -71,3 +71,60 @@ def test_has_format_detects_builtin_parquet(spark):
     assert _has_format(spark, "parquet") is True
     assert _has_format(spark, "json") is True
     assert _has_format(spark, "definitely-not-a-format") is False
+
+
+def test_pulsar_reader_spec_contract():
+    """The pulsar branch's option construction, pinned without a broker
+    (reference source contract: telegram-agent.py:154-166)."""
+    from open_pulsar_spark.sources.bus import bus_reader_spec, bus_writer_spec
+
+    fmt, opts, path = bus_reader_spec(
+        BusConfig(uri="pulsar://broker1:6650/ingest", starting_offsets="latest")
+    )
+    assert fmt == "pulsar" and path is None
+    assert opts == {
+        "service.url": "pulsar://broker1:6650",
+        "topics": "ingest",
+        "startingOffsets": "latest",
+    }
+
+    fmt, opts = bus_writer_spec(BusConfig(uri="pulsar://broker1:6650/replies"))
+    assert fmt == "pulsar"
+    assert opts == {"service.url": "pulsar://broker1:6650", "topic": "replies"}
+
+
+def test_kafka_reader_spec_contract():
+    from open_pulsar_spark.sources.bus import bus_reader_spec, bus_writer_spec
+
+    fmt, opts, path = bus_reader_spec(
+        BusConfig(
+            uri="kafka://b1:9092/events",
+            options={"kafka.security.protocol": "SSL"},
+        )
+    )
+    assert fmt == "kafka" and path is None
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "kafka.security.protocol": "SSL",
+    }
+
+    fmt, opts = bus_writer_spec(BusConfig(uri="kafka://b1:9092/out"))
+    assert fmt == "kafka"
+    assert opts == {"kafka.bootstrap.servers": "b1:9092", "topic": "out"}
+
+
+def test_file_reader_spec_carries_trigger_and_extras():
+    from open_pulsar_spark.sources.bus import bus_reader_spec
+
+    fmt, opts, path = bus_reader_spec(
+        BusConfig(
+            uri="file:///data/in",
+            file_format="json",
+            max_files_per_trigger=5,
+            options={"multiLine": "true"},
+        )
+    )
+    assert (fmt, path) == ("json", "/data/in")
+    assert opts == {"maxFilesPerTrigger": "5", "multiLine": "true"}

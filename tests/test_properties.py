@@ -163,3 +163,28 @@ def test_shard_packing_offsets_invariants(sizes, budget):
         assert tot <= budget + max(docs_in)
     # append-stability: assignments of a prefix never change
     assert assign(sizes[: len(sizes) // 2]) == shards[: len(sizes) // 2]
+
+
+def test_decode_binary_hook_gated_on_codec_libs():
+    """The production decode hook: decodes a real PNG when Pillow is
+    importable, raises the documented NotImplementedError otherwise —
+    either way the seam is exercised, never silently skipped."""
+    import pytest
+
+    from open_pulsar_spark.operators.multimodal import decode_binary
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="codec"):
+            decode_binary(b"\x89PNG....", "image")
+    else:
+        buf = io.BytesIO()
+        Image.new("RGB", (12, 7)).save(buf, format="PNG")
+        out = decode_binary(buf.getvalue(), "image")
+        assert (out["width"], out["height"], out["n_frames"]) == (12, 7, 1)
+    # audio/video always route to the codec-required error in this repo
+    with pytest.raises(NotImplementedError):
+        decode_binary(b"RIFF....", "audio")

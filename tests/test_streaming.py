@@ -414,16 +414,24 @@ def test_neardup_index_compaction_preserves_behavior(spark, workdir):
     idx = f"{workdir}/index"
     schema = "doc_id LONG, text STRING"
     # several appends -> several file sets
+    def _parquet_files(root):
+        return [
+            _os.path.join(dp, f)
+            for dp, _, fs in _os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
     for i in range(3):
         docs = spark.createDataFrame([(i * 10, f"{'uniq%d ' % i * 40}")], schema)
         filter_batch_against_index(spark, docs, idx)
     filter_batch_against_index(
         spark, spark.createDataFrame([(100, base)], schema), idx
     )
-    files_before = len([f for f in _os.listdir(idx) if f.endswith(".parquet")])
+    files_before = len(_parquet_files(idx))
 
     n = compact_index(spark, idx, target_files=2)
-    files_after = len([f for f in _os.listdir(idx) if f.endswith(".parquet")])
+    files_after = len(_parquet_files(idx))
     assert n > 0 and files_after <= 2 < files_before
 
     # near-copy of doc 100 is still caught against the compacted index
@@ -431,6 +439,38 @@ def test_neardup_index_compaction_preserves_behavior(spark, workdir):
         spark, spark.createDataFrame([(200, base + " extra")], schema), idx
     )
     assert kept.count() == 0
+
+
+def test_neardup_epoch_replay_is_idempotent(spark, workdir):
+    """foreachBatch is at-least-once: re-running an epoch whose index
+    rows already committed must reproduce the same survivors (no
+    Jaccard-1.0 self-match drop) and must not duplicate index rows."""
+    from open_pulsar_spark.streaming.neardup_stream import (
+        filter_batch_against_index,
+        read_index,
+    )
+
+    idx = f"{workdir}/index"
+    schema = "doc_id LONG, text STRING"
+    base = " ".join(f"tok{i}" for i in range(40))
+    batch = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "fresh " * 40)], schema
+    )
+
+    first = sorted(
+        r.doc_id
+        for r in filter_batch_against_index(spark, batch, idx, epoch_id=0).collect()
+    )
+    assert first == [1, 3]  # doc 2 is a within-batch near-dup of 1
+    rows_after_first = read_index(spark, idx).count()
+
+    # crash-after-index-commit replay: same epoch, same batch
+    replay = sorted(
+        r.doc_id
+        for r in filter_batch_against_index(spark, batch, idx, epoch_id=0).collect()
+    )
+    assert replay == first
+    assert read_index(spark, idx).count() == rows_after_first
 
 
 def test_streaming_hourly_rollup_maintains_table_and_daily_refresh(spark, workdir):
