@@ -46,6 +46,9 @@ EXTRA = [
     "dedup_embedding_lsh",
     "corpus_sample_exact_k",
     "multimodal_resize_specs",
+    "doc_repetition_stats",
+    "doc_length_log_histogram",
+    "snapshot_incremental_dedup",
 ]
 
 HEADLINE = [

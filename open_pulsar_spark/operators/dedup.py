@@ -733,3 +733,64 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_true LONG, n_lsh LONG, n_hit LONG, recall DOUBLE, precision DOUBLE",
     )
+
+
+# --------------------------------------------------------------------------
+# snapshot_incremental_dedup — dedup a new snapshot against the indexed
+# fingerprints of the prior corpus (batch form of the neardup stream).
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_incremental_dedup",
+    oracle="""
+    WITH old AS (
+        SELECT md5(array_to_string(str_split(text,' ')[1:8], ' ')) AS fp,
+               min(doc_id) AS first_doc
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    new AS (
+        SELECT doc_id,
+               md5(array_to_string(str_split(text,' ')[1:8], ' ')) AS fp
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT n.doc_id,
+           CASE WHEN o.fp IS NULL THEN 'ingest' ELSE 'skip' END AS action,
+           o.first_doc AS dup_of
+    FROM new n LEFT JOIN old o USING (fp)
+    ORDER BY doc_id
+    """,
+)
+def snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the NEW snapshot (odd doc_ids here)
+    is checked against a fingerprint index built from the PRIOR corpus
+    (even doc_ids) — the batch twin of streaming/neardup_stream.
+
+    The fingerprint is the md5 of the first 8 tokens (a canonical-
+    prefix key, the URL/boilerplate-prefix dedup shape); matches are
+    'skip' with the indexed representative, misses are 'ingest'.
+
+    Scale: the old corpus participates ONLY as its (fp, first_doc)
+    index — ~24 B/doc, built once and reusable across snapshots; the
+    join is a hash equi-join on a uniformly distributed key, so each
+    nightly snapshot costs one scan of the new data plus an index
+    lookup, never a rescan of the accumulated 100 TB corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
+    old = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    new = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", fp.alias("fp"))
+    return (
+        new.join(old, "fp", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("first_doc").isNull(), "ingest")
+            .otherwise("skip")
+            .alias("action"),
+            F.col("first_doc").alias("dup_of"),
+        )
+        .orderBy("doc_id")
+    )

@@ -82,18 +82,24 @@ def source_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct — at 100 TB you run the sketch and SAMPLE the exact check.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
-        .distinct()
-    )
-    hashed = tok.select("source", "t", F.expr(_U_SPARK).alias("u"))
+    tokens = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+    # The sketch half never shuffles tokens: hashing and the bottom-k
+    # partial both run map-side on the raw exploded stream
+    # (collect_set dedupes u WITHIN a partition; the same token seen in
+    # two partitions survives as a duplicate u across partials, so the
+    # merge dedups again with array_distinct before slicing — bottom-k
+    # of the distinct union of partition bottom-k == global distinct
+    # bottom-k). Only (group, k-list) rows reach the exchange.
+    hashed = tokens.select("source", F.expr(_U_SPARK).alias("u"))
     partial = (
         hashed.groupBy("source", F.spark_partition_id().alias("pid"))
         .agg(F.slice(F.array_sort(F.collect_set("u")), 1, KMV_K).alias("mins"))
     )
     merged = partial.groupBy("source").agg(
         F.slice(
-            F.array_sort(F.flatten(F.collect_list("mins"))), 1, KMV_K
+            F.array_distinct(F.array_sort(F.flatten(F.collect_list("mins")))),
+            1,
+            KMV_K,
         ).alias("mins")
     )
     # A group with fewer than k distinct values keeps ALL of them —
@@ -102,7 +108,10 @@ def source_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.when(
         u_k.isNotNull(), F.round((KMV_K - 1) / u_k).cast("bigint")
     ).otherwise(F.size("mins").cast("bigint"))
-    exact = tok.groupBy("source").agg(
+    # The exact half (the accuracy harness) is the only token shuffle
+    # in the plan — count_distinct plans its own partial dedup, so a
+    # separate .distinct() pass would just shuffle the universe twice.
+    exact = tokens.groupBy("source").agg(
         F.count_distinct("t").alias("n_exact")
     )
     return (

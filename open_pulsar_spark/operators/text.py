@@ -346,3 +346,105 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# doc_repetition_stats — within-document repetition signals (quality).
+# --------------------------------------------------------------------------
+@query(
+    "doc_repetition_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text,' ') AS toks FROM documents),
+    bi AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+        FROM t, unnest(range(1, len(toks))) AS u(i)
+    ),
+    cnt AS (SELECT doc_id, bg, count(*) AS n FROM bi GROUP BY 1, 2),
+    top AS (SELECT doc_id AS tdoc, max(n) AS mx, sum(n) AS tot FROM cnt GROUP BY 1)
+    SELECT t.doc_id,
+           len(toks) AS n_tokens,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_token_ratio,
+           round(COALESCE(mx * 1.0 / tot, 0.0), 6) AS top_bigram_frac,
+           CASE WHEN COALESCE(mx * 1.0 / tot, 0.0) > 0.1
+                  OR len(list_distinct(toks)) * 1.0 / len(toks) < 0.2
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM t LEFT JOIN top ON t.doc_id = top.tdoc
+    ORDER BY doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (the Gopher-rule family):
+    distinct-token ratio plus the fraction of bigram slots taken by the
+    single most frequent bigram; high repetition → 'drop'.
+
+    Scale: the bigram count is keyed by doc_id, so both shuffles
+    (bigram count, per-doc max/total) move rows partitioned by
+    document — no global hot key, volume proportional to token count.
+    The distinct-token half is map-only array arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select("doc_id", toks.alias("toks"))
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                "         slice(toks, 2, size(toks) - 1),"
+                "         (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .withColumnRenamed("doc_id", "tdoc")
+    )
+    ttr = F.size(F.array_distinct("toks")) * F.lit(1.0) / F.size("toks")
+    top_frac = F.coalesce(F.col("mx") * F.lit(1.0) / F.col("tot"), F.lit(0.0))
+    return (
+        base.join(top, base.doc_id == top.tdoc, "left")
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.round(ttr, 6).alias("distinct_token_ratio"),
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            F.when((top_frac > 0.1) | (ttr < 0.2), "drop")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_length_log_histogram — power-of-two token-length histogram by lang.
+# --------------------------------------------------------------------------
+@query(
+    "doc_length_log_histogram",
+    oracle="""
+    WITH t AS (SELECT lang, len(str_split(text,' ')) AS n FROM documents)
+    SELECT lang, floor(log2(n))::BIGINT AS bucket, count(*) AS n_docs,
+           min(n) AS min_tokens, max(n) AS max_tokens
+    FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def doc_length_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution in power-of-two buckets per language —
+    the length profile a sequence-packing / batch-shaping stage reads
+    before choosing context lengths. Map-side bucket assignment, one
+    tiny (lang × ~40 buckets) aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    return (
+        docs.select("lang", n.alias("n"))
+        .groupBy("lang", F.floor(F.log2("n")).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+        .orderBy("lang", "bucket")
+    )
