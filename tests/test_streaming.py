@@ -565,3 +565,81 @@ def test_token_quota_ttl_resets_idle_meter(spark, workdir):
         q.stop()
     assert rows[1].used_tokens == 50_000
     assert rows[2].used_tokens == 10_000  # fresh meter, not 60_000
+
+
+def test_embedding_dedup_stream_history_batch_and_replay(spark, workdir):
+    """Incremental embedding near-dup: a later near-copy of an indexed
+    vector is dropped (history), two near-copies arriving together keep
+    the lower vec_id (within-batch), orthogonal vectors pass — and an
+    epoch replay reproduces the same survivors without duplicating the
+    index."""
+    from open_pulsar_spark.streaming.embedding_stream import (
+        compact_embedding_index,
+        filter_embeddings_against_index,
+        read_embedding_index,
+        start_embedding_dedup_stream,
+    )
+
+    dim = 64
+    def vec(axis, eps_axis=None):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        if eps_axis is not None:
+            v[eps_axis] = 0.05  # cos vs pure axis ≈ 0.9987 → near-dup
+        return v
+
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>"
+    src = f"{workdir}/emb"
+    # batch 1: v1 on axis0, v2 on axis1 (orthogonal → both kept)
+    spark.createDataFrame([(1, vec(0)), (2, vec(1))], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    # batch 2: near-copy of v1 (drop), two near-copies of axis2 (keep 4,
+    # drop 5), fresh axis3 (keep)
+    spark.createDataFrame(
+        [(3, vec(0, 5)), (4, vec(2)), (5, vec(2, 6)), (6, vec(3))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = start_embedding_dedup_stream(
+        spark,
+        stream,
+        index_path=f"{workdir}/idx",
+        out_path=f"{workdir}/kept",
+        checkpoint=f"{workdir}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    kept = sorted(r.vec_id for r in spark.read.parquet(f"{workdir}/kept").collect())
+    # 3 dropped vs history(1); 5 dropped within-batch vs 4
+    assert kept == [1, 2, 4, 6]
+
+    # replay epoch 1's batch: same survivors, index row count unchanged
+    n_idx = read_embedding_index(spark, f"{workdir}/idx").count()
+    replay_batch = spark.createDataFrame(
+        [(3, vec(0, 5)), (4, vec(2)), (5, vec(2, 6)), (6, vec(3))], schema
+    )
+    replay = sorted(
+        r.vec_id
+        for r in filter_embeddings_against_index(
+            spark, replay_batch, f"{workdir}/idx", epoch_id=1
+        ).collect()
+    )
+    assert replay == [4, 6]
+    assert read_embedding_index(spark, f"{workdir}/idx").count() == n_idx
+
+    # compaction preserves behavior: an exact copy of kept vec 4 (same
+    # bucket by construction — a perturbed copy may legitimately flip a
+    # hyperplane sign, that's the documented LSH trade) is still caught
+    # against the compacted index
+    n = compact_embedding_index(spark, f"{workdir}/idx", target_files=2)
+    assert n == n_idx
+    caught = filter_embeddings_against_index(
+        spark,
+        spark.createDataFrame([(100, vec(2))], schema),
+        f"{workdir}/idx",
+    )
+    assert caught.count() == 0

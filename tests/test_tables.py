@@ -24,3 +24,42 @@ def test_all_tables_load(spark):
 def test_unknown_table_rejected(spark):
     with pytest.raises(KeyError):
         load_table(spark, SF_SMALL, "nope")
+
+
+def test_bigint_ts_rescaled_only_when_parquet_declares_nanos(spark, tmp_path):
+    """A bigint column named like a timestamp is rescaled ns->us ONLY
+    when the parquet footer declares TIMESTAMP(NANOS); a plain int64
+    column with the same name must pass through untouched (testdata
+    physical types drift between rounds — silent /1000 is the hazard)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from open_pulsar_spark.tables import _normalize_timestamps, _parquet_nanos_columns
+
+    us = 1_704_103_200_000_000  # 2024-01-01 10:00:00 in microseconds
+
+    # Case 1: genuine TIMESTAMP(NANOS) parquet -> nanosAsLong makes
+    # Spark read bigint; the footer gate must fire and rescale.
+    p_ns = str(tmp_path / "ns.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([us * 1000], type=pa.timestamp("ns"))}),
+        p_ns,
+        store_schema=False,  # no arrow schema override: Spark sees raw INT64/TIMESTAMP(NANOS)
+    )
+    assert _parquet_nanos_columns(p_ns) == {"ts"}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(p_ns)
+    if dict(df.dtypes)["ts"] == "bigint":  # nanosAsLong path
+        out = _normalize_timestamps(df, _parquet_nanos_columns(p_ns))
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        assert out.first().ts.year == 2024
+
+    # Case 2: plain int64 named ts -> NOT a nanos column; values must
+    # survive bit-for-bit (no /1000).
+    p_int = str(tmp_path / "int.parquet")
+    pq.write_table(pa.table({"ts": pa.array([us], type=pa.int64())}), p_int)
+    assert _parquet_nanos_columns(p_int) == set()
+    df2 = spark.read.parquet(p_int)
+    out2 = _normalize_timestamps(df2, _parquet_nanos_columns(p_int))
+    assert dict(out2.dtypes)["ts"] == "bigint"
+    assert out2.first().ts == us
