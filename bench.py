@@ -49,6 +49,8 @@ EXTRA = [
     "doc_repetition_stats",
     "doc_length_log_histogram",
     "snapshot_incremental_dedup",
+    "events_funnel_24h",
+    "value_quantile_sketch",
 ]
 
 HEADLINE = [

@@ -595,3 +595,75 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grain", "bucket_start")
     )
+
+
+# --------------------------------------------------------------------------
+# events_funnel_24h — ordered multi-step conversion funnel.
+# --------------------------------------------------------------------------
+@query(
+    "events_funnel_24h",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click'
+             AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL '24 hours'
+           GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase'
+             AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL '24 hours'
+           GROUP BY 1)
+    SELECT 1 AS step, 'view' AS step_name, count(*)::BIGINT AS n_users FROM s1
+    UNION ALL SELECT 2, 'click', count(*)::BIGINT FROM s2
+    UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM s3
+    ORDER BY step
+    """,
+)
+def events_funnel_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase, each step
+    within 24 h of the previous step's FIRST qualifying event — the
+    standard product-analytics funnel semantics (ordered, windowed,
+    first-touch).
+
+    Scale: each step is one groupBy(user_id) over a type-filtered scan
+    joined to the (strictly shrinking) previous step's per-user
+    timestamps — every shuffle is keyed by user_id, no sequence
+    explosion, no window over the whole event stream. At 100 TB the
+    event_type filter prunes at the scan and the step frames are
+    user-cardinality rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h24 = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + h24))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t2") + h24))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def level(step: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+
+    return (
+        level(1, "view", s1)
+        .unionAll(level(2, "click", s2))
+        .unionAll(level(3, "purchase", s3))
+        .orderBy("step")
+    )

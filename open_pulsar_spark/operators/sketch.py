@@ -29,7 +29,7 @@ path is only "done" when its error is observable next to ground truth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from open_pulsar_spark.registry import query
@@ -125,4 +125,97 @@ def source_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# value_quantile_sketch — mergeable hash-sample quantile estimate + exact
+# harness (same contract as source_kmv_distinct: the approximate path
+# ships with its error observable).
+# --------------------------------------------------------------------------
+SAMPLE_K = 256
+_PS = (0.5, 0.9, 0.99)
+_PS_SQL = "[" + ", ".join(str(p) for p in _PS) + "]"
+_PS_SPARK = "array(" + ", ".join(f"{p}D" for p in _PS) + ")"  # D: double literals
+
+
+@query(
+    "value_quantile_sketch",
+    oracle=f"""
+    WITH keyed AS (SELECT value, event_id, md5(event_id::VARCHAR) AS hk FROM events),
+    samp AS (SELECT value, event_id FROM keyed ORDER BY hk, event_id LIMIT {SAMPLE_K}),
+    sr AS (SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn,
+                  count(*) OVER () AS k FROM samp),
+    fr AS (SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn,
+                  count(*) OVER () AS n FROM keyed),
+    ps AS (SELECT unnest({_PS_SQL}::DOUBLE[]) AS p),
+    est AS (SELECT p, round(value, 4) AS est
+            FROM ps JOIN sr ON sr.rn = floor(p * (sr.k - 1))::BIGINT + 1),
+    ex AS (SELECT p, round(value, 4) AS exact
+           FROM ps JOIN fr ON fr.rn = floor(p * (fr.n - 1))::BIGINT + 1)
+    SELECT p, est, exact, round(abs(est - exact), 4) AS abs_err
+    FROM est JOIN ex USING (p)
+    ORDER BY p
+    """,
+)
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates from a deterministic bottom-k-by-hash sample
+    (k={SAMPLE_K}) next to the exact quantiles and the absolute error.
+
+    The sample IS a mergeable sketch: the k rows with the smallest
+    md5(event_id) — the bottom-k of a union is the bottom-k of the
+    per-partition bottom-ks (same property KMV uses), so Spark executes
+    it as TakeOrderedAndProject: O(k) state per partition, no full
+    sort, no shuffle of the value universe. Quantile picks index into
+    the SORTED sample at floor(p·(k−1))+1 (nearest-rank, (value,
+    event_id)-tiebroken so both engines pick the same row). The exact
+    half is the harness — a full-order row_number, the cost the sketch
+    exists to avoid; at 100 TB you run the sketch and sample the exact
+    check.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "value", "event_id", F.md5(F.col("event_id").cast("string")).alias("hk")
+    )
+    samp = keyed.orderBy("hk", "event_id").limit(SAMPLE_K)
+    # one row: the sorted (value, event_id) sample array + its size;
+    # the p-list explodes over it (3 rows from 1) — no join needed
+    samp_row = samp.agg(
+        F.sort_array(F.collect_list(F.struct("value", "event_id"))).alias("sv")
+    ).select("sv", F.size("sv").alias("k"))
+    est = samp_row.select(
+        F.explode(F.expr(_PS_SPARK)).alias("p"), "sv", "k"
+    ).select(
+        "p",
+        F.round(
+            F.element_at(
+                "sv", (F.floor(F.col("p") * (F.col("k") - 1)) + 1).cast("int")
+            )["value"],
+            4,
+        ).alias("est"),
+    )
+
+    w = Window.orderBy("value", "event_id")
+    fr = keyed.select(
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    # tag each row with every p whose nearest-rank position it is
+    # (JVM-side array filter; no non-equi join, no driver collect)
+    ex = (
+        fr.select(
+            "value",
+            F.explode(
+                F.expr(
+                    f"filter({_PS_SPARK}, p -> rn = cast(floor(p * (n - 1)) as bigint) + 1)"
+                )
+            ).alias("p"),
+        )
+        .select("p", F.round("value", 4).alias("exact"))
+    )
+    return (
+        est.join(ex, "p")
+        .select("p", "est", "exact", F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"))
+        .orderBy("p")
     )
