@@ -51,6 +51,7 @@ EXTRA = [
     "snapshot_incremental_dedup",
     "events_funnel_24h",
     "value_quantile_sketch",
+    "corpus_source_drift",
 ]
 
 HEADLINE = [

@@ -611,3 +611,57 @@ def corpus_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= SAMPLE_EXACT_K)
         .orderBy("lang", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_source_drift — per-source language-mix drift vs the corpus.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_source_drift",
+    oracle="""
+    WITH per AS (SELECT source, lang, count(*)::DOUBLE AS n
+                 FROM documents GROUP BY 1, 2),
+    shares AS (
+        SELECT source, lang, n,
+               n / sum(n) OVER (PARTITION BY source)                  AS ps,
+               sum(n) OVER (PARTITION BY lang) / sum(n) OVER ()       AS pg
+        FROM per
+    )
+    SELECT source,
+           round(sum(ps * ln(ps / pg)), 6) AS kl_vs_corpus,
+           round(max(abs(ps - pg)), 6)     AS max_share_delta
+    FROM shares GROUP BY source ORDER BY source
+    """,
+)
+def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-monitoring signal: per-source language-share KL
+    divergence against the corpus-wide language mix, plus the largest
+    absolute share delta — the drift alarm a curation pipeline watches
+    when a source's crawl composition shifts.
+
+    Scale: one (source × lang) count aggregate over the corpus; the
+    window arithmetic runs on the tiny counts frame (|sources|·|langs|
+    rows), so the global-share windows are negligible even though one
+    is unpartitioned.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    ps = F.col("n") / F.sum("n").over(Window.partitionBy("source"))
+    pg = F.sum("n").over(Window.partitionBy("lang")) / F.sum("n").over(
+        Window.partitionBy()
+    )
+    return (
+        per.select("source", ps.alias("ps"), pg.alias("pg"))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(F.col("ps") * F.log(F.col("ps") / F.col("pg"))), 6).alias(
+                "kl_vs_corpus"
+            ),
+            F.round(F.max(F.abs(F.col("ps") - F.col("pg"))), 6).alias(
+                "max_share_delta"
+            ),
+        )
+        .orderBy("source")
+    )
