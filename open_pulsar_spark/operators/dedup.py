@@ -394,6 +394,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 100 TB path: pairs stay distributed, min-label loop over the
         # cached edge set — never through driver memory.
         labels = _propagate_labels_distributed(pairs)
+    # both branches have materialized what they need from the pair
+    # cache (collect above, or the persisted label fixpoint) — release
+    # it so library callers don't leak executor memory per invocation
+    pairs.unpersist()
     return labels.select(
         F.col("u").alias("doc_id"),
         F.col("label").alias("cluster_rep"),
@@ -436,6 +440,7 @@ def _propagate_labels_distributed(pairs: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 

@@ -62,8 +62,16 @@ def decode_binary(payload: bytes, kind: str) -> dict:
         except ImportError:
             pass
         else:
+            # decode errors (corrupt/truncated payloads) propagate as
+            # PIL's own exceptions — a failed decode of a present codec
+            # is data trouble, not a missing-codec condition
             with Image.open(io.BytesIO(payload)) as img:
-                return {"width": img.width, "height": img.height, "n_frames": 1}
+                return {
+                    "width": img.width,
+                    "height": img.height,
+                    # animated formats expose n_frames; stills default 1
+                    "n_frames": getattr(img, "n_frames", 1),
+                }
     raise NotImplementedError(
         "binary decode requires codec libraries not present in this environment; "
         "use _fake_decode (deterministic) for tests"

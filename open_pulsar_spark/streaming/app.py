@@ -87,10 +87,19 @@ def start_chat_sink(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         deliver(explode_chunks(batch_df, limit=chunk_limit), epoch_id)
 
+    # scope the pool to THIS .start(): the query's execution thread
+    # snapshots the property at start, and restoring the previous value
+    # afterwards keeps later queries started from this caller thread
+    # out of the chat pool (they must isolate, not inherit)
+    sc = chat.sparkSession.sparkContext
+    prev_pool = sc.getLocalProperty("spark.scheduler.pool")
     set_scheduler_pool(chat.sparkSession, pool)
-    return (
-        chat.writeStream.outputMode("append")
-        .foreachBatch(process)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
+    try:
+        return (
+            chat.writeStream.outputMode("append")
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+    finally:
+        set_scheduler_pool(chat.sparkSession, prev_pool)

@@ -15,10 +15,11 @@ Survivors append to the output and to the index. The index stores
 UNIT-NORMALIZED doubles, so the verify is a plain dot product (one
 `aggregate(zip_with(...))` JVM expression — no Python in the join).
 
-Replay safety mirrors neardup_stream: every index/output write lands
-in an `epoch=<id>` segment (overwrite, skipped when already
-committed), and the history join excludes self-matches, so
-at-least-once foreachBatch delivery yields exactly-once contents.
+Persistence/replay semantics come from streaming.segments (the same
+protocol as the text stream): epoch-keyed replay-safe segments, index
+rows tagged with their writing epoch so a true replay ignores only
+its own rows while a later-epoch redelivery of the same vec_id is
+dropped as a duplicate, and crash-safe compaction.
 
 Scale: the index is ~8·d B/vector partitioned by bucket; each batch
 shuffles once on the bucket id. A hot bucket is the skew unit — the
@@ -28,18 +29,21 @@ batch operator.
 
 from __future__ import annotations
 
-import os
-import uuid
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from open_pulsar_spark.streaming.neardup_stream import _index_subdirs
+from open_pulsar_spark.streaming.segments import (
+    compact_segments,
+    read_segments,
+    write_segment,
+)
 
 COS_DUP_THRESHOLD = 0.4  # same near-dup bar as dedup_embedding_cosine/_lsh
 
-_EMB_INDEX_SCHEMA = "vec_id LONG, bucket LONG, emb ARRAY<DOUBLE>"
+_EMB_INDEX_SCHEMA = "vec_id LONG, bucket LONG, emb ARRAY<DOUBLE>, epoch LONG"
+
+_BACKFILL_EPOCH = -1
 
 # dot of unit vectors == cosine; plain JVM expression, no UDF
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
@@ -66,14 +70,13 @@ def _tag_batch(batch: DataFrame) -> DataFrame:
                 }
             )
 
-    return batch.select("vec_id", "embedding").mapInPandas(tag, _EMB_INDEX_SCHEMA)
+    return batch.select("vec_id", "embedding").mapInPandas(
+        tag, "vec_id LONG, bucket LONG, emb ARRAY<DOUBLE>"
+    )
 
 
 def read_embedding_index(spark: SparkSession, index_path: str) -> DataFrame | None:
-    dirs = _index_subdirs(index_path)
-    if not dirs:
-        return None
-    return spark.read.schema(_EMB_INDEX_SCHEMA).parquet(*dirs)
+    return read_segments(spark, index_path, _EMB_INDEX_SCHEMA)
 
 
 def filter_embeddings_against_index(
@@ -85,28 +88,34 @@ def filter_embeddings_against_index(
 ) -> DataFrame:
     """One micro-batch step: survivors (vec_id) out, surviving tagged
     vectors appended to the bucket index. Idempotent under epoch
-    replay (see module docstring)."""
-    tagged = _tag_batch(batch).persist()
+    replay; survivors are read back from the written segment so the
+    caller's sink never recomputes the tag/join pipeline."""
+    tagged = _tag_batch(batch.dropDuplicates(["vec_id"])).persist()
     tagged.count()  # pin before multi-consumer reads
 
     cos_hist = F.expr(_DOT.format(a="emb", b="idx_emb"))
     index = read_embedding_index(spark, index_path)
     if index is not None:
-        dup_vs_history = (
-            tagged.join(
-                index.select(
-                    "bucket",
-                    F.col("vec_id").alias("idx_vec_id"),
-                    F.col("emb").alias("idx_emb"),
-                ),
+        cand = tagged.join(
+            index.select(
                 "bucket",
+                F.col("vec_id").alias("idx_vec_id"),
+                F.col("emb").alias("idx_emb"),
+                F.col("epoch").alias("idx_epoch"),
+            ),
+            "bucket",
+        )
+        if epoch_id is not None:
+            # ignore only THIS epoch's own rows (replay); same-vec rows
+            # from other epochs are redeliveries → duplicates
+            cand = cand.where(
+                ~(
+                    (F.col("vec_id") == F.col("idx_vec_id"))
+                    & (F.col("idx_epoch") == F.lit(epoch_id))
+                )
             )
-            # replayed epochs find their own rows; self-matches are
-            # replay artifacts, not duplicates
-            .where(F.col("vec_id") != F.col("idx_vec_id"))
-            .where(cos_hist >= threshold)
-            .select("vec_id")
-            .distinct()
+        dup_vs_history = (
+            cand.where(cos_hist >= threshold).select("vec_id").distinct()
         )
     else:
         dup_vs_history = spark.createDataFrame([], "vec_id LONG")
@@ -124,19 +133,20 @@ def filter_embeddings_against_index(
     dups = dup_vs_history.unionAll(dup_in_batch).distinct()
     survivors = tagged.select("vec_id").join(dups, "vec_id", "left_anti")
 
-    if epoch_id is not None:
-        seg = os.path.join(index_path, f"epoch={epoch_id}")
-        committed = os.path.exists(os.path.join(seg, "_SUCCESS"))
-    else:
-        seg = os.path.join(index_path, f"batch-{uuid.uuid4().hex[:12]}")
-        committed = False
-    if not committed:
-        tagged.join(survivors, "vec_id").select(
-            "vec_id", "bucket", "emb"
-        ).write.mode("overwrite").parquet(seg)
-    out = survivors
+    seg = write_segment(
+        tagged.join(survivors, "vec_id")
+        .select("vec_id", "bucket", "emb")
+        .withColumn(
+            "epoch",
+            F.lit(_BACKFILL_EPOCH if epoch_id is None else epoch_id).cast("long"),
+        ),
+        index_path,
+        epoch_id,
+    )
     tagged.unpersist()
-    return out
+    return (
+        spark.read.schema(_EMB_INDEX_SCHEMA).parquet(seg).select("vec_id").distinct()
+    )
 
 
 def start_embedding_dedup_stream(
@@ -154,9 +164,7 @@ def start_embedding_dedup_stream(
         survivors = filter_embeddings_against_index(
             spark, batch_df, index_path, epoch_id=epoch_id
         )
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"epoch={epoch_id}")
-        )
+        write_segment(survivors, out_path, epoch_id)
 
     return (
         emb_stream.writeStream.outputMode("append")
@@ -170,26 +178,13 @@ def compact_embedding_index(
     spark: SparkSession, index_path: str, target_files: int = 8
 ) -> int:
     """Merge the per-epoch segments into one bucket-clustered segment
-    (crash-safe, no index-less window — same scheme as
-    neardup_stream.compact_index). Returns the deduped row count."""
-    import shutil
-
-    src_dirs = _index_subdirs(index_path)
-    if not src_dirs:
-        return 0
-    df = (
-        spark.read.schema(_EMB_INDEX_SCHEMA)
-        .parquet(*src_dirs)
-        .dropDuplicates(["vec_id"])
+    (crash-safe, no index-less window — streaming.segments protocol).
+    Returns the deduped row count."""
+    return compact_segments(
+        spark,
+        index_path,
+        _EMB_INDEX_SCHEMA,
+        dedup_keys=["vec_id"],
+        cluster_cols=["bucket", "vec_id"],
+        target_files=target_files,
     )
-    n = df.count()
-    dest = os.path.join(index_path, f"compact-{uuid.uuid4().hex[:12]}")
-    (
-        df.repartition(target_files, "bucket")
-        .sortWithinPartitions("bucket", "vec_id")
-        .write.mode("overwrite")
-        .parquet(dest)
-    )
-    for d in src_dirs:
-        shutil.rmtree(d, ignore_errors=True)
-    return n

@@ -32,9 +32,15 @@ class HeartbeatListener(StreamingQueryListener):
     exactly what a keepalive exists to tell apart.
     """
 
-    def __init__(self, emit: EmitFn = print) -> None:
+    def __init__(self, emit: EmitFn = print, keep_last: int = 1024) -> None:
+        import collections
+
         self._emit = emit
-        self.events: list[dict] = []  # bounded by caller lifetime; test hook
+        # bounded ring buffer: a long-lived stream emits one progress
+        # event per trigger forever — an unbounded list would be a
+        # driver-memory leak. `emit` is the durable path; this buffer
+        # exists for tests and recent-state introspection only.
+        self.events: collections.deque = collections.deque(maxlen=keep_last)
 
     def _fire(self, payload: dict) -> None:
         self.events.append(payload)

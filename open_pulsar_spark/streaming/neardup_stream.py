@@ -18,23 +18,27 @@ contains its own near-dups keeps the lowest doc_id — same
 representative rule as dedup_clusters). The index grows by survivors
 only, so a duplicate storm cannot bloat it.
 
-State choice: the index lives as parquet appended via foreachBatch,
-NOT in the streaming state store — it is a JOIN-side dataset (queried
-by band signature), orders of magnitude larger than keyed state
-should be. foreachBatch is AT-LEAST-ONCE, so idempotence is built in
-here rather than assumed: every index append lands in its own
-epoch-keyed subdirectory (`epoch=<id>`), a replayed epoch overwrites
-its own subdir instead of appending twice, and the history join
-excludes self-matches (`doc_id != idx_doc_id`) so a replayed batch
-that already reached the index does not drop its own survivors at
-Jaccard 1.0. At scale the index is a partitioned table bucketed on
-the band signature.
+State choice: the index lives as parquet segments managed by
+streaming.segments (epoch-keyed, replay-safe, compactable), NOT in
+the streaming state store — it is a JOIN-side dataset (queried by
+band signature), orders of magnitude larger than keyed state should
+be. foreachBatch is AT-LEAST-ONCE, so idempotence is structural:
+
+  - every index/output write is an epoch segment (overwrite, no-op
+    once committed);
+  - index rows carry the epoch that wrote them, and the history join
+    ignores ONLY the current epoch's own rows — a true replay finds
+    its own rows and reproduces the same survivors, while a same-doc
+    redelivery in a LATER epoch matches a different epoch's row and
+    is correctly dropped as a duplicate;
+  - same-id rows within one batch collapse before signatures
+    (dropDuplicates on doc_id).
+
+At scale the index is a partitioned table bucketed on the band
+signature.
 """
 
 from __future__ import annotations
-
-import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,8 +49,15 @@ from open_pulsar_spark.operators.dedup import (
     LSH_ROWS,
     _minhash_sigs,
 )
+from open_pulsar_spark.streaming.segments import (
+    compact_segments,
+    read_segments,
+    write_segment,
+)
 
-_INDEX_SCHEMA = "doc_id LONG, band INT, sig STRING, hs ARRAY<BIGINT>"
+_INDEX_SCHEMA = "doc_id LONG, band INT, sig STRING, hs ARRAY<BIGINT>, epoch LONG"
+
+_BACKFILL_EPOCH = -1  # epoch tag for caller-managed batch segments
 
 
 def _bands_of(sigs: DataFrame) -> DataFrame:
@@ -78,30 +89,11 @@ def _near_dup_of(cand: DataFrame) -> DataFrame:
     return cand.where(jacc >= JACCARD_THRESHOLD)
 
 
-def _index_subdirs(index_path: str) -> list[str]:
-    """Committed (has _SUCCESS) index segment dirs, sorted by name."""
-    if not os.path.isdir(index_path):
-        return []
-    return sorted(
-        os.path.join(index_path, d)
-        for d in os.listdir(index_path)
-        if os.path.isdir(os.path.join(index_path, d))
-        and os.path.exists(os.path.join(index_path, d, "_SUCCESS"))
-    )
-
-
 def read_index(spark: SparkSession, index_path: str) -> DataFrame | None:
-    """The signature index as a DataFrame, or None when empty.
-
-    Segments are read as an explicit path list (no partition
-    discovery), so stream-epoch dirs and compaction dirs can coexist;
-    duplicate rows across segments (possible mid-compaction) are
-    harmless — the candidate join dedups downstream.
-    """
-    dirs = _index_subdirs(index_path)
-    if not dirs:
-        return None
-    return spark.read.schema(_INDEX_SCHEMA).parquet(*dirs)
+    """The signature index, or None when empty. Duplicate rows across
+    segments (possible mid-compaction) are harmless — the candidate
+    join dedups downstream."""
+    return read_segments(spark, index_path, _INDEX_SCHEMA)
 
 
 def filter_batch_against_index(
@@ -114,38 +106,41 @@ def filter_batch_against_index(
     writes their band rows to the index. Pure function of (batch,
     index dir) — callable from foreachBatch or a batch backfill loop.
 
-    Idempotent under replay when `epoch_id` is given: the index write
-    targets `index_path/epoch=<id>` with overwrite (a half-written dir
-    from a crash is cleaned, a committed one is left alone), and the
-    history join below excludes self-matches, so re-running an epoch
-    whose rows already reached the index reproduces the same survivor
-    set instead of dropping everything as a 1.0-Jaccard self-dup.
+    Idempotent under replay when `epoch_id` is given (see module
+    docstring). The returned survivors are READ BACK from the written
+    index segment, so consuming them never re-executes the signature/
+    join pipeline after the internal cache is released.
     """
+    # same-id rows in one delivery are the same document
+    batch_docs = batch_docs.dropDuplicates(["doc_id"])
     sigs = _minhash_sigs(batch_docs).persist()
     sigs.count()  # pin before the multi-consumer reads below
     bands = _bands_of(sigs)
 
     index = read_index(spark, index_path)
     if index is not None:
-        hist_cand = (
-            bands.join(
-                index.select(
-                    "band",
-                    "sig",
-                    F.col("doc_id").alias("idx_doc_id"),
-                    F.col("hs").alias("idx_hs"),
-                ),
-                ["band", "sig"],
+        cand = bands.join(
+            index.select(
+                "band",
+                "sig",
+                F.col("doc_id").alias("idx_doc_id"),
+                F.col("hs").alias("idx_hs"),
+                F.col("epoch").alias("idx_epoch"),
+            ),
+            ["band", "sig"],
+        )
+        if epoch_id is not None:
+            # ignore ONLY this epoch's own rows (replay artifact); a
+            # same-doc row written by ANY other epoch is a redelivery
+            # and must count as a duplicate
+            cand = cand.where(
+                ~(
+                    (F.col("doc_id") == F.col("idx_doc_id"))
+                    & (F.col("idx_epoch") == F.lit(epoch_id))
+                )
             )
-            # a replayed epoch finds its own rows in the index;
-            # self-matches are replay artifacts, not duplicates
-            .where(F.col("doc_id") != F.col("idx_doc_id"))
-            .select("doc_id", "hs", "idx_doc_id", "idx_hs")
-            .distinct()
-        )
-        dup_vs_history = (
-            _near_dup_of(hist_cand).select("doc_id").distinct()
-        )
+        hist_cand = cand.select("doc_id", "hs", "idx_doc_id", "idx_hs").distinct()
+        dup_vs_history = _near_dup_of(hist_cand).select("doc_id").distinct()
     else:
         dup_vs_history = spark.createDataFrame([], "doc_id LONG")
 
@@ -167,23 +162,22 @@ def filter_batch_against_index(
     dups = dup_vs_history.unionAll(dup_in_batch).distinct()
     survivors = sigs.select("doc_id").join(dups, "doc_id", "left_anti")
 
-    # write survivors' band rows into their own index segment:
-    #   epoch given   -> epoch=<id>, skipped when already committed
-    #                    (replay no-op), overwritten when half-written
-    #   no epoch      -> unique batch-<token> segment (backfill path)
-    if epoch_id is not None:
-        seg = os.path.join(index_path, f"epoch={epoch_id}")
-        committed = os.path.exists(os.path.join(seg, "_SUCCESS"))
-    else:
-        seg = os.path.join(index_path, f"batch-{uuid.uuid4().hex[:12]}")
-        committed = False
-    if not committed:
-        bands.join(survivors, "doc_id").select(
-            "doc_id", "band", "sig", "hs"
-        ).write.mode("overwrite").parquet(seg)
-    out = survivors
+    seg = write_segment(
+        bands.join(survivors, "doc_id")
+        .select("doc_id", "band", "sig", "hs")
+        .withColumn(
+            "epoch",
+            F.lit(_BACKFILL_EPOCH if epoch_id is None else epoch_id).cast("long"),
+        ),
+        index_path,
+        epoch_id,
+    )
     sigs.unpersist()
-    return out
+    # the write above is the materialization point; read survivors back
+    # so the caller's sink never recomputes the pipeline
+    return (
+        spark.read.schema(_INDEX_SCHEMA).parquet(seg).select("doc_id").distinct()
+    )
 
 
 def start_neardup_stream(
@@ -206,9 +200,7 @@ def start_neardup_stream(
         survivors = filter_batch_against_index(
             spark, batch_df, index_path, epoch_id=epoch_id
         )
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"epoch={epoch_id}")
-        )
+        write_segment(survivors, out_path, epoch_id)
 
     return (
         docs_stream.writeStream.outputMode("append")
@@ -219,41 +211,22 @@ def start_neardup_stream(
 
 
 def compact_index(spark: SparkSession, index_path: str, target_files: int = 8) -> int:
-    """Rewrite the signature index segments into one `target_files`-file
-    compacted segment. Returns the row count.
+    """Merge the signature-index segments into one bucket-clustered
+    segment (crash-safe, no index-less window — see streaming.segments
+    for the protocol). Returns the deduped row count.
 
     foreachBatch appends one segment per micro-batch, so a long-lived
     stream accretes small files (the classic streaming-sink problem) —
     listing cost grows linearly and the band join's scan tasks shrink
-    below useful sizes. Compaction is the standard fix, done
-    crash-safely WITHOUT a window where the index disappears: write the
-    merged rows into a new `compact-<token>` segment inside the live
-    dir, then delete the source segments. A concurrent micro-batch
-    always sees a live index; mid-swap it may see old+new segments
-    (duplicate rows — harmless, the candidate join dedups), and a crash
-    between write and delete leaves duplicates that the next compaction
-    removes.
-
-    At 100 TB this is the nightly OPTIMIZE job, and the rewrite also
-    re-clusters by band signature (sortWithinPartitions) so the
+    below useful sizes. At 100 TB this is the nightly OPTIMIZE job,
+    and the rewrite also re-clusters by band signature so the
     per-batch candidate join reads contiguous signature ranges.
     """
-    import shutil
-
-    src_dirs = _index_subdirs(index_path)
-    if not src_dirs:
-        return 0
-    df = spark.read.schema(_INDEX_SCHEMA).parquet(*src_dirs).dropDuplicates(
-        ["doc_id", "band"]
+    return compact_segments(
+        spark,
+        index_path,
+        _INDEX_SCHEMA,
+        dedup_keys=["doc_id", "band"],
+        cluster_cols=["band", "sig"],
+        target_files=target_files,
     )
-    n = df.count()
-    dest = os.path.join(index_path, f"compact-{uuid.uuid4().hex[:12]}")
-    (
-        df.repartition(target_files, "band", "sig")
-        .sortWithinPartitions("band", "sig")
-        .write.mode("overwrite")
-        .parquet(dest)
-    )
-    for d in src_dirs:
-        shutil.rmtree(d, ignore_errors=True)
-    return n

@@ -1,0 +1,107 @@
+"""Epoch-keyed parquet segment store — the shared persistence protocol
+behind the incremental dedup streams (text: neardup_stream, embedding:
+embedding_stream).
+
+Layout: one directory per committed write under a root —
+  root/epoch=<id>/      a stream epoch's rows (replay target)
+  root/batch-<token>/   a backfill batch's rows (caller-managed)
+  root/compact-<token>/ a compaction's merged output
+
+Invariants the protocol provides:
+  - REPLAY SAFETY: `write_segment` with an epoch id overwrites its own
+    segment and is a no-op once the segment committed (_SUCCESS), so
+    at-least-once foreachBatch delivery yields exactly-once contents.
+  - NO INDEX-LESS WINDOW: compaction writes the merged rows into a new
+    `compact-` segment INSIDE the live root, then deletes the sources;
+    a concurrent reader sees old+new (duplicate rows — callers must
+    tolerate duplicates, which the dedup candidate joins do) but never
+    an empty root.
+  - CRASH SAFETY: a crash between compaction write and source delete
+    leaves duplicates that the next compaction's dropDuplicates
+    removes; a crash mid-write leaves an uncommitted segment that the
+    next replay overwrites.
+
+Deployment note: commit detection relies on the _SUCCESS marker, which
+Spark's file committers write by default; deployments that disable
+`mapreduce.fileoutputcommitter.marksuccessfuljobs` must keep it on for
+these index roots (or every segment would read as uncommitted).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def list_segments(root: str) -> list[str]:
+    """Committed (has _SUCCESS) segment dirs under root, sorted."""
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d))
+        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+    )
+
+
+def read_segments(spark: SparkSession, root: str, schema: str) -> DataFrame | None:
+    """All committed rows, or None when the store is empty. Explicit
+    path list (no partition discovery) so epoch/batch/compact segments
+    coexist; duplicates across segments are the caller's contract."""
+    dirs = list_segments(root)
+    if not dirs:
+        return None
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+def segment_path(root: str, epoch_id: int | None) -> tuple[str, bool]:
+    """(target dir, already_committed) for a write. Epoch-less writes
+    get a unique batch segment (never 'already committed')."""
+    if epoch_id is not None:
+        seg = os.path.join(root, f"epoch={epoch_id}")
+        return seg, os.path.exists(os.path.join(seg, "_SUCCESS"))
+    return os.path.join(root, f"batch-{uuid.uuid4().hex[:12]}"), False
+
+
+def write_segment(df: DataFrame, root: str, epoch_id: int | None) -> str:
+    """Write df into its segment (overwrite; skipped when the epoch
+    already committed). Returns the segment path — callers that need
+    the written rows should READ THEM BACK from the returned path:
+    that makes the write the materialization point, so no consumer
+    recomputes the producing plan after caches are released."""
+    seg, committed = segment_path(root, epoch_id)
+    if not committed:
+        df.write.mode("overwrite").parquet(seg)
+    return seg
+
+
+def compact_segments(
+    spark: SparkSession,
+    root: str,
+    schema: str,
+    dedup_keys: list[str],
+    cluster_cols: list[str],
+    target_files: int = 8,
+) -> int:
+    """Merge all committed segments into one `compact-` segment
+    clustered on `cluster_cols`, then delete the sources. Returns the
+    deduped row count (0 for an empty store)."""
+    src_dirs = list_segments(root)
+    if not src_dirs:
+        return 0
+    df = spark.read.schema(schema).parquet(*src_dirs).dropDuplicates(dedup_keys)
+    n = df.count()
+    dest = os.path.join(root, f"compact-{uuid.uuid4().hex[:12]}")
+    (
+        df.repartition(target_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    for d in src_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return n

@@ -41,7 +41,22 @@ def _parquet_nanos_columns(path: str) -> set[str]:
 
         schema = pq.read_schema(path)
     except Exception:
-        return set()
+        # directory-style parquet: read_schema wants a single file —
+        # fall back to dataset discovery before giving up
+        try:
+            import pyarrow.dataset as pads
+
+            schema = pads.dataset(path, format="parquet").schema
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                f"could not read parquet footer for {path!r}; assuming no "
+                "TIMESTAMP(NANOS) columns — if this table does carry ns "
+                "timestamps they will NOT be rescaled",
+                stacklevel=2,
+            )
+            return set()
     import pyarrow as pa
 
     return {

@@ -643,3 +643,59 @@ def test_embedding_dedup_stream_history_batch_and_replay(spark, workdir):
         f"{workdir}/idx",
     )
     assert caught.count() == 0
+
+
+def test_neardup_cross_epoch_redelivery_is_dropped(spark, workdir):
+    """A same-id redelivery in a LATER epoch is NOT a replay: it must
+    be dropped as a duplicate (the epoch-aware exclusion only ignores
+    the current epoch's own index rows). Same-id rows within one batch
+    collapse to one."""
+    from open_pulsar_spark.streaming.neardup_stream import (
+        filter_batch_against_index,
+        read_index,
+    )
+
+    idx = f"{workdir}/index"
+    schema = "doc_id LONG, text STRING"
+    base = " ".join(f"tok{i}" for i in range(40))
+
+    first = filter_batch_against_index(
+        spark,
+        # doc 1 delivered twice in one batch -> one survivor row
+        spark.createDataFrame([(1, base), (1, base)], schema),
+        idx,
+        epoch_id=0,
+    )
+    assert [r.doc_id for r in first.collect()] == [1]
+
+    # upstream redelivers doc 1 in a later epoch: duplicate, dropped
+    redelivered = filter_batch_against_index(
+        spark, spark.createDataFrame([(1, base)], schema), idx, epoch_id=1
+    )
+    assert redelivered.count() == 0
+    # the index did not grow a second copy of doc 1's bands
+    assert read_index(spark, idx).select("doc_id").distinct().count() == 1
+
+
+def test_embedding_cross_epoch_redelivery_is_dropped(spark, workdir):
+    from open_pulsar_spark.streaming.embedding_stream import (
+        filter_embeddings_against_index,
+        read_embedding_index,
+    )
+
+    dim = 64
+    v = [0.0] * dim
+    v[0] = 1.0
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>"
+    idx = f"{workdir}/idx"
+
+    first = filter_embeddings_against_index(
+        spark, spark.createDataFrame([(7, v), (7, v)], schema), idx, epoch_id=0
+    )
+    assert [r.vec_id for r in first.collect()] == [7]
+
+    redelivered = filter_embeddings_against_index(
+        spark, spark.createDataFrame([(7, v)], schema), idx, epoch_id=1
+    )
+    assert redelivered.count() == 0
+    assert read_embedding_index(spark, idx).count() == 1
