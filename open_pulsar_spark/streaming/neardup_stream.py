@@ -180,6 +180,19 @@ def filter_batch_against_index(
     )
 
 
+def backfill_index(spark: SparkSession, docs: DataFrame, index_path: str) -> int:
+    """Bootstrap the signature index from an existing corpus before the
+    stream starts: the frame goes through the SAME filter as a stream
+    micro-batch (so the seed corpus is itself deduped on the way in)
+    and lands as one backfill segment. Returns surviving-doc count.
+
+    Call it per corpus slice for a 100 TB seed — each call costs one
+    batch-vs-index join, exactly like a micro-batch, so the bootstrap
+    is the stream's own code path, not a second implementation.
+    """
+    return filter_batch_against_index(spark, docs, index_path).count()
+
+
 def start_neardup_stream(
     spark: SparkSession,
     docs_stream: DataFrame,

@@ -699,3 +699,35 @@ def test_embedding_cross_epoch_redelivery_is_dropped(spark, workdir):
     )
     assert redelivered.count() == 0
     assert read_embedding_index(spark, idx).count() == 1
+
+
+def test_backfill_then_stream_shares_one_index(spark, workdir):
+    """Bootstrap-then-stream: the batch backfill seeds the index
+    through the same code path as a micro-batch, and the stream then
+    drops near-copies of backfilled docs."""
+    from open_pulsar_spark.streaming.neardup_stream import (
+        backfill_index,
+        filter_batch_against_index,
+    )
+
+    idx = f"{workdir}/index"
+    schema = "doc_id LONG, text STRING"
+    base = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"zzz{i}" for i in range(40))
+
+    # seed corpus contains its own near-dup pair: only the lower id survives
+    n = backfill_index(
+        spark,
+        spark.createDataFrame([(1, base), (2, base + " extra"), (3, other)], schema),
+        idx,
+    )
+    assert n == 2
+
+    # a later "stream" batch: near-copy of seed doc 1 dropped, fresh kept
+    kept = filter_batch_against_index(
+        spark,
+        spark.createDataFrame([(10, base + " tail"), (11, "fresh " * 40)], schema),
+        idx,
+        epoch_id=0,
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [11]
