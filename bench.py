@@ -52,6 +52,8 @@ EXTRA = [
     "events_funnel_24h",
     "value_quantile_sketch",
     "corpus_source_drift",
+    "dedup_cluster_quality_pick",
+    "user_rolling_7d_purchases",
 ]
 
 HEADLINE = [

@@ -799,3 +799,81 @@ def snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_cluster_quality_pick — keep the BEST copy per near-dup cluster.
+# --------------------------------------------------------------------------
+def _quality_pick_oracle() -> str:
+    # reuse the EXACT quality formula from doc_quality_score's oracle so
+    # the two queries can never drift apart
+    from open_pulsar_spark.operators.text import _SW_SQL
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (SELECT u AS ldoc, min(v) AS cluster_rep FROM reach GROUP BY u),
+    q AS (SELECT doc_id,
+            0.4 * least(len(toks) / 100.0, 1.0)
+          + 0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
+          + 0.2 * least((len(list_filter(toks, x -> x IN {_SW_SQL})) * 1.0
+                         / len(toks)) / 0.1, 1.0) AS quality
+          FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)),
+    m AS (SELECT ldoc, cluster_rep, quality,
+                 row_number() OVER (PARTITION BY cluster_rep
+                                    ORDER BY quality DESC, ldoc) AS rk,
+                 count(*) OVER (PARTITION BY cluster_rep) AS n_members
+          FROM labels JOIN q ON q.doc_id = labels.ldoc)
+    SELECT cluster_rep, ldoc AS keep_doc_id,
+           round(quality, 6) AS keep_quality, n_members
+    FROM m WHERE rk = 1 ORDER BY cluster_rep
+    """
+
+
+@query("dedup_cluster_quality_pick", oracle=_quality_pick_oracle())
+def dedup_cluster_quality_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters again, but the survivor is the highest-QUALITY
+    member (ties → lowest doc_id), not the lowest id: the curation
+    policy a real pipeline wants — dedup keeps the best copy, and
+    min-id `dedup_clusters` is the degenerate case of this with a
+    constant quality.
+
+    Pure composition of two registered operators: the cluster labels
+    from dedup_clusters and the score from doc_quality_score join on
+    doc_id (one shuffle keyed by doc_id, one window keyed by cluster) —
+    at 100 TB both inputs are already-computed artifacts, so the pick
+    is a cheap join over cluster-cardinality rows.
+    """
+    from pyspark.sql import Window
+
+    from open_pulsar_spark.operators.text import doc_quality_score
+
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
+    quality = doc_quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    return (
+        labels.join(quality, "doc_id")
+        .select(
+            "cluster_rep",
+            "doc_id",
+            "quality",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(Window.partitionBy("cluster_rep")).alias("n_members"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.round("quality", 6).alias("keep_quality"),
+            "n_members",
+        )
+        .orderBy("cluster_rep")
+    )
