@@ -731,3 +731,52 @@ def test_backfill_then_stream_shares_one_index(spark, workdir):
         epoch_id=0,
     )
     assert sorted(r.doc_id for r in kept.collect()) == [11]
+
+
+def test_segment_store_edge_cases(spark, tmp_path):
+    """The shared segment protocol: uncommitted dirs are invisible,
+    empty-store compaction is a no-op, epoch overwrite cleans a
+    half-written segment."""
+    import os
+
+    from open_pulsar_spark.streaming.segments import (
+        compact_segments,
+        list_segments,
+        read_segments,
+        write_segment,
+    )
+
+    root = str(tmp_path / "store")
+    schema = "k LONG, v STRING"
+
+    # empty / missing root
+    assert list_segments(root) == []
+    assert read_segments(spark, root, schema) is None
+    assert compact_segments(spark, root, schema, ["k"], ["k"]) == 0
+
+    # an uncommitted (no _SUCCESS) dir must be invisible
+    os.makedirs(os.path.join(root, "epoch=9"))
+    with open(os.path.join(root, "epoch=9", "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert list_segments(root) == []
+
+    # epoch overwrite replaces the half-written dir and commits
+    df = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    seg = write_segment(df, root, epoch_id=9)
+    assert list_segments(root) == [seg]
+    assert read_segments(spark, root, schema).count() == 2
+
+    # committed epoch: second write is a no-op (rows unchanged)
+    write_segment(spark.createDataFrame([(99, "z")], schema), root, epoch_id=9)
+    assert read_segments(spark, root, schema).count() == 2
+
+    # backfill writes always land in fresh segments
+    write_segment(spark.createDataFrame([(3, "c")], schema), root, epoch_id=None)
+    assert read_segments(spark, root, schema).count() == 3
+
+    # compaction: one segment, deduped rows, sources gone
+    n = compact_segments(spark, root, schema, dedup_keys=["k"], cluster_cols=["k"])
+    assert n == 3
+    segs = list_segments(root)
+    assert len(segs) == 1 and "compact-" in segs[0]
+    assert read_segments(spark, root, schema).count() == 3
