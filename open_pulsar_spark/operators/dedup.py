@@ -441,7 +441,14 @@ def _propagate_labels_distributed(pairs: DataFrame) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    return labels
+    # hand back a lineage-truncated snapshot and release the loop's
+    # cache: the caller gets materialized data without this function
+    # pinning a node-cardinality cache for the session lifetime (the
+    # snapshot's blocks are reclaimed by the ContextCleaner when the
+    # caller drops the frame)
+    snap = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return snap
 
 
 # --------------------------------------------------------------------------
@@ -826,8 +833,12 @@ def _quality_pick_oracle() -> str:
                          / len(toks)) / 0.1, 1.0) AS quality
           FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)),
     m AS (SELECT ldoc, cluster_rep, quality,
+                 -- rank on the 6-dp ROUNDED quality: the Spark side
+                 -- composes doc_quality_score, whose output is rounded,
+                 -- so both engines must tie-break identically when two
+                 -- members round to the same value
                  row_number() OVER (PARTITION BY cluster_rep
-                                    ORDER BY quality DESC, ldoc) AS rk,
+                                    ORDER BY round(quality, 6) DESC, ldoc) AS rk,
                  count(*) OVER (PARTITION BY cluster_rep) AS n_members
           FROM labels JOIN q ON q.doc_id = labels.ldoc)
     SELECT cluster_rep, ldoc AS keep_doc_id,

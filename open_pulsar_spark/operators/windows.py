@@ -384,16 +384,19 @@ def user_rolling_7d_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-LTV / velocity-limit shape fraud and billing systems use.
 
     Spark's rangeBetween needs a numeric order key, so the frame runs
-    over unix SECONDS with a ±604800 bound — identical inclusive
-    boundary semantics to the oracle's INTERVAL frame. One shuffle on
-    user_id; the frame is computed in a single pass per partition
-    (Catalyst's sliding-frame aggregation), no self-join.
+    over unix MICROSECONDS (the module-wide convention — full timestamp
+    precision; unix_timestamp would truncate to seconds and let two
+    same-second purchases become frame peers the oracle separates)
+    with a ±7-days-in-µs bound — identical inclusive boundary
+    semantics to the oracle's INTERVAL frame. One shuffle on user_id;
+    the frame is computed in a single pass per partition (Catalyst's
+    sliding-frame aggregation), no self-join.
     """
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-7 * 86400, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
     )
     return (
         ev.where(F.col("event_type") == "purchase")

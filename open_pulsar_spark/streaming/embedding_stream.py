@@ -34,8 +34,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from open_pulsar_spark.streaming.segments import (
+    commit_survivors,
+    committed_ids,
     compact_segments,
     read_segments,
+    replay_exclusion,
     write_segment,
 )
 
@@ -58,15 +61,26 @@ def _tag_batch(batch: DataFrame) -> DataFrame:
     from open_pulsar_spark.operators.similarity import _block_norm, _buckets_of
 
     def tag(batches):
+        import numpy as np
+
         for pdf in batches:
             if pdf.empty:
                 continue
             _, raw, unit = _block_norm(pdf)
+            # a zero vector has no direction: its unit form is NaN and
+            # every cosine against it is NaN, which would silently
+            # bypass BOTH dedup checks (NaN >= t is false) — including
+            # cross-epoch redelivery of the same vec_id. Drop them at
+            # the door; an upstream encoder emitting zeros is bad input,
+            # not a new corpus vector.
+            ok = np.isfinite(unit).all(axis=1)
+            if not ok.any():
+                continue
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "bucket": _buckets_of(raw),
-                    "emb": list(unit),
+                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64")[ok],
+                    "bucket": _buckets_of(raw[ok]),
+                    "emb": list(unit[ok]),
                 }
             )
 
@@ -90,6 +104,10 @@ def filter_embeddings_against_index(
     vectors appended to the bucket index. Idempotent under epoch
     replay; survivors are read back from the written segment so the
     caller's sink never recomputes the tag/join pipeline."""
+    done = committed_ids(spark, index_path, epoch_id, _EMB_INDEX_SCHEMA, "vec_id")
+    if done is not None:
+        return done
+
     tagged = _tag_batch(batch.dropDuplicates(["vec_id"])).persist()
     tagged.count()  # pin before multi-consumer reads
 
@@ -106,13 +124,10 @@ def filter_embeddings_against_index(
             "bucket",
         )
         if epoch_id is not None:
-            # ignore only THIS epoch's own rows (replay); same-vec rows
-            # from other epochs are redeliveries → duplicates
+            # replay-after-compaction can still see this epoch's own
+            # rows — see segments.replay_exclusion
             cand = cand.where(
-                ~(
-                    (F.col("vec_id") == F.col("idx_vec_id"))
-                    & (F.col("idx_epoch") == F.lit(epoch_id))
-                )
+                replay_exclusion("vec_id", "idx_vec_id", "idx_epoch", epoch_id)
             )
         dup_vs_history = (
             cand.where(cos_hist >= threshold).select("vec_id").distinct()
@@ -133,7 +148,8 @@ def filter_embeddings_against_index(
     dups = dup_vs_history.unionAll(dup_in_batch).distinct()
     survivors = tagged.select("vec_id").join(dups, "vec_id", "left_anti")
 
-    seg = write_segment(
+    out = commit_survivors(
+        spark,
         tagged.join(survivors, "vec_id")
         .select("vec_id", "bucket", "emb")
         .withColumn(
@@ -142,11 +158,11 @@ def filter_embeddings_against_index(
         ),
         index_path,
         epoch_id,
+        _EMB_INDEX_SCHEMA,
+        "vec_id",
     )
     tagged.unpersist()
-    return (
-        spark.read.schema(_EMB_INDEX_SCHEMA).parquet(seg).select("vec_id").distinct()
-    )
+    return out
 
 
 def start_embedding_dedup_stream(

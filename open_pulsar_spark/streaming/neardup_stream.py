@@ -50,8 +50,11 @@ from open_pulsar_spark.operators.dedup import (
     _minhash_sigs,
 )
 from open_pulsar_spark.streaming.segments import (
+    commit_survivors,
+    committed_ids,
     compact_segments,
     read_segments,
+    replay_exclusion,
     write_segment,
 )
 
@@ -111,6 +114,12 @@ def filter_batch_against_index(
     index segment, so consuming them never re-executes the signature/
     join pipeline after the internal cache is released.
     """
+    # committed epoch: the segment already holds this step's result —
+    # skip the whole signature/join pipeline (crash-recovery replay)
+    done = committed_ids(spark, index_path, epoch_id, _INDEX_SCHEMA, "doc_id")
+    if done is not None:
+        return done
+
     # same-id rows in one delivery are the same document
     batch_docs = batch_docs.dropDuplicates(["doc_id"])
     sigs = _minhash_sigs(batch_docs).persist()
@@ -130,14 +139,10 @@ def filter_batch_against_index(
             ["band", "sig"],
         )
         if epoch_id is not None:
-            # ignore ONLY this epoch's own rows (replay artifact); a
-            # same-doc row written by ANY other epoch is a redelivery
-            # and must count as a duplicate
+            # replay-after-compaction can still see this epoch's own
+            # rows — see segments.replay_exclusion
             cand = cand.where(
-                ~(
-                    (F.col("doc_id") == F.col("idx_doc_id"))
-                    & (F.col("idx_epoch") == F.lit(epoch_id))
-                )
+                replay_exclusion("doc_id", "idx_doc_id", "idx_epoch", epoch_id)
             )
         hist_cand = cand.select("doc_id", "hs", "idx_doc_id", "idx_hs").distinct()
         dup_vs_history = _near_dup_of(hist_cand).select("doc_id").distinct()
@@ -162,7 +167,8 @@ def filter_batch_against_index(
     dups = dup_vs_history.unionAll(dup_in_batch).distinct()
     survivors = sigs.select("doc_id").join(dups, "doc_id", "left_anti")
 
-    seg = write_segment(
+    out = commit_survivors(
+        spark,
         bands.join(survivors, "doc_id")
         .select("doc_id", "band", "sig", "hs")
         .withColumn(
@@ -171,13 +177,11 @@ def filter_batch_against_index(
         ),
         index_path,
         epoch_id,
+        _INDEX_SCHEMA,
+        "doc_id",
     )
     sigs.unpersist()
-    # the write above is the materialization point; read survivors back
-    # so the caller's sink never recomputes the pipeline
-    return (
-        spark.read.schema(_INDEX_SCHEMA).parquet(seg).select("doc_id").distinct()
-    )
+    return out
 
 
 def backfill_index(spark: SparkSession, docs: DataFrame, index_path: str) -> int:

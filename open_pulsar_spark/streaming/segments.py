@@ -79,6 +79,47 @@ def write_segment(df: DataFrame, root: str, epoch_id: int | None) -> str:
     return seg
 
 
+def committed_ids(
+    spark: SparkSession, root: str, epoch_id: int | None, schema: str, id_col: str
+):
+    """Short-circuit for epoch replay: when the epoch's segment already
+    committed, its distinct ids ARE the step's result — callers return
+    them directly and skip recomputing the whole batch pipeline (the
+    common crash-recovery replay). None when not committed / no epoch."""
+    if epoch_id is None:
+        return None
+    seg, committed = segment_path(root, epoch_id)
+    if not committed:
+        return None
+    return spark.read.schema(schema).parquet(seg).select(id_col).distinct()
+
+
+def commit_survivors(
+    spark: SparkSession, rows: DataFrame, root: str, epoch_id: int | None, schema: str, id_col: str
+) -> DataFrame:
+    """Write a step's surviving rows as their segment and read the ids
+    back from it — the write is the materialization point, so consuming
+    the returned frame never re-executes the producing plan."""
+    seg = write_segment(rows, root, epoch_id)
+    return spark.read.schema(schema).parquet(seg).select(id_col).distinct()
+
+
+def replay_exclusion(id_col: str, idx_id_col: str, idx_epoch_col: str, epoch_id: int):
+    """History-join predicate that drops ONLY the current epoch's own
+    index rows. Needed even with the committed-epoch short-circuit:
+    after compaction, an epoch's rows live (epoch-tagged) inside a
+    compact segment while its own segment dir is gone — a replay then
+    recomputes and WOULD self-match at similarity 1.0 without this.
+    A same-id row written by any OTHER epoch is a redelivery and must
+    still count as a duplicate."""
+    from pyspark.sql import functions as F
+
+    return ~(
+        (F.col(id_col) == F.col(idx_id_col))
+        & (F.col(idx_epoch_col) == F.lit(epoch_id))
+    )
+
+
 def compact_segments(
     spark: SparkSession,
     root: str,

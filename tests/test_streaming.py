@@ -780,3 +780,26 @@ def test_segment_store_edge_cases(spark, tmp_path):
     segs = list_segments(root)
     assert len(segs) == 1 and "compact-" in segs[0]
     assert read_segments(spark, root, schema).count() == 3
+
+
+def test_zero_norm_embedding_is_dropped_at_the_door(spark, workdir):
+    """An all-zeros embedding (encoder failure) must not poison the
+    stream: it is dropped at tagging (its unit form is NaN and NaN
+    cosines would bypass every dedup check)."""
+    from open_pulsar_spark.streaming.embedding_stream import (
+        filter_embeddings_against_index,
+        read_embedding_index,
+    )
+
+    dim = 64
+    good = [0.0] * dim
+    good[0] = 1.0
+    zero = [0.0] * dim
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>"
+    idx = f"{workdir}/idx"
+
+    kept = filter_embeddings_against_index(
+        spark, spark.createDataFrame([(1, good), (2, zero)], schema), idx, epoch_id=0
+    )
+    assert [r.vec_id for r in kept.collect()] == [1]
+    assert read_embedding_index(spark, idx).count() == 1
