@@ -104,6 +104,7 @@ def filter_batch_against_index(
     batch_docs: DataFrame,
     index_path: str,
     epoch_id: int | None = None,
+    max_band_collisions: int | None = None,
 ) -> DataFrame:
     """One micro-batch step: returns surviving docs (doc_id) and
     writes their band rows to the index. Pure function of (batch,
@@ -113,6 +114,15 @@ def filter_batch_against_index(
     docstring). The returned survivors are READ BACK from the written
     index segment, so consuming them never re-executes the signature/
     join pipeline after the internal cache is released.
+
+    `max_band_collisions` is the hot-bucket guard SCALE.md describes:
+    an INDEX band signature shared by more than this many docs is
+    excluded from candidate generation, bounding the join fan-out per
+    batch doc at the cost of missing near-dups detectable only through
+    a degenerate bucket (in practice: boilerplate/junk signatures —
+    the content a quality filter drops anyway). Off (None) by default;
+    at 100 TB set it to a high percentile of bucket sizes. The
+    within-batch check is NOT capped — a batch is already bounded.
     """
     # committed epoch: the segment already holds this step's result —
     # skip the whole signature/join pipeline (crash-recovery replay)
@@ -127,6 +137,14 @@ def filter_batch_against_index(
     bands = _bands_of(sigs)
 
     index = read_index(spark, index_path)
+    if index is not None and max_band_collisions is not None:
+        hot = (
+            index.groupBy("band", "sig")
+            .count()
+            .where(F.col("count") > max_band_collisions)
+            .select("band", "sig")
+        )
+        index = index.join(hot, ["band", "sig"], "left_anti")
     if index is not None:
         cand = bands.join(
             index.select(

@@ -803,3 +803,42 @@ def test_zero_norm_embedding_is_dropped_at_the_door(spark, workdir):
     )
     assert [r.vec_id for r in kept.collect()] == [1]
     assert read_embedding_index(spark, idx).count() == 1
+
+
+def test_hot_bucket_cap_bounds_candidate_generation(spark, workdir):
+    """The max_band_collisions guard: an index band signature shared by
+    more docs than the cap stops generating candidates (bounded join
+    fan-out), at the documented cost of missing matches through that
+    bucket; uncapped behavior is unchanged."""
+    from open_pulsar_spark.streaming.neardup_stream import (
+        filter_batch_against_index,
+    )
+
+    schema = "doc_id LONG, text STRING"
+    base = " ".join(f"tok{i}" for i in range(40))
+
+    # uncapped control: the near-copy is caught against the index
+    idx1 = f"{workdir}/idx1"
+    filter_batch_against_index(
+        spark, spark.createDataFrame([(1, base)], schema), idx1
+    )
+    caught = filter_batch_against_index(
+        spark, spark.createDataFrame([(10, base + " x")], schema), idx1, epoch_id=0
+    )
+    assert caught.count() == 0
+
+    # capped: doc 1's band signatures sit in buckets of size 1, so a
+    # cap of 0 excludes them all and the near-copy sails through —
+    # the documented trade, made observable
+    idx2 = f"{workdir}/idx2"
+    filter_batch_against_index(
+        spark, spark.createDataFrame([(1, base)], schema), idx2
+    )
+    missed = filter_batch_against_index(
+        spark,
+        spark.createDataFrame([(10, base + " x")], schema),
+        idx2,
+        epoch_id=0,
+        max_band_collisions=0,
+    )
+    assert sorted(r.doc_id for r in missed.collect()) == [10]
