@@ -128,12 +128,27 @@ def compare(name: str, spark, con, sf_dir: str, qfn, sql: str | None) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from open_pulsar_spark import get_spark, registry
 
-    spark = get_spark("verify-oracle")
+    if vanilla:
+        # replicate the DRIVER's environment: a session with none of
+        # get_spark's confs — proves every load-bearing setting is
+        # applied at read time (tables.load_table), not assumed
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("verify-oracle-vanilla")
+            .master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("verify-oracle")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)
 
