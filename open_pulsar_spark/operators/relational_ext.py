@@ -1,0 +1,537 @@
+"""L1 relational core, part 2 — the remaining TPC-H query shapes
+expressible on the driver's schema.
+
+The driver's star schema omits `partsupp` and lineitem's
+commit/receipt dates, so the classic queries needing them (Q2, Q11,
+Q16, Q20, Q21) have no faithful form; every other TPC-H shape is
+here, adapted to the columns that exist (adaptations noted per
+query). Together with relational.py (Q1/Q3/Q5/Q7/Q9/Q10) this
+completes the TPC-H subset the schema can express.
+
+Same ground rules as relational.py: Catalyst-native DataFrame code
+only, no Python UDFs; money sums rounded identically on both sides;
+dims broadcast; fact-fact joins shuffle on their natural bucket keys.
+
+Reference parity: the reference has no relational surface at all
+(SURVEY.md §2.3 documents the gap); these queries exist for the
+driver's oracle gate and to prove the relational completeness the
+north star asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_pulsar_spark.registry import query
+from open_pulsar_spark.tables import load_table
+
+
+def _money(col):
+    return F.round(F.sum(col), 2)
+
+
+# --------------------------------------------------------------------------
+# q4_priority_late_orders — TPC-H Q4 shape: EXISTS semi-join → priority agg.
+# Adapted: "late" = shipped more than 30 days after the order date (the
+# schema has no commitdate); window = orders placed in 1996-Q3.
+# --------------------------------------------------------------------------
+@query(
+    "q4_priority_late_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking: how many orders in one quarter had at
+    least one line item shipped >30 days after ordering.
+
+    Scale: the EXISTS compiles to a LEFT SEMI join on orderkey — the
+    natural bucket key for both facts, so a bucketed layout makes this
+    shuffle-free; the quarter filter prunes orders at the scan.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q6_forecast_revenue — TPC-H Q6: pure scan-filter-agg, the pushdown probe.
+# --------------------------------------------------------------------------
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change: one scan, every predicate pushed to
+    parquet (shipdate/discount/quantity are all scan-level filters),
+    4-column ReadSchema, single partial-agg row per partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(_money(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# q8_market_share — TPC-H Q8 shape: snowflake join + conditional-share agg.
+# Adapted: target nation's share of PROMO-part revenue sold into ASIA,
+# by order year (schema keeps supplier nation; customer region = ASIA).
+# --------------------------------------------------------------------------
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH all_nations AS (
+        SELECT year(o_orderdate)::BIGINT AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'CHINA' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share: CHINA's fraction of PROMO-part revenue
+    sold to ASIA customers, per order year.
+
+    Scale: part (filtered to one type), supplier⋈nation, and
+    nation⋈region all broadcast; the two big shuffles are
+    lineitem⋈orders (orderkey) and ⋈customer (custkey). The share is
+    one conditional-sum pass — no second join against a totals table.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    asia_cust = customer.join(
+        F.broadcast(asia_nations), customer.c_nationkey == F.col("cn_key"), "left_semi"
+    ).select("c_custkey")
+
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rows = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            volume.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        rows.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "CHINA", F.col("volume")).otherwise(F.lit(0.0)))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# q13_customer_distribution — TPC-H Q13: outer join → two-level agg.
+# Adapted: the excluded-comment predicate becomes an order-priority filter.
+# --------------------------------------------------------------------------
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution, zero-order customers included
+    (the LEFT join is load-bearing: an inner join silently drops them).
+
+    Scale: first agg shuffles on custkey (orders' natural secondary
+    key), second agg's key space is tiny (max orders per customer).
+    count(o_orderkey) counts only matched rows — exactly the SQL
+    semantics of counting a nullable column.
+    """
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q14_promo_revenue — TPC-H Q14: join + conditional-share, one month.
+# --------------------------------------------------------------------------
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect: PROMO parts' percentage of one month's
+    revenue.
+
+    Scale: part is a dimension → broadcast into the month-pruned
+    lineitem scan; single conditional-sum agg, no shuffle of lineitem
+    beyond the final single-row reduce.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q15_top_supplier — TPC-H Q15: quarterly supplier revenue view → argmax.
+# --------------------------------------------------------------------------
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by one quarter's revenue (ties all returned).
+
+    Scale: revenue agg shuffles lineitem once on suppkey; the max is a
+    rank-1 window over the (supplier-cardinality) aggregate — no second
+    scan and no scalar-subquery recompute. Revenue is rounded BEFORE
+    the argmax on both sides so a double ULP can't pick different
+    winners.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    ranked = revenue.withColumn(
+        "rnk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
+    ).where(F.col("rnk") == 1)
+    return (
+        ranked.join(F.broadcast(supplier), ranked.supplier_no == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q17_small_quantity_revenue — TPC-H Q17: per-part avg → correlated filter.
+# --------------------------------------------------------------------------
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = part.p_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue for one brand (what revenue would
+    be lost by refusing sub-20%-of-average orders).
+
+    Scale: the correlated subquery is decorrelated by hand — per-part
+    averages are an aggregate over lineitem restricted via broadcast
+    semi-join to the brand's parts (tiny), then broadcast back against
+    the same restricted scan. Lineitem is never shuffled on partkey.
+    """
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    per_part = brand_li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(per_part.withColumnRenamed("l_partkey", "pp_key")),
+            brand_li.l_partkey == F.col("pp_key"),
+        )
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q18_large_volume_customers — TPC-H Q18: HAVING-filtered agg → join → topk.
+# --------------------------------------------------------------------------
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 180
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum_qty, 2) AS sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (total quantity > 180) with their customers,
+    top-100 by order value.
+
+    Scale: the quantity agg shuffles lineitem on orderkey; the HAVING
+    cuts it to a sliver before the orders join (orderkey again — co
+    -partitioned, no extra exchange under bucketing); customer join is
+    a broadcast of the sliver side. Top-k is TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .where(F.col("raw_qty") > 180)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("raw_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q19_disjunctive_revenue — TPC-H Q19: OR-of-ANDs predicate join.
+# --------------------------------------------------------------------------
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue for three brand/size/quantity baskets — the
+    classic OR-of-ANDs predicate that tests disjunction handling.
+
+    Scale: part prunes to the three brands via a derived top-level
+    disjunct (Catalyst extracts `p_brand IN (...)` as a common factor
+    and pushes it to the part scan); part broadcasts; the residual
+    disjunction evaluates post-join, one pass, no shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & (q >= 20) & (q <= 30))
+    )
+    return joined.where(cond).agg(
+        _money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# q22_idle_customers — TPC-H Q22 shape: scalar-subquery threshold + anti join.
+# Adapted: the phone-prefix country filter becomes a nation-key set, and
+# "never ordered" becomes "no order since 2000-01-01" (every customer in
+# the driver's synthetic data has at least one lifetime order, so the
+# literal Q22 anti-join is vacuously empty — recency keeps the shape AND
+# a non-trivial result).
+# --------------------------------------------------------------------------
+@query(
+    "q22_idle_customers",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 5, 9, 13, 17, 21)
+      AND c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer
+        WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 5, 9, 13, 17, 21)
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity: well-funded customers from six nations
+    with no recent (2000+) orders.
+
+    Scale: the scalar average is one tiny agg broadcast as a literal
+    join (crossJoin of a 1-row frame — the allowlisted pattern); the
+    no-orders test is a LEFT ANTI join on custkey. Customer is the only
+    table scanned twice, both scans nation-pruned at parquet level.
+    """
+    nations = [1, 5, 9, 13, 17, 21]
+    customer = load_table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(nations)
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = customer.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("bal_cut")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("bal_cut"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -49,6 +49,7 @@ def load_all() -> None:
         dedup,
         multimodal,
         relational,
+        relational_ext,
         similarity,
         sketch,
         skew,

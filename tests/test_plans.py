@@ -125,6 +125,7 @@ _NESTED_LOOP_ALLOWED = {
     "doc_unigram_logprob",       # 1-row corpus total, broadcast
     "backoff_schedule",          # 2-row constant rate_limited frame
     "dedup_ngram_jaccard",       # bounded-slice brute-force baseline
+    "q22_idle_customers",        # 1-row scalar avg threshold, broadcast
 }
 
 
