@@ -667,3 +667,44 @@ def events_funnel_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(level(3, "purchase", s3))
         .orderBy("step")
     )
+
+
+# --------------------------------------------------------------------------
+# events_transition_matrix — per-user event-type bigrams (Markov counts).
+# --------------------------------------------------------------------------
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, count(*) AS transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts (the Markov chain a session
+    simulator or anomaly detector is fit on): for each user's
+    time-ordered stream, count consecutive (event_type → next) pairs.
+
+    Scale: one shuffle on user_id for the lead() window (event_id
+    breaks timestamp ties deterministically in both engines), then a
+    tiny (types × types) aggregate. At 100 TB the window is the classic
+    sessionization shuffle — bucketing events by user_id makes it
+    exchange-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    return (
+        seq.groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("transitions"))
+        .orderBy("event_type", "next_type")
+    )

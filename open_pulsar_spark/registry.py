@@ -45,6 +45,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from open_pulsar_spark.operators import (  # noqa: F401
         analytics,
+        clustering,
         curation,
         dedup,
         multimodal,
