@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from open_pulsar_spark.registry import query
-from open_pulsar_spark.tables import load_table
+from open_pulsar_spark.tables import load_table, widen_for_kernel
 
 MINHASH_K = 12
 LSH_BANDS = 4
@@ -162,7 +162,9 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
 
-    return docs.select("doc_id", "text").mapInPandas(fn, _SIGS_SCHEMA)
+    return widen_for_kernel(docs.select("doc_id", "text")).mapInPandas(
+        fn, _SIGS_SCHEMA
+    )
 
 
 _HASHED_SQL = """
@@ -549,11 +551,9 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             if out_ids:
                 yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
 
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .mapInPandas(fn, "doc_id long, simhash long")
-    )
+    return widen_for_kernel(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).mapInPandas(fn, "doc_id long, simhash long")
 
 
 # --------------------------------------------------------------------------

@@ -125,6 +125,10 @@ def extract_features(df: DataFrame) -> DataFrame:
                 }
             )
 
+    # NOT widened: callers pass mid-pipeline frames (decode chains), and
+    # a widen there forces AQE to materialize the upstream stages just
+    # to count partitions — measured 1.4s → 4.7s+ at sf0.1. Widening is
+    # for scan-level inputs of heavy kernels only (see dedup.py).
     return df.mapInPandas(fn, FEATURE_SCHEMA)
 
 

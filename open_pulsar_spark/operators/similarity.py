@@ -124,6 +124,11 @@ def _topk_block(qid: int, cand_ids: np.ndarray, cos: np.ndarray) -> pd.DataFrame
 def _scan_scored(
     spark: SparkSession, sf_dir: str, fn, schema="query_id LONG, neighbor_id LONG, cos DOUBLE"
 ) -> DataFrame:
+    # NOT widened: the embedding scan is a numpy-matmul kernel whose
+    # per-row cost is tiny — measured A/B at sf0.1 shows the extra
+    # exchange + AQE stage costs more than the added parallelism buys
+    # (0.72s → 0.86s). The text-hash kernels in dedup.py are the
+    # opposite case and do widen.
     corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return corpus.mapInPandas(fn, schema)
 
