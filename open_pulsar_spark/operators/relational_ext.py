@@ -535,3 +535,68 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# user_day_activity_fulljoin — FULL OUTER join (the one join shape the
+# rest of the suite didn't exercise), with genuinely unmatched keys on
+# both sides.
+# --------------------------------------------------------------------------
+@query(
+    "user_day_activity_fulljoin",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day,
+               count(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day,
+               count(*) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    )
+    SELECT user_id, day,
+           CASE WHEN n_purchases IS NULL THEN 'error_only'
+                WHEN n_errors    IS NULL THEN 'purchase_only'
+                ELSE 'both' END      AS presence,
+           coalesce(n_purchases, 0) AS n_purchases,
+           coalesce(n_errors, 0)    AS n_errors
+    FROM p FULL OUTER JOIN e USING (user_id, day)
+    ORDER BY user_id, day
+    """,
+)
+def user_day_activity_fulljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) purchase vs error activity, FULL OUTER joined:
+    days with only errors, only purchases, or both all survive, each
+    row classified by which side was present.
+
+    Scale: both aggregates and the join share the (user_id, day)
+    shuffle key, so AQE reuses one exchange per side; the full-outer
+    join is a plain shuffled hash join — no broadcast (neither side is
+    a dimension) and no fallback to nested-loop.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+
+    def side(event_type: str, out: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == event_type)
+            .groupBy("user_id", day.alias("day"))
+            .agg(F.count("*").alias(out))
+        )
+
+    p, e = side("purchase", "n_purchases"), side("error", "n_errors")
+    return (
+        p.join(e, ["user_id", "day"], "full_outer")
+        .select(
+            "user_id",
+            "day",
+            F.when(F.col("n_purchases").isNull(), "error_only")
+            .when(F.col("n_errors").isNull(), "purchase_only")
+            .otherwise("both")
+            .alias("presence"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        )
+        .orderBy("user_id", "day")
+    )

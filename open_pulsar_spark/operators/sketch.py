@@ -219,3 +219,108 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p", "est", "exact", F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"))
         .orderBy("p")
     )
+
+
+# --------------------------------------------------------------------------
+# shingle_cms_heavy_hitters — count-min sketch + exact-count error harness.
+# --------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP = 20
+
+# depth-seeded 60-bit md5 slot, identical in Spark and DuckDB: the item
+# is salted with its depth index so the d rows are independent hashes.
+_CMS_SLOT_SPARK = (
+    "cast(conv(substring(md5(concat(cast(d as string), '|', t)), 1, 15), 16, 10)"
+    f" as bigint) % {CMS_WIDTH}"
+)
+_CMS_SLOT_SQL = (
+    "('0x' || substr(md5(d::VARCHAR || '|' || {item}), 1, 15))::BIGINT"
+    f" % {CMS_WIDTH}"
+)
+
+
+@query(
+    "shingle_cms_heavy_hitters",
+    oracle=f"""
+    WITH shingled AS (
+        SELECT doc_id,
+               list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                              for i in range(1, len(toks) - 1)]) AS sh
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    tok AS (SELECT unnest(sh) AS t FROM shingled),
+    counts AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    top AS (SELECT t, c FROM counts ORDER BY c DESC, t LIMIT {CMS_TOP}),
+    depths AS (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d),
+    slots AS (
+        SELECT d, {_CMS_SLOT_SQL.format(item="t")} AS slot, count(*) AS cnt
+        FROM tok CROSS JOIN depths
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT top.t, top.c, min(s.cnt) AS c_cms
+        FROM top CROSS JOIN depths dd
+        JOIN slots s ON s.d = dd.d
+                    AND s.slot = ('0x' || substr(md5(dd.d::VARCHAR || '|' || top.t), 1, 15))::BIGINT % {CMS_WIDTH}
+        GROUP BY top.t, top.c
+    )
+    SELECT t AS shingle, c AS n_exact, c_cms::BIGINT AS n_cms,
+           round((c_cms - c) * 1.0 / c, 6) AS rel_overcount
+    FROM est
+    ORDER BY n_exact DESC, shingle
+    """,
+)
+def shingle_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus's (per-doc distinct) shingle
+    stream, read back at the true top-20 shingles next to their exact
+    counts and the sketch's relative overcount.
+
+    KMV (above) answers "how many distinct"; CMS answers "how often" —
+    the other mergeable frequency primitive a 100 TB profile layer
+    needs. The sketch is a (depth × width) counter grid: each
+    occurrence increments one counter per depth row (depth-salted
+    hash), a point estimate is the min over its depth counters —
+    always an OVERcount (collisions only add), which the harness makes
+    observable per item.
+
+    Scale: the counter build is one aggregate whose key space is
+    depth × width (4096 cells) regardless of corpus size — classic
+    map-side partial aggregation, mergeable across datasets/days by
+    plain cell-wise sum. The top-k read-back joins a {CMS_TOP}-row
+    broadcast against the 4096-cell grid.
+    """
+    from open_pulsar_spark.operators.dedup import _shingled_of
+
+    tok = _shingled_of(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(F.explode("sh").alias("t"))
+
+    depth_col = F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("d")
+    slots = (
+        tok.select("t", depth_col)
+        .select("d", F.expr(_CMS_SLOT_SPARK).alias("slot"))
+        .groupBy("d", "slot")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    counts = tok.groupBy("t").agg(F.count("*").alias("c"))
+    top = counts.orderBy(F.desc("c"), "t").limit(CMS_TOP)
+    probes = top.select("t", "c", depth_col).select(
+        "t", "c", "d", F.expr(_CMS_SLOT_SPARK).alias("slot")
+    )
+    est = (
+        F.broadcast(probes)
+        .join(slots, ["d", "slot"])
+        .groupBy("t", "c")
+        .agg(F.min("cnt").alias("c_cms"))
+    )
+    return est.select(
+        F.col("t").alias("shingle"),
+        F.col("c").alias("n_exact"),
+        F.col("c_cms").cast("bigint").alias("n_cms"),
+        F.round((F.col("c_cms") - F.col("c")) * 1.0 / F.col("c"), 6).alias(
+            "rel_overcount"
+        ),
+    ).orderBy(F.desc("n_exact"), "shingle")
