@@ -63,3 +63,19 @@ def test_bigint_ts_rescaled_only_when_parquet_declares_nanos(spark, tmp_path):
     out2 = _normalize_timestamps(df2, _parquet_nanos_columns(p_int))
     assert dict(out2.dtypes)["ts"] == "bigint"
     assert out2.first().ts == us
+
+
+def test_widen_for_kernel_raises_narrow_scans(spark):
+    from open_pulsar_spark.tables import load_table, widen_for_kernel
+
+    narrow = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    widened = widen_for_kernel(narrow)
+    target = spark.sparkContext.defaultParallelism
+    assert widened.rdd.getNumPartitions() >= min(
+        target, narrow.rdd.getNumPartitions() + 1
+    ) or narrow.rdd.getNumPartitions() >= target
+    # already-wide frames pass through untouched (no extra exchange)
+    wide = narrow.repartition(target)
+    assert widen_for_kernel(wide) is wide
