@@ -708,3 +708,46 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("transitions"))
         .orderBy("event_type", "next_type")
     )
+
+
+# --------------------------------------------------------------------------
+# events_cumulative_users — running distinct-user count via first-seen.
+# --------------------------------------------------------------------------
+@query(
+    "events_cumulative_users",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('hour', ts))::TIMESTAMP AS first_hour
+        FROM events GROUP BY user_id
+    ),
+    hourly AS (SELECT first_hour AS hour, count(*) AS new_users
+               FROM firsts GROUP BY first_hour)
+    SELECT hour, new_users,
+           sum(new_users) OVER (ORDER BY hour)::BIGINT AS cumulative_users
+    FROM hourly ORDER BY hour
+    """,
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly new-user and cumulative distinct-user counts.
+
+    The naive formulation — count(DISTINCT user_id) over an expanding
+    time window — rescans the whole history per bucket and shuffles
+    the full user set into every frame. The first-seen rewrite is the
+    scale form: one user_id aggregate (each user contributes exactly
+    one first_hour row), a tiny per-hour count, and a running sum over
+    an hours-cardinality frame. Distinct-over-expanding-window becomes
+    sum-over-buckets — O(users) shuffle total, not O(users × buckets).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("first_hour")
+    )
+    hourly = firsts.groupBy(F.col("first_hour").alias("hour")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return hourly.select(
+        "hour",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    ).orderBy("hour")

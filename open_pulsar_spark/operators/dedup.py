@@ -888,3 +888,91 @@ def dedup_cluster_quality_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_rep")
     )
+
+
+# --------------------------------------------------------------------------
+# doc_containment_pairs — asymmetric containment over LSH candidates.
+# --------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "doc_containment_pairs",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           round(len(list_intersect(x.hs, y.hs)) * 1.0 / len(x.hs), 6) AS a_in_b,
+           round(len(list_intersect(x.hs, y.hs)) * 1.0 / len(y.hs), 6) AS b_in_a
+    FROM cand c
+    JOIN hsets x ON c.a_id = x.doc_id
+    JOIN hsets y ON c.b_id = y.doc_id
+    WHERE len(list_intersect(x.hs, y.hs)) * 1.0 / len(x.hs)
+              >= {CONTAINMENT_THRESHOLD}
+       OR len(list_intersect(x.hs, y.hs)) * 1.0 / len(y.hs)
+              >= {CONTAINMENT_THRESHOLD}
+    ORDER BY a_id, b_id
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT (|A∩B|/|A|, both directions) over the
+    same LSH candidate pairs the Jaccard dedup verifies — the
+    quote/subset detector: a short doc embedded in a long one scores
+    high containment but low Jaccard, so symmetric dedup misses it.
+
+    Scale: identical shape to dedup_minhash_lsh (map-only signatures →
+    band equi-join → sketch-intersect verify on candidates only); the
+    only change is the verify predicate, so the 100 TB posture is
+    inherited. Candidates whose high-containment side is the SHORT doc
+    are exactly the ones a symmetric threshold filters out.
+    """
+    sigs = _minhash_sigs(load_table(spark, sf_dir, "documents")).persist()
+    sigs.count()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+                        ).alias("sig"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    x = sigs.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("hs_a"))
+    y = sigs.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    a_in_b = inter * F.lit(1.0) / F.size("hs_a")
+    b_in_a = inter * F.lit(1.0) / F.size("hs_b")
+    return (
+        cand.join(x, "a_id")
+        .join(y, "b_id")
+        .where(
+            (a_in_b >= CONTAINMENT_THRESHOLD) | (b_in_a >= CONTAINMENT_THRESHOLD)
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(a_in_b, 6).alias("a_in_b"),
+            F.round(b_in_a, 6).alias("b_in_a"),
+        )
+        .orderBy("a_id", "b_id")
+    )
