@@ -54,6 +54,23 @@ EXTRA = [
     "corpus_source_drift",
     "dedup_cluster_quality_pick",
     "user_rolling_7d_purchases",
+    # round-3 additions
+    "q4_priority_late_orders",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "kmeans_embeddings",
+    "events_transition_matrix",
+    "events_cumulative_users",
+    "user_day_activity_fulljoin",
+    "shingle_cms_heavy_hitters",
+    "doc_containment_pairs",
 ]
 
 HEADLINE = [

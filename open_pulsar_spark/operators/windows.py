@@ -407,3 +407,63 @@ def user_rolling_7d_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# user_activity_islands — gaps-and-islands: contiguous active-day runs.
+# --------------------------------------------------------------------------
+@query(
+    "user_activity_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts)::TIMESTAMP AS day
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, day,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM days
+    ),
+    grouped AS (
+        SELECT user_id, day,
+               day - to_days((rn)::INTEGER) AS grp
+        FROM numbered
+    )
+    SELECT user_id,
+           min(day)  AS island_start,
+           max(day)  AS island_end,
+           count(*)  AS n_days
+    FROM grouped
+    GROUP BY user_id, grp
+    ORDER BY user_id, island_start
+    """,
+)
+def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days
+    (start, end, length) — the classic streak/churn-gap analysis.
+
+    The day-minus-rownumber trick makes every contiguous run share one
+    constant group key, so islands fall out of a plain aggregate: one
+    shuffle on user_id for the row_number, then a (user, grp) agg that
+    reuses the same partitioning. No self-join, no iteration — the
+    naive "join each day to the previous day" formulation is quadratic
+    in streak length and shuffles per step.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    grouped = days.withColumn(
+        "grp", F.expr("day - make_interval(0, 0, 0, row_number() over "
+                      "(partition by user_id order by day))")
+    )
+    return (
+        grouped.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("island_start"),
+            F.max("day").alias("island_end"),
+            F.count("*").alias("n_days"),
+        )
+        .drop("grp")
+        .orderBy("user_id", "island_start")
+    )
