@@ -291,11 +291,34 @@ def shingle_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain cell-wise sum. The top-k read-back joins a {CMS_TOP}-row
     broadcast against the 4096-cell grid.
     """
-    from open_pulsar_spark.operators.dedup import _shingled_of
+    import pandas as pd
 
-    tok = _shingled_of(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).select(F.explode("sh").alias("t"))
+    from open_pulsar_spark.operators.dedup import _py_shingles
+    from open_pulsar_spark.tables import widen_for_kernel
+
+    # Shingle via the same Arrow kernel path as the dedup signatures —
+    # the interpreted JVM higher-order transform costs seconds per
+    # million shingles (see dedup._minhash_sigs), and this query needs
+    # the stream TWICE (counter build + exact counts), so it is
+    # computed once into a cached string column.
+    def fn(batches):
+        for pdf in batches:
+            out: list[str] = []
+            for text in pdf["text"]:
+                sh = _py_shingles(text)
+                if sh is not None:
+                    out.extend(sh)
+            if out:
+                yield pd.DataFrame({"t": out})
+
+    tok = (
+        widen_for_kernel(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        .mapInPandas(fn, "t string")
+        .persist()
+    )
+    tok.count()  # pin before the two consumers below
 
     depth_col = F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("d")
     slots = (
