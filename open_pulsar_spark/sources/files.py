@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-BATCH_FORMATS = ("parquet", "csv", "json", "text")
+BATCH_FORMATS = ("parquet", "orc", "csv", "json", "text")
 
 
 class SchemaDriftError(ValueError):
@@ -41,8 +41,8 @@ def read_batch(
 ) -> DataFrame:
     """Read a batch dataset with a declared schema.
 
-    parquet carries its own schema (the declared one, when given, acts
-    as the read contract — missing columns fail via check_schema);
+    parquet/orc carry their own schema (the declared one, when given,
+    acts as the read contract — missing columns fail via check_schema);
     csv/json REQUIRE a schema: inference is an extra data pass and a
     correctness hazard. text yields one `value` column per line (the
     log-tail shape).

@@ -115,3 +115,27 @@ def test_text_format_reads_lines(spark, tmp_path):
         f.write("line one\nline two\n")
     df = read_batch(spark, p, "text")
     assert sorted(r.value for r in df.collect()) == ["line one", "line two"]
+
+
+def test_orc_roundtrip_with_schema_contract(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from open_pulsar_spark.sources.files import SchemaDriftError, read_batch
+
+    path = str(tmp_path / "orc")
+    spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", 3.0)], "id long, name string, extra double"
+    ).write.orc(path)
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    out = read_batch(spark, path, "orc", schema)
+    # declared projection, declared order, extras pruned
+    assert out.columns == ["id", "name"]
+    assert {r.id for r in out.collect()} == {1, 2}
+    missing = StructType(schema.fields + [StructField("absent", LongType())])
+    try:
+        read_batch(spark, path, "orc", missing)
+        raise AssertionError("expected SchemaDriftError")
+    except SchemaDriftError:
+        pass
