@@ -71,6 +71,8 @@ EXTRA = [
     "user_day_activity_fulljoin",
     "shingle_cms_heavy_hitters",
     "doc_containment_pairs",
+    "user_activity_islands",
+    "ann_ivf_kmeans",
 ]
 
 HEADLINE = [

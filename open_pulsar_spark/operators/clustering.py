@@ -87,21 +87,22 @@ def _update(qdf: DataFrame, cents: list[tuple[int, list[int]]]):
     return sorted((cid, [dims[i] for i in range(DIM)]) for cid, dims in acc.items())
 
 
-def _kmeans_oracle() -> str:
-    zip_dist = "list_sum(list_transform(list_zip(v.q, c.c), p -> (p[1]-p[2])*(p[1]-p[2])))"
+_ZIP_DIST = "list_sum(list_transform(list_zip(v.q, c.c), p -> (p[1]-p[2])*(p[1]-p[2])))"
 
-    def assign_cte(name: str, cent: str) -> str:
-        return f"""
+
+def _assign_cte(name: str, cent: str) -> str:
+    return f"""
     {name} AS (
         SELECT vec_id, q, cid, CAST(dist AS BIGINT) AS sq_dist FROM (
-            SELECT v.vec_id, v.q, c.cid, {zip_dist} AS dist,
+            SELECT v.vec_id, v.q, c.cid, {_ZIP_DIST} AS dist,
                 row_number() OVER (PARTITION BY v.vec_id
-                                   ORDER BY {zip_dist}, c.cid) AS rn
+                                   ORDER BY {_ZIP_DIST}, c.cid) AS rn
             FROM q v CROSS JOIN {cent} c) WHERE rn = 1
     )"""
 
-    def update_cte(name: str, assigned: str) -> str:
-        return f"""
+
+def _update_cte(name: str, assigned: str) -> str:
+    return f"""
     {name} AS (
         SELECT cid, list(cval ORDER BY dim) AS c FROM (
             SELECT a.cid, dims.dim,
@@ -113,19 +114,26 @@ def _kmeans_oracle() -> str:
         GROUP BY cid
     )"""
 
-    return f"""
-    WITH q AS (
+
+# The CTE chain (quantize → seed → 2 Lloyd rounds → final assign a2)
+# shared by the kmeans oracle and the IVF oracle below.
+_KMEANS_CTES = f"""q AS (
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5) AS BIGINT)) AS q
         FROM embeddings
     ),
     c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < {K}),
-    {assign_cte("a0", "c0")},
-    {update_cte("c1", "a0")},
-    {assign_cte("a1", "c1")},
-    {update_cte("c2", "a1")},
-    {assign_cte("a2", "c2")}
+    {_assign_cte("a0", "c0")},
+    {_update_cte("c1", "a0")},
+    {_assign_cte("a1", "c1")},
+    {_update_cte("c2", "a1")},
+    {_assign_cte("a2", "c2")}"""
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+    WITH {_KMEANS_CTES}
     SELECT vec_id, cid::BIGINT AS cluster, sq_dist FROM a2 ORDER BY vec_id
     """
 
@@ -198,4 +206,116 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("asg.cid").cast("bigint").alias("cluster"))
         .agg(F.count("*").alias("n_members"))
         .orderBy("cluster")
+    )
+
+
+# --------------------------------------------------------------------------
+# ann_ivf_kmeans — IVF with the LEARNED coarse quantizer.
+# --------------------------------------------------------------------------
+def _fit(spark: SparkSession, sf_dir: str):
+    """(quantized frame, trained centroids): seeds = first K vectors,
+    UPDATE_ROUNDS grid-rounded Lloyd updates."""
+    qdf = _quantized(spark, sf_dir)
+    cents = sorted(
+        (r.vec_id, list(r.q)) for r in qdf.where(F.col("vec_id") < K).collect()
+    )
+    for _ in range(UPDATE_ROUNDS):
+        cents = _update(qdf, cents)
+    return qdf, cents
+
+
+_DOT_SELF = (
+    "aggregate(zip_with(embedding, embedding,"
+    " (x, y) -> cast(x as double) * cast(y as double)), 0d, (a, b) -> a + b)"
+)
+_DOT_QV = (
+    "aggregate(zip_with(qv, embedding,"
+    " (x, y) -> cast(x as double) * cast(y as double)), 0d, (a, b) -> a + b)"
+)
+
+
+def _ivf_kmeans_oracle() -> str:
+    from open_pulsar_spark.operators.similarity import N_QUERIES, TOP_K
+
+    return f"""
+    WITH {_KMEANS_CTES},
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings),
+    qs AS (SELECT a.vec_id AS query_id, e.v AS qv, e.nrm AS qn, a.cid
+           FROM a2 a JOIN e ON e.vec_id = a.vec_id
+           WHERE a.vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.qv, e2.v) / (q.qn * e2.nrm) AS cos
+        FROM qs q
+        JOIN a2 c ON c.cid = q.cid AND c.vec_id <> q.query_id
+        JOIN e e2 ON e2.vec_id = c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """
+
+
+@query("ann_ivf_kmeans", oracle=_ivf_kmeans_oracle())
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with the trained k-means coarse quantizer — the
+    production form similarity.ann_ivf_coarse's docstring points at
+    ("swap the arithmetic centroid choice for k-means centroids").
+
+    Two properties the arithmetic version can't give:
+      - the inverted lists are LEARNED, so list sizes track the data's
+        cluster structure instead of id arithmetic;
+      - list assignment is the fixed-point integer argmin — replaying
+        a stage, changing partitioning, or running the oracle engine
+        CANNOT flip a vector into a different list (the float-centroid
+        caveat similarity.py documents as measure-zero is simply gone
+        for the bucketing step; only the in-list cosine stays float).
+
+    Scale: assignment is the map-only codegen expression; the probe
+    joins an 8-row broadcast query set against its own list (equi-join
+    on cid — each query scores ~|corpus|/K candidates); exact cosine +
+    top-k rank run on that sliver only.
+    """
+    from open_pulsar_spark.operators.similarity import N_QUERIES, TOP_K
+
+    qdf, cents = _fit(spark, sf_dir)
+    assigned = qdf.withColumn("asg", _assign_col(cents)).select(
+        "vec_id", F.col("asg.cid").alias("cid")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "embedding", F.expr(f"sqrt({_DOT_SELF})").alias("nrm")
+    ).join(assigned, "vec_id")
+    qs = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cid",
+    )
+    scored = (
+        e.join(F.broadcast(qs), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.expr(_DOT_QV) / (F.col("qn") * F.col("nrm")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
     )
