@@ -976,3 +976,52 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# source_neardup_matrix — which sources near-duplicate each other.
+# --------------------------------------------------------------------------
+@query(
+    "source_neardup_matrix",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTE}
+    SELECT least(da.source, db.source)    AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*)                       AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.a_id
+    JOIN documents db ON db.doc_id = p.b_id
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate counts per (source, source) pair — the
+    contamination/provenance diagnostic behind "which feeds copy from
+    each other": off-diagonal mass means cross-source duplication a
+    per-source dedup would miss entirely.
+
+    Scale: the verified pair set is the SMALL output of LSH (~0.1% of
+    corpus); the two provenance lookups shuffle on doc_id (or stay
+    local if documents is bucketed on it) and the final matrix is at
+    most |sources|² rows. Inherits the band-join posture — no new scan
+    of text.
+    """
+    pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = (
+        pairs.join(src.withColumnRenamed("source", "sa"), pairs.a_id == src.doc_id)
+        .drop("doc_id")
+        .join(
+            src.withColumnRenamed("source", "sb").withColumnRenamed("doc_id", "b_key"),
+            F.col("b_id") == F.col("b_key"),
+        )
+    )
+    return (
+        joined.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
