@@ -73,6 +73,8 @@ EXTRA = [
     "doc_containment_pairs",
     "user_activity_islands",
     "ann_ivf_kmeans",
+    "source_neardup_matrix",
+    "kmeans_cluster_sizes",
 ]
 
 HEADLINE = [

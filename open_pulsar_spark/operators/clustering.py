@@ -87,6 +87,23 @@ def _update(qdf: DataFrame, cents: list[tuple[int, list[int]]]):
     return sorted((cid, [dims[i] for i in range(DIM)]) for cid, dims in acc.items())
 
 
+def _seeds(qdf: DataFrame) -> list[tuple[int, list[int]]]:
+    """Seed centroids: the first K quantized vectors (id-sorted)."""
+    return sorted(
+        (r.vec_id, list(r.q)) for r in qdf.where(F.col("vec_id") < K).collect()
+    )
+
+
+def _fit(spark: SparkSession, sf_dir: str):
+    """(quantized frame, trained centroids): seeds = first K vectors,
+    UPDATE_ROUNDS grid-rounded Lloyd updates."""
+    qdf = _quantized(spark, sf_dir)
+    cents = _seeds(qdf)
+    for _ in range(UPDATE_ROUNDS):
+        cents = _update(qdf, cents)
+    return qdf, cents
+
+
 _ZIP_DIST = "list_sum(list_transform(list_zip(v.q, c.c), p -> (p[1]-p[2])*(p[1]-p[2])))"
 
 
@@ -117,13 +134,15 @@ def _update_cte(name: str, assigned: str) -> str:
 
 # The CTE chain (quantize → seed → 2 Lloyd rounds → final assign a2)
 # shared by the kmeans oracle and the IVF oracle below.
-_KMEANS_CTES = f"""q AS (
+_QUANT_C0 = f"""q AS (
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5) AS BIGINT)) AS q
         FROM embeddings
     ),
-    c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < {K}),
+    c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < {K})"""
+
+_KMEANS_CTES = f"""{_QUANT_C0},
     {_assign_cte("a0", "c0")},
     {_update_cte("c1", "a0")},
     {_assign_cte("a1", "c1")},
@@ -150,13 +169,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     job graph is static — at 100 TB this is UPDATE_ROUNDS+1 scans, all
     whole-stage-codegen arithmetic.
     """
-    qdf = _quantized(spark, sf_dir)
-    seeds = sorted(
-        (r.vec_id, list(r.q)) for r in qdf.where(F.col("vec_id") < K).collect()
-    )
-    cents = seeds
-    for _ in range(UPDATE_ROUNDS):
-        cents = _update(qdf, cents)
+    qdf, cents = _fit(spark, sf_dir)
     return (
         qdf.withColumn("asg", _assign_col(cents))
         .select(
@@ -171,21 +184,8 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "kmeans_cluster_sizes",
     oracle=f"""
-    WITH q AS (
-        SELECT vec_id,
-               list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5) AS BIGINT)) AS q
-        FROM embeddings
-    ),
-    c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < {K}),
-    a0 AS (
-        SELECT vec_id, cid FROM (
-            SELECT v.vec_id, c.cid,
-                row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                    list_sum(list_transform(list_zip(v.q, c.c),
-                             p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
-            FROM q v CROSS JOIN c0 c) WHERE rn = 1
-    )
+    WITH {_QUANT_C0},
+    {_assign_cte("a0", "c0")}
     SELECT cid::BIGINT AS cluster, count(*) AS n_members
     FROM a0 GROUP BY cid ORDER BY cluster
     """,
@@ -198,11 +198,8 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-only assignment pass + a K-row aggregate.
     """
     qdf = _quantized(spark, sf_dir)
-    seeds = sorted(
-        (r.vec_id, list(r.q)) for r in qdf.where(F.col("vec_id") < K).collect()
-    )
     return (
-        qdf.withColumn("asg", _assign_col(seeds))
+        qdf.withColumn("asg", _assign_col(_seeds(qdf)))
         .groupBy(F.col("asg.cid").cast("bigint").alias("cluster"))
         .agg(F.count("*").alias("n_members"))
         .orderBy("cluster")
@@ -212,18 +209,6 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # ann_ivf_kmeans — IVF with the LEARNED coarse quantizer.
 # --------------------------------------------------------------------------
-def _fit(spark: SparkSession, sf_dir: str):
-    """(quantized frame, trained centroids): seeds = first K vectors,
-    UPDATE_ROUNDS grid-rounded Lloyd updates."""
-    qdf = _quantized(spark, sf_dir)
-    cents = sorted(
-        (r.vec_id, list(r.q)) for r in qdf.where(F.col("vec_id") < K).collect()
-    )
-    for _ in range(UPDATE_ROUNDS):
-        cents = _update(qdf, cents)
-    return qdf, cents
-
-
 _DOT_SELF = (
     "aggregate(zip_with(embedding, embedding,"
     " (x, y) -> cast(x as double) * cast(y as double)), 0d, (a, b) -> a + b)"

@@ -162,8 +162,55 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
 
-    return widen_for_kernel(docs.select("doc_id", "text")).mapInPandas(
-        fn, _SIGS_SCHEMA
+    # No widen here: this helper also runs on streaming micro-batch
+    # frames (neardup_stream), where counting partitions would force
+    # AQE to materialize upstream stages per batch. Batch SCAN-level
+    # callers widen via _scan_sigs below.
+    return docs.select("doc_id", "text").mapInPandas(fn, _SIGS_SCHEMA)
+
+
+def _scan_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash signatures of the documents SCAN, kernel-widened — the
+    batch entry point (streaming batches call _minhash_sigs directly)."""
+    return _minhash_sigs(
+        widen_for_kernel(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    )
+
+
+def _band_frame(sigs: DataFrame) -> DataFrame:
+    """(doc_id, m0..mk) → exploded (doc_id, band, sig) — the one
+    banding definition every batch candidate join shares (streaming
+    keeps its own hs-carrying variant in neardup_stream._bands_of)."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+                        ).alias("sig"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+
+
+def _band_candidates(sigs: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (a_id < b_id) sharing a band signature."""
+    bands = _band_frame(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
     )
 
 
@@ -262,37 +309,13 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit hash sets instead of shingle strings (identical result,
     modulo md5 collisions the oracle shares by construction).
     """
-    sigs = _minhash_sigs(load_table(spark, sf_dir, "documents")).persist()
+    sigs = _scan_sigs(spark, sf_dir).persist()
     # Materialize the cache BEFORE the self-join references it 4×: AQE
     # runs the join's map stages concurrently, and racing tasks compute
     # an unmaterialized cached partition redundantly (measured 2-10×
     # kernel recompute); one cheap count() job pins it exactly once.
     sigs.count()
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
-                        ).alias("sig"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
-
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
+    cand = _band_candidates(sigs)
 
     x = sigs.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("hs_a"))
     y = sigs.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("hs_b"))
@@ -471,7 +494,7 @@ def _propagate_labels_distributed(pairs: DataFrame) -> DataFrame:
 def minhash_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature endpoints — pins the signature
     computation itself (not just surviving pairs) to the oracle."""
-    sigs = _minhash_sigs(load_table(spark, sf_dir, "documents"))
+    sigs = _scan_sigs(spark, sf_dir)
     return sigs.select(
         "doc_id",
         "n_shingles",
@@ -930,33 +953,9 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherited. Candidates whose high-containment side is the SHORT doc
     are exactly the ones a symmetric threshold filters out.
     """
-    sigs = _minhash_sigs(load_table(spark, sf_dir, "documents")).persist()
+    sigs = _scan_sigs(spark, sf_dir).persist()
     sigs.count()
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
-                        ).alias("sig"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
-
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
+    cand = _band_candidates(sigs)
     x = sigs.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("hs_a"))
     y = sigs.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from open_pulsar_spark.operators.dedup import _SHINGLE_SQL
 from open_pulsar_spark.registry import query
 from open_pulsar_spark.tables import load_table
 
@@ -243,13 +244,7 @@ _CMS_SLOT_SQL = (
 @query(
     "shingle_cms_heavy_hitters",
     oracle=f"""
-    WITH shingled AS (
-        SELECT doc_id,
-               list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                              for i in range(1, len(toks) - 1)]) AS sh
-        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
-        WHERE len(toks) >= 3
-    ),
+    WITH shingled AS ({_SHINGLE_SQL}),
     tok AS (SELECT unnest(sh) AS t FROM shingled),
     counts AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
     top AS (SELECT t, c FROM counts ORDER BY c DESC, t LIMIT {CMS_TOP}),
@@ -313,7 +308,7 @@ def shingle_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tok = (
         widen_for_kernel(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            load_table(spark, sf_dir, "documents").select("text")
         )
         .mapInPandas(fn, "t string")
         .persist()

@@ -68,9 +68,9 @@ def test_bigint_ts_rescaled_only_when_parquet_declares_nanos(spark, tmp_path):
 def test_widen_for_kernel_raises_narrow_scans(spark):
     from open_pulsar_spark.tables import load_table, widen_for_kernel
 
-    narrow = load_table(spark, "/root/testdata/sf0.001", "documents").select(
-        "doc_id", "text"
-    )
+    from tests.conftest import SF_SMALL
+
+    narrow = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
     widened = widen_for_kernel(narrow)
     target = spark.sparkContext.defaultParallelism
     assert widened.rdd.getNumPartitions() >= min(
