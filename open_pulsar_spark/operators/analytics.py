@@ -561,6 +561,12 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     error differently from the oracle's identical cascade.
     """
     ev = load_table(spark, sf_dir, "events")
+    # The cache keeps the raw scan single (static exchange reuse does
+    # NOT fire across the three union branches — verified by the plan
+    # test when the cache is removed). The pinned partials are bounded
+    # at O(#hours) rows (~9k/year), so session-lifetime residency is a
+    # few KB, not a leak of event-scale data; spark.catalog.clearCache()
+    # remains the bulk eviction hook between benchmark samples.
     hourly = (
         ev.groupBy(F.date_trunc("hour", "ts").alias("b"))
         .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))

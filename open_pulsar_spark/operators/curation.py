@@ -144,6 +144,31 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _contam_frames(docs):
+    """(corpus_grams, bench_grams): the distinct 5-gram streams of the
+    corpus and the held-out benchmark slice — the ONE construction
+    shared by benchmark_contamination and the curation pipeline."""
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= CONTAM_NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, size(toks) - {CONTAM_NGRAM}),"
+                        f" i -> array_join(slice(toks, i + 1, {CONTAM_NGRAM}), ' '))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    bench = grams.where(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    return grams.where(F.col("doc_id") % BENCH_MOD != 0), bench
+
+
 # --------------------------------------------------------------------------
 # benchmark_contamination — n-gram overlap against a held-out set.
 # --------------------------------------------------------------------------
@@ -183,27 +208,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus×corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = (
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
-        .where(F.size("toks") >= CONTAM_NGRAM)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(0, size(toks) - {CONTAM_NGRAM}),"
-                        f" i -> array_join(slice(toks, i + 1, {CONTAM_NGRAM}), ' '))"
-                    )
-                )
-            ).alias("g"),
-        )
-    )
-    bench = grams.where(F.col("doc_id") % BENCH_MOD == 0).select(
-        F.col("doc_id").alias("bench_id"), "g"
-    )
-    corpus = grams.where(F.col("doc_id") % BENCH_MOD != 0)
+    corpus, bench = _contam_frames(docs)
+    # No forced broadcast: the benchmark side is small relative to the
+    # corpus but NOT statically bounded (here it is 1/BENCH_MOD of the
+    # gram stream; in production it is a benchmark suite that grows
+    # over time) — AQE picks broadcast when it fits, shuffle when not.
     return (
-        corpus.join(F.broadcast(bench), "g")
+        corpus.join(bench, "g")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
@@ -388,19 +399,11 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, and a single aggregate of the flags unpivots (stack) into
     the 5-row funnel.
     """
-    from open_pulsar_spark.operators.text import STOPWORDS
+    from open_pulsar_spark.operators.text import quality_expr
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
 
-    toks = F.split("text", " ")
-    n_toks = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_toks
-    swr = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * F.lit(1.0) / n_toks
-    quality_score = (
-        0.4 * F.least(n_toks / F.lit(100.0), F.lit(1.0))
-        + 0.4 * ttr
-        + 0.2 * F.least(swr / F.lit(0.1), F.lit(1.0))
-    )
+    quality_score = quality_expr(F.col("text"))
     rate = F.coalesce(
         *[
             F.when(F.col("lang") == lang, F.lit(pct))
@@ -427,27 +430,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup_keep", F.col("q") & (run_q == 1)
     )
 
-    grams = (
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
-        .where(F.size("toks") >= CONTAM_NGRAM)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(0, size(toks) - {CONTAM_NGRAM}),"
-                        f" i -> array_join(slice(toks, i + 1, {CONTAM_NGRAM}), ' '))"
-                    )
-                )
-            ).alias("g"),
-        )
-    )
-    bench = grams.where(F.col("doc_id") % BENCH_MOD == 0).select(
-        F.col("doc_id").alias("bench_id"), "g"
-    )
+    corpus_grams, bench = _contam_frames(docs)
     contaminated = (
-        grams.where(F.col("doc_id") % BENCH_MOD != 0)
-        .join(F.broadcast(bench), "g")
+        corpus_grams
+        .join(bench, "g")  # AQE-decided, same rationale as benchmark_contamination
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= CONTAM_MIN_SHARED)

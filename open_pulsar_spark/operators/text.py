@@ -29,6 +29,22 @@ def _tokens(col):
     return F.split(col, " ")
 
 
+def quality_expr(text_col) -> "F.Column":
+    """The corpus quality score (0.4·length + 0.4·type-token-ratio +
+    0.2·stopword signal) as a column expression — the ONE definition
+    shared by doc_quality_score and the curation pipeline's quality
+    gate, so a weight change cannot silently desynchronize them."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens
+    swr = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * F.lit(1.0) / n_tokens
+    return (
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.4 * ttr
+        + 0.2 * F.least(swr / F.lit(0.1), F.lit(1.0))
+    )
+
+
 # --------------------------------------------------------------------------
 # doc_text_stats — token counting + lexical stats.
 # --------------------------------------------------------------------------
@@ -102,15 +118,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal, with a keep/drop verdict — the standard pretraining-corpus
     filter shape, all JVM-side arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens
-    swr = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * F.lit(1.0) / n_tokens
-    quality = (
-        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-        + 0.4 * ttr
-        + 0.2 * F.least(swr / F.lit(0.1), F.lit(1.0))
-    )
+    quality = quality_expr(F.col("text"))
     return (
         docs.select(
             "doc_id",
@@ -305,11 +313,22 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * F.log(F.lit(n_docs) * 1.0 / F.col("df")), 6).alias("tfidf"),
+    # n_docs stays INSIDE the plan (1-row aggregate, broadcast cross
+    # join — same pattern as doc_unigram_logprob): an eager .count()
+    # here would launch a separate job and re-list the whole table per
+    # invocation. The df join is AQE-decided — a web-scale vocabulary
+    # is not statically broadcastable.
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (

@@ -96,7 +96,16 @@ def user_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.event_id            AS purchase_event_id,
            round(p.value, 2)     AS purchase_value
     FROM (SELECT * FROM events WHERE event_type = 'click') c
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+        -- unique on (user_id, ts): ASOF picks an ARBITRARY right row
+        -- among equal timestamps, so ties are pre-resolved to the
+        -- highest event_id — the same winner as the Spark window's
+        -- (ts, kind, event_id) ordering
+        SELECT user_id, ts, max(event_id) AS event_id,
+               arg_max(value, event_id) AS value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ) p
       ON c.user_id = p.user_id AND c.ts >= p.ts
     ORDER BY c.event_id
     """,
@@ -162,43 +171,71 @@ def click_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_funnel",
     oracle="""
-    WITH stages AS (
-        SELECT user_id,
-               min(ts::TIMESTAMP) FILTER (WHERE event_type = 'signup')   AS t_signup,
-               min(ts::TIMESTAMP) FILTER (WHERE event_type = 'click')    AS t_click,
-               min(ts::TIMESTAMP) FILTER (WHERE event_type = 'purchase') AS t_purchase
-        FROM events GROUP BY user_id)
-    SELECT count(*) FILTER (WHERE t_signup IS NOT NULL) AS n_signup,
-           count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup) AS n_clicked_after,
-           count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup
-                             AND t_purchase > t_click) AS n_converted,
-           round(count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup
-                                   AND t_purchase > t_click) * 1.0
-                 / nullif(count(*) FILTER (WHERE t_signup IS NOT NULL), 0), 6)
-             AS conversion_rate
-    FROM stages
+    WITH s AS (
+        SELECT user_id, min(ts::TIMESTAMP) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_click
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > s.t_signup
+        GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.t_click
+        GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_clicked_after,
+           (SELECT count(*) FROM p) AS n_converted,
+           round((SELECT count(*) FROM p) * 1.0
+                 / nullif((SELECT count(*) FROM s), 0), 6) AS conversion_rate
     """,
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel: signup → first later click → first later
-    purchase, counted per user then aggregated. One shuffle on user_id
-    (conditional-min stage extraction), then a scalar rollup."""
+    """Ordered funnel: signup → FIRST CLICK AFTER the signup → FIRST
+    PURCHASE AFTER that click. Each stage's timestamp is the min over
+    events after the previous stage's timestamp (a user whose only
+    clicks precede their signup does NOT count as clicked-after — the
+    first-ever-click shortcut gets that wrong), matching the
+    windowed-funnel semantics of analytics.events_funnel_24h without
+    the 24h bound.
+
+    Scale: every stage frame is keyed and joined on user_id, so all
+    three joins share one partitioning; stage frames shrink
+    monotonically. The final counts are a union of three tagged
+    per-user frames into one scalar aggregate — no 1-row cross joins.
+    """
     ev = load_table(spark, sf_dir, "events")
-    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
-    stages = ev.groupBy("user_id").agg(
-        first("signup").alias("t_signup"),
-        first("click").alias("t_click"),
-        first("purchase").alias("t_purchase"),
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
     )
-    signed = F.col("t_signup").isNotNull()
-    clicked = signed & (F.col("t_click") > F.col("t_signup"))
-    converted = clicked & (F.col("t_purchase") > F.col("t_click"))
-    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))
-    return stages.agg(
-        cnt(signed).alias("n_signup"),
-        cnt(clicked).alias("n_clicked_after"),
-        cnt(converted).alias("n_converted"),
-        F.round(cnt(converted) * F.lit(1.0) / F.nullif(cnt(signed), F.lit(0)), 6).alias(
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    pch = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    tagged = (
+        s1.select(F.lit(0).alias("stage"))
+        .unionAll(c.select(F.lit(1).alias("stage")))
+        .unionAll(pch.select(F.lit(2).alias("stage")))
+    )
+    cnt = lambda k: F.sum(F.when(F.col("stage") == k, 1).otherwise(0))
+    return tagged.agg(
+        cnt(0).alias("n_signup"),
+        cnt(1).alias("n_clicked_after"),
+        cnt(2).alias("n_converted"),
+        F.round(cnt(2) * F.lit(1.0) / F.nullif(cnt(0), F.lit(0)), 6).alias(
             "conversion_rate"
         ),
     )
@@ -325,15 +362,15 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts::TIMESTAMP AS ts,
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id,
                CASE WHEN epoch_us(ts::TIMESTAMP)
-                         - epoch_us(lag(ts::TIMESTAMP) OVER w) > {SESSION_GAP_US}
+                         - epoch_us(lag(ts::TIMESTAMP) OVER w) >= {SESSION_GAP_US}
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
         SELECT user_id, ts,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS session_seq
         FROM flagged
@@ -348,7 +385,13 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window(ts, gap) — Spark's built-in session
-    assignment, checked against the lag+cumsum SQL formulation."""
+    assignment, checked against the lag+cumsum SQL formulation.
+
+    Boundary semantics pinned by the oracle: Spark's session window is
+    half-open [ts, ts+gap), so an event arriving EXACTLY gap after the
+    previous one starts a NEW session — the oracle's flag is therefore
+    `diff >= gap`, not `>`, and both window orderings carry the
+    event_id tiebreaker so tied timestamps session identically."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
