@@ -11,9 +11,10 @@ Scale posture, per operator:
   - mixing weights: one groupBy over (source) — output is O(#sources),
     the shuffle is a rollup, and the weights then drive the sampler
     above without materializing any intermediate corpus.
-  - contamination: the benchmark side is SMALL by construction →
-    broadcast its n-gram set; the corpus side stays map-only until the
-    final per-(doc, bench) count. Never joins corpus×corpus.
+  - contamination: the corpus side stays map-only until the final
+    per-(doc, bench) count; the benchmark side is small relative to
+    the corpus but NOT statically bounded, so the join is AQE-decided
+    (broadcast when it fits, shuffle when not). Never corpus×corpus.
   - unigram surprisal: two shuffles (vocabulary rollup, per-doc
     re-join on token). The vocabulary is Zipf-skewed: the join is on
     the token itself, so AQE's skew-join handles the head terms; at
