@@ -124,13 +124,15 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    # The box is shared: a single sample can absorb a co-tenant burst.
-    # Every query runs 3 samples (cache cleared between samples so
-    # nothing rides on a persisted subplan) and reports the MEDIAN plus
-    # the [min, max] spread — the median is robust to one burst, and
-    # the spread makes round-over-round deltas attributable: a delta
-    # inside the spread is noise, outside it is a real change.
-    def sample(name: str, runs: int = 3) -> tuple[float, list[float], int]:
+    # The box is shared: co-tenant bursts inflate individual samples by
+    # 2-10x (measured: an untouched query's median moved 0.6s -> 1.9s
+    # between runs while its MIN stayed within 0.2s). Every sample
+    # clears the cache so nothing rides on a persisted subplan, and the
+    # reported statistic is the MIN across samples — the only statistic
+    # a burst cannot inflate; the [min, max] spread plus the median
+    # expose how noisy the box was, so a round-over-round delta inside
+    # the spread is noise and outside it is a real change.
+    def sample(name: str, runs: int = 3) -> tuple[float, list[float], float, int]:
         times = []
         n = 0
         for _ in range(runs):
@@ -139,16 +141,18 @@ def main() -> None:
             n = len(qs[name](spark, sf_dir).collect())
             times.append(time.time() - t0)
         times.sort()
-        return times[len(times) // 2], [times[0], times[-1]], n
+        return times[0], [times[0], times[-1]], times[len(times) // 2], n
 
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
-        med, (lo, hi), n = sample(name)
-        timings[name] = round(med, 3)
+        best, (lo, hi), med, n = sample(name, runs=5)
+        timings[name] = round(best, 3)
         spreads[name] = [round(lo, 3), round(hi, 3)]
+        medians[name] = round(med, 3)
         print(
-            f"# {name}: {timings[name]}s [{lo:.3f}..{hi:.3f}] ({n} rows)",
+            f"# {name}: {timings[name]}s [{lo:.3f}..{hi:.3f}] med {med:.3f} ({n} rows)",
             file=sys.stderr,
         )
 
@@ -157,11 +161,11 @@ def main() -> None:
     extra: dict[str, float] = {}
     extra_spreads: dict[str, list[float]] = {}
     for name in EXTRA:
-        med, (lo, hi), n = sample(name)
-        extra[name] = round(med, 3)
+        best, (lo, hi), med, n = sample(name)
+        extra[name] = round(best, 3)
         extra_spreads[name] = [round(lo, 3), round(hi, 3)]
         print(
-            f"# extra {name}: {extra[name]}s [{lo:.3f}..{hi:.3f}] ({n} rows)",
+            f"# extra {name}: {extra[name]}s [{lo:.3f}..{hi:.3f}] med {med:.3f} ({n} rows)",
             file=sys.stderr,
         )
 
@@ -173,9 +177,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                "medians": medians,
                 "extra": extra,
                 "extra_spread": extra_spreads,
-                "runs_per_query": 3,
+                "stat": "min",
+                "runs_per_query": {"headline": 5, "extra": 3},
                 "sf": sf,
             }
         )
