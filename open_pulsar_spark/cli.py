@@ -97,6 +97,17 @@ def cmd_run(
     lines = _read_lines(path)
     fp = file_fingerprint(lines)
     state_path, fp_path = _state_paths(state_dir)
+    # Crash recovery for the two-rename swap below: a kill between the
+    # renames leaves only state.parquet.old — without this, the next
+    # run would see "no state" and silently RE-EXECUTE every completed
+    # task. Roll the old state back; if both exist the swap completed
+    # and .old is just the unreclaimed previous generation.
+    old_path = state_path + ".old"
+    if os.path.exists(old_path):
+        if not os.path.exists(state_path):
+            os.rename(old_path, state_path)
+        else:
+            shutil.rmtree(old_path, ignore_errors=True)
     prior = prior_hash = None
     if os.path.exists(state_path):
         if not os.path.exists(fp_path):
@@ -126,7 +137,6 @@ def cmd_run(
     # overwrite in place: write to a temp dir, then swap via renames
     # (the reference's tmp+mv idiom, agent-loop.sh:315-319).
     tmp_path = state_path + ".tmp"
-    old_path = state_path + ".old"
     shutil.rmtree(tmp_path, ignore_errors=True)
     state.write.mode("overwrite").parquet(tmp_path)
     if os.path.exists(state_path):

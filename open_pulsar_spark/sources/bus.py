@@ -145,10 +145,13 @@ def bus_writer_spec(conf: BusConfig, query_name: str = "bus_sink") -> tuple[str,
     parsed = urlparse(conf.uri)
     scheme = parsed.scheme or "file"
 
+    # conf.options merge into EVERY branch (reader and writer specs are
+    # symmetric — a writer option like compression must not silently
+    # vanish for file sinks)
     if scheme == "memory":
-        return "memory", {"queryName": parsed.netloc or query_name}
+        return "memory", {"queryName": parsed.netloc or query_name, **(conf.options or {})}
     if scheme == "file":
-        return conf.file_format, {"path": parsed.path}
+        return conf.file_format, {"path": parsed.path, **(conf.options or {})}
     if scheme == "pulsar":
         return (
             "pulsar",

@@ -102,8 +102,12 @@ def quarantine_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record"):
     # Spark refuses to answer queries that reference ONLY the corrupt
     # column of a raw JSON/CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
     # its documented workaround is to materialize the parsed frame
-    # first. Both halves then read the cached parse, not the file.
-    df = df.cache()
+    # first. localCheckpoint rather than cache(): the caller gets two
+    # frames and no handle to unpersist, so a cache would pin every
+    # parsed batch in executor storage for the session lifetime —
+    # checkpoint blocks are reclaimed by the ContextCleaner once the
+    # returned frames are dropped.
+    df = df.localCheckpoint(eager=True)
     clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.where(F.col(corrupt_col).isNotNull())
     return clean, bad

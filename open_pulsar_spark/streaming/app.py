@@ -15,6 +15,7 @@ branch lands in that pool).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from open_pulsar_spark.streaming.router import (
     filter_authorized,
@@ -44,8 +45,16 @@ def build_message_pipeline(
         filter_authorized(spark, filter_text(project_updates(updates)), allowed_ids or set()),
         mode=mode,
     )
+    # '/reset' is a command, but the state it clears lives in the CHAT
+    # query's keyed store — no other query can remove that key, so the
+    # reset rows must flow through the chat branch (whose handler
+    # recognizes '/reset' text) as well as appearing on the command
+    # branch for the control plane.
+    chat_rows = msgs.where(
+        (msgs.route == "chat") | ((msgs.route == "command") & (F.col("cmd") == "/reset"))
+    )
     return {
-        "chat": chat_turns(msgs.where(msgs.route == "chat"), model=model),
+        "chat": chat_turns(chat_rows, model=model),
         "task": msgs.where(msgs.route == "task"),
         "command": msgs.where(msgs.route == "command").select(
             "chat_id", "update_id", "cmd", "cmd_args"

@@ -138,8 +138,17 @@ def filter_batch_against_index(
 
     index = read_index(spark, index_path)
     if index is not None and max_band_collisions is not None:
+        # The cap must count what a CLEAN index would hold, or the
+        # candidate set becomes replay-nondeterministic: (a) a replay
+        # after compaction sees this epoch's own rows — excluded from
+        # the count as they are from the join; (b) a crash between
+        # compact-write and source-delete doubles every row — deduped
+        # on (doc_id, band) before counting.
+        count_basis = index.dropDuplicates(["doc_id", "band"])
+        if epoch_id is not None:
+            count_basis = count_basis.where(F.col("epoch") != epoch_id)
         hot = (
-            index.groupBy("band", "sig")
+            count_basis.groupBy("band", "sig")
             .count()
             .where(F.col("count") > max_band_collisions)
             .select("band", "sig")
@@ -185,18 +194,33 @@ def filter_batch_against_index(
     dups = dup_vs_history.unionAll(dup_in_batch).distinct()
     survivors = sigs.select("doc_id").join(dups, "doc_id", "left_anti")
 
-    out = commit_survivors(
-        spark,
+    # Docs too short to shingle (<3 tokens / null text) have no
+    # signature and can never be near-dups under this definition, so
+    # they PASS THROUGH as survivors rather than silently vanishing.
+    # Their index row is a sentinel (band=-1, sig NULL): inert in every
+    # candidate equi-join (NULL never equals), but read back with the
+    # other survivor ids.
+    short = batch_docs.select("doc_id").join(
+        sigs.select("doc_id"), "doc_id", "left_anti"
+    )
+    survivor_rows = (
         bands.join(survivors, "doc_id")
         .select("doc_id", "band", "sig", "hs")
+        .unionByName(
+            short.select(
+                "doc_id",
+                F.lit(-1).cast("int").alias("band"),
+                F.lit(None).cast("string").alias("sig"),
+                F.array().cast("array<long>").alias("hs"),
+            )
+        )
         .withColumn(
             "epoch",
             F.lit(_BACKFILL_EPOCH if epoch_id is None else epoch_id).cast("long"),
-        ),
-        index_path,
-        epoch_id,
-        _INDEX_SCHEMA,
-        "doc_id",
+        )
+    )
+    out = commit_survivors(
+        spark, survivor_rows, index_path, epoch_id, _INDEX_SCHEMA, "doc_id"
     )
     sigs.unpersist()
     return out

@@ -57,21 +57,28 @@ def _make_quota_fn(ttl_ms: int | None):
             return
         used = state.get[0] if state.exists else 0
         out: list[tuple] = []
-        for pdf in pdfs:
-            # arrival order within the batch: the reference's meter is
-            # sequential per chat (update_id is its arrival cursor)
-            for r in pdf.sort_values("update_id").itertuples():
-                used += int(r.tokens)
-                pct = used * 100.0 / CONTEXT_WINDOW
-                if pct >= COMPACT_PCT:
-                    out.append(
-                        (chat_id, int(r.update_id), int(r.tokens), used, pct, "compact")
-                    )
-                    used = int(r.tokens)  # fresh session re-seeded by this turn
-                else:
-                    out.append(
-                        (chat_id, int(r.update_id), int(r.tokens), used, pct, "ok")
-                    )
+        # one concat + sort across ALL Arrow chunks — per-chunk sorting
+        # would meter a multi-chunk group out of arrival order
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame(columns=["update_id", "tokens"])
+        )
+        # arrival order within the batch: the reference's meter is
+        # sequential per chat (update_id is its arrival cursor)
+        for r in batch.sort_values("update_id").itertuples():
+            used += int(r.tokens)
+            pct = used * 100.0 / CONTEXT_WINDOW
+            if pct >= COMPACT_PCT:
+                out.append(
+                    (chat_id, int(r.update_id), int(r.tokens), used, pct, "compact")
+                )
+                used = int(r.tokens)  # fresh session re-seeded by this turn
+            else:
+                out.append(
+                    (chat_id, int(r.update_id), int(r.tokens), used, pct, "ok")
+                )
         state.update((used,))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)

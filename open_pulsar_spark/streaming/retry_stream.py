@@ -20,7 +20,20 @@ State never sleeps: a deferred row costs one parquet rewrite per
 trigger, executors keep draining due work, and the attempt cap turns a
 row into a terminal `failed` result instead of retrying forever. All
 effects run in `foreachBatch` on the driver (SURVEY §7.3 item 2:
-attempt-keyed, idempotent, no executor-side mutation).
+attempt-keyed, no executor-side mutation).
+
+Delivery contract (foreachBatch is at-least-once): EXECUTION is
+at-least-once — a crash inside the commit window can re-run a task
+attempt — but terminal RESULTS are exactly-once after read-side dedup:
+  - a fully-committed epoch replays as a no-op (per-epoch marker file
+    checked before any write);
+  - a row whose task already has a terminal result is skipped before
+    the model runs (terminal-state guard, O(results) driver read);
+  - read_results dedupes on task_id keeping the lowest terminal
+    attempt, so even a crash between the result append and the marker
+    cannot surface duplicate terminals.
+This matches the reference: its bash loop can also re-run an attempt
+after a kill between "model returned" and "state.json written".
 """
 
 from __future__ import annotations
@@ -83,13 +96,24 @@ def start_retry_pipeline(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # replay of a fully-committed epoch: no-op (marker written LAST)
+        marker = os.path.join(results_dir, f"_epoch-{batch_id}")
+        if os.path.exists(marker):
+            return
         rows = batch_df.collect()  # control plane: O(tasks), not O(data)
         if not rows:
             return
+        # terminal-state guard: a replayed/duplicated row whose task is
+        # already decided must not re-run the model or fork a retry
+        terminal = {
+            r.task_id for r in read_results(spark, results_dir).collect()
+        }
         now = dt.datetime.now()
         results: list[tuple] = []
         requeue: list[tuple] = []
         for r in rows:
+            if r.task_id in terminal:
+                continue
             if r.not_before is not None and r.not_before > now:
                 requeue.append((r.task_id, r.payload, r.attempt, r.not_before))
                 continue
@@ -110,6 +134,7 @@ def start_retry_pipeline(
                 )
         _append_rows(spark, results, RESULT_SCHEMA, results_dir)
         _append_rows(spark, requeue, WORK_SCHEMA, retry_dir)
+        open(marker, "w").close()
 
     return (
         src.writeStream.foreachBatch(handle)
@@ -121,12 +146,25 @@ def start_retry_pipeline(
 
 
 def read_results(spark: SparkSession, results_dir: str) -> DataFrame:
+    """Terminal results, exactly one row per task: a crash between the
+    result append and the epoch marker can leave a duplicate terminal
+    row, so reads keep the lowest-attempt row per task (the first
+    decision wins — replays can only re-decide at the same or a later
+    attempt)."""
+    from pyspark.sql import Window as W
+
     try:
-        return spark.read.schema(
+        raw = spark.read.schema(
             "task_id LONG, payload STRING, attempt INT, status STRING"
         ).parquet(results_dir)
     except Exception:  # noqa: BLE001 — empty dir before first result
         return spark.createDataFrame([], RESULT_SCHEMA)
+    w = W.partitionBy("task_id").orderBy("attempt", "status")
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def _backoff_delay(attempt: int, base: float = 1.0) -> float:

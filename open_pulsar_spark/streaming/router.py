@@ -107,7 +107,8 @@ def route(messages: DataFrame, mode: str = "auto") -> DataFrame:
     if mode not in ("auto", "chat", "task"):
         raise ValueError(f"bad mode {mode!r}")
     branch = F.lit(mode) if mode != "auto" else classify_heuristic()
-    is_cmd = F.col("text").startswith("/")
+    # trimmed, like cmd/cmd_args below — ' /status' is still a command
+    is_cmd = F.trim(F.col("text")).startswith("/")
     parts = F.split(F.trim("text"), r"\s+", 2)
     return messages.select(
         "*",

@@ -89,31 +89,40 @@ def make_chat_handler(model: ModelFn = stub_model, ttl_ms: int | None = None):
         )
         rows: list[dict] = []
         in_flight = False
-        for pdf in pdfs:
-            for r in pdf.sort_values("update_id").itertuples():
-                text = r.text or ""
-                if text.strip().startswith("/reset"):
-                    session_id, turns = None, 0
-                    rows.append(
-                        dict(chat_id=chat_id, update_id=r.update_id,
-                             reply="session reset", session_id=None, status="reset")
-                    )
-                    continue
-                if in_flight:
-                    # per-chat dedup admission: one turn per batch
-                    rows.append(
-                        dict(chat_id=chat_id, update_id=r.update_id,
-                             reply="busy: a turn is already in flight",
-                             session_id=session_id, status="busy")
-                    )
-                    continue
-                in_flight = True
-                reply, session_id = model(text, session_id)
-                turns += 1
+        # Concatenate ALL Arrow chunks before sorting: a group larger
+        # than arrow.maxRecordsPerBatch arrives as several chunks in
+        # arbitrary shuffle order, and a per-chunk sort would let a
+        # later update_id win admission over an earlier one.
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame(columns=["update_id", "text"])
+        )
+        for r in batch.sort_values("update_id").itertuples():
+            text = r.text or ""
+            if text.strip().startswith("/reset"):
+                session_id, turns = None, 0
                 rows.append(
                     dict(chat_id=chat_id, update_id=r.update_id,
-                         reply=reply, session_id=session_id, status="ok")
+                         reply="session reset", session_id=None, status="reset")
                 )
+                continue
+            if in_flight:
+                # per-chat dedup admission: one turn per batch
+                rows.append(
+                    dict(chat_id=chat_id, update_id=r.update_id,
+                         reply="busy: a turn is already in flight",
+                         session_id=session_id, status="busy")
+                )
+                continue
+            in_flight = True
+            reply, session_id = model(text, session_id)
+            turns += 1
+            rows.append(
+                dict(chat_id=chat_id, update_id=r.update_id,
+                     reply=reply, session_id=session_id, status="ok")
+            )
         state.update((session_id, turns))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)

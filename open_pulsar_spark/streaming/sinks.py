@@ -119,6 +119,11 @@ def write_training_shards(docs: DataFrame, path: str, budget: int | None = None)
         out.repartition("lang", "shard_id")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
+        # dynamic: only partitions present in THIS write are replaced —
+        # static overwrite (the default) would truncate the whole shard
+        # root first, breaking the incremental re-run contract above and
+        # leaving a mid-write failure with no shards at all
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("lang", "shard_id")
         .parquet(path)
     )

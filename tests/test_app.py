@@ -206,3 +206,47 @@ def test_late_event_beyond_watermark_is_dropped(spark, tmp_path):
     w10 = rows[dt.datetime(2024, 1, 1, 10, 0)]
     # the late event (value 7.0) did NOT make it into the finalized window
     assert w10.n == 1 and w10.total_value == 1.0
+
+
+def test_reset_command_reaches_chat_state(spark, tmp_path):
+    """'/reset' routes as a command, but ONLY the chat query can clear
+    its own keyed state — the pipeline must thread reset rows through
+    the chat branch too (a command-branch-only reset can never clear
+    the session)."""
+    from open_pulsar_spark.streaming.app import build_message_pipeline
+    from open_pulsar_spark.streaming.router import UPDATE_SCHEMA
+
+    src = str(tmp_path / "updates")
+    rows = [
+        (1, {"chat": {"id": 10}, "from": {"id": 10, "username": "u"},
+             "text": "hello"}, None),
+        (2, {"chat": {"id": 10}, "from": {"id": 10, "username": "u"},
+             "text": "/reset"}, None),
+    ]
+    spark.createDataFrame(rows, UPDATE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    updates = spark.readStream.schema(UPDATE_SCHEMA).parquet(src)
+    branches = build_message_pipeline(spark, updates, allowed_ids={10})
+    q = (
+        branches["chat"]
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("reset_route_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    chat_rows = {
+        r.update_id: r
+        for r in spark.sql("select * from reset_route_out").collect()
+    }
+    assert chat_rows[2].status == "reset"
+    # and the control plane still sees the command (batch check of the
+    # stateless branch on the same routed frame)
+    static = build_message_pipeline(
+        spark, spark.read.schema(UPDATE_SCHEMA).parquet(src), allowed_ids={10}
+    )
+    cmds = {r.update_id: r.cmd for r in static["command"].collect()}
+    assert cmds[2] == "/reset"

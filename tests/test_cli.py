@@ -148,3 +148,19 @@ def test_query_command_lists_and_runs(spark, capsys):
     assert "n_parsed" in capsys.readouterr().out or True  # show() printed
 
     assert cmd_query(spark, "no_such_query", "/root/testdata/sf0.001", 5) == 2
+
+
+def test_crash_between_state_renames_recovers(spark, task_file, tmp_path, capsys):
+    """A kill between the state-swap renames leaves only
+    state.parquet.old; the next run must roll it back and RESUME, not
+    silently re-execute every task from scratch."""
+    sd = str(tmp_path / "state")
+    cmd_run(spark, task_file, sd)
+    capsys.readouterr()
+    state = os.path.join(sd, "state.parquet")
+    os.rename(state, state + ".old")  # simulate the crash window
+    assert cmd_run(spark, task_file, sd) == 1
+    out = capsys.readouterr().out
+    # resumed: prior completed/failed rows carried through recovery
+    assert "completed: 2" in out and "failed: 1" in out
+    assert os.path.exists(state) and not os.path.exists(state + ".old")

@@ -842,3 +842,53 @@ def test_hot_bucket_cap_bounds_candidate_generation(spark, workdir):
         max_band_collisions=0,
     )
     assert sorted(r.doc_id for r in missed.collect()) == [10]
+
+
+def test_neardup_short_docs_pass_through(spark, workdir):
+    """Docs too short to shingle (<3 tokens) cannot be near-dups under
+    the word-3-gram definition — they must SURVIVE, not vanish, and
+    their sentinel index rows must stay inert for real candidates."""
+    from open_pulsar_spark.streaming.neardup_stream import (
+        filter_batch_against_index,
+    )
+
+    idx = f"{workdir}/short-idx"
+    base = " ".join(f"tok{i}" for i in range(40))
+    batch = spark.createDataFrame(
+        [(1, base), (2, "two tokens"), (3, None)],
+        "doc_id LONG, text STRING",
+    )
+    kept = {r.doc_id for r in filter_batch_against_index(spark, batch, idx).collect()}
+    assert kept == {1, 2, 3}
+    # a later near-copy of doc 1 is still dropped; short docs repeat
+    # (same ids would be same docs — use new ids) and still survive
+    batch2 = spark.createDataFrame(
+        [(10, base + " extra"), (11, "still short")], "doc_id LONG, text STRING"
+    )
+    kept2 = {
+        r.doc_id for r in filter_batch_against_index(spark, batch2, idx).collect()
+    }
+    assert kept2 == {11}
+
+
+def test_retry_results_dedupe_terminal_rows(spark, workdir):
+    """A crash between the result append and the epoch marker can leave
+    duplicate terminal rows; read_results keeps exactly one per task."""
+    from open_pulsar_spark.streaming.retry_stream import (
+        RESULT_SCHEMA,
+        read_results,
+    )
+
+    rd = f"{workdir}/results"
+    rows = [
+        (1, "p", 0, "completed"),
+        (1, "p", 0, "completed"),   # replayed append, same decision
+        (2, "q", 3, "failed"),
+        (2, "q", 4, "completed"),   # replay re-decided at a later attempt
+    ]
+    spark.createDataFrame(rows, RESULT_SCHEMA).write.mode("append").parquet(rd)
+    out = {r.task_id: r for r in read_results(spark, rd).collect()}
+    assert len(out) == 2
+    assert out[1].status == "completed"
+    # first decision wins: the attempt-3 'failed' predates the replay
+    assert out[2].attempt == 3 and out[2].status == "failed"
