@@ -92,6 +92,12 @@ def chunk_text(text: str, limit: int = CHUNK_LIMIT) -> list[str]:
                 f"(needs > {budget})"
             )
         chunks = _accumulate(text, avail)
+        if not chunks:
+            # Degenerate over-limit text made ONLY of paragraph
+            # separators: the accumulator sees empty paragraphs and
+            # produces nothing — hard-cut instead, so no input ever
+            # silently chunks to zero rows.
+            chunks = [text[i : i + avail] for i in range(0, len(text), avail)]
         if len(chunks) == 1:
             return chunks
         n = len(chunks)

@@ -229,7 +229,8 @@ def mktsegment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_custkey IS NOT NULL)
     ORDER BY c_custkey
     """,
 )
@@ -259,7 +260,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE c_custkey IN (
         SELECT o_custkey FROM orders GROUP BY o_custkey
-        HAVING sum(o_totalprice) > 400000
+        HAVING round(sum(o_totalprice), 2) > 400000
     )
     GROUP BY n_name
     ORDER BY n_big_spenders DESC, n_name
@@ -277,7 +278,7 @@ def big_spender_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("spend"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
         .where(F.col("spend") > 400000)
         .select("o_custkey")
     )
@@ -468,7 +469,7 @@ def user_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*)                                        AS n,
            round(sum(value), 2)                            AS total_value,
-           sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k
+           sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k -- TRY_CAST: Spark's lenient cast yields NULL on a malformed payload; a strict ::BIGINT would abort the oracle instead of degrading identically
     FROM events
     GROUP BY 1, 2
     ORDER BY day, event_type
@@ -502,13 +503,16 @@ def events_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
                       round(o_totalprice * 100)::BIGINT AS cents
                FROM orders)
+    , per AS (SELECT o_custkey,
+                     2 * sum(cents)::BIGINT + count(*) AS num,
+                     2 * count(*)                      AS den
+              FROM o GROUP BY o_custkey)
     SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS totalprice,
-           ((2 * (SELECT sum(o2.cents)::BIGINT FROM o o2
-                  WHERE o2.o_custkey = o.o_custkey)
-             + (SELECT count(*) FROM o o2 WHERE o2.o_custkey = o.o_custkey))
-            // (2 * (SELECT count(*) FROM o o2
-                     WHERE o2.o_custkey = o.o_custkey))) / 100.0 AS cust_avg
-    FROM o
+           -- trunc division to mirror Spark's `div` (DuckDB // floors;
+           -- they differ on negative sums, e.g. refunds in drifted data)
+           ((CASE WHEN p.num >= 0 THEN p.num // p.den
+                  ELSE -((-p.num) // p.den) END)) / 100.0 AS cust_avg
+    FROM o JOIN per p ON p.o_custkey = o.o_custkey
     WHERE 2 * o.cents * (SELECT count(*) FROM o o2
                          WHERE o2.o_custkey = o.o_custkey)
           > 3 * (SELECT sum(o2.cents)::BIGINT FROM o o2
@@ -563,9 +567,15 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l.l_shipdate)::BIGINT AS l_year,
-           ((2 * sum(round(l.l_extendedprice * 100)::BIGINT
+           ((CASE WHEN (2 * sum(round(l.l_extendedprice * 100)::BIGINT
                      * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
-             + 100) // 200) / 100.0 AS revenue
+             + 100) >= 0
+                  THEN (2 * sum(round(l.l_extendedprice * 100)::BIGINT
+                     * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
+             + 100) // 200
+                  ELSE -((-(2 * sum(round(l.l_extendedprice * 100)::BIGINT
+                     * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
+             + 100)) // 200) END)) / 100.0 AS revenue
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -688,9 +698,15 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_brand_profit",
     oracle="""
     SELECT p.p_brand, year(o.o_orderdate)::BIGINT AS o_year,
-           ((2 * sum(round(l.l_extendedprice * 100)::BIGINT
+           ((CASE WHEN (2 * sum(round(l.l_extendedprice * 100)::BIGINT
                      * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
-             + 100) // 200) / 100.0 AS profit
+             + 100) >= 0
+                  THEN (2 * sum(round(l.l_extendedprice * 100)::BIGINT
+                     * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
+             + 100) // 200
+                  ELSE -((-(2 * sum(round(l.l_extendedprice * 100)::BIGINT
+                     * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
+             + 100)) // 200) END)) / 100.0 AS profit
     FROM lineitem l
     JOIN part p   ON p.p_partkey = l.l_partkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey

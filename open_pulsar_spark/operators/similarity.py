@@ -36,6 +36,13 @@ of distinct continuous-valued vectors — within ~1e-15 of each other
 or of the boundary to disagree, which is measure-zero for this data
 (verified empirically at sf0.001/sf0.01). Exact-duplicate vectors tie
 bit-for-bit in BOTH engines and are broken by id in both.
+
+Input contract: vectors are non-zero (the driver's embeddings are
+unit-norm by construction). A zero vector has no direction — its
+cosine is NaN, and the engines ORDER NaN differently (numpy sorts it
+last, SQL ORDER BY ... DESC first), so a production deployment feeding
+arbitrary vectors should add `WHERE norm > 0` at ingest; the operators
+here deliberately do not hide that data error behind a silent filter.
 """
 
 from __future__ import annotations
@@ -76,16 +83,22 @@ _BUCKET_SQL = " + ".join(
 
 
 # ------------------------------------------------------------------ helpers
-def _corpus_numpy(spark: SparkSession, sf_dir: str):
+def _corpus_numpy(spark: SparkSession, sf_dir: str, where=None):
     """One driver-side job: (ids, norms, U) with U L2-normalized
-    float64, rows sorted by vec_id. This is the SMALL side at any
-    scale (probe vectors / centroids are chosen from it); the full
-    corpus only ever streams through mapInPandas."""
-    pdf = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .toPandas()
-    )
+    float64, rows sorted by vec_id.
+
+    `where` is the scale contract: callers that need only the probe /
+    centroid side MUST pass its predicate so the filter runs inside the
+    Spark plan (pushed to the scan) and only the bounded subset ever
+    reaches the driver. Collecting the full table then filtering
+    driver-side would OOM at any real corpus size. The one caller with
+    where=None is dedup_embedding_cosine — the documented exact
+    all-pairs baseline that broadcasts the whole (test-scale) corpus
+    and is explicitly NOT the 100 TB path."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if where is not None:
+        emb = emb.where(where)
+    pdf = emb.toPandas()
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     # id-sort locally: centroid/argmax tie-breaks depend on id order,
@@ -176,7 +189,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     final rank sees ≤ partitions × |queries| × K rows. Cost is
     O(|queries| × |corpus|) FLOPs at BLAS speed, no corpus shuffle.
     """
-    ids, _, u = _corpus_numpy(spark, sf_dir)
+    ids, _, u = _corpus_numpy(spark, sf_dir, F.col("vec_id") < N_QUERIES)
     qm = ids < N_QUERIES
     bc = spark.sparkContext.broadcast((ids[qm], u[qm]))
 
@@ -230,7 +243,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     block scores only its rows whose bucket matches a query bucket, so
     work per query is |bucket| ≈ |corpus|/64 — the knob is N_PLANES.
     """
-    ids, v, u = _corpus_numpy(spark, sf_dir)
+    ids, v, u = _corpus_numpy(spark, sf_dir, F.col("vec_id") < N_QUERIES)
     qm = ids < N_QUERIES
     bc = spark.sparkContext.broadcast((ids[qm], u[qm], _buckets_of(v[qm])))
 
@@ -306,7 +319,12 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid_id in both engines (centroid columns are id-sorted, and
     `sims == rowmax` argmax picks the first).
     """
-    ids, _, u = _corpus_numpy(spark, sf_dir)
+    ids, _, u = _corpus_numpy(
+        spark,
+        sf_dir,
+        (F.col("vec_id") < N_QUERIES)
+        | (F.col("vec_id") % CENTROID_MOD == CENTROID_RESIDUE),
+    )
     cm = ids % CENTROID_MOD == CENTROID_RESIDUE
     cent_ids, cent_u = ids[cm], u[cm]        # id-sorted → argmax tie → min id
 

@@ -75,30 +75,47 @@ def source_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-token estimate via a mergeable KMV sketch,
     next to the exact count and the relative error.
 
-    Phase 1 keeps the k smallest hashes per (source, input partition) —
-    `spark_partition_id` only shapes the partials, never the result:
-    the merged bottom-k is partitioning-invariant. Phase 2 merges by
-    flatten → sort → slice. Only the tiny (group, k-list) rows ever
-    shuffle. The exact count (the harness half) is the expensive full
-    distinct — at 100 TB you run the sketch and SAMPLE the exact check.
+    Phase 1 keeps the k smallest hashes per (source, Arrow batch),
+    truncated INSIDE the map task — batch boundaries only shape the
+    partials, never the result: the merged bottom-k is
+    partitioning-invariant. Phase 2 merges with one aggregate over the
+    tiny (source, u) partial rows. The exact count (the harness half)
+    is the expensive full distinct — at 100 TB you run the sketch and
+    SAMPLE the exact check.
     """
+    import pandas as pd
+
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
-    # The sketch half never shuffles tokens: hashing and the bottom-k
-    # partial both run map-side on the raw exploded stream
-    # (collect_set dedupes u WITHIN a partition; the same token seen in
-    # two partitions survives as a duplicate u across partials, so the
-    # merge dedups again with array_distinct before slicing — bottom-k
-    # of the distinct union of partition bottom-k == global distinct
-    # bottom-k). Only (group, k-list) rows reach the exchange.
+    # The sketch half never shuffles tokens: hashing runs in the JVM
+    # (bit-identical to the oracle) and the bottom-k partial is an
+    # Arrow kernel that TRUNCATES inside the map task — pandas
+    # sort + per-source head(k) per batch, so at most k×|sources| rows
+    # leave any batch regardless of how many distinct hashes it held.
+    # (A groupBy(source, partition_id) + slice formulation is NOT
+    # bounded: slice projects AFTER the aggregation, so the exchange
+    # and the agg buffers still carry every distinct hash.) The same
+    # token seen in two batches survives as a duplicate u across
+    # partials; the merge dedups with array_distinct before slicing —
+    # bottom-k of the distinct union of per-batch bottom-ks == global
+    # distinct bottom-k.
     hashed = tokens.select("source", F.expr(_U_SPARK).alias("u"))
-    partial = (
-        hashed.groupBy("source", F.spark_partition_id().alias("pid"))
-        .agg(F.slice(F.array_sort(F.collect_set("u")), 1, KMV_K).alias("mins"))
-    )
+
+    def bottom_k(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield (
+                pdf.drop_duplicates(["source", "u"])
+                .sort_values("u")
+                .groupby("source", sort=False)
+                .head(KMV_K)[["source", "u"]]
+            )
+
+    partial = hashed.mapInPandas(bottom_k, "source STRING, u DOUBLE")
     merged = partial.groupBy("source").agg(
         F.slice(
-            F.array_distinct(F.array_sort(F.flatten(F.collect_list("mins")))),
+            F.array_distinct(F.array_sort(F.collect_list("u"))),
             1,
             KMV_K,
         ).alias("mins")
@@ -143,7 +160,12 @@ _PS_SPARK = "array(" + ", ".join(f"{p}D" for p in _PS) + ")"  # D: double litera
 @query(
     "value_quantile_sketch",
     oracle=f"""
-    WITH keyed AS (SELECT value, event_id, md5(event_id::VARCHAR) AS hk FROM events),
+    WITH keyed AS (SELECT value, event_id, md5(event_id::VARCHAR) AS hk
+                   FROM events
+                   -- NULLs excluded on BOTH sides: Spark sorts NULLS
+                   -- FIRST ascending, DuckDB NULLS LAST — one null row
+                   -- would shift every rank and move the quantile picks
+                   WHERE value IS NOT NULL AND event_id IS NOT NULL),
     samp AS (SELECT value, event_id FROM keyed ORDER BY hk, event_id LIMIT {SAMPLE_K}),
     sr AS (SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn,
                   count(*) OVER () AS k FROM samp),
@@ -175,7 +197,11 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     check.
     """
     ev = load_table(spark, sf_dir, "events")
-    keyed = ev.select(
+    # mirror the oracle's NULL exclusion (engine default NULL ordering
+    # differs; see oracle comment)
+    keyed = ev.where(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
         "value", "event_id", F.md5(F.col("event_id").cast("string")).alias("hk")
     )
     samp = keyed.orderBy("hk", "event_id").limit(SAMPLE_K)

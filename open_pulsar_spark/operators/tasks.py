@@ -306,10 +306,10 @@ USAGE_FIXTURE: list[tuple[int, str]] = [
     oracle=f"""
     WITH docs(doc_id, j) AS (VALUES {_sql_values(USAGE_FIXTURE)})
     SELECT doc_id,
-           coalesce(json_extract_string(j, '$.usage.input_tokens')::BIGINT, 0)
-         + coalesce(json_extract_string(j, '$.usage.cache_creation_input_tokens')::BIGINT, 0)
-         + coalesce(json_extract_string(j, '$.usage.cache_read_input_tokens')::BIGINT, 0)
-         + coalesce(json_extract_string(j, '$.usage.output_tokens')::BIGINT, 0) AS total_tokens,
+           coalesce(TRY_CAST(json_extract_string(j, '$.usage.input_tokens') AS BIGINT), 0)
+         + coalesce(TRY_CAST(json_extract_string(j, '$.usage.cache_creation_input_tokens') AS BIGINT), 0)
+         + coalesce(TRY_CAST(json_extract_string(j, '$.usage.cache_read_input_tokens') AS BIGINT), 0)
+         + coalesce(TRY_CAST(json_extract_string(j, '$.usage.output_tokens') AS BIGINT), 0) AS total_tokens,
            coalesce(json_extract_string(j, '$.modelUsage.m1.contextWindow')::BIGINT, 200000)
              AS context_window
     FROM docs

@@ -87,3 +87,17 @@ def test_unsatisfiable_limit_raises():
 
     with pytest.raises(ValueError):
         chunk_text("w" * 5000, limit=9)
+
+
+def test_separator_only_text_is_not_silently_dropped():
+    """Over-limit text made only of paragraph separators must still
+    chunk (hard cuts), never return zero chunks — zero chunks means the
+    sink silently drops the message."""
+    from open_pulsar_spark.functions.chunking import chunk_text
+
+    text = "\n\n" * 3000
+    chunks = chunk_text(text, limit=4096)
+    assert chunks
+    body = "".join(c.split("] ", 1)[1] if c.startswith("[") else c for c in chunks)
+    assert body == text
+    assert all(len(c) <= 4096 for c in chunks)
