@@ -75,6 +75,7 @@ EXTRA = [
     "ann_ivf_kmeans",
     "source_neardup_matrix",
     "kmeans_cluster_sizes",
+    "customer_rfm_segments",
 ]
 
 HEADLINE = [

@@ -757,3 +757,60 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     ).orderBy("hour")
+
+
+# --------------------------------------------------------------------------
+# customer_rfm_segments — recency/frequency/monetary quintile scoring.
+# --------------------------------------------------------------------------
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               max(o_orderdate)            AS last_order,
+               count(*)                    AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_order, frequency, monetary,
+           ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+           ntile(5) OVER (ORDER BY frequency  DESC, o_custkey) AS f_score,
+           ntile(5) OVER (ORDER BY monetary   DESC, o_custkey) AS m_score
+    FROM per
+    ORDER BY o_custkey
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary
+    quintiles — the classic lifecycle-marketing scoring, and a second
+    consumer of the ntile family over real aggregates.
+
+    Every ntile ordering carries the o_custkey tiebreaker (quintile
+    membership at a tie boundary must be deterministic in both
+    engines), and monetary is rounded BEFORE ranking so a double ulp
+    cannot reorder the sort.
+
+    Scale: one shuffle aggregates orders down to customer cardinality;
+    the three ntiles are global windows — fine while the customer
+    aggregate is orders of magnitude smaller than the fact table, and
+    at 10⁹ customers the drop-in replacement is bucketing against
+    percentile_approx edges (same output schema, no global sort).
+    """
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    return per.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy(F.desc("last_order"), "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "o_custkey")).alias("m_score"),
+    ).orderBy("o_custkey")
