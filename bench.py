@@ -102,6 +102,18 @@ HEADLINE = [
     "multimodal_features",
 ]
 
+# headline_v2 = v1 + one representative per round-3 family. v1 stays
+# untouched for cross-round comparability ("value"); v2 ("value_v2")
+# spans the whole current surface. The additions are timed in EXTRA,
+# so v2 is a pure re-total, not extra runtime.
+HEADLINE_V2_ADDITIONS = [
+    "ann_ivf_kmeans",
+    "shingle_cms_heavy_hitters",
+    "q8_market_share",
+    "dedup_cluster_quality_pick",
+    "user_activity_islands",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -170,11 +182,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    total_v2 = round(total + sum(extra[n] for n in HEADLINE_V2_ADDITIONS), 3)
+
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
+                "value_v2": total_v2,
+                "headline_v2": HEADLINE + HEADLINE_V2_ADDITIONS,
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,

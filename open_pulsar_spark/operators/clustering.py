@@ -88,10 +88,20 @@ def _update(qdf: DataFrame, cents: list[tuple[int, list[int]]]):
 
 
 def _seeds(qdf: DataFrame) -> list[tuple[int, list[int]]]:
-    """Seed centroids: the first K quantized vectors (id-sorted)."""
-    return sorted(
+    """Seed centroids: the first K quantized vectors (id-sorted).
+
+    The seed contract requires vec_ids 0..K-1 to exist; fail fast
+    rather than silently training with fewer (or zero) centroids and
+    emitting null assignments downstream."""
+    seeds = sorted(
         (r.vec_id, list(r.q)) for r in qdf.where(F.col("vec_id") < K).collect()
     )
+    if len(seeds) != K:
+        raise ValueError(
+            f"k-means seeding needs vec_ids 0..{K - 1} present; "
+            f"found {len(seeds)} of {K} ({[s[0] for s in seeds]})"
+        )
+    return seeds
 
 
 def _fit(spark: SparkSession, sf_dir: str):

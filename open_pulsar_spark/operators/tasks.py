@@ -310,7 +310,7 @@ USAGE_FIXTURE: list[tuple[int, str]] = [
          + coalesce(TRY_CAST(json_extract_string(j, '$.usage.cache_creation_input_tokens') AS BIGINT), 0)
          + coalesce(TRY_CAST(json_extract_string(j, '$.usage.cache_read_input_tokens') AS BIGINT), 0)
          + coalesce(TRY_CAST(json_extract_string(j, '$.usage.output_tokens') AS BIGINT), 0) AS total_tokens,
-           coalesce(json_extract_string(j, '$.modelUsage.m1.contextWindow')::BIGINT, 200000)
+           coalesce(TRY_CAST(json_extract_string(j, '$.modelUsage.m1.contextWindow') AS BIGINT), 200000)
              AS context_window
     FROM docs
     ORDER BY doc_id

@@ -41,6 +41,24 @@ def get_spark(
         # refuses by default; read as long, converted in tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Stateful-streaming state store: RocksDB, not the default
+        # executor-heap HDFSBackedStateStoreProvider. At 100 TB-scale
+        # key cardinality (per-chat sessions, per-doc near-dup index,
+        # per-chat quota — SURVEY D4/T4) heap state OOMs the executor;
+        # RocksDB spills to local disk and changelog checkpointing
+        # uploads per-batch deltas instead of full snapshots.
+        # Override via extra_conf (applied after defaults) if a
+        # deployment needs the heap provider back.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
         # local-mode niceties; harmless on a cluster
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -14,9 +14,17 @@ branch lands in that pool).
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
 
+from open_pulsar_spark.streaming.heartbeat import (
+    HeartbeatListener,
+    attach_heartbeat,
+    detach_heartbeat,
+)
 from open_pulsar_spark.streaming.router import (
     filter_authorized,
     filter_text,
@@ -112,3 +120,104 @@ def start_chat_sink(
         )
     finally:
         set_scheduler_pool(chat.sparkSession, prev_pool)
+
+
+def _start_branch_sink(
+    df: DataFrame, handler, checkpoint: str, pool: str | None
+) -> StreamingQuery:
+    """foreachBatch sink for a stateless branch, pool-scoped like
+    start_chat_sink (snapshot pool → start → restore)."""
+    sc = df.sparkSession.sparkContext
+    prev_pool = sc.getLocalProperty("spark.scheduler.pool")
+    set_scheduler_pool(df.sparkSession, pool)
+    try:
+        return (
+            df.writeStream.outputMode("append")
+            .foreachBatch(handler)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+    finally:
+        set_scheduler_pool(df.sparkSession, prev_pool)
+
+
+@dataclass
+class AppHandle:
+    """Running application: the three branch queries plus the attached
+    heartbeat listener. `stop()` is the one-call teardown."""
+
+    spark: SparkSession
+    queries: dict[str, StreamingQuery]
+    heartbeat: HeartbeatListener | None = None
+    _stopped: bool = field(default=False, repr=False)
+
+    def process_all_available(self) -> None:
+        for q in self.queries.values():
+            q.processAllAvailable()
+
+    def stop(self) -> None:
+        if self._stopped:
+            return
+        self._stopped = True
+        for q in self.queries.values():
+            q.stop()
+        if self.heartbeat is not None:
+            detach_heartbeat(self.spark, self.heartbeat)
+
+
+def run_app(
+    spark: SparkSession,
+    updates: DataFrame,
+    checkpoint_root: str,
+    deliver,
+    handle_task=None,
+    handle_command=None,
+    allowed_ids: set[int] | None = None,
+    mode: str = "auto",
+    model: ModelFn = stub_model,
+    chunk_limit: int = 4096,
+    heartbeat_emit=print,
+) -> AppHandle:
+    """Start the whole message application (SURVEY §3.2 entry point B):
+    route → three pool-isolated branch queries → sinks, with the T8
+    heartbeat attached BY DEFAULT.
+
+    The reference keeps a "typing…" keepalive thread per in-flight
+    reply (telegram-agent.py:397-416, ~4 s cadence). Here the keepalive
+    is the session-wide `HeartbeatListener`: every micro-batch of every
+    branch emits a progress beat to `heartbeat_emit`, and `idle` events
+    distinguish a quiet stream from a wedged one — no polling thread.
+    Pass `heartbeat_emit=None` to opt out.
+
+    `deliver(batch_df, epoch_id)` receives chunked chat replies;
+    `handle_task` / `handle_command` receive their branches' batches
+    (default: no-op — callers wire the task pipeline / control plane).
+    """
+    branches = build_message_pipeline(
+        spark, updates, allowed_ids=allowed_ids, mode=mode, model=model
+    )
+    listener = (
+        attach_heartbeat(spark, emit=heartbeat_emit)
+        if heartbeat_emit is not None
+        else None
+    )
+    noop = lambda batch_df, epoch_id: None  # noqa: E731
+    queries = {
+        "chat": start_chat_sink(
+            branches["chat"],
+            deliver,
+            checkpoint=f"{checkpoint_root}/chat",
+            chunk_limit=chunk_limit,
+            pool="chat",
+        ),
+        "task": _start_branch_sink(
+            branches["task"], handle_task or noop, f"{checkpoint_root}/task", "task"
+        ),
+        "command": _start_branch_sink(
+            branches["command"],
+            handle_command or noop,
+            f"{checkpoint_root}/command",
+            "command",
+        ),
+    }
+    return AppHandle(spark=spark, queries=queries, heartbeat=listener)

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from open_pulsar_spark.streaming.segments import (
+    auto_compact,
     commit_survivors,
     committed_ids,
     compact_segments,
@@ -171,16 +172,29 @@ def start_embedding_dedup_stream(
     index_path: str,
     out_path: str,
     checkpoint: str,
+    compact_max_segments: int | None = 64,
 ):
     """embeddings(vec_id, embedding) stream → surviving vec_ids in
     epoch-keyed segments under out_path (epoch is a partition column
-    on read)."""
+    on read).
+
+    The index self-compacts at `compact_max_segments` committed
+    segments (segments.auto_compact; None disables) — same bounded
+    segment-count contract as start_neardup_stream."""
 
     def step(batch_df: DataFrame, epoch_id: int) -> None:
         survivors = filter_embeddings_against_index(
             spark, batch_df, index_path, epoch_id=epoch_id
         )
         write_segment(survivors, out_path, epoch_id)
+        auto_compact(
+            spark,
+            index_path,
+            _EMB_INDEX_SCHEMA,
+            dedup_keys=["vec_id"],
+            cluster_cols=["bucket", "vec_id"],
+            max_segments=compact_max_segments,
+        )
 
     return (
         emb_stream.writeStream.outputMode("append")

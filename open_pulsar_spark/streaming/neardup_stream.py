@@ -50,6 +50,7 @@ from open_pulsar_spark.operators.dedup import (
     _minhash_sigs,
 )
 from open_pulsar_spark.streaming.segments import (
+    auto_compact,
     commit_survivors,
     committed_ids,
     compact_segments,
@@ -245,6 +246,7 @@ def start_neardup_stream(
     index_path: str,
     out_path: str,
     checkpoint: str,
+    compact_max_segments: int | None = 64,
 ):
     """Wire the incremental near-dup filter as a streaming query:
     docs(doc_id, text) stream → surviving doc_ids appended to out_path.
@@ -253,6 +255,13 @@ def start_neardup_stream(
     `epoch=<id>` subdir in out_path (reads of out_path see `epoch` as
     a partition column), so at-least-once foreachBatch delivery yields
     exactly-once *contents*.
+
+    The index self-compacts: once it accretes `compact_max_segments`
+    committed segments, the batch step merges them into one
+    band-clustered segment (segments.auto_compact — crash-safe, no
+    index-less window), keeping listing cost and scan-task sizes
+    bounded over the stream's lifetime. None disables (compact_index
+    becomes a caller-run OPTIMIZE job).
     """
 
     def step(batch_df: DataFrame, epoch_id: int) -> None:
@@ -260,6 +269,14 @@ def start_neardup_stream(
             spark, batch_df, index_path, epoch_id=epoch_id
         )
         write_segment(survivors, out_path, epoch_id)
+        auto_compact(
+            spark,
+            index_path,
+            _INDEX_SCHEMA,
+            dedup_keys=["doc_id", "band"],
+            cluster_cols=["band", "sig"],
+            max_segments=compact_max_segments,
+        )
 
     return (
         docs_stream.writeStream.outputMode("append")

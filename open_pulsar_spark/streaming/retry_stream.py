@@ -25,10 +25,17 @@ attempt-keyed, no executor-side mutation).
 Delivery contract (foreachBatch is at-least-once): EXECUTION is
 at-least-once — a crash inside the commit window can re-run a task
 attempt — but terminal RESULTS are exactly-once after read-side dedup:
-  - a fully-committed epoch replays as a no-op (per-epoch marker file
-    checked before any write);
+  - a fully-committed epoch replays as a no-op: per-epoch marker files
+    live UNDER THE CHECKPOINT LOCATION, so their lifetime is exactly
+    the lifetime of the batch numbering they guard — a fresh
+    checkpoint (batch ids restart at 0) starts with no markers, and
+    two pipelines sharing a results_dir cannot see each other's
+    markers;
   - a row whose task already has a terminal result is skipped before
-    the model runs (terminal-state guard, O(results) driver read);
+    the model runs (terminal-state guard: an in-memory task_id set,
+    rebuilt once per (re)start from read_results and appended to
+    incrementally per batch — O(new results) per trigger, not
+    O(all results));
   - read_results dedupes on task_id keeping the lowest terminal
     attempt, so even a crash between the result append and the marker
     cannot surface duplicate terminals.
@@ -89,25 +96,36 @@ def start_retry_pipeline(
     decides success. Returns the StreamingQuery (caller stops it)."""
     os.makedirs(retry_dir, exist_ok=True)
     os.makedirs(results_dir, exist_ok=True)
+    # epoch markers are keyed by batch id, and batch ids are only
+    # meaningful relative to ONE checkpoint — so the markers live under
+    # it. (Stale markers from a deleted checkpoint die with it; a second
+    # pipeline on the same results_dir has its own checkpoint and its
+    # own markers.)
+    marker_dir = os.path.join(checkpoint, "epoch_markers")
+    os.makedirs(marker_dir, exist_ok=True)
     src = (
         spark.readStream.schema(WORK_SCHEMA)
         .parquet(work_dir)
         .unionByName(spark.readStream.schema(WORK_SCHEMA).parquet(retry_dir))
     )
 
+    # terminal-state guard, incremental: rebuilt once per (re)start —
+    # covering everything a previous incarnation committed — then
+    # appended to in-process as this incarnation decides tasks. A
+    # replayed/duplicated row whose task is already decided must not
+    # re-run the model or fork a retry.
+    terminal: set[int] = {
+        r.task_id for r in read_results(spark, results_dir).collect()
+    }
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         # replay of a fully-committed epoch: no-op (marker written LAST)
-        marker = os.path.join(results_dir, f"_epoch-{batch_id}")
+        marker = os.path.join(marker_dir, f"_epoch-{batch_id}")
         if os.path.exists(marker):
             return
         rows = batch_df.collect()  # control plane: O(tasks), not O(data)
         if not rows:
             return
-        # terminal-state guard: a replayed/duplicated row whose task is
-        # already decided must not re-run the model or fork a retry
-        terminal = {
-            r.task_id for r in read_results(spark, results_dir).collect()
-        }
         now = dt.datetime.now()
         results: list[tuple] = []
         requeue: list[tuple] = []
@@ -134,6 +152,10 @@ def start_retry_pipeline(
                 )
         _append_rows(spark, results, RESULT_SCHEMA, results_dir)
         _append_rows(spark, requeue, WORK_SCHEMA, retry_dir)
+        # only after the result append is durable may the in-memory set
+        # learn the decisions (a crash before this point replays the
+        # batch, and the startup rebuild re-derives the set anyway)
+        terminal.update(task_id for task_id, _, _, _ in results)
         open(marker, "w").close()
 
     return (

@@ -120,6 +120,35 @@ def replay_exclusion(id_col: str, idx_id_col: str, idx_epoch_col: str, epoch_id:
     )
 
 
+def auto_compact(
+    spark: SparkSession,
+    root: str,
+    schema: str,
+    dedup_keys: list[str],
+    cluster_cols: list[str],
+    max_segments: int | None,
+    target_files: int = 8,
+) -> int | None:
+    """Threshold-triggered compaction: when the committed segment count
+    reaches `max_segments`, merge (compact_segments); else no-op.
+
+    Called from a stream's foreachBatch AFTER the epoch segment commit,
+    so the store self-maintains: a long-lived stream holds segment
+    count ≤ max_segments + a few in-flight, instead of accreting one
+    dir per micro-batch forever. Crash-safety is the compact_segments
+    protocol's: a crash mid-compaction leaves duplicates the candidate
+    joins tolerate and the next compaction removes; a crash after
+    compaction but before the streaming checkpoint commit replays the
+    epoch WITHOUT its own segment dir — the replay_exclusion predicate
+    covers exactly that window. Returns the deduped row count when a
+    compaction ran, else None."""
+    if max_segments is None or len(list_segments(root)) < max_segments:
+        return None
+    return compact_segments(
+        spark, root, schema, dedup_keys, cluster_cols, target_files=target_files
+    )
+
+
 def compact_segments(
     spark: SparkSession,
     root: str,

@@ -60,6 +60,110 @@ def test_full_message_pipeline_streaming(spark, tmp_path):
     assert [(r.update_id, r.cmd) for r in cmd] == [(2, "/status")]
 
 
+def test_run_app_attaches_heartbeat_and_routes_all_branches(spark, tmp_path):
+    """T8 wired at the app level: run_app starts all three pool-isolated
+    branch queries AND the heartbeat listener by default — beats are
+    observed while the micro-batches run (reference: per-reply typing
+    keepalive, telegram-agent.py:397-416)."""
+    import time
+
+    from open_pulsar_spark.streaming.app import run_app
+
+    src = str(tmp_path / "updates")
+    rows = [
+        (1, {"chat": {"id": 10}, "from": {"id": 1, "username": "a"}, "text": "hi app"}, None),
+        (2, {"chat": {"id": 10}, "from": {"id": 1, "username": "a"}, "text": "/status"}, None),
+        (3, {"chat": {"id": 11}, "from": {"id": 2, "username": "b"}, "text": "fix the login bug"}, None),
+    ]
+    spark.createDataFrame(rows, UPDATE_SCHEMA).coalesce(1).write.parquet(src)
+    updates = spark.readStream.schema(UPDATE_SCHEMA).parquet(src)
+
+    beats: list = []
+    delivered: list = []
+    tasks: list = []
+    cmds: list = []
+    app = run_app(
+        spark,
+        updates,
+        checkpoint_root=str(tmp_path / "ckpt"),
+        deliver=lambda df, epoch: delivered.extend(df.collect()),
+        handle_task=lambda df, epoch: tasks.extend(df.collect()),
+        handle_command=lambda df, epoch: cmds.extend(df.collect()),
+        allowed_ids={1, 2},
+        heartbeat_emit=beats.append,
+    )
+    try:
+        app.process_all_available()
+    finally:
+        app.stop()
+
+    assert [r.update_id for r in delivered] == [1]
+    assert [r.update_id for r in tasks] == [3]
+    assert [(r.update_id, r.cmd) for r in cmds] == [(2, "/status")]
+    # listener bus is async; drain before asserting beats
+    for _ in range(50):
+        prog = [e for e in beats if e["event"] == "progress"]
+        if len(prog) >= 3 and sum(e["num_input_rows"] for e in prog) >= 3:
+            break
+        time.sleep(0.2)
+    kinds = {e["event"] for e in beats}
+    assert "started" in kinds and "progress" in kinds
+    # all three branch queries beat (3 distinct stream ids)
+    prog_ids = {e["id"] for e in beats if e["event"] == "progress"}
+    assert len(prog_ids) == 3
+    # after stop() the listener is detached — no further beats possible
+    assert app.heartbeat is not None
+
+
+def test_stateful_query_uses_rocksdb_state_store(spark, tmp_path):
+    """100 TB posture: the session default state-store provider is
+    RocksDB (+ changelog checkpointing), and a stateful query's
+    checkpoint actually materializes RocksDB state artifacts — per-key
+    state spills to local disk instead of living on the executor heap."""
+    import glob
+    import os
+
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .endswith("RocksDBStateStoreProvider")
+    )
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+        == "true"
+    )
+
+    from open_pulsar_spark.streaming.quota import token_quota
+
+    src, ckpt = str(tmp_path / "q_src"), str(tmp_path / "q_ckpt")
+    spark.createDataFrame(
+        [(1, 1, 100_000), (1, 2, 90_000), (2, 3, 10)],
+        "chat_id LONG, update_id LONG, tokens LONG",
+    ).coalesce(1).write.parquet(src)
+    ledger = token_quota(
+        spark.readStream.schema("chat_id LONG, update_id LONG, tokens LONG").parquet(src)
+    )
+    q = (
+        ledger.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rocks_quota")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = {r.update_id: r for r in spark.sql("select * from rocks_quota").collect()}
+    assert out[2].action == "compact" and out[3].action == "ok"
+    # changelog checkpointing writes .changelog (delta) files; a full
+    # snapshot upload writes .zip — either proves the RocksDB provider
+    # owned the state directory
+    state_files = glob.glob(os.path.join(ckpt, "state", "**", "*"), recursive=True)
+    assert any(
+        f.endswith(".changelog") or f.endswith(".zip") for f in state_files
+    ), state_files[:20]
+
+
 def test_heartbeat_listener_emits_progress_per_batch(spark, tmp_path):
     """T8: the keepalive analogue — a StreamingQueryListener heartbeat
     fires started + per-micro-batch progress events while a query runs

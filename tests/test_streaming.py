@@ -327,6 +327,59 @@ def test_retry_stream_backoff_is_data_not_sleep(spark, workdir):
     assert seen["doomed"] == 5
 
 
+def test_retry_stream_fresh_checkpoint_not_blocked_by_stale_markers(spark, workdir):
+    """Replay markers are namespaced by checkpoint: restarting the
+    pipeline with a FRESH checkpoint (batch ids restart at 0) against
+    the same results_dir must still process new work — markers from the
+    previous incarnation died with its checkpoint and cannot silently
+    skip batch 0/1/… of the new one."""
+    import shutil
+    import time
+
+    from open_pulsar_spark.streaming.retry_stream import (
+        WORK_SCHEMA,
+        read_results,
+        start_retry_pipeline,
+    )
+
+    wd, rd, res = f"{workdir}/work", f"{workdir}/retry", f"{workdir}/results"
+
+    def run_until(ckpt, n_expected):
+        q = start_retry_pipeline(
+            spark, wd, rd, res, ckpt, lambda p, a: True, base_backoff_sec=0.1
+        )
+        try:
+            deadline = time.time() + 60
+            rows = {}
+            while time.time() < deadline:
+                rows = {r.task_id: r for r in read_results(spark, res).collect()}
+                if len(rows) >= n_expected:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        return rows
+
+    spark.createDataFrame([(1, "a", 1, None)], WORK_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(wd)
+    rows = run_until(f"{workdir}/ckpt1", 1)
+    assert rows[1].status == "completed"
+
+    # new incarnation: fresh checkpoint, same dirs, new work
+    shutil.rmtree(f"{workdir}/ckpt1")
+    spark.createDataFrame([(2, "b", 1, None)], WORK_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(wd)
+    rows = run_until(f"{workdir}/ckpt2", 2)
+    # the fresh run re-reads BOTH rows (new checkpoint = from scratch):
+    # task 1 is skipped by the terminal guard, task 2 must complete —
+    # under the old results_dir-global markers, batch 0's marker from
+    # run 1 would have skipped it forever
+    assert rows[2].status == "completed"
+    assert rows[1].attempt == 1  # no duplicate terminal for task 1
+
+
 def test_token_quota_compacts_at_threshold(spark, workdir):
     """transformWithStateInPandas quota ledger: per-chat running token
     total persists across micro-batches; crossing 80% of the 200k
@@ -398,6 +451,51 @@ def test_neardup_stream_filters_against_history_and_within_batch(spark, workdir)
 
     kept = sorted(r.doc_id for r in spark.read.parquet(f"{workdir}/kept").collect())
     assert kept == [1, 2, 4, 6]
+
+
+def test_neardup_stream_auto_compacts_bounded_segments(spark, workdir):
+    """Long-run maintenance: with compact_max_segments=N, a stream that
+    appends one index segment per micro-batch keeps the committed
+    segment count bounded (auto_compact merges at the threshold) AND
+    keeps catching near-dups across the compaction boundary."""
+    from open_pulsar_spark.streaming.neardup_stream import start_neardup_stream
+    from open_pulsar_spark.streaming.segments import list_segments
+
+    src = f"{workdir}/docs"
+    schema = "doc_id LONG, text STRING"
+    base = " ".join(f"tok{i}" for i in range(40))
+    # 6 single-file micro-batches: 5 distinct docs, then a near-copy of
+    # doc 0 arriving AFTER several compaction-eligible epochs
+    for i in range(5):
+        text = " ".join(f"w{i}x{j}" for j in range(40)) if i else base
+        spark.createDataFrame([(i, text)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    spark.createDataFrame([(99, base + " extra")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    idx = f"{workdir}/index"
+    q = start_neardup_stream(
+        spark,
+        stream,
+        index_path=idx,
+        out_path=f"{workdir}/kept",
+        checkpoint=f"{workdir}/ckpt",
+        compact_max_segments=3,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # 6 epochs appended 6 segments; the threshold-3 trigger kept the
+    # committed count bounded well below one-per-epoch
+    assert len(list_segments(idx)) <= 3
+    assert any("compact-" in s for s in list_segments(idx))
+    kept = sorted(r.doc_id for r in spark.read.parquet(f"{workdir}/kept").collect())
+    assert kept == [0, 1, 2, 3, 4]  # 99 dropped against compacted history
 
 
 def test_neardup_index_compaction_preserves_behavior(spark, workdir):

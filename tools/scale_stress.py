@@ -9,6 +9,23 @@ events, lineitem, orders) are the sf0.1 data unioned N times with
 id-offsets (dimension tables copied as-is), then times real registry
 queries against it.
 
+Replica perturbation (keeps the measurement falsifiable): a naive
+N× replication makes every replica a TRUE duplicate of the original,
+so the near-dup/similarity pair set grows ~quadratically in N by
+construction — the tool then cannot distinguish "operator is
+superlinear" from "output is superlinear". So replicas i>0 are
+deterministically perturbed:
+  - documents.text: every token is prefixed with a replica tag
+    (r{i}…) — all shingles change, so cross-replica Jaccard ≈ 0 while
+    WITHIN-replica near-dups survive verbatim (both sides perturbed
+    identically). The true pair count scales ~linearly in N.
+  - embeddings.embedding: per-(replica, vec, dim) hash-keyed additive
+    noise at ~1× the vector's mean |x| — cross-replica cosine drops
+    far below any dedup threshold (and replica-internal near-pairs
+    mostly break too, so the true pair set is bounded by replica 0's).
+Replica 0 is byte-identical to the base data, so x1-vs-xN compares
+like against like.
+
 Results are written to stdout as one JSON line:
   {"factor": N, "queries": {name: {"x1": s, "xN": s, "ratio": r}}}
 A ratio near N is linear scaling; well above N is the smell this tool
@@ -55,6 +72,46 @@ DEFAULT_QUERIES = [
 ]
 
 
+def _perturb(name: str, copy, i: int):
+    """Deterministic per-replica perturbation (identity for replica 0):
+    holds the true duplicate/similar-pair RATE constant as the data
+    scales, so a superlinear runtime ratio indicts the plan, not the
+    output size."""
+    from pyspark.sql import functions as F
+
+    if i == 0:
+        return copy
+    if name == "documents":
+        # prefix every token with a replica tag: all word-shingles (and
+        # simhash/minhash features) change, cross-replica Jaccard ~ 0
+        return copy.withColumn(
+            "text", F.regexp_replace(F.col("text"), r"(\S+)", f"r{i}$1")
+        )
+    if name == "embeddings":
+        # additive hash-keyed noise, amplitude ~ the vector's mean |x|:
+        # cross-replica cosine collapses; within-replica pairs keep the
+        # base data's exact geometry (rigid identical perturbation is
+        # NOT used — each vec gets its own noise — but base-pair
+        # similarity only matters within replica 0; the pair RATE per
+        # replica stays bounded either way)
+        mean_abs = F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + F.abs(x)
+        ) / F.size("embedding")
+        vid = F.col("vec_id")
+        return copy.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, j: (
+                    x
+                    + mean_abs
+                    * ((F.hash(vid, j, F.lit(i)) % 2001).cast("float") / 1000.0)
+                ).cast("float"),
+            ),
+        )
+    return copy
+
+
 def build_replica(spark, factor: int) -> str:
     from pyspark.sql import functions as F
 
@@ -70,7 +127,8 @@ def build_replica(spark, factor: int) -> str:
         df = load_table(spark, BASE_SF, name)
         span = df.agg(F.max(id_col)).collect()[0][0] + 1
         copies = [
-            df.withColumn(id_col, F.col(id_col) + F.lit(i * span)) for i in range(factor)
+            _perturb(name, df.withColumn(id_col, F.col(id_col) + F.lit(i * span)), i)
+            for i in range(factor)
         ]
         out = copies[0]
         for c in copies[1:]:
