@@ -76,6 +76,14 @@ EXTRA = [
     "source_neardup_matrix",
     "kmeans_cluster_sizes",
     "customer_rfm_segments",
+    # round-4 additions: the remaining adapted TPC-H shapes
+    "q2_min_cost_supplier",
+    "q11_important_part_value",
+    "q12_priority_ship_delay",
+    "q16_supplier_variety",
+    "q20_dominant_part_suppliers",
+    "q21_waiting_orders_suppliers",
+    "ann_ivf_pq",
 ]
 
 HEADLINE = [

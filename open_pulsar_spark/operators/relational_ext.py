@@ -1,12 +1,14 @@
 """L1 relational core, part 2 — the remaining TPC-H query shapes
 expressible on the driver's schema.
 
-The driver's star schema omits `partsupp` and lineitem's
-commit/receipt dates, so the classic queries needing them (Q2, Q11,
-Q16, Q20, Q21) have no faithful form; every other TPC-H shape is
-here, adapted to the columns that exist (adaptations noted per
-query). Together with relational.py (Q1/Q3/Q5/Q7/Q9/Q10) this
-completes the TPC-H subset the schema can express.
+The driver's star schema omits `partsupp`, lineitem's commit/receipt
+dates, and shipmode, so the classic queries needing them (Q2, Q11,
+Q12, Q16, Q20, Q21) have no LITERAL form — but their relational
+shapes do: part 2 of this module re-expresses all six on the columns
+that exist (lineitem as the part-supplier bridge, ship latency as the
+delay axis; adaptations noted per query). Together with relational.py
+(Q1/Q3/Q5/Q7/Q9/Q10) every one of the 22 TPC-H query shapes is now
+implemented and oracle-checked.
 
 Same ground rules as relational.py: Catalyst-native DataFrame code
 only, no Python UDFs; money sums rounded identically on both sides;
@@ -20,7 +22,7 @@ north star asks for.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from open_pulsar_spark.registry import query
@@ -599,4 +601,376 @@ def user_day_activity_fulljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
         )
         .orderBy("user_id", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Adapted TPC-H shapes, part 2 (round 4): the six classic queries whose
+# literal form needs columns this schema omits (partsupp, commitdate,
+# receiptdate, shipmode) — re-expressed on the columns that DO exist so
+# their relational SHAPES (correlated min over a bridge, share-of-total
+# HAVING, delay-bucket CASE agg, distinct-count with NOT-IN exclusion,
+# dominance semi-join chain, EXISTS + NOT-EXISTS on one fact) are all
+# exercised and oracle-checked. Adaptation noted per query.
+# --------------------------------------------------------------------------
+
+
+# q2 shape: for each part in a size/type band, the supplier(s) achieving
+# the MINIMUM unit sale price (lineitem is the part-supplier bridge the
+# schema has instead of partsupp). Unit price is computed in integer
+# tenths-of-a-cent ((cents*10) div qty — qty is integral) so the argmin
+# is bit-identical across engines.
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH pr AS (SELECT p_partkey, p_name FROM part
+                WHERE p_type = 'SMALL' AND p_size <= 10),
+    pairs AS (
+        SELECT l_partkey, l_suppkey,
+               min((round(l_extendedprice * 100)::BIGINT * 10)
+                   // l_quantity::BIGINT) AS unit_milli
+        FROM lineitem JOIN pr ON p_partkey = l_partkey
+        GROUP BY l_partkey, l_suppkey),
+    best AS (SELECT *, min(unit_milli) OVER (PARTITION BY l_partkey) AS part_min
+             FROM pairs)
+    SELECT p_partkey, p_name, s_suppkey, s_name,
+           unit_milli / 1000.0 AS min_unit_price
+    FROM best
+    JOIN pr ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE unit_milli = part_min
+    ORDER BY p_partkey, s_suppkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per part in a size/type band (TPC-H Q2
+    shape: correlated min over the part-supplier bridge, ties kept).
+
+    Scale: the band filter prunes part BEFORE the bridge (broadcast
+    semi onto lineitem, predicate pushed to the part scan); the pair
+    aggregate shuffles the surviving lineitem slice once on
+    (partkey, suppkey); the per-part min is a window over the compact
+    aggregate sharing the partkey partitioning — no second lineitem
+    scan, no correlated re-execution. Supplier is a broadcast dim.
+    """
+    pr = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_name")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    unit_milli = F.expr(
+        "(cast(round(l_extendedprice * 100) as bigint) * 10)"
+        " div cast(l_quantity as bigint)"
+    )
+    pairs = (
+        li.join(F.broadcast(pr.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_milli).alias("unit_milli"))
+    )
+    best = pairs.withColumn(
+        "part_min", F.min("unit_milli").over(Window.partitionBy("l_partkey"))
+    ).where(F.col("unit_milli") == F.col("part_min"))
+    return (
+        best.join(F.broadcast(pr), best.l_partkey == pr.p_partkey)
+        .join(F.broadcast(supplier), best.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            (F.col("unit_milli") / 1000.0).alias("min_unit_price"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+# q11 shape: share-of-total HAVING — parts whose sales value through a
+# supplier region exceeds 0.1% of the region's total. Money in integer
+# cents; the share test is cents*1000 > Σcents, exact on both engines.
+@query(
+    "q11_important_part_value",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey,
+               sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE s_nationkey < 5
+        GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey, cents / 100.0 AS part_value
+    FROM v
+    WHERE cents * 1000 > (SELECT sum(cents)::BIGINT FROM v)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts carrying an outsized share (>0.1%) of one supplier
+    region's sales value (TPC-H Q11 shape: group-by + HAVING against a
+    scalar share-of-total).
+
+    Scale: the region's suppliers reduce to a broadcast semi-join on
+    lineitem; one shuffle aggregates value per part; the grand total is
+    a 1-ROW scalar broadcast against the compact per-part aggregate
+    (allowlisted nested-loop, same as q22) — never a second pass over
+    lineitem. Integer-cents arithmetic end to end.
+    """
+    sup = load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 5)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    v = (
+        li.join(F.broadcast(sup.select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    total = v.agg(F.sum("cents").alias("total_cents"))
+    return (
+        v.join(F.broadcast(total))
+        .where(F.col("cents") * 1000 > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("cents") / 100.0).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+# q12 shape: delay-bucket CASE aggregation (the schema has no shipmode /
+# receiptdate; the bucket is ship latency vs order date, the counted
+# split is high- vs low-priority — the exact Q12 output shape).
+@query(
+    "q12_priority_ship_delay",
+    oracle="""
+    SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+                THEN 'slow' ELSE 'fast' END AS delay_bucket,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q12_priority_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-latency buckets × order-priority line counts for one
+    year (TPC-H Q12 shape).
+
+    Scale: fact-fact join on l_orderkey/o_orderkey — the natural bucket
+    key both tables should be bucketed on, so a bucketed layout makes
+    this shuffle-free; the year filter is pushed to the lineitem scan.
+    Aggregation is two CASE-sums over a 2-row group space — partial
+    map-side combine collapses it before the single exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.when(
+                F.col("l_shipdate")
+                >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                "slow",
+            )
+            .otherwise("fast")
+            .alias("delay_bucket"),
+            F.when(high, 1).otherwise(0).alias("is_high"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(1 - F.col("is_high")).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+# q16 shape: distinct-supplier counts per part attribute group, with a
+# NOT-IN supplier exclusion (negative account balance stands in for the
+# "complaints" comment filter the schema lacks; lineitem is the bridge).
+@query(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct (non-excluded) suppliers ship each part
+    brand/type/size combination (TPC-H Q16 shape).
+
+    Scale: the part attribute filter is a broadcast inner join that
+    also carries the group-by columns; the supplier exclusion is a
+    broadcast LEFT ANTI (the excluded set is tiny); countDistinct
+    shuffles once on the group key with partial distinct aggregation
+    map-side.
+    """
+    pr = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(pr), li.l_partkey == pr.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# q20 shape: dominance semi-join chain (no partsupp/availqty, so
+# "holds excess stock" becomes "shipped >30% of the part's year
+# volume" — the same nested-aggregate + semi-join chain).
+@query(
+    "q20_dominant_part_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity)::BIGINT AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        GROUP BY l_partkey, l_suppkey),
+    tot AS (SELECT l_partkey, sum(qty)::BIGINT AS part_qty
+            FROM shipped GROUP BY l_partkey)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM shipped
+    JOIN tot USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE qty * 10 > part_qty * 3
+      AND s_nationkey < 10
+    ORDER BY s_suppkey
+    """,
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in a region who dominated (>30% of) the yearly shipped
+    volume of some 'red' part (TPC-H Q20 shape: filtered part list →
+    nested aggregate → dominance predicate → supplier semi-join).
+
+    Scale: 'red' parts prune lineitem via broadcast semi-join at the
+    scan; per-(part, supplier) and per-part aggregates share the
+    partkey shuffle (AQE reuses the exchange); the dominance test is
+    integer quantity math (exact); the supplier join broadcasts the
+    dim and the final DISTINCT collapses a supplier-cardinality set.
+    """
+    red = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    sup = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey") < 10
+    ).select("s_suppkey", "s_name")
+    shipped = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
+    return (
+        shipped.join(tot, "l_partkey")
+        .where(F.col("qty") * 10 > F.col("part_qty") * 3)
+        .join(F.broadcast(sup), shipped.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+# q21 shape: EXISTS + NOT-EXISTS on the same fact — suppliers whose
+# late line was the ONLY late line in a multi-supplier order ("kept the
+# order waiting"). Late = shipped >45 days after ordering (no
+# commit/receipt dates in this schema).
+@query(
+    "q21_waiting_orders_suppliers",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey, l_suppkey,
+               (l_shipdate > o_orderdate + INTERVAL 45 DAY) AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F')
+    SELECT s_name, count(*) AS numwait
+    FROM l l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND s_nationkey < 5
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept finished multi-supplier orders waiting: their
+    line shipped late while every other supplier's lines were on time
+    (TPC-H Q21 shape).
+
+    Scale: the EXISTS / NOT-EXISTS pair is decorrelated into ONE
+    per-order aggregate — n_supp = distinct suppliers in the order,
+    n_late_supp = distinct suppliers with a late line. A late row
+    qualifies iff n_supp >= 2 (someone else exists) and
+    n_late_supp == 1 (no OTHER supplier was late — the row's own
+    supplier is the one). One orderkey shuffle for the join + one for
+    the aggregate (bucket-key co-location removes both), instead of
+    two correlated re-scans of lineitem.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    sup = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey") < 5
+    ).select("s_suppkey", "s_name")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+        ).alias("late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    return (
+        lines.where(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
     )

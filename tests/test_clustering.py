@@ -61,3 +61,48 @@ def test_every_vector_assigned_exactly_once(spark):
     n_vec = len({r.vec_id for r in out})
     assert len(out) == n_vec
     assert {r.cluster for r in out} <= set(range(C.K))
+
+
+def test_pq_recall_floor_vs_exact_incell_ranking(spark):
+    """Every approximate path ships with a measured-recall harness:
+    IVF-PQ's ADC top-10 must recover a sane fraction of the EXACT
+    in-cell cosine top-10 (ann_ivf_kmeans, same coarse cells). With
+    16 trained codes x 8 subspaces (~4 bits/subvector) measured recall
+    is ~0.46; the floor leaves margin for per-round testdata
+    regeneration while still catching a broken codebook/LUT (which
+    drops recall to ~chance, < 0.1)."""
+    from open_pulsar_spark.registry import all_queries
+
+    qs = all_queries()
+    exact: dict[int, set] = {}
+    for r in qs["ann_ivf_kmeans"](spark, SF_SMALL).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx: dict[int, set] = {}
+    for r in qs["ann_ivf_pq"](spark, SF_SMALL).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(approx) == set(exact)
+    recalls = [
+        len(exact[q] & approx[q]) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.25, recalls
+
+
+def test_pq_codebook_training_partitioning_invariant(spark):
+    """PQ inherits the fixed-point determinism contract: a training
+    round over ANY repartitioning of the corpus yields bit-identical
+    codebooks (integer sums + one deterministic division per cell)."""
+    res = C._residual_frame(spark, SF_SMALL)
+    cb_rows = sorted(
+        (r.vec_id, list(r.r))
+        for r in res.where(F.col("vec_id") < C.PQ_NCODES).collect()
+    )
+    donors = [
+        [
+            (code, rvec[m * C.PQ_SUBDIM : (m + 1) * C.PQ_SUBDIM])
+            for code, rvec in cb_rows
+        ]
+        for m in range(C.PQ_M)
+    ]
+    trained = C._pq_train_round(res, donors)
+    assert C._pq_train_round(res.repartition(7), donors) == trained
+    assert C._pq_train_round(res.repartition(3), donors) == trained

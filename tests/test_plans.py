@@ -127,6 +127,7 @@ _NESTED_LOOP_ALLOWED = {
     "backoff_schedule",          # 2-row constant rate_limited frame
     "dedup_ngram_jaccard",       # bounded-slice brute-force baseline
     "q22_idle_customers",        # 1-row scalar avg threshold, broadcast
+    "q11_important_part_value",  # 1-row grand-total share threshold, broadcast
 }
 
 

@@ -619,6 +619,39 @@ def test_streaming_hourly_rollup_maintains_table_and_daily_refresh(spark, workdi
     assert len(day) == 1 and (day[0].n, day[0].sv) == (5, 76.0)
 
 
+def test_token_quota_auto_selects_runnable_api(spark, workdir):
+    """token_quota_auto runs the supported transformWithStateInPandas
+    path when the runtime has its protobuf dependency, else the
+    applyInPandasWithState fallback — same ledger either way."""
+    from open_pulsar_spark.streaming.quota import has_tws, token_quota_auto
+
+    src, ckpt = f"{workdir}/auto_src", f"{workdir}/auto_ckpt"
+    spark.createDataFrame(
+        [(1, 1, 100_000), (1, 2, 90_000), (2, 3, 10)],
+        "chat_id LONG, update_id LONG, tokens LONG",
+    ).coalesce(1).write.parquet(src)
+    ledger = token_quota_auto(
+        spark.readStream.schema("chat_id LONG, update_id LONG, tokens LONG").parquet(src)
+    )
+    q = (
+        ledger.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("quota_auto_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.update_id: r for r in spark.sql("select * from quota_auto_out").collect()}
+    assert rows[2].action == "compact" and rows[2].used_tokens == 190_000
+    assert rows[3].action == "ok"
+    # in this container has_tws() is False (no protobuf) — the assert
+    # documents which path the run above actually took
+    import importlib.util
+
+    assert has_tws() == (importlib.util.find_spec("google") is not None)
+
+
 def test_token_quota_ttl_resets_idle_meter(spark, workdir):
     """Quota TTL branch: after an idle period longer than ttl_ms the
     chat's token meter is evicted, so the next message starts the
