@@ -84,6 +84,7 @@ EXTRA = [
     "q20_dominant_part_suppliers",
     "q21_waiting_orders_suppliers",
     "ann_ivf_pq",
+    "part_copurchase_pagerank",
 ]
 
 HEADLINE = [

@@ -1,0 +1,154 @@
+"""Iterative graph analytics over the relational tables — fixed-point
+PageRank on the part co-purchase graph.
+
+The one distributed-computation SHAPE the engine didn't exercise yet:
+an iterative join-aggregate loop (the Pregel/GraphX pattern — each
+round joins the current vertex state to the edge list and re-aggregates
+by destination). Connected components (dedup.dedup_clusters) iterates
+too, but over a shrinking pair graph; PageRank iterates over the FULL
+edge list every round, which is the shape of most production graph
+workloads (influence, recommendations, spam propagation).
+
+Determinism design (same philosophy as clustering.py): float PageRank
+sums are order-dependent, so ranks here are integers on a 10^12 grid —
+  r0(v)        = R_TOTAL div N
+  contrib(u→v) = (r(u) * w(u,v)) div deg_w(u)      -- one trunc-div/edge
+  r'(v)        = (15 * (R_TOTAL div N)) div 100
+               + (85 * Σ contrib) div 100          -- d = 0.85
+Integer sums are exact and order-independent, trunc division is
+identical in Spark (`div`) and DuckDB (`//`, positive operands), so
+every iteration — and therefore the final ranking — is bit-identical
+across engines, partitionings, and replays. The mass lost to
+truncation (≤ 1 ulp of the grid per edge) is noise at grid 10^12 and
+buys exactness.
+
+Reference parity: none — the reference has no graph surface; this
+extends SURVEY.md §2.10's analytics family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_pulsar_spark.registry import query
+from open_pulsar_spark.tables import load_table
+
+PR_DAMP_NUM = 85          # d = 0.85 as an integer percentage
+PR_R_TOTAL = 10**12       # rank grid: total mass at iteration 0
+PR_ITERS = 3
+PR_TOP = 20
+
+
+def _pr_iter_cte(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+        SELECT n.pk,
+               (15 * (SELECT {PR_R_TOTAL} // count(*) FROM nodes)) // 100
+             + ({PR_DAMP_NUM} * coalesce(s.sum_c, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS pk, sum((p.r * e.w) // dg.deg_w)::BIGINT AS sum_c
+            FROM edges e
+            JOIN {prev} p ON p.pk = e.src
+            JOIN deg dg ON dg.pk = e.src
+            GROUP BY e.dst) s ON s.pk = n.pk)"""
+
+
+def _pagerank_oracle() -> str:
+    return f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    edges AS (
+        SELECT a.pk AS src, b.pk AS dst, count(*)::BIGINT AS w
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk
+        GROUP BY a.pk, b.pk),
+    nodes AS (SELECT DISTINCT src AS pk FROM edges),
+    deg AS (SELECT src AS pk, sum(w)::BIGINT AS deg_w FROM edges GROUP BY src),
+    r0 AS (SELECT pk, (SELECT {PR_R_TOTAL} // count(*) FROM nodes)::BIGINT AS r
+           FROM nodes),
+    {_pr_iter_cte("r0", "r1")},
+    {_pr_iter_cte("r1", "r2")},
+    {_pr_iter_cte("r2", "r3")}
+    SELECT pk AS p_partkey, r AS rank_fp,
+           row_number() OVER (ORDER BY r DESC, pk) AS rk
+    FROM r3
+    ORDER BY r DESC, pk
+    LIMIT {PR_TOP}
+    """
+
+
+@query("part_copurchase_pagerank", oracle=_pagerank_oracle())
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PR_TOP} most central parts by fixed-point PageRank over the
+    co-purchase graph (parts are linked when they appear in the same
+    order; edge weight = number of co-occurring orders).
+
+    Scale shape — the canonical distributed PageRank:
+      - edge building is ONE self-join of the deduped (order, part)
+        projection on orderkey — per-order fan-out is C(lines, 2) with
+        TPC-H's bounded lines-per-order, so the edge list is O(|lineitem|);
+      - edges and out-degrees PERSIST across iterations (built once,
+        reused {PR_ITERS}×) and both carry `src` partitioning, so each
+        round is: join ranks (partitioned on pk == src) → map the
+        integer contribution → one shuffle to re-aggregate by dst;
+      - vertex state is one BIGINT per node per round — the Pregel
+        message-passing pattern expressed as DataFrame joins, with a
+        STATIC {PR_ITERS}-round job graph (no driver-side convergence
+        loop; production runs fix iteration budgets for exactly this
+        plan-stability reason);
+      - the final top-{PR_TOP} is a rank window over the node set.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    op = li.distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.sum("w").alias("deg_w"))
+    nodes = edges.select(F.col("src").alias("pk")).distinct().persist()
+    n_nodes = nodes.count()  # scalar: also materializes both caches
+    base = PR_R_TOTAL // n_nodes
+    teleport = (15 * base) // 100
+
+    # edge frame with the sender's degree attached once, reused per round
+    ed = edges.join(deg, "src").select("src", "dst", "w", "deg_w").persist()
+
+    ranks = nodes.select("pk", F.lit(base).cast("bigint").alias("r"))
+    for _ in range(PR_ITERS):
+        sums = (
+            ed.join(ranks, ed.src == ranks.pk)
+            .select(
+                F.col("dst").alias("pk"),
+                F.expr("(r * w) div deg_w").alias("c"),
+            )
+            .groupBy("pk")
+            .agg(F.sum("c").alias("sum_c"))
+        )
+        ranks = nodes.join(sums, "pk", "left").select(
+            "pk",
+            (
+                F.lit(teleport)
+                + F.expr(f"({PR_DAMP_NUM} * coalesce(sum_c, 0L)) div 100")
+            ).cast("bigint").alias("r"),
+        )
+
+    from pyspark.sql import Window
+
+    # top-k FIRST via orderBy+limit (Spark's distributed TakeOrdered —
+    # never a single-partition window over the whole node set), THEN
+    # number the surviving PR_TOP rows with a trivially small window.
+    top = ranks.orderBy(F.desc("r"), "pk").limit(PR_TOP)
+    w = Window.orderBy(F.desc("r"), "pk")
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("pk").alias("p_partkey"),
+            F.col("r").alias("rank_fp"),
+            "rk",
+        )
+        .orderBy(F.desc("rank_fp"), "p_partkey")
+    )

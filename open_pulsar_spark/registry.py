@@ -48,6 +48,7 @@ def load_all() -> None:
         clustering,
         curation,
         dedup,
+        graph,
         multimodal,
         relational,
         relational_ext,
