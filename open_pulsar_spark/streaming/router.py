@@ -80,6 +80,42 @@ def filter_authorized(
     return messages.join(F.broadcast(allowed), "from_id", "left_semi")
 
 
+def live_auth_filter(spark: SparkSession, allowlist_path: str):
+    """Hot-reloading authorization (the reference re-reads its config
+    between polls — agent-loop.sh's env sourcing; SURVEY S7): returns
+    `apply(batch_df) -> batch_df` for use INSIDE foreachBatch, where
+    each call re-reads the allowlist parquet dir — appending a user
+    row takes effect on the next trigger with no query restart.
+
+    Why not an in-plan stream-static join: for a path-based parquet
+    static side, Spark freezes the file LISTING when the streaming
+    query is planned (InMemoryFileIndex), so rows appended to the dir
+    after .start() are never seen — measured in this repo's test
+    suite, not assumed. Inside foreachBatch the frame is batch-scoped,
+    every `spark.read` builds a fresh listing, and the reload contract
+    actually holds. (A Delta/catalog-table static side re-resolves
+    snapshots in-plan and could move this back into the plan.)
+
+    Semantics match filter_authorized: broadcast left-semi on from_id;
+    an EMPTY allowlist allows everyone. The emptiness check is one
+    driver-side count over a config-sized dir — per-batch cost is one
+    listing + one broadcast, the slowly-changing-dimension pattern.
+    """
+
+    def apply(batch_df: DataFrame) -> DataFrame:
+        allowed = (
+            spark.read.schema("from_id LONG")
+            .parquet(allowlist_path)
+            .select("from_id")
+            .distinct()
+        )
+        if allowed.limit(1).count() == 0:
+            return batch_df
+        return batch_df.join(F.broadcast(allowed), "from_id", "left_semi")
+
+    return apply
+
+
 def classify_heuristic() -> F.Column:
     """Deterministic task-vs-chat classifier column (stand-in for the
     LLM classifier U3; failure→'chat' default becomes `otherwise`).

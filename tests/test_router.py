@@ -58,3 +58,58 @@ def test_route_pinned_mode(spark):
     routed = {r.update_id: r.route for r in route(msgs, mode="task").collect()}
     assert routed[1] == "task"               # pinned overrides heuristic
     assert routed[4] == "command"            # commands always win
+
+
+def test_live_auth_filter_hot_reloads_per_batch(spark, tmp_path):
+    """S7 hot reload: a user appended to the allowlist dir AFTER the
+    stream starts is admitted from the next micro-batch on — because
+    live_auth_filter re-reads the dir inside foreachBatch (an in-plan
+    stream-static parquet join freezes its file listing at .start(),
+    which is exactly why the combinator exists)."""
+    from open_pulsar_spark.streaming.router import live_auth_filter
+
+    src = str(tmp_path / "msgs")
+    allow = str(tmp_path / "allow")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "update_id LONG, from_id LONG"
+    spark.createDataFrame([(1,)], "from_id LONG").coalesce(1).write.parquet(allow)
+    # batch 1: user 1 (allowed) + user 2 (not yet)
+    spark.createDataFrame([(1, 1), (2, 2)], schema).coalesce(1).write.parquet(src)
+
+    auth = live_auth_filter(spark, allow)
+    admitted: list = []
+
+    def step(batch_df, epoch_id):
+        admitted.extend(auth(batch_df).collect())
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    assert sorted(r.update_id for r in admitted) == [1]
+
+    # authorize user 2 mid-stream, then their next message is admitted
+    spark.createDataFrame([(2,)], "from_id LONG").coalesce(1).write.mode(
+        "append"
+    ).parquet(allow)
+    spark.createDataFrame([(3, 2)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r.update_id for r in admitted) == [1, 3]
+
+
+def test_live_auth_filter_empty_allowlist_allows_everyone(spark, tmp_path):
+    from open_pulsar_spark.streaming.router import live_auth_filter
+
+    allow = str(tmp_path / "allow_empty")
+    spark.createDataFrame([], "from_id LONG").write.parquet(allow)
+    auth = live_auth_filter(spark, allow)
+    batch = spark.createDataFrame([(1, 10), (2, 20)], "update_id LONG, from_id LONG")
+    assert sorted(r.update_id for r in auth(batch).collect()) == [1, 2]
