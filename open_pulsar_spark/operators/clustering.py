@@ -542,18 +542,25 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.vec_id, r.cid, list(r.r))
         for r in res.where(F.col("vec_id") < N_QUERIES).collect()
     )
-    # per-query ADC tables, Python integer math == engine integer math
+    # per-query ADC tables, Python integer math == engine integer math.
+    # The array is indexed BY CODE VALUE (element_at(arr, code+1)), and
+    # training can drop codes that attracted no vectors — so gaps up to
+    # max(code) are filled with a sentinel. The sentinel is unreachable
+    # (encode only ever emits codes present in cb[m]) but keeps every
+    # REACHABLE code's slot aligned; without it a vanished code would
+    # shift all higher codes onto wrong slots (and ANSI mode would
+    # throw out-of-bounds on the top code).
     def lut_for(rvec: list[int]) -> list[list[int]]:
-        return [
-            [
-                sum(
+        tables = []
+        for m in range(PQ_M):
+            arr = [2**62] * (max(code for code, _ in cb[m]) + 1)
+            for code, cvec in cb[m]:
+                arr[code] = sum(
                     (rvec[m * PQ_SUBDIM + i] - cvec[i]) ** 2
                     for i in range(PQ_SUBDIM)
                 )
-                for _, cvec in cb[m]
-            ]
-            for m in range(PQ_M)
-        ]
+            tables.append(arr)
+        return tables
 
     per_query = []
     for qid, qcid, rvec in q_rows:

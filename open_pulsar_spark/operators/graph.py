@@ -106,49 +106,58 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
         .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .agg(F.count("*").alias("w"))
-        .persist()
     )
     deg = edges.groupBy("src").agg(F.sum("w").alias("deg_w"))
-    nodes = edges.select(F.col("src").alias("pk")).distinct().persist()
-    n_nodes = nodes.count()  # scalar: also materializes both caches
-    base = PR_R_TOTAL // n_nodes
-    teleport = (15 * base) // 100
-
-    # edge frame with the sender's degree attached once, reused per round
+    # edge frame with the sender's degree attached once, reused every
+    # round; nodes reused every round + for teleport. Both persisted
+    # for the iteration and RELEASED before returning — the final
+    # top-PR_TOP rows are bounded, so they are materialized eagerly
+    # below and nothing cached leaks past this call.
     ed = edges.join(deg, "src").select("src", "dst", "w", "deg_w").persist()
+    nodes = ed.select(F.col("src").alias("pk")).distinct().persist()
+    try:
+        n_nodes = nodes.count()  # scalar: also pins both caches
+        base = PR_R_TOTAL // n_nodes
+        teleport = (15 * base) // 100
 
-    ranks = nodes.select("pk", F.lit(base).cast("bigint").alias("r"))
-    for _ in range(PR_ITERS):
-        sums = (
-            ed.join(ranks, ed.src == ranks.pk)
-            .select(
-                F.col("dst").alias("pk"),
-                F.expr("(r * w) div deg_w").alias("c"),
+        ranks = nodes.select("pk", F.lit(base).cast("bigint").alias("r"))
+        for _ in range(PR_ITERS):
+            sums = (
+                ed.join(ranks, ed.src == ranks.pk)
+                .select(
+                    F.col("dst").alias("pk"),
+                    F.expr("(r * w) div deg_w").alias("c"),
+                )
+                .groupBy("pk")
+                .agg(F.sum("c").alias("sum_c"))
             )
-            .groupBy("pk")
-            .agg(F.sum("c").alias("sum_c"))
-        )
-        ranks = nodes.join(sums, "pk", "left").select(
-            "pk",
-            (
-                F.lit(teleport)
-                + F.expr(f"({PR_DAMP_NUM} * coalesce(sum_c, 0L)) div 100")
-            ).cast("bigint").alias("r"),
-        )
+            ranks = nodes.join(sums, "pk", "left").select(
+                "pk",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({PR_DAMP_NUM} * coalesce(sum_c, 0L)) div 100")
+                ).cast("bigint").alias("r"),
+            )
 
-    from pyspark.sql import Window
+        from pyspark.sql import Window
 
-    # top-k FIRST via orderBy+limit (Spark's distributed TakeOrdered —
-    # never a single-partition window over the whole node set), THEN
-    # number the surviving PR_TOP rows with a trivially small window.
-    top = ranks.orderBy(F.desc("r"), "pk").limit(PR_TOP)
-    w = Window.orderBy(F.desc("r"), "pk")
-    return (
-        top.withColumn("rk", F.row_number().over(w))
-        .select(
-            F.col("pk").alias("p_partkey"),
-            F.col("r").alias("rank_fp"),
-            "rk",
+        # top-k FIRST via orderBy+limit (Spark's distributed
+        # TakeOrdered — never a single-partition window over the whole
+        # node set), THEN number the surviving PR_TOP rows.
+        top = ranks.orderBy(F.desc("r"), "pk").limit(PR_TOP)
+        w = Window.orderBy(F.desc("r"), "pk")
+        out = (
+            top.withColumn("rk", F.row_number().over(w))
+            .select(
+                F.col("pk").alias("p_partkey"),
+                F.col("r").alias("rank_fp"),
+                "rk",
+            )
+            .orderBy(F.desc("rank_fp"), "p_partkey")
         )
-        .orderBy(F.desc("rank_fp"), "p_partkey")
-    )
+        # materialize the PR_TOP-row result while the caches are live,
+        # then hand back a local frame with the identical schema
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        ed.unpersist()
+        nodes.unpersist()

@@ -104,29 +104,17 @@ def start_chat_sink(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         deliver(explode_chunks(batch_df, limit=chunk_limit), epoch_id)
 
-    # scope the pool to THIS .start(): the query's execution thread
-    # snapshots the property at start, and restoring the previous value
-    # afterwards keeps later queries started from this caller thread
-    # out of the chat pool (they must isolate, not inherit)
-    sc = chat.sparkSession.sparkContext
-    prev_pool = sc.getLocalProperty("spark.scheduler.pool")
-    set_scheduler_pool(chat.sparkSession, pool)
-    try:
-        return (
-            chat.writeStream.outputMode("append")
-            .foreachBatch(process)
-            .option("checkpointLocation", checkpoint)
-            .start()
-        )
-    finally:
-        set_scheduler_pool(chat.sparkSession, prev_pool)
+    return _start_branch_sink(chat, process, checkpoint, pool)
 
 
 def _start_branch_sink(
     df: DataFrame, handler, checkpoint: str, pool: str | None
 ) -> StreamingQuery:
-    """foreachBatch sink for a stateless branch, pool-scoped like
-    start_chat_sink (snapshot pool → start → restore)."""
+    """foreachBatch sink for one branch. Pool scoping: the query's
+    execution thread snapshots the caller thread's scheduler-pool
+    property at .start(), and restoring the previous value afterwards
+    keeps later queries started from this thread out of this branch's
+    pool (they must isolate, not inherit)."""
     sc = df.sparkSession.sparkContext
     prev_pool = sc.getLocalProperty("spark.scheduler.pool")
     set_scheduler_pool(df.sparkSession, pool)
@@ -156,13 +144,23 @@ class AppHandle:
             q.processAllAvailable()
 
     def stop(self) -> None:
+        """Stop every branch and detach the listener. Best-effort on
+        partial failure: a q.stop() raising must not leave the other
+        queries running or the listener attached — every teardown step
+        is attempted, then the first error re-raised."""
         if self._stopped:
             return
         self._stopped = True
+        first_err: Exception | None = None
         for q in self.queries.values():
-            q.stop()
+            try:
+                q.stop()
+            except Exception as e:  # noqa: BLE001 — finish teardown first
+                first_err = first_err or e
         if self.heartbeat is not None:
             detach_heartbeat(self.spark, self.heartbeat)
+        if first_err is not None:
+            raise first_err
 
 
 def run_app(
@@ -202,22 +200,33 @@ def run_app(
         else None
     )
     noop = lambda batch_df, epoch_id: None  # noqa: E731
-    queries = {
-        "chat": start_chat_sink(
+    queries: dict[str, StreamingQuery] = {}
+    try:
+        queries["chat"] = start_chat_sink(
             branches["chat"],
             deliver,
             checkpoint=f"{checkpoint_root}/chat",
             chunk_limit=chunk_limit,
             pool="chat",
-        ),
-        "task": _start_branch_sink(
+        )
+        queries["task"] = _start_branch_sink(
             branches["task"], handle_task or noop, f"{checkpoint_root}/task", "task"
-        ),
-        "command": _start_branch_sink(
+        )
+        queries["command"] = _start_branch_sink(
             branches["command"],
             handle_command or noop,
             f"{checkpoint_root}/command",
             "command",
-        ),
-    }
+        )
+    except Exception:
+        # a later branch failing to start must not leak the earlier
+        # branches (running forever, unreachable) or the listener
+        for q in queries.values():
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 — best-effort teardown
+                pass
+        if listener is not None:
+            detach_heartbeat(spark, listener)
+        raise
     return AppHandle(spark=spark, queries=queries, heartbeat=listener)

@@ -35,7 +35,13 @@ attempt — but terminal RESULTS are exactly-once after read-side dedup:
     the model runs (terminal-state guard: an in-memory task_id set,
     rebuilt once per (re)start from read_results and appended to
     incrementally per batch — O(new results) per trigger, not
-    O(all results));
+    O(all results)). SINGLE ACTIVE WRITER contract: the incremental
+    set only sees results THIS incarnation wrote or that existed at
+    its start, so at most one pipeline may be actively writing a
+    results_dir at a time (restarts — including with a fresh
+    checkpoint — are fine; concurrent writers could re-run a task the
+    other just decided, though read_results still collapses the
+    duplicate terminals on read);
   - read_results dedupes on task_id keeping the lowest terminal
     attempt, so even a crash between the result append and the marker
     cannot surface duplicate terminals.

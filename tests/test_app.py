@@ -94,18 +94,20 @@ def test_run_app_attaches_heartbeat_and_routes_all_branches(spark, tmp_path):
     )
     try:
         app.process_all_available()
+        # listener bus is async — drain while the listener is STILL
+        # attached (stop() detaches it; draining after would race late
+        # events into the void)
+        for _ in range(50):
+            prog = [e for e in beats if e["event"] == "progress"]
+            if len(prog) >= 3 and sum(e["num_input_rows"] for e in prog) >= 3:
+                break
+            time.sleep(0.2)
     finally:
         app.stop()
 
     assert [r.update_id for r in delivered] == [1]
     assert [r.update_id for r in tasks] == [3]
     assert [(r.update_id, r.cmd) for r in cmds] == [(2, "/status")]
-    # listener bus is async; drain before asserting beats
-    for _ in range(50):
-        prog = [e for e in beats if e["event"] == "progress"]
-        if len(prog) >= 3 and sum(e["num_input_rows"] for e in prog) >= 3:
-            break
-        time.sleep(0.2)
     kinds = {e["event"] for e in beats}
     assert "started" in kinds and "progress" in kinds
     # all three branch queries beat (3 distinct stream ids)

@@ -646,10 +646,16 @@ def test_token_quota_auto_selects_runnable_api(spark, workdir):
     assert rows[2].action == "compact" and rows[2].used_tokens == 190_000
     assert rows[3].action == "ok"
     # in this container has_tws() is False (no protobuf) — the assert
-    # documents which path the run above actually took
+    # documents which path the run above actually took. Probe for
+    # google.protobuf specifically: other google-namespace packages
+    # (google-auth etc.) don't make TWS runnable.
     import importlib.util
 
-    assert has_tws() == (importlib.util.find_spec("google") is not None)
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    assert has_tws() == has_protobuf
 
 
 def test_token_quota_ttl_resets_idle_meter(spark, workdir):
