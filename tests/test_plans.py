@@ -147,3 +147,28 @@ def test_no_query_compiles_to_unbounded_nested_loop(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in _NESTED_LOOP_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_q2_pushes_band_filter_and_broadcasts_dims(spark):
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    # the part band filter reaches the part scan, not a post-join Filter
+    assert "EqualTo(p_type,SMALL)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_anti_join_is_broadcast_and_distinct_is_partial(spark):
+    plan = plan_of(spark, "q16_supplier_variety")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # countDistinct compiles to the two-phase partial_count(distinct ...)
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelation_never_nested_loops(spark):
+    """The EXISTS + NOT-EXISTS pair must stay ONE per-order aggregate
+    joined back — never a correlated nested-loop re-scan."""
+    plan = plan_of(spark, "q21_waiting_orders_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
