@@ -85,6 +85,8 @@ EXTRA = [
     "q21_waiting_orders_suppliers",
     "ann_ivf_pq",
     "part_copurchase_pagerank",
+    "user_value_sax_blocks",
+    "sax_block_candidate_pairs",
 ]
 
 HEADLINE = [

@@ -510,3 +510,211 @@ def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp")
         .orderBy("user_id", "island_start")
     )
+
+
+# --------------------------------------------------------------------------
+# user_value_sax_blocks — SAX-style time-series similarity blocking.
+# --------------------------------------------------------------------------
+SAX_EVENTS = 16   # first N events per user form the series
+SAX_SEGLEN = 2    # PAA segment length → 8 segments, 2-level alphabet
+
+
+@query(
+    "user_value_sax_blocks",
+    oracle=f"""
+    WITH ord AS (
+        SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+    series AS (
+        SELECT user_id, cents, rn, (rn - 1) // {SAX_SEGLEN} AS seg
+        FROM ord WHERE rn <= {SAX_EVENTS}),
+    eligible AS (
+        SELECT user_id FROM series GROUP BY user_id
+        HAVING count(*) = {SAX_EVENTS}),
+    segs AS (
+        SELECT s.user_id, s.seg, sum(s.cents)::BIGINT AS seg_sum
+        FROM series s JOIN eligible e ON e.user_id = s.user_id
+        GROUP BY s.user_id, s.seg),
+    tot AS (SELECT user_id, sum(seg_sum)::BIGINT AS total
+            FROM segs GROUP BY user_id),
+    words AS (
+        SELECT s.user_id,
+               string_agg(CASE WHEN s.seg_sum * {SAX_EVENTS // SAX_SEGLEN}
+                                    >= t.total
+                               THEN 'u' ELSE 'd' END, '' ORDER BY s.seg)
+                   AS sax_word
+        FROM segs s JOIN tot t ON t.user_id = s.user_id
+        GROUP BY s.user_id)
+    SELECT sax_word, count(*) AS n_users
+    FROM words
+    GROUP BY sax_word
+    HAVING count(*) >= 2
+    ORDER BY n_users DESC, sax_word
+    """,
+)
+def user_value_sax_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity BLOCKING via SAX (symbolic aggregate
+    approximation): each user's first {SAX_EVENTS} event values become
+    a PAA of {SAX_EVENTS // SAX_SEGLEN} segment means, symbolized
+    against the series' own mean ('u'/'d'); users sharing a SAX word
+    are shape-similar candidates. This is the distributed blocking
+    step of streaming time-series similarity search (cf. the EDBT'19
+    line of work): exact DTW/Euclidean comparisons then run only
+    WITHIN a block, never all-pairs across users.
+
+    Determinism: values quantize to integer cents (floor(x*100+0.5) —
+    identical in both engines, no round() half-cent hazard), segment
+    sums are exact integer sums, and the u/d test cross-multiplies
+    (seg_sum * n_segments >= total) instead of dividing — the word is
+    bit-identical across engines and partitionings. Order within a
+    series ties on (ts, event_id), both unique-ing.
+
+    Scale: one shuffle on user_id (the row_number window); the segment
+    and word aggregates REUSE that partitioning (AQE keeps the
+    exchange); output is one row per word — candidate-pair cost is
+    Σ|block|², the same bounded-blocking contract as the LSH families,
+    with the alphabet/segment knobs controlling block granularity.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("cast(floor(value * 100 + 0.5d) as bigint)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = (
+        ev.select("user_id", cents.alias("cents"), F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= SAX_EVENTS)
+        .withColumn("seg", F.expr(f"(rn - 1) div {SAX_SEGLEN}"))
+    )
+    segs = (
+        series.withColumn(
+            "n", F.count("*").over(Window.partitionBy("user_id"))
+        )
+        .where(F.col("n") == SAX_EVENTS)
+        .groupBy("user_id", "seg")
+        .agg(F.sum("cents").alias("seg_sum"))
+    )
+    tot = Window.partitionBy("user_id")
+    n_segments = SAX_EVENTS // SAX_SEGLEN
+    words = (
+        segs.withColumn("total", F.sum("seg_sum").over(tot))
+        .withColumn(
+            "sym",
+            F.when(F.col("seg_sum") * n_segments >= F.col("total"), "u").otherwise(
+                "d"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("seg", "sym"))).sym
+            ).alias("sax_word")
+        )
+    )
+    return (
+        words.groupBy("sax_word")
+        .agg(F.count("*").alias("n_users"))
+        .where(F.col("n_users") >= 2)
+        .orderBy(F.desc("n_users"), "sax_word")
+    )
+
+
+@query(
+    "sax_block_candidate_pairs",
+    oracle=f"""
+    WITH ord AS (
+        SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+    series AS (
+        SELECT user_id, cents, rn, (rn - 1) // {SAX_SEGLEN} AS seg
+        FROM ord WHERE rn <= {SAX_EVENTS}),
+    eligible AS (
+        SELECT user_id FROM series GROUP BY user_id
+        HAVING count(*) = {SAX_EVENTS}),
+    vecs AS (
+        SELECT s.user_id, list(s.cents ORDER BY s.rn) AS v
+        FROM series s JOIN eligible e ON e.user_id = s.user_id
+        GROUP BY s.user_id),
+    segs AS (
+        SELECT s.user_id, s.seg, sum(s.cents)::BIGINT AS seg_sum
+        FROM series s JOIN eligible e ON e.user_id = s.user_id
+        GROUP BY s.user_id, s.seg),
+    tot AS (SELECT user_id, sum(seg_sum)::BIGINT AS total
+            FROM segs GROUP BY user_id),
+    words AS (
+        SELECT s.user_id,
+               string_agg(CASE WHEN s.seg_sum * {SAX_EVENTS // SAX_SEGLEN}
+                                    >= t.total
+                               THEN 'u' ELSE 'd' END, '' ORDER BY s.seg)
+                   AS sax_word
+        FROM segs s JOIN tot t ON t.user_id = s.user_id
+        GROUP BY s.user_id)
+    SELECT a.user_id AS user_a, b.user_id AS user_b, a.sax_word,
+           list_sum(list_transform(list_zip(va.v, vb.v),
+                    p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS sq_dist
+    FROM words a
+    JOIN words b ON a.sax_word = b.sax_word AND a.user_id < b.user_id
+    JOIN vecs va ON va.user_id = a.user_id
+    JOIN vecs vb ON vb.user_id = b.user_id
+    ORDER BY sq_dist, user_a, user_b
+    """,
+)
+def sax_block_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verify half of SAX blocking: EXACT integer squared L2
+    between the value series of every same-word user pair — block with
+    symbols, verify with arithmetic, the same two-phase contract as
+    the LSH → exact-Jaccard dedup family.
+
+    Scale: the pair join is an EQUI-join on sax_word (cost Σ|block|²,
+    the blocking knob bounds it — never all-pairs across users); the
+    16-value series travel as compact integer arrays; the distance is
+    a codegen zip_with/aggregate, bit-exact in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("cast(floor(value * 100 + 0.5d) as bigint)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = (
+        ev.select("user_id", cents.alias("cents"), F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= SAX_EVENTS)
+        .withColumn("seg", F.expr(f"(rn - 1) div {SAX_SEGLEN}"))
+        .withColumn("n", F.count("*").over(Window.partitionBy("user_id")))
+        .where(F.col("n") == SAX_EVENTS)
+    )
+    vecs = series.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("rn", "cents"))).cents.alias("v")
+    )
+    segs = series.groupBy("user_id", "seg").agg(F.sum("cents").alias("seg_sum"))
+    n_segments = SAX_EVENTS // SAX_SEGLEN
+    words = (
+        segs.withColumn(
+            "total", F.sum("seg_sum").over(Window.partitionBy("user_id"))
+        )
+        .withColumn(
+            "sym",
+            F.when(F.col("seg_sum") * n_segments >= F.col("total"), "u").otherwise(
+                "d"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("seg", "sym"))).sym
+            ).alias("sax_word")
+        )
+    )
+    wv = words.join(vecs, "user_id")
+    a = wv.select(
+        F.col("user_id").alias("user_a"), "sax_word", F.col("v").alias("va")
+    )
+    b = wv.select(
+        F.col("user_id").alias("user_b"), "sax_word", F.col("v").alias("vb")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, d) -> acc + d)"
+    )
+    return (
+        a.join(b, "sax_word")
+        .where(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b", "sax_word", dist.alias("sq_dist"))
+        .orderBy("sq_dist", "user_a", "user_b")
+    )
