@@ -218,3 +218,23 @@ def compact_embedding_index(
         cluster_cols=["bucket", "vec_id"],
         target_files=target_files,
     )
+
+
+def delete_from_embedding_index(
+    spark: SparkSession, index_path: str, vec_ids, target_files: int = 8
+) -> int:
+    """Delete propagation for the embedding index — the vector twin of
+    neardup_stream.delete_from_index (same crash-safe compaction-swap
+    rewrite; deleted vectors stop matching future batches)."""
+    if not isinstance(vec_ids, DataFrame):
+        vec_ids = spark.createDataFrame([(int(i),) for i in vec_ids], "vec_id LONG")
+    return compact_segments(
+        spark,
+        index_path,
+        _EMB_INDEX_SCHEMA,
+        dedup_keys=["vec_id"],
+        cluster_cols=["bucket", "vec_id"],
+        target_files=target_files,
+        drop_ids=vec_ids,
+        id_col="vec_id",
+    )

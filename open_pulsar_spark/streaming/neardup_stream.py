@@ -306,3 +306,27 @@ def compact_index(spark: SparkSession, index_path: str, target_files: int = 8) -
         cluster_cols=["band", "sig"],
         target_files=target_files,
     )
+
+
+def delete_from_index(
+    spark: SparkSession, index_path: str, doc_ids, target_files: int = 8
+) -> int:
+    """DELETE PROPAGATION (right-to-be-forgotten): rewrite the
+    signature index without the given doc_ids — their band rows vanish
+    from every future candidate join, so a re-submitted copy of a
+    deleted document is admitted as new content (tested). `doc_ids` is
+    a 1-column DataFrame or an iterable of ids. Returns surviving row
+    count. The rewrite IS a compaction (same crash-safe segment-swap
+    protocol), so a purge also leaves the store freshly clustered."""
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id LONG")
+    return compact_segments(
+        spark,
+        index_path,
+        _INDEX_SCHEMA,
+        dedup_keys=["doc_id", "band"],
+        cluster_cols=["band", "sig"],
+        target_files=target_files,
+        drop_ids=doc_ids,
+        id_col="doc_id",
+    )

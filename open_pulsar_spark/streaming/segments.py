@@ -156,14 +156,36 @@ def compact_segments(
     dedup_keys: list[str],
     cluster_cols: list[str],
     target_files: int = 8,
+    drop_ids=None,
+    id_col: str | None = None,
 ) -> int:
     """Merge all committed segments into one `compact-` segment
     clustered on `cluster_cols`, then delete the sources. Returns the
-    deduped row count (0 for an empty store)."""
+    deduped row count (0 for an empty store).
+
+    `drop_ids` (a 1-column DataFrame of `id_col` values) turns the
+    rewrite into DELETE PROPAGATION: tombstoned rows are anti-joined
+    out during the merge, so the new segment — and therefore every
+    future read and candidate join — no longer contains them. This is
+    the right-to-be-forgotten path for the index stores: deletion is
+    a metadata-plus-rewrite operation on the columnar store (the same
+    mechanics a Delta DELETE performs), NOT a per-key state mutation.
+    Crash safety is unchanged: a crash mid-delete leaves the old
+    segments (rows still present, retried next compaction); the swap
+    is the same write-then-delete-sources protocol."""
     src_dirs = list_segments(root)
     if not src_dirs:
         return 0
     df = spark.read.schema(schema).parquet(*src_dirs).dropDuplicates(dedup_keys)
+    if drop_ids is not None:
+        if id_col is None:
+            raise ValueError("drop_ids requires id_col")
+        # AQE decides broadcast-vs-shuffle for the anti join: delete
+        # lists are usually config-sized (broadcast) but a bulk purge
+        # can be millions of ids (shuffle on the id) — same pattern as
+        # the contamination join.
+        tomb = drop_ids.toDF(id_col).dropDuplicates([id_col])
+        df = df.join(tomb, id_col, "left_anti")
     n = df.count()
     dest = os.path.join(root, f"compact-{uuid.uuid4().hex[:12]}")
     (

@@ -1029,3 +1029,73 @@ def test_retry_results_dedupe_terminal_rows(spark, workdir):
     assert out[1].status == "completed"
     # first decision wins: the attempt-3 'failed' predates the replay
     assert out[2].attempt == 3 and out[2].status == "failed"
+
+
+def test_delete_from_index_forgets_document(spark, workdir):
+    """Right-to-be-forgotten: after delete_from_index(doc_id), the
+    doc's band rows are gone from the signature index AND a re-submitted
+    copy of the deleted text is ADMITTED as new content, while near-dups
+    of the surviving documents stay blocked."""
+    from open_pulsar_spark.streaming.neardup_stream import (
+        delete_from_index,
+        filter_batch_against_index,
+        read_index,
+    )
+
+    idx = f"{workdir}/del_idx"
+    schema = "doc_id LONG, text STRING"
+    keep_text = " ".join(f"tok{i}" for i in range(40))
+    forget_text = " ".join(f"zzz{i}" for i in range(40))
+    seed = spark.createDataFrame([(1, keep_text), (2, forget_text)], schema)
+    kept = sorted(
+        r.doc_id for r in filter_batch_against_index(spark, seed, idx).collect()
+    )
+    assert kept == [1, 2]
+
+    n = delete_from_index(spark, idx, [2])
+    # only doc 1's rows survive the rewrite
+    remaining = {r.doc_id for r in read_index(spark, idx).select("doc_id").collect()}
+    assert remaining == {1} and n > 0
+
+    # a near-copy of the FORGOTTEN doc is admitted again; a near-copy
+    # of the kept doc is still blocked
+    probe = spark.createDataFrame(
+        [(10, forget_text + " extra"), (11, keep_text + " extra")], schema
+    )
+    admitted = sorted(
+        r.doc_id for r in filter_batch_against_index(spark, probe, idx).collect()
+    )
+    assert admitted == [10]
+
+
+def test_delete_from_embedding_index_forgets_vector(spark, workdir):
+    from open_pulsar_spark.streaming.embedding_stream import (
+        delete_from_embedding_index,
+        filter_embeddings_against_index,
+        read_embedding_index,
+    )
+
+    idx = f"{workdir}/del_emb_idx"
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>"
+    v_keep = [1.0] + [0.0] * 63
+    v_forget = [0.0, 1.0] + [0.0] * 62
+    seed = spark.createDataFrame([(1, v_keep), (2, v_forget)], schema)
+    kept = sorted(
+        r.vec_id
+        for r in filter_embeddings_against_index(spark, seed, idx).collect()
+    )
+    assert kept == [1, 2]
+
+    delete_from_embedding_index(spark, idx, [2])
+    remaining = {
+        r.vec_id
+        for r in read_embedding_index(spark, idx).select("vec_id").collect()
+    }
+    assert remaining == {1}
+
+    probe = spark.createDataFrame([(10, v_forget), (11, v_keep)], schema)
+    admitted = sorted(
+        r.vec_id
+        for r in filter_embeddings_against_index(spark, probe, idx).collect()
+    )
+    assert admitted == [10]
