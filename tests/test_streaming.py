@@ -1099,3 +1099,48 @@ def test_delete_from_embedding_index_forgets_vector(spark, workdir):
         for r in filter_embeddings_against_index(spark, probe, idx).collect()
     )
     assert admitted == [10]
+
+
+def test_cms_stream_maintains_mergeable_frequency_sketch(spark, workdir):
+    """Streaming CMS: the store accumulates per-epoch partial grids;
+    estimates after two batches equal/exceed the true counts (CMS only
+    overcounts), a replayed epoch never double-adds, and file-level
+    compaction leaves estimates unchanged."""
+    from open_pulsar_spark.operators.dedup import _py_shingles
+    from open_pulsar_spark.streaming.cms_stream import (
+        cms_estimate,
+        read_cms,
+        start_cms_stream,
+        update_cms,
+    )
+
+    src, grid, ckpt = f"{workdir}/docs", f"{workdir}/grid", f"{workdir}/ck"
+    schema = "doc_id LONG, text STRING"
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = "alpha beta gamma delta eta theta"
+    spark.createDataFrame([(1, t1)], schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(2, t2), (3, t1)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = start_cms_stream(spark, stream, grid, ckpt, compact_max_segments=2)
+    q.processAllAvailable()
+    q.stop()
+
+    # exact per-doc-distinct counts for probe shingles
+    sh1, sh2 = _py_shingles(t1), _py_shingles(t2)
+    probes = sorted(sh1 | sh2)[:6]
+    exact = {t: (t in sh1) * 2 + (t in sh2) for t in probes}  # doc3 == doc1
+    est = {r.t: r.n_cms for r in cms_estimate(spark, grid, probes).collect()}
+    for t in probes:
+        assert est[t] >= exact[t], (t, est[t], exact[t])
+    total_cells = read_cms(spark, grid).agg({"cnt": "sum"}).collect()[0][0]
+
+    # replaying an epoch's update is a no-op (committed segment skips)
+    batch1 = spark.createDataFrame([(1, t1)], schema)
+    update_cms(spark, batch1, grid, epoch_id=0)
+    total_after = read_cms(spark, grid).agg({"cnt": "sum"}).collect()[0][0]
+    assert total_after == total_cells
