@@ -59,6 +59,12 @@ def get_spark(
             "changelogCheckpointing.enabled",
             "true",
         )
+        # FAIR scheduling: the streaming app starts each branch under
+        # its own pool (streaming/app.py) — without FAIR mode those
+        # pool labels are inert (FIFO would let a saturated task
+        # branch starve the chat branch, the exact failure T5 exists
+        # to prevent). Unconfigured pools get equal shares.
+        .config("spark.scheduler.mode", "FAIR")
         # local-mode niceties; harmless on a cluster
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
