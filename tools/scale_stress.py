@@ -69,6 +69,10 @@ DEFAULT_QUERIES = [
     "events_rollup_cascade",
     "source_kmv_distinct",
     "ann_lsh_bucketed",
+    # round-4 families: iterative graph + SAX blocking scale with their
+    # own fact tables (lineitem / events)
+    "part_copurchase_pagerank",
+    "user_value_sax_blocks",
 ]
 
 
