@@ -117,6 +117,24 @@ def _py_shingles(text: str | None) -> set[str] | None:
     }
 
 
+def shingle_stream_kernel(batches):
+    """mapInPandas generator: a `text` column → one `t` row per
+    PER-DOC-DISTINCT shingle. THE one Arrow shingle stream shared by
+    the batch CMS (sketch.shingle_cms_heavy_hitters) and the streaming
+    CMS (streaming.cms_stream) — the two sketches must count the same
+    shingle set or cross-checking them is meaningless."""
+    import pandas as pd
+
+    for pdf in batches:
+        out: list[str] = []
+        for text in pdf["text"]:
+            sh = _py_shingles(text)
+            if sh is not None:
+                out.extend(sh)
+        if out:
+            yield pd.DataFrame({"t": out})
+
+
 def _minhash_sigs(docs: DataFrame) -> DataFrame:
     """(doc_id, text) frame → (doc_id, n_shingles, m0..m{k-1}, hs).
 

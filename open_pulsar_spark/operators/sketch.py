@@ -314,29 +314,20 @@ def shingle_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    from open_pulsar_spark.operators.dedup import _py_shingles
+    from open_pulsar_spark.operators.dedup import shingle_stream_kernel
     from open_pulsar_spark.tables import widen_for_kernel
 
-    # Shingle via the same Arrow kernel path as the dedup signatures —
-    # the interpreted JVM higher-order transform costs seconds per
-    # million shingles (see dedup._minhash_sigs), and this query needs
-    # the stream TWICE (counter build + exact counts), so it is
-    # computed once into a cached string column.
-    def fn(batches):
-        for pdf in batches:
-            out: list[str] = []
-            for text in pdf["text"]:
-                sh = _py_shingles(text)
-                if sh is not None:
-                    out.extend(sh)
-            if out:
-                yield pd.DataFrame({"t": out})
-
+    # Shingle via the SHARED Arrow kernel (dedup.shingle_stream_kernel,
+    # also the streaming CMS's kernel) — the interpreted JVM
+    # higher-order transform costs seconds per million shingles (see
+    # dedup._minhash_sigs), and this query needs the stream TWICE
+    # (counter build + exact counts), so it is computed once into a
+    # cached string column.
     tok = (
         widen_for_kernel(
             load_table(spark, sf_dir, "documents").select("text")
         )
-        .mapInPandas(fn, "t string")
+        .mapInPandas(shingle_stream_kernel, "t string")
         .persist()
     )
     tok.count()  # pin before the two consumers below

@@ -158,7 +158,10 @@ class AppHandle:
             except Exception as e:  # noqa: BLE001 — finish teardown first
                 first_err = first_err or e
         if self.heartbeat is not None:
-            detach_heartbeat(self.spark, self.heartbeat)
+            try:
+                detach_heartbeat(self.spark, self.heartbeat)
+            except Exception as e:  # noqa: BLE001 — keep the FIRST error
+                first_err = first_err or e
         if first_err is not None:
             raise first_err
 

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from open_pulsar_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH
+from open_pulsar_spark.operators.sketch import _CMS_SLOT_SPARK, CMS_DEPTH
 from open_pulsar_spark.streaming.segments import (
     auto_compact,
     read_segments,
@@ -49,34 +49,22 @@ from open_pulsar_spark.streaming.segments import (
 
 _GRID_SCHEMA = "d INT, slot BIGINT, cnt LONG, epoch LONG"
 
-_SLOT = (
-    f"cast(conv(substring(md5(concat(cast(d as string), '|', t)), 1, 15), 16, 10)"
-    f" as bigint) % {CMS_WIDTH}"
-)
+# THE slot expression is imported from the batch sketch, not copied:
+# stream- and batch-maintained grids must hash a shingle to the same
+# cell or every cross-check between them is silently garbage.
+_SLOT = _CMS_SLOT_SPARK
 
 
 def _partial_grid(docs: DataFrame, epoch_id: int) -> DataFrame:
     """One micro-batch's (per-doc distinct) shingle stream → its
     partial CMS grid: ≤ depth × width rows regardless of batch size
-    (map-side partial aggregation does the heavy reduction). Same
-    Arrow shingle kernel as the batch sketch (sketch.py) so the
-    stream-maintained counts are comparable with batch profiles."""
-    import pandas as pd
-
-    from open_pulsar_spark.operators.dedup import _py_shingles
-
-    def fn(batches):
-        for pdf in batches:
-            out: list[str] = []
-            for text in pdf["text"]:
-                sh = _py_shingles(text)
-                if sh is not None:
-                    out.extend(sh)
-            if out:
-                yield pd.DataFrame({"t": out})
+    (map-side partial aggregation does the heavy reduction). The Arrow
+    shingle kernel is IMPORTED from dedup (shared with the batch
+    sketch) so stream counts are comparable with batch profiles."""
+    from open_pulsar_spark.operators.dedup import shingle_stream_kernel
 
     shingles = docs.dropDuplicates(["doc_id"]).select("text").mapInPandas(
-        fn, "t string"
+        shingle_stream_kernel, "t string"
     )
     depths = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d")
     return (

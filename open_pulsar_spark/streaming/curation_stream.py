@@ -29,7 +29,6 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from open_pulsar_spark.operators.text import STOPWORDS
 
 DOC_STREAM_SCHEMA = StructType(
     [
@@ -55,17 +54,12 @@ def read_doc_stream(
 
 def quality_gate(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     """The batch quality score (doc_quality_score) as a stream filter —
-    pure expressions, so it runs unchanged on a streaming frame."""
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens
-    swr = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * F.lit(1.0) / n_tokens
-    quality = (
-        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-        + 0.4 * ttr
-        + 0.2 * F.least(swr / F.lit(0.1), F.lit(1.0))
-    )
-    return docs.where(quality >= threshold)
+    pure expressions, so it runs unchanged on a streaming frame. Uses
+    text.quality_expr, THE one shared definition, so a weight change
+    can never desynchronize the stream gate from the batch funnel."""
+    from open_pulsar_spark.operators.text import quality_expr
+
+    return docs.where(quality_expr(F.col("text")) >= threshold)
 
 
 def dedup_gate(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -119,9 +119,11 @@ def start_retry_pipeline(
     # covering everything a previous incarnation committed — then
     # appended to in-process as this incarnation decides tasks. A
     # replayed/duplicated row whose task is already decided must not
-    # re-run the model or fork a retry.
+    # re-run the model or fork a retry. Only the ids travel to the
+    # driver (payloads would make the rebuild O(results × payload)).
     terminal: set[int] = {
-        r.task_id for r in read_results(spark, results_dir).collect()
+        r.task_id
+        for r in read_results(spark, results_dir).select("task_id").collect()
     }
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -132,10 +134,26 @@ def start_retry_pipeline(
         rows = batch_df.collect()  # control plane: O(tasks), not O(data)
         if not rows:
             return
+        # Within-batch dedup: a crash inside a previous commit window
+        # can leave DUPLICATE rows of the same (task, attempt) in the
+        # retry dir, and both copies can land due in one batch — the
+        # model must run once per task per trigger, and the duplicate
+        # must be CONSUMED here (kept rows are the ones forwarded or
+        # requeued; dropped ones simply never get rewritten). Lowest
+        # attempt first mirrors read_results' first-decision-wins.
+        rows = sorted(
+            rows,
+            key=lambda r: (r.task_id, r.attempt, r.not_before or dt.datetime.min),
+        )
+        deduped, seen = [], set()
+        for r in rows:
+            if r.task_id not in seen:
+                seen.add(r.task_id)
+                deduped.append(r)
         now = dt.datetime.now()
         results: list[tuple] = []
         requeue: list[tuple] = []
-        for r in rows:
+        for r in deduped:
             if r.task_id in terminal:
                 continue
             if r.not_before is not None and r.not_before > now:
@@ -147,7 +165,7 @@ def start_retry_pipeline(
             elif attempt >= MAX_ATTEMPTS:
                 results.append((r.task_id, r.payload, attempt, "failed"))
             else:
-                delay = min(base_backoff_sec * (2**attempt), BACKOFF_CAP_SEC)
+                delay = _backoff_delay(attempt, base_backoff_sec)
                 requeue.append(
                     (
                         r.task_id,

@@ -15,6 +15,7 @@ everything else is stateless map work — no shuffle in the router.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -103,13 +104,20 @@ def live_auth_filter(spark: SparkSession, allowlist_path: str):
     """
 
     def apply(batch_df: DataFrame) -> DataFrame:
-        allowed = (
-            spark.read.schema("from_id LONG")
-            .parquet(allowlist_path)
-            .select("from_id")
-            .distinct()
-        )
-        if allowed.limit(1).count() == 0:
+        try:
+            allowed = (
+                spark.read.schema("from_id LONG")
+                .parquet(allowlist_path)
+                .select("from_id")
+                .distinct()
+            )
+            empty = allowed.limit(1).count() == 0
+        except AnalysisException:
+            # allowlist dir not written yet: same contract as an empty
+            # list (allow everyone) — a missing config file must not
+            # kill the streaming query from inside foreachBatch
+            return batch_df
+        if empty:
             return batch_df
         return batch_df.join(F.broadcast(allowed), "from_id", "left_semi")
 

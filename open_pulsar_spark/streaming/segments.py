@@ -186,7 +186,6 @@ def compact_segments(
         # the contamination join.
         tomb = drop_ids.toDF(id_col).dropDuplicates([id_col])
         df = df.join(tomb, id_col, "left_anti")
-    n = df.count()
     dest = os.path.join(root, f"compact-{uuid.uuid4().hex[:12]}")
     (
         df.repartition(target_files, *cluster_cols)
@@ -194,6 +193,11 @@ def compact_segments(
         .write.mode("overwrite")
         .parquet(dest)
     )
+    # count from the WRITTEN segment: counting the plan first would
+    # execute the whole merge (multi-segment scan + dedup shuffle)
+    # twice — once for the count, once for the write. The write is the
+    # materialization point; reading it back is one cheap scan.
+    n = spark.read.schema(schema).parquet(dest).count()
     for d in src_dirs:
         shutil.rmtree(d, ignore_errors=True)
     return n

@@ -123,9 +123,18 @@ def make_chat_handler(model: ModelFn = stub_model, ttl_ms: int | None = None):
                 dict(chat_id=chat_id, update_id=r.update_id,
                      reply=reply, session_id=session_id, status="ok")
             )
-        state.update((session_id, turns))
-        if ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)
+        if session_id is None and turns == 0:
+            # '/reset' (or nothing ever processed) leaves the key in
+            # its virgin shape — REMOVE the entry instead of storing
+            # (None, 0): absent state is the same fresh chain, and
+            # under NoTimeout a stored tombstone would occupy the
+            # state store forever across an unbounded chat_id space.
+            if state.exists:
+                state.remove()
+        else:
+            state.update((session_id, turns))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
 
     return handle

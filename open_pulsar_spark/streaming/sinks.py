@@ -24,8 +24,14 @@ def explode_chunks(replies: DataFrame, limit: int = CHUNK_LIMIT) -> DataFrame:
 
     Usable inside foreachBatch for an external messaging sink, or as a
     plain transform ahead of any bounded-message writer.
+
+    A NULL reply is delivered as one empty chunk rather than silently
+    vanishing: chunk_text(None) is [] and posexplode drops empty-array
+    rows, so without the coalesce a model returning None would make
+    the whole message (chat_id, update_id and all) disappear at the
+    sink with no trace.
     """
-    chunks = chunk_text_udf(limit)(F.col("reply"))
+    chunks = chunk_text_udf(limit)(F.coalesce(F.col("reply"), F.lit("")))
     return (
         replies.withColumn("chunks", chunks)
         .select(

@@ -113,3 +113,14 @@ def test_live_auth_filter_empty_allowlist_allows_everyone(spark, tmp_path):
     auth = live_auth_filter(spark, allow)
     batch = spark.createDataFrame([(1, 10), (2, 20)], "update_id LONG, from_id LONG")
     assert sorted(r.update_id for r in auth(batch).collect()) == [1, 2]
+
+
+def test_live_auth_filter_missing_dir_allows_everyone(spark, tmp_path):
+    """An allowlist dir that was never written is the same contract as
+    an empty list (allow everyone) — and must not kill the query from
+    inside foreachBatch."""
+    from open_pulsar_spark.streaming.router import live_auth_filter
+
+    auth = live_auth_filter(spark, str(tmp_path / "never_written"))
+    batch = spark.createDataFrame([(1, 10)], "update_id LONG, from_id LONG")
+    assert [r.update_id for r in auth(batch).collect()] == [1]
