@@ -100,6 +100,29 @@ _SIGS_SCHEMA = (
 )
 
 
+_LIVE_CACHES: dict[str, DataFrame] = {}
+
+
+def _pin(name: str, df: DataFrame) -> DataFrame:
+    """Generation cache: persist `df` under `name`, releasing the
+    PREVIOUS invocation's cache of the same name first.
+
+    These operators return lazy frames whose execution reads a pinned
+    intermediate (signatures/tokens), so the cache must outlive the
+    function — but without a release point, every invocation leaks one
+    cached frame for the session lifetime (bench loops, long-lived
+    sessions). One live generation per name caps that: repeat calls
+    reclaim their predecessor, and an unusual interleave (consuming an
+    older call's frame after a newer call) only loses the cache, not
+    correctness — the lineage recomputes."""
+    old = _LIVE_CACHES.pop(name, None)
+    if old is not None:
+        old.unpersist()
+    df = df.persist()
+    _LIVE_CACHES[name] = df
+    return df
+
+
 def _py_shingles(text: str | None) -> set[str] | None:
     """Distinct word-3-gram shingles; None when the doc has < 3 tokens.
 
@@ -327,7 +350,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit hash sets instead of shingle strings (identical result,
     modulo md5 collisions the oracle shares by construction).
     """
-    sigs = _scan_sigs(spark, sf_dir).persist()
+    sigs = _pin("minhash_sigs", _scan_sigs(spark, sf_dir))
     # Materialize the cache BEFORE the self-join references it 4×: AQE
     # runs the join's map stages concurrently, and racing tasks compute
     # an unmaterialized cached partition redundantly (measured 2-10×
@@ -642,7 +665,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kernel — cache the UNordered frame (no sort exchange), compute once.
     # count() materializes it before the join's concurrent map stages
     # race on the cache (see _minhash_pairs).
-    sig = _simhash_sigs(spark, sf_dir).persist()
+    sig = _pin("simhash_sigs", _simhash_sigs(spark, sf_dir))
     sig.count()
     blocks = sig.select(
         "doc_id",
@@ -769,19 +792,32 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("a_id") < RECALL_SLICE) & (F.col("b_id") < RECALL_SLICE))
         .select("a_id", "b_id")
     )
-    hit = truth.join(lsh, ["a_id", "b_id"])
-    n_true = truth.agg(F.count("*").alias("n")).collect()[0].n
-    n_lsh = lsh.agg(F.count("*").alias("n")).collect()[0].n
-    n_hit = hit.agg(F.count("*").alias("n")).collect()[0].n
+    # ONE job for all three counts: a full-outer join of truth and lsh
+    # classifies every pair as hit / miss / false-positive in a single
+    # pass — separate count() actions would re-execute the O(slice²)
+    # truth self-join and the band-join plan twice each (the recall
+    # harness's dominant cost; same pattern as ann_lsh_recall).
+    row = (
+        truth.withColumn("_t", F.lit(1))
+        .join(lsh.withColumn("_l", F.lit(1)), ["a_id", "b_id"], "full_outer")
+        .agg(
+            F.count("_t").alias("n_true"),
+            F.count("_l").alias("n_lsh"),
+            F.count(F.when(F.col("_t").isNotNull() & F.col("_l").isNotNull(), 1)).alias(
+                "n_hit"
+            ),
+        )
+        .collect()[0]
+    )
     sh.unpersist()
     return spark.createDataFrame(
         [
             (
-                n_true,
-                n_lsh,
-                n_hit,
-                round(n_hit * 1.0 / max(n_true, 1), 6),
-                round(n_hit * 1.0 / max(n_lsh, 1), 6),
+                row.n_true,
+                row.n_lsh,
+                row.n_hit,
+                round(row.n_hit * 1.0 / max(row.n_true, 1), 6),
+                round(row.n_hit * 1.0 / max(row.n_lsh, 1), 6),
             )
         ],
         "n_true LONG, n_lsh LONG, n_hit LONG, recall DOUBLE, precision DOUBLE",
@@ -971,7 +1007,7 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherited. Candidates whose high-containment side is the SHORT doc
     are exactly the ones a symmetric threshold filters out.
     """
-    sigs = _scan_sigs(spark, sf_dir).persist()
+    sigs = _pin("containment_sigs", _scan_sigs(spark, sf_dir))
     sigs.count()
     cand = _band_candidates(sigs)
     x = sigs.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("hs_a"))

@@ -117,6 +117,13 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = ed.select(F.col("src").alias("pk")).distinct().persist()
     try:
         n_nodes = nodes.count()  # scalar: also pins both caches
+        if n_nodes == 0:
+            # no part ever co-occurs with another: the oracle returns
+            # an empty set for the same input — match it, don't divide
+            # by zero
+            return spark.createDataFrame(
+                [], "p_partkey LONG, rank_fp LONG, rk INT"
+            )
         base = PR_R_TOTAL // n_nodes
         teleport = (15 * base) // 100
 

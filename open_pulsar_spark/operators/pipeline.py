@@ -205,7 +205,17 @@ def run_pipeline(
         lambda task, err: '{"retry": true, "reason": "transient", '
         '"hint": "try a different approach"}'
     )
-    if prior_state is not None and prior_hash is not None:
+    if prior_state is not None:
+        # the hash guard is NOT optional on resume: the skip filter
+        # joins finished rows by task_idx against the NEW file's parse,
+        # so resuming against an edited/reordered file would silently
+        # skip the wrong tasks. A caller without the fingerprint must
+        # not resume (cli.py enforces the same rule at its layer).
+        if prior_hash is None:
+            raise ValueError(
+                "resume requires prior_hash (the fingerprint the prior "
+                "state was built against); refusing to resume unguarded"
+            )
         current = file_fingerprint(lines)
         if current != prior_hash:
             raise ValueError(

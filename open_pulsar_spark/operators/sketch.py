@@ -323,12 +323,13 @@ def shingle_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup._minhash_sigs), and this query needs the stream TWICE
     # (counter build + exact counts), so it is computed once into a
     # cached string column.
-    tok = (
+    from open_pulsar_spark.operators.dedup import _pin
+
+    tok = _pin(
+        "cms_tok",
         widen_for_kernel(
             load_table(spark, sf_dir, "documents").select("text")
-        )
-        .mapInPandas(shingle_stream_kernel, "t string")
-        .persist()
+        ).mapInPandas(shingle_stream_kernel, "t string"),
     )
     tok.count()  # pin before the two consumers below
 

@@ -12,8 +12,9 @@ one viral document). Two mechanisms, in preference order:
    for joins where AQE can't help (e.g. a broadcast side too big to
    broadcast and a shuffle key with pathological frequency).
 
-Both transforms preserve semantics exactly; tests assert equivalence
-against the unsalted plan.
+Both transforms preserve row-level semantics (double sums regroup by
+ulps — see salted_agg_sum's caveat); tests assert equivalence against
+the unsalted plan.
 """
 
 from __future__ import annotations
@@ -33,9 +34,14 @@ def salted_agg_sum(
     """Two-stage sum: partial aggregate on (key, salt) — spreading one
     hot key over `buckets` reducers — then final aggregate on key.
 
-    Equivalent to `df.groupBy(key).agg(sum(value))`; use when a single
-    group's row count dwarfs the rest so even map-side partial
-    aggregation leaves one reducer with most of the data.
+    Equivalent to `df.groupBy(key).agg(sum(value))` for exact types
+    (integers, decimals); for DOUBLE columns the regrouped sum differs
+    from the plain plan by ulps (float addition is not associative) —
+    sum integer cents / use Decimal when downstream rounding or
+    ordering must be bit-stable (see skew_salted_user_totals below).
+    Use when a single group's row count dwarfs the rest so even
+    map-side partial aggregation leaves one reducer with most of the
+    data.
     """
     partial = (
         with_salt(df, buckets)
@@ -94,7 +100,8 @@ from open_pulsar_spark.tables import load_table  # noqa: E402
 @query(
     "skew_salted_user_totals",
     oracle="""
-    SELECT user_id, round(sum(value), 2) AS total_value
+    SELECT user_id,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY user_id
     ORDER BY total_value DESC, user_id
@@ -106,15 +113,26 @@ def skew_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-stage aggregate — the hot-key-safe plan — checked against the
     plain GROUP BY oracle, proving the rewrite preserves semantics.
 
+    Values are summed in integer CENTS: salting REGROUPS the sum, and
+    a two-stage double sum differs from the oracle's sequential fold
+    by ulps — which round(x, 2) then turns into half-cent hash
+    mismatches and can flip the rank-50 cut (the q7/q9 lesson in
+    relational.py). Integer partials make the salted and plain plans
+    bit-identical by construction, so the oracle really does prove the
+    rewrite preserves semantics.
+
     At 100 TB: stage 1 groups on (user_id, salt) so one viral user
     spreads across 16 reducers; stage 2 reduces 16 partials per user.
     Uniform data pays one extra tiny shuffle; skewed data avoids the
     single overwhelmed reducer.
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-    totals = salted_agg_sum(ev, "user_id", "value", buckets=16)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("cast(floor(value * 100 + 0.5d) as bigint)").alias("cents"),
+    )
+    totals = salted_agg_sum(ev, "user_id", "cents", buckets=16)
     return (
-        totals.select("user_id", F.round("sum_value", 2).alias("total_value"))
+        totals.select("user_id", (F.col("sum_cents") / 100.0).alias("total_value"))
         .orderBy(F.desc("total_value"), "user_id")
         .limit(50)
     )

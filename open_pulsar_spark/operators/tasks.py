@@ -340,6 +340,21 @@ def token_usage_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # slugify_parts — slug scalar function over a real table (agent-loop.sh:243-245).
 # ---------------------------------------------------------------------------
+def slug_expr(col) -> "F.Column":
+    """THE slugify chain (reference agent-loop.sh:243-245): lowercase →
+    non-alnum runs to '-' → collapse runs → strip edge dashes. One
+    definition for every slug in the module (slugify_parts,
+    task_log_names) so a rule change can't desynchronize log names
+    from the registered slug query."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9]+", "-"), "-{2,}", "-"
+        ),
+        "^-+|-+$",
+        "",
+    )
+
+
 @query(
     "slugify_parts",
     oracle="""
@@ -360,21 +375,7 @@ def slugify_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-char group-slug truncation at :270-273): lowercase → non-alnum
     runs to '-' → collapse → strip → truncate."""
     part = load_table(spark, sf_dir, "part")
-    slug = F.substring(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.lower(F.concat_ws(" ", "p_name", "p_brand")), "[^a-z0-9]+", "-"
-                ),
-                "-{2,}",
-                "-",
-            ),
-            "^-+|-+$",
-            "",
-        ),
-        1,
-        30,
-    )
+    slug = F.substring(slug_expr(F.concat_ws(" ", "p_name", "p_brand")), 1, 30)
     return part.select("p_partkey", slug.alias("slug")).orderBy("p_partkey")
 
 
@@ -468,15 +469,6 @@ def task_log_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.last("grp_raw", ignorenulls=True).over(w), F.lit("ungrouped")),
     ).where(F.col("is_start") == 1)
 
-    def slug(col):
-        return F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.lower(col), "[^a-z0-9]+", "-"), "-{2,}", "-"
-            ),
-            "^-+|-+$",
-            "",
-        )
-
     return (
         filled.withColumn("task_idx", F.row_number().over(Window.orderBy("line_id")))
         .select(
@@ -484,8 +476,8 @@ def task_log_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.format_string(
                 "%03d-%s--%s",
                 F.col("task_idx"),
-                F.substring(slug(F.col("grp")), 1, 30),
-                F.substring(slug(F.col("content")), 1, 50),
+                F.substring(slug_expr(F.col("grp")), 1, 30),
+                F.substring(slug_expr(F.col("content")), 1, 50),
             ).alias("log_name"),
         )
         .orderBy("task_idx")

@@ -518,6 +518,48 @@ def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAX_EVENTS = 16   # first N events per user form the series
 SAX_SEGLEN = 2    # PAA segment length → 8 segments, 2-level alphabet
 
+def _sax_series(ev: DataFrame) -> DataFrame:
+    """Shared SAX front half: each user's first SAX_EVENTS event values
+    as integer cents with series position and PAA segment — eligibility
+    (complete series only) already applied. THE one definition behind
+    both user_value_sax_blocks and sax_block_candidate_pairs: the
+    block/verify pair must symbolize identically or the blocking
+    contract silently breaks."""
+    cents = F.expr("cast(floor(value * 100 + 0.5d) as bigint)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", cents.alias("cents"), F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= SAX_EVENTS)
+        .withColumn("seg", F.expr(f"(rn - 1) div {SAX_SEGLEN}"))
+        .withColumn("n", F.count("*").over(Window.partitionBy("user_id")))
+        .where(F.col("n") == SAX_EVENTS)
+    )
+
+
+def _sax_words(series: DataFrame) -> DataFrame:
+    """Shared SAX back half: eligible series → (user_id, sax_word)
+    via integer segment sums and the cross-multiplied mean test."""
+    segs = series.groupBy("user_id", "seg").agg(F.sum("cents").alias("seg_sum"))
+    n_segments = SAX_EVENTS // SAX_SEGLEN
+    return (
+        segs.withColumn(
+            "total", F.sum("seg_sum").over(Window.partitionBy("user_id"))
+        )
+        .withColumn(
+            "sym",
+            F.when(F.col("seg_sum") * n_segments >= F.col("total"), "u").otherwise(
+                "d"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("seg", "sym"))).sym
+            ).alias("sax_word")
+        )
+    )
+
+
 
 @query(
     "user_value_sax_blocks",
@@ -576,39 +618,7 @@ def user_value_sax_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ|block|², the same bounded-blocking contract as the LSH families,
     with the alphabet/segment knobs controlling block granularity.
     """
-    ev = load_table(spark, sf_dir, "events")
-    cents = F.expr("cast(floor(value * 100 + 0.5d) as bigint)")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    series = (
-        ev.select("user_id", cents.alias("cents"), F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= SAX_EVENTS)
-        .withColumn("seg", F.expr(f"(rn - 1) div {SAX_SEGLEN}"))
-    )
-    segs = (
-        series.withColumn(
-            "n", F.count("*").over(Window.partitionBy("user_id"))
-        )
-        .where(F.col("n") == SAX_EVENTS)
-        .groupBy("user_id", "seg")
-        .agg(F.sum("cents").alias("seg_sum"))
-    )
-    tot = Window.partitionBy("user_id")
-    n_segments = SAX_EVENTS // SAX_SEGLEN
-    words = (
-        segs.withColumn("total", F.sum("seg_sum").over(tot))
-        .withColumn(
-            "sym",
-            F.when(F.col("seg_sum") * n_segments >= F.col("total"), "u").otherwise(
-                "d"
-            ),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.concat_ws(
-                "", F.array_sort(F.collect_list(F.struct("seg", "sym"))).sym
-            ).alias("sax_word")
-        )
-    )
+    words = _sax_words(_sax_series(load_table(spark, sf_dir, "events")))
     return (
         words.groupBy("sax_word")
         .agg(F.count("*").alias("n_users"))
@@ -669,38 +679,11 @@ def sax_block_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-value series travel as compact integer arrays; the distance is
     a codegen zip_with/aggregate, bit-exact in both engines.
     """
-    ev = load_table(spark, sf_dir, "events")
-    cents = F.expr("cast(floor(value * 100 + 0.5d) as bigint)")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    series = (
-        ev.select("user_id", cents.alias("cents"), F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= SAX_EVENTS)
-        .withColumn("seg", F.expr(f"(rn - 1) div {SAX_SEGLEN}"))
-        .withColumn("n", F.count("*").over(Window.partitionBy("user_id")))
-        .where(F.col("n") == SAX_EVENTS)
-    )
+    series = _sax_series(load_table(spark, sf_dir, "events"))
     vecs = series.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("rn", "cents"))).cents.alias("v")
     )
-    segs = series.groupBy("user_id", "seg").agg(F.sum("cents").alias("seg_sum"))
-    n_segments = SAX_EVENTS // SAX_SEGLEN
-    words = (
-        segs.withColumn(
-            "total", F.sum("seg_sum").over(Window.partitionBy("user_id"))
-        )
-        .withColumn(
-            "sym",
-            F.when(F.col("seg_sum") * n_segments >= F.col("total"), "u").otherwise(
-                "d"
-            ),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.concat_ws(
-                "", F.array_sort(F.collect_list(F.struct("seg", "sym"))).sym
-            ).alias("sax_word")
-        )
-    )
+    words = _sax_words(series)
     wv = words.join(vecs, "user_id")
     a = wv.select(
         F.col("user_id").alias("user_a"), "sax_word", F.col("v").alias("va")

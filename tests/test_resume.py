@@ -76,3 +76,17 @@ def test_analyze_failure_contract():
 def test_fingerprint_sensitive_to_content():
     assert file_fingerprint(LINES) != file_fingerprint(LINES[:-1])
     assert file_fingerprint(LINES) == file_fingerprint(list(LINES))
+
+
+def test_resume_without_hash_refuses(spark):
+    """The hash guard is NOT optional: prior_state without prior_hash
+    must refuse to resume — the skip filter joins by task_idx against
+    the new parse, so an unguarded resume against an edited file would
+    silently skip the wrong tasks."""
+    import pytest
+
+    from open_pulsar_spark.operators.pipeline import ScriptedModel, run_pipeline
+
+    first = run_pipeline(spark, LINES, model=ScriptedModel())
+    with pytest.raises(ValueError, match="prior_hash"):
+        run_pipeline(spark, LINES, model=ScriptedModel(), prior_state=first)
