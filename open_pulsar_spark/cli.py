@@ -75,9 +75,10 @@ def cmd_dry_run(spark: SparkSession, path: str) -> int:
     if boot_path is not None:
         print(f"boot: {boot_path}")
     tasks = sessionize_segments(parse_markdown(spark, _read_lines(path)))
-    for r in tasks.orderBy("task_idx").collect():
+    rows = tasks.orderBy("task_idx").collect()
+    for r in rows:
         print(f"  [{r.task_idx:03d}] ({r.grp} / segment {r.segment_id}) {r.task}")
-    print(f"{tasks.count()} task(s) parsed; nothing executed")
+    print(f"{len(rows)} task(s) parsed; nothing executed")
     return 0
 
 
@@ -139,12 +140,20 @@ def cmd_run(
     tmp_path = state_path + ".tmp"
     shutil.rmtree(tmp_path, ignore_errors=True)
     state.write.mode("overwrite").parquet(tmp_path)
+    # Fingerprint BEFORE the swap: a crash between the state rename and
+    # a later fingerprint write would strand state.parquet without its
+    # hash — unresumable, recoverable only by reset (discarding every
+    # completed task). This order is safe in both directions: on a
+    # resume run the hash was already verified equal, so the write is
+    # a no-op; on a first run a crash after fp-write but before the
+    # swap leaves fingerprint-without-state, which the next run treats
+    # as a clean fresh start.
+    with open(fp_path, "w", encoding="utf-8") as fh:
+        fh.write(fp)
     if os.path.exists(state_path):
         os.rename(state_path, old_path)
     os.rename(tmp_path, state_path)
     shutil.rmtree(old_path, ignore_errors=True)
-    with open(fp_path, "w", encoding="utf-8") as fh:
-        fh.write(fp)
     written = spark.read.parquet(state_path)
     for r in status_summary(written).collect():
         print(f"{r.status}: {r.n}")

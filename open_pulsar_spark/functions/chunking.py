@@ -9,8 +9,15 @@ tests/test-telegram-agent.py:165-179):
     ("\\n\\n"), then sentence boundaries (". "), then hard cuts;
   - when more than one chunk, each is prefixed "[i/N] " and the
     prefixed chunk still fits `limit` (header budget 8 chars);
-  - no content is lost: stripping labels and re-joining reproduces the
-    source text's content.
+  - no WORD content is lost: stripping labels and re-joining
+    reproduces the source's non-whitespace content. Boundary
+    whitespace is normalized exactly like the reference: splitting
+    consumes the "\\n\\n" / ". " separators it splits on and strips
+    chunk edges, so empty paragraphs and trailing separator runs
+    vanish (verified against telegram-agent.py:200-246 — its
+    paragraph `.strip()` and sentence re-join lose the same bytes;
+    an over-limit text that is all separators past `limit` can even
+    collapse to one unlabeled chunk, in both implementations).
 
 Exposed both as a plain Python function (unit-testable, used by the
 streaming sink) and as a Spark UDF returning array<string> (explode

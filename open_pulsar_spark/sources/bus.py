@@ -179,6 +179,11 @@ def write_bus(df: DataFrame, conf: BusConfig, checkpoint: str, query_name: str =
     writer = df.writeStream.option("checkpointLocation", checkpoint)
 
     if fmt == "memory":
+        # apply the MERGED options too — bus_writer_spec's contract is
+        # that caller options never silently vanish, on any sink
+        for k, v in opts.items():
+            if k != "queryName":
+                writer = writer.option(k, v)
         return writer.format("memory").queryName(opts["queryName"]).start()
     if fmt in _MISSING_FORMAT_HINT and not _has_format(df.sparkSession, fmt):
         raise RuntimeError(_MISSING_FORMAT_HINT[fmt])

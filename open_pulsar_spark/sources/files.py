@@ -75,13 +75,20 @@ def check_schema(df: DataFrame, expected: StructType) -> DataFrame:
     """Fail loudly if `df` is missing declared columns or disagrees on
     their types; extra columns are tolerated (projection prunes them).
     Returns `df` projected to the declared columns, in declared order.
+
+    Type comparison is NULLABILITY-INSENSITIVE (simpleString): nested
+    containsNull/valueContainsNull flags vary by writer (pyarrow marks
+    array elements nullable by default) without changing a single
+    readable value — exact DataType equality would raise a drift error
+    whose 'expected array<string>, got array<string>' message can't
+    even show a difference.
     """
     actual = {f.name: f.dataType for f in df.schema.fields}
     problems = []
     for f in expected.fields:
         if f.name not in actual:
             problems.append(f"missing column {f.name!r}")
-        elif actual[f.name] != f.dataType:
+        elif actual[f.name].simpleString() != f.dataType.simpleString():
             problems.append(
                 f"column {f.name!r}: expected {f.dataType.simpleString()}, "
                 f"got {actual[f.name].simpleString()}"

@@ -121,8 +121,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # _normalize_timestamps and every date_trunc/date_format downstream
     # must run in UTC to match DuckDB's naive-timestamp semantics, and
     # the driver's vanilla session may not have set it.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    #
+    # DELIBERATE SESSION-WIDE SIDE EFFECT: the timezone conf applies at
+    # EXECUTION time of the lazily-built plans, so it cannot be set and
+    # restored around this call — it must stay UTC for as long as any
+    # frame loaded here may execute. An application embedding this
+    # engine in a non-UTC session should isolate it (own SparkSession /
+    # `newSession()`), which shares the JVM but not runtime confs.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     return _normalize_timestamps(
         spark.read.parquet(path), _parquet_nanos_columns(path)

@@ -127,9 +127,24 @@ def build_replica(spark, factor: int) -> str:
         return dest
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest, exist_ok=True)
+    # orders and lineitem SHARE the orderkey id space: their offset
+    # span must be computed jointly, or replicas misalign the join key
+    # whenever max(l_orderkey) != max(o_orderkey) (orders with no
+    # lineitems at the top of the range) and every cross-table join
+    # silently matches only replica 0.
+    shared_span = (
+        max(
+            load_table(spark, BASE_SF, "orders").agg(F.max("o_orderkey")).collect()[0][0],
+            load_table(spark, BASE_SF, "lineitem").agg(F.max("l_orderkey")).collect()[0][0],
+        )
+        + 1
+    )
     for name, id_col in FACTS.items():
         df = load_table(spark, BASE_SF, name)
-        span = df.agg(F.max(id_col)).collect()[0][0] + 1
+        if name in ("orders", "lineitem"):
+            span = shared_span
+        else:
+            span = df.agg(F.max(id_col)).collect()[0][0] + 1
         copies = [
             _perturb(name, df.withColumn(id_col, F.col(id_col) + F.lit(i * span)), i)
             for i in range(factor)
