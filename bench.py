@@ -113,16 +113,24 @@ HEADLINE = [
     "multimodal_features",
 ]
 
-# headline_v2 = v1 + one representative per round-3 family. v1 stays
+# headline_v2 = v1 + one representative per round-3/4 family. v1 stays
 # untouched for cross-round comparability ("value"); v2 ("value_v2")
-# spans the whole current surface. The additions are timed in EXTRA,
-# so v2 is a pure re-total, not extra runtime.
+# spans the whole current surface (its first recorded value is round
+# 4, so the round-4 families belong in it from the start). The
+# additions are timed in EXTRA, so v2 is a pure re-total, not extra
+# runtime.
 HEADLINE_V2_ADDITIONS = [
+    # round-3 families
     "ann_ivf_kmeans",
     "shingle_cms_heavy_hitters",
     "q8_market_share",
     "dedup_cluster_quality_pick",
     "user_activity_islands",
+    # round-4 families
+    "q21_waiting_orders_suppliers",
+    "ann_ivf_pq",
+    "part_copurchase_pagerank",
+    "user_value_sax_blocks",
 ]
 
 
