@@ -56,3 +56,29 @@ def test_audit_sink_partitions_by_date_and_truncates(spark, tmp_path):
     assert len(done.split(" :: ")[1]) == 300          # result truncation
     failed = next(l for l in lines if "FAILED" in l)
     assert "line1 line2" in failed                     # newline flatten
+
+
+def test_write_with_metrics_observes_in_one_pass(spark, tmp_path):
+    """Observation-API sink: the write returns data-quality metrics
+    computed during the SAME job (no second scan of the producing
+    plan), and the written data matches them."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.sinks import write_with_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.9), (2, None, 0.5), (3, "c", 0.7)],
+        "doc_id LONG, txt STRING, quality DOUBLE",
+    )
+    out = str(tmp_path / "observed")
+    m = write_with_metrics(
+        df,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_txt": F.count(F.when(F.col("txt").isNull(), 1)),
+            "avg_quality": F.round(F.avg("quality"), 2),
+        },
+    )
+    assert m == {"n_rows": 3, "null_txt": 1, "avg_quality": 0.7}
+    assert spark.read.parquet(out).count() == 3
