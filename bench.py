@@ -87,6 +87,7 @@ EXTRA = [
     "part_copurchase_pagerank",
     "user_value_sax_blocks",
     "sax_block_candidate_pairs",
+    "corpus_snapshot_diff",
 ]
 
 HEADLINE = [

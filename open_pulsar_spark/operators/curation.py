@@ -652,3 +652,84 @@ def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_snapshot_diff — what changed between two corpus versions.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, source, md5(text) AS fp FROM documents
+        WHERE doc_id % 3 <> 0
+    ),
+    new AS (
+        -- docs with doc_id % 7 = 0 are "edited" in the new snapshot
+        SELECT doc_id, source,
+               md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS fp
+        FROM documents WHERE doc_id % 2 <> 0
+    ),
+    joined AS (
+        SELECT coalesce(n.source, o.source) AS source,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN n.fp = o.fp THEN 'unchanged'
+                    ELSE 'modified' END AS change
+        FROM new n FULL OUTER JOIN old o USING (doc_id)
+    )
+    SELECT source, change, count(*) AS n_docs
+    FROM joined
+    GROUP BY source, change
+    ORDER BY source, change
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-over-version corpus diff: per (source, change-kind) doc
+    counts between two snapshots — the audit every corpus release
+    publishes (what did this crawl/filter change?). Identity is
+    doc_id; content identity is a full-text fingerprint, so the four
+    states are added / removed / modified / unchanged (docs with
+    doc_id % 7 = 0 are deterministically 'edited' in the new snapshot
+    so the modified branch is exercised, not vacuous). Snapshot slices
+    are deterministic id-arithmetic stand-ins for two real corpus
+    versions (the same convention as snapshot_incremental_dedup).
+
+    Scale: both sides project (doc_id, source, fp) — the fingerprint
+    collapses full text to 32 bytes BEFORE the join, so the full-outer
+    join on doc_id (the natural bucket key: co-located, zero-shuffle
+    under a bucketed layout) never moves text; the classification is
+    a CASE over the join result and the rollup is a tiny aggregate.
+    Full-outer is required — added and removed rows each exist on one
+    side only (same pattern as user_day_activity_fulljoin).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    old = docs.where(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id"), F.col("source").alias("o_source"), F.col("fp").alias("o_fp")
+    )
+    edited = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 0, F.upper("text")).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    new = edited.where(F.col("doc_id") % 2 != 0).select(
+        F.col("doc_id"), F.col("source").alias("n_source"), F.col("fp").alias("n_fp")
+    )
+    return (
+        new.join(old, "doc_id", "full_outer")
+        .select(
+            F.coalesce("n_source", "o_source").alias("source"),
+            F.when(F.col("o_fp").isNull(), "added")
+            .when(F.col("n_fp").isNull(), "removed")
+            .when(F.col("n_fp") == F.col("o_fp"), "unchanged")
+            .otherwise("modified")
+            .alias("change"),
+        )
+        .groupBy("source", "change")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "change")
+    )
