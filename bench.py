@@ -88,6 +88,7 @@ EXTRA = [
     "user_value_sax_blocks",
     "sax_block_candidate_pairs",
     "corpus_snapshot_diff",
+    "langid_confusion",
 ]
 
 HEADLINE = [

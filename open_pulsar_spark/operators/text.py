@@ -191,6 +191,64 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# langid_confusion — the measured-accuracy harness for the lang-ID vote.
+# --------------------------------------------------------------------------
+_LANGID_PRED_SQL = f"""
+    WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 {_marker_sql('en')} AS s_en, {_marker_sql('es')} AS s_es,
+                 {_marker_sql('fr')} AS s_fr, {_marker_sql('de')} AS s_de,
+                 {_marker_sql('zh')} AS s_zh
+          FROM t),
+    pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+                    WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+                    WHEN s_es >= greatest(s_fr, s_de, s_zh) THEN 'es'
+                    WHEN s_fr >= greatest(s_de, s_zh) THEN 'fr'
+                    WHEN s_de >= s_zh THEN 'de'
+                    ELSE 'zh' END AS lang_pred
+        FROM s)
+"""
+
+
+@query(
+    "langid_confusion",
+    oracle=f"""{_LANGID_PRED_SQL}
+    SELECT lang, lang_pred, count(*) AS n_docs,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY lang), 6) AS row_share
+    FROM pred
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang-ID heuristic against the labeled
+    lang column — the measured-accuracy harness every heuristic
+    classifier in this engine ships with (same contract as the LSH /
+    PQ recall harnesses): per (true, predicted) counts plus each
+    cell's share of its true-label row, so per-language accuracy is
+    the diagonal's row_share.
+
+    Scale: rides doc_lang_id's map-only scoring; the rollup is a tiny
+    aggregate over a ≤ |langs|² cell space, and the row-share window
+    partitions on lang (bounded cardinality, no global sort).
+    """
+    pred = doc_lang_id(spark, sf_dir)
+    w = Window.partitionBy("lang")
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "row_share",
+            F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 6),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# --------------------------------------------------------------------------
 # doc_token_bpeish — regex token counting (BPE-ish pre-tokenizer classes).
 # --------------------------------------------------------------------------
 @query(
