@@ -89,6 +89,7 @@ EXTRA = [
     "sax_block_candidate_pairs",
     "corpus_snapshot_diff",
     "langid_confusion",
+    "events_type_pivot",
 ]
 
 HEADLINE = [

@@ -814,3 +814,60 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(Window.orderBy(F.desc("frequency"), "o_custkey")).alias("f_score"),
         F.ntile(5).over(Window.orderBy(F.desc("monetary"), "o_custkey")).alias("m_score"),
     ).orderBy("o_custkey")
+
+
+# --------------------------------------------------------------------------
+# events_type_pivot — PIVOT (rows → typed columns), the inverse of
+# part_size_unpivot.
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "events_type_pivot",
+    oracle=f"""
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+           {", ".join(
+               f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT"
+               f" AS n_{t}" for t in _EVENT_TYPES)},
+           count(*) AS n_total
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts PIVOTED into one column per event type — the
+    wide activity table BI layers read (and the inverse shape of
+    part_size_unpivot). The pivot values are DECLARED
+    (`.pivot(col, values)`), not discovered: an undeclared pivot runs
+    an extra distinct scan to learn the columns AND makes the output
+    schema data-dependent — at 100 TB both are bugs, not conveniences
+    (new garbage event type in the stream → silently different
+    schema downstream).
+
+    Scale: one shuffle on day; the pivot compiles to per-type partial
+    aggregates map-side (same plan as manual CASE-sums — the oracle
+    states that desugaring).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    total = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("n_total")
+    )
+    return (
+        out.join(total, "day")
+        .select(
+            "day",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                for t in _EVENT_TYPES
+            ],
+            "n_total",
+        )
+        .orderBy("day")
+    )
