@@ -90,6 +90,7 @@ EXTRA = [
     "corpus_snapshot_diff",
     "langid_confusion",
     "events_type_pivot",
+    "user_retention_cohorts",
 ]
 
 HEADLINE = [

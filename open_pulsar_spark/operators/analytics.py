@@ -871,3 +871,79 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# user_retention_cohorts — weekly cohort retention matrix.
+# --------------------------------------------------------------------------
+@query(
+    "user_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+                   AS week_offset
+        FROM events e JOIN first_seen f USING (user_id)
+    ),
+    cohort_size AS (
+        SELECT cohort_week, count(*) AS n_cohort
+        FROM first_seen GROUP BY cohort_week
+    )
+    SELECT a.cohort_week::TIMESTAMP AS cohort_week,
+           a.week_offset::BIGINT AS week_offset,
+           count(*) AS n_active,
+           round(count(*) * 1.0 / max(c.n_cohort), 6) AS retention
+    FROM activity a JOIN cohort_size c USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the week they
+    first appeared; each cell is how many (and what share) of that
+    cohort was active N weeks later — THE product-analytics retention
+    shape, and the cohort twin of events_cumulative_users' first-seen
+    rewrite.
+
+    Scale: first-seen is one user_id aggregate; attaching the cohort
+    to activity reuses the same user_id shuffle key; the distinct +
+    cell aggregate collapse to (cohorts × offsets) rows. No window
+    over raw events, no per-week re-scan — the matrix costs two
+    shuffles total at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    cohort_size = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("n_cohort")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(cohort_size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") * 1.0 / F.col("n_cohort"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
