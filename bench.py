@@ -91,6 +91,7 @@ EXTRA = [
     "langid_confusion",
     "events_type_pivot",
     "user_retention_cohorts",
+    "revenue_pareto",
 ]
 
 HEADLINE = [

@@ -947,3 +947,106 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# revenue_pareto — customer revenue concentration (Lorenz/Pareto deciles)
+# via a DISTRIBUTED prefix sum.
+# --------------------------------------------------------------------------
+@query(
+    "revenue_pareto",
+    oracle="""
+    WITH pc AS (
+        SELECT o_custkey,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    t AS (SELECT count(*) AS n, sum(cents)::BIGINT AS tot FROM pc),
+    r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+               sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        FROM pc
+    )
+    SELECT ((rk - 1) * 10) // t.n + 1 AS decile,
+           count(*) AS n_customers,
+           (sum(cents)::BIGINT) / 100.0 AS revenue,
+           round(max(cum) * 1.0 / max(t.tot), 6) AS cum_revenue_share
+    FROM r CROSS JOIN t
+    GROUP BY 1
+    ORDER BY decile
+    """,
+)
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer decile (Pareto/Lorenz: "the
+    top 10% of customers hold X% of revenue"), computed with a
+    DISTRIBUTED PREFIX SUM — the pattern Spark lacks natively: a
+    global `sum().over(orderBy(...))` window has no partitionBy, so
+    Spark executes it in ONE partition (the classic silent scale
+    killer). Instead:
+
+      1. range-partition the per-customer aggregate on the sort key
+         (descending revenue) — each partition holds a contiguous rank
+         range;
+      2. per-partition counts/sums → driver (≤ #partitions rows) →
+         exclusive offsets per partition;
+      3. row_number/cumsum WITHIN each partition (parallel windows,
+         partitioned by partition id) + the broadcast offsets = exact
+         global rank and running total.
+
+    Partition boundaries come from sampling and vary run to run, but
+    rank and prefix sum over a TOTAL order (cents desc, custkey) are
+    partition-invariant, and all arithmetic is integer cents — so the
+    output is bit-identical to the oracle's single-window statement.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+    pc = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+
+    ranged = pc.repartitionByRange(
+        32, F.desc("cents"), F.col("o_custkey")
+    ).withColumn("pid", F.spark_partition_id())
+    ranged = ranged.persist()
+    part_stats = sorted(
+        (r.pid, r.n, r.s)
+        for r in ranged.groupBy("pid")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    )
+    total_n = sum(n for _, n, _ in part_stats)
+    total_cents = sum(s for _, _, s in part_stats)
+    rows_before, cents_before, acc_n, acc_s = {}, {}, 0, 0
+    for pid, n, s in part_stats:
+        rows_before[pid], cents_before[pid] = acc_n, acc_s
+        acc_n += n
+        acc_s += s
+    offsets = spark.createDataFrame(
+        [(pid, rows_before[pid], cents_before[pid]) for pid, _, _ in part_stats],
+        "pid INT, rows_before LONG, cents_before LONG",
+    )
+
+    w = Window.partitionBy("pid").orderBy(F.desc("cents"), "o_custkey")
+    out = (
+        ranged.join(F.broadcast(offsets), "pid")
+        .withColumn("rk", F.row_number().over(w) + F.col("rows_before"))
+        .withColumn(
+            "cum",
+            F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            + F.col("cents_before"),
+        )
+        .withColumn("decile", F.expr(f"((rk - 1) * 10) div {total_n} + 1"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum("cents") / 100.0).alias("revenue"),
+            F.round(F.max("cum") * 1.0 / F.lit(total_cents), 6).alias(
+                "cum_revenue_share"
+            ),
+        )
+        .orderBy("decile")
+    )
+    result = spark.createDataFrame(out.collect(), out.schema)
+    ranged.unpersist()
+    return result
