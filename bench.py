@@ -92,6 +92,7 @@ EXTRA = [
     "events_type_pivot",
     "user_retention_cohorts",
     "revenue_pareto",
+    "cluster_aware_split",
 ]
 
 HEADLINE = [

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from open_pulsar_spark.operators.dedup import _MINHASH_PAIRS_CTE
 from open_pulsar_spark.registry import query
 from open_pulsar_spark.tables import load_table
 
@@ -732,4 +733,77 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "change")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("source", "change")
+    )
+
+
+# --------------------------------------------------------------------------
+# cluster_aware_split — leakage-free train/val/test assignment.
+# --------------------------------------------------------------------------
+@query(
+    "cluster_aware_split",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    reps AS (SELECT u AS doc_id, min(v) AS rep FROM reach GROUP BY u),
+    assigned AS (
+        SELECT d.doc_id,
+               coalesce(r.rep, d.doc_id) AS rep,
+               CASE ('0x' || substr(md5(coalesce(r.rep, d.doc_id)::VARCHAR),
+                                    1, 15))::BIGINT % 10
+                    WHEN 8 THEN 'val' WHEN 9 THEN 'test' ELSE 'train' END
+                   AS split
+        FROM documents d LEFT JOIN reps r USING (doc_id)
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT rep) AS n_clusters
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that CANNOT leak near-duplicates
+    across splits: the split is hashed from the doc's near-dup CLUSTER
+    representative (dedup_clusters' transitive closure; singletons are
+    their own rep), so every member of a near-dup cluster lands in the
+    same split by construction — the leakage guard a naive per-doc
+    hash split lacks (a val doc with a train near-copy inflates eval).
+    80/10/10 by md5(rep) % 10; md5 is engine-identical, so assignment
+    is reproducible everywhere.
+
+    Scale: the cluster closure is dedup_clusters' banded/iterative
+    plan; attaching reps is a left join on doc_id (bucket key), and
+    the summary is a 3-row aggregate. The per-doc assignment frame
+    (doc_id, rep, split) is the actual product — the summary keeps the
+    oracle bounded.
+    """
+    from open_pulsar_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    reps = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
+    assigned = docs.join(reps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_rep", "doc_id").alias("rep"),
+    )
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(rep as string)), 1, 15), 16, 10)"
+        " as bigint) % 10"
+    )
+    return (
+        assigned.withColumn(
+            "split",
+            F.when(bucket == 8, "val").when(bucket == 9, "test").otherwise("train"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+        )
+        .orderBy("split")
     )
