@@ -93,6 +93,7 @@ EXTRA = [
     "user_retention_cohorts",
     "revenue_pareto",
     "cluster_aware_split",
+    "doc_ngram_novelty",
 ]
 
 HEADLINE = [

@@ -525,3 +525,71 @@ def doc_length_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# doc_ngram_novelty — how much of each doc is first-seen, in corpus order.
+# --------------------------------------------------------------------------
+@query(
+    "doc_ngram_novelty",
+    oracle="""
+    WITH shingled AS (
+        SELECT doc_id,
+               list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                              for i in range(1, len(toks) - 1)]) AS sh
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    tok AS (SELECT doc_id, unnest(sh) AS t FROM shingled),
+    first_use AS (SELECT t, min(doc_id) AS first_doc FROM tok GROUP BY t)
+    SELECT k.doc_id,
+           count(*) AS n_shingles,
+           sum(CASE WHEN f.first_doc = k.doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel,
+           round(sum(CASE WHEN f.first_doc = k.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty
+    FROM tok k JOIN first_use f USING (t)
+    GROUP BY k.doc_id
+    ORDER BY k.doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty in corpus order: the fraction of a doc's
+    distinct 3-gram shingles whose FIRST corpus occurrence is this doc
+    (min doc_id owns the shingle). Low novelty late in the corpus =
+    boilerplate/recombination — the shingle-level redundancy signal
+    that complements whole-doc near-dup detection (a doc can be 0.3
+    novel yet match nothing at the Jaccard threshold).
+
+    Scale: one shingle explode (the same distinct-shingle definition
+    as the dedup family), one min-aggregate on the shingle (uniform
+    hash key — never skews), one join back on the same key, one
+    per-doc rollup. At 100 TB the first_use aggregate IS the global
+    shingle index — the same artifact an exact-substring dedup pass
+    builds, so the two share storage in a production pipeline.
+    """
+    from open_pulsar_spark.operators.dedup import _shingled
+
+    tok = _shingled(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("t")
+    )
+    first_use = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        tok.join(first_use, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") * 1.0 / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
