@@ -138,6 +138,10 @@ HEADLINE_V2_ADDITIONS = [
     "ann_ivf_pq",
     "part_copurchase_pagerank",
     "user_value_sax_blocks",
+    # round-4 second wave (added to v2 in round 5): corpus-order
+    # novelty and the distributed-prefix-sum family
+    "doc_ngram_novelty",
+    "revenue_pareto",
 ]
 
 
@@ -225,6 +229,22 @@ def main() -> None:
                 "extra_spread": extra_spreads,
                 "stat": "min",
                 "runs_per_query": {"headline": 5, "extra": 3},
+                "sf": sf,
+            }
+        )
+    )
+    # The driver records only the LAST ~2000 chars of stdout, and the
+    # big line above has overflowed it three rounds running (the
+    # headline block truncates away). This tiny trailing line carries
+    # the two totals inside any tail window — and if the driver parses
+    # the last line, it parses this one.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "value_v2": total_v2,
+                "unit": "sec",
                 "sf": sf,
             }
         )

@@ -839,35 +839,30 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event counts PIVOTED into one column per event type — the
     wide activity table BI layers read (and the inverse shape of
-    part_size_unpivot). The pivot values are DECLARED
-    (`.pivot(col, values)`), not discovered: an undeclared pivot runs
-    an extra distinct scan to learn the columns AND makes the output
-    schema data-dependent — at 100 TB both are bugs, not conveniences
-    (new garbage event type in the stream → silently different
-    schema downstream).
+    part_size_unpivot). The pivot values are DECLARED (a fixed column
+    list), never discovered from data: value discovery runs an extra
+    distinct scan AND makes the output schema data-dependent — at
+    100 TB both are bugs, not conveniences (new garbage event type in
+    the stream → silently different schema downstream).
 
-    Scale: one shuffle on day; the pivot compiles to per-type partial
-    aggregates map-side (same plan as manual CASE-sums — the oracle
-    states that desugaring).
+    Scale: ONE scan, one shuffle on day — the pivot is written directly
+    as its desugared form (per-type conditional sums alongside the
+    total in a single groupBy), because ``.pivot().agg(count)`` cannot
+    also carry an unconditional ``count(*)``: expressing n_total as a
+    second aggregate + join would scan events twice and add a second
+    shuffle for the same result the oracle computes in one.
     """
     ev = load_table(spark, sf_dir, "events")
-    out = (
-        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
-        .pivot("event_type", list(_EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-    )
-    total = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
-        F.count("*").alias("n_total")
-    )
     return (
-        out.join(total, "day")
-        .select(
-            "day",
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
             *[
-                F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                F.sum(
+                    F.when(F.col("event_type") == t, 1).otherwise(0)
+                ).alias(f"n_{t}")
                 for t in _EVENT_TYPES
             ],
-            "n_total",
+            F.count("*").alias("n_total"),
         )
         .orderBy("day")
     )

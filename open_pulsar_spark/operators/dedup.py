@@ -101,6 +101,7 @@ _SIGS_SCHEMA = (
 
 
 _LIVE_CACHES: dict[str, DataFrame] = {}
+_PIN_LOCK = __import__("threading").Lock()
 
 
 def _pin(name: str, df: DataFrame) -> DataFrame:
@@ -114,13 +115,17 @@ def _pin(name: str, df: DataFrame) -> DataFrame:
     sessions). One live generation per name caps that: repeat calls
     reclaim their predecessor, and an unusual interleave (consuming an
     older call's frame after a newer call) only loses the cache, not
-    correctness — the lineage recomputes."""
-    old = _LIVE_CACHES.pop(name, None)
-    if old is not None:
-        old.unpersist()
-    df = df.persist()
-    _LIVE_CACHES[name] = df
-    return df
+    correctness — the lineage recomputes. The swap itself is guarded
+    by a driver-side lock so concurrent operators (e.g. two registry
+    queries driven from different threads under the FAIR scheduler)
+    can't race the pop/persist and corrupt the dict."""
+    with _PIN_LOCK:
+        old = _LIVE_CACHES.pop(name, None)
+        if old is not None:
+            old.unpersist()
+        df = df.persist()
+        _LIVE_CACHES[name] = df
+        return df
 
 
 def _py_shingles(text: str | None) -> set[str] | None:
@@ -221,26 +226,34 @@ def _scan_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _band_frame(sigs: DataFrame) -> DataFrame:
-    """(doc_id, m0..mk) → exploded (doc_id, band, sig) — the one
-    banding definition every batch candidate join shares (streaming
-    keeps its own hs-carrying variant in neardup_stream._bands_of)."""
+    """(doc_id, m0..mk) → exploded (doc_id, bk) — the one banding
+    definition every batch candidate join shares (streaming keeps its
+    own hs-carrying string variant in neardup_stream._bands_of, whose
+    index schema is checkpoint-persistent and must not change).
+
+    The band signature is collapsed to ONE 8-byte key — ``xxhash64``
+    of the band index and the band's minhash values — instead of the
+    "band, 'm|m|m'" string pair: the candidate self-join shuffles this
+    frame twice, and an 8-byte long both halves the exchange payload
+    vs ~25-byte concat strings and skips the per-row string build. A
+    64-bit collision can only ADD a candidate pair, and every consumer
+    verifies candidates exactly (Jaccard / containment over hs) before
+    emitting, so the oracle contract is unchanged.
+    """
     return sigs.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
-                        ).alias("sig"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
                     )
                     for b in range(LSH_BANDS)
                 ]
             )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
+        ).alias("bk"),
+    )
 
 
 def _band_candidates(sigs: DataFrame) -> DataFrame:
@@ -248,7 +261,7 @@ def _band_candidates(sigs: DataFrame) -> DataFrame:
     bands = _band_frame(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        a.join(b, F.col("a.bk") == F.col("b.bk"))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()

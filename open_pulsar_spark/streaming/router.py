@@ -98,10 +98,17 @@ def live_auth_filter(spark: SparkSession, allowlist_path: str):
     snapshots in-plan and could move this back into the plan.)
 
     Semantics match filter_authorized: broadcast left-semi on from_id;
-    an EMPTY allowlist allows everyone. The emptiness check is one
-    driver-side count over a config-sized dir — per-batch cost is one
-    listing + one broadcast, the slowly-changing-dimension pattern.
+    an EMPTY allowlist allows everyone — but only while the allowlist
+    has NEVER been configured. Once a trigger has seen a non-empty
+    allowlist, a later unreadable-or-empty read FAILS CLOSED (the
+    batch is blocked and a loud warning logged): "volume unmounted /
+    dir truncated mid-rewrite" must not silently disable authorization,
+    the opposite failure mode from the never-configured default. The
+    emptiness check is one driver-side count over a config-sized dir —
+    per-batch cost is one listing + one broadcast, the
+    slowly-changing-dimension pattern.
     """
+    state = {"was_configured": False}
 
     def apply(batch_df: DataFrame) -> DataFrame:
         try:
@@ -113,12 +120,33 @@ def live_auth_filter(spark: SparkSession, allowlist_path: str):
             )
             empty = allowed.limit(1).count() == 0
         except AnalysisException:
+            if state["was_configured"]:
+                # configured-then-vanished: an operational fault, not a
+                # policy change — block the batch rather than admit all
+                import logging
+
+                logging.getLogger(__name__).error(
+                    "live_auth_filter: allowlist %s was configured but is "
+                    "now unreadable — failing CLOSED for this batch",
+                    allowlist_path,
+                )
+                return batch_df.limit(0)
             # allowlist dir not written yet: same contract as an empty
             # list (allow everyone) — a missing config file must not
             # kill the streaming query from inside foreachBatch
             return batch_df
         if empty:
+            if state["was_configured"]:
+                import logging
+
+                logging.getLogger(__name__).error(
+                    "live_auth_filter: allowlist %s was configured but is "
+                    "now empty — failing CLOSED for this batch",
+                    allowlist_path,
+                )
+                return batch_df.limit(0)
             return batch_df
+        state["was_configured"] = True
         return batch_df.join(F.broadcast(allowed), "from_id", "left_semi")
 
     return apply

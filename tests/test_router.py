@@ -124,3 +124,25 @@ def test_live_auth_filter_missing_dir_allows_everyone(spark, tmp_path):
     auth = live_auth_filter(spark, str(tmp_path / "never_written"))
     batch = spark.createDataFrame([(1, 10)], "update_id LONG, from_id LONG")
     assert [r.update_id for r in auth(batch).collect()] == [1]
+
+
+def test_live_auth_filter_fails_closed_after_configured(spark, tmp_path):
+    """Configured-then-vanished is an operational fault, not a policy
+    change: once a trigger has seen a non-empty allowlist, a later
+    unreadable (or truncated-to-empty) allowlist BLOCKS the batch
+    instead of silently admitting everyone."""
+    import shutil
+
+    from open_pulsar_spark.streaming.router import live_auth_filter
+
+    allow = str(tmp_path / "allow")
+    spark.createDataFrame([(10,)], "from_id LONG").coalesce(1).write.parquet(allow)
+    auth = live_auth_filter(spark, allow)
+    batch = spark.createDataFrame(
+        [(1, 10), (2, 20)], "update_id LONG, from_id LONG"
+    )
+    # trigger 1: configured — user 10 admitted, user 20 filtered
+    assert [r.update_id for r in auth(batch).collect()] == [1]
+    # the volume vanishes: fail closed, not open
+    shutil.rmtree(allow)
+    assert auth(batch).collect() == []

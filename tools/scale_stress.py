@@ -106,10 +106,17 @@ def _perturb(name: str, copy, i: int):
             "embedding",
             F.transform(
                 "embedding",
+                # pmod keeps the noise symmetric in ±1× mean|x|: plain %
+                # preserves the dividend's sign (range -2000..2000, ~2×
+                # amplitude) and drops half the distribution's symmetry
                 lambda x, j: (
                     x
                     + mean_abs
-                    * ((F.hash(vid, j, F.lit(i)) % 2001).cast("float") / 1000.0)
+                    * (
+                        F.pmod(F.hash(vid, j, F.lit(i)), F.lit(2001)).cast("float")
+                        / 1000.0
+                        - 1.0
+                    )
                 ).cast("float"),
             ),
         )
