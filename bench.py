@@ -84,6 +84,7 @@ EXTRA = [
     "q20_dominant_part_suppliers",
     "q21_waiting_orders_suppliers",
     "ann_ivf_pq",
+    "ann_ivf_pq_refined",
     "part_copurchase_pagerank",
     "user_value_sax_blocks",
     "sax_block_candidate_pairs",
