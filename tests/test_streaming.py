@@ -1144,3 +1144,59 @@ def test_cms_stream_maintains_mergeable_frequency_sketch(spark, workdir):
     update_cms(spark, batch1, grid, epoch_id=0)
     total_after = read_cms(spark, grid).agg({"cnt": "sum"}).collect()[0][0]
     assert total_after == total_cells
+
+
+def test_novelty_stream_matches_batch_query_in_corpus_order(spark, workdir):
+    """The streaming novelty twin's contract: streaming the corpus in
+    doc_id order (3 micro-batches) and unioning the per-batch outputs
+    reproduces doc_ngram_novelty's batch result EXACTLY — the
+    first-seen shingle index accumulated across epochs computes the
+    same corpus-order min(doc_id) ownership the batch aggregate does."""
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.novelty_stream import (
+        _OUT_SCHEMA,
+        start_novelty_stream,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    src = f"{workdir}/docs"
+    # three ascending doc_id slices, written in order (mod-time order
+    # drives trigger order under maxFilesPerTrigger=1)
+    from pyspark.sql import functions as F
+
+    for lo, hi in ((0, 170), (170, 340), (340, 10**9)):
+        docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = f"{workdir}/novelty_out"
+    q = start_novelty_stream(
+        spark,
+        stream,
+        index_path=f"{workdir}/novelty_index",
+        out_path=out,
+        checkpoint=f"{workdir}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    from open_pulsar_spark.streaming.segments import list_segments
+
+    got = sorted(
+        (r.doc_id, r.n_shingles, r.n_novel, r.novelty)
+        for r in spark.read.schema(_OUT_SCHEMA)
+        .parquet(*list_segments(out))
+        .collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_shingles, r.n_novel, r.novelty)
+        for r in all_queries()["doc_ngram_novelty"](spark, SF_SMALL).collect()
+    )
+    assert got == want
