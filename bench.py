@@ -95,6 +95,11 @@ EXTRA = [
     "revenue_pareto",
     "cluster_aware_split",
     "doc_ngram_novelty",
+    # round-5 additions
+    "doc_repeated_substring_coverage",
+    "events_peak_concurrency",
+    "ann_hard_negatives",
+    "quality_llm_calibration",
 ]
 
 HEADLINE = [

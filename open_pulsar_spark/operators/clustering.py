@@ -775,3 +775,132 @@ def ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "sq_dist", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# ann_hard_negatives — nearest cross-cluster vectors (contrastive mining).
+# --------------------------------------------------------------------------
+HARD_NEG_CELLS = 2  # nearest FOREIGN coarse cells probed per query
+
+
+def _hard_negatives_oracle() -> str:
+    from open_pulsar_spark.operators.similarity import N_QUERIES, TOP_K
+
+    return f"""
+    WITH {_KMEANS_CTES},
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings),
+    qs AS (SELECT a.vec_id AS query_id, a.q AS qq, e.v AS qv, e.nrm AS qn, a.cid
+           FROM a2 a JOIN e ON e.vec_id = a.vec_id
+           WHERE a.vec_id < {N_QUERIES}),
+    fcells AS (
+        SELECT query_id, cid FROM (
+            SELECT q.query_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_sum(list_transform(list_zip(q.qq, c.c),
+                                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+            FROM qs q CROSS JOIN c2 c WHERE c.cid <> q.cid
+        ) WHERE rn <= {HARD_NEG_CELLS}),
+    scored AS (
+        SELECT q.query_id, a.vec_id AS negative_id,
+               list_dot_product(q.qv, e2.v) / (q.qn * e2.nrm) AS cos
+        FROM qs q
+        JOIN fcells f ON f.query_id = q.query_id
+        JOIN a2 a ON a.cid = f.cid
+        JOIN e e2 ON e2.vec_id = a.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, negative_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, negative_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, negative_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """
+
+
+@query("ann_hard_negatives", oracle=_hard_negatives_oracle())
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: for each query
+    vector, the top-k most-similar vectors from a DIFFERENT semantic
+    cluster — the near-boundary non-matches an embedding model learns
+    the most from (random negatives are trivially far; same-cluster
+    vectors are presumptive positives, not negatives).
+
+    Candidates come from the query's {HARD_NEG_CELLS} nearest FOREIGN
+    coarse cells (trained fixed-point quantizer — cell ranking is
+    integer math, replay-deterministic), then exact cosine ranks them.
+    That is the production mining shape: the nearest foreign cells
+    contain the globally-hardest negatives with overwhelming
+    probability, and the candidate set is ≈ {HARD_NEG_CELLS}·|corpus|/K
+    per query instead of the full corpus — the same IVF economics as
+    ann_ivf_kmeans, reused for a training-data task.
+
+    Scale: cell assignment is the map-only codegen argmin; the probe
+    set (queries × foreign cells) is broadcast; exact cosine + top-k
+    run on the candidate sliver only. One shuffle (the per-query
+    window).
+    """
+    from pyspark.sql import Window
+
+    from open_pulsar_spark.operators.similarity import N_QUERIES, TOP_K
+
+    qdf, cents = _fit(spark, sf_dir)
+    assigned = qdf.withColumn("asg", _assign_col(cents)).select(
+        "vec_id", F.col("asg.cid").alias("cid")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "embedding", F.expr(f"sqrt({_DOT_SELF})").alias("nrm")
+    ).join(assigned, "vec_id")
+
+    # driver-side probe build (bounded: N_QUERIES × K integer rows):
+    # rank every foreign cell by integer distance to the query vector,
+    # keep the nearest HARD_NEG_CELLS — same Python-int == engine-int
+    # contract as ann_ivf_pq's multi-probe.
+    cent_by_cid = {cid: vec for cid, vec in cents}
+    q_assign = {
+        r.vec_id: r.cid
+        for r in assigned.where(F.col("vec_id") < N_QUERIES).collect()
+    }
+    q_rows = sorted(
+        (r.vec_id, list(r.q))
+        for r in qdf.where(F.col("vec_id") < N_QUERIES).collect()
+    )
+    probe_cells = []
+    for qid, qv in q_rows:
+        own = q_assign[qid]
+        ranked_cells = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, vec)), cid)
+            for cid, vec in cent_by_cid.items()
+            if cid != own
+        )[:HARD_NEG_CELLS]
+        probe_cells.extend((qid, cid) for _, cid in ranked_cells)
+    probes = spark.createDataFrame(probe_cells, "query_id LONG, cid INT")
+
+    qs = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    probe_side = probes.join(qs, "query_id")
+    scored = (
+        e.join(F.broadcast(probe_side), "cid")
+        .withColumn("cos", F.expr(_DOT_QV) / (F.col("qn") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.round("cos", 6).alias("cosine"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )

@@ -604,3 +604,219 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# doc_repeated_substring_coverage — positional exact-substring dedup signal.
+# --------------------------------------------------------------------------
+SUBSTR_K = 8  # token-window length for "repeated substring"
+
+
+@query(
+    "doc_repeated_substring_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t
+        FROM documents WHERE len(str_split(text, ' ')) >= {SUBSTR_K}
+    ),
+    pos AS (
+        SELECT doc_id, len(t) AS n, g.i,
+               array_to_string(t[g.i : g.i + {SUBSTR_K} - 1], ' ') AS w
+        FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, len(t) - {SUBSTR_K} + 1)) AS i
+        ) g
+    ),
+    dupw AS (SELECT w FROM pos GROUP BY w HAVING count(*) >= 2),
+    dpos AS (SELECT doc_id, i FROM pos JOIN dupw USING (w)),
+    lagged AS (
+        SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
+        FROM dpos
+    ),
+    cov AS (
+        SELECT doc_id,
+               sum(CASE WHEN pi IS NULL THEN {SUBSTR_K}
+                        ELSE least({SUBSTR_K}, i - pi) END)::BIGINT AS covered
+        FROM lagged GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+           coalesce(c.covered, 0)::BIGINT AS covered_tokens,
+           round(coalesce(c.covered, 0) * 1.0 / len(t.t), 6) AS dup_coverage
+    FROM toks t LEFT JOIN cov c USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def doc_repeated_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's token POSITIONS covered by a
+    {SUBSTR_K}-token window that occurs at least twice in the corpus —
+    the exact-substring dedup signal of Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better": whole-doc near-dup
+    (Jaccard) misses a unique page quoting a boilerplate paragraph,
+    and per-doc-distinct novelty (doc_ngram_novelty) counts shingle
+    TYPES, not the span of text they cover. High coverage late in a
+    curation funnel = memorization risk worth trimming even when the
+    doc as a whole is unique.
+
+    Scale: positional windows explode to ~n_tokens rows/doc keyed by
+    ``xxhash64`` of the window (8 B — the string never reaches the
+    exchange); the occurs-≥2 test is one count-window over that
+    uniform key (same single-shuffle shape as doc_ngram_novelty);
+    coverage is an interval-union in one per-doc window pass — equal
+    window lengths make the union a lag() sum, no interval tree. The
+    candidate spans this flags are exactly what a production
+    suffix-array pass would extend to maximal repeats; at 100 TB this
+    operator IS the candidate generator for that pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = SUBSTR_K
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= k
+    )
+    pos = toks.select(
+        "doc_id",
+        F.size("t").alias("n"),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, size(t) - {k}),"
+            f" j -> xxhash64(concat_ws(' ', slice(t, j + 1, {k}))))"
+        )).alias("i", "w"),
+    )
+    wcount = F.count("*").over(Window.partitionBy("w"))
+    dpos = pos.withColumn("wc", wcount).where(F.col("wc") >= 2)
+    lag_i = F.lag("i").over(Window.partitionBy("doc_id").orderBy("i"))
+    cov = (
+        dpos.withColumn("pi", lag_i)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("pi").isNull(), k).otherwise(
+                    F.least(F.lit(k), F.col("i") - F.col("pi"))
+                )
+            ).alias("covered")
+        )
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("covered", F.lit(0)).cast("bigint").alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered", F.lit(0)) * 1.0 / F.col("n_tokens"), 6
+            ).alias("dup_coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_llm_calibration — decile calibration of the heuristic quality
+# score against the (stub) model score.
+# --------------------------------------------------------------------------
+@query(
+    "quality_llm_calibration",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(floor((0.4 * least(len(toks) / 100.0, 1.0)
+                      + 0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
+                      + 0.2 * least((len(list_filter(toks, x -> x IN {_SW_SQL}))
+                                     * 1.0 / len(toks)) / 0.1, 1.0))
+                      * 1000000 + 0.5) AS BIGINT) AS q_int,
+                 ('0x' || substr(md5(text), 1, 2))::BIGINT AS mbyte
+          FROM t),
+    n AS (SELECT count(*) AS n_docs FROM m),
+    d AS (SELECT doc_id, q_int, mbyte,
+                 ((row_number() OVER (ORDER BY q_int, doc_id) - 1) * 10)
+                     // n.n_docs + 1 AS decile
+          FROM m CROSS JOIN n)
+    SELECT decile::BIGINT AS decile,
+           count(*) AS n_docs,
+           round(sum(q_int) * 1.0 / (count(*) * 1000000), 6) AS avg_quality,
+           round(sum(mbyte) * 1.0 / (count(*) * 255), 6)     AS avg_model_score,
+           round(sum(CASE WHEN mbyte >= 128 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS model_keep_rate
+    FROM d GROUP BY 1 ORDER BY decile
+    """,
+)
+def quality_llm_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION of the cheap heuristic quality score against the
+    model judge: decile-bucket the corpus by heuristic quality, then
+    per decile report the model's mean score and keep-rate. This is
+    the curation-QA query behind "can the heuristic pre-filter for the
+    expensive model": a monotone keep-rate curve means the heuristic
+    orders documents the way the model does and the bottom deciles can
+    be dropped without paying model inference for them.
+
+    Determinism: both scores are carried as INTEGERS through the
+    aggregate (quality at a fixed 1e-6 grid, the model score as its
+    raw md5 byte) so per-decile means are exact integer sums with one
+    deterministic division — no float-summation-order drift between
+    engines (the round(sum(double)) hazard the money queries document).
+
+    Scale: map-only scoring; the decile needs a GLOBAL rank, which is
+    the single-partition-window trap — so this is the third user of
+    the engine's DISTRIBUTED PREFIX RANK (revenue_pareto's pattern):
+    range-partition on the sort key, per-partition counts to the
+    driver (≤32 rows), per-partition row_number + broadcast offsets.
+    The decile rule is the rank formula ((rk-1)·10) div n + 1 in BOTH
+    engines, so bucket sizes match exactly; the aggregate is 10 groups.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q_int = F.expr(
+        "cast(floor((0.4 * least(size(split(text, ' ')) / 100.0d, 1.0d)"
+        " + 0.4 * (size(array_distinct(split(text, ' '))) * 1.0d"
+        "          / size(split(text, ' ')))"
+        " + 0.2 * least((size(filter(split(text, ' '),"
+        f"                x -> x IN {_SW_SQL}))"
+        "                * 1.0d / size(split(text, ' '))) / 0.1d, 1.0d))"
+        " * 1000000 + 0.5d) as bigint)"
+    )
+    mbyte = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("bigint")
+    m = docs.select("doc_id", q_int.alias("q_int"), mbyte.alias("mbyte"))
+
+    ranged = m.repartitionByRange(32, "q_int", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    part_counts = sorted(
+        (r.pid, r.n)
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    )
+    total_n = sum(n for _, n in part_counts)
+    before, acc = {}, 0
+    for pid, n in part_counts:
+        before[pid] = acc
+        acc += n
+    offsets = spark.createDataFrame(
+        [(pid, before[pid]) for pid, _ in part_counts],
+        "pid INT, rows_before LONG",
+    )
+    w = Window.partitionBy("pid").orderBy("q_int", "doc_id")
+    out = (
+        ranged.join(F.broadcast(offsets), "pid")
+        .withColumn("rk", F.row_number().over(w) + F.col("rows_before"))
+        .withColumn("decile", F.expr(f"((rk - 1) * 10) div {total_n} + 1"))
+        .groupBy(F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum("q_int") * 1.0 / (F.count("*") * 1000000), 6
+            ).alias("avg_quality"),
+            F.round(F.sum("mbyte") * 1.0 / (F.count("*") * 255), 6).alias(
+                "avg_model_score"
+            ),
+            F.round(
+                F.sum(F.when(F.col("mbyte") >= 128, 1).otherwise(0))
+                * 1.0
+                / F.count("*"),
+                6,
+            ).alias("model_keep_rate"),
+        )
+        .orderBy("decile")
+    )
+    # 10-row result: materialize, then release the ranged cache (the
+    # revenue_pareto idiom — a returned lazy frame over a pinned cache
+    # would leak it)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    ranged.unpersist()
+    return result

@@ -701,3 +701,120 @@ def sax_block_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_a", "user_b", "sax_word", dist.alias("sq_dist"))
         .orderBy("sq_dist", "user_a", "user_b")
     )
+
+
+# --------------------------------------------------------------------------
+# events_peak_concurrency — daily peak concurrent sessions via an
+# interval-boundary sweep + distributed prefix sum.
+# --------------------------------------------------------------------------
+@query(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+               CASE WHEN epoch_us(ts::TIMESTAMP)
+                         - epoch_us(lag(ts::TIMESTAMP) OVER w) > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               (sum(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW))::BIGINT AS session_seq
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, session_seq, min(ts) AS s, max(ts) AS e
+        FROM numbered GROUP BY user_id, session_seq
+    ), pts AS (
+        SELECT s AS t, 1 AS d FROM sess
+        UNION ALL
+        SELECT e AS t, -1 AS d FROM sess
+    ), run AS (
+        SELECT t, d,
+               (sum(d) OVER (ORDER BY t, d DESC
+                             ROWS UNBOUNDED PRECEDING))::BIGINT AS c
+        FROM pts
+    )
+    SELECT date_trunc('day', t)::TIMESTAMP AS day,
+           max(c)::BIGINT AS peak_concurrency,
+           count(*) AS n_boundaries
+    FROM run GROUP BY 1 ORDER BY day
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously-active user sessions per day —
+    the capacity-planning twin of user_sessionize: sessions (same
+    30-min-gap definition) become +1/-1 boundary points, a running sum
+    over the boundary timeline is the live concurrency, and the daily
+    max of that sweep is the peak (evaluated at boundary instants;
+    starts sort before ends at equal timestamps, so back-to-back
+    sessions count as concurrent at the touch point).
+
+    Scale: the classic interval-counting sweep needs a GLOBAL
+    cumulative sum — Spark's bare `sum().over(orderBy())` runs it in
+    one partition, so this is the second user of revenue_pareto's
+    DISTRIBUTED PREFIX SUM: range-partition the boundary points on the
+    sweep key, per-partition delta totals to the driver (≤ 32 rows),
+    per-partition windows + broadcast exclusive offsets give the exact
+    global running count in parallel. All integer deltas — output is
+    bit-identical to the oracle's single-window statement.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > SESSION_GAP_US,
+                1,
+            )
+            .otherwise(0)
+            .alias("new_session"),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(run_w))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    pts = sess.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        sess.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+
+    ranged = pts.repartitionByRange(32, F.asc("t"), F.desc("d")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    part_stats = sorted(
+        (r.pid, r.s)
+        for r in ranged.groupBy("pid").agg(F.sum("d").alias("s")).collect()
+    )
+    before, acc = {}, 0
+    for pid, s in part_stats:
+        before[pid] = acc
+        acc += s
+    offsets = spark.createDataFrame(
+        [(pid, before[pid]) for pid, _ in part_stats], "pid INT, d_before LONG"
+    )
+    sweep = Window.partitionBy("pid").orderBy(F.asc("t"), F.desc("d"))
+    out = (
+        ranged.join(F.broadcast(offsets), "pid")
+        .withColumn(
+            "c",
+            F.sum("d").over(sweep.rowsBetween(Window.unboundedPreceding, 0))
+            + F.col("d_before"),
+        )
+        .groupBy(F.date_trunc("day", F.col("t")).alias("day"))
+        .agg(
+            F.max("c").cast("bigint").alias("peak_concurrency"),
+            F.count("*").alias("n_boundaries"),
+        )
+        .orderBy("day")
+    )
+    result = spark.createDataFrame(out.collect(), out.schema)
+    ranged.unpersist()
+    return result
