@@ -100,6 +100,7 @@ EXTRA = [
     "events_peak_concurrency",
     "ann_hard_negatives",
     "quality_llm_calibration",
+    "embedding_centroid_drift",
 ]
 
 HEADLINE = [

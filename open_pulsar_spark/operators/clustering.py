@@ -904,3 +904,115 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_centroid_drift — per-label centroid shift between snapshots.
+# --------------------------------------------------------------------------
+@query(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label, vec_id % 2 AS half,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5)
+                             AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT label, half, dims.dim,
+               CAST(floor(CAST(sum(q[dims.dim]) AS DOUBLE) / count(*) + 0.5)
+                    AS BIGINT) AS cval
+        FROM q
+        CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS dim) dims
+        GROUP BY label, half, dims.dim
+    ),
+    counts AS (
+        SELECT label,
+               sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n_old,
+               sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n_new
+        FROM q GROUP BY label
+    ),
+    shift AS (
+        SELECT o.label,
+               sum((o.cval - n.cval) * (o.cval - n.cval))::BIGINT AS sq_shift
+        FROM cents o JOIN cents n
+          ON o.label = n.label AND o.dim = n.dim
+         AND o.half = 0 AND n.half = 1
+        GROUP BY o.label
+    )
+    SELECT s.label::BIGINT AS label, c.n_old, c.n_new, s.sq_shift
+    FROM shift s JOIN counts c USING (label)
+    ORDER BY sq_shift DESC, label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label EMBEDDING DRIFT between two corpus snapshots (even
+    vec_ids = prior snapshot, odd = new — the same parity convention
+    as snapshot_incremental_dedup): the integer centroid of each label
+    is computed per snapshot on the fixed-point grid, and the squared
+    L2 shift between the two centroids is the drift. The
+    embedding-side twin of corpus_source_drift (which watches the
+    text/lang mix): a retrained or silently-swapped embedding model,
+    or a content shift inside a label, moves centroids long before
+    any text statistic notices. Labels present in only one snapshot
+    drop out (inner join) — they are birth/death events for
+    corpus_snapshot_diff, not drift.
+
+    Determinism: grid quantization + integer sums + the one rounded
+    division per (label, half, dim) — the k-means _update contract —
+    so the drift is bit-identical across engines and partitionings.
+
+    Scale: one map-only quantize pass, one (label × 2 × {DIM})-group
+    aggregate (partial map-side — the shuffle carries ~K·2·{DIM}
+    rows), then label-scale joins. The corpus is never shuffled.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.expr(_Q_EXPR).alias("q"),
+    )
+    cents = (
+        q.select("label", "half", F.posexplode("q"))
+        .groupBy("label", "half", "pos")
+        .agg(
+            F.expr(
+                "cast(floor(cast(sum(col) as double) / count(*) + 0.5d)"
+                " as bigint)"
+            ).alias("cval")
+        )
+    )
+    counts = q.groupBy("label").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_old"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+    )
+    old = cents.where(F.col("half") == 0).select(
+        "label", "pos", F.col("cval").alias("o")
+    )
+    new = cents.where(F.col("half") == 1).select(
+        "label", "pos", F.col("cval").alias("n")
+    )
+    shift = (
+        old.join(new, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("o") - F.col("n")) * (F.col("o") - F.col("n")))
+            .cast("bigint")
+            .alias("sq_shift")
+        )
+    )
+    return (
+        shift.join(counts, "label")
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n_old",
+            "n_new",
+            "sq_shift",
+        )
+        .orderBy(F.desc("sq_shift"), "label")
+    )
