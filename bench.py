@@ -247,13 +247,7 @@ def main() -> None:
     # the last line, it parses this one.
     print(
         json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "value_v2": total_v2,
-                "unit": "sec",
-                "sf": sf,
-            }
+            {"value": total, "value_v2": total_v2, "unit": "sec", "sf": sf}
         )
     )
     spark.stop()

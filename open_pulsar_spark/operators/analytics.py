@@ -995,53 +995,30 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank and prefix sum over a TOTAL order (cents desc, custkey) are
     partition-invariant, and all arithmetic is integer cents — so the
     output is bit-identical to the oracle's single-window statement.
+    (The pattern lives in operators/prefix.py::global_prefix, shared
+    with events_peak_concurrency and quality_llm_calibration.)
     """
+    from open_pulsar_spark.operators.prefix import global_prefix
+
     orders = load_table(spark, sf_dir, "orders")
     cents = F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
     pc = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
 
-    ranged = pc.repartitionByRange(
-        32, F.desc("cents"), F.col("o_custkey")
-    ).withColumn("pid", F.spark_partition_id())
-    ranged = ranged.persist()
-    part_stats = sorted(
-        (r.pid, r.n, r.s)
-        for r in ranged.groupBy("pid")
-        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
-        .collect()
+    aug, totals, release = global_prefix(
+        spark, pc, [F.desc("cents"), F.col("o_custkey")], cum_cols=("cents",)
     )
-    total_n = sum(n for _, n, _ in part_stats)
-    total_cents = sum(s for _, _, s in part_stats)
-    rows_before, cents_before, acc_n, acc_s = {}, {}, 0, 0
-    for pid, n, s in part_stats:
-        rows_before[pid], cents_before[pid] = acc_n, acc_s
-        acc_n += n
-        acc_s += s
-    offsets = spark.createDataFrame(
-        [(pid, rows_before[pid], cents_before[pid]) for pid, _, _ in part_stats],
-        "pid INT, rows_before LONG, cents_before LONG",
-    )
-
-    w = Window.partitionBy("pid").orderBy(F.desc("cents"), "o_custkey")
     out = (
-        ranged.join(F.broadcast(offsets), "pid")
-        .withColumn("rk", F.row_number().over(w) + F.col("rows_before"))
-        .withColumn(
-            "cum",
-            F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
-            + F.col("cents_before"),
-        )
-        .withColumn("decile", F.expr(f"((rk - 1) * 10) div {total_n} + 1"))
+        aug.withColumn("decile", F.expr(f"((rk - 1) * 10) div {totals['n']} + 1"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
             (F.sum("cents") / 100.0).alias("revenue"),
-            F.round(F.max("cum") * 1.0 / F.lit(total_cents), 6).alias(
+            F.round(F.max("cum_cents") * 1.0 / F.lit(totals["cents"]), 6).alias(
                 "cum_revenue_share"
             ),
         )
         .orderBy("decile")
     )
     result = spark.createDataFrame(out.collect(), out.schema)
-    ranged.unpersist()
+    release()
     return result

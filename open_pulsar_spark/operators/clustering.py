@@ -980,16 +980,28 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "cast(floor(cast(sum(col) as double) / count(*) + 0.5d)"
                 " as bigint)"
-            ).alias("cval")
+            ).alias("cval"),
+            F.count("*").alias("n"),
         )
     )
-    counts = q.groupBy("label").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_old"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_new"),
+    # materialize the centroid table (|labels|×2×DIM rows — driver-scale
+    # by construction, like the k-means rounds): three consumers below
+    # would otherwise re-run the corpus scan + explode per branch
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    # member counts ride the cents aggregate for free (every dim of a
+    # (label, half) group has the same n — read it at pos 0) instead of
+    # a second scan of the corpus
+    counts = (
+        cents.where(F.col("pos") == 0)
+        .groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_old"),
+            F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+        )
     )
     old = cents.where(F.col("half") == 0).select(
         "label", "pos", F.col("cval").alias("o")

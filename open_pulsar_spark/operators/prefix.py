@@ -1,0 +1,89 @@
+"""Distributed prefix rank / running sums over a TOTAL order.
+
+Spark's bare ``sum().over(Window.orderBy(...))`` (no partitionBy) is
+the classic silent scale killer: the whole dataset funnels through ONE
+partition. This helper is the engine's one implementation of the
+standard fix, shared by revenue_pareto, events_peak_concurrency and
+quality_llm_calibration (each used to hand-roll it):
+
+  1. range-partition on the sort key — each partition holds a
+     contiguous rank range;
+  2. per-partition counts/sums → driver (≤ `parts` rows) → exclusive
+     offsets per partition;
+  3. row_number / running sums WITHIN each partition (parallel
+     windows, partitioned by partition id) + the broadcast offsets =
+     exact global rank and prefix sums.
+
+Partition boundaries come from range-sampling and vary run to run,
+but rank and prefix sums over a TOTAL order are partition-invariant,
+so results are bit-identical to the single-window statement whenever
+the ordering is total (callers must include a tiebreaker column) and
+the summed columns are integral.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def global_prefix(
+    spark: SparkSession,
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    cum_cols: Sequence[str] = (),
+    parts: int = 32,
+) -> tuple[DataFrame, dict[str, int], Callable[[], None]]:
+    """Returns ``(aug, totals, release)``:
+
+    - ``aug`` — ``df`` plus a global ``rk`` (row_number over
+      `order_cols`) and, per name ``c`` in `cum_cols`, a global
+      running sum ``cum_<c>`` (ROWS UNBOUNDED PRECEDING, inclusive);
+    - ``totals`` — ``{"n": row count}`` plus the full sum per cum col;
+    - ``release`` — zero-arg callable releasing the internal cache;
+      call AFTER materializing everything derived from ``aug`` (the
+      revenue_pareto idiom: collect the small result, then release).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(c).alias(f"_s_{c}") for c in cum_cols
+    ]
+    part_rows = sorted(
+        ((r["pid"], r) for r in ranged.groupBy("pid").agg(*aggs).collect()),
+        key=lambda t: t[0],
+    )
+    totals: dict[str, int] = {"n": sum(r["_n"] for _, r in part_rows)}
+    for c in cum_cols:
+        totals[c] = sum(r[f"_s_{c}"] or 0 for _, r in part_rows)
+
+    offsets_rows, acc = [], {"n": 0, **{c: 0 for c in cum_cols}}
+    for pid, r in part_rows:
+        offsets_rows.append(
+            (pid, acc["n"], *[acc[c] for c in cum_cols])
+        )
+        acc["n"] += r["_n"]
+        for c in cum_cols:
+            acc[c] += r[f"_s_{c}"] or 0
+    offsets = spark.createDataFrame(
+        offsets_rows,
+        "pid INT, _rows_before LONG"
+        + "".join(f", _before_{c} LONG" for c in cum_cols),
+    )
+
+    w = Window.partitionBy("pid").orderBy(*cols)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    aug = ranged.join(F.broadcast(offsets), "pid").withColumn(
+        "rk", F.row_number().over(w) + F.col("_rows_before")
+    )
+    for c in cum_cols:
+        aug = aug.withColumn(
+            f"cum_{c}", F.sum(c).over(run) + F.col(f"_before_{c}")
+        )
+    return aug, totals, ranged.unpersist

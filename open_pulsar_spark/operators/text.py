@@ -754,13 +754,16 @@ def quality_llm_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (the round(sum(double)) hazard the money queries document).
 
     Scale: map-only scoring; the decile needs a GLOBAL rank, which is
-    the single-partition-window trap — so this is the third user of
-    the engine's DISTRIBUTED PREFIX RANK (revenue_pareto's pattern):
-    range-partition on the sort key, per-partition counts to the
-    driver (≤32 rows), per-partition row_number + broadcast offsets.
-    The decile rule is the rank formula ((rk-1)·10) div n + 1 in BOTH
-    engines, so bucket sizes match exactly; the aggregate is 10 groups.
+    the single-partition-window trap — so this rides the engine's
+    shared DISTRIBUTED PREFIX RANK (operators/prefix.py::
+    global_prefix, the revenue_pareto pattern): range-partition on the
+    sort key, per-partition counts to the driver (≤32 rows),
+    per-partition row_number + broadcast offsets. The decile rule is
+    the rank formula ((rk-1)·10) div n + 1 in BOTH engines, so bucket
+    sizes match exactly; the aggregate is 10 groups.
     """
+    from open_pulsar_spark.operators.prefix import global_prefix
+
     docs = load_table(spark, sf_dir, "documents")
     q_int = F.expr(
         "cast(floor((0.4 * least(size(split(text, ' ')) / 100.0d, 1.0d)"
@@ -774,28 +777,11 @@ def quality_llm_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     mbyte = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("bigint")
     m = docs.select("doc_id", q_int.alias("q_int"), mbyte.alias("mbyte"))
 
-    ranged = m.repartitionByRange(32, "q_int", "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    ranged = ranged.persist()
-    part_counts = sorted(
-        (r.pid, r.n)
-        for r in ranged.groupBy("pid").agg(F.count("*").alias("n")).collect()
-    )
-    total_n = sum(n for _, n in part_counts)
-    before, acc = {}, 0
-    for pid, n in part_counts:
-        before[pid] = acc
-        acc += n
-    offsets = spark.createDataFrame(
-        [(pid, before[pid]) for pid, _ in part_counts],
-        "pid INT, rows_before LONG",
-    )
-    w = Window.partitionBy("pid").orderBy("q_int", "doc_id")
+    aug, totals, release = global_prefix(spark, m, ["q_int", "doc_id"])
     out = (
-        ranged.join(F.broadcast(offsets), "pid")
-        .withColumn("rk", F.row_number().over(w) + F.col("rows_before"))
-        .withColumn("decile", F.expr(f"((rk - 1) * 10) div {total_n} + 1"))
+        aug.withColumn(
+            "decile", F.expr(f"((rk - 1) * 10) div {totals['n']} + 1")
+        )
         .groupBy(F.col("decile").cast("bigint").alias("decile"))
         .agg(
             F.count("*").alias("n_docs"),
@@ -814,9 +800,9 @@ def quality_llm_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
-    # 10-row result: materialize, then release the ranged cache (the
+    # 10-row result: materialize, then release the prefix cache (the
     # revenue_pareto idiom — a returned lazy frame over a pinned cache
     # would leak it)
     result = spark.createDataFrame(out.collect(), out.schema)
-    ranged.unpersist()
+    release()
     return result

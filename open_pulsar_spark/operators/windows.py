@@ -25,6 +25,28 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 # --------------------------------------------------------------------------
 # user_sessionize — gap-based sessionization via lag + running sum.
 # --------------------------------------------------------------------------
+def _session_events(ev: DataFrame) -> DataFrame:
+    """events → (user_id, ts, event_id, session_seq): THE one 30-min
+    inactivity-gap session definition (lag flag → running sum), shared
+    by user_sessionize and events_peak_concurrency so the two can
+    never silently diverge on what a session is. One shuffle on
+    user_id; the two window functions share the partitioning so
+    Catalyst reuses the sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > SESSION_GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn("session_seq", F.sum("new_session").over(run))
+
+
 @query(
     "user_sessionize",
     oracle=f"""
@@ -56,25 +78,11 @@ def user_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference's group-sessionization (agent-loop.sh:634-640,
     SURVEY §2.5 W1: segment id = running sum of change flags) applied to
-    event time. One shuffle on user_id; the two window functions share
-    the same partitioning so Catalyst reuses the sort.
+    event time (see _session_events for the shared definition).
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > SESSION_GAP_US,
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
     return (
-        flagged.withColumn("session_seq", F.sum("new_session").over(run))
+        _session_events(ev)
         .groupBy("user_id", "session_seq")
         .agg(
             F.count("*").alias("n_events"),
@@ -754,30 +762,19 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the classic interval-counting sweep needs a GLOBAL
     cumulative sum — Spark's bare `sum().over(orderBy())` runs it in
-    one partition, so this is the second user of revenue_pareto's
-    DISTRIBUTED PREFIX SUM: range-partition the boundary points on the
-    sweep key, per-partition delta totals to the driver (≤ 32 rows),
-    per-partition windows + broadcast exclusive offsets give the exact
-    global running count in parallel. All integer deltas — output is
-    bit-identical to the oracle's single-window statement.
+    one partition, so this rides the engine's shared DISTRIBUTED
+    PREFIX SUM (operators/prefix.py::global_prefix, the
+    revenue_pareto pattern): range-partition the boundary points on
+    the sweep key, per-partition delta totals to the driver (≤ 32
+    rows), per-partition windows + broadcast exclusive offsets give
+    the exact global running count in parallel. All integer deltas —
+    output is bit-identical to the oracle's single-window statement.
     """
+    from open_pulsar_spark.operators.prefix import global_prefix
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run_w = w.rowsBetween(Window.unboundedPreceding, 0)
     sess = (
-        ev.select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.when(
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                > SESSION_GAP_US,
-                1,
-            )
-            .otherwise(0)
-            .alias("new_session"),
-        )
-        .withColumn("session_seq", F.sum("new_session").over(run_w))
+        _session_events(ev)
         .groupBy("user_id", "session_seq")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     )
@@ -785,36 +782,17 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
     )
 
-    ranged = pts.repartitionByRange(32, F.asc("t"), F.desc("d")).withColumn(
-        "pid", F.spark_partition_id()
+    aug, _totals, release = global_prefix(
+        spark, pts, [F.asc("t"), F.desc("d")], cum_cols=("d",)
     )
-    ranged = ranged.persist()
-    part_stats = sorted(
-        (r.pid, r.s)
-        for r in ranged.groupBy("pid").agg(F.sum("d").alias("s")).collect()
-    )
-    before, acc = {}, 0
-    for pid, s in part_stats:
-        before[pid] = acc
-        acc += s
-    offsets = spark.createDataFrame(
-        [(pid, before[pid]) for pid, _ in part_stats], "pid INT, d_before LONG"
-    )
-    sweep = Window.partitionBy("pid").orderBy(F.asc("t"), F.desc("d"))
     out = (
-        ranged.join(F.broadcast(offsets), "pid")
-        .withColumn(
-            "c",
-            F.sum("d").over(sweep.rowsBetween(Window.unboundedPreceding, 0))
-            + F.col("d_before"),
-        )
-        .groupBy(F.date_trunc("day", F.col("t")).alias("day"))
+        aug.groupBy(F.date_trunc("day", F.col("t")).alias("day"))
         .agg(
-            F.max("c").cast("bigint").alias("peak_concurrency"),
+            F.max("cum_d").cast("bigint").alias("peak_concurrency"),
             F.count("*").alias("n_boundaries"),
         )
         .orderBy("day")
     )
     result = spark.createDataFrame(out.collect(), out.schema)
-    ranged.unpersist()
+    release()
     return result

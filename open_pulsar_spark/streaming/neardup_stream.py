@@ -131,8 +131,11 @@ def filter_batch_against_index(
     if done is not None:
         return done
 
-    # same-id rows in one delivery are the same document
-    batch_docs = batch_docs.dropDuplicates(["doc_id"])
+    # same-id rows in one delivery are the same document; collapse
+    # DETERMINISTICALLY (max text wins) — dropDuplicates picks an
+    # arbitrary row, and a replay that picked different text would
+    # write different signatures than the committed original
+    batch_docs = batch_docs.groupBy("doc_id").agg(F.max("text").alias("text"))
     sigs = _minhash_sigs(batch_docs).persist()
     sigs.count()  # pin before the multi-consumer reads below
     bands = _bands_of(sigs)

@@ -73,11 +73,16 @@ def novelty_batch_step(
     """
     from open_pulsar_spark.operators.dedup import _shingled_of
 
-    batch_docs = batch_docs.dropDuplicates(["doc_id"])
+    # same-id rows in one delivery collapse DETERMINISTICALLY (max text
+    # wins): dropDuplicates picks an arbitrary row, and an arbitrary
+    # pick lets a replay score different text than the original run —
+    # which would desynchronize the index from the committed output
+    batch_docs = batch_docs.groupBy("doc_id").agg(F.max("text").alias("text"))
     sh = (
-        _shingled_of(batch_docs.select("doc_id", "text"))
+        _shingled_of(batch_docs)
         .select("doc_id", F.explode("sh").alias("t"))
         .select("doc_id", F.xxhash64("t").alias("h"))
+        .persist()  # three consumers below — shingle once
     )
 
     idx = read_segments(spark, index_path, _INDEX_SCHEMA)
@@ -86,35 +91,37 @@ def novelty_batch_step(
         # a compact segment — ignoring them reproduces the original run
         idx = idx.where(F.col("epoch") != F.lit(epoch_id))
     if idx is not None:
-        seen = idx.select("h").distinct().withColumn("_seen", F.lit(1))
-        flagged = sh.join(seen, "h", "left")
+        # ONE shuffle of the index: anti join on h (anti never
+        # multiplies rows, so mid-compaction duplicate h rows are
+        # harmless and no distinct() pre-aggregate is needed)
+        unseen = sh.join(idx, "h", "left_anti")
     else:
-        flagged = sh.withColumn("_seen", F.lit(None).cast("int"))
+        unseen = sh
 
     batch_first = F.min("doc_id").over(Window.partitionBy("h"))
-    flagged = flagged.withColumn(
-        "_novel", F.col("_seen").isNull() & (F.col("doc_id") == batch_first)
-    ).persist()  # two consumers below — score once
+    novel = unseen.withColumn("_novel", F.col("doc_id") == batch_first)
 
     try:
+        novel_counts = (
+            novel.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("_novel"), 1).otherwise(0)).alias("n_novel"))
+        )
         out_rows = (
-            flagged.groupBy("doc_id")
-            .agg(
-                F.count("*").alias("n_shingles"),
-                F.sum(F.when(F.col("_novel"), 1).otherwise(0)).alias("n_novel"),
-            )
+            sh.groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"))
+            .join(novel_counts, "doc_id", "left")
             .select(
                 "doc_id",
                 "n_shingles",
-                "n_novel",
-                F.round(F.col("n_novel") * 1.0 / F.col("n_shingles"), 6).alias(
-                    "novelty"
-                ),
+                F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+                F.round(
+                    F.coalesce("n_novel", F.lit(0)) * 1.0 / F.col("n_shingles"),
+                    6,
+                ).alias("novelty"),
             )
         )
         new_index = (
-            flagged.where(F.col("_seen").isNull())
-            .groupBy("h")
+            novel.groupBy("h")
             .agg(F.min("doc_id").alias("first_doc"))
             .withColumn(
                 "epoch",
@@ -126,17 +133,32 @@ def novelty_batch_step(
         seg = write_segment(out_rows, out_path, epoch_id)
         write_segment(new_index, index_path, epoch_id)
     finally:
-        flagged.unpersist()
+        sh.unpersist()
     return spark.read.schema(_OUT_SCHEMA).parquet(seg)
 
 
 def backfill_novelty_index(
-    spark: SparkSession, docs: DataFrame, index_path: str, out_path: str
+    spark: SparkSession,
+    docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    slice_id: int = 0,
 ) -> int:
     """Bootstrap the first-seen index from an existing corpus slice —
     the stream's own code path, one batch step per call. Returns the
-    number of docs scored."""
-    return novelty_batch_step(spark, docs, index_path, out_path).count()
+    number of docs scored.
+
+    `slice_id` (0, 1, 2, … — one per backfill slice) maps to a
+    RESERVED NEGATIVE epoch, so a rerun of the same slice overwrites
+    its own segments instead of appending a duplicate batch segment —
+    the backfill is as replay-idempotent as a streaming epoch.
+    Streaming epochs are non-negative, so the ranges cannot collide.
+    """
+    if slice_id < 0:
+        raise ValueError(f"slice_id must be >= 0, got {slice_id}")
+    return novelty_batch_step(
+        spark, docs, index_path, out_path, epoch_id=_BACKFILL_EPOCH - slice_id
+    ).count()
 
 
 def start_novelty_stream(

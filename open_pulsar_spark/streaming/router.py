@@ -104,11 +104,35 @@ def live_auth_filter(spark: SparkSession, allowlist_path: str):
     batch is blocked and a loud warning logged): "volume unmounted /
     dir truncated mid-rewrite" must not silently disable authorization,
     the opposite failure mode from the never-configured default. The
-    emptiness check is one driver-side count over a config-sized dir —
-    per-batch cost is one listing + one broadcast, the
-    slowly-changing-dimension pattern.
+    "was configured" fact is DURABLE — a marker file beside the
+    allowlist dir, not driver memory — because the standard operator
+    response to a persistent fault is a job restart, and a restart
+    that forgot the allowlist ever existed would re-open the exact
+    hole this guard closes. The emptiness check is one driver-side
+    count over a config-sized dir — per-batch cost is one listing +
+    one broadcast, the slowly-changing-dimension pattern.
     """
-    state = {"was_configured": False}
+    import os
+
+    marker = allowlist_path.rstrip("/") + ".configured"
+    state = {"was_configured": os.path.exists(marker)}
+
+    def _remember_configured() -> None:
+        if state["was_configured"]:
+            return
+        state["was_configured"] = True
+        try:
+            with open(marker, "w") as f:
+                f.write("")
+        except OSError:
+            # marker write failing degrades to per-process memory only —
+            # authorization itself is unaffected for this run
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "live_auth_filter: could not persist configured-marker %s",
+                marker,
+            )
 
     def apply(batch_df: DataFrame) -> DataFrame:
         try:
@@ -146,7 +170,7 @@ def live_auth_filter(spark: SparkSession, allowlist_path: str):
                 )
                 return batch_df.limit(0)
             return batch_df
-        state["was_configured"] = True
+        _remember_configured()
         return batch_df.join(F.broadcast(allowed), "from_id", "left_semi")
 
     return apply

@@ -146,3 +146,8 @@ def test_live_auth_filter_fails_closed_after_configured(spark, tmp_path):
     # the volume vanishes: fail closed, not open
     shutil.rmtree(allow)
     assert auth(batch).collect() == []
+    # ...and the guard survives a job RESTART (the standard operator
+    # response to a persistent fault): the configured-marker is durable,
+    # so a fresh filter instance still fails closed
+    auth2 = live_auth_filter(spark, allow)
+    assert auth2(batch).collect() == []
