@@ -247,7 +247,13 @@ def main() -> None:
     # the last line, it parses this one.
     print(
         json.dumps(
-            {"value": total, "value_v2": total_v2, "unit": "sec", "sf": sf}
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "value_v2": total_v2,
+                "unit": "sec",
+                "sf": sf,
+            }
         )
     )
     spark.stop()

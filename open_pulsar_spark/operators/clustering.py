@@ -921,17 +921,21 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cents AS (
         SELECT label, half, dims.dim,
-               CAST(floor(CAST(sum(q[dims.dim]) AS DOUBLE) / count(*) + 0.5)
-                    AS BIGINT) AS cval
+               CAST(floor(CAST(sum(q[dims.dim]) AS DOUBLE)
+                          / count(q[dims.dim]) + 0.5) AS BIGINT) AS cval,
+               count(q[dims.dim]) AS n
         FROM q
         CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS dim) dims
         GROUP BY label, half, dims.dim
     ),
     counts AS (
+        -- derived from the centroid aggregate at dim 1, mirroring the
+        -- engine's single-scan shape: a null/empty-embedding vector
+        -- contributes to neither engine's counts
         SELECT label,
-               sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n_old,
-               sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n_new
-        FROM q GROUP BY label
+               sum(CASE WHEN half = 0 THEN n ELSE 0 END)::BIGINT AS n_old,
+               sum(CASE WHEN half = 1 THEN n ELSE 0 END)::BIGINT AS n_new
+        FROM cents WHERE dim = 1 GROUP BY label
     ),
     shift AS (
         SELECT o.label,

@@ -41,11 +41,18 @@ def global_prefix(
     - ``aug`` — ``df`` plus a global ``rk`` (row_number over
       `order_cols`) and, per name ``c`` in `cum_cols`, a global
       running sum ``cum_<c>`` (ROWS UNBOUNDED PRECEDING, inclusive);
-    - ``totals`` — ``{"n": row count}`` plus the full sum per cum col;
+    - ``totals`` — ``{"n": row count}`` plus the full sum per cum col
+      (a cum col may not itself be named ``"n"`` — rejected up front
+      rather than silently colliding with the row-count key);
     - ``release`` — zero-arg callable releasing the internal cache;
       call AFTER materializing everything derived from ``aug`` (the
       revenue_pareto idiom: collect the small result, then release).
     """
+    if "n" in cum_cols:
+        raise ValueError(
+            'cum col "n" collides with the row-count totals key — '
+            "alias the column first"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = (
         df.repartitionByRange(parts, *cols)
@@ -63,14 +70,12 @@ def global_prefix(
     for c in cum_cols:
         totals[c] = sum(r[f"_s_{c}"] or 0 for _, r in part_rows)
 
-    offsets_rows, acc = [], {"n": 0, **{c: 0 for c in cum_cols}}
+    offsets_rows, acc_n, acc_sums = [], 0, {c: 0 for c in cum_cols}
     for pid, r in part_rows:
-        offsets_rows.append(
-            (pid, acc["n"], *[acc[c] for c in cum_cols])
-        )
-        acc["n"] += r["_n"]
+        offsets_rows.append((pid, acc_n, *[acc_sums[c] for c in cum_cols]))
+        acc_n += r["_n"]
         for c in cum_cols:
-            acc[c] += r[f"_s_{c}"] or 0
+            acc_sums[c] += r[f"_s_{c}"] or 0
     offsets = spark.createDataFrame(
         offsets_rows,
         "pid INT, _rows_before LONG"

@@ -31,8 +31,8 @@ be. foreachBatch is AT-LEAST-ONCE, so idempotence is structural:
     its own rows and reproduces the same survivors, while a same-doc
     redelivery in a LATER epoch matches a different epoch's row and
     is correctly dropped as a duplicate;
-  - same-id rows within one batch collapse before signatures
-    (dropDuplicates on doc_id).
+  - same-id rows within one batch collapse deterministically before
+    signatures (segments.collapse_same_id — max text wins).
 
 At scale the index is a partitioned table bucketed on the band
 signature.
@@ -51,6 +51,7 @@ from open_pulsar_spark.operators.dedup import (
 )
 from open_pulsar_spark.streaming.segments import (
     auto_compact,
+    collapse_same_id,
     commit_survivors,
     committed_ids,
     compact_segments,
@@ -131,11 +132,7 @@ def filter_batch_against_index(
     if done is not None:
         return done
 
-    # same-id rows in one delivery are the same document; collapse
-    # DETERMINISTICALLY (max text wins) — dropDuplicates picks an
-    # arbitrary row, and a replay that picked different text would
-    # write different signatures than the committed original
-    batch_docs = batch_docs.groupBy("doc_id").agg(F.max("text").alias("text"))
+    batch_docs = collapse_same_id(batch_docs)
     sigs = _minhash_sigs(batch_docs).persist()
     sigs.count()  # pin before the multi-consumer reads below
     bands = _bands_of(sigs)

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from open_pulsar_spark.streaming.segments import (
     auto_compact,
+    collapse_same_id,
     read_segments,
     write_segment,
 )
@@ -73,11 +74,7 @@ def novelty_batch_step(
     """
     from open_pulsar_spark.operators.dedup import _shingled_of
 
-    # same-id rows in one delivery collapse DETERMINISTICALLY (max text
-    # wins): dropDuplicates picks an arbitrary row, and an arbitrary
-    # pick lets a replay score different text than the original run —
-    # which would desynchronize the index from the committed output
-    batch_docs = batch_docs.groupBy("doc_id").agg(F.max("text").alias("text"))
+    batch_docs = collapse_same_id(batch_docs)
     sh = (
         _shingled_of(batch_docs)
         .select("doc_id", F.explode("sh").alias("t"))
@@ -99,7 +96,12 @@ def novelty_batch_step(
         unseen = sh
 
     batch_first = F.min("doc_id").over(Window.partitionBy("h"))
-    novel = unseen.withColumn("_novel", F.col("doc_id") == batch_first)
+    # persist AFTER the index anti-join + window: both sink writes below
+    # consume `novel`, and without this pin the dominant per-batch cost
+    # (the full-index anti-join) would execute twice
+    novel = unseen.withColumn(
+        "_novel", F.col("doc_id") == batch_first
+    ).persist()
 
     try:
         novel_counts = (
@@ -133,6 +135,7 @@ def novelty_batch_step(
         seg = write_segment(out_rows, out_path, epoch_id)
         write_segment(new_index, index_path, epoch_id)
     finally:
+        novel.unpersist()
         sh.unpersist()
     return spark.read.schema(_OUT_SCHEMA).parquet(seg)
 
@@ -142,22 +145,26 @@ def backfill_novelty_index(
     docs: DataFrame,
     index_path: str,
     out_path: str,
-    slice_id: int = 0,
+    slice_id: int,
 ) -> int:
     """Bootstrap the first-seen index from an existing corpus slice —
     the stream's own code path, one batch step per call. Returns the
     number of docs scored.
 
-    `slice_id` (0, 1, 2, … — one per backfill slice) maps to a
-    RESERVED NEGATIVE epoch, so a rerun of the same slice overwrites
-    its own segments instead of appending a duplicate batch segment —
-    the backfill is as replay-idempotent as a streaming epoch.
-    Streaming epochs are non-negative, so the ranges cannot collide.
+    `slice_id` is REQUIRED and must be unique per slice (0, 1, 2, …):
+    each maps to a reserved negative epoch (-2, -3, …), so a rerun of
+    the same slice overwrites its own segments instead of appending a
+    duplicate batch segment — the backfill is as replay-idempotent as
+    a streaming epoch. A defaulted id would silently collapse every
+    call onto one committed epoch (write_segment skips committed
+    segments), losing all slices after the first. Streaming epochs are
+    non-negative and ad-hoc epoch-less steps tag {_BACKFILL_EPOCH}, so
+    the three ranges cannot collide.
     """
     if slice_id < 0:
         raise ValueError(f"slice_id must be >= 0, got {slice_id}")
     return novelty_batch_step(
-        spark, docs, index_path, out_path, epoch_id=_BACKFILL_EPOCH - slice_id
+        spark, docs, index_path, out_path, epoch_id=-2 - slice_id
     ).count()
 
 

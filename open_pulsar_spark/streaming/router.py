@@ -81,7 +81,9 @@ def filter_authorized(
     return messages.join(F.broadcast(allowed), "from_id", "left_semi")
 
 
-def live_auth_filter(spark: SparkSession, allowlist_path: str):
+def live_auth_filter(
+    spark: SparkSession, allowlist_path: str, marker_path: str | None = None
+):
     """Hot-reloading authorization (the reference re-reads its config
     between polls — agent-loop.sh's env sourcing; SURVEY S7): returns
     `apply(batch_df) -> batch_df` for use INSIDE foreachBatch, where
@@ -104,17 +106,25 @@ def live_auth_filter(spark: SparkSession, allowlist_path: str):
     batch is blocked and a loud warning logged): "volume unmounted /
     dir truncated mid-rewrite" must not silently disable authorization,
     the opposite failure mode from the never-configured default. The
-    "was configured" fact is DURABLE — a marker file beside the
-    allowlist dir, not driver memory — because the standard operator
-    response to a persistent fault is a job restart, and a restart
-    that forgot the allowlist ever existed would re-open the exact
-    hole this guard closes. The emptiness check is one driver-side
-    count over a config-sized dir — per-batch cost is one listing +
-    one broadcast, the slowly-changing-dimension pattern.
+    "was configured" fact is DURABLE — a local marker file, not driver
+    memory — because the standard operator response to a persistent
+    fault is a job restart, and a restart that forgot the allowlist
+    ever existed would re-open the exact hole this guard closes.
+
+    `marker_path` defaults to a sibling of the allowlist dir, which is
+    ONLY safe when the two live on different failure domains than the
+    fault you care about; if the allowlist sits on an unmountable
+    volume or a remote filesystem (s3a://, hdfs:// — where a local
+    open() cannot write at all), pass a marker_path on
+    DRIVER-LOCAL/checkpoint storage or the restart-durability degrades
+    back to per-process memory (a warning is logged when the marker
+    cannot be written). The emptiness check is one driver-side count
+    over a config-sized dir — per-batch cost is one listing + one
+    broadcast, the slowly-changing-dimension pattern.
     """
     import os
 
-    marker = allowlist_path.rstrip("/") + ".configured"
+    marker = marker_path or (allowlist_path.rstrip("/") + ".configured")
     state = {"was_configured": os.path.exists(marker)}
 
     def _remember_configured() -> None:

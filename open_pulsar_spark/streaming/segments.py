@@ -36,6 +36,19 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def collapse_same_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Same-id rows in one delivery are the same document; collapse
+    them DETERMINISTICALLY (max text wins) — the ONE collapse rule the
+    incremental streams share. dropDuplicates picks an arbitrary row,
+    and a replay that picked different text than the original run
+    would write different index rows than the committed output."""
+    from pyspark.sql import functions as F
+
+    return docs.groupBy(id_col).agg(F.max(text_col).alias(text_col))
+
+
 def list_segments(root: str) -> list[str]:
     """Committed (has _SUCCESS) segment dirs under root, sorted."""
     if not os.path.isdir(root):
