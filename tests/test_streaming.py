@@ -1200,3 +1200,44 @@ def test_novelty_stream_matches_batch_query_in_corpus_order(spark, workdir):
         for r in all_queries()["doc_ngram_novelty"](spark, SF_SMALL).collect()
     )
     assert got == want
+
+
+def test_novelty_backfill_slices_are_idempotent(spark, workdir):
+    """Backfill slices map to reserved negative epochs: rerunning a
+    slice overwrites its own segments (no duplicate rows, no
+    re-scoring drift), and a subsequent slice scores against the
+    accumulated index exactly like the batch query in corpus order."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.novelty_stream import (
+        _OUT_SCHEMA,
+        backfill_novelty_index,
+    )
+    from open_pulsar_spark.streaming.segments import list_segments
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    idx, out = f"{workdir}/nidx", f"{workdir}/nout"
+    s0 = docs.where(F.col("doc_id") < 250)
+    s1 = docs.where(F.col("doc_id") >= 250)
+
+    n0 = backfill_novelty_index(spark, s0, idx, out, slice_id=0)
+    # rerun of slice 0: same count, same segment count (overwrite, not append)
+    segs_before = len(list_segments(out))
+    assert backfill_novelty_index(spark, s0, idx, out, slice_id=0) == n0
+    assert len(list_segments(out)) == segs_before
+
+    backfill_novelty_index(spark, s1, idx, out, slice_id=1)
+    got = sorted(
+        (r.doc_id, r.n_shingles, r.n_novel, r.novelty)
+        for r in spark.read.schema(_OUT_SCHEMA)
+        .parquet(*list_segments(out))
+        .collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_shingles, r.n_novel, r.novelty)
+        for r in all_queries()["doc_ngram_novelty"](spark, SF_SMALL).collect()
+    )
+    assert got == want
