@@ -1241,3 +1241,43 @@ def test_novelty_backfill_slices_are_idempotent(spark, workdir):
         for r in all_queries()["doc_ngram_novelty"](spark, SF_SMALL).collect()
     )
     assert got == want
+
+
+def test_drift_stream_partials_fold_to_batch_drift(spark, workdir):
+    """Mergeable centroid partials: streaming each snapshot half in two
+    micro-batches and folding must reproduce embedding_centroid_drift
+    BIT-IDENTICALLY (raw-sum partials are associative; rounded means
+    would not be), and replaying a committed epoch is a no-op."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.drift_stream import (
+        drift_between,
+        update_drift_partials,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    embs = load_table(spark, SF_SMALL, "embeddings")
+    old_half = embs.where(F.col("vec_id") % 2 == 0)
+    new_half = embs.where(F.col("vec_id") % 2 == 1)
+    a, b = f"{workdir}/drift_a", f"{workdir}/drift_b"
+
+    # each half arrives as two epochs (arbitrary batching must not matter)
+    update_drift_partials(spark, old_half.where(F.col("vec_id") < 250), a, 0)
+    update_drift_partials(spark, old_half.where(F.col("vec_id") >= 250), a, 1)
+    update_drift_partials(spark, new_half.where(F.col("vec_id") < 250), b, 0)
+    update_drift_partials(spark, new_half.where(F.col("vec_id") >= 250), b, 1)
+
+    got = [tuple(r) for r in drift_between(spark, a, b).collect()]
+    want = [
+        tuple(r)
+        for r in all_queries()["embedding_centroid_drift"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    assert got == want
+
+    # replay of a committed epoch: segment already committed -> no-op
+    update_drift_partials(spark, old_half.where(F.col("vec_id") < 250), a, 0)
+    assert [tuple(r) for r in drift_between(spark, a, b).collect()] == want
