@@ -101,6 +101,7 @@ EXTRA = [
     "ann_hard_negatives",
     "quality_llm_calibration",
     "embedding_centroid_drift",
+    "doc_repeated_spans",
 ]
 
 HEADLINE = [

@@ -806,3 +806,95 @@ def quality_llm_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema)
     release()
     return result
+
+
+# --------------------------------------------------------------------------
+# doc_repeated_spans — the MAXIMAL repeated spans themselves (what a
+# trimming pass actually removes), islands over the dup windows.
+# --------------------------------------------------------------------------
+@query(
+    "doc_repeated_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t
+        FROM documents WHERE len(str_split(text, ' ')) >= {SUBSTR_K}
+    ),
+    pos AS (
+        SELECT doc_id, g.i - 1 AS i,
+               array_to_string(t[g.i : g.i + {SUBSTR_K} - 1], ' ') AS w
+        FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, len(t) - {SUBSTR_K} + 1)) AS i
+        ) g
+    ),
+    dupw AS (SELECT w FROM pos GROUP BY w HAVING count(*) >= 2),
+    dpos AS (SELECT doc_id, i FROM pos JOIN dupw USING (w)),
+    flagged AS (
+        SELECT doc_id, i,
+               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                         > {SUBSTR_K} THEN 1 ELSE 0 END AS new_span
+        FROM dpos
+    ),
+    islands AS (
+        SELECT doc_id, i,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS UNBOUNDED PRECEDING) AS span_seq
+        FROM flagged
+    )
+    SELECT doc_id, span_seq::BIGINT AS span_seq,
+           min(i)::BIGINT AS span_start,
+           (max(i) + {SUBSTR_K} - 1)::BIGINT AS span_end,
+           (max(i) + {SUBSTR_K} - min(i))::BIGINT AS span_tokens,
+           count(*) AS n_windows
+    FROM islands
+    GROUP BY doc_id, span_seq
+    ORDER BY doc_id, span_start
+    """,
+)
+def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAXIMAL corpus-repeated spans per document — the concrete
+    artifact a dedup-trimming pass removes (doc_repeated_substring_
+    coverage reports how MUCH is repeated; this reports WHERE):
+    {SUBSTR_K}-token windows occurring ≥2 times in the corpus, merged
+    into maximal spans wherever their covered ranges overlap or adjoin
+    (gap ≤ {SUBSTR_K}) — the gaps-and-islands pattern over window
+    start positions. Span bounds are 0-based token indices, inclusive.
+
+    Scale: identical posture to doc_repeated_substring_coverage (one
+    xxhash64-keyed count-window over the positional explode), plus one
+    per-doc islands pass (lag + running sum share the same per-doc
+    sort). At 100 TB these spans ARE the work-list a maximal-repeat
+    extension pass (suffix-array style) would refine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = SUBSTR_K
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= k
+    )
+    pos = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, size(t) - {k}),"
+            f" j -> xxhash64(concat_ws(' ', slice(t, j + 1, {k}))))"
+        )).alias("i", "w"),
+    )
+    wcount = F.count("*").over(Window.partitionBy("w"))
+    dpos = pos.withColumn("wc", wcount).where(F.col("wc") >= 2)
+    per_doc = Window.partitionBy("doc_id").orderBy("i")
+    flagged = dpos.withColumn(
+        "new_span",
+        F.when(F.col("i") - F.lag("i").over(per_doc) > k, 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "span_seq",
+        F.sum("new_span").over(per_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", F.col("span_seq").cast("bigint").alias("span_seq"))
+        .agg(
+            F.min("i").cast("bigint").alias("span_start"),
+            (F.max("i") + k - 1).cast("bigint").alias("span_end"),
+            (F.max("i") + k - F.min("i")).cast("bigint").alias("span_tokens"),
+            F.count("*").alias("n_windows"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
