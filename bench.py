@@ -102,6 +102,7 @@ EXTRA = [
     "quality_llm_calibration",
     "embedding_centroid_drift",
     "doc_repeated_spans",
+    "semantic_dedup_actions",
 ]
 
 HEADLINE = [

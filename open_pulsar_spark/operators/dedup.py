@@ -441,17 +441,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are cliques or near-cliques from the band join). The oracle states
     the same closure as a recursive CTE.
     """
-    # Materialize the verified pair graph EXACTLY ONCE: persist + count
-    # runs the (expensive) band join a single time; both branches below
-    # read the cached edges. The pair set is the SMALL output of LSH
-    # (≈0.1% of corpus) and is the CC edge set either way, so caching
-    # it is what the distributed loop would do anyway — the old
-    # limit-probe design re-ran the band join in the large branch.
-    pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id").persist()
+    labels = closure_labels(spark, _minhash_pairs(spark, sf_dir))
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_rep"),
+        F.when(F.col("u") == F.col("label"), "keep").otherwise("drop").alias("action"),
+    ).orderBy("doc_id")
+
+
+SMALL_GRAPH_PAIRS = 100_000
+
+
+def closure_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """(a_id, b_id) pair frame → (u, label) connected-component labels
+    (label = component's min id) — THE transitive-closure step shared
+    by dedup_clusters, its quality-pick variant and the embedding-side
+    semantic dedup.
+
+    Materializes the pair graph EXACTLY ONCE (persist + count runs the
+    expensive candidate join a single time; both branches read the
+    cache) and releases it before returning. Pair sets are the SMALL
+    output of LSH (≈0.1% of corpus): below SMALL_GRAPH_PAIRS a
+    driver-side union-find beats N shuffle rounds; above it the
+    distributed min-label loop keeps everything off the driver.
+    """
+    pairs = pairs.select("a_id", "b_id").persist()
     n_pairs = pairs.count()
     if n_pairs <= SMALL_GRAPH_PAIRS:
-        # Below the threshold a driver-side union-find beats N shuffle
-        # rounds; the collect reads the cache, bounded by construction.
+        # the collect reads the cache, bounded by construction
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -477,14 +494,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache (collect above, or the persisted label fixpoint) — release
     # it so library callers don't leak executor memory per invocation
     pairs.unpersist()
-    return labels.select(
-        F.col("u").alias("doc_id"),
-        F.col("label").alias("cluster_rep"),
-        F.when(F.col("u") == F.col("label"), "keep").otherwise("drop").alias("action"),
-    ).orderBy("doc_id")
-
-
-SMALL_GRAPH_PAIRS = 100_000
+    return labels
 
 
 def _propagate_labels_distributed(pairs: DataFrame) -> DataFrame:

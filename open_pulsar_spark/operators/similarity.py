@@ -552,3 +552,84 @@ def dedup_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").alias("n_hit"),
         F.round(F.count("hit") * F.lit(1.0) / F.count("*"), 6).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# semantic_dedup_actions — embedding near-dup clusters → per-doc actions.
+# --------------------------------------------------------------------------
+def _semantic_dedup_oracle() -> str:
+    from open_pulsar_spark.operators.text import _SW_SQL
+
+    emb_pairs = _registry.ORACLES["dedup_embedding_lsh"].replace(
+        "ORDER BY a_id, b_id", ""
+    )
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ({emb_pairs}) ep),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    ),
+    labels AS (SELECT u AS ldoc, min(v) AS cluster_rep FROM reach GROUP BY u),
+    q AS (SELECT doc_id,
+            0.4 * least(len(toks) / 100.0, 1.0)
+          + 0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
+          + 0.2 * least((len(list_filter(toks, x -> x IN {_SW_SQL})) * 1.0
+                         / len(toks)) / 0.1, 1.0) AS quality
+          FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)),
+    m AS (SELECT ldoc, cluster_rep, quality,
+                 row_number() OVER (PARTITION BY cluster_rep
+                                    ORDER BY round(quality, 6) DESC, ldoc) AS rk
+          FROM labels JOIN q ON q.doc_id = labels.ldoc)
+    SELECT ldoc AS doc_id, cluster_rep,
+           round(quality, 6) AS quality,
+           CASE WHEN rk = 1 THEN 'keep' ELSE 'drop' END AS action
+    FROM m ORDER BY doc_id
+    """
+
+
+@query("semantic_dedup_actions", oracle=_semantic_dedup_oracle())
+def semantic_dedup_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup across modalities: near-dup pairs come from the
+    EMBEDDING space (sign-LSH blocked cosine ≥ 0.4 — paraphrases and
+    near-rewrites that shingle-Jaccard scores near zero), the
+    transitive closure groups them (dedup.closure_labels — the same CC
+    step as the text-side clusters), and the survivor per cluster is
+    the highest-QUALITY member of the DOCUMENT the vector embeds
+    (vec_id ≡ doc_id for the embedded slice of the corpus). Output is
+    the per-doc action table a curation pipeline applies: every
+    pair-graph member labeled keep/drop with its cluster and quality.
+
+    This is the step text-side dedup cannot do: dedup_minhash_lsh
+    needs shared shingles; an LLM-paraphrased duplicate shares none
+    but lands on the same embedding bucket.
+
+    Scale: inherits dedup_embedding_lsh's Σ|bucket|² blocking (corpus
+    never broadcast), closure over the SMALL pair set, then one
+    doc_id-keyed join against quality (an already-computed artifact at
+    100 TB) and one cluster-keyed window.
+    """
+    from open_pulsar_spark.operators.dedup import closure_labels
+    from open_pulsar_spark.operators.text import doc_quality_score
+
+    pairs = dedup_embedding_lsh(spark, sf_dir).select("a_id", "b_id")
+    labels = closure_labels(spark, pairs).select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
+    quality = doc_quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    return (
+        labels.join(quality, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_rep",
+            F.round("quality", 6).alias("quality"),
+            F.when(F.col("rk") == 1, "keep").otherwise("drop").alias("action"),
+        )
+        .orderBy("doc_id")
+    )
