@@ -411,20 +411,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # dedup_clusters — transitive closure of near-dup pairs → representatives.
 # --------------------------------------------------------------------------
-@query(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
-    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+# Transitive-closure CTEs over a `pairs(a_id, b_id)` relation:
+# undirected edges → recursive reach → min-label per member. The ONE
+# copy of the connected-components shape every cluster oracle composes
+# (dedup_clusters, the quality pick, similarity's semantic actions) —
+# a change to the closure semantics lands in all of them or none.
+_CLOSURE_CTES = """edges AS (SELECT a_id AS u, b_id AS v FROM pairs
               UNION ALL SELECT b_id, a_id FROM pairs),
     reach(u, v) AS (
         SELECT u, u FROM (SELECT DISTINCT u FROM edges)
         UNION
         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    )
-    SELECT u AS doc_id, min(v) AS cluster_rep,
-           CASE WHEN u = min(v) THEN 'keep' ELSE 'drop' END AS action
-    FROM reach GROUP BY u
+    ),
+    labels AS (SELECT u AS ldoc, min(v) AS cluster_rep FROM reach GROUP BY u)"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    {_CLOSURE_CTES}
+    SELECT ldoc AS doc_id, cluster_rep,
+           CASE WHEN ldoc = cluster_rep THEN 'keep' ELSE 'drop' END AS action
+    FROM labels
     ORDER BY doc_id
     """,
 )
@@ -912,26 +921,14 @@ def snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_cluster_quality_pick — keep the BEST copy per near-dup cluster.
 # --------------------------------------------------------------------------
 def _quality_pick_oracle() -> str:
-    # reuse the EXACT quality formula from doc_quality_score's oracle so
-    # the two queries can never drift apart
-    from open_pulsar_spark.operators.text import _SW_SQL
+    # composes the shared _CLOSURE_CTES + text._QUALITY_Q_CTE fragments
+    # (the single copies of the closure shape and the quality weights)
+    from open_pulsar_spark.operators.text import _QUALITY_Q_CTE
 
     return f"""
     WITH RECURSIVE {_MINHASH_PAIRS_CTE},
-    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
-              UNION ALL SELECT b_id, a_id FROM pairs),
-    reach(u, v) AS (
-        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-        UNION
-        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    ),
-    labels AS (SELECT u AS ldoc, min(v) AS cluster_rep FROM reach GROUP BY u),
-    q AS (SELECT doc_id,
-            0.4 * least(len(toks) / 100.0, 1.0)
-          + 0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
-          + 0.2 * least((len(list_filter(toks, x -> x IN {_SW_SQL})) * 1.0
-                         / len(toks)) / 0.1, 1.0) AS quality
-          FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)),
+    {_CLOSURE_CTES},
+    {_QUALITY_Q_CTE},
     m AS (SELECT ldoc, cluster_rep, quality,
                  -- rank on the 6-dp ROUNDED quality: the Spark side
                  -- composes doc_quality_score, whose output is rounded,

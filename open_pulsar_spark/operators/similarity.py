@@ -465,6 +465,20 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via sign-LSH blocking — the scale path
     next to dedup_embedding_cosine's exact all-pairs baseline.
+    Presentation form of _embedding_pairs (adds the total order)."""
+    return (
+        _embedding_pairs(spark, sf_dir)
+        .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSORTED embedding near-dup pairs (a_id, b_id, cos) — the
+    internal producer behind dedup_embedding_lsh, exposed separately
+    (mirroring dedup._minhash_pairs) so order-insensitive consumers
+    (semantic_dedup_actions' closure, the recall join) never pay the
+    registry query's global sort.
 
     Unlike the exact form (which broadcasts the whole normalized
     corpus — the documented non-starter at 100 TB), this never
@@ -508,13 +522,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"a_id": ids[r], "b_id": ids[c], "cos": sims[r, c]}
         )
 
-    return (
-        tagged.groupBy("bucket")
-        .applyInPandas(
-            lambda _, pdf: pairs_of(pdf), "a_id LONG, b_id LONG, cos DOUBLE"
-        )
-        .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
-        .orderBy("a_id", "b_id")
+    return tagged.groupBy("bucket").applyInPandas(
+        lambda _, pdf: pairs_of(pdf), "a_id LONG, b_id LONG, cos DOUBLE"
     )
 
 
@@ -544,7 +553,7 @@ def dedup_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     far from 1.0); the measured number is what justifies — or vetoes —
     the blocking parameterization for a given threshold."""
     exact = dedup_embedding_cosine(spark, sf_dir).select("a_id", "b_id")
-    approx = dedup_embedding_lsh(spark, sf_dir).select(
+    approx = _embedding_pairs(spark, sf_dir).select(
         "a_id", "b_id", F.lit(1).alias("hit")
     )
     return exact.join(approx, ["a_id", "b_id"], "left").agg(
@@ -558,27 +567,20 @@ def dedup_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantic_dedup_actions — embedding near-dup clusters → per-doc actions.
 # --------------------------------------------------------------------------
 def _semantic_dedup_oracle() -> str:
-    from open_pulsar_spark.operators.text import _SW_SQL
+    # composes the shared closure + quality SQL fragments — the same
+    # single copies dedup's quality-pick oracle uses, so neither the
+    # closure shape nor the 0.4/0.4/0.2 weights can drift between the
+    # text-side and embedding-side survivor queries
+    from open_pulsar_spark.operators.dedup import _CLOSURE_CTES
+    from open_pulsar_spark.operators.text import _QUALITY_Q_CTE
 
     emb_pairs = _registry.ORACLES["dedup_embedding_lsh"].replace(
         "ORDER BY a_id, b_id", ""
     )
     return f"""
     WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ({emb_pairs}) ep),
-    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
-              UNION ALL SELECT b_id, a_id FROM pairs),
-    reach(u, v) AS (
-        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-        UNION
-        SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
-    ),
-    labels AS (SELECT u AS ldoc, min(v) AS cluster_rep FROM reach GROUP BY u),
-    q AS (SELECT doc_id,
-            0.4 * least(len(toks) / 100.0, 1.0)
-          + 0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
-          + 0.2 * least((len(list_filter(toks, x -> x IN {_SW_SQL})) * 1.0
-                         / len(toks)) / 0.1, 1.0) AS quality
-          FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)),
+    {_CLOSURE_CTES},
+    {_QUALITY_Q_CTE},
     m AS (SELECT ldoc, cluster_rep, quality,
                  row_number() OVER (PARTITION BY cluster_rep
                                     ORDER BY round(quality, 6) DESC, ldoc) AS rk
@@ -614,7 +616,7 @@ def semantic_dedup_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_pulsar_spark.operators.dedup import closure_labels
     from open_pulsar_spark.operators.text import doc_quality_score
 
-    pairs = dedup_embedding_lsh(spark, sf_dir).select("a_id", "b_id")
+    pairs = _embedding_pairs(spark, sf_dir).select("a_id", "b_id")
     labels = closure_labels(spark, pairs).select(
         F.col("u").alias("doc_id"), F.col("label").alias("cluster_rep")
     )

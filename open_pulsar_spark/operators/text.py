@@ -92,24 +92,27 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # doc_quality_score — composite quality heuristic.
 # --------------------------------------------------------------------------
+# `q` CTE: per-doc UNROUNDED quality in the doc_quality_score formula —
+# the ONE SQL copy of the 0.4/0.4/0.2 weights. Every cluster-survivor
+# oracle (dedup's quality pick, similarity's semantic actions) AND
+# doc_quality_score's own oracle compose this fragment, so the weights
+# cannot drift between the registry query and its consumers.
+_QUALITY_Q_CTE = f"""q AS (SELECT doc_id,
+            0.4 * least(len(toks) / 100.0, 1.0)
+          + 0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
+          + 0.2 * least((len(list_filter(toks, x -> x IN {_SW_SQL})) * 1.0
+                         / len(toks)) / 0.1, 1.0) AS quality
+          FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents))"""
+
+
 @query(
     "doc_quality_score",
     oracle=f"""
-    WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
-    m AS (SELECT doc_id,
-                 len(toks) AS n_tokens,
-                 len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
-                 len(list_filter(toks, x -> x IN {_SW_SQL})) * 1.0 / len(toks) AS swr
-          FROM t)
+    WITH {_QUALITY_Q_CTE}
     SELECT doc_id,
-           round(0.4 * least(n_tokens / 100.0, 1.0)
-               + 0.4 * ttr
-               + 0.2 * least(swr / 0.1, 1.0), 6) AS quality,
-           CASE WHEN 0.4 * least(n_tokens / 100.0, 1.0)
-                   + 0.4 * ttr
-                   + 0.2 * least(swr / 0.1, 1.0) >= 0.6
-                THEN 'keep' ELSE 'drop' END AS verdict
-    FROM m
+           round(quality, 6) AS quality,
+           CASE WHEN quality >= 0.6 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM q
     ORDER BY doc_id
     """,
 )
@@ -611,23 +614,54 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 SUBSTR_K = 8  # token-window length for "repeated substring"
 
-
-@query(
-    "doc_repeated_substring_coverage",
-    oracle=f"""
-    WITH toks AS (
+# toks/pos/dupw/dpos CTEs: 0-based positional SUBSTR_K-token windows,
+# filtered to windows occurring ≥2 times in the corpus — the ONE SQL
+# copy of the dup-window pipeline shared by the coverage and spans
+# oracles (their Spark twins share _dup_window_positions).
+_DUP_WINDOW_CTES = f"""toks AS (
         SELECT doc_id, str_split(text, ' ') AS t
         FROM documents WHERE len(str_split(text, ' ')) >= {SUBSTR_K}
     ),
     pos AS (
-        SELECT doc_id, len(t) AS n, g.i,
+        SELECT doc_id, g.i - 1 AS i,
                array_to_string(t[g.i : g.i + {SUBSTR_K} - 1], ' ') AS w
         FROM toks CROSS JOIN LATERAL (
             SELECT unnest(generate_series(1, len(t) - {SUBSTR_K} + 1)) AS i
         ) g
     ),
     dupw AS (SELECT w FROM pos GROUP BY w HAVING count(*) >= 2),
-    dpos AS (SELECT doc_id, i FROM pos JOIN dupw USING (w)),
+    dpos AS (SELECT doc_id, i FROM pos JOIN dupw USING (w))"""
+
+
+def _dup_window_positions(docs: DataFrame, k: int):
+    """(toks, dpos): per-doc token arrays and the 0-based start
+    positions of k-token windows that occur ≥2 times in the corpus.
+    Windows are keyed by xxhash64 of the window text (8 B — the string
+    never reaches the exchange); the occurs-≥2 test is one
+    count-window over that uniform key. Shared producer behind
+    doc_repeated_substring_coverage and doc_repeated_spans, so the
+    hashing/windowing scheme cannot drift between them."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= k
+    )
+    pos = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, size(t) - {k}),"
+            f" j -> xxhash64(concat_ws(' ', slice(t, j + 1, {k}))))"
+        )).alias("i", "w"),
+    )
+    wcount = F.count("*").over(Window.partitionBy("w"))
+    dpos = (
+        pos.withColumn("wc", wcount).where(F.col("wc") >= 2).select("doc_id", "i")
+    )
+    return toks, dpos
+
+
+@query(
+    "doc_repeated_substring_coverage",
+    oracle=f"""
+    WITH {_DUP_WINDOW_CTES},
     lagged AS (
         SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
         FROM dpos
@@ -668,19 +702,7 @@ def doc_repeated_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFra
     """
     docs = load_table(spark, sf_dir, "documents")
     k = SUBSTR_K
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
-        F.size("t") >= k
-    )
-    pos = toks.select(
-        "doc_id",
-        F.size("t").alias("n"),
-        F.posexplode(F.expr(
-            f"transform(sequence(0, size(t) - {k}),"
-            f" j -> xxhash64(concat_ws(' ', slice(t, j + 1, {k}))))"
-        )).alias("i", "w"),
-    )
-    wcount = F.count("*").over(Window.partitionBy("w"))
-    dpos = pos.withColumn("wc", wcount).where(F.col("wc") >= 2)
+    toks, dpos = _dup_window_positions(docs, k)
     lag_i = F.lag("i").over(Window.partitionBy("doc_id").orderBy("i"))
     cov = (
         dpos.withColumn("pi", lag_i)
@@ -815,19 +837,7 @@ def quality_llm_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_repeated_spans",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, str_split(text, ' ') AS t
-        FROM documents WHERE len(str_split(text, ' ')) >= {SUBSTR_K}
-    ),
-    pos AS (
-        SELECT doc_id, g.i - 1 AS i,
-               array_to_string(t[g.i : g.i + {SUBSTR_K} - 1], ' ') AS w
-        FROM toks CROSS JOIN LATERAL (
-            SELECT unnest(generate_series(1, len(t) - {SUBSTR_K} + 1)) AS i
-        ) g
-    ),
-    dupw AS (SELECT w FROM pos GROUP BY w HAVING count(*) >= 2),
-    dpos AS (SELECT doc_id, i FROM pos JOIN dupw USING (w)),
+    WITH {_DUP_WINDOW_CTES},
     flagged AS (
         SELECT doc_id, i,
                CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
@@ -867,18 +877,7 @@ def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     k = SUBSTR_K
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
-        F.size("t") >= k
-    )
-    pos = toks.select(
-        "doc_id",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, size(t) - {k}),"
-            f" j -> xxhash64(concat_ws(' ', slice(t, j + 1, {k}))))"
-        )).alias("i", "w"),
-    )
-    wcount = F.count("*").over(Window.partitionBy("w"))
-    dpos = pos.withColumn("wc", wcount).where(F.col("wc") >= 2)
+    _, dpos = _dup_window_positions(docs, k)
     per_doc = Window.partitionBy("doc_id").orderBy("i")
     flagged = dpos.withColumn(
         "new_span",

@@ -46,17 +46,28 @@ from open_pulsar_spark.streaming.segments import (
 
 _PARTIAL_SCHEMA = "label INT, dim INT, s LONG, n LONG, epoch LONG"
 
-_BACKFILL_EPOCH = -1
-
 
 def update_drift_partials(
     spark: SparkSession,
     batch_embs: DataFrame,
     store_path: str,
-    epoch_id: int | None = None,
+    epoch_id: int,
 ) -> None:
     """One micro-batch step: quantize, aggregate per-(label, dim) raw
-    sums + counts, write one epoch segment of partials."""
+    sums + counts, write one epoch segment of partials.
+
+    `epoch_id` is REQUIRED (unlike the novelty index, whose fold is a
+    duplicate-tolerant min): partials are SUMS, and fold_centroids
+    dedups on (epoch, label, dim) to survive crash-duplicated rows —
+    so two writes sharing an epoch value would collapse to one
+    arbitrary row per cell, silently corrupting every centroid. Batch
+    bootstraps go through backfill_drift_partials, which maps a
+    required slice_id onto a reserved negative-epoch range."""
+    if epoch_id is None:
+        raise ValueError(
+            "epoch_id is required; use backfill_drift_partials for "
+            "batch bootstraps"
+        )
     from open_pulsar_spark.operators.clustering import _Q_EXPR
 
     partials = (
@@ -64,12 +75,7 @@ def update_drift_partials(
         .select("label", F.posexplode("q").alias("pos", "v"))
         .groupBy("label", F.col("pos").alias("dim"))
         .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-        .withColumn(
-            "epoch",
-            F.lit(
-                _BACKFILL_EPOCH if epoch_id is None else epoch_id
-            ).cast("long"),
-        )
+        .withColumn("epoch", F.lit(epoch_id).cast("long"))
         .select(
             F.col("label").cast("int"),
             F.col("dim").cast("int"),
@@ -79,6 +85,27 @@ def update_drift_partials(
         )
     )
     write_segment(partials, store_path, epoch_id)
+
+
+def backfill_drift_partials(
+    spark: SparkSession,
+    embs: DataFrame,
+    store_path: str,
+    slice_id: int,
+) -> None:
+    """Bootstrap a drift store from an existing corpus slice.
+
+    `slice_id` is REQUIRED and must be unique per slice (0, 1, 2, …):
+    each maps to a reserved negative epoch (-2, -3, …), so a rerun of
+    the same slice overwrites its own segment instead of appending a
+    duplicate (replay-idempotent, like a streaming epoch), and two
+    different slices can never collide on an epoch value — the
+    collision would silently drop one slice's sums at fold time.
+    Streaming epochs are non-negative, so the ranges cannot overlap.
+    Same contract as novelty_stream.backfill_novelty_index."""
+    if slice_id < 0:
+        raise ValueError(f"slice_id must be >= 0, got {slice_id}")
+    update_drift_partials(spark, embs, store_path, epoch_id=-2 - slice_id)
 
 
 def fold_centroids(spark: SparkSession, store_path: str) -> DataFrame | None:

@@ -1281,3 +1281,46 @@ def test_drift_stream_partials_fold_to_batch_drift(spark, workdir):
     # replay of a committed epoch: segment already committed -> no-op
     update_drift_partials(spark, old_half.where(F.col("vec_id") < 250), a, 0)
     assert [tuple(r) for r in drift_between(spark, a, b).collect()] == want
+
+
+def test_drift_backfill_slices_fold_and_replay(spark, workdir):
+    """Multi-slice backfill: two slices land on distinct reserved
+    epochs (no (epoch,label,dim) collision at fold time — the bug the
+    old shared epoch=-1 path had), a slice rerun is idempotent, and
+    the folded drift still bit-matches the batch query."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.drift_stream import (
+        backfill_drift_partials,
+        drift_between,
+        update_drift_partials,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    embs = load_table(spark, SF_SMALL, "embeddings")
+    old_half = embs.where(F.col("vec_id") % 2 == 0)
+    new_half = embs.where(F.col("vec_id") % 2 == 1)
+    a, b = f"{workdir}/bf_a", f"{workdir}/bf_b"
+
+    backfill_drift_partials(spark, old_half.where(F.col("vec_id") < 250), a, 0)
+    backfill_drift_partials(spark, old_half.where(F.col("vec_id") >= 250), a, 1)
+    backfill_drift_partials(spark, new_half, b, 0)
+    # rerun of slice 0 overwrites its own segment -> no double count
+    backfill_drift_partials(spark, old_half.where(F.col("vec_id") < 250), a, 0)
+
+    got = [tuple(r) for r in drift_between(spark, a, b).collect()]
+    want = [
+        tuple(r)
+        for r in all_queries()["embedding_centroid_drift"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    assert got == want
+
+    with pytest.raises(ValueError):
+        backfill_drift_partials(spark, old_half, a, -1)
+    with pytest.raises(ValueError):
+        update_drift_partials(spark, old_half, a, None)
