@@ -103,6 +103,8 @@ EXTRA = [
     "embedding_centroid_drift",
     "doc_repeated_spans",
     "semantic_dedup_actions",
+    "source_overlap_kmv",
+    "bpe_merge_candidates",
 ]
 
 HEADLINE = [

@@ -44,10 +44,11 @@ _U_SPARK = "conv(substring(md5(t), 1, 15), 16, 10) / 1152921504606846976"
 _U_SQL = "('0x' || substr(md5(t), 1, 15))::BIGINT / 1152921504606846976.0"
 
 
-@query(
-    "source_kmv_distinct",
-    oracle=f"""
-    WITH tok AS (
+# tok/hashed/ranked CTEs: per-source distinct-token hashes u ∈ [0,1)
+# with their per-source rank — the ONE SQL copy of the KMV hash/rank
+# pipeline shared by the distinct-count and pairwise-overlap oracles
+# (their Spark twins share _kmv_sketches).
+_KMV_RANK_CTES = f"""tok AS (
         SELECT DISTINCT source, unnest(str_split(text, ' ')) AS t
         FROM documents
     ),
@@ -56,7 +57,52 @@ _U_SQL = "('0x' || substr(md5(t), 1, 15))::BIGINT / 1152921504606846976.0"
         SELECT source, u,
                row_number() OVER (PARTITION BY source ORDER BY u) AS rn
         FROM hashed
-    ),
+    )"""
+
+
+def _kmv_sketches(tokens: DataFrame) -> DataFrame:
+    """(source, mins): the bottom-{KMV_K} distinct token hashes per
+    source — the mergeable KMV sketch itself, shared by
+    source_kmv_distinct and source_overlap_kmv.
+
+    Phase 1 keeps the k smallest hashes per (source, Arrow batch),
+    truncated INSIDE the map task — batch boundaries only shape the
+    partials, never the result: the merged bottom-k is
+    partitioning-invariant. Phase 2 merges with one aggregate over the
+    tiny (source, u) partial rows. The same token seen in two batches
+    survives as a duplicate u across partials; the merge dedups with
+    array_distinct before slicing — bottom-k of the distinct union of
+    per-batch bottom-ks == global distinct bottom-k. (A
+    groupBy(source, partition_id) + slice formulation is NOT bounded:
+    slice projects AFTER the aggregation, so the exchange and the agg
+    buffers still carry every distinct hash.)"""
+    hashed = tokens.select("source", F.expr(_U_SPARK).alias("u"))
+
+    def bottom_k(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield (
+                pdf.drop_duplicates(["source", "u"])
+                .sort_values("u")
+                .groupby("source", sort=False)
+                .head(KMV_K)[["source", "u"]]
+            )
+
+    partial = hashed.mapInPandas(bottom_k, "source STRING, u DOUBLE")
+    return partial.groupBy("source").agg(
+        F.slice(
+            F.array_distinct(F.array_sort(F.collect_list("u"))),
+            1,
+            KMV_K,
+        ).alias("mins")
+    )
+
+
+@query(
+    "source_kmv_distinct",
+    oracle=f"""
+    WITH {_KMV_RANK_CTES},
     kth AS (SELECT source, u AS u_k FROM ranked WHERE rn = {KMV_K}),
     exact AS (SELECT source, count(DISTINCT t)::BIGINT AS n_exact FROM tok GROUP BY source)
     SELECT e.source, e.n_exact,
@@ -83,43 +129,12 @@ def source_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the expensive full distinct — at 100 TB you run the sketch and
     SAMPLE the exact check.
     """
-    import pandas as pd
-
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
     # The sketch half never shuffles tokens: hashing runs in the JVM
-    # (bit-identical to the oracle) and the bottom-k partial is an
-    # Arrow kernel that TRUNCATES inside the map task — pandas
-    # sort + per-source head(k) per batch, so at most k×|sources| rows
-    # leave any batch regardless of how many distinct hashes it held.
-    # (A groupBy(source, partition_id) + slice formulation is NOT
-    # bounded: slice projects AFTER the aggregation, so the exchange
-    # and the agg buffers still carry every distinct hash.) The same
-    # token seen in two batches survives as a duplicate u across
-    # partials; the merge dedups with array_distinct before slicing —
-    # bottom-k of the distinct union of per-batch bottom-ks == global
-    # distinct bottom-k.
-    hashed = tokens.select("source", F.expr(_U_SPARK).alias("u"))
-
-    def bottom_k(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            yield (
-                pdf.drop_duplicates(["source", "u"])
-                .sort_values("u")
-                .groupby("source", sort=False)
-                .head(KMV_K)[["source", "u"]]
-            )
-
-    partial = hashed.mapInPandas(bottom_k, "source STRING, u DOUBLE")
-    merged = partial.groupBy("source").agg(
-        F.slice(
-            F.array_distinct(F.array_sort(F.collect_list("u"))),
-            1,
-            KMV_K,
-        ).alias("mins")
-    )
+    # (bit-identical to the oracle) and the bottom-k partial truncates
+    # inside the map task (see _kmv_sketches).
+    merged = _kmv_sketches(tokens)
     # A group with fewer than k distinct values keeps ALL of them —
     # the sketch is then exact, so the estimate is its size.
     u_k = F.try_element_at("mins", F.lit(KMV_K))
@@ -143,6 +158,130 @@ def source_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# source_overlap_kmv — pairwise source vocabulary overlap from the KMV
+# sketches (Beyer et al. multiset synopses), with the exact harness.
+# --------------------------------------------------------------------------
+@query(
+    "source_overlap_kmv",
+    oracle=f"""
+    WITH {_KMV_RANK_CTES},
+    sk AS (SELECT source, list(u ORDER BY u) AS mins
+           FROM ranked WHERE rn <= {KMV_K} GROUP BY source),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               list_sort(list_distinct(list_concat(a.mins, b.mins))) AS comb,
+               a.mins AS mins_a, b.mins AS mins_b
+        FROM sk a JOIN sk b ON a.source < b.source
+    ),
+    est AS (
+        SELECT source_a, source_b,
+               len(comb[1:{KMV_K}]) AS kk,
+               CASE WHEN len(comb) >= {KMV_K}
+                    THEN round(({KMV_K} - 1) / comb[{KMV_K}])::BIGINT
+                    ELSE len(comb)::BIGINT END AS n_union_est,
+               len(list_intersect(list_intersect(comb[1:{KMV_K}], mins_a),
+                                  mins_b)) AS n_both
+        FROM pairs
+    ),
+    ex AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*)::BIGINT AS n_exact
+        FROM tok a JOIN tok b ON a.t = b.t AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b,
+           coalesce(x.n_exact, 0) AS n_exact,
+           round(n_both * 1.0 / kk * n_union_est)::BIGINT AS n_est,
+           round(n_both * 1.0 / kk, 6) AS jaccard_est,
+           round(abs(round(n_both * 1.0 / kk * n_union_est)
+                     - coalesce(x.n_exact, 0))
+                 * 1.0 / greatest(coalesce(x.n_exact, 0), 1), 6) AS rel_err
+    FROM est e LEFT JOIN ex x USING (source_a, source_b)
+    ORDER BY source_a, source_b
+    """,
+)
+def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise DISTINCT-VOCABULARY overlap between sources, estimated
+    from the per-source KMV sketches alone — the "how much do my crawl
+    sources duplicate each other" diagnostic, answered WITHOUT ever
+    joining two corpora.
+
+    Estimator (Beyer et al. 2007 multiset synopses): the bottom-k of
+    the union of two KMV sketches IS the KMV sketch of the union set,
+    so |A∪B| gets the standard (k-1)/u_k estimate; the fraction ρ of
+    union-sketch members present in BOTH input sketches estimates
+    Jaccard, and |A∩B| ≈ ρ·|A∪B|. When the combined sketch holds
+    fewer than k values both inputs were exhaustive and every number
+    is exact — the estimator degrades to truth on small sets.
+
+    Scale: the corpus collapses to k doubles per source map-side
+    (_kmv_sketches — the same partial/merge contract as
+    source_kmv_distinct); the pair enumeration is a self-join of the
+    |sources|-row sketch table (config-sized by construction — the
+    broadcast nested loop is over sketches, never data). The exact
+    intersection half is the harness: one token equi-join you SAMPLE
+    at 100 TB, run here so the estimator's error stays observable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+    sk = _kmv_sketches(tokens)
+
+    a = sk.select(F.col("source").alias("source_a"), F.col("mins").alias("mins_a"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("mins").alias("mins_b"))
+    comb_full = F.array_sort(F.array_distinct(F.concat("mins_a", "mins_b")))
+    pairs = (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .withColumn("comb", F.slice(comb_full, 1, KMV_K))
+        .withColumn("n_comb", F.size(comb_full))
+    )
+    kk = F.size("comb")
+    n_union_est = F.when(
+        F.col("n_comb") >= KMV_K,
+        F.round((KMV_K - 1) / F.element_at("comb", KMV_K)).cast("bigint"),
+    ).otherwise(F.col("n_comb").cast("bigint"))
+    n_both = F.size(
+        F.array_intersect(F.array_intersect("comb", "mins_a"), F.col("mins_b"))
+    )
+    est = pairs.select(
+        "source_a",
+        "source_b",
+        kk.alias("kk"),
+        n_union_est.alias("n_union_est"),
+        n_both.alias("n_both"),
+    )
+
+    # the exact harness half: distinct (source, token) equi-join
+    tok = tokens.distinct()
+    ta = tok.select(F.col("source").alias("source_a"), "t")
+    tb = tok.select(F.col("source").alias("source_b"), "t")
+    exact = (
+        ta.join(tb, "t")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_exact"))
+    )
+
+    n_est = F.round(F.col("n_both") * 1.0 / F.col("kk") * F.col("n_union_est")).cast(
+        "bigint"
+    )
+    n_exact = F.coalesce("n_exact", F.lit(0)).cast("bigint")
+    return (
+        est.join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            n_exact.alias("n_exact"),
+            n_est.alias("n_est"),
+            F.round(F.col("n_both") * 1.0 / F.col("kk"), 6).alias("jaccard_est"),
+            F.round(
+                F.abs(n_est - n_exact) * 1.0 / F.greatest(n_exact, F.lit(1)), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("source_a", "source_b")
     )
 
 

@@ -285,6 +285,74 @@ def doc_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# bpe_merge_candidates — first-iteration BPE pair statistics over the
+# compressed vocabulary (tokenizer induction at corpus scale).
+# --------------------------------------------------------------------------
+@query(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH w AS (SELECT unnest(str_split(text, ' ')) AS word FROM documents),
+    v AS (SELECT word, count(*)::BIGINT AS n FROM w
+          WHERE len(word) >= 2 GROUP BY word),
+    p AS (SELECT substr(word, g.i, 2) AS pair, n, word
+          FROM v CROSS JOIN LATERAL (
+              SELECT unnest(generate_series(1, len(word) - 1)) AS i
+          ) g),
+    agg AS (SELECT pair, sum(n)::BIGINT AS weight,
+                   count(DISTINCT word)::BIGINT AS n_types
+            FROM p GROUP BY pair)
+    SELECT pair, weight, n_types
+    FROM agg ORDER BY weight DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top adjacent-character pairs a BPE trainer would merge
+    FIRST, weighted by corpus word frequency — the first iteration of
+    byte-pair-encoding vocabulary induction (Sennrich et al. 2016),
+    the step a tokenizer-training pipeline runs over the whole corpus.
+    `weight` is total corpus occurrences (via word frequencies);
+    `n_types` is how many distinct word forms contain the pair.
+
+    Scale: the critical move is VOCAB COMPRESSION FIRST — the corpus
+    collapses to (word, count) in one hash aggregate (map-side partial
+    on a heavy-tailed key: the exchange carries word types, not corpus
+    tokens), and the character-pair explode + pair aggregate run over
+    the vocabulary, orders of magnitude smaller than the token stream.
+    Exactly how production BPE trainers structure the count phase.
+    Full BPE iterates merge → re-pair over the vocab (a driver loop
+    over config-sized state, the kmeans_embeddings shape); this query
+    is that loop's per-round aggregate, published once as the
+    candidate table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = vocab.select(
+        "word",
+        "n",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("n").alias("weight"),
+            F.count_distinct("word").alias("n_types"),
+        )
+        .orderBy(F.desc("weight"), "pair")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # doc_llm_score — Arrow-batched pandas_udf scoring (the U-family path).
 # --------------------------------------------------------------------------
 @query(

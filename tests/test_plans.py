@@ -128,6 +128,9 @@ _NESTED_LOOP_ALLOWED = {
     "dedup_ngram_jaccard",       # bounded-slice brute-force baseline
     "q22_idle_customers",        # 1-row scalar avg threshold, broadcast
     "q11_important_part_value",  # 1-row grand-total share threshold, broadcast
+    "source_overlap_kmv",        # |sources|-row sketch-table pair join —
+                                 # config-sized by construction, corpus
+                                 # collapses to k doubles/source map-side
 }
 
 
