@@ -105,6 +105,7 @@ EXTRA = [
     "semantic_dedup_actions",
     "source_overlap_kmv",
     "bpe_merge_candidates",
+    "embedding_outliers",
 ]
 
 HEADLINE = [

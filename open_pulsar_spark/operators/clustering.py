@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from open_pulsar_spark.registry import query
@@ -213,6 +213,99 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("asg.cid").cast("bigint").alias("cluster"))
         .agg(F.count("*").alias("n_members"))
         .orderBy("cluster")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_outliers — per-cluster robust outlier flags over the trained
+# assignment (the corrupt-embedding filter before training).
+# --------------------------------------------------------------------------
+@query(
+    "embedding_outliers",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    med AS (
+        SELECT cid, sq_dist AS med FROM (
+            SELECT cid, sq_dist, vec_id,
+                   row_number() OVER (PARTITION BY cid
+                                      ORDER BY sq_dist, vec_id) AS rn,
+                   count(*) OVER (PARTITION BY cid) AS n
+            FROM a2) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT a.vec_id, a.cid, a.sq_dist, m.med,
+               abs(a.sq_dist - m.med) AS d
+        FROM a2 a JOIN med m USING (cid)
+    ),
+    mad AS (
+        SELECT cid, d AS mad FROM (
+            SELECT cid, d, vec_id,
+                   row_number() OVER (PARTITION BY cid
+                                      ORDER BY d, vec_id) AS rn,
+                   count(*) OVER (PARTITION BY cid) AS n
+            FROM dev) WHERE rn = (n + 1) // 2
+    )
+    SELECT v.vec_id, v.cid::BIGINT AS cluster, v.sq_dist, v.med, x.mad
+    FROM dev v JOIN mad x USING (cid)
+    WHERE v.sq_dist > v.med + 3 * x.mad
+    ORDER BY v.vec_id
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings anomalously FAR from their own cluster's centroid —
+    the corrupt-vector filter a training pipeline runs before the
+    corpus ships (truncated downloads, encoder failures, and mislabeled
+    modalities land far from every semantic cluster). Assignment is the
+    trained fixed-point k-means (same _fit as kmeans_embeddings); the
+    flag is the robust MAD rule (events_anomaly_mad's contract, lifted
+    to the embedding space): sq_dist > median + 3·MAD within the
+    vector's OWN cluster, so a genuinely diffuse cluster doesn't flag
+    its whole membership.
+
+    Determinism: distances are integer (the fixed-point grid), and both
+    medians are rank-picked LOWER medians (row_number with a vec_id
+    tie-break, element at (n+1) div 2) — no float interpolation, so
+    both engines pick the identical element.
+
+    Scale: the trained assign is map-only; the two median passes are
+    windows over the SAME cluster-keyed shuffle (K partitions); the
+    med/mad tables are K rows broadcast back. At 100 TB swap the exact
+    in-cluster median for value_quantile_sketch's mergeable sample —
+    the flag rule is unchanged.
+    """
+    qdf, cents = _fit(spark, sf_dir)
+    assigned = qdf.withColumn("asg", _assign_col(cents)).select(
+        "vec_id",
+        F.col("asg.cid").alias("cid"),
+        F.col("asg.dist").alias("sq_dist"),
+    )
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w_rank = Window.partitionBy("cid").orderBy(col, "vec_id")
+        w_all = Window.partitionBy("cid")
+        return (
+            df.withColumn("rn", F.row_number().over(w_rank))
+            .withColumn("n", F.count("*").over(w_all))
+            .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            .select("cid", F.col(col).alias(out))
+        )
+
+    med = lower_median(assigned, "sq_dist", "med")
+    dev = assigned.join(F.broadcast(med), "cid").withColumn(
+        "d", F.abs(F.col("sq_dist") - F.col("med"))
+    )
+    mad = lower_median(dev, "d", "mad")
+    return (
+        dev.join(F.broadcast(mad), "cid")
+        .where(F.col("sq_dist") > F.col("med") + 3 * F.col("mad"))
+        .select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("cluster"),
+            "sq_dist",
+            "med",
+            "mad",
+        )
+        .orderBy("vec_id")
     )
 
 
