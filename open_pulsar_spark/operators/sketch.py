@@ -76,20 +76,39 @@ def _kmv_sketches(tokens: DataFrame) -> DataFrame:
     groupBy(source, partition_id) + slice formulation is NOT bounded:
     slice projects AFTER the aggregation, so the exchange and the agg
     buffers still carry every distinct hash.)"""
+    return _kmv_merge(_kmv_partial(tokens))
+
+
+def _bottom_k_kernel(batches):
+    """Arrow bottom-k partial: per batch, the KMV_K smallest distinct
+    hashes per source — truncation happens INSIDE the map task. The
+    ONE kernel both the batch sketch and kmv_stream run, so a stream-
+    maintained sketch and a batch sketch of the same rows are
+    bit-identical."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        yield (
+            pdf.drop_duplicates(["source", "u"])
+            .sort_values("u")
+            .groupby("source", sort=False)
+            .head(KMV_K)[["source", "u"]]
+        )
+
+
+def _kmv_partial(tokens: DataFrame) -> DataFrame:
+    """(source, u) bottom-k partial rows for a token frame — ≤ k rows
+    per source per Arrow batch, whatever the input size."""
     hashed = tokens.select("source", F.expr(_U_SPARK).alias("u"))
+    return hashed.mapInPandas(_bottom_k_kernel, "source STRING, u DOUBLE")
 
-    def bottom_k(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            yield (
-                pdf.drop_duplicates(["source", "u"])
-                .sort_values("u")
-                .groupby("source", sort=False)
-                .head(KMV_K)[["source", "u"]]
-            )
 
-    partial = hashed.mapInPandas(bottom_k, "source STRING, u DOUBLE")
+def _kmv_merge(partial: DataFrame) -> DataFrame:
+    """Merge bottom-k partial rows → (source, mins). Duplicate u values
+    across partials (the same token in two batches, or a replayed
+    segment) are removed by array_distinct BEFORE slicing — the merge
+    is duplicate-TOLERANT, which is what makes the streaming store's
+    fold replay-safe with no epoch bookkeeping beyond overwrite."""
     return partial.groupBy("source").agg(
         F.slice(
             F.array_distinct(F.array_sort(F.collect_list("u"))),
@@ -97,6 +116,17 @@ def _kmv_sketches(tokens: DataFrame) -> DataFrame:
             KMV_K,
         ).alias("mins")
     )
+
+
+def _kmv_estimate_col(mins):
+    """The KMV estimate from a merged mins array: (k-1)/u_k when the
+    sketch saturated, exact size otherwise (a group with fewer than k
+    distinct values keeps ALL of them). Shared by the batch query and
+    kmv_stream so both report the identical number."""
+    u_k = F.try_element_at(mins, F.lit(KMV_K))
+    return F.when(
+        u_k.isNotNull(), F.round((KMV_K - 1) / u_k).cast("bigint")
+    ).otherwise(F.size(mins).cast("bigint"))
 
 
 @query(
@@ -135,12 +165,7 @@ def source_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bit-identical to the oracle) and the bottom-k partial truncates
     # inside the map task (see _kmv_sketches).
     merged = _kmv_sketches(tokens)
-    # A group with fewer than k distinct values keeps ALL of them —
-    # the sketch is then exact, so the estimate is its size.
-    u_k = F.try_element_at("mins", F.lit(KMV_K))
-    est = F.when(
-        u_k.isNotNull(), F.round((KMV_K - 1) / u_k).cast("bigint")
-    ).otherwise(F.size("mins").cast("bigint"))
+    est = _kmv_estimate_col(F.col("mins"))
     # The exact half (the accuracy harness) is the only token shuffle
     # in the plan — count_distinct plans its own partial dedup, so a
     # separate .distinct() pass would just shuffle the universe twice.

@@ -1324,3 +1324,40 @@ def test_drift_backfill_slices_fold_and_replay(spark, workdir):
         backfill_drift_partials(spark, old_half, a, -1)
     with pytest.raises(ValueError):
         update_drift_partials(spark, old_half, a, None)
+
+
+def test_kmv_stream_folds_to_batch_estimate(spark, workdir):
+    """Streaming KMV: delivering the corpus in three epochs and folding
+    must reproduce source_kmv_distinct's estimates BIT-IDENTICALLY
+    (bottom-k of a union is batching-invariant); a replayed epoch is a
+    no-op, and a duplicated epoch-less backfill cannot change the
+    estimates (the fold is duplicate-tolerant)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.kmv_stream import kmv_estimates, update_kmv
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    store = f"{workdir}/kmv_store"
+    update_kmv(spark, docs.where(F.col("doc_id") % 3 == 0), store, 0)
+    update_kmv(spark, docs.where(F.col("doc_id") % 3 == 1), store, 1)
+    update_kmv(spark, docs.where(F.col("doc_id") % 3 == 2), store, 2)
+
+    want = [
+        (r.source, r.n_est)
+        for r in all_queries()["source_kmv_distinct"](spark, SF_SMALL)
+        .select("source", "n_est")
+        .orderBy("source")
+        .collect()
+    ]
+    got = [tuple(r) for r in kmv_estimates(spark, store).collect()]
+    assert got == want
+
+    # replay of a committed epoch: no-op
+    update_kmv(spark, docs.where(F.col("doc_id") % 3 == 0), store, 0)
+    # duplicated epoch-less backfill: value-idempotent (redundant rows,
+    # same fold)
+    update_kmv(spark, docs.where(F.col("doc_id") % 3 == 1), store, None)
+    assert [tuple(r) for r in kmv_estimates(spark, store).collect()] == want
