@@ -106,6 +106,8 @@ EXTRA = [
     "source_overlap_kmv",
     "bpe_merge_candidates",
     "embedding_outliers",
+    "doc_bigram_logprob",
+    "corpus_embedding_coverage",
 ]
 
 HEADLINE = [

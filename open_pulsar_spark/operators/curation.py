@@ -273,6 +273,129 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# corpus_embedding_coverage — docs ↔ embeddings completeness audit.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_embedding_coverage",
+    oracle="""
+    SELECT coalesce(d.source, '(orphan vectors)') AS source,
+           count(d.doc_id)::BIGINT AS n_docs,
+           count(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+                      THEN 1 END)::BIGINT AS n_embedded,
+           count(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NULL
+                      THEN 1 END)::BIGINT AS n_missing,
+           round(count(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+                            THEN 1 END) * 1.0
+                 / greatest(count(d.doc_id), 1), 6) AS coverage
+    FROM documents d FULL JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def corpus_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness audit of the embedding side-table against the
+    corpus (vec_id ≡ doc_id contract): per source, how many documents
+    have an embedding, how many are missing one, and the coverage
+    ratio — plus an '(orphan vectors)' row for embeddings whose
+    document no longer exists (deleted after embedding, or an id-space
+    bug). Every multimodal/ANN operator in the engine assumes this
+    join is total; this is the query that checks it before they run.
+
+    Scale: both sides project to keys before the join (doc_id+source
+    vs vec_id alone — the embedding payload never moves), one
+    full-outer shuffle on the id, then a |sources|-row aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    j = docs.join(vecs, docs["doc_id"] == vecs["vec_id"], "full")
+    has_doc = F.col("doc_id").isNotNull()
+    has_vec = F.col("vec_id").isNotNull()
+    n_embedded = F.count(F.when(has_doc & has_vec, 1))
+    return (
+        j.groupBy(
+            F.coalesce("source", F.lit("(orphan vectors)")).alias("source")
+        )
+        .agg(
+            F.count("doc_id").alias("n_docs"),
+            n_embedded.alias("n_embedded"),
+            F.count(F.when(has_doc & ~has_vec, 1)).alias("n_missing"),
+            F.round(
+                n_embedded * 1.0 / F.greatest(F.count("doc_id"), F.lit(1)), 6
+            ).alias("coverage"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_bigram_logprob — conditional-LM surprisal (the sharper quality
+# signal next to the unigram proxy).
+# --------------------------------------------------------------------------
+@query(
+    "doc_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, t[g.i] AS prev, t[g.i + 1] AS cur
+        FROM tok CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i
+        ) g
+    ),
+    cb AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur),
+    cx AS (SELECT prev, count(*) AS c1 FROM pairs GROUP BY prev)
+    SELECT p.doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           round(avg(-ln(cb.c2 * 1.0 / cx.c1)), 6) AS avg_surprisal
+    FROM pairs p JOIN cb USING (prev, cur) JOIN cx USING (prev)
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram surprisal −avg(ln p(wᵢ|wᵢ₋₁)) under
+    the corpus's own bigram LM — the next rung above
+    doc_unigram_logprob on the perplexity-filter ladder: unigram
+    surprisal can't see scrambled word order, a bigram model can
+    (shuffled boilerplate scores high here while scoring normal
+    there). MLE conditionals, no smoothing: every observed bigram has
+    c₂ ≥ 1, so the model is total on its own corpus.
+
+    Scale: one positional-pair explode (map-only), the bigram and
+    context rollups, and the re-join — the two model tables share the
+    Zipf-skewed `prev` key, which is what AQE skew-join splitting is
+    for; at 100 TB floor the bigram table by min-count and back off to
+    the unigram score for pruned pairs (the standard stupid-backoff
+    shape), keeping the model side bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> struct(element_at(split(text, ' '), i) as prev,"
+                "             element_at(split(text, ' '), i + 1) as cur))"
+            )
+        ).alias("pr"),
+    ).select("doc_id", "pr.prev", "pr.cur")
+    cb = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    cx = pairs.groupBy("prev").agg(F.count("*").alias("c1"))
+    return (
+        pairs.join(cb, ["prev", "cur"])
+        .join(cx, "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log(F.col("c2") * F.lit(1.0) / F.col("c1"))), 6
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # doc_pii_scrub — regex PII redaction (emails / phones).
 # --------------------------------------------------------------------------
 # The synthetic corpus contains no PII, so the scrub operates on the
