@@ -257,10 +257,13 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus ships (truncated downloads, encoder failures, and mislabeled
     modalities land far from every semantic cluster). Assignment is the
     trained fixed-point k-means (same _fit as kmeans_embeddings); the
-    flag is the robust MAD rule (events_anomaly_mad's contract, lifted
-    to the embedding space): sq_dist > median + 3·MAD within the
-    vector's OWN cluster, so a genuinely diffuse cluster doesn't flag
-    its whole membership.
+    flag is a robust median/MAD rule in the same spirit as
+    events_anomaly_mad but deliberately NOT its formula: distances here
+    are SQUARED (integer grid), so the Gaussian 1.4826 consistency
+    factor that rule applies has no meaning, and the plain
+    sq_dist > median + 3·MAD cut is used instead — within the vector's
+    OWN cluster, so a genuinely diffuse cluster doesn't flag its whole
+    membership.
 
     Determinism: distances are integer (the fixed-point grid), and both
     medians are rank-picked LOWER medians (row_number with a vec_id

@@ -335,6 +335,7 @@ def corpus_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
         SELECT doc_id, str_split(text, ' ') AS t FROM documents
+        WHERE len(str_split(text, ' ')) >= 2
     ),
     pairs AS (
         SELECT doc_id, t[g.i] AS prev, t[g.i + 1] AS cur
@@ -369,13 +370,24 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape), keeping the model side bounded.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = docs.select(
+    # split ONCE into a column, then transform over it (the repo-wide
+    # tokenize idiom): Spark does not hoist loop-invariant expressions
+    # out of higher-order-function lambdas, so splitting inside the
+    # lambda would re-split the text per sequence element. The size
+    # guard also keeps sequence() ascending — sequence(1, 0) is the
+    # DESCENDING [1, 0] in Spark, which would throw in element_at on
+    # sub-2-token docs (the oracle's empty generate_series just skips
+    # them).
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 2
+    )
+    pairs = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> struct(element_at(split(text, ' '), i) as prev,"
-                "             element_at(split(text, ' '), i + 1) as cur))"
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) as prev,"
+                "             element_at(t, i + 1) as cur))"
             )
         ).alias("pr"),
     ).select("doc_id", "pr.prev", "pr.cur")

@@ -258,16 +258,17 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sk.select(F.col("source").alias("source_a"), F.col("mins").alias("mins_a"))
     b = sk.select(F.col("source").alias("source_b"), F.col("mins").alias("mins_b"))
     comb_full = F.array_sort(F.array_distinct(F.concat("mins_a", "mins_b")))
-    pairs = (
-        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
-        .withColumn("comb", F.slice(comb_full, 1, KMV_K))
-        .withColumn("n_comb", F.size(comb_full))
-    )
+    pairs = a.join(
+        F.broadcast(b), F.col("source_a") < F.col("source_b")
+    ).withColumn("comb", F.slice(comb_full, 1, KMV_K))
+    # saturation test on the sliced column itself: size(comb) == k iff
+    # the unsliced union had >= k values (slice keeps everything when
+    # there are fewer), so the unsliced array needn't be re-evaluated
     kk = F.size("comb")
     n_union_est = F.when(
-        F.col("n_comb") >= KMV_K,
+        kk == KMV_K,
         F.round((KMV_K - 1) / F.element_at("comb", KMV_K)).cast("bigint"),
-    ).otherwise(F.col("n_comb").cast("bigint"))
+    ).otherwise(kk.cast("bigint"))
     n_both = F.size(
         F.array_intersect(F.array_intersect("comb", "mins_a"), F.col("mins_b"))
     )
