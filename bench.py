@@ -108,6 +108,7 @@ EXTRA = [
     "embedding_outliers",
     "doc_bigram_logprob",
     "corpus_embedding_coverage",
+    "doc_curation_verdicts",
 ]
 
 HEADLINE = [

@@ -478,6 +478,69 @@ _QUALITY_KEEP_SQL = """
         + 0.2 * least(swr / 0.1, 1.0) >= 0.6
 """
 
+# grams/bench/contaminated CTEs: the flagged-as-contaminated doc set —
+# the ONE SQL copy shared by the funnel-count and per-doc-verdict
+# oracles (their Spark twins share _survival_flags).
+_CONTAM_SET_CTES = f"""grams AS ({_CONTAM_GRAMS_SQL}),
+    bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+    contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM (SELECT doc_id, g FROM grams WHERE doc_id % {BENCH_MOD} <> 0) c
+        JOIN bench b ON c.g = b.g
+        GROUP BY c.doc_id, b.bench_id
+        HAVING count(*) >= {CONTAM_MIN_SHARED}
+    )"""
+
+
+def _survival_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc curation survival flags — ONE corpus scan producing
+    (doc_id, lang, q, dedup_keep, contam, coin), the shared engine
+    behind corpus_curation_pipeline (which aggregates the flags into
+    funnel counts) and doc_curation_verdicts (which cascades them into
+    per-doc verdicts). Text is dropped before the window shuffle: only
+    (doc_id, lang, hash, flags) move, not document bodies. The dedup
+    survivor is the first QUALITY row of each text-hash group (a
+    running conditional count over the md5 window). Contaminated is a
+    small id set but NOT statically bounded at 100 TB — plain
+    equi-join on doc_id, AQE turns it into a broadcast when it fits."""
+    from open_pulsar_spark.operators.text import quality_expr
+
+    quality_score = quality_expr(F.col("text"))
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pct))
+            for lang, pct in SAMPLE_RATES.items()
+        ],
+        F.lit(SAMPLE_RATE_DEFAULT),
+    )
+    flagged = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        (quality_score >= 0.6).alias("q"),
+        (_hash_bucket_spark(F.col("doc_id")) < rate).alias("coin"),
+    )
+    w = (
+        Window.partitionBy("h")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run_q = F.sum(F.when(F.col("q"), 1).otherwise(0)).over(w)
+    flagged = flagged.withColumn("dedup_keep", F.col("q") & (run_q == 1))
+
+    corpus_grams, bench = _contam_frames(docs)
+    contaminated = (
+        corpus_grams
+        .join(bench, "g")  # AQE-decided, same rationale as benchmark_contamination
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(True))
+    )
+    return flagged.join(contaminated, "doc_id", "left")
+
 
 @query(
     "corpus_curation_pipeline",
@@ -490,15 +553,7 @@ _QUALITY_KEEP_SQL = """
             FROM quality)
         WHERE rn = 1
     ),
-    grams AS ({_CONTAM_GRAMS_SQL}),
-    bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % {BENCH_MOD} = 0),
-    contaminated AS (
-        SELECT DISTINCT c.doc_id
-        FROM (SELECT doc_id, g FROM grams WHERE doc_id % {BENCH_MOD} <> 0) c
-        JOIN bench b ON c.g = b.g
-        GROUP BY c.doc_id, b.bench_id
-        HAVING count(*) >= {CONTAM_MIN_SHARED}
-    ),
+    {_CONTAM_SET_CTES},
     decontam AS (
         SELECT d.doc_id, d.lang FROM deduped d
         WHERE d.doc_id % {BENCH_MOD} <> 0
@@ -536,52 +591,8 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, and a single aggregate of the flags unpivots (stack) into
     the 5-row funnel.
     """
-    from open_pulsar_spark.operators.text import quality_expr
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-
-    quality_score = quality_expr(F.col("text"))
-    rate = F.coalesce(
-        *[
-            F.when(F.col("lang") == lang, F.lit(pct))
-            for lang, pct in SAMPLE_RATES.items()
-        ],
-        F.lit(SAMPLE_RATE_DEFAULT),
-    )
-    # Text is dropped before the window shuffle: only (doc_id, lang,
-    # hash, flags) move, not document bodies.
-    flagged = docs.select(
-        "doc_id",
-        "lang",
-        F.md5("text").alias("h"),
-        (quality_score >= 0.6).alias("q"),
-        (_hash_bucket_spark(F.col("doc_id")) < rate).alias("coin"),
-    )
-    w = (
-        Window.partitionBy("h")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    run_q = F.sum(F.when(F.col("q"), 1).otherwise(0)).over(w)
-    flagged = flagged.withColumn(
-        "dedup_keep", F.col("q") & (run_q == 1)
-    )
-
-    corpus_grams, bench = _contam_frames(docs)
-    contaminated = (
-        corpus_grams
-        .join(bench, "g")  # AQE-decided, same rationale as benchmark_contamination
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count("*").alias("n_shared"))
-        .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
-        .select("doc_id")
-        .distinct()
-        .withColumn("contam", F.lit(True))
-    )
-    # Contaminated is a small id set but NOT statically bounded at
-    # 100 TB — plain equi-join on doc_id, AQE turns it into a
-    # broadcast when it fits.
-    flagged = flagged.join(contaminated, "doc_id", "left")
+    flagged = _survival_flags(docs)
 
     decontam_keep = (
         F.col("dedup_keep")
@@ -607,6 +618,64 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (stage_id, stage, n_docs)"
         )
     ).orderBy("stage_id")
+
+
+# --------------------------------------------------------------------------
+# doc_curation_verdicts — the per-doc verdict table (WHY each document
+# survives or drops), the funnel's complementary artifact.
+# --------------------------------------------------------------------------
+@query(
+    "doc_curation_verdicts",
+    oracle=f"""
+    WITH quality AS ({_QUALITY_KEEP_SQL}),
+    dq AS (SELECT doc_id,
+                  row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+           FROM quality),
+    {_CONTAM_SET_CTES}
+    SELECT d.doc_id,
+           CASE WHEN q.doc_id IS NULL THEN 'low_quality'
+                WHEN k.rn <> 1 THEN 'exact_dup'
+                WHEN d.doc_id % {BENCH_MOD} = 0 THEN 'benchmark_member'
+                WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN NOT d.coin THEN 'not_sampled'
+                ELSE 'keep' END AS verdict
+    FROM (SELECT doc_id, ({_HASH_BUCKET_SQL} < {_RATE_SQL}) AS coin
+          FROM documents) d
+    LEFT JOIN (SELECT doc_id FROM quality) q USING (doc_id)
+    LEFT JOIN dq k USING (doc_id)
+    LEFT JOIN contaminated ct USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def doc_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document verdict table — the artifact a data owner
+    actually reads when asking "why was my document dropped": every
+    doc labeled with the FIRST stage of the curation funnel that
+    rejects it (low_quality → exact_dup → benchmark_member →
+    contaminated → not_sampled → keep), using semantics identical to
+    corpus_curation_pipeline (the two compose the same
+    _survival_flags scan — the funnel's stage counts ARE this table's
+    verdict histogram, cumulatively).
+
+    Scale: identical to the funnel query — one flag scan, one hash
+    window, the contamination join — because it IS the same plan with
+    a CASE projection instead of a final aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    verdict = (
+        F.when(~F.col("q"), "low_quality")
+        .when(~F.col("dedup_keep"), "exact_dup")
+        .when(F.col("doc_id") % BENCH_MOD == 0, "benchmark_member")
+        .when(F.col("contam").isNotNull(), "contaminated")
+        .when(~F.col("coin"), "not_sampled")
+        .otherwise("keep")
+    )
+    return (
+        _survival_flags(docs)
+        .select("doc_id", verdict.alias("verdict"))
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
