@@ -109,6 +109,8 @@ EXTRA = [
     "doc_bigram_logprob",
     "corpus_embedding_coverage",
     "doc_curation_verdicts",
+    "token_pmi_pairs",
+    "user_feature_assembly",
 ]
 
 HEADLINE = [

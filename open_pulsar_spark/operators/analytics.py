@@ -760,6 +760,91 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# user_feature_assembly — per-user engineered-feature table (the ML
+# feature-store materialization over the event log).
+# --------------------------------------------------------------------------
+@query(
+    "user_feature_assembly",
+    oracle="""
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS n_purchases,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+               AS n_errors,
+           count(DISTINCT event_type)::BIGINT AS n_types,
+           count(DISTINCT ts::DATE)::BIGINT AS active_days,
+           (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT AS span_s,
+           CASE WHEN count(*) > 1
+                THEN (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT
+                     // (count(*) - 1)
+                ELSE 0 END AS avg_gap_s,
+           sum(CASE WHEN event_type = 'purchase'
+                    THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT
+               AS purchase_cents,
+           round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS purchase_ratio
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-user FEATURE TABLE an ML pipeline materializes from the
+    raw event log — activity volume, type mix, temporal spread
+    (active days, span, mean inter-event gap), and monetary total —
+    the assembly step upstream of every churn/LTV model, expressed as
+    ONE hash aggregate.
+
+    Determinism: the monetary feature is summed as per-row integer
+    cents (the revenue_pareto rule — a float sum's value depends on
+    partition merge order once groups get large); the gap feature is
+    span div (n-1), integer arithmetic from epoch seconds rather than
+    a float mean of per-pair diffs.
+
+    Scale: one shuffle on user_id; every feature is an algebraic or
+    sketchable aggregate (the two count-distincts are bounded by
+    |event types| and |days| per user), so map-side partials do the
+    heavy reduction. Wide-feature growth = more agg columns on the
+    SAME exchange, which is exactly why feature stores batch their
+    assembly like this.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    n_events = F.count("*")
+    n_purch = F.sum(F.when(is_purchase, 1).otherwise(0))
+    span_s = (
+        F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+    ).cast("bigint")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            n_events.cast("bigint").alias("n_events"),
+            n_purch.cast("bigint").alias("n_purchases"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_errors"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.count_distinct(F.to_date("ts")).alias("active_days"),
+            span_s.alias("span_s"),
+            F.when(n_events > 1, F.floor(span_s / (n_events - 1)))
+            .otherwise(0)
+            .cast("bigint")
+            .alias("avg_gap_s"),
+            F.sum(
+                F.when(
+                    is_purchase, F.round(F.col("value") * 100).cast("bigint")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("purchase_cents"),
+            F.round(n_purch * 1.0 / n_events, 6).alias("purchase_ratio"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # customer_rfm_segments — recency/frequency/monetary quintile scoring.
 # --------------------------------------------------------------------------
 @query(

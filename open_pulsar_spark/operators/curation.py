@@ -330,10 +330,10 @@ def corpus_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_bigram_logprob — conditional-LM surprisal (the sharper quality
 # signal next to the unigram proxy).
 # --------------------------------------------------------------------------
-@query(
-    "doc_bigram_logprob",
-    oracle="""
-    WITH tok AS (
+# tok/pairs CTEs: per-doc adjacent token pairs (prev, cur), guarded to
+# ≥2-token docs — the ONE SQL copy of the pair explode shared by the
+# bigram-LM and PMI oracles (their Spark twins share _token_pairs).
+_TOKEN_PAIRS_CTES = """tok AS (
         SELECT doc_id, str_split(text, ' ') AS t FROM documents
         WHERE len(str_split(text, ' ')) >= 2
     ),
@@ -342,7 +342,38 @@ def corpus_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok CROSS JOIN LATERAL (
             SELECT unnest(generate_series(1, len(t) - 1)) AS i
         ) g
-    ),
+    )"""
+
+
+def _token_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, prev, cur): adjacent-token pairs per document. Splits
+    ONCE into a column, then transforms over it (the repo-wide
+    tokenize idiom): Spark does not hoist loop-invariant expressions
+    out of higher-order-function lambdas, so splitting inside the
+    lambda would re-split the text per sequence element. The size
+    guard also keeps sequence() ascending — sequence(1, 0) is the
+    DESCENDING [1, 0] in Spark, which would throw in element_at on
+    sub-2-token docs (the oracle's empty generate_series just skips
+    them)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 2
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) as prev,"
+                "             element_at(t, i + 1) as cur))"
+            )
+        ).alias("pr"),
+    ).select("doc_id", "pr.prev", "pr.cur")
+
+
+@query(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH {_TOKEN_PAIRS_CTES},
     cb AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur),
     cx AS (SELECT prev, count(*) AS c1 FROM pairs GROUP BY prev)
     SELECT p.doc_id,
@@ -370,27 +401,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape), keeping the model side bounded.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # split ONCE into a column, then transform over it (the repo-wide
-    # tokenize idiom): Spark does not hoist loop-invariant expressions
-    # out of higher-order-function lambdas, so splitting inside the
-    # lambda would re-split the text per sequence element. The size
-    # guard also keeps sequence() ascending — sequence(1, 0) is the
-    # DESCENDING [1, 0] in Spark, which would throw in element_at on
-    # sub-2-token docs (the oracle's empty generate_series just skips
-    # them).
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
-        F.size("t") >= 2
-    )
-    pairs = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1),"
-                " i -> struct(element_at(t, i) as prev,"
-                "             element_at(t, i + 1) as cur))"
-            )
-        ).alias("pr"),
-    ).select("doc_id", "pr.prev", "pr.cur")
+    pairs = _token_pairs(docs)
     cb = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
     cx = pairs.groupBy("prev").agg(F.count("*").alias("c1"))
     return (
@@ -404,6 +415,67 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# token_pmi_pairs — collocation mining (phrase candidates by PMI).
+# --------------------------------------------------------------------------
+PMI_MIN_COUNT = 5  # floor: PMI of rare pairs is pure noise
+
+
+@query(
+    "token_pmi_pairs",
+    oracle=f"""
+    WITH {_TOKEN_PAIRS_CTES},
+    n AS (SELECT count(*) AS np FROM pairs),
+    cb AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur),
+    cl AS (SELECT prev, count(*) AS c1l FROM pairs GROUP BY prev),
+    cr AS (SELECT cur, count(*) AS c1r FROM pairs GROUP BY cur)
+    SELECT prev, cur, c2::BIGINT AS c2,
+           round(ln(c2 * 1.0 * np / (c1l * 1.0 * c1r)), 6) AS pmi
+    FROM cb JOIN cl USING (prev) JOIN cr USING (cur) CROSS JOIN n
+    WHERE c2 >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, prev, cur LIMIT 20
+    """,
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information — the phrase-
+    mining step (word2vec-style phrase detection, Mikolov et al. 2013)
+    a tokenizer/vocab pipeline runs to decide which adjacent tokens
+    deserve a merged vocabulary entry: PMI = ln(p(a,b)/(p(a)·p(b)))
+    over adjacent-pair, left-margin, and right-margin counts, floored
+    at {PMI_MIN_COUNT} occurrences (rare-pair PMI is noise — the
+    standard min-count guard).
+
+    Scale: the pair explode is shared with doc_bigram_logprob
+    (_token_pairs); three rollups over it (pair/left/right — the
+    margins re-aggregate the same exchange), one 1-row total broadcast
+    onto the floored pair table, top-20 via the sort-limit Spark
+    plans as TakeOrdered. All counts stay exact integers; the single
+    ln is computed per surviving row and sorted on its ROUNDED value
+    in both engines so ordering cannot hinge on sub-1e-6 libm drift.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _token_pairs(docs)
+    cb = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    cl = pairs.groupBy("prev").agg(F.count("*").alias("c1l"))
+    cr = pairs.groupBy("cur").agg(F.count("*").alias("c1r"))
+    tot = pairs.agg(F.count("*").alias("np"))
+    pmi = F.round(
+        F.log(
+            F.col("c2") * 1.0 * F.col("np") / (F.col("c1l") * 1.0 * F.col("c1r"))
+        ),
+        6,
+    )
+    return (
+        cb.where(F.col("c2") >= PMI_MIN_COUNT)
+        .join(cl, "prev")
+        .join(cr, "cur")
+        .crossJoin(F.broadcast(tot))
+        .select("prev", "cur", F.col("c2").cast("bigint").alias("c2"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "prev", "cur")
+        .limit(20)
     )
 
 

@@ -131,6 +131,7 @@ _NESTED_LOOP_ALLOWED = {
     "source_overlap_kmv",        # |sources|-row sketch-table pair join —
                                  # config-sized by construction, corpus
                                  # collapses to k doubles/source map-side
+    "token_pmi_pairs",           # 1-row pair-total, broadcast
 }
 
 
