@@ -111,6 +111,7 @@ EXTRA = [
     "doc_curation_verdicts",
     "token_pmi_pairs",
     "user_feature_assembly",
+    "embedding_norm_stats",
 ]
 
 HEADLINE = [

@@ -217,6 +217,75 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# embedding_norm_stats — per-label vector-norm audit (the third leg of
+# the vector-quality triad: coverage / outliers / norms).
+# --------------------------------------------------------------------------
+@query(
+    "embedding_norm_stats",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    n AS (
+        SELECT label,
+               list_sum(list_transform(q, x -> x * x))::BIGINT AS sq_norm,
+               len(list_filter(q, x -> x = 0))::BIGINT AS zero_dims
+        FROM q
+    )
+    SELECT label::BIGINT AS label,
+           count(*)::BIGINT AS n_vecs,
+           (sum(sq_norm)::BIGINT // count(*))::BIGINT AS avg_sq_norm,
+           min(sq_norm) AS min_sq_norm,
+           max(sq_norm) AS max_sq_norm,
+           sum(zero_dims)::BIGINT AS zero_dims_total
+    FROM n
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-NORM audit: count, mean/min/max squared norm,
+    and the total number of exactly-zero components — the cheap
+    distribution check a vector pipeline runs before normalizing
+    (norm collapse, dead dimensions, and all-zero vectors from failed
+    encoders show up here before they poison cosine math downstream;
+    embedding_outliers catches the per-vector stragglers, this
+    catches the systematic shifts).
+
+    Determinism: norms are computed on the engine's fixed-point grid
+    (clustering.SCALE), so every statistic is exact integer
+    arithmetic — the mean is an integer division, never a float sum.
+
+    Scale: map-only norm computation in codegen, one |labels|-row
+    aggregate; the embedding payload never shuffles.
+    """
+    embs = load_table(spark, sf_dir, "embeddings")
+    sq_norm = F.expr(
+        f"aggregate(transform({_Q_EXPR}, x -> x * x), 0L, (a, v) -> a + v)"
+    )
+    zero_dims = F.expr(f"size(filter({_Q_EXPR}, x -> x = 0))").cast("long")
+    per_vec = embs.select(
+        "label", sq_norm.alias("sq_norm"), zero_dims.alias("zero_dims")
+    )
+    return (
+        per_vec.groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.floor(F.sum("sq_norm") / F.count("*")).cast("bigint").alias(
+                "avg_sq_norm"
+            ),
+            F.min("sq_norm").alias("min_sq_norm"),
+            F.max("sq_norm").alias("max_sq_norm"),
+            F.sum("zero_dims").cast("bigint").alias("zero_dims_total"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding_outliers — per-cluster robust outlier flags over the trained
 # assignment (the corrupt-embedding filter before training).
 # --------------------------------------------------------------------------
