@@ -274,7 +274,10 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_vec.groupBy(F.col("label").cast("bigint").alias("label"))
         .agg(
             F.count("*").alias("n_vecs"),
-            F.floor(F.sum("sq_norm") / F.count("*")).cast("bigint").alias(
+            # `div`, not `/`+floor: the double division loses integer
+            # exactness once a label's norm sum passes 2^53 — integral
+            # long division stays exact at any count, like the oracle's //
+            F.expr("sum(sq_norm) div count(*)").cast("bigint").alias(
                 "avg_sq_norm"
             ),
             F.min("sq_norm").alias("min_sq_norm"),

@@ -428,10 +428,10 @@ PMI_MIN_COUNT = 5  # floor: PMI of rare pairs is pure noise
     "token_pmi_pairs",
     oracle=f"""
     WITH {_TOKEN_PAIRS_CTES},
-    n AS (SELECT count(*) AS np FROM pairs),
     cb AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur),
-    cl AS (SELECT prev, count(*) AS c1l FROM pairs GROUP BY prev),
-    cr AS (SELECT cur, count(*) AS c1r FROM pairs GROUP BY cur)
+    n AS (SELECT sum(c2) AS np FROM cb),
+    cl AS (SELECT prev, sum(c2) AS c1l FROM cb GROUP BY prev),
+    cr AS (SELECT cur, sum(c2) AS c1r FROM cb GROUP BY cur)
     SELECT prev, cur, c2::BIGINT AS c2,
            round(ln(c2 * 1.0 * np / (c1l * 1.0 * c1r)), 6) AS pmi
     FROM cb JOIN cl USING (prev) JOIN cr USING (cur) CROSS JOIN n
@@ -445,23 +445,28 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a tokenizer/vocab pipeline runs to decide which adjacent tokens
     deserve a merged vocabulary entry: PMI = ln(p(a,b)/(p(a)·p(b)))
     over adjacent-pair, left-margin, and right-margin counts, floored
-    at {PMI_MIN_COUNT} occurrences (rare-pair PMI is noise — the
+    at PMI_MIN_COUNT occurrences (rare-pair PMI is noise — the
     standard min-count guard).
 
     Scale: the pair explode is shared with doc_bigram_logprob
-    (_token_pairs); three rollups over it (pair/left/right — the
-    margins re-aggregate the same exchange), one 1-row total broadcast
-    onto the floored pair table, top-20 via the sort-limit Spark
-    plans as TakeOrdered. All counts stay exact integers; the single
-    ln is computed per surviving row and sorted on its ROUNDED value
-    in both engines so ordering cannot hinge on sub-1e-6 libm drift.
+    (_token_pairs), and the corpus is scanned ONCE: both margins and
+    the grand total are re-aggregations of the pair-count table cb
+    (c1l = Σc2 by prev, c1r = Σc2 by cur, N = Σc2 — the contingency-
+    table identity), so the three extra aggregates run over the
+    vocab²-bounded cb, whose identical aggregate subplan Spark's
+    exchange reuse materializes once, not over three more corpus
+    explodes. The 1-row total broadcasts onto the floored pair table;
+    top-20 plans as TakeOrdered. All counts stay exact integers; the
+    single ln is computed per surviving row and sorted on its ROUNDED
+    value in both engines so ordering cannot hinge on sub-1e-6 libm
+    drift.
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = _token_pairs(docs)
     cb = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
-    cl = pairs.groupBy("prev").agg(F.count("*").alias("c1l"))
-    cr = pairs.groupBy("cur").agg(F.count("*").alias("c1r"))
-    tot = pairs.agg(F.count("*").alias("np"))
+    cl = cb.groupBy("prev").agg(F.sum("c2").alias("c1l"))
+    cr = cb.groupBy("cur").agg(F.sum("c2").alias("c1r"))
+    tot = cb.agg(F.sum("c2").alias("np"))
     pmi = F.round(
         F.log(
             F.col("c2") * 1.0 * F.col("np") / (F.col("c1l") * 1.0 * F.col("c1r"))
