@@ -453,17 +453,23 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grand total are re-aggregations of the pair-count table cb
     (c1l = Σc2 by prev, c1r = Σc2 by cur, N = Σc2 — the contingency-
     table identity), so the three extra aggregates run over the
-    vocab²-bounded cb, whose identical aggregate subplan Spark's
-    exchange reuse materializes once, not over three more corpus
-    explodes. The 1-row total broadcasts onto the floored pair table;
+    vocab²-bounded cb, PINNED once (the _pin generation cache —
+    verified: without it Spark plans four independent corpus explodes;
+    exchange reuse does NOT fire across the differently-keyed
+    consumers). The 1-row total broadcasts onto the floored pair table;
     top-20 plans as TakeOrdered. All counts stay exact integers; the
     single ln is computed per surviving row and sorted on its ROUNDED
     value in both engines so ordering cannot hinge on sub-1e-6 libm
     drift.
     """
+    from open_pulsar_spark.operators.dedup import _pin
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = _token_pairs(docs)
-    cb = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    cb = _pin(
+        "pmi_pair_counts",
+        pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2")),
+    )
     cl = cb.groupBy("prev").agg(F.sum("c2").alias("c1l"))
     cr = cb.groupBy("cur").agg(F.sum("c2").alias("c1r"))
     tot = cb.agg(F.sum("c2").alias("np"))
