@@ -393,20 +393,24 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     there). MLE conditionals, no smoothing: every observed bigram has
     c₂ ≥ 1, so the model is total on its own corpus.
 
-    Scale: one positional-pair explode (map-only), the bigram and
-    context rollups, and the re-join — the two model tables share the
-    Zipf-skewed `prev` key, which is what AQE skew-join splitting is
-    for; at 100 TB floor the bigram table by min-count and back off to
-    the unigram score for pruned pairs (the standard stupid-backoff
-    shape), keeping the model side bounded.
+    Scale: ONE positional-pair explode, then the doc_ngram_novelty
+    precedent — count WINDOWS over (prev, cur) and (prev) instead of
+    building model tables and joining them back (the agg+join-back
+    form re-runs the corpus explode once per model table; verified
+    while fixing token_pmi_pairs that exchange reuse does not rescue
+    it). Three shuffles of the pair stream total — the same number
+    the join form pays — and the Zipf-skewed window keys are what AQE
+    skew handling is for. At 100 TB floor the counts by min-count and
+    back off to the unigram score (stupid backoff) to bound the hot
+    keys.
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = _token_pairs(docs)
-    cb = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
-    cx = pairs.groupBy("prev").agg(F.count("*").alias("c1"))
+    w_pair = Window.partitionBy("prev", "cur")
+    w_ctx = Window.partitionBy("prev")
     return (
-        pairs.join(cb, ["prev", "cur"])
-        .join(cx, "prev")
+        pairs.withColumn("c2", F.count("*").over(w_pair))
+        .withColumn("c1", F.count("*").over(w_ctx))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
