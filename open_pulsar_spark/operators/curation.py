@@ -249,17 +249,26 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank document quality (gibberish and boilerplate score abnormally
     high/low).
 
-    Two shuffles: the vocabulary rollup and the token re-join. The
-    token join key is Zipf-skewed, which is exactly what AQE skew-join
-    splitting is for (enabled in the session); at 100 TB, cap the
-    vocabulary with a min-count floor so the model side stays bounded.
+    ONE token explode (the doc_ngram_novelty / doc_bigram_logprob
+    precedent): the vocabulary count comes from a window over the
+    Zipf-skewed token key — which is what AQE skew handling is for —
+    instead of an aggregated model table joined back, which re-ran
+    the explode once per consumer (exchange reuse verifiably does not
+    fire across differently-keyed aggregates of one lineage). The
+    corpus token total is a separate map-only 1-row scan (no explode
+    shuffle) broadcast BEFORE the per-doc aggregate, so the scored
+    expression stays bit-identical to the oracle's -ln(c/total). At
+    100 TB, cap the counts with a min-count floor so the hot keys
+    stay bounded.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    vocab = tok.groupBy("t").agg(F.count("*").alias("c"))
-    total = vocab.agg(F.sum("c").alias("total"))
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total")
+    )
+    c = F.count("*").over(Window.partitionBy("t"))
     return (
-        tok.join(vocab, "t")
+        tok.withColumn("c", c)
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
