@@ -427,29 +427,27 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     join: explode → per-doc term counts → document frequencies →
     broadcast df back onto tf → window top-k.
 
-    Scale: term DF table is vocabulary-sized (broadcastable); the only
-    big shuffles are the two groupBys on (doc_id, term) and (term) —
-    both natural keys. ln() is IEEE-identical across engines; rounded
-    to 6 dp anyway.
-
-    DF is derived FROM the tf aggregate (count of (doc, term) groups
-    per term == count of distinct docs containing the term), not from
-    the raw token stream: the two branches then share an identical
-    (doc_id, term) exchange, which Spark reuses (ReusedExchange) — the
-    corpus is scanned and tokenized ONCE instead of once per branch.
+    Scale: ONE explode + one (doc_id, term) groupBy, then DF comes
+    from a count WINDOW over the term key on the tf rows (tf rows are
+    distinct per (doc, term), so the per-term row count IS the
+    document frequency) — the doc_ngram_novelty precedent. The
+    previous agg+join-back form claimed the two branches' identical
+    (doc_id, term) exchange would be reused; measured on the final
+    AQE plan it is NOT (ReusedExchange never fires across a join of
+    two aggregates of one lineage), so the corpus was tokenized once
+    per branch. ln() is IEEE-identical across engines; rounded to
+    6 dp anyway.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     # n_docs stays INSIDE the plan (1-row aggregate, broadcast cross
     # join — same pattern as doc_unigram_logprob): an eager .count()
     # here would launch a separate job and re-list the whole table per
-    # invocation. The df join is AQE-decided — a web-scale vocabulary
-    # is not statically broadcastable.
+    # invocation; the scan is map-only (no explode).
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(df, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
