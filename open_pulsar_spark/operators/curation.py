@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from open_pulsar_spark.operators.dedup import _MINHASH_PAIRS_CTE
+from open_pulsar_spark.operators.dedup import _MINHASH_PAIRS_CTE, _pin
 from open_pulsar_spark.registry import query
 from open_pulsar_spark.tables import load_table
 
@@ -249,26 +249,26 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank document quality (gibberish and boilerplate score abnormally
     high/low).
 
-    ONE token explode (the doc_ngram_novelty / doc_bigram_logprob
-    precedent): the vocabulary count comes from a window over the
-    Zipf-skewed token key — which is what AQE skew handling is for —
-    instead of an aggregated model table joined back, which re-ran
-    the explode once per consumer (exchange reuse verifiably does not
-    fire across differently-keyed aggregates of one lineage). The
-    corpus token total is a separate map-only 1-row scan (no explode
-    shuffle) broadcast BEFORE the per-doc aggregate, so the scored
-    expression stays bit-identical to the oracle's -ln(c/total). At
-    100 TB, cap the counts with a min-count floor so the hot keys
-    stay bounded.
+    Two shuffles: the vocabulary rollup (map-side partial aggregation
+    compresses it to vocab-sized traffic) and the token re-join. The
+    probe key is Zipf-skewed, and a JOIN is deliberately the right
+    shape for that: AQE's OptimizeSkewedJoin can SPLIT a hot probe
+    partition, while a count-window over the raw token key cannot be
+    split — a window rewrite (tried and reverted in round 5) put
+    every 'the' row in one unsplittable task, the straggler shape
+    that melts at 100 TB. The price is that the token explode runs
+    twice (model + probe branch — exchange reuse measurably does not
+    fire across differently-keyed consumers of one lineage); that is
+    linear, parallel scan I/O, the safe side of the trade. At 100 TB,
+    cap the vocabulary with a min-count floor so the model side stays
+    bounded.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    total = docs.select(
-        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total")
-    )
-    c = F.count("*").over(Window.partitionBy("t"))
+    vocab = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
     return (
-        tok.withColumn("c", c)
+        tok.join(vocab, "t")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -402,24 +402,30 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     there). MLE conditionals, no smoothing: every observed bigram has
     c₂ ≥ 1, so the model is total on its own corpus.
 
-    Scale: ONE positional-pair explode, then the doc_ngram_novelty
-    precedent — count WINDOWS over (prev, cur) and (prev) instead of
-    building model tables and joining them back (the agg+join-back
-    form re-runs the corpus explode once per model table; verified
-    while fixing token_pmi_pairs that exchange reuse does not rescue
-    it). Three shuffles of the pair stream total — the same number
-    the join form pays — and the Zipf-skewed window keys are what AQE
-    skew handling is for. At 100 TB floor the counts by min-count and
-    back off to the unigram score (stupid backoff) to bound the hot
-    keys.
+    Scale: the model side explodes ONCE — the context margin derives
+    from the pair-count table (c1 = Σc2 by prev, the contingency
+    identity) over a PINNED cb instead of a second corpus rollup
+    (exchange reuse measurably does not fire across differently-keyed
+    consumers of one lineage) — and the probe side re-joins both
+    model tables. Joins, not count-windows, deliberately: the context
+    key is Zipf-skewed and AQE's OptimizeSkewedJoin can split a hot
+    probe partition, while a window over raw `prev` would put every
+    'the'-context pair in one unsplittable task (a window rewrite was
+    tried and reverted in round 5 for exactly that straggler shape);
+    the (prev, cur) pair join key is flatter still. At 100 TB floor
+    cb by min-count and back off to the unigram score (stupid
+    backoff) to bound the model side.
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = _token_pairs(docs)
-    w_pair = Window.partitionBy("prev", "cur")
-    w_ctx = Window.partitionBy("prev")
+    cb = _pin(
+        "bigram_pair_counts",
+        pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2")),
+    )
+    cx = cb.groupBy("prev").agg(F.sum("c2").alias("c1"))
     return (
-        pairs.withColumn("c2", F.count("*").over(w_pair))
-        .withColumn("c1", F.count("*").over(w_ctx))
+        pairs.join(cb, ["prev", "cur"])
+        .join(cx, "prev")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -475,8 +481,6 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     value in both engines so ordering cannot hinge on sub-1e-6 libm
     drift.
     """
-    from open_pulsar_spark.operators.dedup import _pin
-
     docs = load_table(spark, sf_dir, "documents")
     pairs = _token_pairs(docs)
     cb = _pin(

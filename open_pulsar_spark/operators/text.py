@@ -427,27 +427,32 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     join: explode → per-doc term counts → document frequencies →
     broadcast df back onto tf → window top-k.
 
-    Scale: ONE explode + one (doc_id, term) groupBy, then DF comes
-    from a count WINDOW over the term key on the tf rows (tf rows are
-    distinct per (doc, term), so the per-term row count IS the
-    document frequency) — the doc_ngram_novelty precedent. The
-    previous agg+join-back form claimed the two branches' identical
-    (doc_id, term) exchange would be reused; measured on the final
-    AQE plan it is NOT (ReusedExchange never fires across a join of
-    two aggregates of one lineage), so the corpus was tokenized once
-    per branch. ln() is IEEE-identical across engines; rounded to
-    6 dp anyway.
+    Scale: DF is derived FROM the tf aggregate (the count of
+    (doc, term) groups per term IS the document frequency), so the
+    model chain explodes once; tf then re-joins df on the term key.
+    The tokenize does run once per branch — ReusedExchange measurably
+    does NOT fire across a join of two aggregates of one lineage
+    (this docstring used to claim otherwise; falsified on the final
+    AQE plan in round 5) — and a count-window over the raw term key
+    would avoid that at the price of an unsplittable hot partition
+    for stop-word terms (AQE can split a skewed JOIN probe, never a
+    window partition — tried and reverted). Linear extra scan I/O
+    over an un-mitigable straggler is the right side of the trade.
+    ln() is IEEE-identical across engines; rounded to 6 dp anyway.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     # n_docs stays INSIDE the plan (1-row aggregate, broadcast cross
     # join — same pattern as doc_unigram_logprob): an eager .count()
     # here would launch a separate job and re-list the whole table per
-    # invocation; the scan is map-only (no explode).
+    # invocation; the scan is map-only (no explode). The df join is
+    # AQE-decided — a web-scale vocabulary is not statically
+    # broadcastable.
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
