@@ -112,6 +112,7 @@ EXTRA = [
     "token_pmi_pairs",
     "user_feature_assembly",
     "embedding_norm_stats",
+    "ab_test_report",
 ]
 
 HEADLINE = [

@@ -760,6 +760,85 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ab_test_report — deterministic-hash experiment assignment + outcome
+# report (the experimentation-analytics class).
+# --------------------------------------------------------------------------
+@query(
+    "ab_test_report",
+    oracle="""
+    WITH tagged AS (
+        SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                         % 2 = 0
+                    THEN 'A' ELSE 'B' END AS variant,
+               user_id, event_type, value
+        FROM events
+    )
+    SELECT variant,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT CASE WHEN event_type = 'purchase'
+                               THEN user_id END)::BIGINT AS n_purchasers,
+           round(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                     THEN user_id END) * 1.0
+                 / count(DISTINCT user_id), 6) AS conversion,
+           sum(CASE WHEN event_type = 'purchase'
+                    THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT
+               AS purchase_cents,
+           (sum(CASE WHEN event_type = 'purchase'
+                     THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT
+            // count(DISTINCT user_id))::BIGINT AS arpu_cents
+    FROM tagged
+    GROUP BY variant
+    ORDER BY variant
+    """,
+)
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis over the event log: users are assigned to
+    variants by a DETERMINISTIC hash of user_id (the same md5-bucket
+    coin as corpus sampling — no RNG state, so assignment is
+    reproducible, join-free, and stable when the log is re-read or
+    extended), and each variant reports exposure, conversion (distinct
+    purchasing users over distinct users), revenue in integer cents,
+    and ARPU — the standard A/B readout computed in one pass.
+
+    Scale: a single user-keyed-free aggregate: the variant tag is
+    map-only arithmetic, the distinct counts shuffle on (variant,
+    user_id) via partial aggregation, revenue follows the
+    per-row-integer-cents rule (revenue_pareto's determinism
+    contract), and ARPU is integral division. Two output rows.
+    """
+    from open_pulsar_spark.operators.curation import _hash_bucket_spark
+
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        _hash_bucket_spark(F.col("user_id")) % 2 == 0, "A"
+    ).otherwise("B")
+    is_purchase = F.col("event_type") == "purchase"
+    cents = F.sum(
+        F.when(is_purchase, F.round(F.col("value") * 100).cast("bigint")).otherwise(0)
+    ).cast("bigint")
+    n_users = F.count_distinct("user_id")
+    n_purchasers = F.count_distinct(F.when(is_purchase, F.col("user_id")))
+    return (
+        ev.select(variant.alias("variant"), "user_id", "event_type", "value")
+        .groupBy("variant")
+        .agg(
+            n_users.alias("n_users"),
+            F.count("*").alias("n_events"),
+            n_purchasers.alias("n_purchasers"),
+            F.round(n_purchasers * 1.0 / n_users, 6).alias("conversion"),
+            cents.alias("purchase_cents"),
+            F.expr(
+                "sum(CASE WHEN event_type = 'purchase'"
+                " THEN cast(round(value * 100) as bigint) ELSE 0 END)"
+                " div count(DISTINCT user_id)"
+            ).cast("bigint").alias("arpu_cents"),
+        )
+        .orderBy("variant")
+    )
+
+
+# --------------------------------------------------------------------------
 # user_feature_assembly — per-user engineered-feature table (the ML
 # feature-store materialization over the event log).
 # --------------------------------------------------------------------------
