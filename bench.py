@@ -113,6 +113,7 @@ EXTRA = [
     "user_feature_assembly",
     "embedding_norm_stats",
     "ab_test_report",
+    "segment_revenue_trend",
 ]
 
 HEADLINE = [

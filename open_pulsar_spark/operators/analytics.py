@@ -760,6 +760,95 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# segment_revenue_trend — closed-form distributed OLS slope per segment.
+# --------------------------------------------------------------------------
+@query(
+    "segment_revenue_trend",
+    oracle="""
+    WITH m AS (
+        SELECT c.c_mktsegment AS segment,
+               date_trunc('month', o.o_orderdate) AS month,
+               sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    mm AS (SELECT segment, min(month) AS m0 FROM m GROUP BY segment),
+    x AS (SELECT m.segment,
+                 date_diff('month', mm.m0, m.month)::BIGINT AS x,
+                 m.cents AS y
+          FROM m JOIN mm USING (segment)),
+    s AS (SELECT segment, count(*)::BIGINT AS n,
+                 sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                 sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+          FROM x GROUP BY segment)
+    SELECT segment, n AS n_months,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round((n * sxy - sx * sy) * 1.0
+                           / (n * sxx - sx * sx), 6) END
+               AS slope_cents_per_month,
+           (sy // n)::BIGINT AS avg_month_cents
+    FROM s ORDER BY segment
+    """,
+)
+def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue TREND per market segment: the least-squares slope of
+    monthly revenue over a month index, computed in CLOSED FORM from
+    five distributive sums (n, Σx, Σy, Σxy, Σx²) — the textbook way
+    to regress at scale: no iteration, no driver-side fitting, just
+    one aggregate whose partials merge (every term is an algebraic
+    sum), then O(#segments) arithmetic. Revenue is integer cents and
+    the month index is an exact integer, so all five sums are exact
+    BIGINTs and the single closing division is the only float — both
+    engines compute the identical number.
+
+    Scale: the orders↔customer join shuffles on the natural custkey
+    (AQE may broadcast customer at small SF), the monthly rollup is
+    (segment × months)-sized, and everything after fits in a
+    config-sized frame. Degenerate series (a single month) yield NULL
+    slope rather than a division error.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    monthly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    m0 = monthly.groupBy("segment").agg(F.min("month").alias("m0"))
+    xy = monthly.join(F.broadcast(m0), "segment").select(
+        "segment",
+        F.months_between("month", "m0").cast("bigint").alias("x"),
+        F.col("cents").alias("y"),
+    )
+    s = xy.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "segment",
+        F.col("n").alias("n_months"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num * 1.0 / den, 6))
+        .alias("slope_cents_per_month"),
+        F.expr("sy div n").cast("bigint").alias("avg_month_cents"),
+    ).orderBy("segment")
+
+
+# --------------------------------------------------------------------------
 # ab_test_report — deterministic-hash experiment assignment + outcome
 # report (the experimentation-analytics class).
 # --------------------------------------------------------------------------
