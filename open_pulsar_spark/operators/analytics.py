@@ -896,12 +896,15 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row-integer-cents rule (revenue_pareto's determinism
     contract), and ARPU is integral division. Two output rows.
     """
-    from open_pulsar_spark.operators.curation import _hash_bucket_spark
+    from open_pulsar_spark.operators.curation import _hash_raw_spark
 
     ev = load_table(spark, sf_dir, "events")
-    variant = F.when(
-        _hash_bucket_spark(F.col("user_id")) % 2 == 0, "A"
-    ).otherwise("B")
+    # parity of the RAW 32-bit hash, mirroring the oracle exactly (not
+    # the mod-100 sampling bucket reduced again — that coincides only
+    # while the bucket modulus stays even)
+    variant = F.when(_hash_raw_spark(F.col("user_id")) % 2 == 0, "A").otherwise(
+        "B"
+    )
     is_purchase = F.col("event_type") == "purchase"
     cents = F.sum(
         F.when(is_purchase, F.round(F.col("value") * 100).cast("bigint")).otherwise(0)
@@ -917,11 +920,14 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_purchasers.alias("n_purchasers"),
             F.round(n_purchasers * 1.0 / n_users, 6).alias("conversion"),
             cents.alias("purchase_cents"),
-            F.expr(
-                "sum(CASE WHEN event_type = 'purchase'"
-                " THEN cast(round(value * 100) as bigint) ELSE 0 END)"
-                " div count(DISTINCT user_id)"
-            ).cast("bigint").alias("arpu_cents"),
+        )
+        # ARPU derives from the already-aggregated columns — one copy
+        # of the cents rule, not a second expression to drift
+        .select(
+            "*",
+            F.expr("purchase_cents div n_users").cast("bigint").alias(
+                "arpu_cents"
+            ),
         )
         .orderBy("variant")
     )

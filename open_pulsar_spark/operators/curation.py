@@ -49,15 +49,19 @@ CONTAM_MIN_SHARED = 2     # ≥2 shared 5-grams → flagged
 BENCH_MOD = 23            # doc_id % 23 == 0 → the held-out benchmark set
 
 
-def _hash_bucket_spark(col):
-    """First 32 bits of md5(doc_id) as an int in [0, 100) — the
-    deterministic sampling coin. Identical in DuckDB via
-    ('0x' || substr(md5(x), 1, 8))::BIGINT % 100."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
+def _hash_raw_spark(col):
+    """First 32 bits of md5(x) as a BIGINT — the deterministic hash
+    every derived coin reduces (mod 100 for sampling, mod 2 for A/B
+    assignment). Identical in DuckDB via
+    ('0x' || substr(md5(x), 1, 8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
     )
+
+
+def _hash_bucket_spark(col):
+    """The raw hash reduced to [0, 100) — the sampling coin."""
+    return _hash_raw_spark(col) % 100
 
 
 _HASH_BUCKET_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
