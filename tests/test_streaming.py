@@ -1326,6 +1326,81 @@ def test_drift_backfill_slices_fold_and_replay(spark, workdir):
         update_drift_partials(spark, old_half, a, None)
 
 
+def test_kmv_and_drift_streams_run_as_real_streaming_queries(spark, workdir):
+    """start_kmv_stream / start_drift_stream wire the partial
+    maintenance as actual Structured Streaming queries (file source,
+    maxFilesPerTrigger=1 → multiple epochs): after processAllAvailable
+    the stores fold to the same numbers the batch steps produce, and
+    auto-compaction (forced with max_segments=1) leaves them
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.drift_stream import (
+        fold_centroids,
+        start_drift_stream,
+    )
+    from open_pulsar_spark.streaming.kmv_stream import (
+        kmv_estimates,
+        start_kmv_stream,
+        update_kmv,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "text"
+    )
+    embs = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+
+    dsrc = f"{workdir}/docs_src"
+    docs.where(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(dsrc)
+    docs.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(dsrc)
+    kstore = f"{workdir}/kmv_live"
+    q = start_kmv_stream(
+        spark,
+        spark.readStream.schema("doc_id LONG, source STRING, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dsrc),
+        kstore,
+        f"{workdir}/kmv_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref_store = f"{workdir}/kmv_ref"
+    update_kmv(spark, docs, ref_store, 0)
+    assert [tuple(r) for r in kmv_estimates(spark, kstore).collect()] == [
+        tuple(r) for r in kmv_estimates(spark, ref_store).collect()
+    ]
+
+    esrc = f"{workdir}/embs_src"
+    embs.where(F.col("vec_id") < 250).coalesce(1).write.mode("append").parquet(esrc)
+    embs.where(F.col("vec_id") >= 250).coalesce(1).write.mode("append").parquet(esrc)
+    dstore = f"{workdir}/drift_live"
+    q2 = start_drift_stream(
+        spark,
+        spark.readStream.schema(
+            "vec_id LONG, label INT, embedding ARRAY<FLOAT>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(esrc),
+        dstore,
+        f"{workdir}/drift_ck",
+        compact_max_segments=1,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    from open_pulsar_spark.streaming.drift_stream import update_drift_partials
+
+    ref2 = f"{workdir}/drift_ref"
+    update_drift_partials(spark, embs, ref2, 0)
+    got = sorted(tuple(r) for r in fold_centroids(spark, dstore).collect())
+    want = sorted(tuple(r) for r in fold_centroids(spark, ref2).collect())
+    assert got == want
+
+
 def test_kmv_stream_folds_to_batch_estimate(spark, workdir):
     """Streaming KMV: delivering the corpus in three epochs and folding
     must reproduce source_kmv_distinct's estimates BIT-IDENTICALLY
