@@ -37,6 +37,7 @@ this extends SURVEY.md §2.10's LLM-operator family.
 from __future__ import annotations
 
 import math
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -104,13 +105,33 @@ def _seeds(qdf: DataFrame) -> list[tuple[int, list[int]]]:
     return seeds
 
 
+_FIT_CACHE: dict[str, list[tuple[int, list[int]]]] = {}
+_FIT_LOCK = threading.Lock()
+
+
 def _fit(spark: SparkSession, sf_dir: str):
     """(quantized frame, trained centroids): seeds = first K vectors,
-    UPDATE_ROUNDS grid-rounded Lloyd updates."""
+    UPDATE_ROUNDS grid-rounded Lloyd updates.
+
+    The trained centroids are MEMOIZED per sf_dir for the session —
+    six registry queries (kmeans, outliers, the IVF family) consume
+    the same model, and training is replay-DETERMINISTIC by the
+    fixed-point contract, so the cache is bit-identical to retraining
+    and only skips repeated work ("train once, serve many", the
+    production shape). Assumes the table under sf_dir is immutable
+    for the session (true for the read-only test dirs and the
+    scale-stress replicas, which live at distinct paths); K×DIM ints
+    per entry, driver-side lock for FAIR-scheduler concurrency."""
     qdf = _quantized(spark, sf_dir)
+    with _FIT_LOCK:
+        cached = _FIT_CACHE.get(sf_dir)
+    if cached is not None:
+        return qdf, cached
     cents = _seeds(qdf)
     for _ in range(UPDATE_ROUNDS):
         cents = _update(qdf, cents)
+    with _FIT_LOCK:
+        _FIT_CACHE[sf_dir] = cents
     return qdf, cents
 
 
