@@ -748,13 +748,29 @@ def _pq_train_round(res: DataFrame, cb: list[list[tuple[int, list[int]]]]):
     ]
 
 
+_PQ_CACHE: dict[tuple[str, str], tuple] = {}
+
+
 def _pq_scored(spark: SparkSession, sf_dir: str):
     """The shared IVF-PQ pipeline: fit coarse cells, train codebooks,
     encode the corpus, build per-(query, probed-cell) ADC tables, and
     return (scored frame of (vec_id, cid, query_id, adc_dist) rows,
     quantized frame) — ann_ivf_pq windows it directly; the refined
-    variant re-ranks an ADC shortlist with exact integer distances."""
+    variant re-ranks an ADC shortlist with exact integer distances.
+
+    MEMOIZED per (Spark application, sf_dir): both PQ variants consume
+    the identical trained index, training is replay-deterministic, so
+    the cached plan is bit-identical to rebuilding — train once,
+    serve both. Keyed by applicationId so a plan from a stopped
+    session can never leak into a new one; entries are lazy plans +
+    config-sized literals."""
     from open_pulsar_spark.operators.similarity import N_QUERIES
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _FIT_LOCK:
+        hit = _PQ_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     qdf, cents = _fit(spark, sf_dir)
     res = _residual_from(qdf, cents)
@@ -858,6 +874,8 @@ def _pq_scored(spark: SparkSession, sf_dir: str):
     scored = encoded.mapInPandas(
         score, "query_id long, neighbor_id long, adc_dist long"
     )
+    with _FIT_LOCK:
+        _PQ_CACHE[key] = (scored, qdf)
     return scored, qdf
 
 
