@@ -105,33 +105,45 @@ def _seeds(qdf: DataFrame) -> list[tuple[int, list[int]]]:
     return seeds
 
 
-_FIT_CACHE: dict[str, list[tuple[int, list[int]]]] = {}
+_FIT_CACHE: dict[tuple[str, str], list[tuple[int, list[int]]]] = {}
 _FIT_LOCK = threading.Lock()
+
+
+def _evict_other_apps(cache: dict, app_id: str) -> None:
+    """Drop entries from stopped applications (one-generation cap,
+    the _pin idiom): a restarted session may see regenerated data at
+    the same path, and dead-app plan objects would otherwise leak."""
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
 
 
 def _fit(spark: SparkSession, sf_dir: str):
     """(quantized frame, trained centroids): seeds = first K vectors,
     UPDATE_ROUNDS grid-rounded Lloyd updates.
 
-    The trained centroids are MEMOIZED per sf_dir for the session —
-    six registry queries (kmeans, outliers, the IVF family) consume
-    the same model, and training is replay-DETERMINISTIC by the
-    fixed-point contract, so the cache is bit-identical to retraining
-    and only skips repeated work ("train once, serve many", the
-    production shape). Assumes the table under sf_dir is immutable
-    for the session (true for the read-only test dirs and the
-    scale-stress replicas, which live at distinct paths); K×DIM ints
-    per entry, driver-side lock for FAIR-scheduler concurrency."""
+    The trained centroids are MEMOIZED per (Spark application,
+    sf_dir) — six registry queries (kmeans, outliers, the IVF family)
+    consume the same model, and training is replay-DETERMINISTIC by
+    the fixed-point contract, so the cache is bit-identical to
+    retraining and only skips repeated work ("train once, serve
+    many", the production shape). Keying by applicationId bounds
+    staleness: a harness that stops Spark, regenerates the table at
+    the same path, and starts a new session retrains, and insertions
+    evict dead-app entries. The single lock is HELD across training
+    (driver-coordinated collects), so concurrent FAIR-scheduler
+    consumers serialize into one training run instead of racing to
+    train twice; K×DIM ints per live entry."""
     qdf = _quantized(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     with _FIT_LOCK:
-        cached = _FIT_CACHE.get(sf_dir)
-    if cached is not None:
-        return qdf, cached
-    cents = _seeds(qdf)
-    for _ in range(UPDATE_ROUNDS):
-        cents = _update(qdf, cents)
-    with _FIT_LOCK:
-        _FIT_CACHE[sf_dir] = cents
+        cached = _FIT_CACHE.get(key)
+        if cached is not None:
+            return qdf, cached
+        cents = _seeds(qdf)
+        for _ in range(UPDATE_ROUNDS):
+            cents = _update(qdf, cents)
+        _evict_other_apps(_FIT_CACHE, key[0])
+        _FIT_CACHE[key] = cents
     return qdf, cents
 
 
@@ -749,6 +761,7 @@ def _pq_train_round(res: DataFrame, cb: list[list[tuple[int, list[int]]]]):
 
 
 _PQ_CACHE: dict[tuple[str, str], tuple] = {}
+_PQ_LOCK = threading.Lock()  # distinct from _FIT_LOCK: the build calls _fit
 
 
 def _pq_scored(spark: SparkSession, sf_dir: str):
@@ -762,15 +775,25 @@ def _pq_scored(spark: SparkSession, sf_dir: str):
     the identical trained index, training is replay-deterministic, so
     the cached plan is bit-identical to rebuilding — train once,
     serve both. Keyed by applicationId so a plan from a stopped
-    session can never leak into a new one; entries are lazy plans +
-    config-sized literals."""
-    from open_pulsar_spark.operators.similarity import N_QUERIES
-
+    session can never leak into a new one; insertions evict dead-app
+    entries (whose plans reference a dead gateway) so the cache holds
+    one application's generation. _PQ_LOCK is HELD across the build —
+    concurrent FAIR-scheduler consumers (both PQ variants) serialize
+    into one training run; it must stay distinct from _FIT_LOCK,
+    which the build acquires via _fit."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    with _FIT_LOCK:
+    with _PQ_LOCK:
         hit = _PQ_CACHE.get(key)
-    if hit is not None:
-        return hit
+        if hit is None:
+            hit = _pq_build(spark, sf_dir)
+            _evict_other_apps(_PQ_CACHE, key[0])
+            _PQ_CACHE[key] = hit
+    return hit
+
+
+def _pq_build(spark: SparkSession, sf_dir: str):
+    """Uncached IVF-PQ pipeline build — see _pq_scored."""
+    from open_pulsar_spark.operators.similarity import N_QUERIES
 
     qdf, cents = _fit(spark, sf_dir)
     res = _residual_from(qdf, cents)
@@ -874,8 +897,6 @@ def _pq_scored(spark: SparkSession, sf_dir: str):
     scored = encoded.mapInPandas(
         score, "query_id long, neighbor_id long, adc_dist long"
     )
-    with _FIT_LOCK:
-        _PQ_CACHE[key] = (scored, qdf)
     return scored, qdf
 
 
