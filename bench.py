@@ -45,6 +45,7 @@ EXTRA = [
     "q9_brand_profit",
     "dedup_embedding_lsh",
     "corpus_sample_exact_k",
+    "corpus_sample_pps",
     "multimodal_resize_specs",
     "doc_repetition_stats",
     "doc_length_log_histogram",

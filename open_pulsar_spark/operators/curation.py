@@ -910,6 +910,89 @@ def corpus_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# corpus_sample_pps — token-weighted systematic sampling (PPS).
+# --------------------------------------------------------------------------
+PPS_K = 120  # lattice points = total hit count (exactly, by telescoping)
+
+
+@query(
+    "corpus_sample_pps",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(str_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+    ), pre AS (
+        SELECT doc_id, lang, n_tokens,
+               (sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens)::BIGINT AS cum_before,
+               sum(n_tokens) OVER ()::BIGINT AS total
+        FROM toks
+    ), hits AS (
+        SELECT doc_id, lang, n_tokens, cum_before,
+               (((cum_before + n_tokens) * {PPS_K} + total - 1) // total
+                - (cum_before * {PPS_K} + total - 1) // total)::BIGINT
+                   AS n_hits
+        FROM pre
+    )
+    SELECT doc_id, lang, n_tokens, cum_before, n_hits
+    FROM hits WHERE n_hits >= 1 ORDER BY doc_id
+    """,
+)
+def corpus_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling: lay
+    {PPS_K} evenly spaced lattice points over the corpus's cumulative
+    token axis (anchor 0) and keep every document whose token interval
+    [cum_before, cum_before + n_tokens) contains one; n_hits — the
+    interval's lattice count, ceil((end*K)/T) - ceil((start*K)/T) —
+    is the standard PPS replication factor for long documents.
+
+    This is the WEIGHTED sampler the hash-coin family can't express:
+    stratified/exact-k pick documents uniformly, so a token-budgeted
+    eval slice over-represents short documents; PPS hits each doc
+    with probability ∝ its token mass using pure integer arithmetic —
+    no RNG, no libm (the parity hazard a u^(1/w) A-ES key would
+    carry), reproducible across engines and partitionings. The prefix
+    sum is the distributed one (prefix.global_prefix — range
+    partition + broadcast offsets, never Spark's single-partition
+    global window); output is ≤ {PPS_K} rows (total hits telescope to
+    exactly K), so the materialize-then-release idiom of
+    revenue_pareto applies.
+    """
+    from open_pulsar_spark.operators.prefix import global_prefix
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    aug, totals, release = global_prefix(
+        spark, docs, [F.col("doc_id")], cum_cols=("n_tokens",)
+    )
+    total = totals["n_tokens"]
+    out = (
+        aug.withColumn(
+            "cum_before", (F.col("cum_n_tokens") - F.col("n_tokens"))
+        )
+        .withColumn(
+            "n_hits",
+            F.expr(
+                f"((cum_before + n_tokens) * {PPS_K} + {total} - 1)"
+                f" div {total}"
+                f" - (cum_before * {PPS_K} + {total} - 1) div {total}"
+            ),
+        )
+        .where(F.col("n_hits") >= 1)
+        .select("doc_id", "lang", "n_tokens", "cum_before", "n_hits")
+        .orderBy("doc_id")
+    )
+    result = spark.createDataFrame(out.collect(), out.schema)
+    release()
+    return result
+
+
+# --------------------------------------------------------------------------
 # corpus_source_drift — per-source language-mix drift vs the corpus.
 # --------------------------------------------------------------------------
 @query(

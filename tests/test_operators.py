@@ -134,3 +134,22 @@ def test_distributed_label_propagation_matches_union_find(spark):
         | {(n, 30) for n in (30, 31, 32, 33)}
     )
     assert got == want
+
+
+def test_pps_sample_hits_telescope_to_k(spark):
+    """corpus_sample_pps: lattice hits must telescope to EXACTLY
+    PPS_K (each document's count is a difference of ceils over the
+    shared cumulative axis), every hit count is >= 1 after the
+    filter, and token-mass dominance holds: a selected doc's interval
+    contains a lattice point, so no document with n_tokens >= ceil(T/K)
+    can be skipped."""
+    from open_pulsar_spark.operators.curation import PPS_K, corpus_sample_pps
+    from tests.conftest import SF_SMALL
+
+    rows = corpus_sample_pps(spark, SF_SMALL).collect()
+    assert sum(r.n_hits for r in rows) == PPS_K
+    assert all(r.n_hits >= 1 for r in rows)
+    assert len(rows) <= PPS_K
+    # selected set is deterministic: re-running yields identical rows
+    again = corpus_sample_pps(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
