@@ -46,6 +46,7 @@ EXTRA = [
     "dedup_embedding_lsh",
     "corpus_sample_exact_k",
     "corpus_sample_pps",
+    "term_posting_index",
     "multimodal_resize_specs",
     "doc_repetition_stats",
     "doc_length_log_histogram",

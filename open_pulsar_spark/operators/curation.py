@@ -942,7 +942,7 @@ PPS_K = 120  # lattice points = total hit count (exactly, by telescoping)
 )
 def corpus_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probability-proportional-to-size SYSTEMATIC sampling: lay
-    {PPS_K} evenly spaced lattice points over the corpus's cumulative
+    PPS_K evenly spaced lattice points over the corpus's cumulative
     token axis (anchor 0) and keep every document whose token interval
     [cum_before, cum_before + n_tokens) contains one; n_hits — the
     interval's lattice count, ceil((end*K)/T) - ceil((start*K)/T) —
@@ -956,7 +956,7 @@ def corpus_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry), reproducible across engines and partitionings. The prefix
     sum is the distributed one (prefix.global_prefix — range
     partition + broadcast offsets, never Spark's single-partition
-    global window); output is ≤ {PPS_K} rows (total hits telescope to
+    global window); output is ≤ PPS_K rows (total hits telescope to
     exactly K), so the materialize-then-release idiom of
     revenue_pareto applies.
     """

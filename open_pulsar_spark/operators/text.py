@@ -968,3 +968,101 @@ def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "span_start")
     )
+
+
+# --------------------------------------------------------------------------
+# term_posting_index — per-term index statistics + bounded posting sample.
+# --------------------------------------------------------------------------
+POSTING_K = 8        # posting sample: the k smallest doc_ids per term
+POSTING_TOP = 200    # emit the top terms by document frequency
+
+
+def _posting_kernel(batches):
+    """Arrow bottom-k partial for posting lists: per batch, the
+    POSTING_K smallest doc_ids per term — truncation happens INSIDE
+    the map task (the sketch.py KMV contract), so no term ever
+    carries more than k ids per partial whatever the corpus size."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        yield (
+            pdf.drop_duplicates(["term", "doc_id"])
+            .sort_values("doc_id")
+            .groupby("term", sort=False)
+            .head(POSTING_K)[["term", "doc_id"]]
+        )
+
+
+@query(
+    "term_posting_index",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), stats AS (
+        SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+        FROM tf GROUP BY term
+    ), ranked AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+        FROM tf
+    ), posting AS (
+        SELECT term,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                   AS posting_sample
+        FROM ranked WHERE rk <= {POSTING_K} GROUP BY term
+    )
+    SELECT s.term, s.df, s.cf, p.posting_sample
+    FROM stats s JOIN posting p USING (term)
+    ORDER BY s.df DESC, s.term LIMIT {POSTING_TOP}
+    """,
+)
+def term_posting_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILD side of an exact-match index: per term, document
+    frequency, corpus frequency, and a bounded posting sample (the
+    POSTING_K smallest doc_ids, comma-joined) — what contamination
+    lookups and exact-substring attribution consult at serve time;
+    emits the POSTING_TOP head terms by df.
+
+    Scale contract: df/cf are plain hash aggregates (map-side partial
+    combine — splittable, unlike a window over the raw Zipf term key,
+    which doc_tfidf_topterms documents as an un-mitigable straggler).
+    The posting sample cannot use collect_list per term (a stop word
+    collects the whole corpus) NOR a per-term window (same straggler):
+    it reuses the KMV two-phase shape — an Arrow kernel keeps the k
+    smallest doc_ids per term per batch, truncated inside the map
+    task, and one duplicate-tolerant merge (array_distinct before
+    slice) folds the ≤k-per-batch partials. Per-term merge state is
+    O(batches·k), not O(df). Top-terms head is TakeOrdered (sort
+    pushed to a bounded per-partition top-k), never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    partial = tf.select("term", "doc_id").mapInPandas(
+        _posting_kernel, "term STRING, doc_id LONG"
+    )
+    posting = partial.groupBy("term").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(
+                    F.array_distinct(F.array_sort(F.collect_list("doc_id"))),
+                    1,
+                    POSTING_K,
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("posting_sample")
+    )
+    return (
+        stats.join(posting, "term")
+        .select("term", "df", "cf", "posting_sample")
+        .orderBy(F.desc("df"), "term")
+        .limit(POSTING_TOP)
+    )

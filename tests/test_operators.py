@@ -153,3 +153,55 @@ def test_pps_sample_hits_telescope_to_k(spark):
     # selected set is deterministic: re-running yields identical rows
     again = corpus_sample_pps(spark, SF_SMALL).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_posting_index_partition_invariant(spark):
+    """term_posting_index's bottom-k posting sample truncates inside
+    each Arrow batch, so batch/partition boundaries must shape only
+    the partials, never the merged result: the same rows under 1 and
+    13 input partitions yield identical (term, df, cf, posting)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators import text as T
+
+    rows = [
+        (i, " ".join(
+            ["the"]                      # stop word: in every doc
+            + ([f"w{i % 7}"] * 2)        # mid-frequency terms
+            + ([f"rare{i}"] if i % 3 == 0 else [])
+        ))
+        for i in range(40)
+    ]
+    for n_parts in (1, 13):
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING").repartition(
+            n_parts
+        )
+        tok = df.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+        partial = tf.select("term", "doc_id").mapInPandas(
+            T._posting_kernel, "term STRING, doc_id LONG"
+        )
+        posting = partial.groupBy("term").agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.array_distinct(
+                            F.array_sort(F.collect_list("doc_id"))
+                        ),
+                        1,
+                        T.POSTING_K,
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("posting_sample")
+        )
+        got = {(r.term, r.posting_sample) for r in posting.collect()}
+        if n_parts == 1:
+            base = got
+    assert got == base
+    # the stop word's sample is the k smallest doc_ids, truncated
+    stop = dict(base)["the"]
+    assert stop == ",".join(str(i) for i in range(T.POSTING_K))
