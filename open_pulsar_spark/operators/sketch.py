@@ -79,21 +79,38 @@ def _kmv_sketches(tokens: DataFrame) -> DataFrame:
     return _kmv_merge(_kmv_partial(tokens))
 
 
-def _bottom_k_kernel(batches):
-    """Arrow bottom-k partial: per batch, the KMV_K smallest distinct
-    hashes per source — truncation happens INSIDE the map task. The
-    ONE kernel both the batch sketch and kmv_stream run, so a stream-
-    maintained sketch and a batch sketch of the same rows are
-    bit-identical."""
-    for pdf in batches:
-        if pdf.empty:
-            continue
-        yield (
-            pdf.drop_duplicates(["source", "u"])
-            .sort_values("u")
-            .groupby("source", sort=False)
-            .head(KMV_K)[["source", "u"]]
-        )
+def bottom_k_kernel(key: str, val: str, k: int):
+    """Factory for the Arrow bottom-k partial kernel: per batch, the k
+    smallest distinct `val`s per `key` — truncation happens INSIDE the
+    map task, so no key ever carries more than k values per partial
+    whatever the input size. The ONE bottom-k implementation the KMV
+    sketch family, kmv_stream, and text.term_posting_index all run."""
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield (
+                pdf.drop_duplicates([key, val])
+                .sort_values(val)
+                .groupby(key, sort=False)
+                .head(k)[[key, val]]
+            )
+
+    return kernel
+
+
+def bottom_k_merge_expr(val: str, k: int):
+    """The matching duplicate-TOLERANT merge aggregate: the same value
+    seen in two batches (or a replayed segment) survives as a
+    duplicate across partials; array_distinct BEFORE slicing makes
+    bottom-k of the distinct union of per-batch bottom-ks == the
+    global distinct bottom-k — and makes the streaming fold
+    replay-safe with no epoch bookkeeping beyond overwrite."""
+    return F.slice(F.array_distinct(F.array_sort(F.collect_list(val))), 1, k)
+
+
+_bottom_k_kernel = bottom_k_kernel("source", "u", KMV_K)
 
 
 def _kmv_partial(tokens: DataFrame) -> DataFrame:
@@ -104,17 +121,10 @@ def _kmv_partial(tokens: DataFrame) -> DataFrame:
 
 
 def _kmv_merge(partial: DataFrame) -> DataFrame:
-    """Merge bottom-k partial rows → (source, mins). Duplicate u values
-    across partials (the same token in two batches, or a replayed
-    segment) are removed by array_distinct BEFORE slicing — the merge
-    is duplicate-TOLERANT, which is what makes the streaming store's
-    fold replay-safe with no epoch bookkeeping beyond overwrite."""
+    """Merge bottom-k partial rows → (source, mins) with the shared
+    duplicate-tolerant merge (see bottom_k_merge_expr)."""
     return partial.groupBy("source").agg(
-        F.slice(
-            F.array_distinct(F.array_sort(F.collect_list("u"))),
-            1,
-            KMV_K,
-        ).alias("mins")
+        bottom_k_merge_expr("u", KMV_K).alias("mins")
     )
 
 

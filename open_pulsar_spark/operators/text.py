@@ -977,20 +977,32 @@ POSTING_K = 8        # posting sample: the k smallest doc_ids per term
 POSTING_TOP = 200    # emit the top terms by document frequency
 
 
-def _posting_kernel(batches):
-    """Arrow bottom-k partial for posting lists: per batch, the
-    POSTING_K smallest doc_ids per term — truncation happens INSIDE
-    the map task (the sketch.py KMV contract), so no term ever
-    carries more than k ids per partial whatever the corpus size."""
-    for pdf in batches:
-        if pdf.empty:
-            continue
-        yield (
-            pdf.drop_duplicates(["term", "doc_id"])
-            .sort_values("doc_id")
-            .groupby("term", sort=False)
-            .head(POSTING_K)[["term", "doc_id"]]
-        )
+def _posting_kernel():
+    """The shared sketch.py bottom-k kernel bound to (term, doc_id) —
+    per batch, the POSTING_K smallest doc_ids per term, truncated
+    INSIDE the map task, so no term ever carries more than k ids per
+    partial whatever the corpus size."""
+    from open_pulsar_spark.operators.sketch import bottom_k_kernel
+
+    return bottom_k_kernel("term", "doc_id", POSTING_K)
+
+
+def _posting_merge(partial: DataFrame) -> DataFrame:
+    """(term, posting_sample): the duplicate-tolerant bottom-k merge
+    (sketch.bottom_k_merge_expr) over kernel partials, comma-joined.
+    Module-level so the partition-invariance test exercises the SAME
+    merge the operator ships, not a copy."""
+    from open_pulsar_spark.operators.sketch import bottom_k_merge_expr
+
+    return partial.groupBy("term").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                bottom_k_merge_expr("doc_id", POSTING_K),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("posting_sample")
+    )
 
 
 @query(
@@ -1030,12 +1042,14 @@ def term_posting_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     which doc_tfidf_topterms documents as an un-mitigable straggler).
     The posting sample cannot use collect_list per term (a stop word
     collects the whole corpus) NOR a per-term window (same straggler):
-    it reuses the KMV two-phase shape — an Arrow kernel keeps the k
-    smallest doc_ids per term per batch, truncated inside the map
-    task, and one duplicate-tolerant merge (array_distinct before
-    slice) folds the ≤k-per-batch partials. Per-term merge state is
-    O(batches·k), not O(df). Top-terms head is TakeOrdered (sort
-    pushed to a bounded per-partition top-k), never a global sort.
+    it reuses the KMV two-phase shape — sketch.bottom_k_kernel runs
+    MAP-ONLY on the raw token stream (no pre-shuffle; per-batch
+    duplicates are the kernel's own drop_duplicates problem, and the
+    merge is duplicate-tolerant), and the merge folds only the head
+    terms: the bounded df top-k (TakeOrdered, never a global sort)
+    broadcast-semi-joins the partial stream first, so the O(vocab)
+    tail never pays the collect/sort/join of the merge aggregate.
+    Per-term merge state is O(batches·k), not O(df).
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -1044,25 +1058,23 @@ def term_posting_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
     )
-    partial = tf.select("term", "doc_id").mapInPandas(
-        _posting_kernel, "term STRING, doc_id LONG"
+    # the head is consumed twice (semi-join filter AND final join);
+    # ReusedExchange never fires across two consumers of one lineage,
+    # so without the pin the corpus explode + tf aggregate compiles
+    # twice — _pin caps it at one computation, ≤ POSTING_TOP rows live
+    from open_pulsar_spark.operators.dedup import _pin
+
+    head = _pin(
+        "posting_head", stats.orderBy(F.desc("df"), "term").limit(POSTING_TOP)
     )
-    posting = partial.groupBy("term").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(
-                    F.array_distinct(F.array_sort(F.collect_list("doc_id"))),
-                    1,
-                    POSTING_K,
-                ),
-                lambda x: x.cast("string"),
-            ),
-        ).alias("posting_sample")
+    partial = tok.select("term", "doc_id").mapInPandas(
+        _posting_kernel(), "term STRING, doc_id LONG"
+    )
+    head_partial = partial.join(
+        F.broadcast(head.select("term")), "term", "left_semi"
     )
     return (
-        stats.join(posting, "term")
+        head.join(_posting_merge(head_partial), "term")
         .select("term", "df", "cf", "posting_sample")
         .orderBy(F.desc("df"), "term")
-        .limit(POSTING_TOP)
     )

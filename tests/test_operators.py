@@ -159,7 +159,10 @@ def test_posting_index_partition_invariant(spark):
     """term_posting_index's bottom-k posting sample truncates inside
     each Arrow batch, so batch/partition boundaries must shape only
     the partials, never the merged result: the same rows under 1 and
-    13 input partitions yield identical (term, df, cf, posting)."""
+    13 input partitions yield identical posting samples. Exercises
+    the operator's OWN kernel and merge (text._posting_kernel /
+    text._posting_merge), not a copy — a dropped array_distinct or a
+    truncation moved out of the map task fails here."""
     from pyspark.sql import functions as F
 
     from open_pulsar_spark.operators import text as T
@@ -179,26 +182,13 @@ def test_posting_index_partition_invariant(spark):
         tok = df.select(
             "doc_id", F.explode(F.split("text", " ")).alias("term")
         )
-        tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-        partial = tf.select("term", "doc_id").mapInPandas(
-            T._posting_kernel, "term STRING, doc_id LONG"
+        partial = tok.select("term", "doc_id").mapInPandas(
+            T._posting_kernel(), "term STRING, doc_id LONG"
         )
-        posting = partial.groupBy("term").agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(
-                        F.array_distinct(
-                            F.array_sort(F.collect_list("doc_id"))
-                        ),
-                        1,
-                        T.POSTING_K,
-                    ),
-                    lambda x: x.cast("string"),
-                ),
-            ).alias("posting_sample")
-        )
-        got = {(r.term, r.posting_sample) for r in posting.collect()}
+        got = {
+            (r.term, r.posting_sample)
+            for r in T._posting_merge(partial).collect()
+        }
         if n_parts == 1:
             base = got
     assert got == base
