@@ -1436,3 +1436,101 @@ def test_kmv_stream_folds_to_batch_estimate(spark, workdir):
     # same fold)
     update_kmv(spark, docs.where(F.col("doc_id") % 3 == 1), store, None)
     assert [tuple(r) for r in kmv_estimates(spark, store).collect()] == want
+
+
+def test_posting_stream_folds_to_batch_index(spark, workdir):
+    """Streaming posting index: delivering the corpus in three epochs
+    and folding must reproduce term_posting_index's posting samples
+    BIT-IDENTICALLY for every head term (bottom-k of a union is
+    batching-invariant); a replayed epoch is a no-op, and a duplicated
+    epoch-less backfill cannot change the samples (the fold is
+    duplicate-tolerant). The serve-path `terms` filter returns the
+    same rows for the probed subset."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.posting_stream import (
+        read_postings,
+        update_postings,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    store = f"{workdir}/posting_store"
+    update_postings(spark, docs.where(F.col("doc_id") % 3 == 0), store, 0)
+    update_postings(spark, docs.where(F.col("doc_id") % 3 == 1), store, 1)
+    update_postings(spark, docs.where(F.col("doc_id") % 3 == 2), store, 2)
+
+    want = {
+        (r.term, r.posting_sample)
+        for r in all_queries()["term_posting_index"](spark, SF_SMALL)
+        .select("term", "posting_sample")
+        .collect()
+    }
+    merged = {
+        (r.term, r.posting_sample)
+        for r in read_postings(spark, store).collect()
+    }
+    # the stream store maintains ALL terms; the batch query emits the
+    # df head — every head sample must appear verbatim in the store
+    assert want <= merged
+
+    # replay of a committed epoch: no-op
+    update_postings(spark, docs.where(F.col("doc_id") % 3 == 0), store, 0)
+    # duplicated epoch-less backfill: value-idempotent
+    update_postings(spark, docs.where(F.col("doc_id") % 3 == 1), store, None)
+    again = {
+        (r.term, r.posting_sample)
+        for r in read_postings(spark, store).collect()
+    }
+    assert again == merged
+
+    # serve path: probing two terms merges only those terms
+    probe = sorted(t for t, _ in want)[:2]
+    served = {
+        (r.term, r.posting_sample)
+        for r in read_postings(spark, store, terms=probe).collect()
+    }
+    assert served == {(t, s) for t, s in merged if t in set(probe)}
+
+
+def test_posting_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_posting_stream wires the partial maintenance as an actual
+    Structured Streaming query (file source, maxFilesPerTrigger=1 →
+    multiple epochs): after processAllAvailable the store folds to the
+    same samples the one-shot batch step produces, and forced
+    auto-compaction (max_segments=1) leaves them unchanged."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.posting_stream import (
+        read_postings,
+        start_posting_stream,
+        update_postings,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = f"{workdir}/docs_psrc"
+    docs.where(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+    store = f"{workdir}/posting_live"
+    q = start_posting_stream(
+        spark,
+        spark.readStream.schema("doc_id LONG, source STRING, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/posting_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/posting_ref"
+    update_postings(spark, docs, ref, 0)
+    got = sorted(tuple(r) for r in read_postings(spark, store).collect())
+    want = sorted(tuple(r) for r in read_postings(spark, ref).collect())
+    assert got == want
