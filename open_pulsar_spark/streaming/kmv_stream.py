@@ -46,13 +46,22 @@ from open_pulsar_spark.operators.sketch import (
     _kmv_partial,
 )
 from open_pulsar_spark.streaming.segments import (
-    auto_compact,
     read_segments,
-    segment_path,
-    write_segment,
+    start_partial_stream,
+    update_partial_store,
 )
 
 _PARTIAL_SCHEMA = "source STRING, u DOUBLE, epoch LONG"
+_DEDUP_KEYS = ["epoch", "source", "u"]
+_CLUSTER_COLS = ["source"]
+
+
+def _kmv_stream_partial(docs: DataFrame) -> DataFrame:
+    """tokens → per-batch bottom-k hash rows per source (the SAME
+    tokenizer and kernel as source_kmv_distinct, so the fold
+    bit-matches the batch sketch)."""
+    tokens = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+    return _kmv_partial(tokens)
 
 
 def update_kmv(
@@ -63,18 +72,10 @@ def update_kmv(
 ) -> None:
     """Fold one batch of (doc_id, source, text) rows into the sketch
     store: tokens → bottom-k partial rows → one epoch segment.
-    Idempotent per epoch (overwrite; no-op once committed); epoch-less
-    calls write a unique batch segment, safe because the fold is
-    duplicate-tolerant (module docstring)."""
-    if epoch_id is not None:
-        seg, committed = segment_path(store_path, epoch_id)
-        if committed:
-            return
-    tokens = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
-    partial = _kmv_partial(tokens).withColumn(
-        "epoch", F.lit(-1 if epoch_id is None else epoch_id).cast("long")
-    )
-    write_segment(partial, store_path, epoch_id)
+    Idempotent per epoch (the shared update_partial_store contract);
+    epoch-less calls write a unique batch segment, safe because the
+    fold is duplicate-tolerant (module docstring)."""
+    update_partial_store(docs, store_path, epoch_id, _kmv_stream_partial)
 
 
 def read_kmv(spark: SparkSession, store_path: str) -> DataFrame:
@@ -107,24 +108,16 @@ def start_kmv_stream(
     compact_max_segments: int | None = 64,
 ):
     """docs(doc_id, source, text) stream → continuously-maintained KMV
-    store. File-level auto-compaction bounds the segment count; the
-    duplicate-tolerant fold makes the mid-compaction window a
-    non-event."""
-
-    def step(batch_df: DataFrame, epoch_id: int) -> None:
-        update_kmv(spark, batch_df, store_path, epoch_id)
-        auto_compact(
-            spark,
-            store_path,
-            _PARTIAL_SCHEMA,
-            dedup_keys=["epoch", "source", "u"],
-            cluster_cols=["source"],
-            max_segments=compact_max_segments,
-        )
-
-    return (
-        docs_stream.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch(step)
-        .start()
+    store, on the shared partial-stream scaffold. File-level
+    auto-compaction bounds the segment count; the duplicate-tolerant
+    fold makes the mid-compaction window a non-event."""
+    return start_partial_stream(
+        docs_stream,
+        store_path,
+        checkpoint,
+        partial_of=_kmv_stream_partial,
+        schema=_PARTIAL_SCHEMA,
+        dedup_keys=_DEDUP_KEYS,
+        cluster_cols=_CLUSTER_COLS,
+        compact_max_segments=compact_max_segments,
     )

@@ -21,11 +21,11 @@ is (kmv_stream's contract, same kernel, same merge):
     over the same rows are BIT-IDENTICAL (tested), whatever the
     batching.
 
-Replay contract: identical to kmv_stream — epoch-overwrite segments
-give exactly-once partials under at-least-once foreachBatch, and the
-fold is duplicate-TOLERANT (array_distinct before the slice), so
-crash-duplicated rows and repeated epoch-less backfills cannot change
-the result.
+Replay contract: the shared segments.update_partial_store contract
+(epoch-overwrite segments give exactly-once partials under
+at-least-once foreachBatch), and the fold is duplicate-TOLERANT
+(array_distinct before the slice), so crash-duplicated rows and
+repeated epoch-less backfills cannot change the result.
 
 Scale: each epoch segment holds ≤ k rows per term SEEN IN THAT BATCH
 (not per term in the vocabulary); the read-side merge is O(live
@@ -33,6 +33,11 @@ segment rows). Serving a bounded query (the usual case) should pass
 `terms` to read_postings so the merge aggregates only the probed
 terms — maintaining the full vocabulary's samples is the index
 builder's job, probing a handful is the serve path's.
+
+Unlike the hash-only stores (kmv, cms, drift), this store carries raw
+doc_ids — so it needs the same right-to-be-forgotten path as the
+neardup/embedding indexes: delete_from_posting_index rewrites the
+store without the purged ids (compact_segments' drop_ids protocol).
 """
 
 from __future__ import annotations
@@ -42,13 +47,25 @@ from pyspark.sql import functions as F
 
 from open_pulsar_spark.operators.text import _posting_kernel, _posting_merge
 from open_pulsar_spark.streaming.segments import (
-    auto_compact,
+    compact_segments,
     read_segments,
-    segment_path,
-    write_segment,
+    start_partial_stream,
+    update_partial_store,
 )
 
 _PARTIAL_SCHEMA = "term STRING, doc_id LONG, epoch LONG"
+_DEDUP_KEYS = ["epoch", "term", "doc_id"]
+_CLUSTER_COLS = ["term"]
+
+
+def _posting_partial(docs: DataFrame) -> DataFrame:
+    """tokens → per-batch bottom-k doc_id rows per term (the SAME
+    tokenizer and kernel as term_posting_index, so the fold
+    bit-matches the batch index)."""
+    tok = docs.select(
+        F.explode(F.split("text", " ")).alias("term"), "doc_id"
+    )
+    return tok.mapInPandas(_posting_kernel(), "term STRING, doc_id LONG")
 
 
 def update_postings(
@@ -59,33 +76,24 @@ def update_postings(
 ) -> None:
     """Fold one batch of (doc_id, ..., text) rows into the posting
     store: tokens → bottom-k partial rows → one epoch segment.
-    Idempotent per epoch (overwrite; no-op once committed); epoch-less
-    calls write a unique batch segment, safe because the fold is
-    duplicate-tolerant (module docstring)."""
-    if epoch_id is not None:
-        seg, committed = segment_path(store_path, epoch_id)
-        if committed:
-            return
-    tok = docs.select(
-        F.explode(F.split("text", " ")).alias("term"), "doc_id"
-    )
-    partial = tok.select("term", "doc_id").mapInPandas(
-        _posting_kernel(), "term STRING, doc_id LONG"
-    ).withColumn(
-        "epoch", F.lit(-1 if epoch_id is None else epoch_id).cast("long")
-    )
-    write_segment(partial, store_path, epoch_id)
+    Idempotent per epoch (the shared update_partial_store contract);
+    epoch-less calls write a unique batch segment, safe because the
+    fold is duplicate-tolerant (module docstring)."""
+    update_partial_store(docs, store_path, epoch_id, _posting_partial)
 
 
 def read_postings(
     spark: SparkSession,
     store_path: str,
-    terms: list[str] | None = None,
+    terms: DataFrame | list[str] | None = None,
 ) -> DataFrame:
     """The current merged samples (term, posting_sample) — the
     bottom-k of the distinct union of every segment's rows,
     bit-identical to the batch index's sample over the same rows.
-    Pass `terms` to merge only the probed terms (the serve path)."""
+    Pass `terms` (a 1-column DataFrame or an iterable of strings) to
+    merge only the probed terms — a broadcast left-semi join, not an
+    IN literal, so a contamination check probing thousands of n-gram
+    terms costs one join, not an O(|terms|) py4j expression."""
     raw = read_segments(spark, store_path, _PARTIAL_SCHEMA)
     if raw is None:
         return spark.createDataFrame(
@@ -93,8 +101,44 @@ def read_postings(
         )
     rows = raw.select("term", "doc_id")
     if terms is not None:
-        rows = rows.where(F.col("term").isin(list(terms)))
+        if not isinstance(terms, DataFrame):
+            terms = spark.createDataFrame(
+                [(str(t),) for t in terms], "term STRING"
+            )
+        probe = terms.select("term").dropDuplicates(["term"])
+        rows = rows.join(F.broadcast(probe), "term", "left_semi")
     return _posting_merge(rows)
+
+
+def delete_from_posting_index(
+    spark: SparkSession, store_path: str, doc_ids, target_files: int = 8
+) -> int:
+    """DELETE PROPAGATION (right-to-be-forgotten): rewrite the posting
+    store without the given doc_ids — they vanish from every future
+    posting_sample, so an attribution lookup can no longer surface a
+    purged document (tested). `doc_ids` is a 1-column DataFrame or an
+    iterable of ids. Returns surviving row count. The rewrite IS a
+    compaction (same crash-safe segment-swap protocol as
+    neardup_stream.delete_from_index). Deletion is exact on the stored
+    partial rows (the fold is unchanged); because the store is a
+    bottom-k SAMPLE, a purged term's sample may hold fewer ids than a
+    fresh rebuild over the surviving corpus would — candidates
+    truncated at ingest are not recoverable. The RTBF guarantee
+    (purged ids never served) is absolute either way."""
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id LONG"
+        )
+    return compact_segments(
+        spark,
+        store_path,
+        _PARTIAL_SCHEMA,
+        dedup_keys=_DEDUP_KEYS,
+        cluster_cols=_CLUSTER_COLS,
+        target_files=target_files,
+        drop_ids=doc_ids,
+        id_col="doc_id",
+    )
 
 
 def start_posting_stream(
@@ -105,24 +149,17 @@ def start_posting_stream(
     compact_max_segments: int | None = 64,
 ):
     """docs(doc_id, ..., text) stream → continuously-maintained
-    posting store. File-level auto-compaction bounds the segment
-    count; the duplicate-tolerant fold makes the mid-compaction
-    window a non-event (the kmv_stream contract)."""
-
-    def step(batch_df: DataFrame, epoch_id: int) -> None:
-        update_postings(spark, batch_df, store_path, epoch_id)
-        auto_compact(
-            spark,
-            store_path,
-            _PARTIAL_SCHEMA,
-            dedup_keys=["epoch", "term", "doc_id"],
-            cluster_cols=["term"],
-            max_segments=compact_max_segments,
-        )
-
-    return (
-        docs_stream.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch(step)
-        .start()
+    posting store, on the shared partial-stream scaffold. File-level
+    auto-compaction bounds the segment count; the duplicate-tolerant
+    fold makes the mid-compaction window a non-event (the kmv_stream
+    contract)."""
+    return start_partial_stream(
+        docs_stream,
+        store_path,
+        checkpoint,
+        partial_of=_posting_partial,
+        schema=_PARTIAL_SCHEMA,
+        dedup_keys=_DEDUP_KEYS,
+        cluster_cols=_CLUSTER_COLS,
+        compact_max_segments=compact_max_segments,
     )

@@ -92,6 +92,65 @@ def write_segment(df: DataFrame, root: str, epoch_id: int | None) -> str:
     return seg
 
 
+def update_partial_store(
+    docs: DataFrame,
+    store_path: str,
+    epoch_id: int | None,
+    partial_of,
+) -> None:
+    """Fold one micro-batch into a partial-segment store: skip a
+    committed epoch, run the caller's `partial_of(docs)` kernel, stamp
+    the epoch column, write one segment. The shared write half of every
+    mergeable-partial stream (kmv_stream, posting_stream) — the replay
+    contract (epoch-overwrite segments, -1 sentinel for epoch-less
+    backfills) lives HERE so the stream modules cannot diverge on it."""
+    if epoch_id is not None:
+        _, committed = segment_path(store_path, epoch_id)
+        if committed:
+            return
+    from pyspark.sql import functions as F
+
+    partial = partial_of(docs).withColumn(
+        "epoch", F.lit(-1 if epoch_id is None else epoch_id).cast("long")
+    )
+    write_segment(partial, store_path, epoch_id)
+
+
+def start_partial_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    *,
+    partial_of,
+    schema: str,
+    dedup_keys: list[str],
+    cluster_cols: list[str],
+    compact_max_segments: int | None = 64,
+):
+    """The shared foreachBatch scaffold of the mergeable-partial
+    streams: per micro-batch, update_partial_store then threshold-
+    triggered auto_compact. Callers supply only what genuinely differs
+    — the partial kernel, the partial schema, and the compaction keys."""
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        update_partial_store(batch_df, store_path, epoch_id, partial_of)
+        auto_compact(
+            batch_df.sparkSession,
+            store_path,
+            schema,
+            dedup_keys=dedup_keys,
+            cluster_cols=cluster_cols,
+            max_segments=compact_max_segments,
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(step)
+        .start()
+    )
+
+
 def committed_ids(
     spark: SparkSession, root: str, epoch_id: int | None, schema: str, id_col: str
 ):

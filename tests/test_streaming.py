@@ -1495,6 +1495,85 @@ def test_posting_stream_folds_to_batch_index(spark, workdir):
     assert served == {(t, s) for t, s in merged if t in set(probe)}
 
 
+def test_posting_stream_delete_propagation(spark, workdir):
+    """Right-to-be-forgotten on the posting store: purged doc_ids must
+    vanish from every future posting_sample (the store carries raw
+    doc_ids, unlike the hash-only kmv/cms/drift stores, so it needs
+    the same RTBF path as the neardup/embedding indexes). Also covers
+    the DataFrame-typed serve probe (broadcast semi-join path)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.posting_stream import (
+        delete_from_posting_index,
+        read_postings,
+        update_postings,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    store = f"{workdir}/posting_rtbf"
+    update_postings(spark, docs.where(F.col("doc_id") % 2 == 0), store, 0)
+    update_postings(spark, docs.where(F.col("doc_id") % 2 == 1), store, 1)
+
+    before = read_postings(spark, store)
+    # snapshot the pre-delete partial rows (the fold's exact input)
+    from open_pulsar_spark.streaming.posting_stream import _PARTIAL_SCHEMA
+    from open_pulsar_spark.streaming.segments import read_segments
+
+    partial_rows = (
+        read_segments(spark, store, _PARTIAL_SCHEMA)
+        .select("term", "doc_id")
+        .toPandas()
+    )
+    partial_rows = spark.createDataFrame(
+        partial_rows, "term STRING, doc_id LONG"
+    )
+    # pick a doc_id that actually appears in some sample
+    victim = int(
+        before.select(
+            F.explode(F.split("posting_sample", ",")).alias("d")
+        ).first().d
+    )
+    n = delete_from_posting_index(spark, store, [victim])
+    assert n > 0
+    after = read_postings(spark, store)
+    leaked = after.where(
+        F.array_contains(
+            F.split("posting_sample", ","), F.lit(str(victim))
+        )
+    ).count()
+    assert leaked == 0
+
+    # exact contract: deletion anti-joins the PARTIAL rows, fold
+    # unchanged — the purged samples are the fold of the pre-delete
+    # partials minus the victim. (A fresh rebuild over surviving docs
+    # can differ: per-batch bottom-k truncation already discarded
+    # candidates a rebuild would keep — sketch deletion is lossy,
+    # unlike the row-complete neardup index.)
+    from open_pulsar_spark.operators.text import _posting_merge
+
+    want_df = _posting_merge(
+        partial_rows.where(F.col("doc_id") != victim).select(
+            "term", "doc_id"
+        )
+    )
+    got = sorted(tuple(r) for r in after.collect())
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want
+
+    # DataFrame-typed probe: same rows as the list-typed probe
+    probe = [r.term for r in after.select("term").limit(3).collect()]
+    probe_df = spark.createDataFrame([(t,) for t in probe], "term STRING")
+    got_df = sorted(
+        tuple(r) for r in read_postings(spark, store, terms=probe_df).collect()
+    )
+    got_list = sorted(
+        tuple(r) for r in read_postings(spark, store, terms=probe).collect()
+    )
+    assert got_df == got_list and len(got_list) == len(set(probe))
+
+
 def test_posting_stream_runs_as_real_streaming_query(spark, workdir):
     """start_posting_stream wires the partial maintenance as an actual
     Structured Streaming query (file source, maxFilesPerTrigger=1 →
