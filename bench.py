@@ -116,6 +116,10 @@ EXTRA = [
     "embedding_norm_stats",
     "ab_test_report",
     "segment_revenue_trend",
+    "lineitem_corr_matrix",
+    "orders_profile",
+    "dq_violation_counts",
+    "flag_status_mutual_info",
 ]
 
 HEADLINE = [

@@ -1,0 +1,516 @@
+"""Data profiling & quality suite — the ANALYZE/SUMMARIZE/Deequ-class
+surface an engine needs before any 100 TB corpus is trusted: a
+one-scan Pearson correlation matrix from exact integer sums, a
+SUMMARIZE-style per-column profile, a declarative data-quality rule
+suite, and a mutual-information readout for categorical feature
+selection.
+
+Shared scale contract: every statistic here is either (a) an algebraic
+sum whose partials merge (map-side combine, one reduce to O(1) rows),
+(b) the Expand plan Spark compiles multi-column DISTINCT aggregates to
+(rows × #distinct-columns through ONE shuffle, partially aggregated
+map-side), or (c) a key-distinct anti-join (referential rules). No
+operator here ever materializes more than O(#columns + #rules) rows on
+the driver; floats appear only in the final O(1)-row projection,
+computed with the identical expression shape as the DuckDB oracle so
+round(·, 6) agrees bit-for-bit (the repo's established log/ratio
+parity pattern, see curation.py PMI).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_pulsar_spark.registry import query
+from open_pulsar_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# lineitem_corr_matrix — one-scan Pearson correlation matrix from exact
+# integer sums (the distributive-statistics pattern).
+# --------------------------------------------------------------------------
+_CORR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def _corr_pairs() -> list[tuple[str, str]]:
+    return [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+
+
+def _corr_oracle() -> str:
+    ints = ", ".join(
+        f"round({c} * 100)::BIGINT AS {c[2:]}" for c in _CORR_COLS
+    )
+    sums = ["count(*)::BIGINT AS n"]
+    for c in _CORR_COLS:
+        s = c[2:]
+        sums.append(f"sum({s})::HUGEINT AS s_{s}")
+        sums.append(f"sum({s} * {s})::HUGEINT AS s_{s}_{s}")
+    for a, b in _corr_pairs():
+        x, y = a[2:], b[2:]
+        sums.append(f"sum({x} * {y})::HUGEINT AS s_{x}_{y}")
+    arms = []
+    for a, b in _corr_pairs():
+        x, y = a[2:], b[2:]
+        corr = (
+            f"round((n::DOUBLE * s_{x}_{y}::DOUBLE"
+            f" - s_{x}::DOUBLE * s_{y}::DOUBLE)"
+            f" / sqrt((n::DOUBLE * s_{x}_{x}::DOUBLE"
+            f" - s_{x}::DOUBLE * s_{x}::DOUBLE)"
+            f" * (n::DOUBLE * s_{y}_{y}::DOUBLE"
+            f" - s_{y}::DOUBLE * s_{y}::DOUBLE)), 6)"
+        )
+        arms.append(f"SELECT '{a}' AS col_x, '{b}' AS col_y, n, {corr} AS corr FROM s")
+    return f"""
+    WITH ints AS (SELECT {ints} FROM lineitem),
+    s AS (SELECT {", ".join(sums)} FROM ints)
+    {" UNION ALL ".join(arms)}
+    ORDER BY col_x, col_y
+    """
+
+
+@query("lineitem_corr_matrix", oracle=_corr_oracle())
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric measures in
+    ONE scan: every pairwise corr is closed-form from distributive
+    sums (n, Σx, Σx², Σxy) — 15 sums + a count, all partials merge
+    map-side, one reduce to a single row, then O(#pairs) arithmetic.
+    This is how you correlate at 100 TB: never a second pass, never a
+    driver-side fit, and the sums are EXACT because every measure is
+    integer cents (×100) — Spark sums them as decimal(38,0) and DuckDB
+    as HUGEINT, so both engines feed bit-identical integers into the
+    identical double-precision closing expression (round 6 agrees).
+
+    Scale: the scan reads exactly four columns (pruned ReadSchema);
+    the aggregate is a map-only partial + 1-row final — shuffle bytes
+    are O(#partitions × 16 sums). The pair unpivot (stack) runs on the
+    single result row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ints = li.select(
+        *[
+            F.round(F.col(c) * 100).cast("bigint").alias(c[2:])
+            for c in _CORR_COLS
+        ]
+    )
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for c in _CORR_COLS:
+        s = c[2:]
+        aggs.append(
+            F.sum(F.col(s).cast("decimal(38,0)")).alias(f"s_{s}")
+        )
+        aggs.append(
+            F.sum((F.col(s) * F.col(s)).cast("decimal(38,0)")).alias(
+                f"s_{s}_{s}"
+            )
+        )
+    for a, b in _corr_pairs():
+        x, y = a[2:], b[2:]
+        aggs.append(
+            F.sum((F.col(x) * F.col(y)).cast("decimal(38,0)")).alias(
+                f"s_{x}_{y}"
+            )
+        )
+    s = ints.agg(*aggs)
+
+    def corr_expr(x: str, y: str):
+        n = F.col("n").cast("double")
+        sx = F.col(f"s_{x}").cast("double")
+        sy = F.col(f"s_{y}").cast("double")
+        sxx = F.col(f"s_{x}_{x}").cast("double")
+        syy = F.col(f"s_{y}_{y}").cast("double")
+        sxy = F.col(f"s_{x}_{y}").cast("double")
+        return F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        )
+
+    # compute all pair correlations on the ONE result row, then unpivot
+    # with stack — re-referencing `s` once per pair would compile one
+    # lineitem scan per pair (exchange reuse across union branches does
+    # not fire; dedup._pin documents the contract)
+    wide = s.select(
+        "n",
+        *[
+            corr_expr(a[2:], b[2:]).alias(f"corr_{a[2:]}_{b[2:]}")
+            for a, b in _corr_pairs()
+        ],
+    )
+    arms = ", ".join(
+        f"'{a}', '{b}', corr_{a[2:]}_{b[2:]}" for a, b in _corr_pairs()
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_corr_pairs())}, {arms}) as (col_x, col_y, corr)"
+        ),
+        "n",
+    ).select("col_x", "col_y", "n", "corr").orderBy("col_x", "col_y")
+
+
+# --------------------------------------------------------------------------
+# orders_profile — SUMMARIZE-style per-column profile in one pass.
+# --------------------------------------------------------------------------
+_PROFILE_COLS = [
+    # (column, canonical min/max string expression template)
+    ("o_custkey", "CAST({c} AS STRING)"),
+    ("o_orderdate", "date_format({c}, 'yyyy-MM-dd')"),
+    ("o_orderpriority", "{c}"),
+    ("o_orderstatus", "{c}"),
+    ("o_totalprice", "CAST(CAST(round({c} * 100) AS BIGINT) AS STRING)"),
+]
+_PROFILE_ORACLE_FMT = {
+    "o_custkey": "{c}::VARCHAR",
+    "o_orderdate": "strftime({c}, '%Y-%m-%d')",
+    "o_orderpriority": "{c}",
+    "o_orderstatus": "{c}",
+    "o_totalprice": "(round({c} * 100)::BIGINT)::VARCHAR",
+}
+
+
+def _profile_oracle() -> str:
+    arms = []
+    for c, _ in _PROFILE_COLS:
+        fmt = _PROFILE_ORACLE_FMT[c]
+        arms.append(
+            f"""SELECT '{c}' AS column_name,
+                count(*)::BIGINT AS n_rows,
+                (count(*) - count({c}))::BIGINT AS n_null,
+                count(DISTINCT {c})::BIGINT AS n_distinct,
+                {fmt.format(c=f"min({c})")} AS min_val,
+                {fmt.format(c=f"max({c})")} AS max_val
+            FROM orders"""
+        )
+    return " UNION ALL ".join(arms) + " ORDER BY column_name"
+
+
+@query("orders_profile", oracle=_profile_oracle())
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUMMARIZE/ANALYZE-style table profile: per column, row count,
+    null count, EXACT distinct count, and canonical min/max — the
+    statistics a query optimizer's ANALYZE collects and a data
+    engineer's first look at an unfamiliar 100 TB table.
+
+    Scale: ONE pass. Spark compiles the multi-column DISTINCT
+    aggregate to its Expand plan — each input row fans to
+    #distinct-columns tagged rows, then a partial aggregate collapses
+    each (gid, value) group map-side BEFORE the one shuffle, so
+    shuffle volume is O(Σ per-column distinct values), not
+    O(rows × columns). min/max/null ride the same pass. The oracle
+    desugars to one UNION ALL arm per column (DuckDB re-scans per arm;
+    correctness-only). The per-column unpivot runs on the single
+    result row. Canonical strings (dates as yyyy-MM-dd, money as
+    integer cents) keep the schema uniform across column types.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c, fmt in _PROFILE_COLS:
+        aggs.append(
+            (F.count("*") - F.count(c)).cast("bigint").alias(f"null_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"))
+        aggs.append(F.expr(fmt.format(c=f"min({c})")).alias(f"min_{c}"))
+        aggs.append(F.expr(fmt.format(c=f"max({c})")).alias(f"max_{c}"))
+    s = orders.agg(*aggs)
+    # unpivot the ONE result row with stack — one union branch per
+    # column would compile one orders scan per column (exchange reuse
+    # across union branches does not fire)
+    arms = ", ".join(
+        f"'{c}', `null_{c}`, `nd_{c}`, `min_{c}`, `max_{c}`"
+        for c, _ in _PROFILE_COLS
+    )
+    return (
+        s.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {arms})"
+                " as (column_name, n_null, n_distinct, min_val, max_val)"
+            ),
+            "n_rows",
+        )
+        .select(
+            "column_name", "n_rows", "n_null", "n_distinct",
+            "min_val", "max_val",
+        )
+        .orderBy("column_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# dq_violation_counts — declarative data-quality rule suite (the
+# Deequ/dbt-tests class) in minimal scans.
+# --------------------------------------------------------------------------
+@query(
+    "dq_violation_counts",
+    oracle="""
+    WITH li AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END)::BIGINT AS qty_range,
+               sum(CASE WHEN l_extendedprice <= 0
+                        THEN 1 ELSE 0 END)::BIGINT AS nonpos_price,
+               sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                        THEN 1 ELSE 0 END)::BIGINT AS disc_range
+        FROM lineitem
+    ),
+    ord AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 ELSE 0 END)::BIGINT AS status_domain,
+               sum(CASE WHEN o_totalprice <= 0
+                        THEN 1 ELSE 0 END)::BIGINT AS nonpos_total,
+               (count(*) - count(DISTINCT o_orderkey))::BIGINT AS dup_key
+        FROM orders
+    ),
+    doc AS (
+        SELECT count(*)::BIGINT AS n,
+               (count(*) - count(DISTINCT doc_id))::BIGINT AS dup_id,
+               sum(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END)::BIGINT
+                   AS short_text,
+               sum(CASE WHEN n_chars != length(text)
+                        THEN 1 ELSE 0 END)::BIGINT AS nchars_mismatch
+        FROM documents
+    ),
+    li_orphan AS (
+        SELECT count(*)::BIGINT AS v FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+    ),
+    ord_orphan AS (
+        SELECT count(*)::BIGINT AS v FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT * FROM (
+        SELECT 'documents_dup_doc_id' AS rule, dup_id AS n_violations,
+               n AS n_checked FROM doc
+        UNION ALL
+        SELECT 'documents_nchars_mismatch', nchars_mismatch, n FROM doc
+        UNION ALL
+        SELECT 'documents_short_text', short_text, n FROM doc
+        UNION ALL
+        SELECT 'lineitem_discount_range', disc_range, n FROM li
+        UNION ALL
+        SELECT 'lineitem_nonpositive_price', nonpos_price, n FROM li
+        UNION ALL
+        SELECT 'lineitem_orphan_orderkey', li_orphan.v, li.n
+        FROM li_orphan, li
+        UNION ALL
+        SELECT 'lineitem_qty_range', qty_range, n FROM li
+        UNION ALL
+        SELECT 'orders_dup_orderkey', dup_key, n FROM ord
+        UNION ALL
+        SELECT 'orders_nonpositive_total', nonpos_total, n FROM ord
+        UNION ALL
+        SELECT 'orders_orphan_custkey', ord_orphan.v, ord.n
+        FROM ord_orphan, ord
+        UNION ALL
+        SELECT 'orders_status_domain', status_domain, n FROM ord
+    ) ORDER BY rule
+    """,
+)
+def dq_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (the Deequ / dbt-tests class):
+    eleven rules across three tables, reported as (rule, n_violations,
+    n_checked) — the trust report a 100 TB ingest publishes before any
+    downstream query runs.
+
+    Scale contract, by rule class — ONE pass per table, total:
+    - ROW-LEVEL rules (ranges, domains, non-positivity, derived-column
+      consistency) are conditional sums in one aggregate: map-only
+      partials to a single row. Adding a rule adds an expression,
+      never a pass.
+    - REFERENTIAL rules fold into the SAME pass: the fact side left
+      joins the reference's DEDUPED key column (dedup keeps the left
+      row count exact even if the reference itself violated
+      uniqueness), and the orphan count is one more conditional sum
+      on the join's null side. AQE broadcasts the key side when it
+      fits, shuffles on the key when it doesn't.
+    - UNIQUENESS rules ride the same aggregate as count(*) −
+      count(DISTINCT key) via the Expand plan (map-side partial dedup
+      before the one shuffle).
+    Each table's rules then STACK from its single result row — one
+    subtree per table, never re-referenced (exchange reuse across
+    union branches does not fire; see dedup._pin's contract), so the
+    whole suite is exactly three scans + two key joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def flag(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    ord_keys = orders.select(
+        F.col("o_orderkey").alias("ref_orderkey")
+    ).distinct()
+    li_agg = (
+        li.select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(ord_keys, F.col("l_orderkey") == F.col("ref_orderkey"), "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            flag(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+            ).alias("qty_range"),
+            flag(F.col("l_extendedprice") <= 0).alias("nonpos_price"),
+            flag(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)
+            ).alias("disc_range"),
+            flag(F.col("ref_orderkey").isNull()).alias("orphan"),
+        )
+    )
+    cust_keys = cust.select(
+        F.col("c_custkey").alias("ref_custkey")
+    ).distinct()
+    ord_agg = (
+        orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .join(cust_keys, F.col("o_custkey") == F.col("ref_custkey"), "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            flag(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+                "status_domain"
+            ),
+            flag(F.col("o_totalprice") <= 0).alias("nonpos_total"),
+            (F.count("*") - F.count_distinct(F.col("o_orderkey")))
+            .cast("bigint")
+            .alias("dup_key"),
+            flag(F.col("ref_custkey").isNull()).alias("orphan"),
+        )
+    )
+    doc_agg = docs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.count("*") - F.count_distinct(F.col("doc_id")))
+        .cast("bigint")
+        .alias("dup_id"),
+        flag(F.col("n_chars") < 50).alias("short_text"),
+        flag(F.col("n_chars") != F.length("text")).alias("nchars_mismatch"),
+    )
+
+    def stacked(agg_row: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+        arms = ", ".join(f"'{name}', {col}" for name, col in rules)
+        return agg_row.select(
+            F.expr(
+                f"stack({len(rules)}, {arms}) as (rule, n_violations)"
+            ),
+            F.col("n").alias("n_checked"),
+        )
+
+    out = (
+        stacked(
+            doc_agg,
+            [
+                ("documents_dup_doc_id", "dup_id"),
+                ("documents_nchars_mismatch", "nchars_mismatch"),
+                ("documents_short_text", "short_text"),
+            ],
+        )
+        .unionAll(
+            stacked(
+                li_agg,
+                [
+                    ("lineitem_discount_range", "disc_range"),
+                    ("lineitem_nonpositive_price", "nonpos_price"),
+                    ("lineitem_orphan_orderkey", "orphan"),
+                    ("lineitem_qty_range", "qty_range"),
+                ],
+            )
+        )
+        .unionAll(
+            stacked(
+                ord_agg,
+                [
+                    ("orders_dup_orderkey", "dup_key"),
+                    ("orders_nonpositive_total", "nonpos_total"),
+                    ("orders_orphan_custkey", "orphan"),
+                    ("orders_status_domain", "status_domain"),
+                ],
+            )
+        )
+    )
+    return out.orderBy("rule")
+
+
+# --------------------------------------------------------------------------
+# flag_status_mutual_info — categorical dependence readout for feature
+# selection (information-theoretic profiling).
+# --------------------------------------------------------------------------
+@query(
+    "flag_status_mutual_info",
+    oracle="""
+    WITH cells AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               count(*)::BIGINT AS nxy
+        FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(nxy)::BIGINT AS n FROM cells),
+    mx AS (SELECT rf, sum(nxy)::BIGINT AS nx FROM cells GROUP BY rf),
+    my AS (SELECT ls, sum(nxy)::BIGINT AS ny FROM cells GROUP BY ls)
+    SELECT c.rf AS l_returnflag, c.ls AS l_linestatus,
+           c.nxy AS n_joint,
+           round(ln(c.nxy::DOUBLE * t.n::DOUBLE
+                    / (mx.nx::DOUBLE * my.ny::DOUBLE)), 6) AS pmi_nats,
+           round((c.nxy::DOUBLE / t.n::DOUBLE)
+                 * ln(c.nxy::DOUBLE * t.n::DOUBLE
+                      / (mx.nx::DOUBLE * my.ny::DOUBLE)), 6)
+               AS mi_contrib_nats
+    FROM cells c
+    JOIN mx USING (rf) JOIN my USING (ls) CROSS JOIN tot t
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def flag_status_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-dependence profile: pointwise and total mutual
+    information between l_returnflag and l_linestatus from ONE count
+    aggregate — the feature-selection readout ('are these two columns
+    redundant?') that at 100 TB must come from counts, not samples.
+
+    Scale: one (flag × status) groupBy over the fact table — the only
+    pass over data. Margins and the total derive from the TINY cells
+    frame (≤ |flags|·|statuses| rows), so the joins and the
+    unpartitioned sum all run on a config-sized frame, the same shape
+    corpus_source_drift uses for its KL margins. Counts are exact
+    BIGINTs; the single ln(·) per output row is computed with the
+    identical expression in both engines (round 6).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count("*").cast("bigint").alias("nxy"))
+    from open_pulsar_spark.operators.dedup import _pin
+
+    cells = _pin("mi_cells", cells)
+    mx = cells.groupBy("rf").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    my = cells.groupBy("ls").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    # the total comes from an unpartitioned window over the JOINED
+    # frame (each cell appears exactly once, so the window sum is the
+    # grand total) — fine because the frame is ≤ |flags|·|statuses|
+    # rows, and it avoids the 1-row cross join's nested-loop plan
+    # (the corpus_source_drift margin pattern)
+    from pyspark.sql.window import Window
+
+    joined = (
+        cells.join(mx, "rf")
+        .join(my, "ls")
+        .withColumn(
+            "n", F.sum("nxy").over(Window.partitionBy()).cast("bigint")
+        )
+    )
+    ratio = (
+        F.col("nxy").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+    )
+    return joined.select(
+        F.col("rf").alias("l_returnflag"),
+        F.col("ls").alias("l_linestatus"),
+        F.col("nxy").alias("n_joint"),
+        F.round(F.log(ratio), 6).alias("pmi_nats"),
+        F.round(
+            (F.col("nxy").cast("double") / F.col("n").cast("double"))
+            * F.log(ratio),
+            6,
+        ).alias("mi_contrib_nats"),
+    ).orderBy("l_returnflag", "l_linestatus")

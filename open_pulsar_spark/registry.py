@@ -50,6 +50,7 @@ def load_all() -> None:
         dedup,
         graph,
         multimodal,
+        profiling,
         relational,
         relational_ext,
         similarity,
