@@ -120,6 +120,7 @@ EXTRA = [
     "orders_profile",
     "dq_violation_counts",
     "flag_status_mutual_info",
+    "dedup_jaccard_prefix_join",
 ]
 
 HEADLINE = [
