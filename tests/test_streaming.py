@@ -1438,6 +1438,107 @@ def test_kmv_stream_folds_to_batch_estimate(spark, workdir):
     assert [tuple(r) for r in kmv_estimates(spark, store).collect()] == want
 
 
+def test_dq_stream_folds_to_batch_counts(spark, workdir):
+    """Streaming DQ ledger: delivering the corpus in three epochs and
+    folding must reproduce the batch conditional-sum aggregate over
+    the whole table exactly (the counts are additive); a replayed
+    epoch is a no-op (overwrite, never double-add); epoch-less writes
+    are refused (additive folds have no safe -1 sentinel). The two
+    rules shared with the batch suite match dq_violation_counts'
+    documents rows on the same table."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.dq_stream import (
+        DQ_STREAM_RULES,
+        read_dq,
+        update_dq,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    store = f"{workdir}/dq_store"
+    update_dq(spark, docs.where(F.col("doc_id") % 3 == 0), store, 0)
+    update_dq(spark, docs.where(F.col("doc_id") % 3 == 1), store, 1)
+    update_dq(spark, docs.where(F.col("doc_id") % 3 == 2), store, 2)
+
+    n_docs = docs.count()
+    want = sorted(
+        (
+            name,
+            docs.where(F.expr(pred)).count(),
+            n_docs,
+        )
+        for name, pred in DQ_STREAM_RULES
+    )
+    got = [tuple(r) for r in read_dq(spark, store).collect()]
+    assert got == want
+
+    # replay of a committed epoch: no-op (never double-adds)
+    update_dq(spark, docs.where(F.col("doc_id") % 3 == 0), store, 0)
+    assert [tuple(r) for r in read_dq(spark, store).collect()] == want
+
+    # epoch-less writes are refused outright
+    with pytest.raises(ValueError):
+        update_dq(spark, docs, store, None)
+
+    # shared rules agree with the batch suite's documents rows
+    batch = {
+        r.rule: (r.n_violations, r.n_checked)
+        for r in all_queries()["dq_violation_counts"](spark, SF_SMALL)
+        .collect()
+        if r.rule.startswith("documents_")
+    }
+    ledger = {t[0]: (t[1], t[2]) for t in got}
+    for shared in ("documents_short_text", "documents_nchars_mismatch"):
+        assert ledger[shared] == batch[shared]
+
+
+def test_dq_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_dq_stream wires the ledger as an actual Structured
+    Streaming query (file source, maxFilesPerTrigger=1 → multiple
+    epochs): after processAllAvailable the fold equals the one-shot
+    batch ledger, and forced auto-compaction (max_segments=1) leaves
+    it unchanged (reads dedup on (epoch, rule) first)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.dq_stream import (
+        read_dq,
+        start_dq_stream,
+        update_dq,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    src = f"{workdir}/docs_dqsrc"
+    docs.where(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+    store = f"{workdir}/dq_live"
+    q = start_dq_stream(
+        spark,
+        spark.readStream.schema(
+            "doc_id LONG, source STRING, text STRING, n_chars LONG"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/dq_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/dq_ref"
+    update_dq(spark, docs, ref, 0)
+    got = [tuple(r) for r in read_dq(spark, store).collect()]
+    want = [tuple(r) for r in read_dq(spark, ref).collect()]
+    assert got == want
+
+
 def test_posting_stream_folds_to_batch_index(spark, workdir):
     """Streaming posting index: delivering the corpus in three epochs
     and folding must reproduce term_posting_index's posting samples
