@@ -121,6 +121,8 @@ EXTRA = [
     "dq_violation_counts",
     "flag_status_mutual_info",
     "dedup_jaccard_prefix_join",
+    "segment_revenue_theilsen",
+    "part_affinity_lift",
 ]
 
 HEADLINE = [

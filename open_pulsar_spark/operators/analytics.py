@@ -849,6 +849,126 @@ def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# segment_revenue_theilsen — robust (median-of-pairwise-slopes) trend,
+# the Theil–Sen twin of segment_revenue_trend's OLS.
+# --------------------------------------------------------------------------
+@query(
+    "segment_revenue_theilsen",
+    oracle="""
+    WITH m AS (
+        SELECT c.c_mktsegment AS segment,
+               date_trunc('month', o.o_orderdate) AS month,
+               sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    mm AS (SELECT segment, min(month) AS m0 FROM m GROUP BY segment),
+    x AS (SELECT m.segment,
+                 date_diff('month', mm.m0, m.month)::BIGINT AS x,
+                 m.cents AS y
+          FROM m JOIN mm USING (segment)),
+    slopes AS (
+        SELECT a.segment,
+               (b.y - a.y)::DOUBLE / (b.x - a.x)::DOUBLE AS s
+        FROM x a JOIN x b ON a.segment = b.segment AND a.x < b.x
+    ),
+    ranked AS (
+        SELECT segment, s,
+               row_number() OVER (PARTITION BY segment ORDER BY s) AS rk,
+               count(*) OVER (PARTITION BY segment) AS np
+        FROM slopes
+    )
+    SELECT segment,
+           max(np)::BIGINT AS n_pairs,
+           round(avg(s), 6) AS theilsen_slope_cents_per_month
+    FROM ranked
+    WHERE rk IN ((np + 1) // 2, (np + 2) // 2)
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def segment_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per market segment: the MEDIAN of all
+    pairwise slopes of monthly revenue — the estimator that shrugs off
+    the outlier months that drag segment_revenue_trend's OLS around
+    (up to ~29% contamination). The robust/classical pair is the
+    standard monitoring setup: OLS for efficiency, Theil–Sen to tell
+    you when OLS is lying.
+
+    Scale: the expensive part never touches the fact table — the
+    orders↔customer join and monthly rollup reduce the corpus to a
+    (segment × months) frame first, and the O(months²) pairwise
+    self-join runs on THAT config-sized frame (the revenue_pareto
+    philosophy: do the quadratic thing only after the distributive
+    reduction). Slope numerators/denominators are exact integers
+    (cents, month index), so each pairwise slope is one IEEE division
+    both engines compute identically; the median is the explicit
+    two-middle-ranks average (row_number, not percentile
+    interpolation) so even-count medians are the same arithmetic in
+    both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    monthly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    m0 = monthly.groupBy("segment").agg(F.min("month").alias("m0"))
+    from open_pulsar_spark.operators.dedup import _pin
+
+    xy = _pin(
+        "theilsen_xy",
+        monthly.join(F.broadcast(m0), "segment").select(
+            "segment",
+            F.months_between("month", "m0").cast("bigint").alias("x"),
+            F.col("cents").alias("y"),
+        ),
+    )
+    a = xy.select("segment", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = xy.select("segment", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, "segment")
+        .where(F.col("xa") < F.col("xb"))
+        .select(
+            "segment",
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("s")
+    ranked = slopes.select(
+        "segment",
+        "s",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("segment")).alias("np"),
+    )
+    return (
+        ranked.where(
+            (F.col("rk") == F.expr("(np + 1) div 2"))
+            | (F.col("rk") == F.expr("(np + 2) div 2"))
+        )
+        .groupBy("segment")
+        .agg(
+            F.max("np").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("s"), 6).alias("theilsen_slope_cents_per_month"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
 # ab_test_report — deterministic-hash experiment assignment + outcome
 # report (the experimentation-analytics class).
 # --------------------------------------------------------------------------
@@ -1281,3 +1401,106 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema)
     release()
     return result
+
+
+# --------------------------------------------------------------------------
+# part_affinity_lift — association-rule mining (support/confidence/lift)
+# over the co-purchase baskets, the market-basket readout the pagerank
+# graph is built from.
+# --------------------------------------------------------------------------
+AFFINITY_MIN_PAIRS = 2   # support floor: a pair seen once is noise
+AFFINITY_TOP = 20
+
+
+@query(
+    "part_affinity_lift",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT ok)::BIGINT AS n_baskets FROM op),
+    items AS (SELECT pk, count(*)::BIGINT AS c FROM op GROUP BY pk),
+    pairs AS (
+        SELECT a.pk AS pk_a, b.pk AS pk_b, count(*)::BIGINT AS c_ab
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        HAVING count(*) >= {AFFINITY_MIN_PAIRS}
+    )
+    SELECT p.pk_a, p.pk_b, p.c_ab, ia.c AS c_a, ib.c AS c_b,
+           round(p.c_ab::DOUBLE / n.n_baskets::DOUBLE, 6) AS support,
+           round(p.c_ab::DOUBLE / ia.c::DOUBLE, 6) AS conf_a_to_b,
+           round(n.n_baskets::DOUBLE * p.c_ab::DOUBLE
+                 / (ia.c::DOUBLE * ib.c::DOUBLE), 6) AS lift
+    FROM pairs p
+    JOIN items ia ON ia.pk = p.pk_a
+    JOIN items ib ON ib.pk = p.pk_b
+    CROSS JOIN n
+    ORDER BY p.c_ab DESC, p.pk_a, p.pk_b
+    LIMIT {AFFINITY_TOP}
+    """,
+)
+def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over part co-purchases: for the
+    top pairs by co-occurrence, support, confidence and lift — the
+    classic recommendation readout ('customers who bought A also
+    bought B, {{lift}}× more often than chance').
+
+    Scale: baskets are the deduped (order, part) projection; the pair
+    build is ONE self-join on orderkey (bounded per-order fan-out, so
+    the pair list is O(|lineitem|) — the same edge-build contract as
+    part_copurchase_pagerank), immediately aggregated with a support
+    floor so the singleton-pair tail (97% of pairs here) never reaches
+    the item joins. Item counts and the basket total are one aggregate
+    each; the two item joins are keyed equi-joins on the floored pair
+    frame. Ordering and the top-k cut are INTEGER (c_ab desc, then
+    keys) — TakeOrdered, no global sort, and no float in the ordering
+    so ties cannot hinge on libm. All counts are exact BIGINTs; the
+    three ratios are the only floats, computed with the oracle's
+    expression shape (round 6). The basket total attaches as a
+    LITERAL (one bounded scalar collect, similarity.py's broadcast
+    contract) rather than a 1-row cross join, keeping the plan guard's
+    no-nested-loop invariant.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    op = _pin("affinity_op", li.distinct())
+    n_baskets = op.select(F.count_distinct("ok")).first()[0]
+    items = op.groupBy("pk").agg(F.count("*").cast("bigint").alias("c"))
+    a = op.select(F.col("ok"), F.col("pk").alias("pk_a"))
+    b = op.select(F.col("ok"), F.col("pk").alias("pk_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pk_a") < F.col("pk_b"))
+        .groupBy("pk_a", "pk_b")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .where(F.col("c_ab") >= AFFINITY_MIN_PAIRS)
+    )
+    ia = items.select(F.col("pk").alias("pk_a"), F.col("c").alias("c_a"))
+    ib = items.select(F.col("pk").alias("pk_b"), F.col("c").alias("c_b"))
+    nb = F.lit(float(n_baskets))
+    return (
+        pairs.join(ia, "pk_a")
+        .join(ib, "pk_b")
+        .select(
+            "pk_a",
+            "pk_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(F.col("c_ab").cast("double") / nb, 6).alias("support"),
+            F.round(
+                F.col("c_ab").cast("double") / F.col("c_a").cast("double"), 6
+            ).alias("conf_a_to_b"),
+            F.round(
+                nb
+                * F.col("c_ab").cast("double")
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("c_ab"), "pk_a", "pk_b")
+        .limit(AFFINITY_TOP)
+    )
