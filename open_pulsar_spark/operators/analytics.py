@@ -762,6 +762,47 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # segment_revenue_trend — closed-form distributed OLS slope per segment.
 # --------------------------------------------------------------------------
+def _segment_monthly_xy(spark: SparkSession, sf_dir: str, pin_name: str) -> DataFrame:
+    """(segment, x, y): monthly revenue in exact integer cents, indexed
+    by integer month offset from each segment's first month — the
+    shared input of the OLS (segment_revenue_trend) and Theil–Sen
+    (segment_revenue_theilsen) twins, factored so the oracle-parity-
+    critical cents expression cannot diverge between them.
+
+    The monthly rollup is PINNED: it feeds both its own min-month
+    aggregate and the join back, and exchange reuse does not fire
+    across two consumers of one lineage (dedup._pin's contract) — the
+    orders↔customer join + rollup, the only fact-table pass, must
+    execute once. Callers pass a query-unique pin name (the cache
+    registry is app-scoped)."""
+    from open_pulsar_spark.operators.dedup import _pin
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    monthly = _pin(
+        pin_name,
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        ),
+    )
+    m0 = monthly.groupBy("segment").agg(F.min("month").alias("m0"))
+    return monthly.join(F.broadcast(m0), "segment").select(
+        "segment",
+        F.months_between("month", "m0").cast("bigint").alias("x"),
+        F.col("cents").alias("y"),
+    )
+
+
+
 @query(
     "segment_revenue_trend",
     oracle="""
@@ -807,28 +848,7 @@ def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     config-sized frame. Degenerate series (a single month) yield NULL
     slope rather than a division error.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
-    )
-    monthly = (
-        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            F.date_trunc("month", "o_orderdate").alias("month"),
-        )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("cents")
-        )
-    )
-    m0 = monthly.groupBy("segment").agg(F.min("month").alias("m0"))
-    xy = monthly.join(F.broadcast(m0), "segment").select(
-        "segment",
-        F.months_between("month", "m0").cast("bigint").alias("x"),
-        F.col("cents").alias("y"),
-    )
+    xy = _segment_monthly_xy(spark, sf_dir, "trend_monthly")
     s = xy.groupBy("segment").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
@@ -907,32 +927,11 @@ def segment_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation) so even-count medians are the same arithmetic in
     both engines.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
-    )
-    monthly = (
-        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            F.date_trunc("month", "o_orderdate").alias("month"),
-        )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("cents")
-        )
-    )
-    m0 = monthly.groupBy("segment").agg(F.min("month").alias("m0"))
     from open_pulsar_spark.operators.dedup import _pin
 
+    # pin xy too: the pairwise self-join consumes it twice
     xy = _pin(
-        "theilsen_xy",
-        monthly.join(F.broadcast(m0), "segment").select(
-            "segment",
-            F.months_between("month", "m0").cast("bigint").alias("x"),
-            F.col("cents").alias("y"),
-        ),
+        "theilsen_xy", _segment_monthly_xy(spark, sf_dir, "theilsen_monthly")
     )
     a = xy.select("segment", F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = xy.select("segment", F.col("x").alias("xb"), F.col("y").alias("yb"))

@@ -9,7 +9,8 @@ Shared scale contract: every statistic here is either (a) an algebraic
 sum whose partials merge (map-side combine, one reduce to O(1) rows),
 (b) the Expand plan Spark compiles multi-column DISTINCT aggregates to
 (rows × #distinct-columns through ONE shuffle, partially aggregated
-map-side), or (c) a key-distinct anti-join (referential rules). No
+map-side), or (c) a left join against a DEDUPED reference key whose
+null side feeds one more conditional sum (referential rules). No
 operator here ever materializes more than O(#columns + #rules) rows on
 the driver; floats appear only in the final O(1)-row projection,
 computed with the identical expression shape as the DuckDB oracle so

@@ -36,11 +36,20 @@ builder's job, probing a handful is the serve path's.
 
 Unlike the hash-only stores (kmv, cms, drift), this store carries raw
 doc_ids — so it needs the same right-to-be-forgotten path as the
-neardup/embedding indexes: delete_from_posting_index rewrites the
-store without the purged ids (compact_segments' drop_ids protocol).
+neardup/embedding indexes, PLUS one hazard those share but this store
+must close: an at-least-once replay can RECOMPUTE a purged document's
+rows from source (epoch committed → compaction removed its dir →
+crash before the checkpoint commit → replay rebuilds the epoch).
+A one-time rewrite therefore cannot make the guarantee absolute;
+deletions are durable TOMBSTONES (a sibling parquet store) that
+delete_from_posting_index appends to and every read anti-joins —
+the physical rows are also dropped at delete time (compact_segments'
+drop_ids protocol), but serving correctness never depends on that.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,6 +65,21 @@ from open_pulsar_spark.streaming.segments import (
 _PARTIAL_SCHEMA = "term STRING, doc_id LONG, epoch LONG"
 _DEDUP_KEYS = ["epoch", "term", "doc_id"]
 _CLUSTER_COLS = ["term"]
+
+
+def _tombstone_path(store_path: str) -> str:
+    # a SIBLING of the store root, not inside it — segment listing
+    # treats any committed dir under the root as data
+    return store_path.rstrip("/") + ".tombstones"
+
+
+def _read_tombstones(spark: SparkSession, store_path: str) -> DataFrame | None:
+    path = _tombstone_path(store_path)
+    if not os.path.isdir(path):
+        return None
+    return spark.read.schema("doc_id LONG").parquet(path).dropDuplicates(
+        ["doc_id"]
+    )
 
 
 def _posting_partial(docs: DataFrame) -> DataFrame:
@@ -91,44 +115,69 @@ def read_postings(
     bottom-k of the distinct union of every segment's rows,
     bit-identical to the batch index's sample over the same rows.
     Pass `terms` (a 1-column DataFrame or an iterable of strings) to
-    merge only the probed terms — a broadcast left-semi join, not an
-    IN literal, so a contamination check probing thousands of n-gram
-    terms costs one join, not an O(|terms|) py4j expression."""
+    merge only the probed terms — a left-semi join, not an IN literal,
+    so a contamination check probing thousands of n-gram terms costs
+    one join, not an O(|terms|) py4j expression (and AQE picks
+    broadcast-vs-shuffle by the probe's actual size — a benchmark-
+    scale probe of millions of n-grams must not be force-broadcast).
+    Tombstoned doc_ids are excluded unconditionally (module
+    docstring: serving correctness never depends on the physical
+    delete having stuck through a replay)."""
     raw = read_segments(spark, store_path, _PARTIAL_SCHEMA)
     if raw is None:
         return spark.createDataFrame(
             [], "term STRING, posting_sample STRING"
         )
     rows = raw.select("term", "doc_id")
+    tomb = _read_tombstones(spark, store_path)
+    if tomb is not None:
+        rows = rows.join(tomb, "doc_id", "left_anti")
     if terms is not None:
         if not isinstance(terms, DataFrame):
             terms = spark.createDataFrame(
                 [(str(t),) for t in terms], "term STRING"
             )
-        probe = terms.select("term").dropDuplicates(["term"])
-        rows = rows.join(F.broadcast(probe), "term", "left_semi")
+        probe = terms.toDF("term").dropDuplicates(["term"])
+        rows = rows.join(probe, "term", "left_semi")
     return _posting_merge(rows)
 
 
 def delete_from_posting_index(
     spark: SparkSession, store_path: str, doc_ids, target_files: int = 8
 ) -> int:
-    """DELETE PROPAGATION (right-to-be-forgotten): rewrite the posting
-    store without the given doc_ids — they vanish from every future
-    posting_sample, so an attribution lookup can no longer surface a
-    purged document (tested). `doc_ids` is a 1-column DataFrame or an
-    iterable of ids. Returns surviving row count. The rewrite IS a
-    compaction (same crash-safe segment-swap protocol as
-    neardup_stream.delete_from_index). Deletion is exact on the stored
-    partial rows (the fold is unchanged); because the store is a
-    bottom-k SAMPLE, a purged term's sample may hold fewer ids than a
-    fresh rebuild over the surviving corpus would — candidates
-    truncated at ingest are not recoverable. The RTBF guarantee
-    (purged ids never served) is absolute either way."""
+    """DELETE PROPAGATION (right-to-be-forgotten): durably tombstone
+    the given doc_ids, then rewrite the posting store without them.
+    `doc_ids` is a 1-column DataFrame or an iterable of ids. Returns
+    surviving row count.
+
+    Two layers, and the ORDER is the contract:
+    1. The ids append to the sibling tombstone store FIRST — every
+       read anti-joins tombstones, so from this moment the ids cannot
+       be served even if a crash-window epoch replay recomputes their
+       rows from source (the hazard a one-time rewrite cannot close:
+       epoch committed → compaction removed its dir → crash before
+       the checkpoint commit → replay rebuilds the epoch, purged rows
+       included).
+    2. The physical rows are dropped by a compaction carrying the
+       FULL tombstone set as drop_ids (same crash-safe segment-swap
+       protocol as neardup_stream.delete_from_index) — storage
+       hygiene, re-run safe, and re-applied by any later delete.
+
+    Deletion is exact on the stored partial rows (the fold is
+    unchanged); because the store is a bottom-k SAMPLE, a purged
+    term's sample may hold fewer ids than a fresh rebuild over the
+    surviving corpus would — candidates truncated at ingest are not
+    recoverable. The RTBF guarantee (purged ids never served) is
+    absolute via layer 1 (tested, including the replay-after-delete
+    window)."""
     if not isinstance(doc_ids, DataFrame):
         doc_ids = spark.createDataFrame(
             [(int(i),) for i in doc_ids], "doc_id LONG"
         )
+    doc_ids.toDF("doc_id").dropDuplicates(["doc_id"]).write.mode(
+        "append"
+    ).parquet(_tombstone_path(store_path))
+    all_tombs = _read_tombstones(spark, store_path)
     return compact_segments(
         spark,
         store_path,
@@ -136,7 +185,7 @@ def delete_from_posting_index(
         dedup_keys=_DEDUP_KEYS,
         cluster_cols=_CLUSTER_COLS,
         target_files=target_files,
-        drop_ids=doc_ids,
+        drop_ids=all_tombs,
         id_col="doc_id",
     )
 

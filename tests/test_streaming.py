@@ -1663,9 +1663,27 @@ def test_posting_stream_delete_propagation(spark, workdir):
     want = sorted(tuple(r) for r in want_df.collect())
     assert got == want
 
-    # DataFrame-typed probe: same rows as the list-typed probe
+    # the crash-replay window: an epoch replay whose segment dir was
+    # compacted away recomputes the batch FROM SOURCE, purged rows
+    # included — the durable tombstone must keep the victim unservable
+    # anyway (the docstring's 'absolute' clause)
+    update_postings(
+        spark, docs.where(F.col("doc_id") == victim), store, None
+    )
+    replayed = read_postings(spark, store)
+    assert (
+        replayed.where(
+            F.array_contains(
+                F.split("posting_sample", ","), F.lit(str(victim))
+            )
+        ).count()
+        == 0
+    )
+
+    # DataFrame-typed probe: same rows as the list-typed probe, and a
+    # probe whose column is not named 'term' is normalized, not an error
     probe = [r.term for r in after.select("term").limit(3).collect()]
-    probe_df = spark.createDataFrame([(t,) for t in probe], "term STRING")
+    probe_df = spark.createDataFrame([(t,) for t in probe], "ngram STRING")
     got_df = sorted(
         tuple(r) for r in read_postings(spark, store, terms=probe_df).collect()
     )
