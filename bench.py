@@ -123,6 +123,7 @@ EXTRA = [
     "dedup_jaccard_prefix_join",
     "segment_revenue_theilsen",
     "part_affinity_lift",
+    "dedup_lsh_recall_full",
 ]
 
 HEADLINE = [

@@ -831,7 +831,21 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (1.5%) → 256 verified survivors — the filter does the O(n²)
     pruning, the bounded verify does the exactness.
     """
-    sh = _pin("ppj_sh", _shingled(spark, sf_dir))
+    return _prefix_jaccard_pairs(
+        spark, sf_dir, PPJ_TAU_NUM, PPJ_TAU_DEN, "ppj_sh"
+    ).orderBy("a_id", "b_id")
+
+
+def _prefix_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, num: int, den: int, pin_name: str
+) -> DataFrame:
+    """Exact J ≥ num/den pairs (a_id, b_id, jaccard) over the whole
+    corpus via prefix filtering — the parameterized builder behind
+    dedup_jaccard_prefix_join (see its docstring for the theorem and
+    the scale contract) and the corpus-wide recall harness. All prefix
+    and threshold arithmetic is integer (num/den rational), never
+    float τ."""
+    sh = _pin(pin_name, _shingled(spark, sf_dir))
     sized = sh.select("doc_id", F.size("sh").alias("n"), "sh")
     tok = sized.select(
         "doc_id",
@@ -844,13 +858,7 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy("df", "h", "t")
     # prefix length p = n − ⌈τ·n⌉ + 1, with ⌈(num·n)/den⌉ done as
     # integer (num·n + den − 1) div den
-    p = (
-        F.col("n")
-        - F.expr(
-            f"({PPJ_TAU_NUM} * n + {PPJ_TAU_DEN - 1}) div {PPJ_TAU_DEN}"
-        )
-        + 1
-    )
+    p = F.col("n") - F.expr(f"({num} * n + {den - 1}) div {den}") + 1
     pref = (
         tok.join(dfreq, "h")
         .withColumn("rk", F.row_number().over(w))
@@ -868,10 +876,7 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             (F.col("a_id") < F.col("b_id"))
             # length filter: J ≥ τ ⟹ τ·max(|a|,|b|) ≤ min(|a|,|b|)
-            & (
-                PPJ_TAU_DEN * F.least("na", "nb")
-                >= PPJ_TAU_NUM * F.greatest("na", "nb")
-            )
+            & (den * F.least("na", "nb") >= num * F.greatest("na", "nb"))
         )
         .select("a_id", "b_id")
         .distinct()
@@ -886,15 +891,14 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer-exact τ test: o/(na+nb−o) ≥ num/den ⟺
         # (den+num)·o ≥ num·(na+nb)
         .where(
-            (PPJ_TAU_DEN + PPJ_TAU_NUM) * inter
-            >= PPJ_TAU_NUM * (F.size("sh_a") + F.size("sh_b"))
+            (den + num) * inter
+            >= num * (F.size("sh_a") + F.size("sh_b"))
         )
         .select(
             "a_id",
             "b_id",
             F.round(inter * F.lit(1.0) / union, 6).alias("jaccard"),
         )
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -969,6 +973,82 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     sh.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                row.n_true,
+                row.n_lsh,
+                row.n_hit,
+                round(row.n_hit * 1.0 / max(row.n_true, 1), 6),
+                round(row.n_hit * 1.0 / max(row.n_lsh, 1), 6),
+            )
+        ],
+        "n_true LONG, n_lsh LONG, n_hit LONG, recall DOUBLE, precision DOUBLE",
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_lsh_recall_full — WHOLE-CORPUS LSH recall, graded against the
+# prefix-filter exact join (no slice bound).
+# --------------------------------------------------------------------------
+RECALL_FULL_NUM, RECALL_FULL_DEN = 1, 2  # τ = JACCARD_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_lsh_recall_full",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTE},
+    truth AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+        WHERE {RECALL_FULL_DEN + RECALL_FULL_NUM}
+                  * len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+              >= {RECALL_FULL_NUM} * (len(a.sh) + len(b.sh))
+    )
+    SELECT (SELECT count(*) FROM truth)                              AS n_true,
+           (SELECT count(*) FROM pairs)                              AS n_lsh,
+           (SELECT count(*) FROM truth t JOIN pairs p USING (a_id, b_id)) AS n_hit,
+           round((SELECT count(*) FROM truth t JOIN pairs p USING (a_id, b_id)) * 1.0
+                 / greatest((SELECT count(*) FROM truth), 1), 6)     AS recall,
+           round((SELECT count(*) FROM truth t JOIN pairs p USING (a_id, b_id)) * 1.0
+                 / greatest((SELECT count(*) FROM pairs), 1), 6)     AS precision
+    """,
+)
+def dedup_lsh_recall_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-CORPUS recall/precision of the MinHash-LSH pair detector —
+    dedup_lsh_recall without its doc_id < {RECALL_SLICE} slice, which
+    existed only because exact ground truth used to require the O(n²)
+    self-join. The prefix-filter exact join (dedup_jaccard_prefix_join's
+    builder, here at τ = {RECALL_FULL_NUM}/{RECALL_FULL_DEN} to match
+    JACCARD_THRESHOLD) computes corpus-wide truth with candidates
+    bounded by rare-token prefixes, so the harness now grades LSH on
+    every pair it will actually face — including the band-collision
+    and truncated-sketch edge cases a 400-doc slice can miss.
+
+    Disagreements are the MEASUREMENT, not a bug: truth is raw-shingle
+    Jaccard (exact); the detector verifies on its 32-bit hash SKETCH
+    sets (dedup_minhash_lsh's serving semantics, boundary-J pairs can
+    land either side) after probabilistic band candidacy. Scale: both
+    sides are bounded-candidate equi-join plans; the final full-outer
+    classification is one pass over two pair sets (the
+    dedup_lsh_recall pattern — one job for all three counts).
+    """
+    truth = _prefix_jaccard_pairs(
+        spark, sf_dir, RECALL_FULL_NUM, RECALL_FULL_DEN, "ppj_sh_half"
+    ).select("a_id", "b_id")
+    lsh = _minhash_pairs(spark, sf_dir).select("a_id", "b_id")
+    row = (
+        truth.withColumn("_t", F.lit(1))
+        .join(lsh.withColumn("_l", F.lit(1)), ["a_id", "b_id"], "full_outer")
+        .agg(
+            F.count("_t").alias("n_true"),
+            F.count("_l").alias("n_lsh"),
+            F.count(
+                F.when(F.col("_t").isNotNull() & F.col("_l").isNotNull(), 1)
+            ).alias("n_hit"),
+        )
+        .collect()[0]
+    )
     return spark.createDataFrame(
         [
             (
