@@ -124,6 +124,7 @@ EXTRA = [
     "segment_revenue_theilsen",
     "part_affinity_lift",
     "dedup_lsh_recall_full",
+    "embedding_covariance_topk",
 ]
 
 HEADLINE = [

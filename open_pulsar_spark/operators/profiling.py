@@ -515,3 +515,130 @@ def flag_status_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mi_contrib_nats"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+# --------------------------------------------------------------------------
+# embedding_covariance_topk — dimension-correlation profile of the
+# embedding space (the embedding-side member of the profiling family).
+# --------------------------------------------------------------------------
+COV_TOPK = 15
+
+
+def _cov_oracle() -> str:
+    from open_pulsar_spark.operators.clustering import DIM, SCALE
+
+    q = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {SCALE} + 0.5) AS BIGINT))"
+    )
+    return f"""
+    WITH q AS (SELECT {q} AS qv FROM embeddings),
+    n AS (SELECT count(*)::BIGINT AS n FROM q),
+    dims AS (
+        SELECT t.i AS d,
+               sum(qv[t.i + 1])::HUGEINT AS s,
+               sum(qv[t.i + 1] * qv[t.i + 1])::HUGEINT AS ss
+        FROM q, range(0, {DIM}) t(i) GROUP BY 1
+    ),
+    pairs AS (
+        SELECT ti.i AS i, tj.i AS j,
+               sum(qv[ti.i + 1] * qv[tj.i + 1])::HUGEINT AS sij
+        FROM q, range(0, {DIM}) ti(i), range(0, {DIM}) tj(i)
+        WHERE ti.i < tj.i GROUP BY 1, 2
+    )
+    SELECT p.i, p.j,
+           round((n.n::DOUBLE * p.sij::DOUBLE - di.s::DOUBLE * dj.s::DOUBLE)
+                 / sqrt((n.n::DOUBLE * di.ss::DOUBLE
+                         - di.s::DOUBLE * di.s::DOUBLE)
+                      * (n.n::DOUBLE * dj.ss::DOUBLE
+                         - dj.s::DOUBLE * dj.s::DOUBLE)), 6) AS corr
+    FROM pairs p
+    JOIN dims di ON di.d = p.i
+    JOIN dims dj ON dj.d = p.j
+    CROSS JOIN n
+    ORDER BY abs(corr) DESC, p.i, p.j LIMIT {COV_TOPK}
+    """
+
+
+@query("embedding_covariance_topk", oracle=_cov_oracle())
+def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {COV_TOPK} most-correlated embedding-dimension pairs — the
+    redundancy/anisotropy profile of the embedding space (highly
+    correlated dimensions mean wasted capacity, and they are what an
+    OPQ-style rotation or PCA would exploit; this readout says whether
+    that is worth doing BEFORE anyone trains anything).
+
+    Scale contract (the corr-matrix pattern lifted from 4 columns to
+    {COV_TOPK}-of-2016 dimension pairs): vectors quantize to the
+    engine's fixed-point grid (clustering._Q_EXPR, so sums are exact
+    integers and order-independent), each vector EXPLODES to its
+    upper-triangle pair products inside codegen (no self-join of the
+    exploded frame — the pair list is built per-row by a nested
+    transform over the array), and one groupBy(i, j) collapses
+    everything map-side to DIM·(DIM+1)/2 partial rows per partition.
+    Per-dimension sums ride a posexplode aggregate; the closing corr
+    arithmetic runs on the config-sized (2016-row) frame with the
+    oracle's expression shape, and the top-k orders by the ROUNDED
+    |corr| (then keys) so the cut cannot hinge on libm. At 100 TB the
+    explode is 2080× row amplification of already-scanned integers —
+    map-local, shuffle-free until the 2016-group aggregate — the
+    standard exact formulation when a BLAS partial (mapInPandas outer
+    product) is not warranted.
+    """
+    from open_pulsar_spark.operators.clustering import _Q_EXPR, DIM
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(_Q_EXPR).alias("q")
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    emb = _pin("cov_q", emb)
+    n = emb.count()
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (xi, i) ->"
+                " transform(slice(q, i + 1, size(q) - i),"
+                " (xj, k) -> struct(i as i, i + k as j, xi * xj as p))))"
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    sij = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("sij")
+    )
+    dims = (
+        emb.select(F.posexplode("q").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias(
+                "ss"
+            ),
+        )
+    )
+    di = dims.select(
+        F.col("d").alias("i"), F.col("s").alias("si"), F.col("ss").alias("sii")
+    )
+    dj = dims.select(
+        F.col("d").alias("j"), F.col("s").alias("sj"), F.col("ss").alias("sjj")
+    )
+    nn = F.lit(float(n))
+    corr = F.round(
+        (nn * F.col("sij").cast("double")
+         - F.col("si").cast("double") * F.col("sj").cast("double"))
+        / F.sqrt(
+            (nn * F.col("sii").cast("double")
+             - F.col("si").cast("double") * F.col("si").cast("double"))
+            * (nn * F.col("sjj").cast("double")
+               - F.col("sj").cast("double") * F.col("sj").cast("double"))
+        ),
+        6,
+    )
+    return (
+        sij.where(F.col("i") < F.col("j"))
+        .join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select("i", "j", corr.alias("corr"))
+        .orderBy(F.abs(F.col("corr")).desc(), "i", "j")
+        .limit(COV_TOPK)
+    )
