@@ -973,17 +973,29 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     sh.unpersist()
-    return spark.createDataFrame(
-        [
-            (
-                row.n_true,
-                row.n_lsh,
-                row.n_hit,
-                round(row.n_hit * 1.0 / max(row.n_true, 1), 6),
-                round(row.n_hit * 1.0 / max(row.n_lsh, 1), 6),
-            )
-        ],
-        "n_true LONG, n_lsh LONG, n_hit LONG, recall DOUBLE, precision DOUBLE",
+    return _recall_row(spark, row)
+
+
+def _recall_row(spark: SparkSession, row) -> DataFrame:
+    """(n_true, n_lsh, n_hit, recall, precision) as a 1-row frame with
+    the ratios rounded IN SPARK — Python's round() is banker's
+    rounding, so an exact half-tie (e.g. 1/128 = 0.0078125) rounds to
+    ...12 on the driver but ...13 in both engines' SQL round; keeping
+    the rounding in the engine preserves the oracle parity contract."""
+    counts = spark.createDataFrame(
+        [(int(row.n_true), int(row.n_lsh), int(row.n_hit))],
+        "n_true LONG, n_lsh LONG, n_hit LONG",
+    )
+    return counts.select(
+        "n_true",
+        "n_lsh",
+        "n_hit",
+        F.round(
+            F.col("n_hit") * 1.0 / F.greatest(F.col("n_true"), F.lit(1)), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_hit") * 1.0 / F.greatest(F.col("n_lsh"), F.lit(1)), 6
+        ).alias("precision"),
     )
 
 
@@ -1049,18 +1061,7 @@ def dedup_lsh_recall_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()[0]
     )
-    return spark.createDataFrame(
-        [
-            (
-                row.n_true,
-                row.n_lsh,
-                row.n_hit,
-                round(row.n_hit * 1.0 / max(row.n_true, 1), 6),
-                round(row.n_hit * 1.0 / max(row.n_lsh, 1), 6),
-            )
-        ],
-        "n_true LONG, n_lsh LONG, n_hit LONG, recall DOUBLE, precision DOUBLE",
-    )
+    return _recall_row(spark, row)
 
 
 # --------------------------------------------------------------------------

@@ -545,18 +545,23 @@ def _cov_oracle() -> str:
                sum(qv[ti.i + 1] * qv[tj.i + 1])::HUGEINT AS sij
         FROM q, range(0, {DIM}) ti(i), range(0, {DIM}) tj(i)
         WHERE ti.i < tj.i GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT p.i, p.j,
+               n.n::DOUBLE * p.sij::DOUBLE - di.s::DOUBLE * dj.s::DOUBLE
+                   AS num,
+               n.n::DOUBLE * di.ss::DOUBLE - di.s::DOUBLE * di.s::DOUBLE
+                   AS vi,
+               n.n::DOUBLE * dj.ss::DOUBLE - dj.s::DOUBLE * dj.s::DOUBLE
+                   AS vj
+        FROM pairs p
+        JOIN dims di ON di.d = p.i
+        JOIN dims dj ON dj.d = p.j
+        CROSS JOIN n
     )
-    SELECT p.i, p.j,
-           round((n.n::DOUBLE * p.sij::DOUBLE - di.s::DOUBLE * dj.s::DOUBLE)
-                 / sqrt((n.n::DOUBLE * di.ss::DOUBLE
-                         - di.s::DOUBLE * di.s::DOUBLE)
-                      * (n.n::DOUBLE * dj.ss::DOUBLE
-                         - dj.s::DOUBLE * dj.s::DOUBLE)), 6) AS corr
-    FROM pairs p
-    JOIN dims di ON di.d = p.i
-    JOIN dims dj ON dj.d = p.j
-    CROSS JOIN n
-    ORDER BY abs(corr) DESC, p.i, p.j LIMIT {COV_TOPK}
+    SELECT i, j, round(num / sqrt(vi * vj), 6) AS corr
+    FROM c WHERE vi > 0 AND vj > 0
+    ORDER BY abs(corr) DESC, i, j LIMIT {COV_TOPK}
     """
 
 
@@ -594,12 +599,15 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _pin("cov_q", emb)
     n = emb.count()
+    # STRICT upper triangle per row (slice starts one past i, so no
+    # diagonal self-products ride the shuffle only to be filtered —
+    # the dims aggregate already carries Σx² as ss)
     pairs = emb.select(
         F.explode(
             F.expr(
                 "flatten(transform(q, (xi, i) ->"
-                " transform(slice(q, i + 1, size(q) - i),"
-                " (xj, k) -> struct(i as i, i + k as j, xi * xj as p))))"
+                " transform(slice(q, i + 2, size(q) - i - 1),"
+                " (xj, k) -> struct(i as i, i + 1 + k as j, xi * xj as p))))"
             )
         ).alias("e")
     ).select("e.i", "e.j", "e.p")
@@ -623,22 +631,28 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("j"), F.col("s").alias("sj"), F.col("ss").alias("sjj")
     )
     nn = F.lit(float(n))
-    corr = F.round(
-        (nn * F.col("sij").cast("double")
-         - F.col("si").cast("double") * F.col("sj").cast("double"))
-        / F.sqrt(
-            (nn * F.col("sii").cast("double")
-             - F.col("si").cast("double") * F.col("si").cast("double"))
-            * (nn * F.col("sjj").cast("double")
-               - F.col("sj").cast("double") * F.col("sj").cast("double"))
-        ),
-        6,
+    num = (
+        nn * F.col("sij").cast("double")
+        - F.col("si").cast("double") * F.col("sj").cast("double")
     )
+    vi = (
+        nn * F.col("sii").cast("double")
+        - F.col("si").cast("double") * F.col("si").cast("double")
+    )
+    vj = (
+        nn * F.col("sjj").cast("double")
+        - F.col("sj").cast("double") * F.col("sj").cast("double")
+    )
+    # zero-variance dimensions (a constant/zero-padded slot) are
+    # EXCLUDED, matching the oracle — a 0 denominator would throw
+    # under ANSI mode and has no defined correlation anyway
     return (
-        sij.where(F.col("i") < F.col("j"))
-        .join(F.broadcast(di), "i")
+        sij.join(F.broadcast(di), "i")
         .join(F.broadcast(dj), "j")
-        .select("i", "j", corr.alias("corr"))
+        .where((vi > 0) & (vj > 0))
+        .select(
+            "i", "j", F.round(num / F.sqrt(vi * vj), 6).alias("corr")
+        )
         .orderBy(F.abs(F.col("corr")).desc(), "i", "j")
         .limit(COV_TOPK)
     )

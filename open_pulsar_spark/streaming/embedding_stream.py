@@ -34,11 +34,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from open_pulsar_spark.streaming.segments import (
+    append_tombstones,
     auto_compact,
     commit_survivors,
     committed_ids,
     compact_segments,
+    exclude_tombstoned,
     read_segments,
+    read_tombstones,
     replay_exclusion,
     write_segment,
 )
@@ -91,7 +94,14 @@ def _tag_batch(batch: DataFrame) -> DataFrame:
 
 
 def read_embedding_index(spark: SparkSession, index_path: str) -> DataFrame | None:
-    return read_segments(spark, index_path, _EMB_INDEX_SCHEMA)
+    """The bucket index, tombstoned (right-to-be-forgotten) vec_ids
+    excluded at this single consumption point — the purge holds even
+    through the crash-replay window where an epoch replay recomputes
+    purged rows from source (segments.append_tombstones)."""
+    raw = read_segments(spark, index_path, _EMB_INDEX_SCHEMA)
+    if raw is None:
+        return None
+    return exclude_tombstoned(spark, raw, index_path, "vec_id")
 
 
 def filter_embeddings_against_index(
@@ -224,10 +234,11 @@ def delete_from_embedding_index(
     spark: SparkSession, index_path: str, vec_ids, target_files: int = 8
 ) -> int:
     """Delete propagation for the embedding index — the vector twin of
-    neardup_stream.delete_from_index (same crash-safe compaction-swap
-    rewrite; deleted vectors stop matching future batches)."""
-    if not isinstance(vec_ids, DataFrame):
-        vec_ids = spark.createDataFrame([(int(i),) for i in vec_ids], "vec_id LONG")
+    neardup_stream.delete_from_index: durable tombstones first (so the
+    purge holds through the crash-replay window — read_embedding_index
+    anti-joins them), then the crash-safe compaction-swap rewrite;
+    deleted vectors stop matching future batches."""
+    append_tombstones(spark, index_path, vec_ids, "vec_id")
     return compact_segments(
         spark,
         index_path,
@@ -235,6 +246,6 @@ def delete_from_embedding_index(
         dedup_keys=["vec_id"],
         cluster_cols=["bucket", "vec_id"],
         target_files=target_files,
-        drop_ids=vec_ids,
+        drop_ids=read_tombstones(spark, index_path, "vec_id"),
         id_col="vec_id",
     )

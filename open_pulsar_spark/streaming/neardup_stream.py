@@ -50,12 +50,15 @@ from open_pulsar_spark.operators.dedup import (
     _minhash_sigs,
 )
 from open_pulsar_spark.streaming.segments import (
+    append_tombstones,
     auto_compact,
     collapse_same_id,
     commit_survivors,
     committed_ids,
     compact_segments,
+    exclude_tombstoned,
     read_segments,
+    read_tombstones,
     replay_exclusion,
     write_segment,
 )
@@ -97,8 +100,15 @@ def _near_dup_of(cand: DataFrame) -> DataFrame:
 def read_index(spark: SparkSession, index_path: str) -> DataFrame | None:
     """The signature index, or None when empty. Duplicate rows across
     segments (possible mid-compaction) are harmless — the candidate
-    join dedups downstream."""
-    return read_segments(spark, index_path, _INDEX_SCHEMA)
+    join dedups downstream. Tombstoned (right-to-be-forgotten) doc_ids
+    are excluded HERE, at the single consumption point, so a purged
+    document cannot match future batches even if a crash-window epoch
+    replay rewrote its rows from source (the hazard a one-time rewrite
+    cannot close — segments.append_tombstones)."""
+    raw = read_segments(spark, index_path, _INDEX_SCHEMA)
+    if raw is None:
+        return None
+    return exclude_tombstoned(spark, raw, index_path, "doc_id")
 
 
 def filter_batch_against_index(
@@ -311,15 +321,17 @@ def compact_index(spark: SparkSession, index_path: str, target_files: int = 8) -
 def delete_from_index(
     spark: SparkSession, index_path: str, doc_ids, target_files: int = 8
 ) -> int:
-    """DELETE PROPAGATION (right-to-be-forgotten): rewrite the
-    signature index without the given doc_ids — their band rows vanish
-    from every future candidate join, so a re-submitted copy of a
-    deleted document is admitted as new content (tested). `doc_ids` is
-    a 1-column DataFrame or an iterable of ids. Returns surviving row
-    count. The rewrite IS a compaction (same crash-safe segment-swap
-    protocol), so a purge also leaves the store freshly clustered."""
-    if not isinstance(doc_ids, DataFrame):
-        doc_ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id LONG")
+    """DELETE PROPAGATION (right-to-be-forgotten): durably tombstone
+    the given doc_ids, then rewrite the signature index without them —
+    their band rows vanish from every future candidate join, so a
+    re-submitted copy of a deleted document is admitted as new content
+    (tested). `doc_ids` is a 1-column DataFrame or an iterable of ids.
+    Returns surviving row count. The tombstone append comes FIRST:
+    read_index anti-joins tombstones, so the purge holds even through
+    the crash-replay window where an epoch replay recomputes purged
+    rows from source; the physical rewrite (same crash-safe
+    segment-swap protocol) is storage hygiene and fresh clustering."""
+    append_tombstones(spark, index_path, doc_ids, "doc_id")
     return compact_segments(
         spark,
         index_path,
@@ -327,6 +339,6 @@ def delete_from_index(
         dedup_keys=["doc_id", "band"],
         cluster_cols=["band", "sig"],
         target_files=target_files,
-        drop_ids=doc_ids,
+        drop_ids=read_tombstones(spark, index_path, "doc_id"),
         id_col="doc_id",
     )

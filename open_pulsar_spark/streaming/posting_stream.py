@@ -49,15 +49,16 @@ drop_ids protocol), but serving correctness never depends on that.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from open_pulsar_spark.operators.text import _posting_kernel, _posting_merge
 from open_pulsar_spark.streaming.segments import (
+    append_tombstones,
     compact_segments,
+    exclude_tombstoned,
     read_segments,
+    read_tombstones,
     start_partial_stream,
     update_partial_store,
 )
@@ -65,21 +66,6 @@ from open_pulsar_spark.streaming.segments import (
 _PARTIAL_SCHEMA = "term STRING, doc_id LONG, epoch LONG"
 _DEDUP_KEYS = ["epoch", "term", "doc_id"]
 _CLUSTER_COLS = ["term"]
-
-
-def _tombstone_path(store_path: str) -> str:
-    # a SIBLING of the store root, not inside it — segment listing
-    # treats any committed dir under the root as data
-    return store_path.rstrip("/") + ".tombstones"
-
-
-def _read_tombstones(spark: SparkSession, store_path: str) -> DataFrame | None:
-    path = _tombstone_path(store_path)
-    if not os.path.isdir(path):
-        return None
-    return spark.read.schema("doc_id LONG").parquet(path).dropDuplicates(
-        ["doc_id"]
-    )
 
 
 def _posting_partial(docs: DataFrame) -> DataFrame:
@@ -128,15 +114,18 @@ def read_postings(
         return spark.createDataFrame(
             [], "term STRING, posting_sample STRING"
         )
-    rows = raw.select("term", "doc_id")
-    tomb = _read_tombstones(spark, store_path)
-    if tomb is not None:
-        rows = rows.join(tomb, "doc_id", "left_anti")
+    rows = exclude_tombstoned(
+        spark, raw.select("term", "doc_id"), store_path, "doc_id"
+    )
     if terms is not None:
         if not isinstance(terms, DataFrame):
             terms = spark.createDataFrame(
                 [(str(t),) for t in terms], "term STRING"
             )
+        elif len(terms.columns) > 1:
+            # multi-column probe frames keep working via name lookup;
+            # only a 1-column frame is positionally renamed
+            terms = terms.select("term")
         probe = terms.toDF("term").dropDuplicates(["term"])
         rows = rows.join(probe, "term", "left_semi")
     return _posting_merge(rows)
@@ -170,14 +159,8 @@ def delete_from_posting_index(
     recoverable. The RTBF guarantee (purged ids never served) is
     absolute via layer 1 (tested, including the replay-after-delete
     window)."""
-    if not isinstance(doc_ids, DataFrame):
-        doc_ids = spark.createDataFrame(
-            [(int(i),) for i in doc_ids], "doc_id LONG"
-        )
-    doc_ids.toDF("doc_id").dropDuplicates(["doc_id"]).write.mode(
-        "append"
-    ).parquet(_tombstone_path(store_path))
-    all_tombs = _read_tombstones(spark, store_path)
+    append_tombstones(spark, store_path, doc_ids, "doc_id")
+    all_tombs = read_tombstones(spark, store_path, "doc_id")
     return compact_segments(
         spark,
         store_path,

@@ -151,6 +151,58 @@ def start_partial_stream(
     )
 
 
+def tombstone_root(root: str) -> str:
+    """The durable purged-id store of a segment store: a SIBLING of
+    the root (never inside it — any committed dir under the root is
+    data), itself a mini segment store of 1-column id rows."""
+    return root.rstrip("/") + ".tombstones"
+
+
+def append_tombstones(spark: SparkSession, root: str, ids, id_col: str) -> None:
+    """Durably record purged ids BEFORE any physical delete — the
+    read-side anti-join (exclude_tombstoned) is what makes a
+    right-to-be-forgotten guarantee hold through the crash-replay
+    window where an epoch replay recomputes purged rows from source
+    (a one-time rewrite cannot close that window). Writes one batch
+    segment then compacts the tombstone store, so the file count
+    stays bounded however many deletes arrive; the compaction is the
+    standard write-then-delete-sources protocol (a crash leaves
+    duplicate tombstones — harmless — never lost ones)."""
+    if not isinstance(ids, DataFrame):
+        ids = list(ids)
+        if not ids:
+            return
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} LONG"
+        )
+    troot = tombstone_root(root)
+    write_segment(ids.toDF(id_col).dropDuplicates([id_col]), troot, None)
+    compact_segments(
+        spark, troot, f"{id_col} LONG", [id_col], [id_col], target_files=1
+    )
+
+
+def read_tombstones(spark: SparkSession, root: str, id_col: str):
+    """All purged ids of a store, or None when nothing was ever
+    purged. Duplicates possible mid-compaction; both consumers (the
+    anti-join and compact_segments' drop_ids, which dedups itself)
+    tolerate them."""
+    return read_segments(spark, tombstone_root(root), f"{id_col} LONG")
+
+
+def exclude_tombstoned(
+    spark: SparkSession, df: DataFrame, root: str, id_col: str
+) -> DataFrame:
+    """df minus tombstoned ids — the serve-path filter every read of
+    an id-bearing segment store must apply (module docstring of
+    posting_stream: serving correctness never depends on the physical
+    delete having stuck)."""
+    tomb = read_tombstones(spark, root, id_col)
+    if tomb is None:
+        return df
+    return df.join(tomb, id_col, "left_anti")
+
+
 def committed_ids(
     spark: SparkSession, root: str, epoch_id: int | None, schema: str, id_col: str
 ):

@@ -1067,6 +1067,18 @@ def test_delete_from_index_forgets_document(spark, workdir):
     )
     assert admitted == [10]
 
+    # the crash-replay window: an epoch replay whose segment dir was
+    # compacted away recomputes the batch FROM SOURCE and rewrites the
+    # purged doc's rows — the durable tombstone must keep doc 2
+    # invisible to the index read anyway
+    filter_batch_against_index(
+        spark, spark.createDataFrame([(2, forget_text)], schema), idx
+    )
+    resurrected = {
+        r.doc_id for r in read_index(spark, idx).select("doc_id").collect()
+    }
+    assert 2 not in resurrected
+
 
 def test_delete_from_embedding_index_forgets_vector(spark, workdir):
     from open_pulsar_spark.streaming.embedding_stream import (
@@ -1099,6 +1111,16 @@ def test_delete_from_embedding_index_forgets_vector(spark, workdir):
         for r in filter_embeddings_against_index(spark, probe, idx).collect()
     )
     assert admitted == [10]
+
+    # crash-replay window: recomputed purged rows stay invisible
+    filter_embeddings_against_index(
+        spark, spark.createDataFrame([(2, v_forget)], schema), idx
+    )
+    resurrected = {
+        r.vec_id
+        for r in read_embedding_index(spark, idx).select("vec_id").collect()
+    }
+    assert 2 not in resurrected
 
 
 def test_cms_stream_maintains_mergeable_frequency_sketch(spark, workdir):
