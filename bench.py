@@ -125,6 +125,7 @@ EXTRA = [
     "part_affinity_lift",
     "dedup_lsh_recall_full",
     "embedding_covariance_topk",
+    "events_dow_forecast_backtest",
 ]
 
 HEADLINE = [

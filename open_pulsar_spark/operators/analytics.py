@@ -1503,3 +1503,115 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c_ab"), "pk_a", "pk_b")
         .limit(AFFINITY_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# events_dow_forecast_backtest — seasonal-naive forecast + holdout
+# backtest (the forecast-evaluation analytics class).
+# --------------------------------------------------------------------------
+BACKTEST_DAYS = 7
+
+
+@query(
+    "events_dow_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY 1
+    ),
+    m AS (SELECT max(day) AS md FROM daily),
+    lab AS (
+        SELECT d.day,
+               date_diff('day', DATE '1970-01-01', d.day::DATE)::BIGINT % 7
+                   AS dowi,
+               d.cents,
+               date_diff('day', d.day::DATE, m.md::DATE) < {BACKTEST_DAYS}
+                   AS is_test
+        FROM daily d CROSS JOIN m
+    ),
+    tr AS (
+        SELECT dowi, sum(cents)::BIGINT AS s, count(*)::BIGINT AS c
+        FROM lab WHERE NOT is_test GROUP BY 1
+    )
+    SELECT strftime(l.day, '%Y-%m-%d') AS day, l.dowi,
+           l.cents AS actual_cents,
+           (tr.s // tr.c)::BIGINT AS forecast_cents,
+           abs(l.cents - tr.s // tr.c)::BIGINT AS abs_err_cents
+    FROM lab l JOIN tr USING (dowi)
+    WHERE l.is_test
+    ORDER BY day
+    """,
+)
+def events_dow_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST: hold out the last
+    {BACKTEST_DAYS} observed days, forecast each day's total value as
+    the mean of same-weekday daily totals from the training window,
+    and report per-day actual/forecast/absolute error — the
+    evaluation loop every production forecaster runs before anyone
+    trusts a model, here with the simplest seasonal baseline (which
+    is also the yardstick fancier models must beat).
+
+    Scale: ONE scan reduces the fact table to daily integer-cent
+    totals; everything after — the unpartitioned max-day window, the
+    weekday labeling, the train aggregate, the test join — runs on
+    the config-sized daily frame (the corpus_source_drift margin
+    pattern), which is pinned because the train and test branches are
+    two consumers of one lineage. Determinism is integer end-to-end:
+    cents sums are exact BIGINTs, the weekday index is epoch-day mod
+    7 (identical arithmetic in both engines — never the engines'
+    1-vs-0-based dayofweek()), and the forecast is the floored mean
+    (s div c, positive operands) — no float appears anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    lab = _pin(
+        "dow_backtest_lab",
+        daily.withColumn(
+            "md", F.max("day").over(Window.partitionBy())
+        )
+        .withColumn(
+            "dowi",
+            (
+                F.datediff(
+                    F.col("day").cast("date"),
+                    F.lit("1970-01-01").cast("date"),
+                )
+                % 7
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "is_test",
+            F.datediff(F.col("md").cast("date"), F.col("day").cast("date"))
+            < BACKTEST_DAYS,
+        ),
+    )
+    tr = (
+        lab.where(~F.col("is_test"))
+        .groupBy("dowi")
+        .agg(
+            F.sum("cents").cast("bigint").alias("s"),
+            F.count("*").cast("bigint").alias("c"),
+        )
+    )
+    forecast = F.expr("s div c").cast("bigint")
+    return (
+        lab.where(F.col("is_test"))
+        .join(tr, "dowi")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dowi",
+            F.col("cents").alias("actual_cents"),
+            forecast.alias("forecast_cents"),
+            F.abs(F.col("cents") - forecast).cast("bigint").alias(
+                "abs_err_cents"
+            ),
+        )
+        .orderBy("day")
+    )
