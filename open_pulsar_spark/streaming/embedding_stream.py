@@ -41,7 +41,6 @@ from open_pulsar_spark.streaming.segments import (
     compact_segments,
     exclude_tombstoned,
     read_segments,
-    read_tombstones,
     replay_exclusion,
     write_segment,
 )
@@ -204,6 +203,7 @@ def start_embedding_dedup_stream(
             dedup_keys=["vec_id"],
             cluster_cols=["bucket", "vec_id"],
             max_segments=compact_max_segments,
+            id_col="vec_id",
         )
 
     return (
@@ -219,7 +219,8 @@ def compact_embedding_index(
 ) -> int:
     """Merge the per-epoch segments into one bucket-clustered segment
     (crash-safe, no index-less window — streaming.segments protocol).
-    Returns the deduped row count."""
+    Returns the deduped row count. Tombstoned vec_ids are scrubbed as
+    part of the rewrite (id_col → auto tombstone fold)."""
     return compact_segments(
         spark,
         index_path,
@@ -227,6 +228,7 @@ def compact_embedding_index(
         dedup_keys=["vec_id"],
         cluster_cols=["bucket", "vec_id"],
         target_files=target_files,
+        id_col="vec_id",
     )
 
 
@@ -239,6 +241,7 @@ def delete_from_embedding_index(
     anti-joins them), then the crash-safe compaction-swap rewrite;
     deleted vectors stop matching future batches."""
     append_tombstones(spark, index_path, vec_ids, "vec_id")
+    # id_col alone makes the compaction fold in the FULL tombstone set
     return compact_segments(
         spark,
         index_path,
@@ -246,6 +249,5 @@ def delete_from_embedding_index(
         dedup_keys=["vec_id"],
         cluster_cols=["bucket", "vec_id"],
         target_files=target_files,
-        drop_ids=read_tombstones(spark, index_path, "vec_id"),
         id_col="vec_id",
     )

@@ -58,7 +58,6 @@ from open_pulsar_spark.streaming.segments import (
     compact_segments,
     exclude_tombstoned,
     read_segments,
-    read_tombstones,
     replay_exclusion,
     write_segment,
 )
@@ -286,6 +285,7 @@ def start_neardup_stream(
             dedup_keys=["doc_id", "band"],
             cluster_cols=["band", "sig"],
             max_segments=compact_max_segments,
+            id_col="doc_id",
         )
 
     return (
@@ -315,6 +315,7 @@ def compact_index(spark: SparkSession, index_path: str, target_files: int = 8) -
         dedup_keys=["doc_id", "band"],
         cluster_cols=["band", "sig"],
         target_files=target_files,
+        id_col="doc_id",
     )
 
 
@@ -332,6 +333,7 @@ def delete_from_index(
     rows from source; the physical rewrite (same crash-safe
     segment-swap protocol) is storage hygiene and fresh clustering."""
     append_tombstones(spark, index_path, doc_ids, "doc_id")
+    # id_col alone makes the compaction fold in the FULL tombstone set
     return compact_segments(
         spark,
         index_path,
@@ -339,6 +341,5 @@ def delete_from_index(
         dedup_keys=["doc_id", "band"],
         cluster_cols=["band", "sig"],
         target_files=target_files,
-        drop_ids=read_tombstones(spark, index_path, "doc_id"),
         id_col="doc_id",
     )

@@ -58,7 +58,6 @@ from open_pulsar_spark.streaming.segments import (
     compact_segments,
     exclude_tombstoned,
     read_segments,
-    read_tombstones,
     start_partial_stream,
     update_partial_store,
 )
@@ -100,8 +99,10 @@ def read_postings(
     """The current merged samples (term, posting_sample) — the
     bottom-k of the distinct union of every segment's rows,
     bit-identical to the batch index's sample over the same rows.
-    Pass `terms` (a 1-column DataFrame or an iterable of strings) to
-    merge only the probed terms — a left-semi join, not an IN literal,
+    Pass `terms` to merge only the probed terms: an iterable of
+    strings, a 1-column string DataFrame (any column name — renamed
+    positionally), or a wider DataFrame that carries a column named
+    `term`. The probe is a left-semi join, not an IN literal,
     so a contamination check probing thousands of n-gram terms costs
     one join, not an O(|terms|) py4j expression (and AQE picks
     broadcast-vs-shuffle by the probe's actual size — a benchmark-
@@ -160,7 +161,7 @@ def delete_from_posting_index(
     absolute via layer 1 (tested, including the replay-after-delete
     window)."""
     append_tombstones(spark, store_path, doc_ids, "doc_id")
-    all_tombs = read_tombstones(spark, store_path, "doc_id")
+    # id_col alone makes the compaction fold in the FULL tombstone set
     return compact_segments(
         spark,
         store_path,
@@ -168,7 +169,6 @@ def delete_from_posting_index(
         dedup_keys=_DEDUP_KEYS,
         cluster_cols=_CLUSTER_COLS,
         target_files=target_files,
-        drop_ids=all_tombs,
         id_col="doc_id",
     )
 
@@ -194,4 +194,5 @@ def start_posting_stream(
         dedup_keys=_DEDUP_KEYS,
         cluster_cols=_CLUSTER_COLS,
         compact_max_segments=compact_max_segments,
+        id_col="doc_id",
     )

@@ -126,11 +126,14 @@ def start_partial_stream(
     dedup_keys: list[str],
     cluster_cols: list[str],
     compact_max_segments: int | None = 64,
+    id_col: str | None = None,
 ):
     """The shared foreachBatch scaffold of the mergeable-partial
     streams: per micro-batch, update_partial_store then threshold-
     triggered auto_compact. Callers supply only what genuinely differs
-    — the partial kernel, the partial schema, and the compaction keys."""
+    — the partial kernel, the partial schema, the compaction keys, and
+    (for id-bearing stores) the tombstone id column so routine
+    compaction scrubs purged rows (auto_compact docstring)."""
 
     def step(batch_df: DataFrame, epoch_id: int) -> None:
         update_partial_store(batch_df, store_path, epoch_id, partial_of)
@@ -141,6 +144,7 @@ def start_partial_stream(
             dedup_keys=dedup_keys,
             cluster_cols=cluster_cols,
             max_segments=compact_max_segments,
+            id_col=id_col,
         )
 
     return (
@@ -158,16 +162,28 @@ def tombstone_root(root: str) -> str:
     return root.rstrip("/") + ".tombstones"
 
 
+_TOMBSTONE_COMPACT_AT = 16  # segment-count threshold, not per-append
+
+
 def append_tombstones(spark: SparkSession, root: str, ids, id_col: str) -> None:
     """Durably record purged ids BEFORE any physical delete — the
     read-side anti-join (exclude_tombstoned) is what makes a
     right-to-be-forgotten guarantee hold through the crash-replay
     window where an epoch replay recomputes purged rows from source
     (a one-time rewrite cannot close that window). Writes one batch
-    segment then compacts the tombstone store, so the file count
-    stays bounded however many deletes arrive; the compaction is the
-    standard write-then-delete-sources protocol (a crash leaves
-    duplicate tombstones — harmless — never lost ones)."""
+    segment; once the store accumulates _TOMBSTONE_COMPACT_AT
+    segments it is compacted (write-then-delete-sources — a crash
+    leaves duplicate tombstones, harmless, never lost ones), so the
+    file count stays bounded however many deletes arrive.
+
+    Semantics are BY ID AND PERMANENT: a tombstoned id is excluded
+    from every future read even if rows for it are later re-ingested
+    — legitimate re-submission of deleted content must use a new id
+    (or an operator clears the store with clear_tombstones after a
+    verified physical purge). Maintenance ops (delete/compact) follow
+    the segment store's existing single-maintenance-writer
+    assumption: like data-segment compaction, deleting source files
+    can break a concurrently COMPILED read's frozen file list."""
     if not isinstance(ids, DataFrame):
         ids = list(ids)
         if not ids:
@@ -177,9 +193,20 @@ def append_tombstones(spark: SparkSession, root: str, ids, id_col: str) -> None:
         )
     troot = tombstone_root(root)
     write_segment(ids.toDF(id_col).dropDuplicates([id_col]), troot, None)
-    compact_segments(
-        spark, troot, f"{id_col} LONG", [id_col], [id_col], target_files=1
-    )
+    if len(list_segments(troot)) >= _TOMBSTONE_COMPACT_AT:
+        compact_segments(
+            spark, troot, f"{id_col} LONG", [id_col], [id_col],
+            target_files=1,
+        )
+
+
+def clear_tombstones(root: str) -> None:
+    """Remove a store's tombstone set — the un-delete path, for after
+    the physical rows are verifiably gone (every segment rewritten
+    since the last delete) and the operator wants the ids usable
+    again. Until this is called, a tombstoned id can never re-enter
+    the index (append_tombstones' permanence contract)."""
+    shutil.rmtree(tombstone_root(root), ignore_errors=True)
 
 
 def read_tombstones(spark: SparkSession, root: str, id_col: str):
@@ -252,6 +279,7 @@ def auto_compact(
     cluster_cols: list[str],
     max_segments: int | None,
     target_files: int = 8,
+    id_col: str | None = None,
 ) -> int | None:
     """Threshold-triggered compaction: when the committed segment count
     reaches `max_segments`, merge (compact_segments); else no-op.
@@ -265,11 +293,19 @@ def auto_compact(
     compaction but before the streaming checkpoint commit replays the
     epoch WITHOUT its own segment dir — the replay_exclusion predicate
     covers exactly that window. Returns the deduped row count when a
-    compaction ran, else None."""
+    compaction ran, else None.
+
+    Pass `id_col` for id-bearing stores (neardup/embedding/posting):
+    routine compaction then re-applies the store's tombstones, so
+    purged rows physically resurrected by a crash-window replay are
+    scrubbed at the next compaction instead of lingering until an
+    unrelated later delete (reads hide them either way; erasure wants
+    the bytes gone too)."""
     if max_segments is None or len(list_segments(root)) < max_segments:
         return None
     return compact_segments(
-        spark, root, schema, dedup_keys, cluster_cols, target_files=target_files
+        spark, root, schema, dedup_keys, cluster_cols,
+        target_files=target_files, id_col=id_col,
     )
 
 
@@ -301,6 +337,11 @@ def compact_segments(
     if not src_dirs:
         return 0
     df = spark.read.schema(schema).parquet(*src_dirs).dropDuplicates(dedup_keys)
+    if drop_ids is None and id_col is not None:
+        # id-bearing stores re-apply their durable tombstones on EVERY
+        # compaction, so purged rows resurrected by a crash-window
+        # replay are physically scrubbed at the next maintenance pass
+        drop_ids = read_tombstones(spark, root, id_col)
     if drop_ids is not None:
         if id_col is None:
             raise ValueError("drop_ids requires id_col")

@@ -1079,6 +1079,24 @@ def test_delete_from_index_forgets_document(spark, workdir):
     }
     assert 2 not in resurrected
 
+    # ...and ROUTINE compaction physically scrubs the resurrected rows
+    # (erasure wants the bytes gone, not just hidden): the raw store
+    # holds no doc-2 row after compact_index, without any new delete
+    from open_pulsar_spark.streaming.neardup_stream import (
+        _INDEX_SCHEMA,
+        compact_index,
+    )
+    from open_pulsar_spark.streaming.segments import read_segments
+
+    compact_index(spark, idx)
+    raw_ids = {
+        r.doc_id
+        for r in read_segments(spark, idx, _INDEX_SCHEMA)
+        .select("doc_id")
+        .collect()
+    }
+    assert 2 not in raw_ids
+
 
 def test_delete_from_embedding_index_forgets_vector(spark, workdir):
     from open_pulsar_spark.streaming.embedding_stream import (
