@@ -126,6 +126,7 @@ EXTRA = [
     "dedup_lsh_recall_full",
     "embedding_covariance_topk",
     "events_dow_forecast_backtest",
+    "documents_profile",
 ]
 
 HEADLINE = [

@@ -153,29 +153,35 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# orders_profile — SUMMARIZE-style per-column profile in one pass.
+# orders_profile / documents_profile — SUMMARIZE-style per-column
+# profiles in one pass per table.
 # --------------------------------------------------------------------------
-_PROFILE_COLS = [
-    # (column, canonical min/max string expression template)
-    ("o_custkey", "CAST({c} AS STRING)"),
-    ("o_orderdate", "date_format({c}, 'yyyy-MM-dd')"),
-    ("o_orderpriority", "{c}"),
-    ("o_orderstatus", "{c}"),
-    ("o_totalprice", "CAST(CAST(round({c} * 100) AS BIGINT) AS STRING)"),
-]
-_PROFILE_ORACLE_FMT = {
-    "o_custkey": "{c}::VARCHAR",
-    "o_orderdate": "strftime({c}, '%Y-%m-%d')",
-    "o_orderpriority": "{c}",
-    "o_orderstatus": "{c}",
-    "o_totalprice": "(round({c} * 100)::BIGINT)::VARCHAR",
+# per table: [(column, Spark min/max canonicalizer, DuckDB twin)]
+_PROFILE_SPECS = {
+    "orders": [
+        ("o_custkey", "CAST({c} AS STRING)", "{c}::VARCHAR"),
+        ("o_orderdate", "date_format({c}, 'yyyy-MM-dd')",
+         "strftime({c}, '%Y-%m-%d')"),
+        ("o_orderpriority", "{c}", "{c}"),
+        ("o_orderstatus", "{c}", "{c}"),
+        ("o_totalprice", "CAST(CAST(round({c} * 100) AS BIGINT) AS STRING)",
+         "(round({c} * 100)::BIGINT)::VARCHAR"),
+    ],
+    # text itself is profiled by length only (doc_text_stats owns
+    # content statistics; a min/max over raw document bodies would put
+    # whole documents in the profile rows)
+    "documents": [
+        ("doc_id", "CAST({c} AS STRING)", "{c}::VARCHAR"),
+        ("lang", "{c}", "{c}"),
+        ("n_chars", "CAST({c} AS STRING)", "{c}::VARCHAR"),
+        ("source", "{c}", "{c}"),
+    ],
 }
 
 
-def _profile_oracle() -> str:
+def _profile_oracle(table: str) -> str:
     arms = []
-    for c, _ in _PROFILE_COLS:
-        fmt = _PROFILE_ORACLE_FMT[c]
+    for c, _, fmt in _PROFILE_SPECS[table]:
         arms.append(
             f"""SELECT '{c}' AS column_name,
                 count(*)::BIGINT AS n_rows,
@@ -183,50 +189,40 @@ def _profile_oracle() -> str:
                 count(DISTINCT {c})::BIGINT AS n_distinct,
                 {fmt.format(c=f"min({c})")} AS min_val,
                 {fmt.format(c=f"max({c})")} AS max_val
-            FROM orders"""
+            FROM {table}"""
         )
     return " UNION ALL ".join(arms) + " ORDER BY column_name"
 
 
-@query("orders_profile", oracle=_profile_oracle())
-def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SUMMARIZE/ANALYZE-style table profile: per column, row count,
-    null count, EXACT distinct count, and canonical min/max — the
-    statistics a query optimizer's ANALYZE collects and a data
-    engineer's first look at an unfamiliar 100 TB table.
-
-    Scale: ONE pass. Spark compiles the multi-column DISTINCT
-    aggregate to its Expand plan — each input row fans to
-    #distinct-columns tagged rows, then a partial aggregate collapses
-    each (gid, value) group map-side BEFORE the one shuffle, so
-    shuffle volume is O(Σ per-column distinct values), not
-    O(rows × columns). min/max/null ride the same pass. The oracle
-    desugars to one UNION ALL arm per column (DuckDB re-scans per arm;
-    correctness-only). The per-column unpivot runs on the single
-    result row. Canonical strings (dates as yyyy-MM-dd, money as
-    integer cents) keep the schema uniform across column types.
-    """
-    orders = load_table(spark, sf_dir, "orders")
+def _profile_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """One-pass SUMMARIZE: the multi-column DISTINCT aggregate compiles
+    to Spark's Expand plan — each input row fans to #distinct-columns
+    tagged rows, then a partial aggregate collapses each (gid, value)
+    group map-side BEFORE the one shuffle, so shuffle volume is
+    O(Σ per-column distinct values), not O(rows × columns).
+    min/max/null ride the same pass; the per-column unpivot (stack)
+    runs on the single result row — one union branch per column would
+    compile one table scan per column (exchange reuse across union
+    branches does not fire)."""
+    spec = _PROFILE_SPECS[table]
+    df = load_table(spark, sf_dir, table)
     aggs = [F.count("*").cast("bigint").alias("n_rows")]
-    for c, fmt in _PROFILE_COLS:
+    for c, fmt, _ in spec:
         aggs.append(
             (F.count("*") - F.count(c)).cast("bigint").alias(f"null_{c}")
         )
         aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"))
         aggs.append(F.expr(fmt.format(c=f"min({c})")).alias(f"min_{c}"))
         aggs.append(F.expr(fmt.format(c=f"max({c})")).alias(f"max_{c}"))
-    s = orders.agg(*aggs)
-    # unpivot the ONE result row with stack — one union branch per
-    # column would compile one orders scan per column (exchange reuse
-    # across union branches does not fire)
+    s = df.agg(*aggs)
     arms = ", ".join(
         f"'{c}', `null_{c}`, `nd_{c}`, `min_{c}`, `max_{c}`"
-        for c, _ in _PROFILE_COLS
+        for c, _, _ in spec
     )
     return (
         s.select(
             F.expr(
-                f"stack({len(_PROFILE_COLS)}, {arms})"
+                f"stack({len(spec)}, {arms})"
                 " as (column_name, n_null, n_distinct, min_val, max_val)"
             ),
             "n_rows",
@@ -237,6 +233,30 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@query("orders_profile", oracle=_profile_oracle("orders"))
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUMMARIZE/ANALYZE-style table profile: per column, row count,
+    null count, EXACT distinct count, and canonical min/max — the
+    statistics a query optimizer's ANALYZE collects and a data
+    engineer's first look at an unfamiliar 100 TB table. Plan shape:
+    _profile_table (one pass, Expand plan, stack unpivot). Canonical
+    strings (dates as yyyy-MM-dd, money as integer cents) keep the
+    schema uniform across column types.
+    """
+    return _profile_table(spark, sf_dir, "orders")
+
+
+@query("documents_profile", oracle=_profile_oracle("documents"))
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-table twin of orders_profile: doc_id/lang/n_chars/
+    source profiled in the same one-pass Expand shape (_profile_table).
+    The text column is deliberately excluded — content statistics
+    belong to doc_text_stats, and a min/max over raw bodies would put
+    whole documents in the profile rows.
+    """
+    return _profile_table(spark, sf_dir, "documents")
 
 
 # --------------------------------------------------------------------------
