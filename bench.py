@@ -127,6 +127,7 @@ EXTRA = [
     "embedding_covariance_topk",
     "events_dow_forecast_backtest",
     "documents_profile",
+    "events_key_skew_profile",
 ]
 
 HEADLINE = [

@@ -1615,3 +1615,74 @@ def events_dow_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# events_key_skew_profile — shuffle-key skew diagnosis (the profile a
+# perf engineer reads before choosing salting / AQE skew-join).
+# --------------------------------------------------------------------------
+@query(
+    "events_key_skew_profile",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1
+    ),
+    top10 AS (
+        SELECT sum(cnt)::BIGINT AS s
+        FROM (SELECT cnt FROM c ORDER BY cnt DESC LIMIT 10)
+    )
+    SELECT count(*)::BIGINT                    AS n_keys,
+           sum(c.cnt)::BIGINT                  AS n_rows,
+           quantile_cont(c.cnt, 0.5)           AS p50_sz,
+           quantile_cont(c.cnt, 0.9)           AS p90_sz,
+           quantile_cont(c.cnt, 0.99)          AS p99_sz,
+           max(c.cnt)::BIGINT                  AS max_sz,
+           round(max(top10.s) * 1.0 / sum(c.cnt), 6) AS top10_share
+    FROM c CROSS JOIN top10
+    """,
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key SKEW diagnosis for the events fact's natural key
+    (user_id): group-size percentiles, the largest group, and the
+    share of rows held by the ten heaviest keys — the numbers that
+    decide whether a join/agg on this key needs salting
+    (skew_salted_user_totals is the treatment; this is the
+    diagnosis), and the profile AQE's skew-join thresholds are tuned
+    against.
+
+    Scale: one groupBy(user_id) shuffle reduces the fact table to the
+    keys frame; the percentile aggregate holds the per-group sorted
+    count buffer (exact — at 100 TB switch to percentile_approx, the
+    quantity_quantiles precedent), the top-10 mass is TakeOrdered (a
+    bounded scalar, never an unpartitioned rank window over the keys
+    frame — the straggler this module's own memory warns about), and
+    the keys frame is pinned because the summary aggregate and the
+    top-10 cut are two consumers of one lineage. Tie-safety: the
+    top-10 SUM is invariant to which tied boundary keys are chosen,
+    so no tiebreaker is needed. Spark `percentile` ≙ DuckDB
+    `quantile_cont` (verified equal, quantity_quantiles)."""
+    ev = load_table(spark, sf_dir, "events")
+    from open_pulsar_spark.operators.dedup import _pin
+
+    counts = _pin(
+        "skew_counts",
+        ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("cnt")),
+    )
+    top10 = (
+        counts.orderBy(F.desc("cnt"))
+        .limit(10)
+        .agg(F.sum("cnt").cast("bigint").alias("s"))
+        .first()
+        .s
+    )
+    return counts.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.expr("percentile(cnt, 0.5)").alias("p50_sz"),
+        F.expr("percentile(cnt, 0.9)").alias("p90_sz"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_sz"),
+        F.max("cnt").cast("bigint").alias("max_sz"),
+        F.round(F.lit(int(top10)) * 1.0 / F.sum("cnt"), 6).alias(
+            "top10_share"
+        ),
+    )
