@@ -128,6 +128,10 @@ EXTRA = [
     "events_dow_forecast_backtest",
     "documents_profile",
     "events_key_skew_profile",
+    "bitext_mining_pairs",
+    "multimodal_chunk_dedup",
+    "vocab_oov_rate",
+    "corpus_temperature_mix",
 ]
 
 HEADLINE = [

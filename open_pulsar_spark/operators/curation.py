@@ -1198,3 +1198,67 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_temperature_mix — temperature-based source sampling probabilities.
+# --------------------------------------------------------------------------
+MIX_TEMPERATURE = 0.7   # α: p_i ∝ share_i^α (α=1 natural, α→0 uniform)
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               count(*)                               AS n_docs,
+               sum(len(str_split(text, ' ')))::BIGINT AS n_tokens
+        FROM documents GROUP BY source),
+    shares AS (
+        SELECT source, n_docs, n_tokens,
+               n_tokens * 1.0 / sum(n_tokens) OVER () AS p_raw
+        FROM per_source)
+    SELECT source, n_docs, n_tokens,
+           round(p_raw, 6) AS p_raw,
+           round(pow(p_raw, {MIX_TEMPERATURE})
+                 / sum(pow(p_raw, {MIX_TEMPERATURE})) OVER (), 6) AS p_temp,
+           round(pow(p_raw, {MIX_TEMPERATURE})
+                 / sum(pow(p_raw, {MIX_TEMPERATURE})) OVER ()
+                 / p_raw, 6) AS boost
+    FROM shares ORDER BY source
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source sampling: p_i ∝ (token share)^α with
+    α={MIX_TEMPERATURE} — the multilingual-LM mixing rule (mT5/XLM-R)
+    that up-samples tail sources smoothly instead of snapping every
+    source to uniform. Complements corpus_mix_weights (uniform target,
+    hard 5× cap): temperature keeps the mix ordered by size — a
+    source never outweighs a bigger one — while the boost column
+    reports the effective per-source oversampling an epoch scheduler
+    applies.
+
+    Scale: one rollup shuffle to O(#sources) rows; the tempered
+    normalization is a window over that tiny frame. The double-sum in
+    the normalizer is over #sources values; 6-dp rounding absorbs
+    engine summation-order differences (similarity.py's float-parity
+    contract).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    p_raw = F.col("n_tokens") * F.lit(1.0) / F.sum("n_tokens").over(w)
+    shares = per_source.withColumn("p_raw", p_raw)
+    tempered = F.pow(F.col("p_raw"), F.lit(MIX_TEMPERATURE))
+    p_temp = tempered / F.sum(tempered).over(w)
+    return shares.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / F.col("p_raw"), 6).alias("boost"),
+    ).orderBy("source")

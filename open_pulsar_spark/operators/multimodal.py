@@ -340,3 +340,95 @@ def multimodal_resize_specs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kind") != "audio"
     )
     return resize_specs(visual).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# multimodal_chunk_dedup — chunk-level storage dedup over binary payloads.
+# --------------------------------------------------------------------------
+CHUNK_BYTES = 256
+
+
+@query(
+    "multimodal_chunk_dedup",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               CASE ((doc_id % 3) + 1) WHEN 1 THEN 'image'
+                    WHEN 2 THEN 'audio' ELSE 'video' END AS kind,
+               text AS payload, length(text) AS n_bytes
+        FROM documents WHERE length(text) > 0),
+    chunks AS (
+        SELECT kind,
+               md5(substring(payload, g.i * {CHUNK_BYTES} + 1, {CHUNK_BYTES})) AS h,
+               length(substring(payload, g.i * {CHUNK_BYTES} + 1, {CHUNK_BYTES})) AS blen
+        FROM p CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(
+                0, CAST(ceil(n_bytes / {CHUNK_BYTES}.0) AS BIGINT) - 1)) AS i) g),
+    d AS (SELECT kind, h, count(*) AS cnt, max(blen) AS blen
+          FROM chunks GROUP BY kind, h)
+    SELECT kind,
+           sum(cnt)::BIGINT                                   AS n_chunks,
+           count(*)                                           AS n_distinct,
+           sum(cnt * blen)::BIGINT                            AS bytes_total,
+           sum(blen)::BIGINT                                  AS bytes_distinct,
+           round(1.0 - sum(blen) * 1.0 / sum(cnt * blen), 6)  AS dedup_ratio
+    FROM d GROUP BY kind ORDER BY kind
+    """,
+)
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level storage dedup over the binary payloads — the
+    content-addressable-store question (how much of the media corpus
+    is byte-identical at {CHUNK_BYTES}-byte granularity?) that decides
+    whether a blob store should chunk-dedup before training-data
+    snapshots. Fixed-offset chunking catches aligned duplicates
+    (re-uploads, container-level copies); a production pass upgrades
+    the chunker to content-defined boundaries (FastCDC) inside the
+    same plan — only the chunk-boundary expression changes.
+
+    Scale: one binary-slice explode (map-only, ~n_bytes/{CHUNK_BYTES}
+    rows per payload) then ONE shuffle on (kind, xxhash64(chunk)) —
+    8-byte keys; the chunk bytes never reach the exchange (the oracle
+    groups by md5 of the same bytes — any 64-bit-collision would be a
+    grouping difference, measure-zero as with the text-side hash
+    keys). The per-kind rollup is a 3-row second-level aggregate on
+    the combiner path.
+
+    The ASCII-payload contract (n_bytes == char length, asserted by
+    the driver data) is what lets the oracle chunk the VARCHAR while
+    Spark chunks the real binary column.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = with_binary_payload(docs).where(F.col("n_bytes") > 0)
+    chunks = p.select(
+        "kind",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                (F.ceil(F.col("n_bytes") / F.lit(float(CHUNK_BYTES)))).cast("long")
+                - 1,
+            )
+        ).alias("i"),
+        "payload",
+    ).select(
+        "kind",
+        F.expr(f"substring(payload, i * {CHUNK_BYTES} + 1, {CHUNK_BYTES})").alias(
+            "chunk"
+        ),
+    )
+    d = chunks.groupBy("kind", F.xxhash64("chunk").alias("h")).agg(
+        F.count("*").alias("cnt"),
+        F.max(F.octet_length("chunk")).alias("blen"),
+    )
+    return (
+        d.groupBy("kind")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.col("cnt") * F.col("blen")).cast("bigint").alias("bytes_total"),
+            F.sum("blen").cast("bigint").alias("bytes_distinct"),
+            F.round(
+                F.lit(1.0) - F.sum("blen") / F.sum(F.col("cnt") * F.col("blen")), 6
+            ).alias("dedup_ratio"),
+        )
+        .orderBy("kind")
+    )

@@ -635,3 +635,132 @@ def semantic_dedup_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# bitext_mining_pairs — cross-lingual parallel-pair mining with margin.
+# --------------------------------------------------------------------------
+BITEXT_PIVOT = "en"    # mine (non-pivot doc) → (best pivot doc) pairs
+BITEXT_MIN_COS = 0.3   # admission threshold on the best-match cosine
+
+
+@query(
+    "bitext_mining_pairs",
+    oracle=f"""
+    WITH e AS (SELECT d.doc_id AS id, d.lang, emb.embedding::DOUBLE[] AS v,
+                      {_NORM_SQL} AS nrm, {_BUCKET_SQL} AS bucket
+               FROM documents d JOIN embeddings emb ON d.doc_id = emb.vec_id),
+    cand AS (
+        SELECT t.id AS tgt_id, t.lang AS tgt_lang, s.id AS src_id,
+               round(list_dot_product(t.v, s.v) / (t.nrm * s.nrm), 6) AS cos
+        FROM e t JOIN e s ON t.bucket = s.bucket
+        WHERE t.lang <> '{BITEXT_PIVOT}' AND s.lang = '{BITEXT_PIVOT}'),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY tgt_id
+                                  ORDER BY cos DESC, src_id) AS rn,
+               lead(cos) OVER (PARTITION BY tgt_id
+                               ORDER BY cos DESC, src_id) AS cos2
+        FROM cand)
+    SELECT tgt_id, tgt_lang, src_id, cos AS cosine,
+           round(cos - coalesce(cos2, 0.0), 6) AS margin
+    FROM ranked WHERE rn = 1 AND cos >= {BITEXT_MIN_COS}
+    ORDER BY tgt_id
+    """,
+)
+def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual parallel-pair mining (bitext mining, the
+    margin-based formulation of Artetxe & Schwenk's LASER/CCMatrix
+    pipeline): every non-{BITEXT_PIVOT} document is paired with its
+    best same-bucket {BITEXT_PIVOT} document by embedding cosine, and
+    scored by the MARGIN over the runner-up — absolute cosine alone
+    over-admits hub vectors; a high margin is what separates a real
+    translation pair from a generically-central sentence. Emitted:
+    best pair per target with cosine ≥ {BITEXT_MIN_COS}.
+
+    vec_id ≡ doc_id links the embedded slice to the documents table's
+    lang column (same contract as semantic_dedup_actions).
+
+    Scale: sign-LSH blocking (same N_PLANES scheme as
+    dedup_embedding_lsh) — both language sides tag map-only, shuffle
+    ONCE on the bucket id, and each bucket mines its targets against
+    its pivot rows with one blocked matmul; a target's candidate set
+    lives entirely in its own bucket, so the bucket-local top-2 IS the
+    global candidate top-2 and no cross-bucket re-rank is needed. The
+    corpus is never broadcast or collected. Recall trades at the
+    hyperplane bound exactly as the dedup_embedding_lsh_recall harness
+    measures; the skew knob is N_PLANES (hot buckets are applyInPandas
+    groups and cannot split).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    joined = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "lang", "embedding"
+    )
+
+    def tag(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            raw = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "bucket": _buckets_of(raw),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    tagged = joined.mapInPandas(
+        tag, "id LONG, lang STRING, bucket LONG, embedding ARRAY<FLOAT>"
+    )
+
+    def _unit(pdf: pd.DataFrame) -> np.ndarray:
+        v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        return v / np.sqrt(np.einsum("ij,ij->i", v, v))[:, None]
+
+    empty = pd.DataFrame(
+        {
+            "tgt_id": np.array([], dtype=np.int64),
+            "tgt_lang": pd.Series([], dtype=object),
+            "src_id": np.array([], dtype=np.int64),
+            "cosine": np.array([], dtype=np.float64),
+            "margin": np.array([], dtype=np.float64),
+        }
+    )
+
+    def mine(_, pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf[pdf["lang"] == BITEXT_PIVOT]
+        tgt = pdf[pdf["lang"] != BITEXT_PIVOT]
+        if len(src) == 0 or len(tgt) == 0:
+            return empty
+        # Pivot columns sorted by id ASC so a stable descending-cosine
+        # argsort breaks ties by src_id — the oracle's (cos DESC,
+        # src_id) order.
+        src = src.sort_values("id", kind="stable")
+        sims = np.round(_unit(tgt) @ _unit(src).T, 6)
+        src_ids = src["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(-sims, axis=1, kind="stable")
+        rows = np.arange(len(tgt))
+        cos1 = sims[rows, order[:, 0]]
+        cos2 = sims[rows, order[:, 1]] if sims.shape[1] > 1 else np.zeros(len(tgt))
+        keep = cos1 >= BITEXT_MIN_COS
+        return pd.DataFrame(
+            {
+                "tgt_id": tgt["id"].to_numpy(dtype=np.int64)[keep],
+                "tgt_lang": tgt["lang"].to_numpy()[keep],
+                "src_id": src_ids[order[:, 0]][keep],
+                "cosine": cos1[keep],
+                "margin": np.round(cos1 - cos2, 6)[keep],
+            }
+        )
+
+    return (
+        tagged.groupBy("bucket")
+        .applyInPandas(
+            mine,
+            "tgt_id LONG, tgt_lang STRING, src_id LONG, cosine DOUBLE, margin DOUBLE",
+        )
+        .orderBy("tgt_id")
+    )

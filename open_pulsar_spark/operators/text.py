@@ -1078,3 +1078,58 @@ def term_posting_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "df", "cf", "posting_sample")
         .orderBy(F.desc("df"), "term")
     )
+
+
+# --------------------------------------------------------------------------
+# vocab_oov_rate — per-doc out-of-vocabulary rate vs a min-count vocab.
+# --------------------------------------------------------------------------
+VOCAB_MIN_COUNT = 5   # a token is in-vocab iff it occurs ≥ 5 times corpus-wide
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+                 FROM documents),
+    c AS (SELECT doc_id, count(*) OVER (PARTITION BY t) AS cnt FROM tok)
+    SELECT doc_id,
+           count(*)                                            AS n_tokens,
+           sum(CASE WHEN cnt < {VOCAB_MIN_COUNT} THEN 1 ELSE 0 END)::BIGINT
+                                                               AS n_oov,
+           round(sum(CASE WHEN cnt < {VOCAB_MIN_COUNT} THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6)                          AS oov_rate
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a min-count
+    vocabulary ({VOCAB_MIN_COUNT}+ corpus occurrences — the word2vec
+    `min_count` convention): the tokenizer-fit signal a curation
+    pass thresholds on. A high OOV share means the document is
+    gibberish, boilerplate-encoded, or from a domain the tokenizer
+    was never fit on — doc_quality_score's ratios cannot see this
+    because they never consult corpus-global frequencies.
+
+    Scale: the doc_unigram_logprob posture — ONE tokenize + explode,
+    corpus counts via a count-window keyed by ``xxhash64(t)`` (8-byte
+    uniform shuffle key; no vocabulary table is materialized and no
+    join runs), then one per-doc re-aggregate. Two shuffles total,
+    both on uniform keys; the vocabulary itself never exists as a
+    driver-side object, so V can be arbitrarily large.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    cnt = F.count("*").over(Window.partitionBy("h"))
+    oov = F.when(F.col("cnt") < VOCAB_MIN_COUNT, 1).otherwise(0)
+    return (
+        tok.withColumn("cnt", cnt)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+            F.round(F.sum(oov) * F.lit(1.0) / F.count("*"), 6).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -195,3 +195,81 @@ def test_posting_index_partition_invariant(spark):
     # the stop word's sample is the k smallest doc_ids, truncated
     stop = dict(base)["the"]
     assert stop == ",".join(str(i) for i in range(T.POSTING_K))
+
+
+def test_bitext_mining_margin_semantics(spark):
+    """Every mined pair is (non-pivot → pivot), admitted at the
+    threshold, unique per target, and margin-consistent."""
+    from open_pulsar_spark.operators.similarity import (
+        BITEXT_MIN_COS,
+        BITEXT_PIVOT,
+        bitext_mining_pairs,
+    )
+
+    rows = bitext_mining_pairs(spark, SF_SMALL).collect()
+    assert rows, "sf0.001 corpus should mine at least one pair"
+    tgts = [r.tgt_id for r in rows]
+    assert len(tgts) == len(set(tgts)), "one best pair per target"
+    for r in rows:
+        assert r.tgt_lang != BITEXT_PIVOT
+        assert r.cosine >= BITEXT_MIN_COS
+        # margin is cos1 - cos2 (or cos1 - 0 when no runner-up); cos2
+        # may be negative, so the bound is cos1 + 1, and cos2 <= cos1
+        # keeps it non-negative
+        assert -1e-9 <= r.margin <= r.cosine + 1.0 + 1e-9
+
+
+def test_chunk_dedup_accounting_invariants(spark):
+    """Distinct-chunk accounting can only shrink, never grow, and the
+    chunk count telescopes to the per-doc ceil sum."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.multimodal import (
+        CHUNK_BYTES,
+        multimodal_chunk_dedup,
+        with_binary_payload,
+    )
+    from open_pulsar_spark.tables import load_table
+
+    out = {r.kind: r for r in multimodal_chunk_dedup(spark, SF_SMALL).collect()}
+    assert set(out) == {"image", "audio", "video"}
+    payload = with_binary_payload(load_table(spark, SF_SMALL, "documents"))
+    expected = {
+        r.kind: r.n
+        for r in payload.groupBy("kind")
+        .agg(F.sum(F.ceil(F.col("n_bytes") / F.lit(float(CHUNK_BYTES)))).alias("n"))
+        .collect()
+    }
+    for kind, r in out.items():
+        assert r.n_distinct <= r.n_chunks
+        assert r.bytes_distinct <= r.bytes_total
+        assert math.isclose(
+            r.dedup_ratio, 1.0 - r.bytes_distinct / r.bytes_total, abs_tol=1e-6
+        )
+        assert r.n_chunks == expected[kind]
+
+
+def test_vocab_oov_rate_agrees_with_text_stats(spark):
+    from open_pulsar_spark.operators.text import doc_text_stats, vocab_oov_rate
+
+    oov = {r.doc_id: r for r in vocab_oov_rate(spark, SF_SMALL).collect()}
+    stats = {r.doc_id: r for r in doc_text_stats(spark, SF_SMALL).collect()}
+    assert set(oov) == set(stats)
+    for doc_id, r in oov.items():
+        assert r.n_tokens == stats[doc_id].n_tokens
+        assert 0 <= r.n_oov <= r.n_tokens
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """α<1 tempering must up-weight tail sources, down-weight heads,
+    preserve the size ordering, and stay a probability vector."""
+    from open_pulsar_spark.operators.curation import corpus_temperature_mix
+
+    rows = corpus_temperature_mix(spark, SF_SMALL).collect()
+    assert abs(sum(r.p_temp for r in rows) - 1.0) < 1e-4
+    by_share = sorted(rows, key=lambda r: r.n_tokens)
+    for a, b in zip(by_share, by_share[1:]):
+        assert a.p_temp <= b.p_temp + 1e-9, "tempering must not reorder sources"
+    assert by_share[0].boost >= by_share[-1].boost, "tail boosted over head"
