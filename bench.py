@@ -132,6 +132,7 @@ EXTRA = [
     "multimodal_chunk_dedup",
     "vocab_oov_rate",
     "corpus_temperature_mix",
+    "part_price_size_skyline",
 ]
 
 HEADLINE = [

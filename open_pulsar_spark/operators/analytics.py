@@ -1686,3 +1686,70 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top10_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# part_price_size_skyline — Pareto-dominance (skyline) filter.
+# --------------------------------------------------------------------------
+@query(
+    "part_price_size_skyline",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_retailprice AS price, p_size AS size
+               FROM part),
+    lvl AS (SELECT price, max(size) AS peer_max FROM p GROUP BY price),
+    fr AS (SELECT price, peer_max,
+                  max(peer_max) OVER (ORDER BY price
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS cheaper_max
+           FROM lvl)
+    SELECT p.p_partkey, p.price, p.size
+    FROM p JOIN fr USING (price)
+    WHERE (fr.cheaper_max IS NULL OR fr.cheaper_max < p.size)
+      AND fr.peer_max <= p.size
+    ORDER BY price, p_partkey
+    """,
+)
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-dominance) filter over parts: keep every part
+    no other part strictly dominates on (cheaper-or-equal price,
+    larger-or-equal size, at least one strict) — the Börzsönyi et al.
+    SKYLINE OF operator, the multi-criteria shortlist a single ORDER
+    BY cannot express. Identical-(price, size) points do not dominate
+    each other and all survive.
+
+    Scale: the sort-based skyline needs the max size over all
+    strictly-cheaper rows — a global range-frame window that Spark
+    would funnel through one partition. Instead: one hash shuffle
+    collapses parts to per-price group maxima, and the dominance
+    frontier over that rollup runs as prefix.exclusive_prefix_max
+    (range partition → ≤32 per-partition maxima to the driver →
+    parallel within-partition windows + broadcast offsets) — the
+    revenue_pareto pattern with max as the associative op. One join
+    back on price tags every part with its frontier; the skyline
+    (typically O(log n) of the input under independent dims) is
+    materialized before the partitioning cache releases.
+    """
+    from open_pulsar_spark.operators.prefix import exclusive_prefix_max
+
+    parts_t = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    )
+    rollup = parts_t.groupBy("price").agg(F.max("size").alias("peer_max"))
+    aug, release = exclusive_prefix_max(spark, rollup, ["price"], "peer_max")
+    lvl = aug.select(
+        "price", "peer_max", F.col("prev_max").alias("cheaper_max")
+    )
+    sky = (
+        parts_t.join(lvl, "price")
+        .where(
+            (F.col("cheaper_max").isNull() | (F.col("cheaper_max") < F.col("size")))
+            & (F.col("peer_max") <= F.col("size"))
+        )
+        .select("p_partkey", "price", "size")
+        .orderBy("price", "p_partkey")
+    )
+    result = spark.createDataFrame(sky.collect(), sky.schema)
+    release()
+    return result

@@ -4,7 +4,8 @@ Spark's bare ``sum().over(Window.orderBy(...))`` (no partitionBy) is
 the classic silent scale killer: the whole dataset funnels through ONE
 partition. This helper is the engine's one implementation of the
 standard fix, shared by revenue_pareto, events_peak_concurrency and
-quality_llm_calibration (each used to hand-roll it):
+quality_llm_calibration (each used to hand-roll it); the associative-
+max twin `exclusive_prefix_max` below serves part_price_size_skyline:
 
   1. range-partition on the sort key — each partition holds a
      contiguous rank range;
@@ -92,3 +93,52 @@ def global_prefix(
             f"cum_{c}", F.sum(c).over(run) + F.col(f"_before_{c}")
         )
     return aug, totals, ranged.unpersist
+
+
+def exclusive_prefix_max(
+    spark: SparkSession,
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    val_col: str,
+    parts: int = 32,
+) -> tuple[DataFrame, Callable[[], None]]:
+    """``df`` plus ``prev_max`` — the max of integral ``val_col`` over
+    all STRICTLY-preceding rows in the total order (NULL for the first
+    row), without a single-partition global window.
+
+    Same three-step shape as global_prefix (max is associative, so the
+    per-partition offset trick carries over verbatim): range-partition
+    on the order, per-partition maxima → driver (≤ `parts` rows) →
+    exclusive cross-partition prefix maxima, then a within-partition
+    ROWS-exclusive running max combined with the broadcast offset.
+    The persist is load-bearing for the same reason as global_prefix's
+    (range-partition boundaries are sampled; the offsets are only
+    valid against the partitioning they were measured on) — callers
+    materialize their (small) result, then call release.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    part_rows = sorted(
+        (r["pid"], r["_m"])
+        for r in ranged.groupBy("pid").agg(F.max(val_col).alias("_m")).collect()
+    )
+    offs: list[tuple[int, int | None]] = []
+    acc: int | None = None
+    for pid, m in part_rows:
+        offs.append((pid, acc))
+        if m is not None and (acc is None or m > acc):
+            acc = m
+    offsets = spark.createDataFrame(offs, "pid INT, _max_before LONG")
+
+    w = Window.partitionBy("pid").orderBy(*cols)
+    local_prev = F.max(val_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    aug = ranged.join(F.broadcast(offsets), "pid").withColumn(
+        "prev_max", F.greatest(local_prev, F.col("_max_before"))
+    )
+    return aug, ranged.unpersist
