@@ -133,6 +133,8 @@ EXTRA = [
     "vocab_oov_rate",
     "corpus_temperature_mix",
     "part_price_size_skyline",
+    "lineitem_price_histogram",
+    "hybrid_rrf_retrieval",
 ]
 
 HEADLINE = [

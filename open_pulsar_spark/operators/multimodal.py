@@ -348,6 +348,52 @@ def multimodal_resize_specs(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_BYTES = 256
 
 
+def chunk_counts(docs: DataFrame) -> DataFrame:
+    """(kind, h, cnt, blen): per-(kind, chunk-hash) occurrence counts
+    over the fixed-offset CHUNK_BYTES-byte chunking of the binary
+    payloads. The shared producer behind the batch query AND the
+    streaming chunk-store partials (streaming/chunk_stream.py) — the
+    counts are ADDITIVE over disjoint doc batches (sum cnt, max blen),
+    which is what makes the store's fold equal the batch aggregate."""
+    p = with_binary_payload(docs).where(F.col("n_bytes") > 0)
+    chunks = p.select(
+        "kind",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                (F.ceil(F.col("n_bytes") / F.lit(float(CHUNK_BYTES)))).cast("long")
+                - 1,
+            )
+        ).alias("i"),
+        "payload",
+    ).select(
+        "kind",
+        F.expr(f"substring(payload, i * {CHUNK_BYTES} + 1, {CHUNK_BYTES})").alias(
+            "chunk"
+        ),
+    )
+    return chunks.groupBy("kind", F.xxhash64("chunk").alias("h")).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.max(F.octet_length("chunk")).alias("blen"),
+    )
+
+
+def chunk_stats(d: DataFrame) -> DataFrame:
+    """Per-kind dedup statistics over a (kind, h, cnt, blen) frame —
+    shared by the batch query and the store's serve-time fold so the
+    two cannot drift."""
+    return d.groupBy("kind").agg(
+        F.sum("cnt").cast("bigint").alias("n_chunks"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("cnt") * F.col("blen")).cast("bigint").alias("bytes_total"),
+        F.sum("blen").cast("bigint").alias("bytes_distinct"),
+        F.round(
+            F.lit(1.0) - F.sum("blen") / F.sum(F.col("cnt") * F.col("blen")), 6
+        ).alias("dedup_ratio"),
+    )
+
+
+
 @query(
     "multimodal_chunk_dedup",
     oracle=f"""
@@ -398,37 +444,4 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark chunks the real binary column.
     """
     docs = load_table(spark, sf_dir, "documents")
-    p = with_binary_payload(docs).where(F.col("n_bytes") > 0)
-    chunks = p.select(
-        "kind",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                (F.ceil(F.col("n_bytes") / F.lit(float(CHUNK_BYTES)))).cast("long")
-                - 1,
-            )
-        ).alias("i"),
-        "payload",
-    ).select(
-        "kind",
-        F.expr(f"substring(payload, i * {CHUNK_BYTES} + 1, {CHUNK_BYTES})").alias(
-            "chunk"
-        ),
-    )
-    d = chunks.groupBy("kind", F.xxhash64("chunk").alias("h")).agg(
-        F.count("*").alias("cnt"),
-        F.max(F.octet_length("chunk")).alias("blen"),
-    )
-    return (
-        d.groupBy("kind")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_chunks"),
-            F.count("*").alias("n_distinct"),
-            F.sum(F.col("cnt") * F.col("blen")).cast("bigint").alias("bytes_total"),
-            F.sum("blen").cast("bigint").alias("bytes_distinct"),
-            F.round(
-                F.lit(1.0) - F.sum("blen") / F.sum(F.col("cnt") * F.col("blen")), 6
-            ).alias("dedup_ratio"),
-        )
-        .orderBy("kind")
-    )
+    return chunk_stats(chunk_counts(docs)).orderBy("kind")

@@ -676,3 +676,70 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("corr")).desc(), "i", "j")
         .limit(COV_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# lineitem_price_histogram — equi-depth histogram (optimizer statistics).
+# --------------------------------------------------------------------------
+HIST_BINS = 16
+
+
+@query(
+    "lineitem_price_histogram",
+    oracle=f"""
+    WITH r AS (
+        SELECT l_extendedprice AS price,
+               row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                  l_linenumber) AS rk,
+               count(*) OVER () AS n
+        FROM lineitem)
+    SELECT (((rk - 1) * {HIST_BINS}) // n + 1)::BIGINT AS bin,
+           count(*)   AS n_rows,
+           min(price) AS lo,
+           max(price) AS hi
+    FROM r GROUP BY 1 ORDER BY bin
+    """,
+)
+def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of l_extendedprice — the optimizer/
+    ANALYZE statistics artifact (selectivity estimation wants equal
+    ROW mass per bucket, not equal value ranges; a heavy-tailed price
+    column makes equi-width bins useless). Bin assignment is the
+    Bresenham spread ((rk-1)·B) div n — deterministic in both engines,
+    unlike NTILE's first-buckets-get-extras convention — over the
+    total order (price, orderkey, linenumber).
+
+    Scale: the global rank comes from prefix.global_prefix (range
+    partition → ≤32 per-partition counts to the driver → parallel
+    windows + broadcast offsets), so the biggest table in the schema
+    never funnels through a single-partition ORDER BY window; the
+    {HIST_BINS}-row result materializes before the partitioning cache
+    releases. This query IS the engine's answer to "compute ANALYZE
+    stats at 100 TB".
+    """
+    from open_pulsar_spark.operators.prefix import global_prefix
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"), "l_orderkey", "l_linenumber"
+    )
+    aug, totals, release = global_prefix(
+        spark, li, ["price", "l_orderkey", "l_linenumber"]
+    )
+    out = (
+        aug.withColumn(
+            "bin",
+            F.expr(f"((rk - 1) * {HIST_BINS}) div {totals['n']} + 1").cast(
+                "bigint"
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("price").alias("lo"),
+            F.max("price").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+    result = spark.createDataFrame(out.collect(), out.schema)
+    release()
+    return result

@@ -764,3 +764,147 @@ def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tgt_id")
     )
+
+
+# --------------------------------------------------------------------------
+# hybrid_rrf_retrieval — dense + sparse rankings fused by reciprocal rank.
+# --------------------------------------------------------------------------
+RRF_K = 60   # the standard RRF damping constant (Cormack et al.)
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_SQL} AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+          FROM e WHERE vec_id < {N_QUERIES}),
+    dense AS (
+        SELECT query_id, doc_id, rk AS rank_dense FROM (
+            SELECT q.query_id, e.vec_id AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.qv, e.v) / (q.qn * e.nrm)
+                                DESC, e.vec_id) AS rk
+            FROM q JOIN e ON e.vec_id <> q.query_id)
+        WHERE rk <= {TOP_K}),
+    tok AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts
+            FROM documents),
+    qt AS (SELECT doc_id AS qid, ts AS qts FROM tok WHERE doc_id < {N_QUERIES}),
+    jac AS (
+        SELECT qt.qid AS query_id, t.doc_id,
+               round(len(list_intersect(qt.qts, t.ts)) * 1.0 /
+                     (len(qt.qts) + len(t.ts)
+                      - len(list_intersect(qt.qts, t.ts))), 6) AS jac
+        FROM qt JOIN tok t ON t.doc_id <> qt.qid),
+    sparse AS (
+        SELECT query_id, doc_id, rk AS rank_sparse FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY jac DESC, doc_id) AS rk
+            FROM jac)
+        WHERE rk <= {TOP_K}),
+    fused AS (
+        SELECT coalesce(d.query_id, s.query_id) AS query_id,
+               coalesce(d.doc_id, s.doc_id)     AS doc_id,
+               d.rank_dense, s.rank_sparse,
+               coalesce(1.0 / ({RRF_K} + d.rank_dense), 0.0)
+               + coalesce(1.0 / ({RRF_K} + s.rank_sparse), 0.0) AS rrf
+        FROM dense d FULL JOIN sparse s
+             ON d.query_id = s.query_id AND d.doc_id = s.doc_id)
+    SELECT query_id, doc_id, round(rrf, 6) AS rrf_score,
+           rank_dense, rank_sparse,
+           fr AS fused_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id) AS fr
+          FROM fused)
+    WHERE fr <= {TOP_K}
+    ORDER BY query_id, fused_rank
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the dense top-{TOP_K} (exact embedding
+    cosine, ann_topk_bruteforce's list) and a sparse top-{TOP_K}
+    (distinct-token Jaccard against the query document's text) fused
+    by reciprocal-rank fusion, score = Σ 1/({RRF_K}+rank) — the
+    Cormack et al. combination modern search stacks (BM25 + vector)
+    ship because rank-space fusion needs no score calibration between
+    incommensurable retrievers. A hit on both lists outranks a
+    slightly-better hit on one — exactly the behavior that makes RRF
+    robust.
+
+    Scale: both retrievers are broadcast-probe scans — the dense side
+    reuses ann_topk_bruteforce (blocked matmul, block-local top-k);
+    the sparse side broadcasts the {N_QUERIES} query token SETS and
+    streams the corpus once through an Arrow kernel emitting
+    block-local top-k per query (candidate union ≤ partitions ×
+    queries × k). The fusion join touches two ≤ queries×k row lists —
+    driver-scale. Ranking ties break on rounded Jaccard then doc_id
+    in BOTH engines, so the fused order is deterministic.
+    """
+    dense = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").alias("rank_dense"),
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qrows = docs.where(F.col("doc_id") < N_QUERIES).collect()
+    qsets = sorted(
+        (int(r.doc_id), frozenset(r.text.split(" "))) for r in qrows
+    )
+    bc = spark.sparkContext.broadcast(qsets)
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            dids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            toks = [set(t.split(" ")) for t in pdf["text"]]
+            for qid, qs in bc.value:
+                jac = np.array(
+                    [
+                        len(qs & d) * 1.0 / (len(qs) + len(d) - len(qs & d))
+                        for d in toks
+                    ]
+                )
+                jr = np.round(jac, 6)
+                m = dids != qid
+                order = np.lexsort((dids[m], -jr[m]))[:TOP_K]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "doc_id": dids[m][order],
+                        "jac": jr[m][order],
+                    }
+                )
+
+    cand = docs.mapInPandas(fn, "query_id LONG, doc_id LONG, jac DOUBLE")
+    w = Window.partitionBy("query_id").orderBy(F.desc("jac"), "doc_id")
+    sparse = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "doc_id", F.col("rk").alias("rank_sparse"))
+    )
+
+    j = dense.join(sparse, ["query_id", "doc_id"], "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_dense")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_sparse")), F.lit(0.0)
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        j.withColumn("rrf", rrf)
+        .withColumn("fused_rank", F.row_number().over(wf))
+        .where(F.col("fused_rank") <= TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            "rank_dense",
+            "rank_sparse",
+            "fused_rank",
+        )
+        .orderBy("query_id", "fused_rank")
+    )

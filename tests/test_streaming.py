@@ -1772,3 +1772,79 @@ def test_posting_stream_runs_as_real_streaming_query(spark, workdir):
     got = sorted(tuple(r) for r in read_postings(spark, store).collect())
     want = sorted(tuple(r) for r in read_postings(spark, ref).collect())
     assert got == want
+
+
+def test_chunk_stream_folds_to_batch_stats(spark, workdir):
+    """Streaming chunk store: delivering the corpus in three epochs
+    and folding must reproduce multimodal_chunk_dedup over the whole
+    table exactly (counts additive, blen max-mergeable); a replayed
+    epoch is a no-op; epoch-less writes are refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.multimodal import multimodal_chunk_dedup
+    from open_pulsar_spark.streaming.chunk_stream import (
+        chunk_dedup_stats,
+        update_chunks,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    store = f"{workdir}/chunk_store"
+    for i in range(3):
+        update_chunks(spark, docs.where(F.col("doc_id") % 3 == i), store, i)
+
+    want = [tuple(r) for r in multimodal_chunk_dedup(spark, SF_SMALL).collect()]
+    got = [tuple(r) for r in chunk_dedup_stats(spark, store).collect()]
+    assert got == want
+
+    # replayed epoch: overwrite, never double-add
+    update_chunks(spark, docs.where(F.col("doc_id") % 3 == 0), store, 0)
+    assert [tuple(r) for r in chunk_dedup_stats(spark, store).collect()] == want
+
+    with pytest.raises(ValueError):
+        update_chunks(spark, docs, store, None)
+
+
+def test_chunk_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_chunk_stream wired to a real file-source stream: the
+    store after the stream drains equals the batch query over the
+    same rows."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.multimodal import chunk_stats, chunk_counts
+    from open_pulsar_spark.streaming.chunk_stream import (
+        chunk_dedup_stats,
+        start_chunk_stream,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(60)
+    src = f"{workdir}/chunk_src"
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = start_chunk_stream(
+        spark, stream, f"{workdir}/chunk_store2", f"{workdir}/chunk_ckpt"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    delivered = spark.read.parquet(src)
+    want = [
+        tuple(r)
+        for r in chunk_stats(chunk_counts(delivered)).orderBy("kind").collect()
+    ]
+    got = [
+        tuple(r)
+        for r in chunk_dedup_stats(spark, f"{workdir}/chunk_store2").collect()
+    ]
+    assert got == want
