@@ -1675,6 +1675,13 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()
         .s
     )
+    # SUM over an empty keys frame is NULL; keep the oracle's NULL
+    # top10_share instead of crashing on int(None).
+    top10_lit = (
+        F.lit(int(top10)).cast("bigint")
+        if top10 is not None
+        else F.lit(None).cast("bigint")
+    )
     return counts.agg(
         F.count("*").cast("bigint").alias("n_keys"),
         F.sum("cnt").cast("bigint").alias("n_rows"),
@@ -1682,7 +1689,7 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(cnt, 0.9)").alias("p90_sz"),
         F.expr("percentile(cnt, 0.99)").alias("p99_sz"),
         F.max("cnt").cast("bigint").alias("max_sz"),
-        F.round(F.lit(int(top10)) * 1.0 / F.sum("cnt"), 6).alias(
+        F.round(top10_lit * 1.0 / F.sum("cnt"), 6).alias(
             "top10_share"
         ),
     )

@@ -24,10 +24,49 @@ the summed columns are integral.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _ranged_offsets(
+    spark: SparkSession,
+    df: DataFrame,
+    cols: Sequence[Column],
+    part_aggs: Sequence[Column],
+    fold: Callable[[list], tuple[list[tuple], Any]],
+    offsets_schema: str,
+    parts: int,
+) -> tuple[DataFrame, Window, Any, Callable[[], None]]:
+    """The shared scaffold behind both prefix helpers: range-partition
+    `df` on `cols`, tag the physical partition id, persist (the
+    boundaries are sampled — the offsets are only valid against the
+    partitioning they were measured on), aggregate per partition with
+    `part_aggs`, collect the ≤ `parts` rows to the driver sorted by
+    pid, run the caller's exclusive `fold` over them (returns the
+    offset tuples plus any extra payload), and broadcast-join the
+    offsets back onto the ranged frame.
+
+    Returns ``(aug, window, extra, release)`` where `aug` carries the
+    offset columns, `window` is the within-partition total-order
+    window the caller combines against, and `release` unpersists the
+    internal cache (call AFTER materializing results).
+    """
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    part_rows = sorted(
+        ((r["pid"], r) for r in ranged.groupBy("pid").agg(*part_aggs).collect()),
+        key=lambda t: t[0],
+    )
+    offset_rows, extra = fold(part_rows)
+    offsets = spark.createDataFrame(offset_rows, offsets_schema)
+    aug = ranged.join(F.broadcast(offsets), "pid")
+    w = Window.partitionBy("pid").orderBy(*cols)
+    return aug, w, extra, ranged.unpersist
 
 
 def global_prefix(
@@ -55,44 +94,37 @@ def global_prefix(
             "alias the column first"
         )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = (
-        df.repartitionByRange(parts, *cols)
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
     aggs = [F.count("*").alias("_n")] + [
         F.sum(c).alias(f"_s_{c}") for c in cum_cols
     ]
-    part_rows = sorted(
-        ((r["pid"], r) for r in ranged.groupBy("pid").agg(*aggs).collect()),
-        key=lambda t: t[0],
-    )
-    totals: dict[str, int] = {"n": sum(r["_n"] for _, r in part_rows)}
-    for c in cum_cols:
-        totals[c] = sum(r[f"_s_{c}"] or 0 for _, r in part_rows)
 
-    offsets_rows, acc_n, acc_sums = [], 0, {c: 0 for c in cum_cols}
-    for pid, r in part_rows:
-        offsets_rows.append((pid, acc_n, *[acc_sums[c] for c in cum_cols]))
-        acc_n += r["_n"]
+    def fold(part_rows):
+        totals: dict[str, int] = {"n": sum(r["_n"] for _, r in part_rows)}
         for c in cum_cols:
-            acc_sums[c] += r[f"_s_{c}"] or 0
-    offsets = spark.createDataFrame(
-        offsets_rows,
-        "pid INT, _rows_before LONG"
-        + "".join(f", _before_{c} LONG" for c in cum_cols),
-    )
+            totals[c] = sum(r[f"_s_{c}"] or 0 for _, r in part_rows)
+        rows, acc_n, acc_sums = [], 0, {c: 0 for c in cum_cols}
+        for pid, r in part_rows:
+            rows.append((pid, acc_n, *[acc_sums[c] for c in cum_cols]))
+            acc_n += r["_n"]
+            for c in cum_cols:
+                acc_sums[c] += r[f"_s_{c}"] or 0
+        return rows, totals
 
-    w = Window.partitionBy("pid").orderBy(*cols)
+    schema = "pid INT, _rows_before LONG" + "".join(
+        f", _before_{c} LONG" for c in cum_cols
+    )
+    aug, w, totals, release = _ranged_offsets(
+        spark, df, cols, aggs, fold, schema, parts
+    )
     run = w.rowsBetween(Window.unboundedPreceding, 0)
-    aug = ranged.join(F.broadcast(offsets), "pid").withColumn(
+    aug = aug.withColumn(
         "rk", F.row_number().over(w) + F.col("_rows_before")
     )
     for c in cum_cols:
         aug = aug.withColumn(
             f"cum_{c}", F.sum(c).over(run) + F.col(f"_before_{c}")
         )
-    return aug, totals, ranged.unpersist
+    return aug, totals, release
 
 
 def exclusive_prefix_max(
@@ -107,38 +139,36 @@ def exclusive_prefix_max(
     row), without a single-partition global window.
 
     Same three-step shape as global_prefix (max is associative, so the
-    per-partition offset trick carries over verbatim): range-partition
-    on the order, per-partition maxima → driver (≤ `parts` rows) →
-    exclusive cross-partition prefix maxima, then a within-partition
-    ROWS-exclusive running max combined with the broadcast offset.
-    The persist is load-bearing for the same reason as global_prefix's
-    (range-partition boundaries are sampled; the offsets are only
-    valid against the partitioning they were measured on) — callers
-    materialize their (small) result, then call release.
+    per-partition offset trick carries over verbatim), sharing its
+    scaffold: exclusive cross-partition prefix maxima from the driver
+    fold, then a within-partition ROWS-exclusive running max combined
+    with the broadcast offset.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = (
-        df.repartitionByRange(parts, *cols)
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
-    part_rows = sorted(
-        (r["pid"], r["_m"])
-        for r in ranged.groupBy("pid").agg(F.max(val_col).alias("_m")).collect()
-    )
-    offs: list[tuple[int, int | None]] = []
-    acc: int | None = None
-    for pid, m in part_rows:
-        offs.append((pid, acc))
-        if m is not None and (acc is None or m > acc):
-            acc = m
-    offsets = spark.createDataFrame(offs, "pid INT, _max_before LONG")
 
-    w = Window.partitionBy("pid").orderBy(*cols)
+    def fold(part_rows):
+        offs: list[tuple[int, int | None]] = []
+        acc: int | None = None
+        for pid, r in part_rows:
+            offs.append((pid, acc))
+            m = r["_m"]
+            if m is not None and (acc is None or m > acc):
+                acc = m
+        return offs, None
+
+    aug, w, _, release = _ranged_offsets(
+        spark,
+        df,
+        cols,
+        [F.max(val_col).alias("_m")],
+        fold,
+        "pid INT, _max_before LONG",
+        parts,
+    )
     local_prev = F.max(val_col).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    aug = ranged.join(F.broadcast(offsets), "pid").withColumn(
+    aug = aug.withColumn(
         "prev_max", F.greatest(local_prev, F.col("_max_before"))
     )
-    return aug, ranged.unpersist
+    return aug, release

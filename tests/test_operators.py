@@ -273,3 +273,19 @@ def test_temperature_mix_flattens_toward_uniform(spark):
     for a, b in zip(by_share, by_share[1:]):
         assert a.p_temp <= b.p_temp + 1e-9, "tempering must not reorder sources"
     assert by_share[0].boost >= by_share[-1].boost, "tail boosted over head"
+
+
+def test_events_key_skew_profile_empty_input(spark, tmp_path):
+    """Empty fact table: the query must return the oracle's well-defined
+    single row (0 keys, NULL share) instead of crashing on int(None)."""
+    from open_pulsar_spark.operators.analytics import events_key_skew_profile
+
+    sf = tmp_path / "sf_empty"
+    sf.mkdir()
+    spark.createDataFrame([], "user_id bigint, event_type string").write.parquet(
+        str(sf / "events.parquet")
+    )
+    row = events_key_skew_profile(spark, str(sf)).collect()[0]
+    assert row.n_keys == 0
+    assert row.n_rows is None
+    assert row.top10_share is None
