@@ -135,6 +135,10 @@ EXTRA = [
     "part_price_size_skyline",
     "lineitem_price_histogram",
     "hybrid_rrf_retrieval",
+    "customer_fuzzy_matches",
+    "source_token_keyness",
+    "curation_agreement_kappa",
+    "embedding_quantization_error",
 ]
 
 HEADLINE = [

@@ -1260,3 +1260,91 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("sq_shift"), "label")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_quantization_error — int8 compression-loss audit.
+# --------------------------------------------------------------------------
+@query(
+    "embedding_quantization_error",
+    oracle=f"""
+    WITH q AS (
+        SELECT label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    s AS (
+        SELECT label, q,
+               list_aggregate(list_transform(q, v -> abs(v)), 'max') AS mx
+        FROM q
+    ),
+    e AS (
+        SELECT label, len(q)::BIGINT AS dims,
+               list_sum(list_transform(q,
+                   v -> CASE WHEN mx = 0 THEN 0
+                        ELSE abs(127 * v
+                                 - CAST(floor(v * 127.0 / mx + 0.5) AS BIGINT)
+                                   * mx) END))::BIGINT AS sum_err,
+               list_aggregate(list_transform(q,
+                   v -> CASE WHEN mx = 0 THEN 0
+                        ELSE abs(127 * v
+                                 - CAST(floor(v * 127.0 / mx + 0.5) AS BIGINT)
+                                   * mx) END), 'max')::BIGINT AS max_err
+        FROM s
+    )
+    SELECT label::BIGINT AS label,
+           count(*)::BIGINT AS n_vecs,
+           round(sum(sum_err) * 1.0 / (127.0 * {SCALE} * sum(dims)), 9)
+               AS mean_abs_err,
+           round(max(max_err) / (127.0 * {SCALE}), 9) AS max_abs_err
+    FROM e
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-error audit of symmetric per-vector INT8
+    quantization (scale = max|x|/127, the faiss/bitsandbytes absmax
+    scheme) — the number that decides whether the 4× embedding-store
+    compression is safe for retrieval, read per label so a single
+    degenerate class can't hide in the corpus mean. Errors are
+    computed exactly: on the engine's fixed-point grid (SCALE), the
+    residual 127·v − q8·mx is pure integer arithmetic, so the
+    per-label sums are bit-identical across engines and the only
+    float ops are the shared floor(x+0.5) rounding rule and the final
+    two divisions.
+
+    Scale: map-only per-vector codegen (no Python boundary, payload
+    never shuffles) followed by a |labels|-row aggregate — the
+    embedding_norm_stats posture applied to compression loss.
+    """
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = embs.select("label", F.expr(_Q_EXPR).alias("q"))
+    s = q.withColumn(
+        "mx", F.expr("aggregate(q, 0L, (a, v) -> greatest(a, abs(v)))")
+    )
+    err_list = (
+        "transform(q, v -> CASE WHEN mx = 0 THEN 0L "
+        "ELSE abs(127 * v - cast(floor(v * 127.0d / mx + 0.5d) as bigint) * mx) "
+        "END)"
+    )
+    e = s.select(
+        "label",
+        F.size("q").cast("bigint").alias("dims"),
+        F.expr(f"aggregate({err_list}, 0L, (a, v) -> a + v)").alias("sum_err"),
+        F.expr(f"aggregate({err_list}, 0L, (a, v) -> greatest(a, v))").alias(
+            "max_err"
+        ),
+    )
+    return (
+        e.groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum("sum_err") * 1.0 / (127.0 * SCALE * F.sum("dims")), 9
+            ).alias("mean_abs_err"),
+            F.round(F.max("max_err") / (127.0 * SCALE), 9).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )

@@ -1262,3 +1262,94 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_temp, 6).alias("p_temp"),
         F.round(p_temp / F.col("p_raw"), 6).alias("boost"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# curation_agreement_kappa — do the two curation raters agree?
+# --------------------------------------------------------------------------
+def _kappa_oracle() -> str:
+    # composes text._QUALITY_Q_CTE — the ONE definition of the quality
+    # weights — so a weight change cannot desynchronize this oracle
+    from open_pulsar_spark.operators.text import _QUALITY_Q_CTE
+
+    return f"""
+    WITH {_QUALITY_Q_CTE},
+    r AS (SELECT CASE WHEN q.quality >= 0.6 THEN 1 ELSE 0 END AS ra,
+                 CASE WHEN ('0x' || substr(md5(d.text), 1, 2))::BIGINT
+                           / 255.0 >= 0.5
+                      THEN 1 ELSE 0 END AS rb
+          FROM q JOIN documents d USING (doc_id)),
+    m AS (SELECT count(*) AS n,
+                 sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS kk,
+                 sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS dd,
+                 sum(ra) AS a_keep, sum(rb) AS b_keep
+          FROM r)
+    SELECT n::BIGINT AS n_docs,
+           (kk + dd)::BIGINT AS n_agree,
+           round((kk + dd) * 1.0 / n, 6) AS po,
+           round((a_keep * b_keep + (n - a_keep) * (n - b_keep)) * 1.0
+                 / (n * n), 6) AS pe,
+           CASE WHEN a_keep * b_keep + (n - a_keep) * (n - b_keep) = n * n
+                THEN NULL
+                ELSE round(((kk + dd) * 1.0 / n
+                            - (a_keep * b_keep + (n - a_keep) * (n - b_keep))
+                              * 1.0 / (n * n))
+                           / (1.0 - (a_keep * b_keep
+                                     + (n - a_keep) * (n - b_keep))
+                                    * 1.0 / (n * n)), 6)
+           END AS kappa
+    FROM m
+    """
+
+
+@query("curation_agreement_kappa", oracle=_kappa_oracle())
+def curation_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the engine's two keep/drop raters — the
+    heuristic quality gate (doc_quality_score, threshold 0.6) and the
+    model scorer (doc_llm_score's deterministic md5 stub, threshold
+    0.5): chance-corrected agreement po−pe / 1−pe, the standard
+    annotator-reliability check run before trusting either filter's
+    verdicts as training labels. κ≈0 here is the expected answer for
+    an md5 stub (independent of quality by construction) — swapping a
+    real classifier into the same seam makes this the live audit.
+    Degenerate marginals (pe = 1) yield NULL rather than 0/0.
+
+    Scale: one map-only pass computes both verdicts per document (the
+    model column is the same JVM md5 expression the oracle uses — no
+    Python boundary), then a single 4-counter aggregate; the kappa
+    arithmetic runs on one driver-sized row. Integer counts all the
+    way to the final division, so Spark/DuckDB parity is exact.
+    """
+    from open_pulsar_spark.operators.text import quality_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast(
+        "bigint"
+    ) / F.lit(255.0)
+    r = docs.select(
+        F.when(quality_expr(F.col("text")) >= 0.6, 1).otherwise(0).alias("ra"),
+        F.when(model >= 0.5, 1).otherwise(0).alias("rb"),
+    )
+    m = r.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 1), 1).otherwise(0)).alias("kk"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 0), 1).otherwise(0)).alias("dd"),
+        F.sum("ra").alias("a_keep"),
+        F.sum("rb").alias("b_keep"),
+    )
+    n, kk, dd = F.col("n"), F.col("kk"), F.col("dd")
+    ak, bk = F.col("a_keep"), F.col("b_keep")
+    chance = (ak * bk + (n - ak) * (n - bk)) * 1.0 / (n * n)
+    po = (kk + dd) * 1.0 / n
+    return m.select(
+        n.cast("bigint").alias("n_docs"),
+        (kk + dd).cast("bigint").alias("n_agree"),
+        F.round(po, 6).alias("po"),
+        F.round(chance, 6).alias("pe"),
+        F.when(
+            ak * bk + (n - ak) * (n - bk) == n * n,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round((po - chance) / (1.0 - chance), 6))
+        .alias("kappa"),
+    )

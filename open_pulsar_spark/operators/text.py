@@ -1133,3 +1133,80 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# source_token_keyness — which words characterize each source.
+# --------------------------------------------------------------------------
+KEYNESS_MIN_CORPUS = 20  # ignore tokens rarer than this corpus-wide
+
+@query(
+    "source_token_keyness",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(str_split(text, ' ')) AS t FROM documents
+    ),
+    c AS (SELECT source, t, count(*) AS y FROM tok GROUP BY source, t),
+    v AS (SELECT t, sum(y) AS yw FROM c GROUP BY t),
+    s AS (SELECT source, sum(y) AS ni FROM c GROUP BY source),
+    n AS (SELECT sum(y) AS n FROM c)
+    SELECT c.source, c.t,
+           c.y::BIGINT AS y_src,
+           (v.yw - c.y)::BIGINT AS y_rest,
+           round((ln((c.y + v.yw) * 1.0 / (s.ni + n.n - c.y - v.yw))
+                  - ln((v.yw - c.y + v.yw) * 1.0
+                       / (n.n - s.ni + n.n - (v.yw - c.y) - v.yw)))
+                 / sqrt(1.0 / (c.y + v.yw) + 1.0 / (v.yw - c.y + v.yw)),
+                 6) AS z
+    FROM c JOIN v USING (t) JOIN s USING (source) CROSS JOIN n
+    WHERE v.yw >= {KEYNESS_MIN_CORPUS}
+    ORDER BY source, t
+    """,
+)
+def source_token_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, token) KEYNESS — the log-odds-ratio z-score with an
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    "Fightin' Words"), the corpus-comparison statistic that answers
+    "which words characterize this source vs the rest of the corpus".
+    Prior α_w = the token's corpus count (the paper's recommended
+    empirical prior), so z is a pure function of four integer counts:
+    y_src, its complement y_rest, the source totals, and the corpus
+    total. |z| > 1.96 flags tokens whose usage genuinely differs —
+    the signal a mixture designer reads before re-weighting sources,
+    and the drift side of corpus_source_drift made word-level.
+
+    Scale: ONE tokenize + explode feeds a (source, token) rollup —
+    the pinned compression point every later frame derives from
+    (vocab totals by re-agg over tokens, source totals by re-agg over
+    sources, the corpus total from the source totals): the raw token
+    stream is never re-scanned or re-shuffled. Joins: vocab on token
+    (vocab-sized both sides), source totals + corpus total broadcast
+    (|sources| + 1 rows). Output is |sources| × qualifying vocab.
+    """
+    from open_pulsar_spark.operators.dedup import _pin
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_tokens(F.col("text"))).alias("t"))
+    c = _pin("keyness_counts", tok.groupBy("source", "t").agg(F.count("*").alias("y")))
+    v = c.groupBy("t").agg(F.sum("y").alias("yw"))
+    s = c.groupBy("source").agg(F.sum("y").alias("ni"))
+    n = s.agg(F.sum("ni").alias("n"))
+    y, yw, ni, nn = F.col("y"), F.col("yw"), F.col("ni"), F.col("n")
+    delta = F.log((y + yw) * 1.0 / (ni + nn - y - yw)) - F.log(
+        (yw - y + yw) * 1.0 / (nn - ni + nn - (yw - y) - yw)
+    )
+    var = 1.0 / (y + yw) + 1.0 / (yw - y + yw)
+    return (
+        c.join(v, "t")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(n))
+        .where(yw >= KEYNESS_MIN_CORPUS)
+        .select(
+            "source",
+            "t",
+            y.cast("bigint").alias("y_src"),
+            (yw - y).cast("bigint").alias("y_rest"),
+            F.round(delta / F.sqrt(var), 6).alias("z"),
+        )
+        .orderBy("source", "t")
+    )

@@ -49,6 +49,7 @@ def load_all() -> None:
         curation,
         dedup,
         graph,
+        linkage,
         multimodal,
         profiling,
         relational,

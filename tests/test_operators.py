@@ -289,3 +289,81 @@ def test_events_key_skew_profile_empty_input(spark, tmp_path):
     assert row.n_keys == 0
     assert row.n_rows is None
     assert row.top10_share is None
+
+
+def test_customer_fuzzy_matches_finds_planted_typos(spark, tmp_path):
+    """Blocked edit-distance join must find exactly the planted
+    distance-≤1 pairs and nothing else (deletion-neighborhood
+    completeness for substitution, insertion AND deletion edits)."""
+    from open_pulsar_spark.operators.linkage import customer_fuzzy_matches
+
+    sf = tmp_path / "sf_fuzzy"
+    sf.mkdir()
+    rows = [
+        (1, "alice smith"),
+        (2, "alice smyth"),   # substitution -> dist 1 with #1
+        (3, "alice smithh"),  # insertion    -> dist 1 with #1
+        (4, "alice smit"),    # deletion     -> dist 1 with #1, #4-#2 dist 2
+        (5, "robert jones"),  # unrelated
+    ]
+    spark.createDataFrame(rows, "c_custkey bigint, c_name string").write.parquet(
+        str(sf / "customer.parquet")
+    )
+    got = {
+        (r.a_custkey, r.b_custkey, r.dist)
+        for r in customer_fuzzy_matches(spark, str(sf)).collect()
+    }
+    assert got == {(1, 2, 1), (1, 3, 1), (1, 4, 1)}
+
+
+def test_source_token_keyness_sign_matches_odds(spark):
+    """z must be positive exactly when the source's prior-smoothed odds
+    for the token exceed the rest-of-corpus odds (Monroe et al. eq. 16)."""
+    import math
+
+    from open_pulsar_spark.operators.text import source_token_keyness
+
+    rows = source_token_keyness(spark, SF_SMALL).collect()
+    assert rows
+    # reconstruct totals from the output itself
+    yw = {}
+    for r in rows:
+        yw[r.t] = r.y_src + r.y_rest
+    ni = {}
+    for r in rows:
+        ni[r.source] = ni.get(r.source, 0) + r.y_src
+    n = sum(ni.values())
+    for r in rows[:200]:
+        w = yw[r.t]
+        num_i = (r.y_src + w) / (ni[r.source] + n - r.y_src - w)
+        nj = n - ni[r.source]
+        num_j = (r.y_rest + w) / (nj + n - r.y_rest - w)
+        want = math.copysign(1.0, math.log(num_i / num_j))
+        if abs(r.z) > 1e-6:
+            assert math.copysign(1.0, r.z) == want, (r.source, r.t)
+
+
+def test_curation_agreement_kappa_identity(spark):
+    from open_pulsar_spark.operators.curation import curation_agreement_kappa
+
+    r = curation_agreement_kappa(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r.po <= 1.0 and 0.0 <= r.pe <= 1.0
+    assert r.n_agree <= r.n_docs
+    if r.kappa is not None:
+        assert abs(r.kappa - (r.po - r.pe) / (1.0 - r.pe)) < 1e-4
+        assert r.kappa <= 1.0
+
+
+def test_embedding_quantization_error_bounds(spark):
+    """Absmax int8 rounding error is ≤ half a quantization step:
+    max_abs_err ≤ scale/(2·127) ≤ max|x|/254 for every label."""
+    from open_pulsar_spark.operators.clustering import (
+        embedding_quantization_error,
+    )
+
+    rows = embedding_quantization_error(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mean_abs_err <= r.max_abs_err
+        # |x| ≤ ~1.5 for the synthetic embeddings -> hard ceiling
+        assert r.max_abs_err <= 1.5 / 254
