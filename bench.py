@@ -139,6 +139,8 @@ EXTRA = [
     "source_token_keyness",
     "curation_agreement_kappa",
     "embedding_quantization_error",
+    "source_crossentropy_matrix",
+    "label_embedding_affinity",
 ]
 
 HEADLINE = [

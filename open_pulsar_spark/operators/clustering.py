@@ -1348,3 +1348,106 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# label_embedding_affinity — class-level similarity structure.
+# --------------------------------------------------------------------------
+@query(
+    "label_embedding_affinity",
+    oracle=f"""
+    WITH q AS (
+        SELECT label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5)
+                             AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    s AS (
+        SELECT label, dims.dim, sum(q[dims.dim])::BIGINT AS s
+        FROM q
+        CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS dim) dims
+        GROUP BY label, dims.dim
+    ),
+    n AS (SELECT label, sum(s * s)::BIGINT AS nrm FROM s GROUP BY label),
+    p AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(a.s * b.s)::BIGINT AS dot
+        FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT p.label_a::BIGINT AS label_a,
+           p.label_b::BIGINT AS label_b,
+           CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN NULL
+                ELSE round(p.dot / (sqrt(na.nrm * 1.0) * sqrt(nb.nrm * 1.0)), 6)
+           END AS cos_sim
+    FROM p JOIN n na ON na.label = p.label_a
+           JOIN n nb ON nb.label = p.label_b
+    ORDER BY label_a, label_b
+    """,
+)
+def label_embedding_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label CENTROIDS — the
+    class-affinity matrix read before choosing contrastive negatives
+    (ann_hard_negatives mines within the high-affinity pairs this
+    surfaces), before merging near-identical classes, and as the
+    embedding-side answer to source_crossentropy_matrix's token-level
+    domain similarity. cos(mean_i, mean_j) = cos(sum_i, sum_j) — the
+    member counts cancel — so the statistic is computed on exact
+    integer dimension-sums on the fixed-point grid; the only float
+    ops are the final sqrt/divide, identical in both engines.
+
+    Scale: one map-only quantize + posexplode feeds a |labels|×DIM
+    integer-sum aggregate (map-side partials; the corpus never
+    shuffles); the sums frame is materialized (driver-scale by
+    construction, the centroid-drift idiom) because three frames —
+    both join sides and the norms — derive from it. Everything after
+    is |labels|²-sized. Integer dot products of dimension-sums
+    overflow int64 past ~3e9 summed fixed-point units per dimension;
+    at that corpus scale carry rounded integer MEANS instead (the
+    k-means _update contract) — same plan, same parity argument.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("label", F.expr(_Q_EXPR).alias("q"))
+    sums = (
+        q.select("label", F.posexplode("q"))
+        .groupBy("label", "pos")
+        .agg(F.sum("col").alias("s"))
+    )
+    sums = spark.createDataFrame(sums.collect(), sums.schema)
+    norms = sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("nrm"))
+    a, b = sums.alias("a"), sums.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.s") * F.col("b.s")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        pairs.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            F.col("label_a").cast("bigint").alias("label_a"),
+            F.col("label_b").cast("bigint").alias("label_b"),
+            F.when(
+                (F.col("na") == 0) | (F.col("nb") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    F.col("dot")
+                    / (F.sqrt(F.col("na") * 1.0) * F.sqrt(F.col("nb") * 1.0)),
+                    6,
+                )
+            )
+            .alias("cos_sim"),
+        )
+        .orderBy("label_a", "label_b")
+    )

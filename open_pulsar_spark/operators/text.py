@@ -1210,3 +1210,90 @@ def source_token_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "t")
     )
+
+
+# --------------------------------------------------------------------------
+# source_crossentropy_matrix — domain similarity via LM cross-scoring.
+# --------------------------------------------------------------------------
+@query(
+    "source_crossentropy_matrix",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(str_split(text, ' ')) AS t FROM documents
+    ),
+    c AS (SELECT source, t, count(*) AS y FROM tok GROUP BY source, t),
+    tot AS (SELECT source, sum(y) AS n FROM c GROUP BY source),
+    v AS (SELECT count(DISTINCT t) AS vsz FROM c),
+    s AS (SELECT i.source AS train_source, j.source AS eval_source,
+                 sum(j.y * ln(i.y + 1)) AS shared
+          FROM c i JOIN c j USING (t)
+          GROUP BY i.source, j.source)
+    SELECT ti.source AS train_source,
+           tj.source AS eval_source,
+           tj.n::BIGINT AS n_eval_tokens,
+           round(ln(ti.n + v.vsz)
+                 - coalesce(s.shared, 0.0) / tj.n, 6) AS cross_entropy
+    FROM tot ti CROSS JOIN tot tj CROSS JOIN v
+    LEFT JOIN s ON s.train_source = ti.source AND s.eval_source = tj.source
+    ORDER BY train_source, eval_source
+    """,
+)
+def source_crossentropy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|sources|² cross-entropy matrix H(eval | LM_train): the average
+    surprisal of each source's tokens under every OTHER source's
+    add-one-smoothed unigram LM — the domain-similarity measure data-
+    mixture design reads before choosing sampling weights (low
+    off-diagonal H = redundant domains; a diagonal row far below its
+    off-diagonals = a genuinely distinct domain worth up-weighting).
+    Algebraically H_ij = ln(n_i + V) − (1/n_j)·Σ_{w shared} y_jw·ln(y_iw+1),
+    since unseen-token terms contribute ln(1) = 0 — so only the shared
+    vocabulary is ever scored.
+
+    Scale: ONE tokenize feeds the pinned (source, token) rollup (the
+    keyness compression point); the cross-scoring is a vocab-sized
+    SELF equi-join on the token — never a corpus join — aggregated
+    straight down to |sources|² rows; totals and the vocabulary size
+    ride the rollup. The sources×sources grid is a deliberate
+    config-sized cross join (|sources| rows a side) so domain pairs
+    with zero shared vocabulary still report their ceiling entropy.
+    """
+    from open_pulsar_spark.operators.dedup import _pin
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_tokens(F.col("text"))).alias("t"))
+    c = _pin(
+        "xent_counts", tok.groupBy("source", "t").agg(F.count("*").alias("y"))
+    )
+    tot = c.groupBy("source").agg(F.sum("y").alias("n"))
+    v = c.agg(F.countDistinct("t").alias("vsz"))
+    i, j = c.alias("i"), c.alias("j")
+    s = (
+        i.join(j, F.col("i.t") == F.col("j.t"))
+        .groupBy(
+            F.col("i.source").alias("train_source"),
+            F.col("j.source").alias("eval_source"),
+        )
+        .agg(F.sum(F.col("j.y") * F.log(F.col("i.y") + 1)).alias("shared"))
+    )
+    ti = tot.select(
+        F.col("source").alias("train_source"), F.col("n").alias("n_train")
+    )
+    tj = tot.select(
+        F.col("source").alias("eval_source"), F.col("n").alias("n_eval")
+    )
+    return (
+        ti.crossJoin(tj)
+        .crossJoin(F.broadcast(v))
+        .join(s, ["train_source", "eval_source"], "left")
+        .select(
+            "train_source",
+            "eval_source",
+            F.col("n_eval").cast("bigint").alias("n_eval_tokens"),
+            F.round(
+                F.log(F.col("n_train") + F.col("vsz"))
+                - F.coalesce(F.col("shared"), F.lit(0.0)) / F.col("n_eval"),
+                6,
+            ).alias("cross_entropy"),
+        )
+        .orderBy("train_source", "eval_source")
+    )

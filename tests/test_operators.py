@@ -367,3 +367,32 @@ def test_embedding_quantization_error_bounds(spark):
         assert 0.0 <= r.mean_abs_err <= r.max_abs_err
         # |x| ≤ ~1.5 for the synthetic embeddings -> hard ceiling
         assert r.max_abs_err <= 1.5 / 254
+
+
+def test_crossentropy_diagonal_is_minimal_per_eval_column(spark):
+    """Each eval source should be best predicted by its own LM — the
+    diagonal must not exceed any off-diagonal entry of its column
+    (holds whenever sources have genuinely distinct token mixes)."""
+    from open_pulsar_spark.operators.text import source_crossentropy_matrix
+
+    rows = source_crossentropy_matrix(spark, SF_SMALL).collect()
+    by_eval = {}
+    for r in rows:
+        by_eval.setdefault(r.eval_source, {})[r.train_source] = r.cross_entropy
+    assert by_eval
+    for ev, col in by_eval.items():
+        assert col[ev] == min(col.values()), ev
+
+
+def test_label_affinity_is_valid_cosine(spark):
+    from open_pulsar_spark.operators.clustering import label_embedding_affinity
+
+    rows = label_embedding_affinity(spark, SF_SMALL).collect()
+    labels = set()
+    for r in rows:
+        assert r.label_a < r.label_b
+        labels.update((r.label_a, r.label_b))
+        if r.cos_sim is not None:
+            assert -1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2

@@ -124,6 +124,8 @@ def test_shard_packing_single_window_shuffle(spark):
 _NESTED_LOOP_ALLOWED = {
     "doc_unigram_logprob",       # 1-row corpus total, broadcast
     "source_token_keyness",      # 1-row corpus total, broadcast
+    "source_crossentropy_matrix",  # |sources|² grid + 1-row vocab size —
+                                 # config-sized cross joins by design
     "doc_tfidf_topterms",        # 1-row n_docs total, broadcast
     "backoff_schedule",          # 2-row constant rate_limited frame
     "dedup_ngram_jaccard",       # bounded-slice brute-force baseline
