@@ -141,6 +141,8 @@ EXTRA = [
     "embedding_quantization_error",
     "source_crossentropy_matrix",
     "label_embedding_affinity",
+    "split_leakage_audit",
+    "dedup_token_savings",
 ]
 
 HEADLINE = [

@@ -1182,15 +1182,8 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce("cluster_rep", "doc_id").alias("rep"),
     )
-    bucket = F.expr(
-        "cast(conv(substring(md5(cast(rep as string)), 1, 15), 16, 10)"
-        " as bigint) % 10"
-    )
     return (
-        assigned.withColumn(
-            "split",
-            F.when(bucket == 8, "val").when(bucket == 9, "test").otherwise("train"),
-        )
+        assigned.withColumn("split", _split_name_col("rep"))
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1352,4 +1345,208 @@ def curation_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.round((po - chance) / (1.0 - chance), 6))
         .alias("kappa"),
+    )
+
+
+# --------------------------------------------------------------------------
+# split_leakage_audit — measure what cluster_aware_split prevents.
+# --------------------------------------------------------------------------
+# The ONE split-assignment rule (engine + SQL forms): md5 of the key,
+# first 15 hex digits, mod 10 -> buckets 8='val', 9='test', else 'train'.
+_SPLIT_BUCKET_EXPR = (
+    "cast(conv(substring(md5(cast({col} as string)), 1, 15), 16, 10)"
+    " as bigint) % 10"
+)
+_SPLIT_BUCKET_SQL = "('0x' || substr(md5({col}::VARCHAR), 1, 15))::BIGINT % 10"
+
+
+def _split_name(col_sql: str) -> str:
+    return (
+        f"CASE {_SPLIT_BUCKET_SQL.format(col=col_sql)} "
+        "WHEN 8 THEN 'val' WHEN 9 THEN 'test' ELSE 'train' END"
+    )
+
+
+def _split_name_col(col_sql: str) -> "F.Column":
+    b = F.expr(_SPLIT_BUCKET_EXPR.format(col=col_sql))
+    return F.when(b == 8, "val").when(b == 9, "test").otherwise("train")
+
+
+def _leakage_oracle() -> str:
+    from open_pulsar_spark.operators.dedup import _CLOSURE_CTES
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    {_CLOSURE_CTES},
+    assigned AS (
+        SELECT d.doc_id,
+               {_split_name('d.doc_id')} AS naive_split,
+               {_split_name('coalesce(l.cluster_rep, d.doc_id)')} AS cluster_split
+        FROM documents d LEFT JOIN labels l ON l.ldoc = d.doc_id
+    ),
+    m AS (
+        SELECT count(*) AS n_pairs,
+               sum(CASE WHEN a.naive_split <> b.naive_split
+                        THEN 1 ELSE 0 END) AS naive_cross,
+               sum(CASE WHEN a.cluster_split <> b.cluster_split
+                        THEN 1 ELSE 0 END) AS cluster_cross
+        FROM pairs p
+        JOIN assigned a ON p.a_id = a.doc_id
+        JOIN assigned b ON p.b_id = b.doc_id
+    )
+    SELECT 'cluster' AS policy, n_pairs::BIGINT AS n_pairs,
+           cluster_cross::BIGINT AS n_cross_split,
+           CASE WHEN n_pairs = 0 THEN NULL
+                ELSE round(cluster_cross * 1.0 / n_pairs, 6) END AS leak_rate
+    FROM m
+    UNION ALL
+    SELECT 'naive', n_pairs::BIGINT, naive_cross::BIGINT,
+           CASE WHEN n_pairs = 0 THEN NULL
+                ELSE round(naive_cross * 1.0 / n_pairs, 6) END
+    FROM m
+    ORDER BY policy
+    """
+
+
+@query("split_leakage_audit", oracle=_leakage_oracle())
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies the eval-set contamination each split policy admits:
+    of all verified near-dup pairs, how many straddle a split boundary
+    under (a) the naive per-doc hash split and (b) the cluster-aware
+    split. The cluster policy's count is ZERO BY CONSTRUCTION (both
+    members hash the same representative) — this query is the audit
+    that proves it on data and prices the naive policy's leakage, the
+    number an eval-integrity review asks for first.
+
+    Scale: reuses the minhash pair pipeline and the cluster closure
+    (both already linear-measured); the audit itself is two key joins
+    of the pair list against the per-doc assignment and ONE aggregate
+    producing a single row — the two policy rows are stack()ed from
+    it rather than re-scanning anything (the 1-row-agg/N-branches
+    anti-pattern this module's review history flags).
+    """
+    from open_pulsar_spark.operators.dedup import _minhash_pairs, dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    reps = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
+    assign = docs.join(reps, "doc_id", "left").select(
+        "doc_id",
+        _split_name_col("doc_id").alias("naive_split"),
+        _split_name_col("coalesce(cluster_rep, doc_id)").alias(
+            "cluster_split"
+        ),
+    )
+    pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id")
+    a = assign.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("naive_split").alias("na"),
+        F.col("cluster_split").alias("ca"),
+    )
+    b = assign.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("naive_split").alias("nb"),
+        F.col("cluster_split").alias("cb"),
+    )
+    m = (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0)).alias(
+                "naive_cross"
+            ),
+            F.sum(F.when(F.col("ca") != F.col("cb"), 1).otherwise(0)).alias(
+                "cluster_cross"
+            ),
+        )
+    )
+    stacked = m.select(
+        F.expr(
+            "stack(2, 'cluster', n_pairs, cluster_cross,"
+            " 'naive', n_pairs, naive_cross)"
+            " as (policy, n_pairs, n_cross_split)"
+        )
+    )
+    return stacked.select(
+        "policy",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("n_cross_split").cast("bigint").alias("n_cross_split"),
+        F.when(F.col("n_pairs") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_cross_split") * 1.0 / F.col("n_pairs"), 6))
+        .alias("leak_rate"),
+    ).orderBy("policy")
+
+
+# --------------------------------------------------------------------------
+# dedup_token_savings — what near-dup dedup is worth, in tokens.
+# --------------------------------------------------------------------------
+def _token_savings_oracle() -> str:
+    from open_pulsar_spark.operators.dedup import _CLOSURE_CTES
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    {_CLOSURE_CTES}
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           sum(len(str_split(d.text, ' ')))::BIGINT AS n_tokens,
+           sum(CASE WHEN l.ldoc IS NULL OR l.cluster_rep = d.doc_id
+                    THEN 1 ELSE 0 END)::BIGINT AS n_docs_kept,
+           sum(CASE WHEN l.ldoc IS NULL OR l.cluster_rep = d.doc_id
+                    THEN len(str_split(d.text, ' ')) ELSE 0 END)::BIGINT
+               AS n_tokens_kept,
+           round(1.0 - sum(CASE WHEN l.ldoc IS NULL OR l.cluster_rep = d.doc_id
+                                THEN len(str_split(d.text, ' ')) ELSE 0 END)
+                       * 1.0 / sum(len(str_split(d.text, ' '))), 6)
+               AS token_savings
+    FROM documents d LEFT JOIN labels l ON l.ldoc = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+@query("dedup_token_savings", oracle=_token_savings_oracle())
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN cost of near-duplication: documents and tokens
+    before vs after keep-the-representative dedup (dedup_clusters'
+    min-id survivor; singletons survive), and the fraction of training
+    tokens dedup deletes. Doc counts understate the win — near-dups
+    cluster among LONG boilerplate documents — so budget planning and
+    per-source mixing (corpus_mix_weights consumes token masses, not
+    doc counts) need the token-denominated number.
+
+    Scale: the closure is dedup_clusters' measured-linear plan; this
+    adds one token-count projection on the documents scan, a left key
+    join to the (small) cluster-member frame, and a |sources|-row
+    aggregate. Text is tokenized exactly once, map-side.
+    """
+    from open_pulsar_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("nt")
+    )
+    reps = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
+    keep = F.col("cluster_rep").isNull() | (
+        F.col("cluster_rep") == F.col("doc_id")
+    )
+    return (
+        docs.join(reps, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias(
+                "n_docs_kept"
+            ),
+            F.sum(F.when(keep, F.col("nt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+            F.round(
+                1.0
+                - F.sum(F.when(keep, F.col("nt")).otherwise(0))
+                * 1.0
+                / F.sum("nt"),
+                6,
+            ).alias("token_savings"),
+        )
+        .orderBy("source")
     )

@@ -396,3 +396,23 @@ def test_label_affinity_is_valid_cosine(spark):
             assert -1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9
     k = len(labels)
     assert len(rows) == k * (k - 1) // 2
+
+
+def test_split_leakage_cluster_policy_is_zero(spark):
+    """The audit's reason to exist: the cluster policy must admit ZERO
+    cross-split near-dup pairs (both members hash the same rep)."""
+    from open_pulsar_spark.operators.curation import split_leakage_audit
+
+    rows = {r.policy: r for r in split_leakage_audit(spark, SF_SMALL).collect()}
+    assert set(rows) == {"cluster", "naive"}
+    assert rows["cluster"].n_cross_split == 0
+    assert rows["cluster"].n_pairs == rows["naive"].n_pairs
+
+
+def test_dedup_token_savings_conservation(spark):
+    from open_pulsar_spark.operators.curation import dedup_token_savings
+
+    for r in dedup_token_savings(spark, SF_SMALL).collect():
+        assert 0 <= r.n_docs_kept <= r.n_docs
+        assert 0 <= r.n_tokens_kept <= r.n_tokens
+        assert abs(r.token_savings - (1 - r.n_tokens_kept / r.n_tokens)) < 1e-5
