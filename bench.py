@@ -143,6 +143,8 @@ EXTRA = [
     "label_embedding_affinity",
     "split_leakage_audit",
     "dedup_token_savings",
+    "events_kmv_weekly_rollup",
+    "events_type_hour_chisq",
 ]
 
 HEADLINE = [

@@ -1760,3 +1760,89 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(sky.collect(), sky.schema)
     release()
     return result
+
+
+# --------------------------------------------------------------------------
+# events_type_hour_chisq — χ² independence test on a contingency table.
+# --------------------------------------------------------------------------
+@query(
+    "events_type_hour_chisq",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, extract(hour FROM ts)::BIGINT // 6 AS band
+        FROM events
+    ),
+    cells AS (SELECT event_type, band, count(*) AS o FROM e GROUP BY 1, 2),
+    rt AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT band, sum(o) AS c FROM cells GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM cells),
+    chi AS (
+        SELECT sum((o * 1.0 * o) * n.n / (rt.r * ct.c)) AS s
+        FROM cells JOIN rt USING (event_type) JOIN ct USING (band)
+        CROSS JOIN n
+    ),
+    dims AS (SELECT (SELECT count(*) FROM rt) AS r,
+                    (SELECT count(*) FROM ct) AS c)
+    SELECT n.n::BIGINT AS n_events,
+           ((dims.r - 1) * (dims.c - 1))::BIGINT AS df,
+           round(greatest(chi.s - n.n, 0.0), 6) AS chi2,
+           round(sqrt(greatest(chi.s - n.n, 0.0)
+                      / (n.n * least(dims.r - 1, dims.c - 1))), 6) AS cramers_v
+    FROM chi CROSS JOIN n CROSS JOIN dims
+    """,
+)
+def events_type_hour_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test between event type and 6-hour
+    time-of-day band, with Cramér's V effect size — the contingency
+    companion to ab_test_report's two-proportion z-test: does behavior
+    mix shift across the day, and by how much (V), not just "is the
+    biggest cell big". Uses the zero-cell-free identity
+    χ² = Σ_observed o²/E − n (absent cells contribute exactly their
+    E, which telescopes into the −n), so no dense grid is ever built.
+
+    Scale: ONE shuffle — the (type, band) cell rollup, pinned because
+    row totals, column totals and the grand total all re-derive from
+    it (never from the fact table); everything after is ≤ |types|×4
+    rows. The χ² float sum spans those few cells only; all counts are
+    exact integers.
+    """
+    from open_pulsar_spark.operators.dedup import _pin
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("hour(ts) div 6").alias("band")
+    )
+    cells = _pin(
+        "chisq_cells",
+        ev.groupBy("event_type", "band").agg(F.count("*").alias("o")),
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("band").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    dims = rt.agg(F.count("*").alias("nr")).crossJoin(
+        ct.agg(F.count("*").alias("nc"))
+    )
+    s = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "band")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                (F.col("o") * 1.0 * F.col("o"))
+                * F.col("n")
+                / (F.col("r") * F.col("c"))
+            ).alias("s"),
+            F.first("n").alias("n"),
+        )
+    )
+    chi2 = F.greatest(F.col("s") - F.col("n"), F.lit(0.0))
+    return s.crossJoin(F.broadcast(dims)).select(
+        F.col("n").cast("bigint").alias("n_events"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("df"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2 / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -535,3 +535,119 @@ def shingle_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_overcount"
         ),
     ).orderBy(F.desc("n_exact"), "shingle")
+
+
+# --------------------------------------------------------------------------
+# events_kmv_weekly_rollup — sketch MERGEABILITY across rollup levels.
+# --------------------------------------------------------------------------
+# md5 of the user id's decimal string — same 60-bit construction as
+# _U_SPARK/_U_SQL, keyed by user_id instead of token.
+_UU_SPARK = (
+    "conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)"
+    " / 1152921504606846976"
+)
+_UU_SQL = (
+    "('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT"
+    " / 1152921504606846976.0"
+)
+
+
+@query(
+    "events_kmv_weekly_rollup",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(date_trunc('week', ts) AS DATE) AS week,
+               {_UU_SQL} AS u
+        FROM events
+    ),
+    du AS (SELECT DISTINCT day, week, u FROM ev),
+    ranked AS (SELECT day, week, u,
+                      row_number() OVER (PARTITION BY day ORDER BY u) AS rn
+               FROM du),
+    daysk AS (SELECT day, week, u FROM ranked WHERE rn <= {KMV_K}),
+    mdist AS (SELECT DISTINCT week, u FROM daysk),
+    mranked AS (SELECT week, u,
+                       row_number() OVER (PARTITION BY week ORDER BY u) AS rn
+                FROM mdist),
+    msz AS (SELECT week, count(*) AS sz FROM mranked GROUP BY week),
+    kth AS (SELECT week, u FROM mranked WHERE rn = {KMV_K}),
+    exact AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               count(DISTINCT date_trunc('day', ts))::BIGINT AS n_days,
+               count(DISTINCT user_id)::BIGINT AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT e.week, e.n_days, e.n_exact,
+           CASE WHEN k.u IS NOT NULL
+                THEN round(({KMV_K} - 1) / k.u)::BIGINT
+                ELSE m.sz::BIGINT END AS n_est,
+           round(abs(CASE WHEN k.u IS NOT NULL
+                          THEN round(({KMV_K} - 1) / k.u)::BIGINT
+                          ELSE m.sz::BIGINT END - e.n_exact)
+                 * 1.0 / e.n_exact, 6) AS rel_err
+    FROM exact e
+    JOIN msz m USING (week)
+    LEFT JOIN kth k USING (week)
+    ORDER BY week
+    """,
+)
+def events_kmv_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user rollup that NEVER re-reads the fact table: daily
+    KMV sketches of the user-id universe merge into weekly estimates —
+    the property that makes a sketch-backed rollup cascade work
+    (events_rollup_cascade maintains additive counts; distinct counts
+    don't add, but bottom-k sketches MERGE: week sketch = bottom-k of
+    the distinct union of its day sketches). The exact weekly distinct
+    and the relative error ride along as the accuracy harness, the
+    measured-error contract of the sketch family.
+
+    Scale: the daily partial truncates to k hashes per (day, Arrow
+    batch) INSIDE the map task (bottom_k_kernel — the one bottom-k
+    implementation); the week level consumes the ≤ k×|days| sketch
+    rows only. At 100 TB the weekly/monthly/yearly levels are all
+    re-merges of the same daily sketch table — this query is the
+    day→week edge of that cascade, plus the (sampled-at-scale) exact
+    half.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.expr(_UU_SPARK).alias("u"),
+    )
+    partial = ev.mapInPandas(
+        bottom_k_kernel("day", "u", KMV_K), "day DATE, u DOUBLE"
+    )
+    daysk = partial.groupBy("day").agg(
+        bottom_k_merge_expr("u", KMV_K).alias("mins")
+    )
+    weeksk = (
+        daysk.select(
+            F.to_date(F.date_trunc("week", "day")).alias("week"),
+            F.explode("mins").alias("u"),
+        )
+        .groupBy("week")
+        .agg(bottom_k_merge_expr("u", KMV_K).alias("mins"))
+    )
+    est = _kmv_estimate_col(F.col("mins"))
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("week", "ts")).alias("week"))
+        .agg(
+            F.count_distinct(F.date_trunc("day", "ts")).alias("n_days"),
+            F.count_distinct("user_id").alias("n_exact"),
+        )
+    )
+    return (
+        exact.join(weeksk, "week")
+        .select(
+            "week",
+            "n_days",
+            "n_exact",
+            est.alias("n_est"),
+            F.round(
+                F.abs(est - F.col("n_exact")) * F.lit(1.0) / F.col("n_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("week")
+    )

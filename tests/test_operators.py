@@ -416,3 +416,70 @@ def test_dedup_token_savings_conservation(spark):
         assert 0 <= r.n_docs_kept <= r.n_docs
         assert 0 <= r.n_tokens_kept <= r.n_tokens
         assert abs(r.token_savings - (1 - r.n_tokens_kept / r.n_tokens)) < 1e-5
+
+
+def test_kmv_weekly_rollup_merge_equals_direct_sketch(spark):
+    """Merging daily sketches must equal sketching the week directly —
+    the mergeability contract (bottom-k of distinct union of per-day
+    bottom-ks == the week's bottom-k over all its users)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.sketch import (
+        KMV_K,
+        _UU_SPARK,
+        bottom_k_kernel,
+        bottom_k_merge_expr,
+        events_kmv_weekly_rollup,
+    )
+    from open_pulsar_spark.tables import load_table
+
+    rolled = {
+        r.week: r.n_est
+        for r in events_kmv_weekly_rollup(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events").select(
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        F.expr(_UU_SPARK).alias("u"),
+    )
+    direct = (
+        ev.mapInPandas(bottom_k_kernel("week", "u", KMV_K), "week DATE, u DOUBLE")
+        .groupBy("week")
+        .agg(bottom_k_merge_expr("u", KMV_K).alias("mins"))
+    )
+    from open_pulsar_spark.operators.sketch import _kmv_estimate_col
+
+    got = {
+        r.week: r.est
+        for r in direct.select("week", _kmv_estimate_col(F.col("mins")).alias("est")).collect()
+    }
+    assert got == rolled
+
+
+def test_chisq_is_zero_under_independence(spark, tmp_path):
+    """A product-form contingency (perfectly independent margins) must
+    score chi2 == 0 and cramers_v == 0."""
+    from open_pulsar_spark.operators.analytics import events_type_hour_chisq
+
+    sf = tmp_path / "sf_chisq"
+    sf.mkdir()
+    import datetime
+
+    rows = []
+    eid = 0
+    # 2 types x 2 bands, counts r_i*c_j/n exactly: margins (30, 10)x(20, 20)
+    for t, hour, cnt in (
+        ("a", 1, 15), ("a", 7, 15), ("b", 1, 5), ("b", 7, 5),
+    ):
+        for _ in range(cnt):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1, hour), 1, t)
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ).write.parquet(str(sf / "events.parquet"))
+    r = events_type_hour_chisq(spark, str(sf)).collect()[0]
+    assert r.n_events == 40
+    assert r.df == 1
+    assert r.chi2 == 0.0
+    assert r.cramers_v == 0.0
