@@ -1777,7 +1777,7 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT band, sum(o) AS c FROM cells GROUP BY 1),
     n AS (SELECT sum(o) AS n FROM cells),
     chi AS (
-        SELECT sum((o * 1.0 * o) * n.n / (rt.r * ct.c)) AS s
+        SELECT sum((o * 1.0 * o) * n.n / (rt.r * 1.0 * ct.c)) AS s
         FROM cells JOIN rt USING (event_type) JOIN ct USING (band)
         CROSS JOIN n
     ),
@@ -1786,8 +1786,10 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n::BIGINT AS n_events,
            ((dims.r - 1) * (dims.c - 1))::BIGINT AS df,
            round(greatest(chi.s - n.n, 0.0), 6) AS chi2,
-           round(sqrt(greatest(chi.s - n.n, 0.0)
-                      / (n.n * least(dims.r - 1, dims.c - 1))), 6) AS cramers_v
+           CASE WHEN least(dims.r - 1, dims.c - 1) = 0 THEN NULL
+                ELSE round(sqrt(greatest(chi.s - n.n, 0.0)
+                           / (n.n * least(dims.r - 1, dims.c - 1))), 6)
+           END AS cramers_v
     FROM chi CROSS JOIN n CROSS JOIN dims
     """,
 )
@@ -1829,7 +1831,7 @@ def events_type_hour_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (F.col("o") * 1.0 * F.col("o"))
                 * F.col("n")
-                / (F.col("r") * F.col("c"))
+                / (F.col("r") * 1.0 * F.col("c"))
             ).alias("s"),
             F.first("n").alias("n"),
         )
@@ -1839,10 +1841,18 @@ def events_type_hour_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_events"),
         ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("df"),
         F.round(chi2, 6).alias("chi2"),
-        F.round(
-            F.sqrt(
-                chi2 / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
-            ),
-            6,
-        ).alias("cramers_v"),
+        F.when(
+            F.least(F.col("nr") - 1, F.col("nc") - 1) == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.sqrt(
+                    chi2
+                    / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                ),
+                6,
+            )
+        )
+        .alias("cramers_v"),
     )

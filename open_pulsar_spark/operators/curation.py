@@ -1127,6 +1127,27 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The ONE split-assignment rule (engine + SQL forms): md5 of the key,
+# first 15 hex digits, mod 10 -> buckets 8='val', 9='test', else 'train'.
+_SPLIT_BUCKET_EXPR = (
+    "cast(conv(substring(md5(cast({col} as string)), 1, 15), 16, 10)"
+    " as bigint) % 10"
+)
+_SPLIT_BUCKET_SQL = "('0x' || substr(md5({col}::VARCHAR), 1, 15))::BIGINT % 10"
+
+
+def _split_name(col_sql: str) -> str:
+    return (
+        f"CASE {_SPLIT_BUCKET_SQL.format(col=col_sql)} "
+        "WHEN 8 THEN 'val' WHEN 9 THEN 'test' ELSE 'train' END"
+    )
+
+
+def _split_name_col(col_sql: str) -> "F.Column":
+    b = F.expr(_SPLIT_BUCKET_EXPR.format(col=col_sql))
+    return F.when(b == 8, "val").when(b == 9, "test").otherwise("train")
+
+
 # --------------------------------------------------------------------------
 # cluster_aware_split — leakage-free train/val/test assignment.
 # --------------------------------------------------------------------------
@@ -1145,10 +1166,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned AS (
         SELECT d.doc_id,
                coalesce(r.rep, d.doc_id) AS rep,
-               CASE ('0x' || substr(md5(coalesce(r.rep, d.doc_id)::VARCHAR),
-                                    1, 15))::BIGINT % 10
-                    WHEN 8 THEN 'val' WHEN 9 THEN 'test' ELSE 'train' END
-                   AS split
+               {_split_name("coalesce(r.rep, d.doc_id)")} AS split
         FROM documents d LEFT JOIN reps r USING (doc_id)
     )
     SELECT split, count(*) AS n_docs,
@@ -1263,13 +1281,12 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kappa_oracle() -> str:
     # composes text._QUALITY_Q_CTE — the ONE definition of the quality
     # weights — so a weight change cannot desynchronize this oracle
-    from open_pulsar_spark.operators.text import _QUALITY_Q_CTE
+    from open_pulsar_spark.operators.text import _LLM_SCORE_SQL, _QUALITY_Q_CTE
 
     return f"""
     WITH {_QUALITY_Q_CTE},
     r AS (SELECT CASE WHEN q.quality >= 0.6 THEN 1 ELSE 0 END AS ra,
-                 CASE WHEN ('0x' || substr(md5(d.text), 1, 2))::BIGINT
-                           / 255.0 >= 0.5
+                 CASE WHEN {_LLM_SCORE_SQL.format(col="d.text")} >= 0.5
                       THEN 1 ELSE 0 END AS rb
           FROM q JOIN documents d USING (doc_id)),
     m AS (SELECT count(*) AS n,
@@ -1313,12 +1330,10 @@ def curation_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic runs on one driver-sized row. Integer counts all the
     way to the final division, so Spark/DuckDB parity is exact.
     """
-    from open_pulsar_spark.operators.text import quality_expr
+    from open_pulsar_spark.operators.text import llm_score_col, quality_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    model = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast(
-        "bigint"
-    ) / F.lit(255.0)
+    model = llm_score_col("text")
     r = docs.select(
         F.when(quality_expr(F.col("text")) >= 0.6, 1).otherwise(0).alias("ra"),
         F.when(model >= 0.5, 1).otherwise(0).alias("rb"),
@@ -1351,27 +1366,6 @@ def curation_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # split_leakage_audit — measure what cluster_aware_split prevents.
 # --------------------------------------------------------------------------
-# The ONE split-assignment rule (engine + SQL forms): md5 of the key,
-# first 15 hex digits, mod 10 -> buckets 8='val', 9='test', else 'train'.
-_SPLIT_BUCKET_EXPR = (
-    "cast(conv(substring(md5(cast({col} as string)), 1, 15), 16, 10)"
-    " as bigint) % 10"
-)
-_SPLIT_BUCKET_SQL = "('0x' || substr(md5({col}::VARCHAR), 1, 15))::BIGINT % 10"
-
-
-def _split_name(col_sql: str) -> str:
-    return (
-        f"CASE {_SPLIT_BUCKET_SQL.format(col=col_sql)} "
-        "WHEN 8 THEN 'val' WHEN 9 THEN 'test' ELSE 'train' END"
-    )
-
-
-def _split_name_col(col_sql: str) -> "F.Column":
-    b = F.expr(_SPLIT_BUCKET_EXPR.format(col=col_sql))
-    return F.when(b == 8, "val").when(b == 9, "test").otherwise("train")
-
-
 def _leakage_oracle() -> str:
     from open_pulsar_spark.operators.dedup import _CLOSURE_CTES
 
@@ -1425,10 +1419,24 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     it rather than re-scanning anything (the 1-row-agg/N-branches
     anti-pattern this module's review history flags).
     """
-    from open_pulsar_spark.operators.dedup import _minhash_pairs, dedup_clusters
+    from open_pulsar_spark.operators.dedup import (
+        _minhash_pairs,
+        _pin,
+        closure_labels,
+    )
 
+    # ONE minhash pass: pin the verified pair list and materialize it,
+    # then feed BOTH consumers (the closure and the audit join) from
+    # the cache — calling dedup_clusters here would re-run the whole
+    # signature scan + band join a second time.
+    pairs = _pin(
+        "leakage_pairs", _minhash_pairs(spark, sf_dir).select("a_id", "b_id")
+    )
+    pairs.count()
+    reps = closure_labels(spark, pairs).select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    reps = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
     assign = docs.join(reps, "doc_id", "left").select(
         "doc_id",
         _split_name_col("doc_id").alias("naive_split"),
@@ -1436,7 +1444,6 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_split"
         ),
     )
-    pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id")
     a = assign.select(
         F.col("doc_id").alias("a_id"),
         F.col("naive_split").alias("na"),

@@ -40,8 +40,14 @@ KMV_K = 64
 
 # First 15 hex chars of md5 = 60 bits; dividing by 2^60 is exact in
 # double (power of two), so Spark and DuckDB produce bit-identical u.
-_U_SPARK = "conv(substring(md5(t), 1, 15), 16, 10) / 1152921504606846976"
-_U_SQL = "('0x' || substr(md5(t), 1, 15))::BIGINT / 1152921504606846976.0"
+# The templates are the ONE copy of the construction; instantiations
+# below bind the hashed column (token / user id).
+_U_SPARK_T = "conv(substring(md5({col}), 1, 15), 16, 10) / 1152921504606846976"
+_U_SQL_T = (
+    "('0x' || substr(md5({col}), 1, 15))::BIGINT / 1152921504606846976.0"
+)
+_U_SPARK = _U_SPARK_T.format(col="t")
+_U_SQL = _U_SQL_T.format(col="t")
 
 
 # tok/hashed/ranked CTEs: per-source distinct-token hashes u ∈ [0,1)
@@ -540,16 +546,9 @@ def shingle_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # events_kmv_weekly_rollup — sketch MERGEABILITY across rollup levels.
 # --------------------------------------------------------------------------
-# md5 of the user id's decimal string — same 60-bit construction as
-# _U_SPARK/_U_SQL, keyed by user_id instead of token.
-_UU_SPARK = (
-    "conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)"
-    " / 1152921504606846976"
-)
-_UU_SQL = (
-    "('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT"
-    " / 1152921504606846976.0"
-)
+# The shared 60-bit construction bound to the user id's decimal string.
+_UU_SPARK = _U_SPARK_T.format(col="cast(user_id as string)")
+_UU_SQL = _U_SQL_T.format(col="user_id::VARCHAR")
 
 
 @query(

@@ -355,12 +355,26 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # doc_llm_score — Arrow-batched pandas_udf scoring (the U-family path).
 # --------------------------------------------------------------------------
+# The ONE deterministic "model score" stub (first md5 byte / 255),
+# shared by doc_llm_score's Arrow UDF + oracle and by
+# curation_agreement_kappa's JVM + SQL raters — a change to the stub
+# lands everywhere or nowhere.
+_LLM_SCORE_SQL = "('0x' || substr(md5({col}), 1, 2))::BIGINT / 255.0"
+_LLM_SCORE_EXPR = (
+    "cast(conv(substring(md5({col}), 1, 2), 16, 10) as bigint) / 255.0"
+)
+
+
+def llm_score_col(col_sql: str) -> "F.Column":
+    return F.expr(_LLM_SCORE_EXPR.format(col=col_sql))
+
+
 @query(
     "doc_llm_score",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           round(('0x' || substr(md5(text), 1, 2))::BIGINT / 255.0, 6) AS model_score,
-           CASE WHEN ('0x' || substr(md5(text), 1, 2))::BIGINT / 255.0 >= 0.5
+           round({_LLM_SCORE_SQL.format(col='text')}, 6) AS model_score,
+           CASE WHEN {_LLM_SCORE_SQL.format(col='text')} >= 0.5
                 THEN 'keep' ELSE 'drop' END AS verdict
     FROM documents
     ORDER BY doc_id
@@ -384,7 +398,8 @@ def doc_llm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("double")
     def score_batch(texts: pd.Series) -> pd.Series:
         # stands in for a batched model call: one vectorized pass per
-        # Arrow batch, never per-row Python
+        # Arrow batch, never per-row Python. MUST stay equal to
+        # _LLM_SCORE_SQL/_LLM_SCORE_EXPR (first md5 byte / 255).
         return texts.map(
             lambda t: int(hashlib.md5(t.encode()).hexdigest()[:2], 16) / 255.0
         )

@@ -483,3 +483,25 @@ def test_chisq_is_zero_under_independence(spark, tmp_path):
     assert r.df == 1
     assert r.chi2 == 0.0
     assert r.cramers_v == 0.0
+
+
+def test_chisq_degenerate_table_yields_null_v(spark, tmp_path):
+    """One event type only -> df = 0: chi2 is 0 and Cramér's V is NULL
+    (undefined), matching the oracle instead of dividing by zero."""
+    from open_pulsar_spark.operators.analytics import events_type_hour_chisq
+
+    sf = tmp_path / "sf_chisq_deg"
+    sf.mkdir()
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, h), 1, "only")
+        for i, h in enumerate((1, 7, 13, 19))
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ).write.parquet(str(sf / "events.parquet"))
+    r = events_type_hour_chisq(spark, str(sf)).collect()[0]
+    assert r.df == 0
+    assert r.chi2 == 0.0
+    assert r.cramers_v is None
