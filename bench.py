@@ -145,6 +145,8 @@ EXTRA = [
     "dedup_token_savings",
     "events_kmv_weekly_rollup",
     "events_type_hour_chisq",
+    "embedding_pca_power",
+    "token_communities",
 ]
 
 HEADLINE = [

@@ -1557,3 +1557,114 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# token_communities — PMI collocation graph -> connected components.
+# --------------------------------------------------------------------------
+# 60-bit md5 node ids for the closure (tokens are strings; the closure
+# machinery labels LONGs) — engine + SQL forms of the same rule.
+_HID_EXPR = "cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)"
+_HID_SQL = "('0x' || substr(md5({col}), 1, 15))::BIGINT"
+
+
+def _communities_oracle() -> str:
+    from open_pulsar_spark.operators.dedup import _CLOSURE_CTES
+
+    closure = _CLOSURE_CTES.replace("FROM pairs", "FROM idp")
+    return f"""
+    WITH RECURSIVE {_TOKEN_PAIRS_CTES},
+    cb AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur),
+    n AS (SELECT sum(c2) AS np FROM cb),
+    cl AS (SELECT prev, sum(c2) AS c1l FROM cb GROUP BY prev),
+    cr AS (SELECT cur, sum(c2) AS c1r FROM cb GROUP BY cur),
+    e AS (
+        SELECT prev, cur FROM cb
+        JOIN cl USING (prev) JOIN cr USING (cur) CROSS JOIN n
+        WHERE c2 >= {PMI_MIN_COUNT} AND c2 * np > c1l * c1r
+    ),
+    idp AS (SELECT {_HID_SQL.format(col='prev')} AS a_id,
+                   {_HID_SQL.format(col='cur')} AS b_id
+            FROM e),
+    {closure},
+    nodes AS (
+        SELECT DISTINCT t, {_HID_SQL.format(col='t')} AS h
+        FROM (SELECT prev AS t FROM e UNION SELECT cur FROM e)
+    ),
+    lab AS (SELECT nd.t, l.cluster_rep
+            FROM nodes nd JOIN labels l ON l.ldoc = nd.h),
+    sz AS (SELECT cluster_rep, count(*) AS n_members FROM lab GROUP BY 1)
+    SELECT lab.t AS token, r.t AS community,
+           sz.n_members::BIGINT AS n_members
+    FROM lab
+    JOIN nodes r ON r.h = lab.cluster_rep
+    JOIN sz USING (cluster_rep)
+    ORDER BY community, token
+    """
+
+
+@query("token_communities", oracle=_communities_oracle())
+def token_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the POSITIVE-PMI collocation graph —
+    word communities: tokens linked (directly or transitively) by
+    above-chance adjacency. The phrase candidates token_pmi_pairs
+    ranks are this graph's edges; the components are the level up —
+    topic/phrase fields a vocabulary designer reviews as units, and
+    the same composition (association edges → closure) a product
+    team runs on co-view/co-purchase graphs. Edge admission is the
+    INTEGER predicate c2·N > c1l·c1r (PMI > 0 exactly, no logarithm
+    anywhere), floored at {PMI_MIN_COUNT} pair occurrences; node ids
+    are 60-bit md5 hashes so the closure runs on longs and both
+    engines agree on representatives (min hash id; its token is the
+    reported community name).
+
+    Scale: the pair explode is the shared _token_pairs scan; edges
+    are vocab²-bounded and floored; the closure is closure_labels'
+    measured path (union-find under SMALL_GRAPH_PAIRS, distributed
+    min-label above); everything downstream is component-sized.
+    """
+    from open_pulsar_spark.operators.dedup import _pin, closure_labels
+
+    docs = load_table(spark, sf_dir, "documents")
+    cb = _pin(
+        "community_pair_counts",
+        _token_pairs(docs).groupBy("prev", "cur").agg(F.count("*").alias("c2")),
+    )
+    cl = cb.groupBy("prev").agg(F.sum("c2").alias("c1l"))
+    cr = cb.groupBy("cur").agg(F.sum("c2").alias("c1r"))
+    tot = cb.agg(F.sum("c2").alias("np"))
+    e = _pin(
+        "community_edges",
+        cb.where(F.col("c2") >= PMI_MIN_COUNT)
+        .join(cl, "prev")
+        .join(cr, "cur")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("c2") * F.col("np") > F.col("c1l") * F.col("c1r"))
+        .select("prev", "cur"),
+    )
+    idp = e.select(
+        F.expr(_HID_EXPR.format(col="prev")).alias("a_id"),
+        F.expr(_HID_EXPR.format(col="cur")).alias("b_id"),
+    )
+    labels = closure_labels(spark, idp)
+    nodes = (
+        e.select(F.col("prev").alias("t"))
+        .union(e.select("cur"))
+        .distinct()
+        .withColumn("h", F.expr(_HID_EXPR.format(col="t")))
+    )
+    lab = nodes.join(labels, nodes["h"] == labels["u"]).select(
+        "t", F.col("label").alias("cluster_rep")
+    )
+    sz = lab.groupBy("cluster_rep").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    reps = nodes.select(
+        F.col("h").alias("cluster_rep"), F.col("t").alias("community")
+    )
+    return (
+        lab.join(reps, "cluster_rep")
+        .join(sz, "cluster_rep")
+        .select(F.col("t").alias("token"), "community", "n_members")
+        .orderBy("community", "token")
+    )

@@ -505,3 +505,76 @@ def test_chisq_degenerate_table_yields_null_v(spark, tmp_path):
     assert r.df == 0
     assert r.chi2 == 0.0
     assert r.cramers_v is None
+
+
+def test_pca_power_matches_replica_and_captures_energy(spark):
+    """Two honest checks: (a) the engine's iterate equals a numpy
+    replica of the SAME fixed-point iteration exactly (integer grid,
+    so equality is exact); (b) the iterate captures >= 0.85 of the top
+    eigenvalue's energy (Rayleigh quotient) — on this nearly-flat
+    spectrum eigenvector alignment is not reachable in bounded rounds,
+    captured energy is the meaningful convergence metric."""
+    import numpy as np
+
+    from open_pulsar_spark.operators.profiling import (
+        PCA_ROUNDS,
+        _PCA_DOWN,
+        embedding_pca_power,
+    )
+    from open_pulsar_spark.tables import load_table
+
+    rows = embedding_pca_power(spark, SF_SMALL).collect()
+    got = np.array(
+        [r.loading for r in sorted(rows, key=lambda r: r.d)]
+    ) * 4096.0
+    emb = load_table(spark, SF_SMALL, "embeddings").select("embedding").collect()
+    X = np.floor(np.array([r.embedding for r in emb], dtype=np.float64) * 4096 + 0.5)
+    n = len(X)
+    Cr = np.floor(
+        (n * (X.T @ X) - np.outer(X.sum(0), X.sum(0))) / _PCA_DOWN + 0.5
+    )
+    v = np.ones(X.shape[1]) * 4096
+    for _ in range(PCA_ROUNDS):
+        u = Cr @ v
+        mx = np.abs(u).max()
+        v = np.floor(u * 4096.0 / mx + 0.5)
+    assert np.array_equal(got, v), (got[:5], v[:5])
+    w = np.linalg.eigvalsh(Cr)[-1]
+    ray = (v @ Cr @ v) / (v @ v)
+    assert ray >= 0.85 * w, (ray, w)
+
+
+def test_token_communities_edges_stay_within_component(spark):
+    """Every positive-PMI edge must connect two tokens of the SAME
+    community (closure soundness), and n_members must match the
+    actual member counts."""
+    from collections import Counter
+
+    from open_pulsar_spark.operators.curation import (
+        PMI_MIN_COUNT,
+        _token_pairs,
+        token_communities,
+    )
+    from open_pulsar_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = token_communities(spark, SF_SMALL).collect()
+    comm = {r.token: r.community for r in rows}
+    sizes = Counter(r.community for r in rows)
+    for r in rows:
+        assert r.n_members == sizes[r.community]
+    docs = load_table(spark, SF_SMALL, "documents")
+    cb = (
+        _token_pairs(docs)
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c2"))
+        .collect()
+    )
+    npairs = sum(r.c2 for r in cb)
+    c1l = Counter(); c1r = Counter()
+    for r in cb:
+        c1l[r.prev] += r.c2
+        c1r[r.cur] += r.c2
+    for r in cb:
+        if r.c2 >= PMI_MIN_COUNT and r.c2 * npairs > c1l[r.prev] * c1r[r.cur]:
+            assert comm[r.prev] == comm[r.cur], (r.prev, r.cur)

@@ -127,6 +127,7 @@ _NESTED_LOOP_ALLOWED = {
     "source_crossentropy_matrix",  # |sources|² grid + 1-row vocab size —
                                  # config-sized cross joins by design
     "events_type_hour_chisq",    # 1-row grand total + 1-row dims, broadcast
+    "token_communities",         # 1-row pair total, broadcast (PMI edge gate)
     "doc_tfidf_topterms",        # 1-row n_docs total, broadcast
     "backoff_schedule",          # 2-row constant rate_limited frame
     "dedup_ngram_jaccard",       # bounded-slice brute-force baseline
