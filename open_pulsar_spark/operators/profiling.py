@@ -20,6 +20,8 @@ parity pattern, see curation.py PMI).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -543,6 +545,72 @@ def flag_status_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 COV_TOPK = 15
 
+_SCATTER_CACHE: dict[tuple[str, str], tuple] = {}
+_SCATTER_LOCK = threading.Lock()
+
+
+def _scatter_sums(spark: SparkSession, sf_dir: str):
+    """The one-pass integer scatter aggregates of the quantized
+    embedding matrix — (n, upper-triangle pair sums [(i, j, Σxixj)],
+    per-dim sums {d: Σx}, per-dim square sums {d: Σx²}) — MEMOIZED per
+    (Spark application, sf_dir), the clustering._fit train-once
+    contract: embedding_covariance_topk and embedding_pca_power
+    consume the identical aggregates (the 40M-row pair explode is the
+    dominant cost of both), the sums are exact integers so the cache
+    is bit-identical to recomputing, and dead-app entries evict on
+    insert. ~2 KB per live entry. The lock is held across the compute
+    so concurrent FAIR-pool consumers serialize into one pass."""
+    from open_pulsar_spark.operators.clustering import _Q_EXPR
+    from open_pulsar_spark.operators.dedup import _pin
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _SCATTER_LOCK:
+        hit = _SCATTER_CACHE.get(key)
+        if hit is not None:
+            return hit
+        emb = _pin(
+            "cov_q",
+            load_table(spark, sf_dir, "embeddings").select(
+                F.expr(_Q_EXPR).alias("q")
+            ),
+        )
+        n = emb.count()
+        up = (
+            emb.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(q, (xi, i) ->"
+                        " transform(slice(q, i + 2, size(q) - i - 1),"
+                        " (xj, k) -> struct(i as i, i + 1 + k as j,"
+                        " xi * xj as p))))"
+                    )
+                ).alias("e")
+            )
+            .select("e.i", "e.j", "e.p")
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("sij"))
+        )
+        dims = (
+            emb.select(F.posexplode("q").alias("d", "x"))
+            .groupBy("d")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+                F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias(
+                    "ss"
+                ),
+            )
+        )
+        up_rows = [(r.i, r.j, int(r.sij)) for r in up.collect()]
+        dim_rows = dims.collect()
+        s_by_d = {r.d: int(r.s) for r in dim_rows}
+        ss_by_d = {r.d: int(r.ss) for r in dim_rows}
+        from open_pulsar_spark.operators.clustering import _evict_other_apps
+
+        _evict_other_apps(_SCATTER_CACHE, key[0])
+        hit = (n, up_rows, s_by_d, ss_by_d)
+        _SCATTER_CACHE[key] = hit
+    return hit
+
 
 def _cov_oracle() -> str:
     from open_pulsar_spark.operators.clustering import DIM, SCALE
@@ -608,47 +676,20 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode is 2080× row amplification of already-scanned integers —
     map-local, shuffle-free until the 2016-group aggregate — the
     standard exact formulation when a BLAS partial (mapInPandas outer
-    product) is not warranted.
+    product) is not warranted. The scatter aggregates themselves come
+    from _scatter_sums — computed once per (application, sf_dir) and
+    shared with embedding_pca_power; the closing corr arithmetic runs
+    in Spark over the config-sized (2016-row) frame built from the
+    cached exact integers, so results are bit-identical to the
+    uncached plan.
     """
-    from open_pulsar_spark.operators.clustering import _Q_EXPR, DIM
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.expr(_Q_EXPR).alias("q")
-    )
-    from open_pulsar_spark.operators.dedup import _pin
-
-    emb = _pin("cov_q", emb)
-    n = emb.count()
-    # STRICT upper triangle per row (slice starts one past i, so no
-    # diagonal self-products ride the shuffle only to be filtered —
-    # the dims aggregate already carries Σx² as ss)
-    pairs = emb.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(q, (xi, i) ->"
-                " transform(slice(q, i + 2, size(q) - i - 1),"
-                " (xj, k) -> struct(i as i, i + 1 + k as j, xi * xj as p))))"
-            )
-        ).alias("e")
-    ).select("e.i", "e.j", "e.p")
-    sij = pairs.groupBy("i", "j").agg(
-        F.sum(F.col("p").cast("decimal(38,0)")).alias("sij")
-    )
-    dims = (
-        emb.select(F.posexplode("q").alias("d", "x"))
-        .groupBy("d")
-        .agg(
-            F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
-            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias(
-                "ss"
-            ),
-        )
-    )
-    di = dims.select(
-        F.col("d").alias("i"), F.col("s").alias("si"), F.col("ss").alias("sii")
-    )
-    dj = dims.select(
-        F.col("d").alias("j"), F.col("s").alias("sj"), F.col("ss").alias("sjj")
+    n, up_rows, s_by_d, ss_by_d = _scatter_sums(spark, sf_dir)
+    rows = [
+        (i, j, sij, s_by_d[i], s_by_d[j], ss_by_d[i], ss_by_d[j])
+        for (i, j, sij) in up_rows
+    ]
+    sij = spark.createDataFrame(
+        rows, "i INT, j INT, sij LONG, si LONG, sj LONG, sii LONG, sjj LONG"
     )
     nn = F.lit(float(n))
     num = (
@@ -667,9 +708,7 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXCLUDED, matching the oracle — a 0 denominator would throw
     # under ANSI mode and has no defined correlation anyway
     return (
-        sij.join(F.broadcast(di), "i")
-        .join(F.broadcast(dj), "j")
-        .where((vi > 0) & (vj > 0))
+        sij.where((vi > 0) & (vj > 0))
         .select(
             "i", "j", F.round(num / F.sqrt(vi * vj), 6).alias("corr")
         )
@@ -833,10 +872,11 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines hold bit-identical integer vectors, no eigensolver
     and no libm ordering anywhere.
 
-    Scale: the heavy phase is the same one-pass scatter aggregate as
-    embedding_covariance_topk (per-row upper-triangle explode in
+    Scale: the heavy phase is the SHARED _scatter_sums aggregate
+    (computed once per application/sf_dir, reused verbatim by
+    embedding_covariance_topk — per-row upper-triangle explode in
     codegen, DIM(DIM+1)/2 partial rows per partition, map-side
-    combine); the matrix (2080 upper+diagonal entries) is collected —
+    combine); the matrix (2080 upper+diagonal entries) is driver-side —
     bounded by construction, the k-means/centroid contract — and the
     iteration runs driver-side in exact Python integers: DIM²-sized
     matvecs, trivially cheap, NEVER another pass over the corpus. At
@@ -846,51 +886,16 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
-    from open_pulsar_spark.operators.clustering import _Q_EXPR, DIM
-    from open_pulsar_spark.operators.dedup import _pin
+    from open_pulsar_spark.operators.clustering import DIM
 
-    emb = _pin(
-        "pca_q",
-        load_table(spark, sf_dir, "embeddings").select(
-            F.expr(_Q_EXPR).alias("q")
-        ),
-    )
-    n = emb.count()
-    up = (
-        emb.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(q, (xi, i) ->"
-                    " transform(slice(q, i + 2, size(q) - i - 1),"
-                    " (xj, k) -> struct(i as i, i + 1 + k as j, xi * xj as p))))"
-                )
-            ).alias("e")
-        )
-        .select("e.i", "e.j", "e.p")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("sij"))
-    )
-    dims = (
-        emb.select(F.posexplode("q").alias("d", "x"))
-        .groupBy("d")
-        .agg(
-            F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
-            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("ss"),
-        )
-    )
-    s_by_d: dict[int, int] = {}
-    ss_by_d: dict[int, int] = {}
-    for r in dims.collect():  # DIM rows
-        s_by_d[r.d] = int(r.s)
-        ss_by_d[r.d] = int(r.ss)
+    n, up_rows, s_by_d, ss_by_d = _scatter_sums(spark, sf_dir)
     # full matrix from the upper triangle + diagonal, scaled to bigint
     M = [[0] * DIM for _ in range(DIM)]
-    for r in up.collect():  # DIM(DIM-1)/2 rows — bounded by construction
+    for i, j, sij in up_rows:  # DIM(DIM-1)/2 rows — bounded by construction
         val = math.floor(
-            (n * int(r.sij) - s_by_d[r.i] * s_by_d[r.j]) / float(_PCA_DOWN)
-            + 0.5
+            (n * sij - s_by_d[i] * s_by_d[j]) / float(_PCA_DOWN) + 0.5
         )
-        M[r.i][r.j] = M[r.j][r.i] = val
+        M[i][j] = M[j][i] = val
     for d in range(DIM):
         M[d][d] = math.floor(
             (n * ss_by_d[d] - s_by_d[d] * s_by_d[d]) / float(_PCA_DOWN) + 0.5
