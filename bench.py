@@ -147,6 +147,8 @@ EXTRA = [
     "events_type_hour_chisq",
     "embedding_pca_power",
     "token_communities",
+    "dedup_canonical_exact",
+    "user_engagement_purchase_corr",
 ]
 
 HEADLINE = [

@@ -1856,3 +1856,101 @@ def events_type_hour_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# user_engagement_purchase_corr — cross-fact correlation.
+# --------------------------------------------------------------------------
+@query(
+    "user_engagement_purchase_corr",
+    oracle="""
+    WITH e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+    o AS (SELECT o_custkey AS user_id,
+                 sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+          FROM orders GROUP BY 1),
+    u AS (
+        SELECT coalesce(e.n_events, 0)::BIGINT AS x,
+               coalesce(o.cents, 0)::BIGINT AS y
+        FROM e FULL JOIN o USING (user_id)
+    ),
+    m AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+               sum(x * x)::HUGEINT AS sxx,
+               sum(y::HUGEINT * y)::HUGEINT AS syy,
+               sum(x * y)::HUGEINT AS sxy
+        FROM u
+    )
+    SELECT n AS n_users,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE round((n * sxy - sx * sy) * 1.0
+                           / (sqrt((n * sxx - sx * sx) * 1.0)
+                              * sqrt((n * syy - sy * sy) * 1.0)), 6)
+           END AS corr,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round((n * sxy - sx * sy) * 1.0
+                           / ((n * sxx - sx * sx) * 1.0) / 100.0, 6)
+           END AS slope_per_event
+    FROM m
+    """,
+)
+def user_engagement_purchase_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does engagement predict spend? Pearson correlation (and the OLS
+    slope, in currency units per event) between per-user EVENT count
+    and per-user ORDER revenue — the cross-fact statistic a growth
+    team reads before treating engagement as a revenue proxy. Users
+    present in only one fact participate with 0 on the other side
+    (full-outer + coalesce): silent-but-buying and browsing-but-never-
+    buying users are exactly the point. Revenue is exact integer
+    cents; all five moments are integer sums, so both engines agree to
+    the bit and the only float ops are the closing divisions
+    (segment_revenue_trend's distributed-OLS contract, applied across
+    two fact tables). Degenerate variance yields NULL, not 0/0.
+
+    Scale: one groupBy per fact (each reduced to |users| rows before
+    anything joins — the fact tables never meet directly), one
+    full-outer join on the user key, a 6-counter aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+                )
+            ).alias("cents")
+        )
+    )
+    u = ev.join(od, "user_id", "full").select(
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("x"),
+        F.coalesce("cents", F.lit(0)).cast("bigint").alias("y"),
+    )
+    m = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    # moments combine in EXACT decimal (the oracle's HUGEINT) and only
+    # the finished vx/vy/cov cast to double: sx² exceeds 2^53 well
+    # before 100 TB, so double-first arithmetic would diverge from the
+    # oracle's exact-then-cast values
+    nd = F.col("n").cast("decimal(38,0)")
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.when((vx == 0) | (vy == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(cov * 1.0 / (F.sqrt(vx * 1.0) * F.sqrt(vy * 1.0)), 6))
+        .alias("corr"),
+        F.when(vx == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(cov * 1.0 / (vx * 1.0) / 100.0, 6))
+        .alias("slope_per_event"),
+    )

@@ -1306,3 +1306,70 @@ def source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_canonical_exact — case/punctuation-insensitive exact dedup.
+# --------------------------------------------------------------------------
+# The ONE canonicalization rule (engine + SQL): lowercase, strip every
+# non-[a-z0-9 ] character, collapse runs of spaces, trim.
+_CANON_EXPR = (
+    "trim(regexp_replace(regexp_replace(lower({col}),"
+    " '[^a-z0-9 ]', ''), ' +', ' '))"
+)
+_CANON_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({col}),"
+    " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+@query(
+    "dedup_canonical_exact",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, md5({_CANON_SQL.format(col='text')}) AS fingerprint,
+               md5(text) AS raw_fp
+        FROM documents
+    )
+    SELECT fingerprint,
+           count(*)::BIGINT AS n_copies,
+           count(DISTINCT raw_fp)::BIGINT AS n_raw_variants,
+           min(doc_id) AS keep_doc_id
+    FROM c
+    GROUP BY fingerprint
+    ORDER BY fingerprint
+    """,
+)
+def dedup_canonical_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANONICALIZED exact dedup — the cheap normalization pass every
+    production pipeline runs between byte-exact dedup and minhash:
+    lowercase, strip punctuation, collapse whitespace, then hash-group.
+    Catches the re-encoded/re-cased/retypeset copies dedup_exact's raw
+    fingerprint misses while staying one shuffle (vs minhash's full
+    signature pipeline). n_raw_variants > 1 inside a group is the
+    interesting signal: genuinely different bytes, identical canonical
+    content. Every group is returned (n_copies = 1 rows included) so
+    the canonicalization itself — two regex engines agreeing on every
+    document — is what the oracle gate checks; the actionable filter
+    is a trailing WHERE n_copies > 1 for the consumer.
+
+    Scale: identical posture to dedup_exact — map-side regex
+    canonicalize in codegen, one groupBy on the uniformly-distributed
+    128-bit hash, no skew. The regex rules live in ONE place
+    (_CANON_EXPR/_CANON_SQL) shared with any future canonical pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        F.md5(F.expr(_CANON_EXPR.format(col="text"))).alias("fingerprint"),
+        F.md5("text").alias("raw_fp"),
+    )
+    return (
+        c.groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.countDistinct("raw_fp").cast("bigint").alias("n_raw_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("fingerprint")
+    )

@@ -578,3 +578,65 @@ def test_token_communities_edges_stay_within_component(spark):
     for r in cb:
         if r.c2 >= PMI_MIN_COUNT and r.c2 * npairs > c1l[r.prev] * c1r[r.cur]:
             assert comm[r.prev] == comm[r.cur], (r.prev, r.cur)
+
+
+def test_dedup_canonical_groups_variants(spark, tmp_path):
+    """Re-cased / re-punctuated / re-spaced copies must share one
+    canonical fingerprint, with n_raw_variants counting the distinct
+    byte forms; unrelated text stays separate."""
+    from open_pulsar_spark.operators.dedup import dedup_canonical_exact
+
+    sf = tmp_path / "sf_canon"
+    sf.mkdir()
+    rows = [
+        (1, "The quick brown fox"),
+        (2, "the quick  brown fox!!"),
+        (3, "THE QUICK, BROWN FOX."),
+        (4, "a different document"),
+        (5, "a different document"),  # byte-identical pair
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        str(sf / "documents.parquet")
+    )
+    got = {r.keep_doc_id: r for r in dedup_canonical_exact(spark, str(sf)).collect()}
+    assert set(got) == {1, 4}
+    assert got[1].n_copies == 3 and got[1].n_raw_variants == 3
+    assert got[4].n_copies == 2 and got[4].n_raw_variants == 1
+
+
+def test_engagement_corr_matches_numpy(spark):
+    """The integer-moment Pearson/OLS must equal numpy's float result
+    on the same user vectors (within closing-division tolerance)."""
+    import numpy as np
+
+    from open_pulsar_spark.operators.analytics import (
+        user_engagement_purchase_corr,
+    )
+    from open_pulsar_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    r = user_engagement_purchase_corr(spark, SF_SMALL).collect()[0]
+    ev = {
+        u.user_id: u.n
+        for u in load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    od = {
+        u.user_id: u.c
+        for u in load_table(spark, SF_SMALL, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).alias("c")
+        )
+        .collect()
+    }
+    users = sorted(set(ev) | set(od))
+    x = np.array([ev.get(u, 0) for u in users], dtype=np.float64)
+    y = np.array([od.get(u, 0) for u in users], dtype=np.float64)
+    assert r.n_users == len(users)
+    want = np.corrcoef(x, y)[0, 1]
+    assert abs(r.corr - want) < 1e-5
+    slope = np.polyfit(x, y, 1)[0] / 100.0
+    assert abs(r.slope_per_event - slope) < max(1e-4, abs(slope) * 1e-3)
