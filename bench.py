@@ -149,6 +149,7 @@ EXTRA = [
     "token_communities",
     "dedup_canonical_exact",
     "user_engagement_purchase_corr",
+    "ab_test_cuped",
 ]
 
 HEADLINE = [

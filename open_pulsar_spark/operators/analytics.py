@@ -1954,3 +1954,145 @@ def user_engagement_purchase_corr(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.round(cov * 1.0 / (vx * 1.0) / 100.0, 6))
         .alias("slope_per_event"),
     )
+
+
+# --------------------------------------------------------------------------
+# ab_test_cuped — variance-reduced experiment readout (CUPED).
+# --------------------------------------------------------------------------
+CUPED_SPLIT_DAY = 15  # pre-period = days 1..15, experiment = the rest
+
+
+@query(
+    "ab_test_cuped",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                         % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+               sum(CASE WHEN event_type = 'purchase'
+                         AND extract(day FROM ts) <= {CUPED_SPLIT_DAY}
+                        THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS x,
+               sum(CASE WHEN event_type = 'purchase'
+                         AND extract(day FROM ts) > {CUPED_SPLIT_DAY}
+                        THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT count(*)::HUGEINT AS n,
+               sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+               sum(x::HUGEINT * x)::HUGEINT AS sxx,
+               sum(y::HUGEINT * y)::HUGEINT AS syy,
+               sum(x::HUGEINT * y)::HUGEINT AS sxy
+        FROM u
+    ),
+    v AS (
+        SELECT variant, count(*)::BIGINT AS n_users,
+               sum(x)::HUGEINT AS sxv, sum(y)::HUGEINT AS syv
+        FROM u GROUP BY variant
+    )
+    SELECT v.variant, v.n_users,
+           round(v.syv * 1.0 / v.n_users / 100.0, 6) AS mean_post,
+           round((v.syv * 1.0
+                  - ((m.n * m.sxy - m.sx * m.sy) * 1.0
+                     / (m.n * m.sxx - m.sx * m.sx))
+                    * (v.sxv * 1.0 - v.n_users * (m.sx * 1.0 / m.n)))
+                 / v.n_users / 100.0, 6) AS mean_post_cuped,
+           round((m.n * m.sxy - m.sx * m.sy) * 1.0
+                 / (m.n * m.sxx - m.sx * m.sx), 6) AS theta,
+           round(((m.n * m.sxy - m.sx * m.sy) * 1.0
+                  * (m.n * m.sxy - m.sx * m.sy))
+                 / ((m.n * m.sxx - m.sx * m.sx) * 1.0
+                    * (m.n * m.syy - m.sy * m.sy)), 6) AS var_reduction
+    FROM v CROSS JOIN m
+    ORDER BY variant
+    """,
+)
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (Deng et al. 2013): per-user
+    purchase revenue from the PRE-period (days 1..{CUPED_SPLIT_DAY})
+    serves as the control covariate for the experiment-period metric —
+    mean_post_cuped = mean(y − θ(x − x̄)) removes the variance the
+    pre-period already explains, and var_reduction = ρ² is exactly the
+    fraction of metric variance CUPED deletes (the shrinkage an
+    experimentation platform's sensitivity math runs on). Assignment
+    is ab_test_report's deterministic md5 coin; θ and ρ² are pooled
+    (assignment-independent by construction, the standard CUPED
+    estimator).
+
+    Scale: ONE scan reduces events to a per-user (x, y) frame — pinned
+    because the pooled moments and the per-variant sums are two
+    consumers — then a 6-counter global aggregate (exact HUGEINT /
+    decimal moments; doubles appear only in the closing expressions,
+    identical shape in both engines) broadcast onto the 2-variant
+    rows.
+    """
+    from open_pulsar_spark.operators.curation import _hash_raw_spark
+    from open_pulsar_spark.operators.dedup import _pin
+
+    ev = load_table(spark, sf_dir, "events")
+    is_purch = F.col("event_type") == "purchase"
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pre = F.when(
+        is_purch & (F.dayofmonth("ts") <= CUPED_SPLIT_DAY), cents
+    ).otherwise(0)
+    post = F.when(
+        is_purch & (F.dayofmonth("ts") > CUPED_SPLIT_DAY), cents
+    ).otherwise(0)
+    u = _pin(
+        "cuped_users",
+        ev.groupBy("user_id").agg(
+            F.sum(pre).cast("bigint").alias("x"),
+            F.sum(post).cast("bigint").alias("y"),
+        ),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = u.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+    )
+    variant = F.when(
+        _hash_raw_spark(F.col("user_id")) % 2 == 0, "A"
+    ).otherwise("B")
+    v = u.groupBy(variant.alias("variant")).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("decimal(38,0)").alias("sxv"),
+        F.sum("y").cast("decimal(38,0)").alias("syv"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    theta = cov * 1.0 / vx
+    mean_x = F.col("sx").cast("double") * 1.0 / F.col("n").cast("double")
+    return (
+        v.crossJoin(F.broadcast(m))
+        .select(
+            "variant",
+            "n_users",
+            F.round(
+                F.col("syv").cast("double") * 1.0 / F.col("n_users") / 100.0, 6
+            ).alias("mean_post"),
+            F.round(
+                (
+                    F.col("syv").cast("double") * 1.0
+                    - theta
+                    * (
+                        F.col("sxv").cast("double") * 1.0
+                        - F.col("n_users") * mean_x
+                    )
+                )
+                / F.col("n_users")
+                / 100.0,
+                6,
+            ).alias("mean_post_cuped"),
+            F.round(theta, 6).alias("theta"),
+            F.round(cov * 1.0 * cov / (vx * 1.0 * vy), 6).alias(
+                "var_reduction"
+            ),
+        )
+        .orderBy("variant")
+    )

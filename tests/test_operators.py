@@ -640,3 +640,19 @@ def test_engagement_corr_matches_numpy(spark):
     assert abs(r.corr - want) < 1e-5
     slope = np.polyfit(x, y, 1)[0] / 100.0
     assert abs(r.slope_per_event - slope) < max(1e-4, abs(slope) * 1e-3)
+
+
+def test_cuped_reduces_variance_and_preserves_pooled_mean(spark):
+    """CUPED must not move the POOLED mean (Σ adjustments telescope to
+    zero over all users) and var_reduction must equal rho² in [0, 1]."""
+    from open_pulsar_spark.operators.analytics import ab_test_cuped
+
+    rows = ab_test_cuped(spark, SF_SMALL).collect()
+    assert len(rows) == 2
+    n = sum(r.n_users for r in rows)
+    pooled_raw = sum(r.mean_post * r.n_users for r in rows) / n
+    pooled_adj = sum(r.mean_post_cuped * r.n_users for r in rows) / n
+    assert abs(pooled_raw - pooled_adj) < 1e-3
+    for r in rows:
+        assert 0.0 <= r.var_reduction <= 1.0
+        assert r.theta == rows[0].theta  # pooled, constant across variants

@@ -128,6 +128,7 @@ _NESTED_LOOP_ALLOWED = {
                                  # config-sized cross joins by design
     "events_type_hour_chisq",    # 1-row grand total + 1-row dims, broadcast
     "token_communities",         # 1-row pair total, broadcast (PMI edge gate)
+    "ab_test_cuped",             # 1-row pooled-moments frame, broadcast
     "doc_tfidf_topterms",        # 1-row n_docs total, broadcast
     "backoff_schedule",          # 2-row constant rate_limited frame
     "dedup_ngram_jaccard",       # bounded-slice brute-force baseline
