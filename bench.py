@@ -150,6 +150,7 @@ EXTRA = [
     "dedup_canonical_exact",
     "user_engagement_purchase_corr",
     "ab_test_cuped",
+    "copurchase_rec_hitrate",
 ]
 
 HEADLINE = [

