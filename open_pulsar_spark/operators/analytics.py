@@ -1929,13 +1929,18 @@ def user_engagement_purchase_corr(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("x"),
         F.coalesce("cents", F.lit(0)).cast("bigint").alias("y"),
     )
+    # every moment pre-casts its OPERAND to decimal — summing in LONG
+    # and casting the result would overflow (ANSI throw / silent wrap)
+    # long before the oracle's HUGEINT does
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     m = u.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
     )
     # moments combine in EXACT decimal (the oracle's HUGEINT) and only
     # the finished vx/vy/cov cast to double: sx² exceeds 2^53 well
@@ -1992,17 +1997,21 @@ CUPED_SPLIT_DAY = 15  # pre-period = days 1..15, experiment = the rest
     )
     SELECT v.variant, v.n_users,
            round(v.syv * 1.0 / v.n_users / 100.0, 6) AS mean_post,
-           round((v.syv * 1.0
+           CASE WHEN m.n * m.sxx - m.sx * m.sx = 0 THEN NULL
+                ELSE round((v.syv * 1.0
                   - ((m.n * m.sxy - m.sx * m.sy) * 1.0
                      / (m.n * m.sxx - m.sx * m.sx))
                     * (v.sxv * 1.0 - v.n_users * (m.sx * 1.0 / m.n)))
-                 / v.n_users / 100.0, 6) AS mean_post_cuped,
-           round((m.n * m.sxy - m.sx * m.sy) * 1.0
-                 / (m.n * m.sxx - m.sx * m.sx), 6) AS theta,
-           round(((m.n * m.sxy - m.sx * m.sy) * 1.0
+                 / v.n_users / 100.0, 6) END AS mean_post_cuped,
+           CASE WHEN m.n * m.sxx - m.sx * m.sx = 0 THEN NULL
+                ELSE round((m.n * m.sxy - m.sx * m.sy) * 1.0
+                 / (m.n * m.sxx - m.sx * m.sx), 6) END AS theta,
+           CASE WHEN m.n * m.sxx - m.sx * m.sx = 0
+                  OR m.n * m.syy - m.sy * m.sy = 0 THEN NULL
+                ELSE round(((m.n * m.sxy - m.sx * m.sy) * 1.0
                   * (m.n * m.sxy - m.sx * m.sy))
                  / ((m.n * m.sxx - m.sx * m.sx) * 1.0
-                    * (m.n * m.syy - m.sy * m.sy)), 6) AS var_reduction
+                    * (m.n * m.syy - m.sy * m.sy)), 6) END AS var_reduction
     FROM v CROSS JOIN m
     ORDER BY variant
     """,
@@ -2017,7 +2026,8 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     experimentation platform's sensitivity math runs on). Assignment
     is ab_test_report's deterministic md5 coin; θ and ρ² are pooled
     (assignment-independent by construction, the standard CUPED
-    estimator).
+    estimator). Zero pre-period variance yields NULL adjusted columns
+    rather than an ANSI divide error (the corr-family guard).
 
     Scale: ONE scan reduces events to a per-user (x, y) frame — pinned
     because the pooled moments and the per-variant sums are two
@@ -2047,10 +2057,12 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     xd = F.col("x").cast("decimal(38,0)")
     yd = F.col("y").cast("decimal(38,0)")
+    # operand pre-cast throughout (see user_engagement_purchase_corr):
+    # LONG sums overflow long before the oracle's HUGEINT
     m = u.agg(
         F.count("*").cast("decimal(38,0)").alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
         F.sum(xd * F.col("x")).alias("sxx"),
         F.sum(yd * F.col("y")).alias("syy"),
         F.sum(xd * F.col("y")).alias("sxy"),
@@ -2060,8 +2072,8 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise("B")
     v = u.groupBy(variant.alias("variant")).agg(
         F.count("*").cast("bigint").alias("n_users"),
-        F.sum("x").cast("decimal(38,0)").alias("sxv"),
-        F.sum("y").cast("decimal(38,0)").alias("syv"),
+        F.sum(xd).alias("sxv"),
+        F.sum(yd).alias("syv"),
     )
     cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
@@ -2076,23 +2088,29 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("syv").cast("double") * 1.0 / F.col("n_users") / 100.0, 6
             ).alias("mean_post"),
-            F.round(
-                (
-                    F.col("syv").cast("double") * 1.0
-                    - theta
-                    * (
-                        F.col("sxv").cast("double") * 1.0
-                        - F.col("n_users") * mean_x
+            F.when(vx == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    (
+                        F.col("syv").cast("double") * 1.0
+                        - theta
+                        * (
+                            F.col("sxv").cast("double") * 1.0
+                            - F.col("n_users") * mean_x
+                        )
                     )
+                    / F.col("n_users")
+                    / 100.0,
+                    6,
                 )
-                / F.col("n_users")
-                / 100.0,
-                6,
-            ).alias("mean_post_cuped"),
-            F.round(theta, 6).alias("theta"),
-            F.round(cov * 1.0 * cov / (vx * 1.0 * vy), 6).alias(
-                "var_reduction"
-            ),
+            )
+            .alias("mean_post_cuped"),
+            F.when(vx == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(theta, 6))
+            .alias("theta"),
+            F.when((vx == 0) | (vy == 0), F.lit(None).cast("double"))
+            .otherwise(F.round(cov * 1.0 * cov / (vx * 1.0 * vy), 6))
+            .alias("var_reduction"),
         )
         .orderBy("variant")
     )

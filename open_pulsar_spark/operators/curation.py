@@ -49,14 +49,20 @@ CONTAM_MIN_SHARED = 2     # ≥2 shared 5-grams → flagged
 BENCH_MOD = 23            # doc_id % 23 == 0 → the held-out benchmark set
 
 
-def _hash_raw_spark(col):
-    """First 32 bits of md5(x) as a BIGINT — the deterministic hash
-    every derived coin reduces (mod 100 for sampling, mod 2 for A/B
-    assignment). Identical in DuckDB via
-    ('0x' || substr(md5(x), 1, 8))::BIGINT."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    )
+def _hash_raw_spark(col, nhex: int = 8):
+    """First `nhex` hex chars (4·nhex bits) of md5(x) as a BIGINT — the
+    ONE deterministic hash every derived coin reduces (mod 100 for
+    sampling, mod 2 for A/B assignment; nhex=15 for 60-bit node ids).
+    The DuckDB twin is _hash_raw_sql."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, nhex), 16, 10
+    ).cast("bigint")
+
+
+def _hash_raw_sql(col_sql: str, nhex: int = 8) -> str:
+    """DuckDB form of _hash_raw_spark; `col_sql` must already be a
+    VARCHAR expression (cast at the call site, e.g. user_id::VARCHAR)."""
+    return f"('0x' || substr(md5({col_sql}), 1, {nhex}))::BIGINT"
 
 
 def _hash_bucket_spark(col):
@@ -1563,11 +1569,7 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token_communities — PMI collocation graph -> connected components.
 # --------------------------------------------------------------------------
 # 60-bit md5 node ids for the closure (tokens are strings; the closure
-# machinery labels LONGs) — engine + SQL forms of the same rule.
-_HID_EXPR = "cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)"
-_HID_SQL = "('0x' || substr(md5({col}), 1, 15))::BIGINT"
-
-
+# machinery labels LONGs) — the shared hash rule at nhex=15.
 def _communities_oracle() -> str:
     from open_pulsar_spark.operators.dedup import _CLOSURE_CTES
 
@@ -1583,12 +1585,12 @@ def _communities_oracle() -> str:
         JOIN cl USING (prev) JOIN cr USING (cur) CROSS JOIN n
         WHERE c2 >= {PMI_MIN_COUNT} AND c2 * np > c1l * c1r
     ),
-    idp AS (SELECT {_HID_SQL.format(col='prev')} AS a_id,
-                   {_HID_SQL.format(col='cur')} AS b_id
+    idp AS (SELECT {_hash_raw_sql('prev', 15)} AS a_id,
+                   {_hash_raw_sql('cur', 15)} AS b_id
             FROM e),
     {closure},
     nodes AS (
-        SELECT DISTINCT t, {_HID_SQL.format(col='t')} AS h
+        SELECT DISTINCT t, {_hash_raw_sql('t', 15)} AS h
         FROM (SELECT prev AS t FROM e UNION SELECT cur FROM e)
     ),
     lab AS (SELECT nd.t, l.cluster_rep
@@ -1643,15 +1645,15 @@ def token_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prev", "cur"),
     )
     idp = e.select(
-        F.expr(_HID_EXPR.format(col="prev")).alias("a_id"),
-        F.expr(_HID_EXPR.format(col="cur")).alias("b_id"),
+        _hash_raw_spark(F.col("prev"), 15).alias("a_id"),
+        _hash_raw_spark(F.col("cur"), 15).alias("b_id"),
     )
     labels = closure_labels(spark, idp)
     nodes = (
         e.select(F.col("prev").alias("t"))
         .union(e.select("cur"))
         .distinct()
-        .withColumn("h", F.expr(_HID_EXPR.format(col="t")))
+        .withColumn("h", _hash_raw_spark(F.col("t"), 15))
     )
     lab = nodes.join(labels, nodes["h"] == labels["u"]).select(
         "t", F.col("label").alias("cluster_rep")

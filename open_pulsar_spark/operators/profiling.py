@@ -604,6 +604,10 @@ def _scatter_sums(spark: SparkSession, sf_dir: str):
         dim_rows = dims.collect()
         s_by_d = {r.d: int(r.s) for r in dim_rows}
         ss_by_d = {r.d: int(r.ss) for r in dim_rows}
+        # consumption is fully eager (count + two collects) and cache
+        # hits return the driver tuples — release the executor memory
+        # instead of pinning the quantized corpus for the app lifetime
+        emb.unpersist()
         from open_pulsar_spark.operators.clustering import _evict_other_apps
 
         _evict_other_apps(_SCATTER_CACHE, key[0])
@@ -684,12 +688,20 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncached plan.
     """
     n, up_rows, s_by_d, ss_by_d = _scatter_sums(spark, sf_dir)
+    from decimal import Decimal
+
+    # DECIMAL(38,0) columns, not LONG: the cached sums are exact Python
+    # ints and the pre-refactor plan carried decimal end-to-end — a
+    # LONG schema would narrow the exactness envelope to 2^63
     rows = [
-        (i, j, sij, s_by_d[i], s_by_d[j], ss_by_d[i], ss_by_d[j])
+        tuple([i, j] + [Decimal(v) for v in
+                        (sij, s_by_d[i], s_by_d[j], ss_by_d[i], ss_by_d[j])])
         for (i, j, sij) in up_rows
     ]
     sij = spark.createDataFrame(
-        rows, "i INT, j INT, sij LONG, si LONG, sj LONG, sii LONG, sjj LONG"
+        rows,
+        "i INT, j INT, sij DECIMAL(38,0), si DECIMAL(38,0),"
+        " sj DECIMAL(38,0), sii DECIMAL(38,0), sjj DECIMAL(38,0)",
     )
     nn = F.lit(float(n))
     num = (
