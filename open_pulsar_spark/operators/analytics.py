@@ -1876,9 +1876,9 @@ def events_type_hour_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT count(*)::BIGINT AS n,
                sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
-               sum(x * x)::HUGEINT AS sxx,
+               sum(x::HUGEINT * x)::HUGEINT AS sxx,
                sum(y::HUGEINT * y)::HUGEINT AS syy,
-               sum(x * y)::HUGEINT AS sxy
+               sum(x::HUGEINT * y)::HUGEINT AS sxy
         FROM u
     )
     SELECT n AS n_users,

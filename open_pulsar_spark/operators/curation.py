@@ -70,7 +70,7 @@ def _hash_bucket_spark(col):
     return _hash_raw_spark(col) % 100
 
 
-_HASH_BUCKET_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+_HASH_BUCKET_SQL = _hash_raw_sql("doc_id::VARCHAR") + " % 100"
 
 _RATE_SQL = (
     "CASE lang "
@@ -1139,7 +1139,7 @@ _SPLIT_BUCKET_EXPR = (
     "cast(conv(substring(md5(cast({col} as string)), 1, 15), 16, 10)"
     " as bigint) % 10"
 )
-_SPLIT_BUCKET_SQL = "('0x' || substr(md5({col}::VARCHAR), 1, 15))::BIGINT % 10"
+_SPLIT_BUCKET_SQL = _hash_raw_sql("{col}::VARCHAR", 15) + " % 10"
 
 
 def _split_name(col_sql: str) -> str:

@@ -128,6 +128,19 @@ def _pin(name: str, df: DataFrame) -> DataFrame:
         return df
 
 
+def _release(name: str) -> None:
+    """Explicitly end a pin's generation: pop the registry entry AND
+    unpersist in one place — for operators whose consumption of the
+    pinned frame is fully EAGER (collected inside the function), where
+    holding the cache for the session adds nothing. Keeps the _pin
+    invariant (the registry only ever lists live generations) instead
+    of unpersisting behind its back."""
+    with _PIN_LOCK:
+        df = _LIVE_CACHES.pop(name, None)
+        if df is not None:
+            df.unpersist()
+
+
 def _py_shingles(text: str | None) -> set[str] | None:
     """Distinct word-3-gram shingles; None when the doc has < 3 tokens.
 

@@ -607,7 +607,10 @@ def _scatter_sums(spark: SparkSession, sf_dir: str):
         # consumption is fully eager (count + two collects) and cache
         # hits return the driver tuples — release the executor memory
         # instead of pinning the quantized corpus for the app lifetime
-        emb.unpersist()
+        # (_release keeps the _pin registry consistent with reality)
+        from open_pulsar_spark.operators.dedup import _release
+
+        _release("cov_q")
         from open_pulsar_spark.operators.clustering import _evict_other_apps
 
         _evict_other_apps(_SCATTER_CACHE, key[0])
