@@ -2114,3 +2114,89 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# --------------------------------------------------------------------------
+# revenue_cusum_changepoint — integer CUSUM level-shift detection.
+# --------------------------------------------------------------------------
+@query(
+    "revenue_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY 1),
+    seq AS (
+        SELECT day, cents,
+               row_number() OVER (ORDER BY day) AS t,
+               sum(cents) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS prefix,
+               count(*) OVER ()::BIGINT AS n,
+               sum(cents) OVER ()::BIGINT AS total
+        FROM daily),
+    cus AS (
+        SELECT day, cents, (n * prefix - t * total)::BIGINT AS cusum_scaled
+        FROM seq),
+    mx AS (SELECT max(abs(cusum_scaled)) AS m FROM cus)
+    SELECT day, cents AS revenue_cents, cusum_scaled,
+           CASE WHEN abs(cusum_scaled) = (SELECT m FROM mx)
+                THEN 1 ELSE 0 END AS is_changepoint
+    FROM cus
+    ORDER BY day
+    """,
+)
+def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection over the daily revenue series: the
+    day where the cumulative deviation from the global mean peaks is
+    the single most likely changepoint (the classic offline CUSUM
+    argmax). Emits the full day series with the scaled statistic so a
+    monitoring layer can threshold it, and flags the argmax row(s).
+
+    Determinism: the textbook statistic prefix_t − t·mean involves a
+    float mean; multiplying through by N keeps it integer —
+    C_t = N·prefix_t − t·total — which preserves the argmax exactly
+    and is bit-identical across engines (pure BIGINT; at a 10^15-cent
+    revenue scale × 10^4 days this still sits well inside int64).
+
+    Scale: the raw scan reduces to ONE day-keyed aggregate first
+    (map-side partial sums); every window after that runs on the
+    day-level series — bounded by calendar days (thousands of rows at
+    any corpus size), the same bounded-series contract as
+    events_dow_forecast_backtest. The single-partition window is over
+    THAT series, never the raw fact table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w_ord = Window.orderBy("day")
+    w_all = Window.partitionBy()
+    cus = daily.select(
+        "day",
+        "cents",
+        (
+            F.count("*").over(w_all)
+            * F.sum("cents").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+            - F.row_number().over(w_ord) * F.sum("cents").over(w_all)
+        )
+        .cast("bigint")
+        .alias("cusum_scaled"),
+    )
+    mx = cus.agg(F.max(F.abs("cusum_scaled")).alias("m"))
+    return (
+        cus.join(F.broadcast(mx))
+        .select(
+            "day",
+            F.col("cents").alias("revenue_cents"),
+            "cusum_scaled",
+            F.when(F.abs("cusum_scaled") == F.col("m"), 1)
+            .otherwise(0)
+            .alias("is_changepoint"),
+        )
+        .orderBy("day")
+    )

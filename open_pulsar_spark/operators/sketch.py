@@ -650,3 +650,155 @@ def events_kmv_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------
+# events_hll_distinct — integer-exact HyperLogLog, measured vs exact.
+# --------------------------------------------------------------------------
+HLL_M = 64          # registers (j = first md5 byte mod 64 — exact, 256 = 4·64)
+HLL_RMAX = 25       # register cap: 2^(RMAX)·m²·alpha stays inside int64
+HLL_ALPHA_PPM = 709341           # round(1e6 · 0.7213 / (1 + 1.079/64))
+HLL_EST_NUM = 97491084694781952  # ALPHA_PPM · m² · 2^RMAX  (< 2^63)
+
+# rho = leading-zero count of the 52-bit suffix + 1, computed from the
+# HEX STRING (count leading '0' chars, then a 15-way nibble CASE) —
+# never via float log2, whose boundary rounding can disagree between
+# engines. The templates are the ONE copy of the construction; the
+# Spark/SQL pair below must stay in lockstep.
+_HLL_LZ_SQL = (
+    "CASE WHEN nib IN ('8','9','a','b','c','d','e','f') THEN 0 "
+    "WHEN nib IN ('4','5','6','7') THEN 1 "
+    "WHEN nib IN ('2','3') THEN 2 WHEN nib = '1' THEN 3 ELSE 0 END"
+)
+
+
+@query(
+    "events_hll_distinct",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT event_type,
+               md5(user_id::VARCHAR || '-' || (ts::DATE)::VARCHAR) AS h
+        FROM events),
+    parts AS (
+        SELECT event_type,
+               ('0x' || substr(h, 1, 2))::BIGINT % {HLL_M} AS j,
+               length(regexp_extract(substr(h, 3, 13), '^(0*)', 1)) AS lz,
+               substr(substr(h, 3, 13),
+                      length(regexp_extract(substr(h, 3, 13), '^(0*)', 1)) + 1,
+                      1) AS nib
+        FROM keyed),
+    regs AS (
+        SELECT event_type, j,
+               max(least({HLL_RMAX}, 4 * lz + {_HLL_LZ_SQL} + 1)) AS r
+        FROM parts GROUP BY 1, 2),
+    folded AS (
+        SELECT event_type,
+               count(*)::BIGINT AS n_registers,
+               (sum(1::BIGINT << ({HLL_RMAX} - r))
+                + ({HLL_M} - count(*)) * (1::BIGINT << {HLL_RMAX}))::BIGINT
+                   AS s_scaled
+        FROM regs GROUP BY 1),
+    exact AS (
+        SELECT event_type,
+               count(DISTINCT user_id || '-' || (ts::DATE)::VARCHAR)::BIGINT
+                   AS exact_keys
+        FROM events GROUP BY 1)
+    SELECT f.event_type, f.n_registers,
+           e.exact_keys,
+           ({HLL_EST_NUM} // f.s_scaled) // 1000000 AS hll_keys,
+           abs(({HLL_EST_NUM} // f.s_scaled) // 1000000 - e.exact_keys)
+               * 1000000 // e.exact_keys AS err_ppm
+    FROM folded f JOIN exact e USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active user-days per event type via a {HLL_M}-register
+    HyperLogLog, next to the exact count and the measured error — the
+    REGISTER-MAX member of the mergeable-sketch family (KMV keeps
+    bottom-k order statistics; HLL keeps per-register maxima, which
+    makes its merge IDEMPOTENT: max-folding the same partial twice is
+    a no-op, so replays and mid-compaction double-reads are safe by
+    construction, a strictly stronger contract than the
+    duplicate-tolerant bottom-k).
+
+    Integer-exact estimator: the classic alpha·m²/Σ2^(−r_j) is float;
+    multiplying through by 2^{HLL_RMAX} turns every term into a bit
+    shift — S' = Σ2^({HLL_RMAX}−r_j) over hit registers plus
+    2^{HLL_RMAX} per empty register — and the estimate into one BIGINT
+    division ({HLL_EST_NUM} // S'), bit-identical across engines and
+    partitionings. rho comes from the md5 hex STRING (leading-'0'
+    count + nibble CASE), never float log2. Registers cap at
+    {HLL_RMAX} (an n ≈ 2^{HLL_RMAX} saturation ceiling — far past any
+    per-group cardinality this sketch is pointed at; production sizes
+    RMAX to the key domain).
+
+    Scale: the map side emits (group, j, rho); ONE partial-max
+    aggregate reduces to ≤{HLL_M} rows per group whatever the input
+    size — {HLL_M}·8 B per group per map task on the wire, the same
+    shuffle contract as the KMV sketch. No distinct is needed before
+    the sketch (max absorbs duplicates). The exact side is the
+    accuracy harness, not the scale path (same pattern as
+    source_kmv_distinct / ann_lsh_recall).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(
+        F.concat_ws(
+            "-",
+            F.col("user_id").cast("string"),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
+        )
+    )
+    rest = F.expr("substring(h, 3, 13)")
+    lz = F.length(F.regexp_extract(rest, "^(0*)", 1))
+    parts = (
+        ev.select("event_type", h.alias("h"))
+        .select(
+            "event_type",
+            F.expr(f"conv(substring(h, 1, 2), 16, 10) % {HLL_M}")
+            .cast("bigint")
+            .alias("j"),
+            lz.alias("lz"),
+            F.substring(rest, lz + 1, F.lit(1)).alias("nib"),
+        )
+    )
+    rho = F.least(
+        F.lit(HLL_RMAX),
+        4 * F.col("lz") + F.expr(_HLL_LZ_SQL) + 1,
+    )
+    regs = parts.groupBy("event_type", "j").agg(F.max(rho).alias("r"))
+    folded = regs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_registers"),
+        (
+            F.sum(F.expr(f"shiftleft(1L, cast({HLL_RMAX} - r AS int))"))
+            + (HLL_M - F.count("*")) * F.lit(1 << HLL_RMAX)
+        )
+        .cast("bigint")
+        .alias("s_scaled"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(
+            F.concat_ws(
+                "-",
+                F.col("user_id").cast("string"),
+                F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
+            )
+        )
+        .cast("bigint")
+        .alias("exact_keys")
+    )
+    est = F.expr(f"({HLL_EST_NUM} div s_scaled) div 1000000")
+    return (
+        folded.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_registers",
+            "exact_keys",
+            est.alias("hll_keys"),
+            F.expr(
+                f"abs(({HLL_EST_NUM} div s_scaled) div 1000000 - exact_keys)"
+                " * 1000000 div exact_keys"
+            ).alias("err_ppm"),
+        )
+        .orderBy("event_type")
+    )
