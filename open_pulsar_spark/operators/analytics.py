@@ -2200,3 +2200,148 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# event_type_itemsets — apriori-pruned frequent itemsets (k ≤ 3).
+# --------------------------------------------------------------------------
+ITEMSET_MINSUP_PCT = 2  # support threshold as a percent of basket count
+
+
+@query(
+    "event_type_itemsets",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT user_id, ts::DATE AS d, event_type AS t FROM events),
+    nb AS (SELECT count(*)::BIGINT AS n
+           FROM (SELECT DISTINCT user_id, d FROM b)),
+    ms AS (SELECT ({ITEMSET_MINSUP_PCT} * n) // 100 AS m FROM nb),
+    i1 AS (
+        SELECT t, count(*)::BIGINT AS sup FROM b GROUP BY t
+        HAVING count(*) >= (SELECT m FROM ms)),
+    b1 AS (SELECT b.* FROM b JOIN i1 USING (t)),
+    i2 AS (
+        SELECT a.t AS t1, c.t AS t2, count(*)::BIGINT AS sup
+        FROM b1 a JOIN b1 c
+          ON a.user_id = c.user_id AND a.d = c.d AND a.t < c.t
+        GROUP BY 1, 2 HAVING count(*) >= (SELECT m FROM ms)),
+    cand3 AS (
+        SELECT p.t1, p.t2, q.t2 AS t3
+        FROM i2 p JOIN i2 q ON p.t1 = q.t1 AND p.t2 < q.t2
+        JOIN i2 r ON r.t1 = p.t2 AND r.t2 = q.t2),
+    i3 AS (
+        SELECT c.t1, c.t2, c.t3, count(*)::BIGINT AS sup
+        FROM cand3 c
+        JOIN b1 x ON x.t = c.t1
+        JOIN b1 y ON y.user_id = x.user_id AND y.d = x.d AND y.t = c.t2
+        JOIN b1 z ON z.user_id = x.user_id AND z.d = x.d AND z.t = c.t3
+        GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT m FROM ms))
+    SELECT itemset, k, sup AS support,
+           sup * 1000000 // (SELECT n FROM nb) AS support_ppm
+    FROM (
+        SELECT t AS itemset, 1 AS k, sup FROM i1
+        UNION ALL
+        SELECT t1 || '+' || t2, 2, sup FROM i2
+        UNION ALL
+        SELECT t1 || '+' || t2 || '+' || t3, 3, sup FROM i3)
+    ORDER BY k, support DESC, itemset
+    """,
+)
+def event_type_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event-type itemsets (k ≤ 3) over (user, day) baskets
+    with APRIORI candidate pruning — the market-basket generalization
+    of part_affinity_lift's pairs-only analysis. Support threshold is
+    {ITEMSET_MINSUP_PCT}% of the basket count.
+
+    Scale — the distributed apriori contract:
+      - baskets are the deduped (user, day, type) projection; every
+        level-k count is keyed by the BASKET key (user, day), so
+        per-basket fan-out is C(|basket|, k) with the basket size
+        bounded by the item domain, never a cross-basket blow-up;
+      - level k+1 candidates come only from FREQUENT level-k sets
+        (i2 ⋈ i2 share-first-item, closed by the third subset check —
+        the full apriori prune, not just prefix extension), and the
+        level-3 count scans baskets PRE-FILTERED to frequent items
+        (b1), so infrequent items never reach the wide join;
+      - the frequent-set frames are aggregate outputs (tiny — item
+        domain sized); at 100 TB they broadcast, and the only big
+        shuffles are the per-level basket-keyed counts.
+    Counts and ppm supports are integers — bit-identical everywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", F.to_date("ts").alias("d"), F.col("event_type").alias("t")
+    ).distinct()
+    nb = b.select("user_id", "d").distinct().count()
+    ms = (ITEMSET_MINSUP_PCT * nb) // 100
+    i1 = b.groupBy("t").agg(F.count("*").alias("sup")).where(F.col("sup") >= ms)
+    b1 = b.join(F.broadcast(i1.select("t")), "t").select("user_id", "d", "t")
+    a, c = b1.alias("a"), b1.alias("c")
+    i2 = (
+        a.join(
+            c,
+            (F.col("a.user_id") == F.col("c.user_id"))
+            & (F.col("a.d") == F.col("c.d"))
+            & (F.col("a.t") < F.col("c.t")),
+        )
+        .groupBy(F.col("a.t").alias("t1"), F.col("c.t").alias("t2"))
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= ms)
+    )
+    p = i2.select(F.col("t1"), F.col("t2"))
+    q = i2.select(F.col("t1"), F.col("t2").alias("t3"))
+    r = i2.select(F.col("t1").alias("t2"), F.col("t2").alias("t3"))
+    cand3 = (
+        p.join(q, "t1")
+        .where(F.col("t2") < F.col("t3"))
+        .join(r, ["t2", "t3"], "left_semi")
+    )
+    x, y, z = b1.alias("x"), b1.alias("y"), b1.alias("z")
+    triples = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.d") == F.col("y.d"))
+            & (F.col("x.t") < F.col("y.t")),
+        )
+        .join(
+            z,
+            (F.col("x.user_id") == F.col("z.user_id"))
+            & (F.col("x.d") == F.col("z.d"))
+            & (F.col("y.t") < F.col("z.t")),
+        )
+        .select(
+            F.col("x.t").alias("t1"),
+            F.col("y.t").alias("t2"),
+            F.col("z.t").alias("t3"),
+        )
+    )
+    i3 = (
+        triples.join(F.broadcast(cand3), ["t1", "t2", "t3"], "left_semi")
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= ms)
+    )
+    out = (
+        i1.select(F.col("t").alias("itemset"), F.lit(1).alias("k"), "sup")
+        .unionAll(
+            i2.select(
+                F.concat_ws("+", "t1", "t2").alias("itemset"),
+                F.lit(2).alias("k"),
+                "sup",
+            )
+        )
+        .unionAll(
+            i3.select(
+                F.concat_ws("+", "t1", "t2", "t3").alias("itemset"),
+                F.lit(3).alias("k"),
+                "sup",
+            )
+        )
+    )
+    return out.select(
+        "itemset",
+        "k",
+        F.col("sup").cast("bigint").alias("support"),
+        F.expr(f"(sup * 1000000) div {nb}").alias("support_ppm"),
+    ).orderBy("k", F.desc("support"), "itemset")
