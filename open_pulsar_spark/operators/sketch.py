@@ -672,6 +672,65 @@ _HLL_LZ_SQL = (
 )
 
 
+def _hll_user_day_key():
+    """The user-day sketch key (user_id '-' yyyy-MM-dd) — one copy,
+    shared by the sketch side, the exact side, and the streaming
+    twin, so the three can never hash different keys."""
+    return F.concat_ws(
+        "-",
+        F.col("user_id").cast("string"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
+    )
+
+
+def hll_partial(keyed: DataFrame, group: str = "event_type") -> DataFrame:
+    """(group, key) rows → per-group register maxima (group, j, r):
+    the mergeable HLL partial. Register index is the first md5 byte
+    mod HLL_M (exact — 256 is a multiple of {HLL_M}); rho is the
+    string-derived leading-zero count (module constants). ≤ HLL_M rows
+    per group leave this aggregate whatever the input size, and
+    re-merging partials is idempotent (max of max)."""
+    h = F.md5("key")
+    rest = F.expr("substring(h, 3, 13)")
+    lz = F.length(F.regexp_extract(rest, "^(0*)", 1))
+    parts = keyed.select(group, h.alias("h")).select(
+        group,
+        F.expr(f"conv(substring(h, 1, 2), 16, 10) % {HLL_M}")
+        .cast("bigint")
+        .alias("j"),
+        lz.alias("lz"),
+        F.substring(rest, lz + 1, F.lit(1)).alias("nib"),
+    )
+    rho = F.least(F.lit(HLL_RMAX), 4 * F.col("lz") + F.expr(_HLL_LZ_SQL) + 1)
+    return parts.groupBy(group, "j").agg(F.max(rho).cast("int").alias("r"))
+
+
+def hll_merge(raw: DataFrame, group: str = "event_type") -> DataFrame:
+    """Union of register partials → merged registers: max per
+    (group, j). Idempotent — duplicated partials, replays, and
+    mid-compaction double-reads cannot move a register."""
+    return raw.groupBy(group, "j").agg(F.max("r").alias("r"))
+
+
+def hll_fold(regs: DataFrame, group: str = "event_type") -> DataFrame:
+    """Merged registers → (group, n_registers, s_scaled): the scaled
+    harmonic-sum denominator, all integer (module docstring)."""
+    return regs.groupBy(group).agg(
+        F.count("*").cast("bigint").alias("n_registers"),
+        (
+            F.sum(F.expr(f"shiftleft(1L, cast({HLL_RMAX} - r AS int))"))
+            + (HLL_M - F.count("*")) * F.lit(1 << HLL_RMAX)
+        )
+        .cast("bigint")
+        .alias("s_scaled"),
+    )
+
+
+def hll_estimate_col():
+    """The integer HLL estimate from a folded s_scaled column."""
+    return F.expr(f"({HLL_EST_NUM} div s_scaled) div 1000000")
+
+
 @query(
     "events_hll_distinct",
     oracle=f"""
@@ -742,52 +801,14 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     source_kmv_distinct / ann_lsh_recall).
     """
     ev = load_table(spark, sf_dir, "events")
-    h = F.md5(
-        F.concat_ws(
-            "-",
-            F.col("user_id").cast("string"),
-            F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
-        )
-    )
-    rest = F.expr("substring(h, 3, 13)")
-    lz = F.length(F.regexp_extract(rest, "^(0*)", 1))
-    parts = (
-        ev.select("event_type", h.alias("h"))
-        .select(
-            "event_type",
-            F.expr(f"conv(substring(h, 1, 2), 16, 10) % {HLL_M}")
-            .cast("bigint")
-            .alias("j"),
-            lz.alias("lz"),
-            F.substring(rest, lz + 1, F.lit(1)).alias("nib"),
-        )
-    )
-    rho = F.least(
-        F.lit(HLL_RMAX),
-        4 * F.col("lz") + F.expr(_HLL_LZ_SQL) + 1,
-    )
-    regs = parts.groupBy("event_type", "j").agg(F.max(rho).alias("r"))
-    folded = regs.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n_registers"),
-        (
-            F.sum(F.expr(f"shiftleft(1L, cast({HLL_RMAX} - r AS int))"))
-            + (HLL_M - F.count("*")) * F.lit(1 << HLL_RMAX)
-        )
-        .cast("bigint")
-        .alias("s_scaled"),
-    )
+    regs = hll_partial(ev.select("event_type", _hll_user_day_key().alias("key")))
+    folded = hll_fold(regs)
     exact = ev.groupBy("event_type").agg(
-        F.count_distinct(
-            F.concat_ws(
-                "-",
-                F.col("user_id").cast("string"),
-                F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
-            )
-        )
+        F.count_distinct(_hll_user_day_key())
         .cast("bigint")
         .alias("exact_keys")
     )
-    est = F.expr(f"({HLL_EST_NUM} div s_scaled) div 1000000")
+    est = hll_estimate_col()
     return (
         folded.join(exact, "event_type")
         .select(

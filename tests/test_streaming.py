@@ -1848,3 +1848,38 @@ def test_chunk_stream_runs_as_real_streaming_query(spark, workdir):
         for r in chunk_dedup_stats(spark, f"{workdir}/chunk_store2").collect()
     ]
     assert got == want
+
+
+def test_hll_stream_folds_to_batch_estimate(spark, workdir):
+    """Streaming HLL: delivering the events in three epochs and folding
+    must reproduce events_hll_distinct's estimates BIT-IDENTICALLY
+    (register max is batching-invariant); a replayed epoch is a no-op,
+    and a duplicated epoch-less backfill cannot move a register — the
+    fold is idempotent outright, the strongest contract in the sketch
+    family."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.hll_stream import hll_estimates, update_hll
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    store = f"{workdir}/hll_store"
+    for k in range(3):
+        update_hll(spark, ev.where(F.col("event_id") % 3 == k), store, k)
+
+    want = [
+        (r.event_type, r.hll_keys)
+        for r in all_queries()["events_hll_distinct"](spark, SF_SMALL)
+        .select("event_type", "hll_keys")
+        .orderBy("event_type")
+        .collect()
+    ]
+    got = [tuple(r) for r in hll_estimates(spark, store).collect()]
+    assert got == want
+
+    # replayed epoch: no-op; duplicated epoch-less backfill: idempotent
+    update_hll(spark, ev.where(F.col("event_id") % 3 == 0), store, 0)
+    update_hll(spark, ev.where(F.col("event_id") % 3 == 1), store, None)
+    assert [tuple(r) for r in hll_estimates(spark, store).collect()] == want
