@@ -2119,6 +2119,51 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # revenue_cusum_changepoint — integer CUSUM level-shift detection.
 # --------------------------------------------------------------------------
+def daily_revenue_cents(orders: DataFrame) -> DataFrame:
+    """(day, cents): the day-level integer-cents revenue series — the
+    ONE reduction feeding the batch CUSUM query and the streaming
+    twin's per-epoch partials, so the two cannot round differently."""
+    return orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+
+
+def cusum_series(daily: DataFrame) -> DataFrame:
+    """(day, revenue_cents, cusum_scaled, is_changepoint) from a
+    (day, cents) series: the scaled integer CUSUM statistic
+    C_t = N·prefix_t − t·total and its argmax flag. Shared by the
+    batch query and the streaming store's read path — windows run on
+    the bounded day series only."""
+    w_ord = Window.orderBy("day")
+    w_all = Window.partitionBy()
+    cus = daily.select(
+        "day",
+        "cents",
+        (
+            F.count("*").over(w_all)
+            * F.sum("cents").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+            - F.row_number().over(w_ord) * F.sum("cents").over(w_all)
+        )
+        .cast("bigint")
+        .alias("cusum_scaled"),
+    )
+    mx = cus.agg(F.max(F.abs("cusum_scaled")).alias("m"))
+    return (
+        cus.join(F.broadcast(mx))
+        .select(
+            "day",
+            F.col("cents").alias("revenue_cents"),
+            "cusum_scaled",
+            F.when(F.abs("cusum_scaled") == F.col("m"), 1)
+            .otherwise(0)
+            .alias("is_changepoint"),
+        )
+        .orderBy("day")
+    )
+
+
 @query(
     "revenue_cusum_changepoint",
     oracle="""
@@ -2166,40 +2211,7 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     THAT series, never the raw fact table.
     """
     orders = load_table(spark, sf_dir, "orders")
-    daily = (
-        orders.groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("cents")
-        )
-    )
-    w_ord = Window.orderBy("day")
-    w_all = Window.partitionBy()
-    cus = daily.select(
-        "day",
-        "cents",
-        (
-            F.count("*").over(w_all)
-            * F.sum("cents").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
-            - F.row_number().over(w_ord) * F.sum("cents").over(w_all)
-        )
-        .cast("bigint")
-        .alias("cusum_scaled"),
-    )
-    mx = cus.agg(F.max(F.abs("cusum_scaled")).alias("m"))
-    return (
-        cus.join(F.broadcast(mx))
-        .select(
-            "day",
-            F.col("cents").alias("revenue_cents"),
-            "cusum_scaled",
-            F.when(F.abs("cusum_scaled") == F.col("m"), 1)
-            .otherwise(0)
-            .alias("is_changepoint"),
-        )
-        .orderBy("day")
-    )
+    return cusum_series(daily_revenue_cents(orders))
 
 
 # --------------------------------------------------------------------------

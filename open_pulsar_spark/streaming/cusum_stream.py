@@ -1,0 +1,108 @@
+"""Streaming CUSUM monitoring — the day-level revenue series of an
+unbounded order stream kept as ADDITIVE per-epoch partials, with the
+level-shift statistic computed at read time (the incremental form of
+operators.analytics.revenue_cusum_changepoint).
+
+The statistic itself (C_t = N·prefix_t − t·total) is a whole-series
+artifact — every new day moves every C_t — so it is NOT maintained
+incrementally; what streams is the reduction that makes it cheap: the
+(day, cents) series. Per micro-batch, orders reduce to per-day integer
+cent sums (one map-side-combinable aggregate, ≤ |days touched| rows
+per epoch); the fold sums partials per day; the read path runs the
+SAME cusum_series used by the batch query on the folded series — so a
+stream-maintained monitor and the batch query over the union of all
+delivered rows are BIT-IDENTICAL (tested), whatever the batching.
+
+Replay contract: additive partials (cms_stream's class) — epoch is
+REQUIRED, a replayed epoch is skipped by the overwrite contract, and
+the fold dedups (epoch, day) before summing so a mid-compaction
+double-read cannot double-add. Epoch-less backfills are refused (no
+safe -1 sentinel for additive folds).
+
+Store size: ≤ |days touched per batch| rows per epoch — bounded by
+the calendar, not the order volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_pulsar_spark.operators.analytics import (
+    cusum_series,
+    daily_revenue_cents,
+)
+from open_pulsar_spark.streaming.segments import (
+    read_segments,
+    start_partial_stream,
+    update_partial_store,
+)
+
+_PARTIAL_SCHEMA = "day DATE, cents LONG, epoch LONG"
+_DEDUP_KEYS = ["epoch", "day"]
+_CLUSTER_COLS = ["day"]
+
+
+def _cusum_stream_partial(orders: DataFrame) -> DataFrame:
+    """orders → per-batch (day, cents) partial sums (the SAME
+    reduction as the batch query, so the fold bit-matches it)."""
+    return daily_revenue_cents(orders)
+
+
+def update_cusum(
+    spark: SparkSession,
+    orders: DataFrame,
+    store_path: str,
+    epoch_id: int | None,
+) -> None:
+    """Fold one batch of orders into the day-partial store. Additive
+    contract: epoch is REQUIRED (replays overwrite-skip; there is no
+    duplicate-tolerant fold to hide behind)."""
+    if epoch_id is None:
+        raise ValueError(
+            "cusum_stream partials are additive: epoch-less backfills "
+            "would double-add on rerun; supply an epoch id"
+        )
+    update_partial_store(orders, store_path, epoch_id, _cusum_stream_partial)
+
+
+def read_daily(spark: SparkSession, store_path: str) -> DataFrame:
+    """The folded (day, cents) series: dedup (epoch, day) — replay and
+    mid-compaction safety — then sum partials per day."""
+    raw = read_segments(spark, store_path, _PARTIAL_SCHEMA)
+    if raw is None:
+        return spark.createDataFrame([], "day DATE, cents LONG")
+    return (
+        raw.dropDuplicates(["epoch", "day"])
+        .groupBy("day")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+
+
+def cusum_readout(spark: SparkSession, store_path: str) -> DataFrame:
+    """(day, revenue_cents, cusum_scaled, is_changepoint) from the
+    stream-maintained series — the same cusum_series as the batch
+    query, so the readout agrees bit-for-bit with a batch run over
+    the union of all delivered rows."""
+    return cusum_series(read_daily(spark, store_path))
+
+
+def start_cusum_stream(
+    spark: SparkSession,
+    orders_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    compact_max_segments: int | None = 64,
+):
+    """orders stream → continuously-maintained day-partial store, on
+    the shared partial-stream scaffold."""
+    return start_partial_stream(
+        orders_stream,
+        store_path,
+        checkpoint,
+        partial_of=_cusum_stream_partial,
+        schema=_PARTIAL_SCHEMA,
+        dedup_keys=_DEDUP_KEYS,
+        cluster_cols=_CLUSTER_COLS,
+        compact_max_segments=compact_max_segments,
+    )

@@ -1883,3 +1883,41 @@ def test_hll_stream_folds_to_batch_estimate(spark, workdir):
     update_hll(spark, ev.where(F.col("event_id") % 3 == 0), store, 0)
     update_hll(spark, ev.where(F.col("event_id") % 3 == 1), store, None)
     assert [tuple(r) for r in hll_estimates(spark, store).collect()] == want
+
+
+def test_cusum_stream_folds_to_batch_series(spark, workdir):
+    """Streaming CUSUM: delivering the orders in three epochs and
+    reading out must reproduce revenue_cusum_changepoint BIT-
+    IDENTICALLY (day sums are additive; the statistic is computed by
+    the shared cusum_series on the folded series); a replayed epoch is
+    a no-op (overwrite, never double-add); epoch-less writes are
+    refused (additive folds have no safe sentinel)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.cusum_stream import (
+        cusum_readout,
+        update_cusum,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    store = f"{workdir}/cusum_store"
+    for k in range(3):
+        update_cusum(spark, orders.where(F.col("o_orderkey") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["revenue_cusum_changepoint"](spark, SF_SMALL)
+        .collect()
+    ]
+    got = [tuple(r) for r in cusum_readout(spark, store).collect()]
+    assert got == want
+
+    update_cusum(spark, orders.where(F.col("o_orderkey") % 3 == 0), store, 0)
+    assert [tuple(r) for r in cusum_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError):
+        update_cusum(spark, orders, store, None)
