@@ -390,10 +390,13 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     op = li.distinct()
     a, b = op.alias("a"), op.alias("b")
+    # eu feeds TWO consumers (the degree aggregate and the orientation
+    # join) — pin it, or the orderkey self-join executes twice
     eu = (
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
+        .persist()
     )
     deg = (
         eu.select(F.col("u").alias("n"))
@@ -454,3 +457,4 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             adj.unpersist()
     finally:
         oe.unpersist()
+        eu.unpersist()
