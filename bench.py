@@ -151,6 +151,11 @@ EXTRA = [
     "user_engagement_purchase_corr",
     "ab_test_cuped",
     "copurchase_rec_hitrate",
+    # round-5 second wave
+    "part_copurchase_triangles",
+    "revenue_cusum_changepoint",
+    "events_hll_distinct",
+    "event_type_itemsets",
 ]
 
 HEADLINE = [
