@@ -666,3 +666,58 @@ def test_rec_hitrate_no_leakage_and_bounds(spark):
     r = copurchase_rec_hitrate(spark, SF_SMALL).collect()[0]
     assert 0 <= r.n_hits <= r.n_covered <= r.n_probes
     assert abs(r.hitrate - r.n_hits / r.n_probes) < 1e-5
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """part_copurchase_triangles equals an in-test brute-force closure
+    over the same undirected edge set at sf0.001 (independent of the
+    degree-orientation trick), and coefficients respect the ppm grid."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r.p_partkey: (r.degree, r.tri_count, r.coeff_ppm)
+        for r in all_queries()["part_copurchase_triangles"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    op = [(r.ok, r.pk) for r in li.distinct().collect()]
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for ok, pk in op:
+        by_order[ok].add(pk)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    # count each triangle once: iterate edges with w > v > u
+    tri = defaultdict(int)
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            if w > v:  # u < v < w given edge tuples are ordered
+                tri[u] += 1
+                tri[v] += 1
+                tri[w] += 1
+    want = sorted(
+        ((pk, n) for pk, n in tri.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[: len(got)]
+    assert {pk for pk, _ in want} == set(got)
+    for pk, n in want:
+        d, tc, ppm = got[pk]
+        assert tc == n
+        assert d == len(adj[pk])
+        assert ppm == (2 * 1_000_000 * n) // (d * (d - 1))

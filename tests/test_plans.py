@@ -138,6 +138,7 @@ _NESTED_LOOP_ALLOWED = {
                                  # config-sized by construction, corpus
                                  # collapses to k doubles/source map-side
     "token_pmi_pairs",           # 1-row pair-total, broadcast
+    "revenue_cusum_changepoint",  # 1-row max-|CUSUM| scalar, broadcast
 }
 
 
@@ -182,3 +183,21 @@ def test_q21_decorrelation_never_nested_loops(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_itemsets_broadcast_prune_no_cartesian(spark):
+    """event_type_itemsets: the frequent-set frames broadcast (hash
+    joins, never a nested loop) and the basket joins stay equi-keyed."""
+    plan = plan_of(spark, "event_type_itemsets")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_reduces_to_registers_before_the_fold(spark):
+    """events_hll_distinct: two aggregate levels (register max, then
+    the per-group fold) and one join against the exact harness — the
+    sketch side never joins the raw events."""
+    plan = plan_of(spark, "events_hll_distinct")
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
+    assert "CartesianProduct" not in plan
