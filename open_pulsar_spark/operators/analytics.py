@@ -2357,3 +2357,100 @@ def event_type_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sup").cast("bigint").alias("support"),
         F.expr(f"(sup * 1000000) div {nb}").alias("support_ppm"),
     ).orderBy("k", F.desc("support"), "itemset")
+
+
+# --------------------------------------------------------------------------
+# next_event_prediction_hitrate — Markov next-event model, held-out eval.
+# --------------------------------------------------------------------------
+NEP_TRAIN_BUCKETS = 8  # md5(user_id) % 10 < 8 -> train, else test
+
+
+@query(
+    "next_event_prediction_hitrate",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev,
+               ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 10
+                   < {NEP_TRAIN_BUCKETS} AS is_train
+        FROM events),
+    tr AS (SELECT prev, event_type AS nxt FROM seq
+           WHERE prev IS NOT NULL AND is_train),
+    model AS (
+        SELECT prev, nxt AS predicted_next FROM (
+            SELECT prev, nxt, row_number() OVER (
+                       PARTITION BY prev
+                       ORDER BY count(*) DESC, nxt) AS rn
+            FROM tr GROUP BY prev, nxt) WHERE rn = 1),
+    te AS (SELECT prev, event_type AS nxt FROM seq
+           WHERE prev IS NOT NULL AND NOT is_train)
+    SELECT te.prev AS prev_type,
+           coalesce(m.predicted_next, '(cold)') AS predicted_next,
+           count(*)::BIGINT AS n_test,
+           sum(CASE WHEN te.nxt = m.predicted_next THEN 1 ELSE 0 END)::BIGINT
+               AS n_hits,
+           round(sum(CASE WHEN te.nxt = m.predicted_next THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS hitrate
+    FROM te LEFT JOIN model m ON m.prev = te.prev
+    GROUP BY 1, 2
+    ORDER BY prev_type
+    """,
+)
+def next_event_prediction_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE EVALUATION of the first-order Markov next-event model:
+    users split train/test by the deterministic md5 coin
+    ({NEP_TRAIN_BUCKETS}/10 train), the argmax transition per previous
+    type is fit on TRAIN users' consecutive event pairs only, and
+    hit-rate asks how often it predicts TEST users' actual next event
+    — the measured-accuracy contract (copurchase_rec_hitrate,
+    langid_confusion) applied to events_transition_matrix's model
+    class, with the same leakage hygiene (test transitions never touch
+    the fit).
+
+    Scale: transitions are ONE lag window keyed by user_id (the
+    natural partition key — no global ordering anywhere); the fitted
+    model is an aggregate output bounded by |types|² and broadcasts to
+    the test side; evaluation is one more user-keyed-then-type-keyed
+    aggregate. The split coin is hash arithmetic, map-side.
+    """
+    from open_pulsar_spark.operators.curation import _hash_raw_spark
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+        (_hash_raw_spark(F.col("user_id")) % 10 < NEP_TRAIN_BUCKETS).alias(
+            "is_train"
+        ),
+    ).where(F.col("prev").isNotNull())
+    tr = seq.where("is_train")
+    rn = Window.partitionBy("prev").orderBy(F.desc("c"), "nxt")
+    model = (
+        tr.groupBy(F.col("prev"), F.col("event_type").alias("nxt"))
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("predicted_next"))
+    )
+    te = seq.where(~F.col("is_train")).select(
+        "prev", F.col("event_type").alias("nxt")
+    )
+    hit = F.when(F.col("nxt") == F.col("predicted_next"), 1).otherwise(0)
+    return (
+        te.join(F.broadcast(model), "prev", "left")
+        .groupBy(
+            F.col("prev").alias("prev_type"),
+            F.coalesce("predicted_next", F.lit("(cold)")).alias(
+                "predicted_next"
+            ),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(hit).cast("bigint").alias("n_hits"),
+            F.round(F.sum(hit) * 1.0 / F.count("*"), 6).alias("hitrate"),
+        )
+        .orderBy("prev_type")
+    )

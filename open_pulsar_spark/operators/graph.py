@@ -458,3 +458,79 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         oe.unpersist()
         eu.unpersist()
+
+
+# --------------------------------------------------------------------------
+# part_bundle_components — thresholded co-purchase connected components.
+# --------------------------------------------------------------------------
+BUNDLE_MIN_W = 2  # minimum co-occurrence count for a bundle edge
+
+
+@query(
+    "part_bundle_components",
+    oracle=f"""
+    WITH RECURSIVE op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    pairs AS (
+        SELECT a.pk AS a_id, b.pk AS b_id
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk HAVING count(*) >= {BUNDLE_MIN_W}),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (SELECT u AS ldoc, min(v) AS cluster_rep FROM reach GROUP BY u),
+    sized AS (
+        SELECT ldoc, cluster_rep,
+               count(*) OVER (PARTITION BY cluster_rep)::BIGINT AS bundle_size
+        FROM labels)
+    SELECT ldoc AS p_partkey, cluster_rep AS bundle_rep, bundle_size
+    FROM sized
+    ORDER BY bundle_size DESC, bundle_rep, p_partkey
+    """,
+)
+def part_bundle_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product BUNDLES: connected components of the co-purchase graph
+    restricted to edges seen in ≥ {BUNDLE_MIN_W} distinct orders — the
+    repeat-co-occurrence threshold fragments the one giant co-purchase
+    component into merchandisable groups (every member maps to its
+    bundle's min partkey).
+
+    Scale: the weight threshold is the load-bearing move — it runs
+    INSIDE the edge aggregate (HAVING on the co-occurrence count), so
+    the closure only ever sees the thresholded edge set (~3% of edges
+    at sf0.01, and co-occurrence counts concentrate, so the fraction
+    FALLS as data grows). Components come from dedup.closure_labels —
+    the shared transitive-closure step: driver union-find below
+    SMALL_GRAPH_PAIRS, the distributed min-label loop above it, so the
+    same query neither funnels a big graph through the driver nor
+    pays shuffle rounds for a small one. Sizing is one count-window
+    over the label frame (component-keyed, bounded).
+    """
+    from open_pulsar_spark.operators.dedup import closure_labels
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    op = li.distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("a_id"), F.col("b.pk").alias("b_id"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= BUNDLE_MIN_W)
+        .select("a_id", "b_id")
+    )
+    labels = closure_labels(spark, pairs)
+    w = Window.partitionBy("label")
+    return (
+        labels.select(
+            F.col("u").alias("p_partkey"),
+            F.col("label").alias("bundle_rep"),
+            F.count("*").over(w).cast("bigint").alias("bundle_size"),
+        )
+        .orderBy(F.desc("bundle_size"), "bundle_rep", "p_partkey")
+    )
