@@ -156,6 +156,8 @@ EXTRA = [
     "revenue_cusum_changepoint",
     "events_hll_distinct",
     "event_type_itemsets",
+    "part_bundle_components",
+    "next_event_prediction_hitrate",
 ]
 
 HEADLINE = [
