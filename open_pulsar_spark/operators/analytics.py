@@ -2454,3 +2454,117 @@ def next_event_prediction_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("prev_type")
     )
+
+
+# --------------------------------------------------------------------------
+# purchase_touch_attribution — multi-touch revenue attribution (24 h).
+# --------------------------------------------------------------------------
+ATTR_WINDOW_S = 86400  # look-back window: 24 h of epoch seconds
+
+
+@query(
+    "purchase_touch_attribution",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, epoch(ts)::BIGINT AS es,
+               round(value * 100)::BIGINT AS cents
+        FROM events WHERE event_type = 'purchase'),
+    t AS (
+        SELECT user_id, epoch(ts)::BIGINT AS es, event_type
+        FROM events WHERE event_type <> 'purchase'),
+    cand AS (
+        SELECT p.pid, p.cents, t.event_type
+        FROM p JOIN t ON t.user_id = p.user_id
+         AND t.es >= p.es - {ATTR_WINDOW_S} AND t.es < p.es),
+    per_type AS (
+        SELECT pid, cents, event_type, count(*)::BIGINT AS cnt,
+               sum(count(*)) OVER (PARTITION BY pid)::BIGINT AS n
+        FROM cand GROUP BY pid, cents, event_type),
+    touched AS (
+        SELECT event_type AS channel,
+               sum(cnt)::BIGINT AS n_touches,
+               count(DISTINCT pid)::BIGINT AS n_purchases,
+               sum((cents // n) * cnt)::BIGINT AS attributed_cents
+        FROM per_type GROUP BY event_type),
+    untouched AS (
+        SELECT '(none)' AS channel, 0::BIGINT AS n_touches,
+               count(*)::BIGINT AS n_purchases,
+               coalesce(sum(cents), 0)::BIGINT AS attributed_cents
+        FROM p WHERE pid NOT IN (SELECT pid FROM cand))
+    SELECT * FROM touched
+    UNION ALL
+    SELECT * FROM untouched WHERE n_purchases > 0
+    ORDER BY channel
+    """,
+)
+def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch revenue attribution: every purchase's cents
+    split equally across the user's non-purchase events in the
+    preceding 24 h, rolled up per channel (event type); purchases with
+    no prior touch land in '(none)'. The multi-touch complement of
+    click_asof_purchase's last-touch join.
+
+    Scale — the time-range join done the band-join way
+    (events_value_band_join's contract applied to TIME): purchases
+    explode into their 2 covering day buckets, the join is an EQUI
+    join on (user_id, day_bucket) plus the exact residual window
+    filter — never a theta join that compiles to a nested loop. The
+    per-purchase touch count is a window over the already-aggregated
+    (purchase, type) frame (≤ |types| rows per purchase), not over raw
+    touches. Splitting is integer division (cents div n, truncation
+    documented — the remainder stays unattributed), so every engine
+    and partitioning reports identical cents.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    t = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("tes"),
+        "event_type",
+        F.expr(f"unix_timestamp(ts) div {ATTR_WINDOW_S}").alias("tb"),
+    )
+    # purchase buckets: the 24 h look-back spans at most 2 day buckets
+    pb = F.expr(f"es div {ATTR_WINDOW_S}")
+    p_ex = p.select(
+        "pid", "user_id", "es", "cents",
+        F.explode(F.array(pb - 1, pb)).alias("tb"),
+    )
+    cand = (
+        p_ex.join(t, ["user_id", "tb"])
+        .where(
+            (F.col("tes") >= F.col("es") - ATTR_WINDOW_S)
+            & (F.col("tes") < F.col("es"))
+        )
+        .select("pid", "cents", "event_type")
+    )
+    n_w = Window.partitionBy("pid")
+    per_type = (
+        cand.groupBy("pid", "cents", "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("n", F.sum("cnt").over(n_w))
+    )
+    touched = per_type.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum("cnt").cast("bigint").alias("n_touches"),
+        F.count_distinct("pid").cast("bigint").alias("n_purchases"),
+        F.sum(F.expr("(cents div n) * cnt")).cast("bigint").alias(
+            "attributed_cents"
+        ),
+    )
+    untouched = (
+        p.join(cand.select("pid").distinct(), "pid", "left_anti")
+        .agg(
+            F.lit("(none)").alias("channel"),
+            F.lit(0).cast("bigint").alias("n_touches"),
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias(
+                "attributed_cents"
+            ),
+        )
+        .where(F.col("n_purchases") > 0)
+    )
+    return touched.unionAll(untouched).orderBy("channel")
