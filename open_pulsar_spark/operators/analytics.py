@@ -2568,3 +2568,159 @@ def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_purchases") > 0)
     )
     return touched.unionAll(untouched).orderBy("channel")
+
+
+# --------------------------------------------------------------------------
+# part_supplier_hhi — supply-concentration index per part.
+# --------------------------------------------------------------------------
+HHI_TOP = 50
+
+
+@query(
+    "part_supplier_hhi",
+    oracle=f"""
+    WITH ps AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS c
+        FROM lineitem GROUP BY 1, 2),
+    agg AS (
+        SELECT pk, count(*)::BIGINT AS n_suppliers,
+               sum(c)::BIGINT AS total_cents,
+               (sum(c::HUGEINT * c::HUGEINT) * 1000000
+                // (sum(c)::HUGEINT * sum(c)::HUGEINT))::BIGINT AS hhi_ppm
+        FROM ps GROUP BY pk)
+    SELECT pk AS p_partkey, n_suppliers, total_cents, hhi_ppm
+    FROM agg WHERE n_suppliers >= 2
+    ORDER BY hhi_ppm DESC, p_partkey
+    LIMIT {HHI_TOP}
+    """,
+)
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{HHI_TOP} most supply-concentrated multi-supplier parts by
+    Herfindahl–Hirschman index over supplier revenue shares —
+    HHI = Σ share_i² on a ppm grid (1e6 = single-supplier monopoly).
+    The sourcing-risk readout a procurement pipeline runs at scale.
+
+    Scale: two map-side-combinable aggregates keyed by natural keys
+    ((part, supplier) then part) — no join, no window. The share
+    squares are computed as Σc_i² · 10⁶ / (Σc_i)² so the division
+    happens ONCE per part on exact integer moments (decimal(38,0) in
+    Spark, HUGEINT in DuckDB — same class as the corr moments), and
+    the ppm result is BIGINT. Top-k via TakeOrdered.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    agg = (
+        ps.groupBy("pk")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum("c").cast("bigint").alias("total_cents"),
+            F.sum(cd * cd).alias("ss"),
+        )
+        .where(F.col("n_suppliers") >= 2)
+        .select(
+            F.col("pk").alias("p_partkey"),
+            "n_suppliers",
+            "total_cents",
+            (
+                F.col("ss")
+                * 1000000
+                / (
+                    F.col("total_cents").cast("decimal(38,0)")
+                    * F.col("total_cents").cast("decimal(38,0)")
+                )
+            )
+            .cast("bigint")
+            .alias("hhi_ppm"),
+        )
+    )
+    return agg.orderBy(F.desc("hhi_ppm"), "p_partkey").limit(HHI_TOP)
+
+
+# --------------------------------------------------------------------------
+# revenue_gini — exact integer Gini coefficient over customer revenue.
+# --------------------------------------------------------------------------
+@query(
+    "revenue_gini",
+    oracle="""
+    WITH pc AS (
+        SELECT o_custkey,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY 1),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS rk
+        FROM pc),
+    moments AS (
+        SELECT count(*)::HUGEINT AS n,
+               sum(cents)::HUGEINT AS t,
+               sum(rk::HUGEINT * cents::HUGEINT) AS s1
+        FROM ranked)
+    SELECT n::BIGINT AS n_customers,
+           t::BIGINT AS total_cents,
+           ((2 * s1 - (n + 1) * t) * 1000000 // (n * t))::BIGINT AS gini_ppm
+    FROM moments
+    """,
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue on a ppm grid — the
+    single-number inequality statistic next to revenue_pareto's decile
+    curve, from the closed form over ascending ranks:
+    G = (2·Σ i·x_i − (n+1)·Σx_i) / (n·Σx_i).
+
+    Scale: the rank is prefix.global_prefix's distributed row_number
+    (range partition + per-partition offsets — never a single-
+    partition global window), and the three moments reduce in ONE
+    map-side-combinable aggregate. Σ i·x_i runs in decimal(38,0)
+    (HUGEINT in the oracle) — at 10⁹ customers × 10¹² cents the
+    product leaves int64, the same moment class the corr queries
+    already handle; the final ppm is BIGINT. Rank ties (equal cents)
+    are broken by custkey, which cannot move the statistic — equal
+    values contribute the same Σ i·x_i under any permutation of their
+    ranks.
+    """
+    from open_pulsar_spark.operators.prefix import global_prefix
+
+    orders = load_table(spark, sf_dir, "orders")
+    pc = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    aug, totals, release = global_prefix(
+        spark, pc, [F.col("cents"), F.col("o_custkey")]
+    )
+    dec = "decimal(38,0)"
+    moments = aug.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("rk").cast(dec) * F.col("cents").cast(dec)).alias("s1"),
+    )
+    out = moments.select(
+        "n_customers",
+        "total_cents",
+        (
+            (
+                2 * F.col("s1")
+                - (F.col("n_customers").cast(dec) + 1)
+                * F.col("total_cents").cast(dec)
+            )
+            * 1000000
+            / (
+                F.col("n_customers").cast(dec)
+                * F.col("total_cents").cast(dec)
+            )
+        )
+        .cast("bigint")
+        .alias("gini_ppm"),
+    )
+    result = spark.createDataFrame(out.collect(), out.schema)
+    release()
+    return result
