@@ -158,6 +158,10 @@ EXTRA = [
     "event_type_itemsets",
     "part_bundle_components",
     "next_event_prediction_hitrate",
+    "purchase_touch_attribution",
+    "part_supplier_hhi",
+    "revenue_gini",
+    "conversion_lag_quantiles",
 ]
 
 HEADLINE = [
