@@ -534,3 +534,100 @@ def part_bundle_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("bundle_size"), "bundle_rep", "p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# copurchase_assortativity — degree-mixing correlation of the graph.
+# --------------------------------------------------------------------------
+@query(
+    "copurchase_assortativity",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    eu AS (
+        SELECT a.pk AS u, b.pk AS v
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk),
+    deg AS (
+        SELECT n, count(*)::BIGINT AS d
+        FROM (SELECT u AS n FROM eu UNION ALL SELECT v FROM eu) GROUP BY n),
+    ends AS (
+        SELECT da.d AS x, db.d AS y FROM eu
+        JOIN deg da ON da.n = eu.u JOIN deg db ON db.n = eu.v
+        UNION ALL
+        SELECT db.d, da.d FROM eu
+        JOIN deg da ON da.n = eu.u JOIN deg db ON db.n = eu.v),
+    m AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+               sum(x::HUGEINT * x)::HUGEINT AS sxx,
+               sum(y::HUGEINT * y)::HUGEINT AS syy,
+               sum(x::HUGEINT * y)::HUGEINT AS sxy
+        FROM ends)
+    SELECT (n / 2)::BIGINT AS n_edges,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE round((n * sxy - sx * sy) * 1.0
+                           / (sqrt((n * sxx - sx * sx) * 1.0)
+                              * sqrt((n * syy - sy * sy) * 1.0)), 6)
+           END AS assortativity
+    FROM m
+    """,
+)
+def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — the Pearson
+    correlation of endpoint degrees over all edge ends (Newman 2002).
+    Negative = hubs attach to the periphery (the typical retail
+    pattern); positive = hub-hub mixing. One number that tells a graph
+    pipeline whether degree-based partitioning will skew.
+
+    Scale: the edge build and degree aggregate are the triangle
+    query's contract; the endpoint frame is edges + two degree joins
+    (both keyed equi-joins), and the six moments reduce in ONE
+    map-side-combinable aggregate (exact integers — decimal(38,0) in
+    Spark, HUGEINT in the oracle). The closing corr is two IEEE sqrt +
+    one division on a 1-row frame — correctly-rounded ops, identical
+    in both engines (the corr-matrix contract).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    op = li.distinct()
+    a, b = op.alias("a"), op.alias("b")
+    eu = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    deg = (
+        eu.select(F.col("u").alias("n"))
+        .unionAll(eu.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    endpairs = (
+        eu.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select(F.col("du").alias("x"), F.col("dv").alias("y"))
+    )
+    ends = endpairs.unionAll(
+        endpairs.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    dec = "decimal(38,0)"
+    xd, yd = F.col("x").cast(dec), F.col("y").cast(dec)
+    m = ends.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    nd = F.col("n").cast(dec)
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return m.select(
+        F.expr("n div 2").cast("bigint").alias("n_edges"),
+        F.when((vx == 0) | (vy == 0), F.lit(None)).otherwise(
+            F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6)
+        ).alias("assortativity"),
+    )
