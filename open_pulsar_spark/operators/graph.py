@@ -112,9 +112,9 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     order; edge weight = number of co-occurring orders).
 
     Scale shape — the canonical distributed PageRank:
-      - edge building is ONE self-join of the deduped (order, part)
-        projection on orderkey — per-order fan-out is C(lines, 2) with
-        TPC-H's bounded lines-per-order, so the edge list is O(|lineitem|);
+      - edge building is the shared basket-array producer
+        (_copurchase_pair_rows: one orderkey shuffle, map-side C(k,2)
+        explode — no self-join), so the edge list is O(|lineitem|);
       - edges and out-degrees PERSIST across iterations (built once,
         reused {PR_ITERS}×) and both carry `src` partitioning, so each
         round is: join ranks (partitioned on pk == src) → map the
@@ -396,9 +396,9 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale — the degree-ordered adjacency-intersection algorithm (the
     distributed standard, not the naive wedge join):
-      - undirected unique edges come from ONE self-join of the deduped
-        (order, part) projection (bounded per-order fan-out, same
-        contract as part_copurchase_pagerank's edge build);
+      - undirected unique edges come from the shared basket-array
+        producer (_copurchase_pair_rows: one orderkey shuffle, map-side
+        C(k,2) explode — no self-join);
       - every edge is ORIENTED from its lower-(degree, id) endpoint to
         the higher one — an acyclic total order, so each triangle is
         found exactly once, and max out-degree is O(√m) regardless of
