@@ -301,6 +301,23 @@ _Z_SQL = f"({_Z_X_SQL} | ({_Z_Y_SQL} << 1))"
     ORDER BY zbucket
     """,
 )
+def _zspread_col(col):
+    """Spark twin of _zspread_sql — bit-interleave spread of a 16-bit
+    value (shared by the z-order profile and the skipping harness)."""
+    s = col
+    for sh, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        s = s.bitwiseOR(F.shiftleft(s, sh)).bitwiseAND(F.lit(mask))
+    return s
+
+
+def _z_col():
+    """The Morton key over (user_id & 1023, minute-of-day) — ONE Spark
+    copy next to the SQL template _Z_SQL."""
+    zx = _zspread_col(F.col("user_id").bitwiseAND(F.lit(1023)))
+    zy = _zspread_col(F.hour("ts") * 60 + F.minute("ts"))
+    return zx.bitwiseOR(F.shiftleft(zy, 1))
+
+
 def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (user_id, minute-of-day),
     bucketed to the file-sized prefix z >> 16.
@@ -315,16 +332,8 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     file splits.
     """
 
-    def spread(col):
-        s = col
-        for sh, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
-            s = s.bitwiseOR(F.shiftleft(s, sh)).bitwiseAND(F.lit(mask))
-        return s
-
     ev = load_table(spark, sf_dir, "events")
-    zx = spread(F.col("user_id").bitwiseAND(F.lit(1023)))
-    zy = spread(F.hour("ts") * 60 + F.minute("ts"))
-    z = zx.bitwiseOR(F.shiftleft(zy, 1))
+    z = _z_col()
     return (
         ev.select(z.alias("z"), "user_id")
         .groupBy(F.shiftright("z", 16).alias("zbucket"))
@@ -2813,3 +2822,156 @@ def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_converters"),
     )
     return p50.unionAll(p90).unionAll(mx).orderBy("quantile")
+
+
+# --------------------------------------------------------------------------
+# layout_skipping_effectiveness — zone-map pruning, measured per layout.
+# --------------------------------------------------------------------------
+SKIP_NFILES = 64    # simulated files per layout
+SKIP_NPROBES = 32   # deterministic point-lookup probe users
+SKIP_T_LO, SKIP_T_HI = 540, 600  # probe time band: 09:00–10:00
+
+_MIN_SQL = "hour(ts) * 60 + minute(ts)"
+
+
+def _skip_layout_cte(name: str, order_sql: str) -> str:
+    """Per-file zone maps for one physical layout: global rank in the
+    layout order → file id → min/max of both probe dimensions."""
+    label = name.removeprefix("lay_")
+    return f"""
+    {name} AS (
+        SELECT '{label}' AS layout, (rk - 1) * {SKIP_NFILES} // n AS f,
+               min(user_id) AS umin, max(user_id) AS umax,
+               min(m) AS mmin, max(m) AS mmax
+        FROM (SELECT user_id, {_MIN_SQL} AS m,
+                     row_number() OVER (ORDER BY {order_sql}) AS rk,
+                     count(*) OVER () AS n
+              FROM events)
+        GROUP BY 2)"""
+
+
+@query(
+    "layout_skipping_effectiveness",
+    oracle=f"""
+    WITH {_skip_layout_cte("lay_natural", "ts, event_id")},
+    {_skip_layout_cte("lay_zorder", f"{_Z_SQL}, event_id")},
+    files AS (SELECT * FROM lay_natural UNION ALL SELECT * FROM lay_zorder),
+    probes AS (
+        SELECT user_id AS pu FROM (SELECT DISTINCT user_id FROM events)
+        ORDER BY ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT, user_id
+        LIMIT {SKIP_NPROBES}),
+    uskip AS (
+        SELECT layout,
+               sum(CASE WHEN pu < umin OR pu > umax THEN 1 ELSE 0 END)::BIGINT
+                   AS skipped,
+               count(*)::BIGINT AS checked
+        FROM files CROSS JOIN probes GROUP BY layout),
+    tskip AS (
+        SELECT layout,
+               sum(CASE WHEN mmax < {SKIP_T_LO} OR mmin >= {SKIP_T_HI}
+                        THEN 1 ELSE 0 END)::BIGINT AS skipped,
+               count(*)::BIGINT AS n_files
+        FROM files GROUP BY layout)
+    SELECT u.layout, t.n_files,
+           u.skipped * 1000000 // u.checked AS user_skip_ppm,
+           t.skipped * 1000000 // t.n_files AS time_skip_ppm
+    FROM uskip u JOIN tskip t USING (layout)
+    ORDER BY layout
+    """,
+)
+def layout_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED data-skipping win of the Z-order layout: simulate
+    writing events as {SKIP_NFILES} equal files under (a) natural
+    ingest order (ts) and (b) the Morton key, record each file's
+    min/max zone map in BOTH probe dimensions, and report the fraction
+    of files a point user lookup ({SKIP_NPROBES} deterministic probe
+    users) and a one-hour time-band scan can prune. The number a table
+    optimizer actually buys with OPTIMIZE ZORDER — natural order skips
+    ~everything on time and ~nothing on user; z-order trades a little
+    time pruning for large user pruning (the multi-dimension
+    compromise, quantified).
+
+    Scale: file assignment is prefix.global_prefix's distributed rank
+    per layout (never a single-partition window); zone maps are one
+    {SKIP_NFILES}-row aggregate per layout; the probe evaluation is a
+    {SKIP_NPROBES}×{SKIP_NFILES} config-sized cross join (both sides
+    are bounded aggregates — the documented bounded-nested-loop
+    class). Probe users are the {SKIP_NPROBES} smallest md5 hashes —
+    deterministic, engine-identical.
+    """
+    from open_pulsar_spark.operators.curation import _hash_raw_spark
+    from open_pulsar_spark.operators.prefix import global_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.hour("ts") * 60 + F.minute("ts")).alias("m"),
+        _z_col().alias("z"),
+    )
+
+    def zone_maps(order_cols, layout: str) -> DataFrame:
+        aug, totals, release = global_prefix(spark, base, order_cols)
+        n = totals["n"]
+        files = (
+            aug.groupBy(
+                F.expr(f"(rk - 1) * {SKIP_NFILES} div {n}").alias("f")
+            )
+            .agg(
+                F.min("user_id").alias("umin"),
+                F.max("user_id").alias("umax"),
+                F.min("m").alias("mmin"),
+                F.max("m").alias("mmax"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+        out = spark.createDataFrame(files.collect(), files.schema)
+        release()
+        return out
+
+    files = zone_maps([F.col("ts"), F.col("event_id")], "natural").unionAll(
+        zone_maps([F.col("z"), F.col("event_id")], "zorder")
+    )
+    probes = (
+        ev.select("user_id")
+        .distinct()
+        .orderBy(_hash_raw_spark(F.col("user_id")), "user_id")
+        .limit(SKIP_NPROBES)
+        .select(F.col("user_id").alias("pu"))
+    )
+    uskip = (
+        files.crossJoin(F.broadcast(probes))
+        .groupBy("layout")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("pu") < F.col("umin")) | (F.col("pu") > F.col("umax")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("skipped"),
+            F.count("*").cast("bigint").alias("checked"),
+        )
+    )
+    tskip = files.groupBy("layout").agg(
+        F.sum(
+            F.when(
+                (F.col("mmax") < SKIP_T_LO) | (F.col("mmin") >= SKIP_T_HI), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tskipped"),
+        F.count("*").cast("bigint").alias("n_files"),
+    )
+    return (
+        uskip.join(tskip, "layout")
+        .select(
+            "layout",
+            "n_files",
+            F.expr("skipped * 1000000 div checked").alias("user_skip_ppm"),
+            F.expr("tskipped * 1000000 div n_files").alias("time_skip_ppm"),
+        )
+        .orderBy("layout")
+    )
