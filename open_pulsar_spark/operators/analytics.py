@@ -288,19 +288,6 @@ _Z_Y_SQL = _zspread_sql("hour(ts) * 60 + minute(ts)")
 _Z_SQL = f"({_Z_X_SQL} | ({_Z_Y_SQL} << 1))"
 
 
-@query(
-    "events_zorder_layout",
-    oracle=f"""
-    SELECT {_Z_SQL} >> 16              AS zbucket,
-           count(*)                    AS n_events,
-           count(DISTINCT user_id)     AS n_users,
-           min({_Z_SQL})               AS z_min,
-           max({_Z_SQL})               AS z_max
-    FROM events
-    GROUP BY zbucket
-    ORDER BY zbucket
-    """,
-)
 def _zspread_col(col):
     """Spark twin of _zspread_sql — bit-interleave spread of a 16-bit
     value (shared by the z-order profile and the skipping harness)."""
@@ -318,6 +305,19 @@ def _z_col():
     return zx.bitwiseOR(F.shiftleft(zy, 1))
 
 
+@query(
+    "events_zorder_layout",
+    oracle=f"""
+    SELECT {_Z_SQL} >> 16              AS zbucket,
+           count(*)                    AS n_events,
+           count(DISTINCT user_id)     AS n_users,
+           min({_Z_SQL})               AS z_min,
+           max({_Z_SQL})               AS z_max
+    FROM events
+    GROUP BY zbucket
+    ORDER BY zbucket
+    """,
+)
 def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (user_id, minute-of-day),
     bucketed to the file-sized prefix z >> 16.
