@@ -162,6 +162,8 @@ EXTRA = [
     "part_supplier_hhi",
     "revenue_gini",
     "conversion_lag_quantiles",
+    "copurchase_assortativity",
+    "layout_skipping_effectiveness",
 ]
 
 HEADLINE = [
