@@ -1921,3 +1921,47 @@ def test_cusum_stream_folds_to_batch_series(spark, workdir):
 
     with pytest.raises(ValueError):
         update_cusum(spark, orders, store, None)
+
+
+def test_hll_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_hll_stream wires the register maintenance as an actual
+    Structured Streaming query (file source, maxFilesPerTrigger=1 →
+    multiple epochs): after processAllAvailable the store folds to the
+    same registers the one-shot batch step produces, and forced
+    auto-compaction (max_segments=1) leaves them unchanged — the
+    idempotent fold makes the compaction window trivially safe."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.hll_stream import (
+        read_hll,
+        start_hll_stream,
+        update_hll,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = f"{workdir}/ev_hsrc"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    store = f"{workdir}/hll_live"
+    q = start_hll_stream(
+        spark,
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/hll_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/hll_ref"
+    update_hll(spark, ev, ref, 0)
+    got = sorted(tuple(r) for r in read_hll(spark, store).collect())
+    want = sorted(tuple(r) for r in read_hll(spark, ref).collect())
+    assert got == want
