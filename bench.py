@@ -212,6 +212,11 @@ HEADLINE_V2_ADDITIONS = [
     # novelty and the distributed-prefix-sum family
     "doc_ngram_novelty",
     "revenue_pareto",
+    # round-5 families: graph adjacency-intersection, register-max
+    # sketch, zone-map layout evaluation
+    "part_copurchase_triangles",
+    "events_hll_distinct",
+    "layout_skipping_effectiveness",
 ]
 
 

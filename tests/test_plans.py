@@ -139,6 +139,9 @@ _NESTED_LOOP_ALLOWED = {
                                  # collapses to k doubles/source map-side
     "token_pmi_pairs",           # 1-row pair-total, broadcast
     "revenue_cusum_changepoint",  # 1-row max-|CUSUM| scalar, broadcast
+    "layout_skipping_effectiveness",  # 32-probe × 64-file zone-map grid —
+                                 # both sides bounded aggregates by
+                                 # construction
 }
 
 
