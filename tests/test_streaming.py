@@ -1965,3 +1965,42 @@ def test_hll_stream_runs_as_real_streaming_query(spark, workdir):
     got = sorted(tuple(r) for r in read_hll(spark, store).collect())
     want = sorted(tuple(r) for r in read_hll(spark, ref).collect())
     assert got == want
+
+
+def test_zonemap_stream_folds_to_batch_maps(spark, workdir):
+    """Streaming zone maps: delivering the events in three epochs and
+    folding must equal the one-shot aggregate over the whole table
+    (counts additive, envelopes idempotent) AND match
+    events_zorder_layout's bucket frame on the shared columns; a
+    replayed epoch is a no-op; epoch-less writes are refused (the
+    additive count sets the contract)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.zonemap_stream import (
+        read_zonemap,
+        update_zonemap,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    store = f"{workdir}/zonemap_store"
+    for k in range(3):
+        update_zonemap(spark, ev.where(F.col("event_id") % 3 == k), store, k)
+
+    got = sorted(tuple(r) for r in read_zonemap(spark, store).collect())
+
+    batch = (
+        all_queries()["events_zorder_layout"](spark, SF_SMALL)
+        .select("zbucket", "n_events", "z_min", "z_max")
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+
+    update_zonemap(spark, ev.where(F.col("event_id") % 3 == 0), store, 0)
+    assert sorted(tuple(r) for r in read_zonemap(spark, store).collect()) == want
+
+    with pytest.raises(ValueError):
+        update_zonemap(spark, ev, store, None)
