@@ -164,6 +164,7 @@ EXTRA = [
     "conversion_lag_quantiles",
     "copurchase_assortativity",
     "layout_skipping_effectiveness",
+    "user_bot_regularity",
 ]
 
 HEADLINE = [

@@ -2975,3 +2975,87 @@ def layout_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("layout")
     )
+
+
+# --------------------------------------------------------------------------
+# user_bot_regularity — abuse screen: too-regular inter-event timing.
+# --------------------------------------------------------------------------
+BOT_MIN_GAPS = 5          # users with fewer gaps aren't classifiable
+BOT_CV2_PPM = 100_000     # cv² < 0.1 (cv < ~0.32) → 'bot' verdict
+BOT_TOP = 100
+
+
+@query(
+    "user_bot_regularity",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               floor(epoch(ts))::BIGINT
+                 - lag(floor(epoch(ts))::BIGINT)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS g
+        FROM events),
+    m AS (
+        SELECT user_id, count(*)::BIGINT AS n,
+               sum(g)::BIGINT AS s, sum(g::HUGEINT * g)::HUGEINT AS ss
+        FROM seq WHERE g IS NOT NULL
+        GROUP BY 1 HAVING count(*) >= {BOT_MIN_GAPS} AND sum(g) > 0)
+    SELECT user_id, n AS n_gaps, (s // n)::BIGINT AS mean_gap_s,
+           ((n * ss - s::HUGEINT * s) * 1000000
+            // (s::HUGEINT * s))::BIGINT AS cv2_ppm,
+           CASE WHEN (n * ss - s::HUGEINT * s) * 1000000
+                     // (s::HUGEINT * s) < {BOT_CV2_PPM}
+                THEN 'bot' ELSE 'human' END AS verdict
+    FROM m
+    ORDER BY cv2_ppm, user_id
+    LIMIT {BOT_TOP}
+    """,
+)
+def user_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse screen over event timing: the {BOT_TOP} most
+    METRONOMIC users by squared coefficient of variation of their
+    inter-event gaps — organic humans are bursty (cv ≳ 1), schedulers
+    and scrapers tick (cv → 0). The click-farm filter a web-scale
+    training-data pipeline runs before trusting engagement signals.
+
+    Scale: gaps are ONE lag window keyed by user_id (the natural
+    partition key); the three moments reduce in one map-side-
+    combinable aggregate per user; cv² stays exact integer to the ppm
+    grid — cv² = (n·Σg² − (Σg)²)/(Σg)², decimal(38,0) in Spark /
+    HUGEINT in the oracle (the corr-moments class), one division per
+    user. Top-{BOT_TOP} via TakeOrdered on the already-aggregated
+    user frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (es - F.lag(es).over(w)).alias("g")
+    seq = ev.select("user_id", g).where(F.col("g").isNotNull())
+    dec = "decimal(38,0)"
+    gd = F.col("g").cast(dec)
+    m = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("g").cast("bigint").alias("s"),
+            F.sum(gd * gd).alias("ss"),
+        )
+        .where((F.col("n") >= BOT_MIN_GAPS) & (F.col("s") > 0))
+    )
+    nd, sd = F.col("n").cast(dec), F.col("s").cast(dec)
+    cv2 = ((nd * F.col("ss") - sd * sd) * 1000000 / (sd * sd)).cast(
+        "bigint"
+    )
+    return (
+        m.select(
+            "user_id",
+            F.col("n").alias("n_gaps"),
+            F.expr("s div n").cast("bigint").alias("mean_gap_s"),
+            cv2.alias("cv2_ppm"),
+            F.when(cv2 < BOT_CV2_PPM, "bot").otherwise("human").alias(
+                "verdict"
+            ),
+        )
+        .orderBy("cv2_ppm", "user_id")
+        .limit(BOT_TOP)
+    )
