@@ -165,6 +165,7 @@ EXTRA = [
     "copurchase_assortativity",
     "layout_skipping_effectiveness",
     "user_bot_regularity",
+    "kmeans_silhouette",
 ]
 
 HEADLINE = [

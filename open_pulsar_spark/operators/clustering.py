@@ -1451,3 +1451,92 @@ def label_embedding_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# --------------------------------------------------------------------------
+# kmeans_silhouette — simplified (centroid) silhouette per cluster.
+# --------------------------------------------------------------------------
+def _sorted_dists_col(cents: list[tuple[int, list[int]]]):
+    """array_sort over (dist, cid) structs — [0] is the assignment
+    (same (dist, cid) tie-break as _assign_col's array_min), [1] the
+    runner-up centroid the silhouette's b term needs."""
+    structs = []
+    for cid, vec in cents:
+        arr = "array(" + ",".join(f"{int(v)}L" for v in vec) + ")"
+        dist = f"aggregate(zip_with(q, {arr}, (x, c) -> (x - c) * (x - c)), 0L, (a, v) -> a + v)"
+        structs.append(f"struct({dist} as dist, {int(cid)} as cid)")
+    return F.expr("array_sort(array(" + ",".join(structs) + "))")
+
+
+_SIL_DIST = (
+    "list_sum(list_transform(list_zip(a.q, c.c),"
+    " p -> (p[1]-p[2])*(p[1]-p[2])))"
+)
+
+
+@query(
+    "kmeans_silhouette",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    sil AS (
+        SELECT a.vec_id, a.cid, a.sq_dist AS ad,
+               min({_SIL_DIST})::BIGINT AS bd
+        FROM a2 a CROSS JOIN c2 c WHERE c.cid <> a.cid
+        GROUP BY 1, 2, 3),
+    pt AS (
+        SELECT cid,
+               CASE WHEN greatest(ad, bd) = 0 THEN 0
+                    ELSE (bd - ad) * 1000000 // greatest(ad, bd) END AS s
+        FROM sil)
+    SELECT cid::BIGINT AS cluster, count(*)::BIGINT AS n_members,
+           (sum(s) // count(*))::BIGINT AS mean_silhouette_ppm
+    FROM pt GROUP BY cid ORDER BY cluster
+    """,
+)
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette of the trained k-means model
+    on the squared-distance ppm grid — s = (b − a)/max(a, b) with
+    a = squared distance to the OWN centroid and b = to the nearest
+    OTHER centroid (the centroid-silhouette variant: O(K) per point,
+    not the O(n²) pairwise form — the only silhouette anyone computes
+    at corpus scale). Near-1e6 clusters are compact and isolated;
+    near-0 clusters overlap their neighbor — the model-quality readout
+    that decides whether K was right, next to kmeans_cluster_sizes'
+    occupancy view.
+
+    Scale: ONE map-only pass (the K distances per vector are the same
+    codegen expression class as the assignment; array_sort over K=10
+    structs replaces array_min to expose the runner-up), then a K-row
+    aggregate. a ≤ b by construction (a is the global argmin), so the
+    ppm statistic is a nonneg integer — bit-identical everywhere; no
+    sqrt enters (squared-distance silhouette, documented).
+    """
+    qdf, cents = _fit(spark, sf_dir)
+    ds = _sorted_dists_col(cents)
+    pt = qdf.select(
+        F.col("vec_id"),
+        ds.alias("ds"),
+    ).select(
+        F.expr("ds[0].cid").alias("cid"),
+        F.expr("ds[0].dist").alias("ad"),
+        F.expr("ds[1].dist").alias("bd"),
+    )
+    s = F.when(F.greatest("ad", "bd") == 0, F.lit(0)).otherwise(
+        F.expr("(bd - ad) * 1000000 div greatest(ad, bd)")
+    )
+    return (
+        pt.select(F.col("cid"), s.alias("s"))
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.expr("sum(s) div count(*)").cast("bigint").alias(
+                "mean_silhouette_ppm"
+            ),
+        )
+        .select(
+            F.col("cid").cast("bigint").alias("cluster"),
+            "n_members",
+            "mean_silhouette_ppm",
+        )
+        .orderBy("cluster")
+    )

@@ -158,6 +158,7 @@ AUDITED = [
     "copurchase_assortativity",
     "layout_skipping_effectiveness",
     "user_bot_regularity",
+    "kmeans_silhouette",
 ]
 
 
