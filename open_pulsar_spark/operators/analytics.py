@@ -2289,14 +2289,27 @@ def event_type_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffles are the per-level basket-keyed counts.
     Counts and ppm supports are integers — bit-identical everywhere.
     """
+    from open_pulsar_spark.operators.dedup import _pin
+
     ev = load_table(spark, sf_dir, "events")
-    b = ev.select(
-        "user_id", F.to_date("ts").alias("d"), F.col("event_type").alias("t")
-    ).distinct()
+    # b feeds three consumers (basket count, item supports, the
+    # filtered basket frame), b1 five (both pair sides + the three
+    # triple sides), i2 five (candidate generation x3 + prune + the
+    # output union) — pin the multiply-consumed lineages or the
+    # distinct projection and the pair shuffle re-execute per consumer
+    b = _pin(
+        "itemsets_b",
+        ev.select(
+            "user_id", F.to_date("ts").alias("d"), F.col("event_type").alias("t")
+        ).distinct(),
+    )
     nb = b.select("user_id", "d").distinct().count()
     ms = (ITEMSET_MINSUP_PCT * nb) // 100
     i1 = b.groupBy("t").agg(F.count("*").alias("sup")).where(F.col("sup") >= ms)
-    b1 = b.join(F.broadcast(i1.select("t")), "t").select("user_id", "d", "t")
+    b1 = _pin(
+        "itemsets_b1",
+        b.join(F.broadcast(i1.select("t")), "t").select("user_id", "d", "t"),
+    )
     a, c = b1.alias("a"), b1.alias("c")
     i2 = (
         a.join(
@@ -2309,6 +2322,7 @@ def event_type_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("sup"))
         .where(F.col("sup") >= ms)
     )
+    i2 = _pin("itemsets_i2", i2)
     p = i2.select(F.col("t1"), F.col("t2"))
     q = i2.select(F.col("t1"), F.col("t2").alias("t3"))
     r = i2.select(F.col("t1").alias("t2"), F.col("t2").alias("t3"))
@@ -2638,16 +2652,13 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pk").alias("p_partkey"),
             "n_suppliers",
             "total_cents",
-            (
-                F.col("ss")
-                * 1000000
-                / (
-                    F.col("total_cents").cast("decimal(38,0)")
-                    * F.col("total_cents").cast("decimal(38,0)")
-                )
-            )
-            .cast("bigint")
-            .alias("hhi_ppm"),
+            # integer div on exact decimals == the oracle's HUGEINT //
+            # (decimal `/` would round HALF_UP at scale 6 before the cast)
+            F.expr(
+                "(ss * 1000000) div"
+                " (cast(total_cents as decimal(38,0))"
+                "  * cast(total_cents as decimal(38,0)))"
+            ).cast("bigint").alias("hhi_ppm"),
         )
     )
     return agg.orderBy(F.desc("hhi_ppm"), "p_partkey").limit(HHI_TOP)
@@ -2712,23 +2723,16 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("total_cents"),
         F.sum(F.col("rk").cast(dec) * F.col("cents").cast(dec)).alias("s1"),
     )
+    # integer div on exact decimals == the oracle's HUGEINT //
     out = moments.select(
         "n_customers",
         "total_cents",
-        (
-            (
-                2 * F.col("s1")
-                - (F.col("n_customers").cast(dec) + 1)
-                * F.col("total_cents").cast(dec)
-            )
-            * 1000000
-            / (
-                F.col("n_customers").cast(dec)
-                * F.col("total_cents").cast(dec)
-            )
-        )
-        .cast("bigint")
-        .alias("gini_ppm"),
+        F.expr(
+            "((2 * s1 - (cast(n_customers as decimal(38,0)) + 1)"
+            "       * cast(total_cents as decimal(38,0))) * 1000000)"
+            " div (cast(n_customers as decimal(38,0))"
+            "      * cast(total_cents as decimal(38,0)))"
+        ).cast("bigint").alias("gini_ppm"),
     )
     result = spark.createDataFrame(out.collect(), out.schema)
     release()
@@ -2758,10 +2762,11 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) OVER () AS n
         FROM lags)
     SELECT 'p50' AS quantile,
-           avg(lag_s)::BIGINT AS lag_seconds, max(n)::BIGINT AS n_converters
+           (sum(lag_s) // count(*))::BIGINT AS lag_seconds,
+           max(n)::BIGINT AS n_converters
     FROM ranked WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
     UNION ALL
-    SELECT 'p90', avg(lag_s)::BIGINT, max(n)::BIGINT
+    SELECT 'p90', (sum(lag_s) // count(*))::BIGINT, max(n)::BIGINT
     FROM ranked WHERE rk = (9 * n + 9) // 10
     UNION ALL
     SELECT 'max', max(lag_s)::BIGINT, max(n)::BIGINT FROM ranked
@@ -2797,23 +2802,37 @@ def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("first_purchase").isNotNull()
         & (F.col("first_purchase") >= F.col("first_view"))
     ).select((F.col("first_purchase") - F.col("first_view")).alias("lag_s"))
+    from open_pulsar_spark.operators.dedup import _pin
+
     w = Window.orderBy("lag_s")
-    ranked = lags.select(
-        "lag_s",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    # three consumers (p50, p90, max branches) — pin, or the events
+    # scan + firsts aggregate + rank window execute once per branch
+    ranked = _pin(
+        "conversion_ranked",
+        lags.select(
+            "lag_s",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        ),
     )
     p50 = ranked.where(
         (F.col("rk") == F.expr("(n + 1) div 2"))
         | (F.col("rk") == F.expr("(n + 2) div 2"))
     ).agg(
         F.lit("p50").alias("quantile"),
-        F.avg("lag_s").cast("bigint").alias("lag_seconds"),
+        # floor(sum/count), NOT avg-then-cast: Spark CAST(double)
+        # truncates while DuckDB's ::BIGINT rounds — x.5 medians would
+        # diverge by 1 between the engines
+        F.expr("sum(lag_s) div count(*)").cast("bigint").alias(
+            "lag_seconds"
+        ),
         F.max("n").cast("bigint").alias("n_converters"),
     )
     p90 = ranked.where(F.col("rk") == F.expr("(9 * n + 9) div 10")).agg(
         F.lit("p90").alias("quantile"),
-        F.avg("lag_s").cast("bigint").alias("lag_seconds"),
+        F.expr("sum(lag_s) div count(*)").cast("bigint").alias(
+            "lag_seconds"
+        ),
         F.max("n").cast("bigint").alias("n_converters"),
     )
     mx = ranked.agg(
@@ -3042,10 +3061,14 @@ def user_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("n") >= BOT_MIN_GAPS) & (F.col("s") > 0))
     )
-    nd, sd = F.col("n").cast(dec), F.col("s").cast(dec)
-    cv2 = ((nd * F.col("ss") - sd * sd) * 1000000 / (sd * sd)).cast(
-        "bigint"
-    )
+    # integer div on exact decimals == the oracle's HUGEINT // (the
+    # decimal `/` rounds HALF_UP at scale 6, which can bump the ppm by
+    # one and flip a verdict at the threshold)
+    cv2 = F.expr(
+        "((cast(n as decimal(38,0)) * ss"
+        "  - cast(s as decimal(38,0)) * cast(s as decimal(38,0))) * 1000000)"
+        " div (cast(s as decimal(38,0)) * cast(s as decimal(38,0)))"
+    ).cast("bigint")
     return (
         m.select(
             "user_id",

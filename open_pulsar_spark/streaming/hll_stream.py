@@ -48,7 +48,13 @@ from open_pulsar_spark.streaming.segments import (
 )
 
 _PARTIAL_SCHEMA = "event_type STRING, j LONG, r INT, epoch LONG"
-_DEDUP_KEYS = ["epoch", "event_type", "j"]
+# "r" MUST be part of the compaction dedup key: epoch-less backfills
+# share the -1 sentinel epoch, so two backfills can legitimately hold
+# DIFFERENT maxima for the same (epoch, type, j) — dropDuplicates on a
+# value-less key would keep an arbitrary one and could delete the true
+# register max with the compacted segments (kmv/posting include their
+# value columns for the same reason)
+_DEDUP_KEYS = ["epoch", "event_type", "j", "r"]
 _CLUSTER_COLS = ["event_type"]
 
 

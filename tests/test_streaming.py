@@ -2004,3 +2004,37 @@ def test_zonemap_stream_folds_to_batch_maps(spark, workdir):
 
     with pytest.raises(ValueError):
         update_zonemap(spark, ev, store, None)
+
+
+def test_hll_stream_compaction_keeps_backfill_maxima(spark, workdir):
+    """Regression (review finding): two epoch-less backfills share the
+    -1 sentinel epoch and can hold DIFFERENT maxima for the same
+    register; compaction's dedup key must therefore include the value
+    column r, or dropDuplicates keeps an arbitrary row and the folded
+    register max can silently shrink. Force a full compaction and
+    check the fold is byte-identical to the pre-compaction fold."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming import hll_stream
+    from open_pulsar_spark.streaming.segments import compact_segments
+    from open_pulsar_spark.streaming.hll_stream import read_hll, update_hll
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    store = f"{workdir}/hll_backfill_store"
+    # two epoch-less backfills over DIFFERENT slices: same (epoch=-1,
+    # type, j) keys, different r values across segments
+    update_hll(spark, ev.where(F.col("event_id") % 2 == 0), store, None)
+    update_hll(spark, ev.where(F.col("event_id") % 2 == 1), store, None)
+
+    before = sorted(tuple(r) for r in read_hll(spark, store).collect())
+    compact_segments(
+        spark,
+        store,
+        hll_stream._PARTIAL_SCHEMA,
+        hll_stream._DEDUP_KEYS,
+        hll_stream._CLUSTER_COLS,
+    )
+    after = sorted(tuple(r) for r in read_hll(spark, store).collect())
+    assert after == before
