@@ -721,3 +721,55 @@ def test_triangle_counts_match_bruteforce(spark):
         assert tc == n
         assert d == len(adj[pk])
         assert ppm == (2 * 1_000_000 * n) // (d * (d - 1))
+
+
+def test_hll_estimate_is_monotone_in_the_data(spark):
+    """Registers are maxima, so feeding MORE data can never lower the
+    estimate: hll over half the events ≤ hll over all events, per
+    type. (The property the idempotent-merge contract rests on.)"""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.sketch import (
+        _hll_user_day_key,
+        hll_estimate_col,
+        hll_fold,
+        hll_partial,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+
+    def est(df):
+        keyed = df.select("event_type", _hll_user_day_key().alias("key"))
+        return {
+            r.event_type: r.e
+            for r in hll_fold(hll_partial(keyed))
+            .select("event_type", hll_estimate_col().alias("e"))
+            .collect()
+        }
+
+    half = est(ev.where(F.col("event_id") % 2 == 0))
+    full = est(ev)
+    assert set(half) <= set(full)
+    for t, e in half.items():
+        assert e <= full[t], t
+
+
+def test_itemset_supports_are_anti_monotone(spark):
+    """Apriori's foundation, checked on the query's own output: every
+    k-itemset's support is ≤ the support of each of its (k−1)-subsets,
+    and every reported subset of a reported itemset is itself
+    reported (no pruning hole)."""
+    from open_pulsar_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    rows = all_queries()["event_type_itemsets"](spark, SF_SMALL).collect()
+    sup = {tuple(sorted(r.itemset.split("+"))): r.support for r in rows}
+    for items, s in sup.items():
+        if len(items) == 1:
+            continue
+        for i in range(len(items)):
+            sub = items[:i] + items[i + 1 :]
+            assert sub in sup, (items, sub)
+            assert s <= sup[sub], (items, sub, s, sup[sub])
