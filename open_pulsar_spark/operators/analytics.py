@@ -2209,8 +2209,11 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the textbook statistic prefix_t − t·mean involves a
     float mean; multiplying through by N keeps it integer —
     C_t = N·prefix_t − t·total — which preserves the argmax exactly
-    and is bit-identical across engines (pure BIGINT; at a 10^15-cent
-    revenue scale × 10^4 days this still sits well inside int64).
+    and is bit-identical across engines. Envelope: the largest term is
+    N·total, so the BIGINT form holds while days × total-cents < 2^63
+    (≈9·10^14 cents across 10^4 days — far past any TPC-H-class
+    revenue density); past that, move the two products to
+    decimal(38,0)/HUGEINT, the corr-moments class.
 
     Scale: the raw scan reduces to ONE day-keyed aggregate first
     (map-side partial sums); every window after that runs on the
@@ -2538,12 +2541,21 @@ def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented — the remainder stays unattributed), so every engine
     and partitioning reports identical cents.
     """
+    from open_pulsar_spark.operators.dedup import _pin
+
     ev = load_table(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("pid"),
-        "user_id",
-        F.unix_timestamp("ts").alias("es"),
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    # p feeds the bucket explode AND the untouched anti-join; cand
+    # feeds the per-type rollup AND that anti-join's probe side — pin
+    # both, or the events scan and the exploded band join execute
+    # twice (the itemsets rule, applied here)
+    p = _pin(
+        "attr_p",
+        ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("pid"),
+            "user_id",
+            F.unix_timestamp("ts").alias("es"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ),
     )
     t = ev.where(F.col("event_type") != "purchase").select(
         "user_id",
@@ -2565,6 +2577,7 @@ def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("pid", "cents", "event_type")
     )
+    cand = _pin("attr_cand", cand)
     n_w = Window.partitionBy("pid")
     per_type = (
         cand.groupBy("pid", "cents", "event_type")

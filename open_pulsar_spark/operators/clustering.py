@@ -61,15 +61,24 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assign_col(cents: list[tuple[int, list[int]]]):
-    """array_min over (dist, cid) structs == integer argmin with
-    min-cid tie-break, all in whole-stage codegen."""
+def _dist_structs_sql(cents: list[tuple[int, list[int]]]) -> str:
+    """The ONE copy of the per-centroid (dist, cid) struct-array
+    codegen template — array_min of it is the assignment argmin
+    (min-cid tie-break), array_sort of it exposes the runner-up for
+    the silhouette's b term; both consumers share the identical
+    distance expression and tie-break by construction."""
     structs = []
     for cid, vec in cents:
         arr = "array(" + ",".join(f"{int(v)}L" for v in vec) + ")"
         dist = f"aggregate(zip_with(q, {arr}, (x, c) -> (x - c) * (x - c)), 0L, (a, v) -> a + v)"
         structs.append(f"struct({dist} as dist, {int(cid)} as cid)")
-    return F.expr("array_min(array(" + ",".join(structs) + "))")
+    return "array(" + ",".join(structs) + ")"
+
+
+def _assign_col(cents: list[tuple[int, list[int]]]):
+    """array_min over (dist, cid) structs == integer argmin with
+    min-cid tie-break, all in whole-stage codegen."""
+    return F.expr(f"array_min({_dist_structs_sql(cents)})")
 
 
 def _update(qdf: DataFrame, cents: list[tuple[int, list[int]]]):
@@ -147,7 +156,17 @@ def _fit(spark: SparkSession, sf_dir: str):
     return qdf, cents
 
 
-_ZIP_DIST = "list_sum(list_transform(list_zip(v.q, c.c), p -> (p[1]-p[2])*(p[1]-p[2])))"
+def _zip_dist_sql(left: str = "v") -> str:
+    """The ONE SQL copy of the quantized squared distance between a
+    vector alias and a centroid alias c (assignment CTEs bind v, the
+    silhouette's b-term binds a)."""
+    return (
+        f"list_sum(list_transform(list_zip({left}.q, c.c),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+
+
+_ZIP_DIST = _zip_dist_sql("v")
 
 
 def _assign_cte(name: str, cent: str) -> str:
@@ -1457,21 +1476,14 @@ def label_embedding_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kmeans_silhouette — simplified (centroid) silhouette per cluster.
 # --------------------------------------------------------------------------
 def _sorted_dists_col(cents: list[tuple[int, list[int]]]):
-    """array_sort over (dist, cid) structs — [0] is the assignment
-    (same (dist, cid) tie-break as _assign_col's array_min), [1] the
-    runner-up centroid the silhouette's b term needs."""
-    structs = []
-    for cid, vec in cents:
-        arr = "array(" + ",".join(f"{int(v)}L" for v in vec) + ")"
-        dist = f"aggregate(zip_with(q, {arr}, (x, c) -> (x - c) * (x - c)), 0L, (a, v) -> a + v)"
-        structs.append(f"struct({dist} as dist, {int(cid)} as cid)")
-    return F.expr("array_sort(array(" + ",".join(structs) + "))")
+    """array_sort over the SHARED (dist, cid) struct array — [0] is
+    the assignment (identical tie-break to _assign_col's array_min by
+    construction: same _dist_structs_sql), [1] the runner-up centroid
+    the silhouette's b term needs."""
+    return F.expr(f"array_sort({_dist_structs_sql(cents)})")
 
 
-_SIL_DIST = (
-    "list_sum(list_transform(list_zip(a.q, c.c),"
-    " p -> (p[1]-p[2])*(p[1]-p[2])))"
-)
+_SIL_DIST = _zip_dist_sql("a")
 
 
 @query(

@@ -601,7 +601,11 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one division on a 1-row frame — correctly-rounded ops, identical
     in both engines (the corr-matrix contract).
     """
-    eu = _copurchase_pair_rows(spark, sf_dir).distinct()
+    # eu feeds the degree aggregate AND the endpoint join; endpairs
+    # feeds both directions of the symmetric union — pin both, or the
+    # basket explode + distinct and the two degree joins re-execute
+    # per consumer (the triangle query's rule, applied here)
+    eu = _copurchase_pair_rows(spark, sf_dir).distinct().persist()
     deg = (
         eu.select(F.col("u").alias("n"))
         .unionAll(eu.select(F.col("v").alias("n")))
@@ -612,6 +616,7 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         eu.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
         .select(F.col("du").alias("x"), F.col("dv").alias("y"))
+        .persist()
     )
     ends = endpairs.unionAll(
         endpairs.select(F.col("y").alias("x"), F.col("x").alias("y"))
@@ -630,9 +635,14 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    return m.select(
+    out = m.select(
         F.expr("n div 2").cast("bigint").alias("n_edges"),
         F.when((vx == 0) | (vy == 0), F.lit(None)).otherwise(
             F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6)
         ).alias("assortativity"),
     )
+    # one-row result: materialize while the caches are live, release
+    result = spark.createDataFrame(out.collect(), out.schema)
+    endpairs.unpersist()
+    eu.unpersist()
+    return result

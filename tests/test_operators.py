@@ -773,3 +773,22 @@ def test_itemset_supports_are_anti_monotone(spark):
             sub = items[:i] + items[i + 1 :]
             assert sub in sup, (items, sub)
             assert s <= sup[sub], (items, sub, s, sup[sub])
+
+
+def test_next_event_prediction_evaluates_nonvacuously(spark):
+    """At sf0.001 no user hashes into the test buckets, so the oracle
+    comparison there passes on 0 rows — this test pins the evaluation
+    logic at sf0.01 where both splits are populated: non-empty output,
+    hits bounded by probes, hitrate consistent with the counts, and
+    the model column never falls to the '(cold)' fallback when every
+    previous-type exists in training."""
+    from open_pulsar_spark.registry import all_queries
+
+    rows = all_queries()["next_event_prediction_hitrate"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_test
+        assert abs(r.hitrate - round(r.n_hits / r.n_test, 6)) < 1e-9
+        assert r.predicted_next != "(cold)"
