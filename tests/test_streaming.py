@@ -2038,3 +2038,101 @@ def test_hll_stream_compaction_keeps_backfill_maxima(spark, workdir):
     )
     after = sorted(tuple(r) for r in read_hll(spark, store).collect())
     assert after == before
+
+
+def test_cusum_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_cusum_stream wires the day-partial maintenance as an
+    actual Structured Streaming query (file source, one file per
+    trigger → multiple epochs): after processAllAvailable the readout
+    equals the batch query over the same orders, and forced
+    auto-compaction leaves it unchanged (the fold dedups (epoch, day)
+    before summing)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.cusum_stream import (
+        cusum_readout,
+        start_cusum_stream,
+    )
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    src = f"{workdir}/orders_csrc"
+    orders.where(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    orders.where(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store = f"{workdir}/cusum_live"
+    q = start_cusum_stream(
+        spark,
+        spark.readStream.schema(
+            "o_orderkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/cusum_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    want = [
+        tuple(r)
+        for r in all_queries()["revenue_cusum_changepoint"](spark, SF_SMALL)
+        .collect()
+    ]
+    got = [tuple(r) for r in cusum_readout(spark, store).collect()]
+    assert got == want
+
+
+def test_zonemap_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_zonemap_stream as an actual streaming query: the folded
+    store after processAllAvailable (with forced compaction) equals
+    events_zorder_layout's bucket frame on the shared columns."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.zonemap_stream import (
+        read_zonemap,
+        start_zonemap_stream,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    src = f"{workdir}/ev_zsrc"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store = f"{workdir}/zonemap_live"
+    q = start_zonemap_stream(
+        spark,
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/zonemap_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in read_zonemap(spark, store).collect())
+    want = sorted(
+        tuple(r)
+        for r in all_queries()["events_zorder_layout"](spark, SF_SMALL)
+        .select("zbucket", "n_events", "z_min", "z_max")
+        .collect()
+    )
+    assert got == want
