@@ -312,9 +312,13 @@ def main() -> None:
     )
     # The driver records only the LAST ~2000 chars of stdout, and the
     # big line above has overflowed it three rounds running (the
-    # headline block truncates away). This tiny trailing line carries
-    # the two totals inside any tail window — and if the driver parses
-    # the last line, it parses this one.
+    # headline block truncates away). This compact trailing line
+    # carries the two totals AND the 21 v1 per-query mins (~800 chars
+    # total, inside any tail window) so cross-round per-query
+    # comparison works from the recorded tail alone — r4/r5 tails had
+    # zero overlapping per-query numbers because the big line kept a
+    # different dict slice each round. If the driver parses the last
+    # line, it parses this one.
     print(
         json.dumps(
             {
@@ -323,6 +327,7 @@ def main() -> None:
                 "value_v2": total_v2,
                 "unit": "sec",
                 "sf": sf,
+                "queries": timings,
             }
         )
     )

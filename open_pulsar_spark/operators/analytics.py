@@ -1453,13 +1453,15 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic recommendation readout ('customers who bought A also
     bought B, {{lift}}× more often than chance').
 
-    Scale: baskets are the deduped (order, part) projection; the pair
-    build is ONE self-join on orderkey (bounded per-order fan-out, so
-    the pair list is O(|lineitem|) — the same edge-build contract as
-    part_copurchase_pagerank), immediately aggregated with a support
-    floor so the singleton-pair tail (97% of pairs here) never reaches
-    the item joins. Item counts and the basket total are one aggregate
-    each; the two item joins are keyed equi-joins on the floored pair
+    Scale: the pair build is the shared basket-array producer
+    (graph._copurchase_baskets + _undirected_pairs: ONE orderkey
+    shuffle, C(k,2) pairs exploded map-side from the sorted basket
+    array — no self-join, so the pair list is O(|lineitem|) with no
+    second exchange), immediately aggregated with a support floor so
+    the singleton-pair tail (97% of pairs here) never reaches the item
+    joins. Item counts explode map-side from the SAME pinned basket
+    frame (one aggregate); the basket total is `count()` of the pinned
+    frame. The two item joins are keyed equi-joins on the floored pair
     frame. Ordering and the top-k cut are INTEGER (c_ab desc, then
     keys) — TakeOrdered, no global sort, and no float in the ordering
     so ties cannot hinge on libm. All counts are exact BIGINTs; the
@@ -1469,19 +1471,22 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract) rather than a 1-row cross join, keeping the plan guard's
     no-nested-loop invariant.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
     from open_pulsar_spark.operators.dedup import _pin
+    from open_pulsar_spark.operators.graph import (
+        _copurchase_baskets,
+        _undirected_pairs,
+    )
 
-    op = _pin("affinity_op", li.distinct())
-    n_baskets = op.select(F.count_distinct("ok")).first()[0]
-    items = op.groupBy("pk").agg(F.count("*").cast("bigint").alias("c"))
-    a = op.select(F.col("ok"), F.col("pk").alias("pk_a"))
-    b = op.select(F.col("ok"), F.col("pk").alias("pk_b"))
+    baskets = _pin("affinity_baskets", _copurchase_baskets(spark, sf_dir))
+    n_baskets = baskets.count()
+    items = (
+        baskets.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
     pairs = (
-        a.join(b, "ok")
-        .where(F.col("pk_a") < F.col("pk_b"))
+        _undirected_pairs(baskets)
+        .select(F.col("u").alias("pk_a"), F.col("v").alias("pk_b"))
         .groupBy("pk_a", "pk_b")
         .agg(F.count("*").cast("bigint").alias("c_ab"))
         .where(F.col("c_ab") >= AFFINITY_MIN_PAIRS)

@@ -40,24 +40,23 @@ PR_ITERS = 3
 PR_TOP = 20
 
 
-def _copurchase_pair_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per (order, unordered part pair): the shared edge
-    producer of every co-purchase graph query (pagerank, triangles,
-    bundles, assortativity). Built WITHOUT a self-join: baskets
-    collect per orderkey (ONE shuffle — collect_set also absorbs the
+def _copurchase_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ok, ps) — one row per order with its SORTED distinct part set.
+    The shared basket frame every co-purchase consumer derives pairs
+    from: ONE orderkey shuffle (collect_set also absorbs the
     line-level dedup the old distinct+self-join needed a second
-    exchange for) and the C(k,2) pairs explode MAP-SIDE from the
-    sorted array, so u < v by construction. Per-order fan-out is
-    C(lines, 2) with TPC-H's bounded lines-per-order — the same bound
-    the self-join had, minus its join. Measured ~40% faster than the
-    distinct+self-join at sf0.1. At 100 TB a pathological giant order
-    would make one basket row wide; the explode is still map-side and
-    the bound is the data model's lines-per-order, not the corpus.
-    """
+    exchange for); everything downstream explodes MAP-SIDE."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
-    baskets = li.groupBy("ok").agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+    return li.groupBy("ok").agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+
+
+def _undirected_pairs(baskets: DataFrame) -> DataFrame:
+    """(u, v) with u < v — the C(k,2) pairs of each basket, exploded
+    map-side from the sorted `ps` array (order preserved by the
+    producer, so u < v by construction). One output row per
+    (order, unordered pair)."""
     return baskets.select(
         F.explode(
             F.expr(
@@ -67,6 +66,38 @@ def _copurchase_pair_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.u", "p.v")
+
+
+def _directed_pairs(baskets: DataFrame) -> DataFrame:
+    """(item, rec) — BOTH orientations of each basket pair (k·(k−1)
+    rows per basket), for consumers that need directed counts (the
+    recommender's 'also-bought' lists). Same map-side explode contract
+    as _undirected_pairs; no self-join."""
+    return baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, x ->"
+                " transform(filter(ps, y -> y != x),"
+                "           y -> struct(x AS item, y AS rec))))"
+            )
+        ).alias("p")
+    ).select("p.item", "p.rec")
+
+
+def _copurchase_pair_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (order, unordered part pair): the shared edge
+    producer of every co-purchase graph query (pagerank, triangles,
+    bundles, assortativity). Built WITHOUT a self-join: baskets
+    collect per orderkey (ONE shuffle) and the C(k,2) pairs explode
+    MAP-SIDE from the sorted array, so u < v by construction.
+    Per-order fan-out is C(lines, 2) with TPC-H's bounded
+    lines-per-order — the same bound the self-join had, minus its
+    join. Measured ~40% faster than the distinct+self-join at sf0.1.
+    At 100 TB a pathological giant order would make one basket row
+    wide; the explode is still map-side and the bound is the data
+    model's lines-per-order, not the corpus.
+    """
+    return _undirected_pairs(_copurchase_baskets(spark, sf_dir))
 
 
 def _pr_iter_cte(prev: str, cur: str) -> str:
@@ -268,9 +299,14 @@ def copurchase_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     test baskets never influence the rec lists, and n_covered exposes
     the cold-start fraction separately from miss-rate.
 
-    Scale: the pair build is the part_affinity_lift contract (one
-    self-join on orderkey, bounded per-order fan-out, immediately
-    aggregated); the rec cut is a window over the aggregated pair
+    Scale: the pair build is the shared basket-array producer
+    (_copurchase_baskets + _directed_pairs: ONE orderkey shuffle, both
+    orientations exploded map-side from the sorted basket array — no
+    self-join, the same ~40%-measured win the undirected graph family
+    took in round 5); the train/test coin tags BASKETS (the md5 coin
+    is a function of the orderkey alone), so the test-basket size
+    floor is `size(ps)` on the pinned frame — the old per-order count
+    shuffle is gone. The rec cut is a window over the aggregated pair
     frame keyed by item (hash key, ordered by integer count with key
     tiebreak — no libm in the cut); evaluation is two keyed equi-joins
     of the probe frame (test-basket items) against the ≤{REC_K}-row
@@ -280,22 +316,15 @@ def copurchase_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_pulsar_spark.operators.curation import _hash_raw_spark
     from open_pulsar_spark.operators.dedup import _pin
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    tagged = _pin(
-        "rec_tagged",
-        li.distinct().withColumn(
+    tagged_b = _pin(
+        "rec_baskets",
+        _copurchase_baskets(spark, sf_dir).withColumn(
             "is_train",
             _hash_raw_spark(F.col("ok")) % 10 < REC_TRAIN_BUCKETS,
         ),
     )
-    train = tagged.where("is_train")
-    a = train.select("ok", F.col("pk").alias("item"))
-    b = train.select("ok", F.col("pk").alias("rec"))
     directed = (
-        a.join(b, "ok")
-        .where(F.col("item") != F.col("rec"))
+        _directed_pairs(tagged_b.where("is_train"))
         .groupBy("item", "rec")
         .agg(F.count("*").alias("c"))
     )
@@ -305,13 +334,12 @@ def copurchase_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= REC_K)
         .select("item", "rec")
     )
-    test = tagged.where(~F.col("is_train")).select("ok", "pk")
-    testsz = test.groupBy("ok").agg(F.count("*").alias("sz"))
+    test_b = tagged_b.where(~F.col("is_train"))
     probes = (
-        test.join(testsz.where(F.col("sz") >= 2), "ok")
-        .select("ok", F.col("pk").alias("item"))
+        test_b.where(F.size("ps") >= 2)
+        .select("ok", F.explode("ps").alias("item"))
     )
-    basket = test.select("ok", F.col("pk").alias("rec"))
+    basket = test_b.select("ok", F.explode("ps").alias("rec"))
     hits = (
         probes.join(recs, "item", "left")
         .join(basket, ["ok", "rec"], "left_semi")
