@@ -543,11 +543,11 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # instead of 256 B of floats — and ADC scores candidates from a
 # per-query lookup table without ever touching the original vectors).
 # --------------------------------------------------------------------------
-PQ_M = 16         # subspaces
+PQ_M = 32         # subspaces (2-dim: the measured ADC-noise lever, see below)
 PQ_SUBDIM = DIM // PQ_M
 PQ_NCODES = 256   # codes per subspace, 8-bit (seeded from vec_ids 0..255)
-PQ_TRAIN_ROUNDS = 1
-PQ_NPROBE = 2     # coarse cells probed per query (multi-probe recall knob)
+PQ_TRAIN_ROUNDS = 2
+PQ_NPROBE = 3     # coarse cells probed per query (multi-probe recall knob)
 PQ_RERANK = 25    # ADC shortlist size exact-scored by ann_ivf_pq_refined
 
 
@@ -602,9 +602,12 @@ def _pq_ranked_ctes() -> str:
                list_slice(res.r, m.m * {PQ_SUBDIM} + 1,
                           m.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS cvec
         FROM res CROSS JOIN ms m WHERE res.vec_id < {PQ_NCODES}),
-    {_pq_assign_cte("pa0", "cb0")},
-    {_pq_update_cte("cb1", "pa0")},
-    {_pq_assign_cte("codes", "cb1")},
+    {"".join(
+        _pq_assign_cte(f"pa{i}", f"cb{i}") + ","
+        + _pq_update_cte(f"cb{i + 1}", f"pa{i}") + ","
+        for i in range(PQ_TRAIN_ROUNDS)
+    )}
+    {_pq_assign_cte("codes", f"cb{PQ_TRAIN_ROUNDS}")},
     qprobe AS (
         SELECT vec_id AS query_id, cid, r FROM (
             SELECT v.vec_id, c.cid,
@@ -619,7 +622,7 @@ def _pq_ranked_ctes() -> str:
                    list_zip(list_slice(qp.r, cb.m * {PQ_SUBDIM} + 1,
                                        cb.m * {PQ_SUBDIM} + {PQ_SUBDIM}), cb.cvec),
                    p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS pdist
-        FROM qprobe qp CROSS JOIN cb1 cb),
+        FROM qprobe qp CROSS JOIN cb{PQ_TRAIN_ROUNDS} cb),
     scored AS (
         SELECT l.query_id, c.vec_id AS neighbor_id,
                sum(l.pdist)::BIGINT AS adc_dist
@@ -938,13 +941,23 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a PER-CELL residual/ADC table — the per-cell ADC estimates
     all target ||q - x||² (the decomposition shares the cell centroid
     on both sides), so cross-cell candidates rank on one scale.
-    Measured against FULL-corpus brute-force truth (recall@5,
-    nprobe=2): 0.25 at the round-4 config (16 codes/4-bit, M=8) →
-    0.35 at 256 codes/8-bit M=8 → **0.60 at 256 codes/8-bit M=16**
-    (the current config; codes are 16 B/vector). The residual gap to
-    the 0.80 exact-scoring-in-cell ceiling is inherent ADC noise on
-    this corpus's concentrated distances — ann_ivf_pq_refined closes
-    it (0.875) with the production exact-re-rank stage.
+    Measured against FULL-corpus brute-force truth (recall@5): 0.25 at
+    the round-4 config (16 codes/4-bit, M=8) → 0.35 at 256 codes/8-bit
+    M=8 → 0.60-0.675 at M=16 → **0.925 at the current config (M=32
+    2-dim subspaces, nprobe=3, 2 Lloyd rounds; codes are 32 B/vector —
+    still 8× under raw floats)**. Round-6 config sweep (numpy replica
+    of this exact pipeline, per-knob): M=16→32 is the dominant lever
+    (0.675→0.80 at nprobe=2 — ADC noise scales with subspace WIDTH on
+    this corpus), nprobe 2→3 raises the exact-in-cell ceiling 0.875→
+    0.95 and ADC to 0.875, a second Lloyd round adds 0.05. An
+    OPQ-style rotation was tried and MEASURED COUNTERPRODUCTIVE: PCA
+    rotation with eigenvalue allocation 0.60, plain PCA rotation 0.55,
+    variance-balanced serpentine dim permutation 0.60 — all BELOW the
+    0.675 identity baseline, because these embeddings are near
+    isotropic (no cross-dim correlation for a rotation to remove) and
+    the fixed-point rotation adds grid-rounding noise; OPQ pays on
+    PCA-skewed real embeddings, not here. ann_ivf_pq_refined still
+    adds the production exact-re-rank stage on top (0.95 ceiling).
 
     Scale — the plan IS the production shape:
       - encode is a MAP-ONLY Arrow argmin kernel (numpy int64 — see
@@ -981,9 +994,10 @@ def ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the exact fixed-point distance over the full quantized
     vectors and the top-{TOP_K} re-ranked on that.
 
-    Why it exists: ADC noise on this corpus's concentrated distances
-    caps pure-ADC recall@5 at ~0.60 (see ann_ivf_pq); the refine stage
-    lifts measured recall to **0.875 vs full brute force** while still
+    Why it exists: ADC is an approximation of the exact in-cell score
+    (pure-ADC recall@5 0.925 at the round-6 config, see ann_ivf_pq);
+    the refine stage closes the remaining gap to the probed-cell
+    ceiling — **measured 0.95 vs full brute force** — while still
     reading original vectors for only PQ_RERANK candidates per query.
     Exact distances are global (||q - x||² over the shared grid), so
     cross-cell candidates compare on one scale with no centroid terms.
