@@ -166,6 +166,9 @@ EXTRA = [
     "layout_skipping_effectiveness",
     "user_bot_regularity",
     "kmeans_silhouette",
+    # round-6 additions
+    "paragraph_neardup_pairs",
+    "paragraph_neardup_doc_clusters",
 ]
 
 HEADLINE = [

@@ -2297,25 +2297,36 @@ def event_type_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffles are the per-level basket-keyed counts.
     Counts and ppm supports are integers — bit-identical everywhere.
     """
+    ev = load_table(spark, sf_dir, "events")
+    return itemset_supports_from(
+        ev.select(
+            "user_id", F.to_date("ts").alias("d"), F.col("event_type").alias("t")
+        ),
+        pin_ns="itemsets",
+    )
+
+
+def itemset_supports_from(items: DataFrame, pin_ns: str) -> DataFrame:
+    """(user_id, d, t) basket-item frame → frequent-itemset supports
+    (itemset, k, support, support_ppm), k ≤ 3, apriori-pruned — THE
+    one itemset computation, shared by the batch query (events scan)
+    and the streaming twin (itemsets_stream's folded store), so the
+    stream readout bit-matches the batch query over the union of all
+    delivered rows by construction. `pin_ns` namespaces the generation
+    caches so batch and stream invocations don't evict each other."""
     from open_pulsar_spark.operators.dedup import _pin
 
-    ev = load_table(spark, sf_dir, "events")
     # b feeds three consumers (basket count, item supports, the
     # filtered basket frame), b1 five (both pair sides + the three
     # triple sides), i2 five (candidate generation x3 + prune + the
     # output union) — pin the multiply-consumed lineages or the
     # distinct projection and the pair shuffle re-execute per consumer
-    b = _pin(
-        "itemsets_b",
-        ev.select(
-            "user_id", F.to_date("ts").alias("d"), F.col("event_type").alias("t")
-        ).distinct(),
-    )
+    b = _pin(f"{pin_ns}_b", items.select("user_id", "d", "t").distinct())
     nb = b.select("user_id", "d").distinct().count()
     ms = (ITEMSET_MINSUP_PCT * nb) // 100
     i1 = b.groupBy("t").agg(F.count("*").alias("sup")).where(F.col("sup") >= ms)
     b1 = _pin(
-        "itemsets_b1",
+        f"{pin_ns}_b1",
         b.join(F.broadcast(i1.select("t")), "t").select("user_id", "d", "t"),
     )
     a, c = b1.alias("a"), b1.alias("c")
@@ -2330,7 +2341,7 @@ def event_type_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("sup"))
         .where(F.col("sup") >= ms)
     )
-    i2 = _pin("itemsets_i2", i2)
+    i2 = _pin(f"{pin_ns}_i2", i2)
     p = i2.select(F.col("t1"), F.col("t2"))
     q = i2.select(F.col("t1"), F.col("t2").alias("t3"))
     r = i2.select(F.col("t1").alias("t2"), F.col("t2").alias("t3"))

@@ -1386,3 +1386,257 @@ def dedup_canonical_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fingerprint")
     )
+
+
+# --------------------------------------------------------------------------
+# paragraph_neardup_* — PARAGRAPH-granularity near-dup: the level at
+# which web-corpus boilerplate actually repeats (headers, footers,
+# licence blocks shared across otherwise-different documents). Sits
+# between doc_repeated_substring_coverage's positional within-corpus
+# signal and the whole-doc Jaccard family: a paragraph shared by two
+# docs is detected even when the docs' overall Jaccard is far below
+# threshold. The synthetic corpus has no newline structure, so
+# "paragraphs" are deterministic PARA_W-word blocks (the standard
+# normalization when explicit structure is absent); on real data the
+# splitter becomes split(text, '\n\n') and nothing else changes.
+# --------------------------------------------------------------------------
+PARA_W = 20          # words per pseudo-paragraph block
+PARA_MIN_TOKS = 5    # trailing blocks under this are tail noise, dropped
+PARA_JACCARD = 0.5
+
+_PARA_SIGS_SCHEMA = (
+    "doc_id long, par_id int, n_shingles long, "
+    + ", ".join(f"m{k} long" for k in range(MINHASH_K))
+    + ", hs array<long>"
+)
+
+
+def _para_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → one signature row PER PARAGRAPH BLOCK:
+    (doc_id, par_id, n_shingles, m0..m{k-1}, hs). Same Arrow one-pass
+    kernel contract as _minhash_sigs (tokenize → block → shingle →
+    md5 → k permutations, no shingle arrays materialized), same hash
+    family, so the per-paragraph sketches are directly comparable to
+    the doc-level ones. Map-only; the ~|doc|/PARA_W fan-out happens
+    inside the kernel, never as an explode shuffle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    a = np.asarray(MINHASH_A, dtype=np.int64)[:, None]
+    b = np.asarray(MINHASH_B, dtype=np.int64)[:, None]
+    cols = (
+        ["doc_id", "par_id", "n_shingles"]
+        + [f"m{k}" for k in range(MINHASH_K)]
+        + ["hs"]
+    )
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                for i in range(0, len(toks), PARA_W):
+                    blk = toks[i : i + PARA_W]
+                    if len(blk) < PARA_MIN_TOKS:
+                        continue
+                    sh = {
+                        " ".join(blk[j : j + 3]) for j in range(len(blk) - 2)
+                    }
+                    hs = np.fromiter(
+                        (
+                            from_bytes(md5(s.encode()).digest()[:4], "big")
+                            for s in sh
+                        ),
+                        dtype=np.int64,
+                        count=len(sh),
+                    )
+                    mins = ((a * hs[None, :] + b) % MINHASH_P).min(axis=1)
+                    rows.append(
+                        (doc_id, i // PARA_W, len(sh), *mins.tolist(), np.unique(hs))
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id", "text").mapInPandas(fn, _PARA_SIGS_SCHEMA)
+
+
+def _para_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified CROSS-DOC paragraph near-dup pairs
+    (a_id, a_par, b_id, b_par, jaccard ≥ PARA_JACCARD).
+
+    Scale — the doc-level minhash posture, one granularity down:
+    signatures are ONE map-only Arrow pass (pinned, ~|corpus|/PARA_W
+    sketch rows); banding collapses each band to an 8-byte xxhash64
+    key; the candidate self-join is a banded equi-join whose fan-out
+    is bounded by real collisions (never all-pairs); verification
+    intersects the cached 32-bit hash sets — text is scanned exactly
+    once. Within-doc matches are excluded (a_id < b_id): internal
+    repetition is doc_repeated_spans' job; this query is the
+    cross-document boilerplate detector."""
+    sigs = _pin("para_sigs", _para_sigs(
+        widen_for_kernel(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    ))
+    sigs.count()  # materialize before the self-join reads it 4x (see _minhash_pairs)
+    bands = sigs.select(
+        "doc_id",
+        "par_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, F.col("a.bk") == F.col("b.bk"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("a.par_id").alias("a_par"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("b.par_id").alias("b_par"),
+        )
+        .distinct()
+    )
+    x = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("par_id").alias("a_par"),
+        F.col("hs").alias("hs_a"),
+    )
+    y = sigs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("par_id").alias("b_par"),
+        F.col("hs").alias("hs_b"),
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jacc = inter * F.lit(1.0) / (F.size("hs_a") + F.size("hs_b") - inter)
+    return (
+        cand.join(x, ["a_id", "a_par"])
+        .join(y, ["b_id", "b_par"])
+        .where(jacc >= PARA_JACCARD)
+        .select("a_id", "a_par", "b_id", "b_par", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+_PARA_SHINGLE_SQL = f"""
+    SELECT doc_id, par_id,
+           list_distinct([b[i] || ' ' || b[i+1] || ' ' || b[i+2]
+                          for i in range(1, len(b) - 1)]) AS sh
+    FROM (
+        SELECT doc_id, par_id,
+               list_slice(toks, par_id * {PARA_W} + 1,
+                          least((par_id + 1) * {PARA_W}, len(toks))) AS b
+        FROM (
+            SELECT doc_id,
+                   unnest(range(0, (len(toks) + {PARA_W} - 1) // {PARA_W}))::INT
+                       AS par_id,
+                   toks
+            FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)))
+    WHERE len(b) >= {PARA_MIN_TOKS}
+"""
+
+_PARA_SIGS_SQL = (
+    "SELECT doc_id, par_id, "
+    + ", ".join(
+        f"min(({MINHASH_A[k]} * h + {MINHASH_B[k]}) % {MINHASH_P}) AS m{k}"
+        for k in range(MINHASH_K)
+    )
+    + " FROM phashed GROUP BY doc_id, par_id"
+)
+
+_PARA_BANDS_SQL = f"""
+    SELECT doc_id, par_id, u.band,
+           CASE u.band {' '.join(
+               f"WHEN {b} THEN " + " || '|' || ".join(
+                   f"m{b * LSH_ROWS + r}::VARCHAR" for r in range(LSH_ROWS))
+               for b in range(LSH_BANDS))} END AS sig
+    FROM psigs CROSS JOIN unnest(range(0, {LSH_BANDS})) AS u(band)
+"""
+
+_PARA_JACC_SQL = (
+    "len(list_intersect(x.hs, y.hs)) * 1.0 / "
+    "(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))"
+)
+
+_PARA_PAIRS_CTE = f"""pshingled AS ({_PARA_SHINGLE_SQL}),
+    phashed AS (
+        SELECT doc_id, par_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+        FROM (SELECT doc_id, par_id, unnest(sh) AS t FROM pshingled)),
+    psigs AS ({_PARA_SIGS_SQL}),
+    phsets AS (
+        SELECT doc_id, par_id, list_distinct(list(h)) AS hs
+        FROM phashed GROUP BY doc_id, par_id),
+    pbands AS ({_PARA_BANDS_SQL}),
+    pcand AS (
+        SELECT DISTINCT a.doc_id AS a_id, a.par_id AS a_par,
+                        b.doc_id AS b_id, b.par_id AS b_par
+        FROM pbands a JOIN pbands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id),
+    ppairs AS (
+        SELECT c.a_id, c.a_par, c.b_id, c.b_par,
+               round({_PARA_JACC_SQL}, 6) AS jaccard
+        FROM pcand c
+        JOIN phsets x ON c.a_id = x.doc_id AND c.a_par = x.par_id
+        JOIN phsets y ON c.b_id = y.doc_id AND c.b_par = y.par_id
+        WHERE {_PARA_JACC_SQL} >= {PARA_JACCARD})"""
+
+
+@query(
+    "paragraph_neardup_pairs",
+    oracle=f"""
+    WITH {_PARA_PAIRS_CTE}
+    SELECT a_id, a_par, b_id, b_par, jaccard
+    FROM ppairs
+    ORDER BY a_id, a_par, b_id, b_par
+    """,
+)
+def paragraph_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document near-duplicate PARAGRAPHS: {PARA_W}-word blocks
+    minhashed ({MINHASH_K} perms → {LSH_BANDS} bands), banded
+    candidates verified at block Jaccard ≥ {PARA_JACCARD} — the
+    boilerplate detector (see _para_pairs for the scale design)."""
+    return _para_pairs(spark, sf_dir).orderBy("a_id", "a_par", "b_id", "b_par")
+
+
+@query(
+    "paragraph_neardup_doc_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PARA_PAIRS_CTE},
+    pairs AS (SELECT DISTINCT a_id, b_id FROM ppairs),
+    {_CLOSURE_CTES}
+    SELECT ldoc AS doc_id, cluster_rep,
+           CASE WHEN ldoc = cluster_rep THEN 'keep' ELSE 'drop' END AS action
+    FROM labels
+    ORDER BY doc_id
+    """,
+)
+def paragraph_neardup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents clustered by SHARED-PARAGRAPH connectivity: the
+    transitive closure (closure_labels — driver union-find under 100k
+    pairs, distributed min-label above) over docs linked by at least
+    one verified near-dup paragraph. Catches boilerplate families
+    whole-doc Jaccard misses: two docs sharing only a licence block
+    land in one cluster here while dedup_clusters keeps them apart.
+    The action column marks the min-id representative 'keep' — the
+    curation decision is template-family review, not blind dropping."""
+    pairs = _para_pairs(spark, sf_dir).select("a_id", "b_id").distinct()
+    labels = closure_labels(spark, pairs)
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_rep"),
+        F.when(F.col("u") == F.col("label"), "keep").otherwise("drop").alias("action"),
+    ).orderBy("doc_id")

@@ -2136,3 +2136,84 @@ def test_zonemap_stream_runs_as_real_streaming_query(spark, workdir):
         .collect()
     )
     assert got == want
+
+
+def test_itemsets_stream_folds_to_batch_supports(spark, workdir):
+    """Streaming itemsets: delivering the events in three epochs and
+    reading out must reproduce event_type_itemsets BIT-IDENTICALLY —
+    including pairs whose two items arrived in DIFFERENT epochs (the
+    reason the partial is the distinct basket-item row, not a
+    per-batch itemset count). A replayed epoch and a duplicated
+    epoch-less backfill are both absorbed by the read-side distinct."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.itemsets_stream import (
+        itemset_readout,
+        update_itemsets,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    store = f"{workdir}/itemsets_store"
+    # split by event_id so most (user, day) baskets span epochs
+    for k in range(3):
+        update_itemsets(spark, ev.where(F.col("event_id") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["event_type_itemsets"](spark, SF_SMALL).collect()
+    ]
+    got = [tuple(r) for r in itemset_readout(spark, store).collect()]
+    assert got == want
+    # the level-2 rows specifically must be present and matched
+    assert any(k == 2 for (_, k, _, _) in got)
+
+    update_itemsets(spark, ev.where(F.col("event_id") % 3 == 0), store, 0)
+    update_itemsets(spark, ev.where(F.col("event_id") % 3 == 1), store, None)
+    assert [tuple(r) for r in itemset_readout(spark, store).collect()] == want
+
+
+def test_itemsets_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_itemsets_stream wires the item-store maintenance as an
+    actual Structured Streaming query (file source, maxFilesPerTrigger
+    =1 → multiple epochs): after processAllAvailable the folded store
+    equals the one-shot batch fold, and forced auto-compaction
+    (max_segments=1) leaves the readout unchanged (dedup keys carry
+    the whole row, so compaction is purely physical)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.itemsets_stream import (
+        read_items,
+        start_itemsets_stream,
+        update_itemsets,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = f"{workdir}/ev_isrc"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    store = f"{workdir}/itemsets_live"
+    q = start_itemsets_stream(
+        spark,
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/itemsets_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/itemsets_ref"
+    update_itemsets(spark, ev, ref, 0)
+    got = sorted(tuple(r) for r in read_items(spark, store).collect())
+    want = sorted(tuple(r) for r in read_items(spark, ref).collect())
+    assert got == want
