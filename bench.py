@@ -169,6 +169,11 @@ EXTRA = [
     # round-6 additions
     "paragraph_neardup_pairs",
     "paragraph_neardup_doc_clusters",
+    "event_type_sequences",
+    "orders_benford_test",
+    "corpus_vocab_growth",
+    "user_survival_curve",
+    "part_bundle_kcore",
 ]
 
 HEADLINE = [

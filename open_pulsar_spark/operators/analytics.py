@@ -3111,3 +3111,316 @@ def user_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cv2_ppm", "user_id")
         .limit(BOT_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# event_type_sequences — ORDERED sequential patterns (a then b), the
+# temporal complement of event_type_itemsets' unordered co-occurrence.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_type_sequences",
+    oracle="""
+    WITH occ AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn_f,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn_l
+        FROM events),
+    fst AS (SELECT user_id, event_type AS t1, ts AS f_ts, event_id AS f_id
+            FROM occ WHERE rn_f = 1),
+    lst AS (SELECT user_id, event_type AS t2, ts AS l_ts, event_id AS l_id
+            FROM occ WHERE rn_l = 1),
+    nu AS (SELECT count(DISTINCT user_id)::BIGINT AS n FROM events),
+    sup AS (
+        SELECT f.t1, l.t2, count(*)::BIGINT AS support
+        FROM fst f JOIN lst l ON f.user_id = l.user_id
+        WHERE f.f_ts < l.l_ts OR (f.f_ts = l.l_ts AND f.f_id < l.l_id)
+        GROUP BY f.t1, l.t2)
+    SELECT t1 || '->' || t2 AS seq, support,
+           support * 1000000 // (SELECT n FROM nu) AS support_ppm
+    FROM sup
+    ORDER BY support DESC, seq
+    """,
+)
+def event_type_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent ORDERED 2-sequences of event types: for every (t1, t2),
+    the number of users with SOME t1 occurrence strictly before some t2
+    occurrence — 'signup then purchase' patterns, where the itemsets
+    query can only say the two types co-occur. t1 = t2 rows count users
+    who repeat a type. Order is total and engine-independent:
+    occurrence x precedes y iff (x.ts, x.event_id) < (y.ts, y.event_id)
+    — the event_id tiebreak means equal timestamps cannot make the two
+    engines disagree.
+
+    Scale — sequence containment without sequence materialization:
+    'exists t1 before t2' ⇔ FIRST(t1) before LAST(t2), so the whole
+    computation is one window pass over (user, type) partitions (first
+    and last occurrence in the same sort), then a self-join of the
+    AGGREGATED ≤ |users|·|types| occurrence frame on user_id with the
+    |types|² fan-out bounded by the type domain — per-user event
+    volume never reaches the join. Counts and ppm supports are
+    integers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    nu = ev.select("user_id").distinct().count()
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    occ = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.row_number().over(w).alias("rn_f"),
+        F.row_number().over(wd).alias("rn_l"),
+    )
+    fst = occ.where("rn_f = 1").select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.col("ts").alias("f_ts"),
+        F.col("event_id").alias("f_id"),
+    )
+    lst = occ.where("rn_l = 1").select(
+        "user_id",
+        F.col("event_type").alias("t2"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    sup = (
+        fst.join(lst, "user_id")
+        .where(
+            (F.col("f_ts") < F.col("l_ts"))
+            | ((F.col("f_ts") == F.col("l_ts")) & (F.col("f_id") < F.col("l_id")))
+        )
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    return sup.select(
+        F.concat_ws("->", "t1", "t2").alias("seq"),
+        "support",
+        F.expr(f"(support * 1000000) div {nu}").alias("support_ppm"),
+    ).orderBy(F.desc("support"), "seq")
+
+
+# --------------------------------------------------------------------------
+# orders_benford_test — first-digit Benford conformance (fraud/DQ screen).
+# --------------------------------------------------------------------------
+# The nine Benford proportions are module-level Python floats inlined
+# into BOTH engines' expressions (repr round-trips binary64 exactly),
+# so the only floating arithmetic — the per-digit chi² term — is the
+# same IEEE expression over the same literals on both sides, rounded
+# to an integer micro-unit grid before the (order-dependent) sum.
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+@query(
+    "orders_benford_test",
+    oracle=f"""
+    WITH tot AS (SELECT count(*)::BIGINT AS n FROM orders),
+    obs AS (
+        SELECT substr((floor(o_totalprice * 100)::BIGINT)::VARCHAR, 1, 1)::INT
+                   AS digit,
+               count(*)::BIGINT AS n_obs
+        FROM orders GROUP BY 1),
+    spine AS (SELECT unnest(range(1, 10))::INT AS digit),
+    px AS (
+        SELECT s.digit, coalesce(o.n_obs, 0)::BIGINT AS n_obs,
+               CASE s.digit {' '.join(
+                   f"WHEN {d} THEN CAST({p!r} AS DOUBLE)"
+                   for d, p in _BENFORD_P.items())}
+               END AS p
+        FROM spine s LEFT JOIN obs o ON o.digit = s.digit),
+    terms AS (
+        SELECT digit, n_obs,
+               n_obs * 1000000 // (SELECT n FROM tot) AS obs_ppm,
+               CAST(floor(p * 1000000) AS BIGINT) AS expected_ppm,
+               CAST(round((n_obs - (SELECT n FROM tot) * p)
+                          * (n_obs - (SELECT n FROM tot) * p)
+                          / ((SELECT n FROM tot) * p) * 1000000, 0) AS BIGINT)
+                   AS chisq_term_fp
+        FROM px)
+    SELECT digit, n_obs, obs_ppm, expected_ppm, chisq_term_fp,
+           sum(chisq_term_fp) OVER ()::BIGINT AS chisq_total_fp
+    FROM terms
+    ORDER BY digit
+    """,
+)
+def orders_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: observed vs expected
+    first-significant-digit distribution with a χ² statistic — the
+    classic fabricated-numbers screen, here as a data-quality operator
+    next to dq_violation_counts. The first digit is read from the
+    integer CENTS (×100 shifts digits without changing the leading
+    one), so no float formatting is involved; expected proportions are
+    shared binary64 literals and the χ² terms are rounded onto a
+    micro-unit integer grid BEFORE summation so the total is
+    order-independent and engine-exact.
+
+    Scale: one map-side substring + one 9-group aggregate over orders;
+    everything after the aggregate (digit spine join, χ² window) is a
+    9-row frame. Nothing about the plan changes at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    obs = (
+        orders.select(
+            F.substring(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    p_col = F.expr(
+        "CASE digit "
+        + " ".join(f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items())
+        + " END"
+    )
+    px = (
+        spine.join(obs, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+            p_col.alias("p"),
+        )
+    )
+    terms = px.select(
+        "digit",
+        "n_obs",
+        F.expr(f"n_obs * 1000000 div {n}").alias("obs_ppm"),
+        F.floor(F.col("p") * 1000000).cast("bigint").alias("expected_ppm"),
+        F.round(
+            (F.col("n_obs") - F.lit(n) * F.col("p"))
+            * (F.col("n_obs") - F.lit(n) * F.col("p"))
+            / (F.lit(n) * F.col("p"))
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("chisq_term_fp"),
+    )
+    w = Window.partitionBy()
+    return terms.select(
+        "*", F.sum("chisq_term_fp").over(w).alias("chisq_total_fp")
+    ).orderBy("digit")
+
+
+# --------------------------------------------------------------------------
+# user_survival_curve — Kaplan-Meier retention with right-censoring.
+# --------------------------------------------------------------------------
+SURVIVAL_CHURN_HOURS = 24       # inactive this long before corpus end = churned
+SURVIVAL_GRID = 10**12          # fixed-point grid for the KM product
+
+
+@query(
+    "user_survival_curve",
+    oracle=f"""
+    WITH RECURSIVE pu AS (
+        SELECT user_id, min(ts) AS fst, max(ts) AS lst FROM events GROUP BY 1),
+    u AS (
+        SELECT date_diff('day', fst::DATE, lst::DATE) AS t,
+               CASE WHEN lst < (SELECT max(ts) FROM events)
+                              - INTERVAL {SURVIVAL_CHURN_HOURS} HOUR
+                    THEN 1 ELSE 0 END AS ch
+        FROM pu),
+    tot AS (SELECT count(*)::BIGINT AS n FROM u),
+    steps AS (SELECT t, sum(ch)::BIGINT AS d, count(*)::BIGINT AS c
+              FROM u GROUP BY t),
+    risk AS (
+        SELECT t, d,
+               ((SELECT n FROM tot) - coalesce(sum(c) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0))::BIGINT AS n
+        FROM steps),
+    ev_steps AS (
+        SELECT t, n, d, row_number() OVER (ORDER BY t) AS rn
+        FROM risk WHERE d > 0),
+    km(rn, t, n, d, s) AS (
+        SELECT rn, t, n, d, ({SURVIVAL_GRID} * (n - d)) // n
+        FROM ev_steps WHERE rn = 1
+        UNION ALL
+        SELECT r.rn, r.t, r.n, r.d, (k.s * (r.n - r.d)) // r.n
+        FROM km k JOIN ev_steps r ON r.rn = k.rn + 1)
+    SELECT t AS duration_days, n AS n_at_risk, d AS n_churned,
+           (d * 1000000 // n)::BIGINT AS hazard_ppm,
+           s::BIGINT AS km_survival_fp
+    FROM km
+    ORDER BY duration_days
+    """,
+)
+def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-retention curve: per-user lifetime = days
+    between first and last event; a user is CHURNED when their last
+    event precedes corpus end by > {SURVIVAL_CHURN_HOURS} hours, else
+    right-CENSORED (still active — they leave the at-risk set at their
+    observed lifetime without counting as an event). The KM estimator
+    S(t) = Π (1 − d_i/n_i) over churn days ≤ t is the survival-analysis
+    standard the naive 'fraction retained' gets wrong under censoring.
+
+    Determinism: the running product is a SEQUENTIAL recurrence, which
+    floats would make order-sensitive — so it runs on a 10^12 integer
+    grid (s' = s·(n−d) div n, positive operands ⇒ Spark `div` ==
+    DuckDB `//`): the Spark side folds prefix slices of the sorted step
+    array with `aggregate`, the oracle is a recursive CTE, and both are
+    bit-identical by construction.
+
+    Scale: per-user first/last is one shuffle on user_id with map-side
+    combine; everything after is the AGGREGATED lifetime-day series
+    (bounded by the observation span in days, a few hundred rows at any
+    corpus size) — the window, the collect_list and the O(k²) prefix
+    folds all run over that bounded frame in one task. The churn cutoff
+    attaches as a collected scalar literal (bounded collect)."""
+    import datetime
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    end_ts = ev.agg(F.max("ts")).first()[0]
+    cutoff = end_ts - datetime.timedelta(hours=SURVIVAL_CHURN_HOURS)
+    pu = ev.groupBy("user_id").agg(
+        F.min("ts").alias("fst"), F.max("ts").alias("lst")
+    )
+    u = pu.select(
+        F.datediff(F.to_date("lst"), F.to_date("fst")).alias("t"),
+        F.when(F.col("lst") < F.lit(cutoff), 1).otherwise(0).alias("ch"),
+    )
+    n_users = u.count()
+    steps = u.groupBy("t").agg(
+        F.sum("ch").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = steps.select(
+        "t",
+        "d",
+        (F.lit(n_users) - F.coalesce(F.sum("c").over(w_prev), F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+    ).where(F.col("d") > 0)
+    arr = risk.agg(
+        F.sort_array(F.collect_list(F.struct("t", "n", "d"))).alias("a")
+    )
+    return (
+        arr.select("a", F.posexplode("a").alias("pos", "x"))
+        .select(
+            F.col("x.t").alias("duration_days"),
+            F.col("x.n").alias("n_at_risk"),
+            F.col("x.d").alias("n_churned"),
+            F.expr("x.d * 1000000 div x.n").cast("bigint").alias("hazard_ppm"),
+            F.expr(
+                f"aggregate(slice(a, 1, pos + 1),"
+                f" cast({SURVIVAL_GRID} as bigint),"
+                f" (acc, s) -> (acc * (s.n - s.d)) div s.n)"
+            )
+            .cast("bigint")
+            .alias("km_survival_fp"),
+        )
+        .orderBy("duration_days")
+    )

@@ -1312,3 +1312,93 @@ def source_crossentropy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_source", "eval_source")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_vocab_growth — Heaps-law vocabulary growth curve in corpus order.
+# --------------------------------------------------------------------------
+VOCAB_BLOCK_DOCS = 50  # docs per corpus-order block
+
+
+@query(
+    "corpus_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
+    per_doc AS (
+        SELECT doc_id // {VOCAB_BLOCK_DOCS} AS block_id,
+               count(*)::BIGINT AS n_tok
+        FROM tok GROUP BY 1),
+    tokens_per_block AS (
+        SELECT block_id, sum(n_tok)::BIGINT AS n_tokens
+        FROM per_doc GROUP BY block_id),
+    first_seen AS (
+        SELECT t, min(doc_id) // {VOCAB_BLOCK_DOCS} AS block_id FROM tok GROUP BY t),
+    new_per_block AS (
+        SELECT block_id, count(*)::BIGINT AS n_new_types
+        FROM first_seen GROUP BY block_id)
+    SELECT tb.block_id,
+           sum(tb.n_tokens) OVER w::BIGINT AS cum_tokens,
+           sum(coalesce(nb.n_new_types, 0)) OVER w::BIGINT AS cum_vocab,
+           coalesce(nb.n_new_types, 0)::BIGINT AS n_new_types,
+           (sum(coalesce(nb.n_new_types, 0)) OVER w * 1000000
+               // sum(tb.n_tokens) OVER w)::BIGINT AS type_token_ppm
+    FROM tokens_per_block tb LEFT JOIN new_per_block nb USING (block_id)
+    WINDOW w AS (ORDER BY tb.block_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY tb.block_id
+    """,
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: cumulative distinct token types vs
+    cumulative token count at {VOCAB_BLOCK_DOCS}-doc corpus-order
+    checkpoints, plus the type/token ratio (ppm). The curve's flatness
+    is the 'is more data still adding vocabulary' readout that sizes
+    tokenizer vocabularies and detects template-saturated sources
+    (doc_ngram_novelty's per-doc signal, rolled up to corpus shape).
+
+    Scale — the same first-occurrence rewrite as the novelty family:
+    cumulative DISTINCT over an expanding corpus prefix is NOT
+    computed per checkpoint; each type contributes exactly once at
+    min(doc_id), so the plan is one token explode feeding two
+    aggregates (per-block token counts, per-type first-seen block —
+    both single-shuffle on uniform keys), and the cumulative sums are
+    windows over the BOUNDED block series. Token totals and the ppm
+    ratio are integers."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    tokens_per_block = (
+        tok.groupBy((F.col("doc_id") / VOCAB_BLOCK_DOCS).cast("bigint").alias("block_id"))
+        .agg(F.count("*").cast("bigint").alias("n_tokens"))
+    )
+    new_per_block = (
+        tok.groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(
+            (F.col("first_doc") / VOCAB_BLOCK_DOCS).cast("bigint").alias("block_id")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_new_types"))
+    )
+    w = Window.orderBy("block_id").rowsBetween(Window.unboundedPreceding, 0)
+    joined = tokens_per_block.join(new_per_block, "block_id", "left").select(
+        "block_id",
+        "n_tokens",
+        F.coalesce("n_new_types", F.lit(0)).cast("bigint").alias("n_new_types"),
+    )
+    return (
+        joined.select(
+            "block_id",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum("n_new_types").over(w).cast("bigint").alias("cum_vocab"),
+            "n_new_types",
+            F.expr(
+                "sum(n_new_types) over (order by block_id"
+                " rows between unbounded preceding and current row)"
+                " * 1000000 div sum(n_tokens) over (order by block_id"
+                " rows between unbounded preceding and current row)"
+            ).alias("type_token_ppm"),
+        )
+        .orderBy("block_id")
+    )
