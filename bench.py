@@ -174,6 +174,7 @@ EXTRA = [
     "corpus_vocab_growth",
     "user_survival_curve",
     "part_bundle_kcore",
+    "revenue_acf",
 ]
 
 HEADLINE = [

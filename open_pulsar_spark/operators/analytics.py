@@ -3424,3 +3424,107 @@ def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_days")
     )
+
+
+# --------------------------------------------------------------------------
+# revenue_acf — exact-integer autocorrelation of the daily revenue series.
+# --------------------------------------------------------------------------
+ACF_MAX_LAG = 14  # two weeks: exposes the weekly cycle and its harmonic
+
+
+@query(
+    "revenue_acf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY 1),
+    st AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS s FROM daily),
+    c AS (
+        SELECT day,
+               (SELECT n FROM st)::HUGEINT * cents
+                   - (SELECT s FROM st)::HUGEINT AS nx
+        FROM daily),
+    den AS (SELECT sum(nx * nx)::HUGEINT AS d FROM c),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1}))::INT AS lag),
+    pairs AS (
+        SELECT l.lag, a.nx AS nx_t, b.nx AS nx_tk
+        FROM lags l
+        JOIN c a ON true
+        JOIN c b ON b.day = a.day + l.lag * INTERVAL 1 DAY),
+    num AS (
+        SELECT lag, count(*)::BIGINT AS n_pairs,
+               sum(nx_t * nx_tk)::HUGEINT AS m
+        FROM pairs GROUP BY lag)
+    SELECT lag, n_pairs,
+           ((1000000::HUGEINT * (m + (SELECT d FROM den)))
+               // (SELECT d FROM den) - 1000000)::BIGINT AS acf_ppm
+    FROM num
+    ORDER BY lag
+    """,
+)
+def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1..
+    {ACF_MAX_LAG}: a lag-7 spike is the weekly cycle the dow-forecast
+    family assumes — this query MEASURES it (and its 14-day harmonic)
+    instead of assuming it. Pairing is by CALENDAR day (t, t+lag), so
+    gap days pair with nothing rather than silently shifting the
+    series the way a row-lag window would.
+
+    Determinism — the same n-scaling trick as CUSUM/CV², one level up:
+    acf_k = Σ(x_t−m)(x_{{t+k}}−m) / Σ(x_t−m)² has a rational mean
+    m = S/n; multiplying every centered term by n makes both sums
+    exact integers (nx_t = n·x_t − S; the products reach ~10²⁵ at the
+    largest day-series envelopes, past BIGINT — Spark carries them as
+    DECIMAL(38,0), the oracle as HUGEINT, because DuckDB's `//` on
+    DECIMAL detours through DOUBLE and loses ulps at this magnitude —
+    measured as an off-by-one before the HUGEINT cast). The
+    numerator can be NEGATIVE, where Spark's
+    `div` (truncate) and DuckDB's `//` (floor) disagree — so the
+    division is offset onto a positive domain (|num| ≤ den by
+    Cauchy-Schwarz): ppm = (10⁶·(num+den)) div den − 10⁶.
+
+    Scale: one shuffle builds the day series; everything after — the
+    14-way lag explode, the calendar self-join, the moment sums — runs
+    on the BOUNDED aggregated day frame. The n/S/den scalars attach as
+    collected literals (bounded)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = daily_revenue_cents(orders)
+    from open_pulsar_spark.operators.dedup import _pin
+
+    c = _pin(
+        "acf_c",
+        daily.select(
+            "day",
+            F.expr(
+                "cast(count(*) over () as decimal(38, 0)) * cents"
+                " - cast(sum(cents) over () as decimal(38, 0))"
+            ).alias("nx"),
+        ),
+    )
+    den = c.agg(F.sum(F.expr("nx * nx")).cast("decimal(38, 0)").alias("d")).first()[
+        0
+    ]
+    a = c.select(F.col("day").alias("d_a"), F.col("nx").alias("nx_t"))
+    b = c.select(F.col("day").alias("d_b"), F.col("nx").alias("nx_tk"))
+    pairs = (
+        a.withColumn(
+            "lag",
+            F.explode(F.expr(f"sequence(cast(1 as int), cast({ACF_MAX_LAG} as int))")),
+        )
+        .withColumn("d_plus", F.expr("date_add(d_a, lag)"))
+        .join(b, F.col("d_plus") == F.col("d_b"))
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.expr("nx_t * nx_tk")).cast("decimal(38, 0)").alias("m"),
+    )
+    return num.select(
+        "lag",
+        "n_pairs",
+        F.expr(
+            f"cast((cast(1000000 as decimal(38, 0))"
+            f" * (m + cast('{den}' as decimal(38, 0))))"
+            f" div cast('{den}' as decimal(38, 0)) - 1000000 as bigint)"
+        ).alias("acf_ppm"),
+    ).orderBy("lag")
