@@ -2217,3 +2217,80 @@ def test_itemsets_stream_runs_as_real_streaming_query(spark, workdir):
     got = sorted(tuple(r) for r in read_items(spark, store).collect())
     want = sorted(tuple(r) for r in read_items(spark, ref).collect())
     assert got == want
+
+
+def test_sequences_stream_folds_to_batch_supports(spark, workdir):
+    """Streaming sequences: the per-(user, type) occurrence extrema
+    merge as min/max (idempotent, like the HLL registers), so three
+    epochs + a replay + a duplicated epoch-less backfill all fold to
+    the batch event_type_sequences output BIT-IDENTICALLY — including
+    sequences whose t1 and t2 occurrences arrived in different
+    epochs."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.sequences_stream import (
+        sequence_readout,
+        update_sequences,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    store = f"{workdir}/seq_store"
+    for k in range(3):
+        update_sequences(spark, ev.where(F.col("event_id") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["event_type_sequences"](spark, SF_SMALL).collect()
+    ]
+    got = [tuple(r) for r in sequence_readout(spark, store).collect()]
+    assert got == want
+
+    update_sequences(spark, ev.where(F.col("event_id") % 3 == 0), store, 0)
+    update_sequences(spark, ev.where(F.col("event_id") % 3 == 1), store, None)
+    assert [tuple(r) for r in sequence_readout(spark, store).collect()] == want
+
+
+def test_sequences_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_sequences_stream as an actual Structured Streaming query
+    (file source, maxFilesPerTrigger=1): the folded extrema equal the
+    one-shot batch fold, and forced auto-compaction (max_segments=1)
+    leaves them unchanged — min/max re-fold makes the compaction
+    window trivially safe."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.sequences_stream import (
+        read_extrema,
+        start_sequences_stream,
+        update_sequences,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = f"{workdir}/ev_ssrc"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    store = f"{workdir}/seq_live"
+    q = start_sequences_stream(
+        spark,
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/seq_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/seq_ref"
+    update_sequences(spark, ev, ref, 0)
+    got = sorted(tuple(r) for r in read_extrema(spark, store).collect())
+    want = sorted(tuple(r) for r in read_extrema(spark, ref).collect())
+    assert got == want

@@ -159,6 +159,15 @@ AUDITED = [
     "layout_skipping_effectiveness",
     "user_bot_regularity",
     "kmeans_silhouette",
+    # round-6 additions
+    "paragraph_neardup_pairs",
+    "paragraph_neardup_doc_clusters",
+    "event_type_sequences",
+    "orders_benford_test",
+    "corpus_vocab_growth",
+    "user_survival_curve",
+    "part_bundle_kcore",
+    "revenue_acf",
 ]
 
 
