@@ -338,6 +338,47 @@ _PS_SQL = "[" + ", ".join(str(p) for p in _PS) + "]"
 _PS_SPARK = "array(" + ", ".join(f"{p}D" for p in _PS) + ")"  # D: double literals
 
 
+
+
+def _quantile_keyed(events: DataFrame) -> DataFrame:
+    """(value, event_id, hk) with NULLs excluded on both engine sides
+    (engine default NULL ordering differs; see the oracle comment)."""
+    return events.where(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
+        "value", "event_id", F.md5(F.col("event_id").cast("string")).alias("hk")
+    )
+
+
+def quantile_sample(events: DataFrame) -> DataFrame:
+    """THE bottom-k-by-hash sample (k={SAMPLE_K}): the k rows with the
+    smallest (md5(event_id), event_id) key. Mergeable like KMV — the
+    bottom-k of a union is the bottom-k of the per-part bottom-ks —
+    and shared by the batch query and the streaming twin so the two
+    cannot sample differently. Executes as TakeOrderedAndProject."""
+    return _quantile_keyed(events).orderBy("hk", "event_id").limit(SAMPLE_K)
+
+
+def quantile_est_from_sample(samp: DataFrame) -> DataFrame:
+    """(p, est) nearest-rank quantile picks from a sample frame: one
+    sorted-array row, p-list exploded over it — no join. (value,
+    event_id) tiebreak keeps both engines on the same row."""
+    samp_row = samp.agg(
+        F.sort_array(F.collect_list(F.struct("value", "event_id"))).alias("sv")
+    ).select("sv", F.size("sv").alias("k"))
+    return samp_row.select(
+        F.explode(F.expr(_PS_SPARK)).alias("p"), "sv", "k"
+    ).select(
+        "p",
+        F.round(
+            F.element_at(
+                "sv", (F.floor(F.col("p") * (F.col("k") - 1)) + 1).cast("int")
+            )["value"],
+            4,
+        ).alias("est"),
+    )
+
+
 @query(
     "value_quantile_sketch",
     oracle=f"""
@@ -378,30 +419,9 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     check.
     """
     ev = load_table(spark, sf_dir, "events")
-    # mirror the oracle's NULL exclusion (engine default NULL ordering
-    # differs; see oracle comment)
-    keyed = ev.where(
-        F.col("value").isNotNull() & F.col("event_id").isNotNull()
-    ).select(
-        "value", "event_id", F.md5(F.col("event_id").cast("string")).alias("hk")
-    )
-    samp = keyed.orderBy("hk", "event_id").limit(SAMPLE_K)
-    # one row: the sorted (value, event_id) sample array + its size;
-    # the p-list explodes over it (3 rows from 1) — no join needed
-    samp_row = samp.agg(
-        F.sort_array(F.collect_list(F.struct("value", "event_id"))).alias("sv")
-    ).select("sv", F.size("sv").alias("k"))
-    est = samp_row.select(
-        F.explode(F.expr(_PS_SPARK)).alias("p"), "sv", "k"
-    ).select(
-        "p",
-        F.round(
-            F.element_at(
-                "sv", (F.floor(F.col("p") * (F.col("k") - 1)) + 1).cast("int")
-            )["value"],
-            4,
-        ).alias("est"),
-    )
+    est = quantile_est_from_sample(quantile_sample(ev))
+    # the exact harness needs the full keyed frame, not just the sample
+    keyed = _quantile_keyed(ev)
 
     w = Window.orderBy("value", "event_id")
     fr = keyed.select(

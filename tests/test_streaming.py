@@ -2294,3 +2294,80 @@ def test_sequences_stream_runs_as_real_streaming_query(spark, workdir):
     got = sorted(tuple(r) for r in read_extrema(spark, store).collect())
     want = sorted(tuple(r) for r in read_extrema(spark, ref).collect())
     assert got == want
+
+
+def test_quantile_stream_folds_to_batch_estimates(spark, workdir):
+    """Streaming quantile sample: bottom-k-by-hash merges like KMV
+    (bottom-k of a union == bottom-k of per-epoch bottom-ks), so three
+    epochs + a replay + a duplicated epoch-less backfill fold to the
+    batch value_quantile_sketch's `est` column BIT-IDENTICALLY."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.quantile_stream import (
+        quantile_readout,
+        update_quantile,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    store = f"{workdir}/q_store"
+    for k in range(3):
+        update_quantile(spark, ev.where(F.col("event_id") % 3 == k), store, k)
+
+    want = [
+        (r.p, r.est)
+        for r in all_queries()["value_quantile_sketch"](spark, SF_SMALL)
+        .select("p", "est")
+        .orderBy("p")
+        .collect()
+    ]
+    got = [tuple(r) for r in quantile_readout(spark, store).collect()]
+    assert got == want
+
+    update_quantile(spark, ev.where(F.col("event_id") % 3 == 0), store, 0)
+    update_quantile(spark, ev.where(F.col("event_id") % 3 == 1), store, None)
+    assert [tuple(r) for r in quantile_readout(spark, store).collect()] == want
+
+
+def test_quantile_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_quantile_stream as an actual Structured Streaming query:
+    after processAllAvailable the folded sample equals the one-shot
+    batch fold, and forced auto-compaction leaves it unchanged."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.quantile_stream import (
+        read_sample,
+        start_quantile_stream,
+        update_quantile,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = f"{workdir}/ev_qsrc"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    store = f"{workdir}/q_live"
+    q = start_quantile_stream(
+        spark,
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG,"
+            " event_type STRING, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/q_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/q_ref"
+    update_quantile(spark, ev, ref, 0)
+    got = sorted(tuple(r) for r in read_sample(spark, store).collect())
+    want = sorted(tuple(r) for r in read_sample(spark, ref).collect())
+    assert got == want
