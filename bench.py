@@ -175,6 +175,7 @@ EXTRA = [
     "user_survival_curve",
     "part_bundle_kcore",
     "revenue_acf",
+    "source_bloom_filter",
 ]
 
 HEADLINE = [
@@ -228,6 +229,12 @@ HEADLINE_V2_ADDITIONS = [
     "part_copurchase_triangles",
     "events_hll_distinct",
     "layout_skipping_effectiveness",
+    # round-6 families: paragraph-granularity near-dup, bounded-round
+    # graph peel, survival analytics, bloom membership sketch
+    "paragraph_neardup_pairs",
+    "part_bundle_kcore",
+    "user_survival_curve",
+    "source_bloom_filter",
 ]
 
 

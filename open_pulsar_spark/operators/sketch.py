@@ -843,3 +843,194 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# source_bloom_filter — Bloom membership sketch with a measured-FPR
+# harness (the membership sketch next to KMV's distincts, CMS's
+# frequencies, HLL's registers and the bottom-k quantile sample).
+# --------------------------------------------------------------------------
+BLOOM_M = 65536          # filter width in bits
+BLOOM_WORD = 32          # bits per stored word (BIGINT-safe shifts in
+                         # both engines: DuckDB overflows 1<<63, and a
+                         # 32-bit payload keeps every mask positive)
+BLOOM_K = 4              # hash functions (k-salted md5, the CMS shape)
+
+_BLOOM_SLOT_SPARK = (
+    "cast(conv(substring(md5(concat(cast(k as string), '|', t)), 1, 15), 16, 10)"
+    f" as bigint) % {BLOOM_M}"
+)
+_BLOOM_SLOT_SQL = (
+    "('0x' || substr(md5(k::VARCHAR || '|' || t), 1, 15))::BIGINT"
+    f" % {BLOOM_M}"
+)
+
+
+def source_shingles(docs: DataFrame) -> DataFrame:
+    """(source, text) frame → DISTINCT (source, t) word-3-gram shingle
+    memberships — the element universe of the bloom family, shared by
+    the batch query and the streaming twin. Arrow kernel (the
+    dedup-shingle economics), then one distinct shuffle."""
+    import pandas as pd
+
+    from open_pulsar_spark.operators.dedup import _py_shingles
+
+    def fn(batches):
+        for pdf in batches:
+            srcs: list[str] = []
+            toks: list[str] = []
+            for source, text in zip(pdf["source"], pdf["text"]):
+                sh = _py_shingles(text)
+                if sh is None:
+                    continue
+                srcs.extend([source] * len(sh))
+                toks.extend(sh)
+            if toks:
+                yield pd.DataFrame({"source": srcs, "t": toks})
+
+    return (
+        docs.select("source", "text")
+        .mapInPandas(fn, "source string, t string")
+        .distinct()
+    )
+
+
+def bloom_rows(sh: DataFrame) -> DataFrame:
+    """DISTINCT (source, t) memberships → the bloom filter itself:
+    (source, word, bits) with bits the OR of the {BLOOM_K} k-salted
+    md5 positions, stored as {BLOOM_WORD}-bit words. One aggregate
+    whose key space is |sources| × {BLOOM_M // BLOOM_WORD} words
+    regardless of corpus size; the OR-merge is IDEMPOTENT (the
+    register-max contract, bitwise), which the streaming twin leans
+    on."""
+    ks = F.explode(F.array(*[F.lit(k) for k in range(BLOOM_K)])).alias("k")
+    return (
+        sh.select("source", "t", ks)
+        .select("source", F.expr(_BLOOM_SLOT_SPARK).alias("slot"))
+        .select(
+            "source",
+            F.expr(f"slot div {BLOOM_WORD}").cast("int").alias("word"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(slot % {BLOOM_WORD} as int))"
+            ).alias("m"),
+        )
+        .groupBy("source", "word")
+        .agg(F.expr("bit_or(m)").cast("bigint").alias("bits"))
+    )
+
+
+_BLOOM_CTES = f"""sh AS (
+        SELECT DISTINCT source, unnest(sh) AS t
+        FROM ({_SHINGLE_SQL.replace("SELECT doc_id,", "SELECT doc_id, source,")})),
+    slots AS (
+        SELECT source, {_BLOOM_SLOT_SQL} AS slot
+        FROM sh CROSS JOIN unnest(range(0, {BLOOM_K})) AS u(k)),
+    bloom AS (
+        SELECT source, (slot // {BLOOM_WORD})::INT AS word,
+               bit_or(1::BIGINT << (slot % {BLOOM_WORD})::INT)::BIGINT AS bits
+        FROM slots GROUP BY 1, 2)"""
+
+
+@query(
+    "source_bloom_filter",
+    oracle=f"""
+    WITH {_BLOOM_CTES},
+    universe AS (SELECT DISTINCT t FROM sh),
+    probe AS (
+        SELECT u.t, {_BLOOM_SLOT_SQL.replace("|| t", "|| u.t")} AS slot
+        FROM universe u CROSS JOIN unnest(range(0, {BLOOM_K})) AS u2(k)),
+    hits AS (
+        SELECT b.source, p.t, count(*)::BIGINT AS k_hits
+        FROM probe p
+        JOIN bloom b ON b.word = (p.slot // {BLOOM_WORD})::INT
+                    AND (b.bits & (1::BIGINT << (p.slot % {BLOOM_WORD})::INT)) != 0
+        GROUP BY 1, 2),
+    passes AS (SELECT source, t FROM hits WHERE k_hits = {BLOOM_K}),
+    per_src AS (
+        SELECT b.source,
+               sum(bit_count(b.bits))::BIGINT AS n_bits_set,
+               (SELECT count(*) FROM universe)::BIGINT AS n_probes
+        FROM bloom b GROUP BY 1),
+    tm AS (SELECT source, count(*)::BIGINT AS n_true FROM sh GROUP BY 1),
+    pc AS (SELECT source, count(*)::BIGINT AS n_pass FROM passes GROUP BY 1)
+    SELECT s.source, s.n_bits_set, s.n_probes, t.n_true,
+           coalesce(p.n_pass, 0)::BIGINT AS n_bloom_pass,
+           (coalesce(p.n_pass, 0) - t.n_true)::BIGINT AS n_false_pos,
+           ((coalesce(p.n_pass, 0) - t.n_true) * 1000000
+               // (s.n_probes - t.n_true))::BIGINT AS fpr_ppm
+    FROM per_src s JOIN tm t USING (source) LEFT JOIN pc p USING (source)
+    ORDER BY source
+    """,
+)
+def source_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Bloom membership filter over shingles ({BLOOM_M}
+    bits, k={BLOOM_K}) with its false-positive rate MEASURED, not
+    assumed: every distinct corpus shingle probes every source's
+    filter, true memberships are subtracted (a bloom has no false
+    negatives), and the remainder over the true-negative pool is the
+    observed FPR — the same ships-with-its-error contract as the
+    KMV/CMS/quantile harnesses. n_bits_set is the popcount of the
+    filter itself, so the gate also proves both engines built
+    BIT-IDENTICAL filters.
+
+    Scale: the filter build is one aggregate with a fixed
+    |sources| × {BLOOM_M // BLOOM_WORD}-word key space (map-side OR
+    partials) — the classic 'membership test without the data'
+    structure for join pruning and RTBF pre-checks; the probe harness
+    is a vocab-sized equi-join on the word id. At 100 TB the harness
+    samples its probe universe; the filter build is unchanged."""
+    from open_pulsar_spark.operators.dedup import _pin
+
+    from open_pulsar_spark.tables import widen_for_kernel
+
+    docs = widen_for_kernel(load_table(spark, sf_dir, "documents"))
+    sh = _pin("bloom_sh", source_shingles(docs))
+    sh.count()
+    bloom = _pin("bloom_rows", bloom_rows(sh))
+    bloom.count()
+    universe = sh.select("t").distinct()
+    n_universe = universe.count()
+    ks = F.explode(F.array(*[F.lit(k) for k in range(BLOOM_K)])).alias("k")
+    probe = universe.select("t", ks).select(
+        "t", F.expr(_BLOOM_SLOT_SPARK).alias("slot")
+    )
+    hits = (
+        probe.withColumn("word", F.expr(f"slot div {BLOOM_WORD}").cast("int"))
+        .withColumn(
+            "m",
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(slot % {BLOOM_WORD} as int))"
+            ),
+        )
+        .join(bloom, "word")
+        .where(F.expr("(bits & m) != 0"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("k_hits"))
+    )
+    passes = hits.where(F.col("k_hits") == BLOOM_K)
+    per_src = bloom.groupBy("source").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_bits_set")
+    )
+    tm = sh.groupBy("source").agg(F.count("*").cast("bigint").alias("n_true"))
+    pc = passes.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_pass")
+    )
+    return (
+        per_src.join(tm, "source")
+        .join(pc, "source", "left")
+        .select(
+            "source",
+            "n_bits_set",
+            F.lit(n_universe).cast("bigint").alias("n_probes"),
+            "n_true",
+            F.coalesce("n_pass", F.lit(0)).cast("bigint").alias("n_bloom_pass"),
+            (F.coalesce("n_pass", F.lit(0)) - F.col("n_true"))
+            .cast("bigint")
+            .alias("n_false_pos"),
+            F.expr(
+                f"cast((coalesce(n_pass, 0) - n_true) * 1000000"
+                f" div ({n_universe} - n_true) as bigint)"
+            ).alias("fpr_ppm"),
+        )
+        .orderBy("source")
+    )

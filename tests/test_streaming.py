@@ -2371,3 +2371,87 @@ def test_quantile_stream_runs_as_real_streaming_query(spark, workdir):
     got = sorted(tuple(r) for r in read_sample(spark, store).collect())
     want = sorted(tuple(r) for r in read_sample(spark, ref).collect())
     assert got == want
+
+
+def test_bloom_stream_folds_to_batch_filter(spark, workdir):
+    """Streaming bloom: OR-merge is idempotent, so three epochs + a
+    replay + a duplicated epoch-less backfill fold to the batch filter
+    BIT-IDENTICALLY (same source_shingles/bloom_rows producers), and a
+    membership probe answers 'definitely not' authoritatively."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.sketch import bloom_rows, source_shingles
+    from open_pulsar_spark.streaming.bloom_stream import (
+        bloom_membership,
+        read_bloom,
+        update_bloom,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    store = f"{workdir}/bloom_store"
+    for k in range(3):
+        update_bloom(spark, docs.where(F.col("doc_id") % 3 == k), store, k)
+
+    want = sorted(
+        tuple(r) for r in bloom_rows(source_shingles(docs)).collect()
+    )
+    got = sorted(tuple(r) for r in read_bloom(spark, store).collect())
+    assert got == want
+
+    update_bloom(spark, docs.where(F.col("doc_id") % 3 == 0), store, 0)
+    update_bloom(spark, docs.where(F.col("doc_id") % 3 == 1), store, None)
+    assert sorted(tuple(r) for r in read_bloom(spark, store).collect()) == want
+
+    # membership: a real shingle of some source is may_contain=true for
+    # that source; a nonsense item is false for every source (no false
+    # negatives; false positives are possible but not for this probe)
+    sh = source_shingles(docs).first()
+    probes = bloom_membership(
+        spark, store, [sh.t, "zzz qqq xxx never-a-shingle"]
+    ).collect()
+    by = {(r.source, r.t): r.may_contain for r in probes}
+    assert by[(sh.source, sh.t)] is True
+    assert not any(
+        v for (s, t), v in by.items() if t == "zzz qqq xxx never-a-shingle"
+    )
+
+
+def test_bloom_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_bloom_stream as an actual Structured Streaming query:
+    after processAllAvailable the folded filters equal the one-shot
+    batch fold, and forced auto-compaction leaves them unchanged."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.bloom_stream import (
+        read_bloom,
+        start_bloom_stream,
+        update_bloom,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = f"{workdir}/doc_bsrc"
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    store = f"{workdir}/bloom_live"
+    q = start_bloom_stream(
+        spark,
+        spark.readStream.schema("doc_id LONG, source STRING, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/bloom_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/bloom_ref"
+    update_bloom(spark, docs, ref, 0)
+    got = sorted(tuple(r) for r in read_bloom(spark, store).collect())
+    want = sorted(tuple(r) for r in read_bloom(spark, ref).collect())
+    assert got == want

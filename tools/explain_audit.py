@@ -168,6 +168,7 @@ AUDITED = [
     "user_survival_curve",
     "part_bundle_kcore",
     "revenue_acf",
+    "source_bloom_filter",
 ]
 
 
