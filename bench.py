@@ -176,6 +176,8 @@ EXTRA = [
     "part_bundle_kcore",
     "revenue_acf",
     "source_bloom_filter",
+    "bundle_modularity",
+    "embedding_dim_ablation",
 ]
 
 HEADLINE = [
@@ -235,6 +237,7 @@ HEADLINE_V2_ADDITIONS = [
     "part_bundle_kcore",
     "user_survival_curve",
     "source_bloom_filter",
+    "bundle_modularity",
 ]
 
 

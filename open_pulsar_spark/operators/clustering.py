@@ -1566,3 +1566,130 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_dim_ablation — truncated-dimension retrieval-recall harness
+# (the Matryoshka question: how many dims does top-k retrieval need?).
+# --------------------------------------------------------------------------
+ABLATION_DIMS = (8, 16, 32, 64)
+
+
+def _ablation_oracle() -> str:
+    from open_pulsar_spark.operators.similarity import N_QUERIES, TOP_K
+
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               [CAST(floor(x::DOUBLE * {SCALE} + 0.5) AS BIGINT)
+                FOR x IN embedding] AS q
+        FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    ds AS (SELECT unnest([{", ".join(str(d) for d in ABLATION_DIMS)}])::INT AS d),
+    scored AS (
+        SELECT ds.d, qs.query_id, e.vec_id AS neighbor_id,
+               list_sum(list_transform(
+                   list_zip(list_slice(e.q, 1, ds.d), list_slice(qs.qv, 1, ds.d)),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS dist
+        FROM e CROSS JOIN qs CROSS JOIN ds
+        WHERE e.vec_id <> qs.query_id),
+    ranked AS (
+        SELECT d, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY d, query_id
+                                  ORDER BY dist, neighbor_id) AS rk
+        FROM scored),
+    topk AS (SELECT d, query_id, neighbor_id FROM ranked WHERE rk <= {TOP_K}),
+    truth AS (SELECT query_id, neighbor_id FROM topk WHERE d = {DIM}),
+    hits AS (
+        SELECT t.d, count(*)::BIGINT AS n_hits
+        FROM topk t JOIN truth tr
+          ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
+        GROUP BY t.d)
+    SELECT ds.d, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+           (coalesce(h.n_hits, 0) * 1000000
+               // {N_QUERIES * TOP_K})::BIGINT AS recall_ppm
+    FROM ds LEFT JOIN hits h USING (d)
+    ORDER BY ds.d
+    """
+
+
+@query("embedding_dim_ablation", oracle=_ablation_oracle())
+def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval recall under DIMENSION TRUNCATION: exact top-{{k}}
+    neighbors computed from only the first d ∈ {ABLATION_DIMS} dims,
+    scored against the full-{DIM}-dim exact top-k — the measurement
+    behind Matryoshka-style embedding truncation and PQ subspace
+    sizing ('how many dims does retrieval actually need before you pay
+    for them in index bytes'). The d = {DIM} row is the built-in
+    sanity check (recall 1.0 by construction).
+
+    Determinism: distances are exact integers on the shared {SCALE}
+    quantization grid with (dist, neighbor_id) tie-breaks — no float
+    anywhere, so both engines rank identically at every d.
+
+    Scale: the probe side is the bounded query set collected as
+    literals (similarity.py's broadcast contract); the corpus scans
+    ONCE computing all |queries| × |dims| prefix distances in codegen
+    (stack-unpivoted map-side); the only shuffle is the per-(d, query)
+    top-k window over block-bounded candidates. Recall joins operate
+    on ≤ |dims| × |queries| × k rows."""
+    from open_pulsar_spark.operators.similarity import N_QUERIES, TOP_K
+
+    qdf = _quantized(spark, sf_dir)
+    probes = sorted(
+        (r.vec_id, list(r.q))
+        for r in qdf.where(F.col("vec_id") < N_QUERIES).collect()
+    )
+    dist_cols = []
+    for qid, qv in probes:
+        for d in ABLATION_DIMS:
+            lit = "array(" + ",".join(f"{int(x)}L" for x in qv[:d]) + ")"
+            dist_cols.append(
+                F.expr(
+                    f"aggregate(zip_with(slice(q, 1, {d}), {lit},"
+                    f" (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)"
+                ).alias(f"d_{qid}_{d}")
+            )
+    scored_wide = qdf.select("vec_id", *dist_cols)
+    stack_args = ", ".join(
+        f"{qid}L, {d}, d_{qid}_{d}"
+        for qid, _ in probes
+        for d in ABLATION_DIMS
+    )
+    n_cells = len(probes) * len(ABLATION_DIMS)
+    scored = scored_wide.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            f"stack({n_cells}, {stack_args}) AS (query_id, d, dist)"
+        ),
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("d", "query_id").orderBy("dist", "neighbor_id")
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("d", "query_id", "neighbor_id")
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    topk = _pin("ablation_topk", topk)
+    truth = topk.where(F.col("d") == DIM).select("query_id", "neighbor_id")
+    hits = (
+        topk.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    ds = spark.createDataFrame(
+        [(d,) for d in ABLATION_DIMS], "d INT"
+    )
+    return (
+        ds.join(hits, "d", "left")
+        .select(
+            "d",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(
+                f"cast(coalesce(n_hits, 0) * 1000000"
+                f" div {N_QUERIES * TOP_K} as bigint)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("d")
+    )

@@ -781,3 +781,171 @@ def part_bundle_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.unpersist()
         for c in kept_caches:
             c.unpersist()
+
+
+# --------------------------------------------------------------------------
+# bundle_modularity — partition-quality readout: how well the bundle
+# components carve the FULL co-purchase graph.
+# --------------------------------------------------------------------------
+MODULARITY_TOP = 20
+
+
+@query(
+    "bundle_modularity",
+    oracle=f"""
+    WITH RECURSIVE op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    wpairs AS (
+        SELECT a.pk AS a_id, b.pk AS b_id, count(*)::BIGINT AS w
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk),
+    pairs AS (SELECT a_id, b_id FROM wpairs WHERE w >= {BUNDLE_MIN_W}),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (SELECT u AS n, min(v) AS lab FROM reach GROUP BY u),
+    le AS (
+        SELECT coalesce(la.lab, wp.a_id) AS lab_a,
+               coalesce(lb.lab, wp.b_id) AS lab_b
+        FROM wpairs wp
+        LEFT JOIN labels la ON la.n = wp.a_id
+        LEFT JOIN labels lb ON lb.n = wp.b_id),
+    m AS (SELECT count(*)::BIGINT AS m FROM le),
+    internal AS (
+        SELECT lab_a AS lab, count(*)::BIGINT AS m_c
+        FROM le WHERE lab_a = lab_b GROUP BY 1),
+    deg AS (
+        SELECT lab, count(*)::BIGINT AS d_c
+        FROM (SELECT lab_a AS lab FROM le UNION ALL SELECT lab_b FROM le)
+        GROUP BY lab),
+    per AS (
+        SELECT d.lab, coalesce(i.m_c, 0)::BIGINT AS m_c, d.d_c
+        FROM deg d LEFT JOIN internal i USING (lab)),
+    nsize AS (
+        SELECT coalesce(l.lab, a.pk) AS lab, count(DISTINCT a.pk)::BIGINT AS n_nodes
+        FROM (SELECT DISTINCT pk FROM op) a LEFT JOIN labels l ON l.n = a.pk
+        GROUP BY 1),
+    tot AS (
+        SELECT (SELECT m FROM m) AS m,
+               sum(per.m_c)::HUGEINT AS sm, sum(per.d_c * per.d_c)::HUGEINT AS sd2
+        FROM per)
+    SELECT p.lab AS bundle_rep, ns.n_nodes, p.m_c AS internal_edges,
+           p.d_c AS total_degree,
+           ((1000000::HUGEINT * (4 * t.m * p.m_c - p.d_c * p.d_c
+                                 + 4 * t.m * t.m))
+               // (4::HUGEINT * t.m * t.m) - 1000000)::BIGINT AS contrib_ppm,
+           ((1000000::HUGEINT * (4 * t.m * t.sm - t.sd2 + 4 * t.m * t.m))
+               // (4::HUGEINT * t.m * t.m) - 1000000)::BIGINT AS q_total_ppm
+    FROM per p JOIN nsize ns ON ns.lab = p.lab CROSS JOIN tot t
+    ORDER BY p.m_c DESC, p.lab
+    LIMIT {MODULARITY_TOP}
+    """,
+)
+def bundle_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the bundle partition, evaluated against
+    the FULL co-purchase graph: the thresholded components define the
+    communities (non-bundle parts are singletons), and Q measures how
+    much of the total edge mass falls inside them beyond chance —
+    Q = Σ_c (m_c/m − (d_c/2m)²). The number the bundle family was
+    missing: components say WHAT the bundles are, modularity says
+    whether the partition is any good against the weak-edge background
+    the threshold discarded.
+
+    Determinism: Q is rational with denominator 4m², so both the
+    per-community contribution and the total are computed as ONE
+    integer division on the common denominator — contrib_ppm =
+    (10⁶·(4m·m_c − d_c² + 4m²)) div (4m²) − 10⁶, the ACF offset trick
+    (contributions can be negative; the +4m² shift keeps the numerator
+    positive where trunc and floor agree). Totals use exact HUGEINT/
+    decimal sums, never a sum of truncated terms.
+
+    Scale: the weighted pair aggregate is the shared basket-array
+    producer's contract; labels come from closure_labels over the
+    thresholded subset (bounded pair graph); the full edge set joins
+    the label frame twice (keyed equi-joins), and everything after is
+    label-cardinality sized. TakeOrdered top-{MODULARITY_TOP}."""
+    from open_pulsar_spark.operators.dedup import _pin, closure_labels
+
+    wpairs = _pin(
+        "modularity_wpairs",
+        _copurchase_pair_rows(spark, sf_dir)
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w")),
+    )
+    wpairs.count()
+    labels = closure_labels(
+        spark,
+        wpairs.where(F.col("w") >= BUNDLE_MIN_W).select(
+            F.col("u").alias("a_id"), F.col("v").alias("b_id")
+        ),
+    ).withColumnRenamed("u", "n")
+    la = labels.select(F.col("n").alias("u"), F.col("label").alias("la"))
+    lb = labels.select(F.col("n").alias("v"), F.col("label").alias("lb"))
+    le = _pin(
+        "modularity_le",
+        wpairs.join(la, "u", "left")
+        .join(lb, "v", "left")
+        .select(
+            F.coalesce("la", F.col("u")).alias("lab_a"),
+            F.coalesce("lb", F.col("v")).alias("lab_b"),
+        ),
+    )
+    m = le.count()
+    internal = (
+        le.where(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("lab"))
+        .agg(F.count("*").cast("bigint").alias("m_c"))
+    )
+    deg = (
+        le.select(F.col("lab_a").alias("lab"))
+        .unionAll(le.select(F.col("lab_b").alias("lab")))
+        .groupBy("lab")
+        .agg(F.count("*").cast("bigint").alias("d_c"))
+    )
+    per = deg.join(internal, "lab", "left").select(
+        "lab",
+        F.coalesce("m_c", F.lit(0)).cast("bigint").alias("m_c"),
+        "d_c",
+    )
+    nodes = _copurchase_pair_rows(spark, sf_dir)
+    # node universe = every part on some co-purchase edge; singletons
+    # (no bundle) label as themselves
+    nuniv = (
+        wpairs.select(F.col("u").alias("pk"))
+        .unionAll(wpairs.select(F.col("v").alias("pk")))
+        .distinct()
+    )
+    nsize = (
+        nuniv.join(labels.withColumnRenamed("n", "pk"), "pk", "left")
+        .select(F.coalesce("label", F.col("pk")).alias("lab"))
+        .groupBy("lab")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+    tot = per.agg(
+        F.sum("m_c").cast("decimal(38,0)").alias("sm"),
+        F.sum(F.expr("d_c * d_c")).cast("decimal(38,0)").alias("sd2"),
+    ).first()
+    sm, sd2 = int(tot.sm), int(tot.sd2)
+    q_total = (10**6 * (4 * m * sm - sd2 + 4 * m * m)) // (4 * m * m) - 10**6
+    return (
+        per.join(nsize, "lab")
+        .select(
+            F.col("lab").alias("bundle_rep"),
+            "n_nodes",
+            F.col("m_c").alias("internal_edges"),
+            F.col("d_c").alias("total_degree"),
+            F.expr(
+                f"cast((cast(1000000 as decimal(38,0))"
+                f" * (4 * cast({m} as decimal(38,0)) * m_c - d_c * d_c"
+                f"    + cast({4 * m * m} as decimal(38,0))))"
+                f" div cast({4 * m * m} as decimal(38,0)) - 1000000 as bigint)"
+            ).alias("contrib_ppm"),
+            F.lit(q_total).cast("bigint").alias("q_total_ppm"),
+        )
+        .orderBy(F.desc("internal_edges"), "bundle_rep")
+        .limit(MODULARITY_TOP)
+    )

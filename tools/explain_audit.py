@@ -169,6 +169,8 @@ AUDITED = [
     "part_bundle_kcore",
     "revenue_acf",
     "source_bloom_filter",
+    "bundle_modularity",
+    "embedding_dim_ablation",
 ]
 
 
