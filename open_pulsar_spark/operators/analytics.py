@@ -160,6 +160,17 @@ def order_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     point-in-time joinable history without Delta MERGE — one shuffle
     on the business key."""
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    return scd2_intervals(orders)
+
+
+def scd2_intervals(orders: DataFrame) -> DataFrame:
+    """(o_custkey, o_orderkey, o_orderdate) change rows → SCD2 validity
+    intervals — THE one interval-assembly the batch query and the
+    streaming CDC twin (streaming/scd2_stream.py) share, so a folded
+    change log and a batch scan cannot assemble different histories.
+    An interval is a function of the WHOLE per-key change set (a late
+    change re-opens and re-closes neighbors), which is exactly why the
+    streaming store keeps change rows and derives intervals at read."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     nxt = F.lead("o_orderdate").over(w)
     return (

@@ -911,7 +911,6 @@ def bundle_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("m_c", F.lit(0)).cast("bigint").alias("m_c"),
         "d_c",
     )
-    nodes = _copurchase_pair_rows(spark, sf_dir)
     # node universe = every part on some co-purchase edge; singletons
     # (no bundle) label as themselves
     nuniv = (

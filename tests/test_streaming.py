@@ -2455,3 +2455,86 @@ def test_bloom_stream_runs_as_real_streaming_query(spark, workdir):
     got = sorted(tuple(r) for r in read_bloom(spark, store).collect())
     want = sorted(tuple(r) for r in read_bloom(spark, ref).collect())
     assert got == want
+
+
+def test_scd2_stream_folds_to_batch_history(spark, workdir):
+    """Streaming SCD2: versions of the same customer's history arrive
+    across different epochs, and the folded change log re-assembles
+    the SAME intervals as order_history_scd2 (shared scd2_intervals) —
+    including windows that a later epoch's version re-closed. Replays
+    and epoch-less backfills are absorbed by the read-side distinct."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.scd2_stream import (
+        scd2_readout,
+        update_scd2,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    store = f"{workdir}/scd2_store"
+    # split by orderkey so one customer's versions span epochs: the
+    # interval between two versions only closes once BOTH have arrived
+    for k in range(3):
+        update_scd2(spark, orders.where(F.col("o_orderkey") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["order_history_scd2"](spark, SF_SMALL).collect()
+    ]
+    got = [tuple(r) for r in scd2_readout(spark, store).collect()]
+    assert got == want
+    # the cross-epoch property actually bit: some closed window exists
+    assert any(r[3] is not None for r in got)
+
+    update_scd2(spark, orders.where(F.col("o_orderkey") % 3 == 0), store, 0)
+    update_scd2(spark, orders.where(F.col("o_orderkey") % 3 == 1), store, None)
+    assert [tuple(r) for r in scd2_readout(spark, store).collect()] == want
+
+
+def test_scd2_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_scd2_stream as an actual Structured Streaming query: the
+    folded change log equals the one-shot batch fold, and forced
+    auto-compaction leaves it unchanged (full-row dedup keys make
+    compaction purely physical)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.scd2_stream import (
+        read_changes,
+        start_scd2_stream,
+        update_scd2,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    src = f"{workdir}/ord_csrc"
+    orders.where(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    orders.where(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store = f"{workdir}/scd2_live"
+    q = start_scd2_stream(
+        spark,
+        spark.readStream.schema(
+            "o_orderkey LONG, o_custkey LONG, o_orderdate TIMESTAMP"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/scd2_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/scd2_ref"
+    update_scd2(spark, orders, ref, 0)
+    got = sorted(tuple(r) for r in read_changes(spark, store).collect())
+    want = sorted(tuple(r) for r in read_changes(spark, ref).collect())
+    assert got == want
