@@ -178,6 +178,8 @@ EXTRA = [
     "source_bloom_filter",
     "bundle_modularity",
     "embedding_dim_ablation",
+    "join_size_estimate",
+    "revenue_ewma",
 ]
 
 HEADLINE = [

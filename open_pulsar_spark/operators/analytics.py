@@ -3539,3 +3539,103 @@ def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div cast('{den}' as decimal(38, 0)) - 1000000 as bigint)"
         ).alias("acf_ppm"),
     ).orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# revenue_ewma — integer-exact exponential smoothing (weekly series).
+# --------------------------------------------------------------------------
+EWMA_ALPHA_NUM = 1   # alpha = 1/5: s_t = (x_t + 4 s_{t-1}) div 5
+EWMA_ALPHA_DEN = 5
+
+
+@query(
+    "revenue_ewma",
+    oracle=f"""
+    WITH RECURSIVE weekly AS (
+        SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE) // 7
+                   AS week_id,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY 1),
+    seq AS (
+        SELECT week_id, cents,
+               row_number() OVER (ORDER BY week_id) AS rn
+        FROM weekly),
+    ew(rn, week_id, cents, s) AS (
+        SELECT rn, week_id, cents, cents FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT q.rn, q.week_id, q.cents,
+               (q.cents * {EWMA_ALPHA_NUM}
+                + e.s * ({EWMA_ALPHA_DEN - EWMA_ALPHA_NUM}))
+               // {EWMA_ALPHA_DEN}
+        FROM ew e JOIN seq q ON q.rn = e.rn + 1)
+    SELECT e.week_id, e.cents AS revenue_cents, e.s AS ewma_cents,
+           abs(e.cents - p.s)::BIGINT AS abs_err_cents
+    FROM ew e LEFT JOIN ew p ON p.rn = e.rn - 1
+    ORDER BY e.week_id
+    """,
+)
+def revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of WEEKLY revenue
+    (α = {EWMA_ALPHA_NUM}/{EWMA_ALPHA_DEN}) with the one-step-ahead
+    absolute forecast error per week — the level-tracking smoother
+    next to the dow-seasonal forecast and the CUSUM detector
+    (smoothing answers 'where is the level now', CUSUM answers 'did
+    it move').
+
+    Determinism — the KM-survival recurrence pattern applied to
+    smoothing: EWMA is inherently sequential, floats would make it
+    order-sensitive, but with a RATIONAL α the recurrence
+    s_t = (x_t·num + s_(t-1)·(den−num)) div den stays in exact integer
+    cents (positive operands ⇒ trunc == floor). The Spark side folds
+    prefix slices of the sorted week array with aggregate(); the
+    oracle is a recursive CTE; bit-identical by construction. abs_err
+    compares x_t to the PREVIOUS smoothed level — the honest one-step
+    forecast residual.
+
+    Scale: one shuffle builds the weekly series (epoch-week integer
+    arithmetic shared by both engines); the collect_list, the O(k²)
+    prefix folds, and the lag all run on the BOUNDED week frame
+    (hundreds of rows at any corpus size)."""
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            / 7
+        )
+        .cast("bigint")
+        .alias("week_id")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    arr = weekly.agg(
+        F.sort_array(F.collect_list(F.struct("week_id", "cents"))).alias("a")
+    )
+    rest = EWMA_ALPHA_DEN - EWMA_ALPHA_NUM
+    ew = (
+        f"aggregate(slice(a, 1, pos + 1), cast(-1 as bigint),"
+        f" (acc, x) -> if(acc = -1, x.cents,"
+        f" (x.cents * {EWMA_ALPHA_NUM} + acc * {rest}) div {EWMA_ALPHA_DEN}))"
+    )
+    ew_prev = (
+        f"aggregate(slice(a, 1, pos), cast(-1 as bigint),"
+        f" (acc, x) -> if(acc = -1, x.cents,"
+        f" (x.cents * {EWMA_ALPHA_NUM} + acc * {rest}) div {EWMA_ALPHA_DEN}))"
+    )
+    return (
+        arr.select("a", F.posexplode("a").alias("pos", "x"))
+        .select(
+            F.col("x.week_id").alias("week_id"),
+            F.col("x.cents").alias("revenue_cents"),
+            F.expr(ew).cast("bigint").alias("ewma_cents"),
+            F.when(
+                F.col("pos") > 0,
+                F.abs(F.col("x.cents") - F.expr(ew_prev)).cast("bigint"),
+            ).alias("abs_err_cents"),
+        )
+        .orderBy("week_id")
+    )

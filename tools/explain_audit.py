@@ -171,6 +171,8 @@ AUDITED = [
     "source_bloom_filter",
     "bundle_modularity",
     "embedding_dim_ablation",
+    "join_size_estimate",
+    "revenue_ewma",
 ]
 
 
