@@ -234,7 +234,8 @@ HEADLINE_V2_ADDITIONS = [
     "events_hll_distinct",
     "layout_skipping_effectiveness",
     # round-6 families: paragraph-granularity near-dup, bounded-round
-    # graph peel, survival analytics, bloom membership sketch
+    # graph peel, survival analytics, bloom membership sketch,
+    # partition-quality modularity
     "paragraph_neardup_pairs",
     "part_bundle_kcore",
     "user_survival_curve",
