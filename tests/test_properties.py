@@ -188,3 +188,144 @@ def test_decode_binary_hook_gated_on_codec_libs():
     # audio/video always route to the codec-required error in this repo
     with pytest.raises(NotImplementedError):
         decode_binary(b"RIFF....", "audio")
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000),   # n at risk
+            st.integers(min_value=0, max_value=10_000),   # churned
+        ).map(lambda t: (max(t[0], t[1] + 1), t[1])),     # d < n
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_km_integer_fold_tracks_exact_product(steps):
+    """The Kaplan-Meier integer-grid recurrence (user_survival_curve):
+    s' = s·(n−d) div n is monotone non-increasing, stays in [0, GRID],
+    and never drifts more than one grid unit per step from the exact
+    rational product — the truncation bound that justifies the 10^12
+    grid."""
+    from fractions import Fraction
+
+    GRID = 10**12
+    s = GRID
+    exact = Fraction(1)
+    for i, (n, d) in enumerate(steps, start=1):
+        s = (s * (n - d)) // n
+        exact *= Fraction(n - d, n)
+        assert 0 <= s <= GRID
+        assert s <= exact * GRID           # truncation only loses mass
+        assert s >= exact * GRID - i       # ...at most 1 ulp per step
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    xs=st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=1, max_size=100
+    )
+)
+def test_ewma_integer_recurrence_stays_in_prefix_range(xs):
+    """The integer EWMA recurrence (revenue_ewma): every smoothed
+    value lies within [min(prefix) − 1, max(prefix)] — a convex
+    combination on a truncating grid can undershoot the running min by
+    at most the truncation unit and can never overshoot the max."""
+    s = xs[0]
+    lo = hi = xs[0]
+    for x in xs[1:]:
+        s = (x * 1 + s * 4) // 5
+        lo, hi = min(lo, x), max(hi, x)
+        assert lo - 1 <= s <= hi
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    num=st.integers(min_value=-(10**15), max_value=10**15),
+    den=st.integers(min_value=1, max_value=10**15),
+)
+def test_offset_division_equals_floor_for_any_sign(num, den):
+    """The positive-offset division trick (revenue_acf,
+    bundle_modularity): (10⁶·(num + den)) div den − 10⁶ equals
+    floor(10⁶·num/den) for ANY sign of num — the identity that lets
+    Spark's truncating `div` and DuckDB's flooring `//` agree on
+    negative statistics by never dividing a negative numerator."""
+    import math
+
+    shifted = (10**6 * (num + den)) // den - 10**6
+    assert shifted == math.floor(10**6 * num / den) or shifted == (
+        10**6 * num
+    ) // den
+    # the exact integer form (no float) is the binding assertion:
+    assert shifted == (10**6 * num) // den
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    items=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=60),
+    probes=st.lists(st.text(min_size=1, max_size=12), max_size=30),
+)
+def test_bloom_slot_math_has_no_false_negatives(items, probes):
+    """The bloom slot/word/mask arithmetic (source_bloom_filter): every
+    inserted item passes its own membership probe (a bloom filter has
+    NO false negatives), replicated in pure Python over the same
+    md5-derived positions the engines compute."""
+    import hashlib
+
+    from open_pulsar_spark.operators.sketch import BLOOM_K, BLOOM_M, BLOOM_WORD
+
+    def slots(t: str) -> list[int]:
+        return [
+            int(hashlib.md5(f"{k}|{t}".encode()).hexdigest()[:15], 16) % BLOOM_M
+            for k in range(BLOOM_K)
+        ]
+
+    words: dict[int, int] = {}
+    for t in items:
+        for s in slots(t):
+            words[s // BLOOM_WORD] = words.get(s // BLOOM_WORD, 0) | (
+                1 << (s % BLOOM_WORD)
+            )
+
+    def member(t: str) -> bool:
+        return all(
+            words.get(s // BLOOM_WORD, 0) & (1 << (s % BLOOM_WORD))
+            for s in slots(t)
+        )
+
+    assert all(member(t) for t in items)
+    for p in probes:
+        if p in set(items):
+            assert member(p)
+    # positivity of every stored word (the BIGINT-safety argument for
+    # 32-bit payloads): no mask ever sets the sign bit
+    assert all(0 < w < 2**63 for w in words.values())
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # ts (coarse: forces ties)
+            st.integers(min_value=0, max_value=100),  # event_id
+            st.sampled_from("abc"),                   # type
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda e: e[1],
+    )
+)
+def test_sequence_containment_equals_first_before_last(events):
+    """The event_type_sequences rewrite: 'some t1-occurrence strictly
+    precedes some t2-occurrence' under the total (ts, event_id) order
+    ⇔ FIRST(t1) < LAST(t2) — for every type pair, including t1 = t2
+    and heavy timestamp ties."""
+    types = sorted({t for _, _, t in events})
+    occ = {t: sorted((ts, eid) for ts, eid, tt in events if tt == t) for t in types}
+    for t1 in types:
+        for t2 in types:
+            brute = any(
+                a < b for a in occ[t1] for b in occ[t2]
+            )
+            rewrite = occ[t1][0] < occ[t2][-1]
+            assert brute == rewrite
