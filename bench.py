@@ -180,6 +180,7 @@ EXTRA = [
     "embedding_dim_ablation",
     "join_size_estimate",
     "revenue_ewma",
+    "event_value_quantiles_by_type",
 ]
 
 HEADLINE = [

@@ -1001,6 +1001,14 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jse_counts",
         ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n")),
     )
+    return join_size_report(spark, counts)
+
+
+def join_size_report(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """(user_id, n) per-key count frame → the graded estimator table —
+    THE one estimator computation, shared by the batch query and the
+    streaming statistics store (streaming/stats_stream.py) so a folded
+    count ledger and a batch scan price the statistics identically."""
     st = counts.agg(
         F.sum("n").cast("decimal(38,0)").alias("big_n"),
         F.count("*").cast("bigint").alias("ndv"),

@@ -1034,3 +1034,120 @@ def source_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# event_value_quantiles_by_type — per-GROUP quantile sketch + exact
+# harness (the per-segment latency-percentile readout).
+# --------------------------------------------------------------------------
+GQ_K = 64  # sample size per group
+
+
+@query(
+    "event_value_quantiles_by_type",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT event_type, value, event_id,
+               md5(event_id::VARCHAR) AS hk
+        FROM events
+        WHERE value IS NOT NULL AND event_id IS NOT NULL),
+    samp AS (
+        SELECT event_type, value, event_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY hk, event_id) AS rn
+            FROM keyed) WHERE rn <= {GQ_K}),
+    sr AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS k
+           FROM samp),
+    fr AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM keyed),
+    ps AS (SELECT unnest({_PS_SQL}::DOUBLE[]) AS p),
+    est AS (SELECT sr.event_type, ps.p, round(sr.value, 4) AS est
+            FROM ps JOIN sr ON sr.rn = floor(ps.p * (sr.k - 1))::BIGINT + 1),
+    ex AS (SELECT fr.event_type, ps.p, round(fr.value, 4) AS exact
+           FROM ps JOIN fr ON fr.rn = floor(ps.p * (fr.n - 1))::BIGINT + 1)
+    SELECT est.event_type, est.p, est.est, ex.exact,
+           round(abs(est.est - ex.exact), 4) AS abs_err
+    FROM est JOIN ex ON ex.event_type = est.event_type AND ex.p = est.p
+    ORDER BY est.event_type, est.p
+    """,
+)
+def event_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP quantile estimates: a {GQ_K}-row bottom-k-by-hash
+    sample PER EVENT TYPE with exact quantiles and absolute error —
+    the per-segment percentile readout a monitoring layer quotes
+    ('p99 by endpoint'), where value_quantile_sketch answers only the
+    global question. Same deterministic sample law, keyed: the
+    bottom-k of a union is the bottom-k of per-partition bottom-ks
+    WITHIN each group, so per-type samples merge exactly like the
+    global one.
+
+    Scale: the sample cut here is one window over (type)-partitioned
+    rows — fine while the group count is bounded (event types); for
+    high-cardinality groups the map-side form is the keyed bottom-k
+    Arrow kernel (sketch.bottom_k_kernel, already the posting-index
+    path) with the value carried alongside the hash. The exact half is
+    the harness (full per-group order), priced accordingly — at 100 TB
+    you run the sample and audit a slice."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.where(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
+        "event_type",
+        "value",
+        "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("hk"),
+    )
+    w_s = Window.partitionBy("event_type").orderBy("hk", "event_id")
+    samp = (
+        keyed.withColumn("rn", F.row_number().over(w_s))
+        .where(F.col("rn") <= GQ_K)
+        .select("event_type", "value", "event_id")
+    )
+    samp_row = samp.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("value", "event_id"))).alias("sv")
+    ).select("event_type", "sv", F.size("sv").alias("k"))
+    est = samp_row.select(
+        "event_type", F.explode(F.expr(_PS_SPARK)).alias("p"), "sv", "k"
+    ).select(
+        "event_type",
+        "p",
+        F.round(
+            F.element_at(
+                "sv", (F.floor(F.col("p") * (F.col("k") - 1)) + 1).cast("int")
+            )["value"],
+            4,
+        ).alias("est"),
+    )
+    w_f = Window.partitionBy("event_type").orderBy("value", "event_id")
+    fr = keyed.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_f).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    ex = fr.select(
+        "event_type",
+        "value",
+        F.explode(
+            F.expr(
+                f"filter({_PS_SPARK}, p -> rn = cast(floor(p * (n - 1)) as bigint) + 1)"
+            )
+        ).alias("p"),
+    ).select("event_type", "p", F.round("value", 4).alias("exact"))
+    return (
+        est.join(ex, ["event_type", "p"])
+        .select(
+            "event_type",
+            "p",
+            "est",
+            "exact",
+            F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
+        )
+        .orderBy("event_type", "p")
+    )

@@ -2538,3 +2538,77 @@ def test_scd2_stream_runs_as_real_streaming_query(spark, workdir):
     got = sorted(tuple(r) for r in read_changes(spark, store).collect())
     want = sorted(tuple(r) for r in read_changes(spark, ref).collect())
     assert got == want
+
+
+def test_stats_stream_folds_to_batch_estimates(spark, workdir):
+    """Streaming ANALYZE: per-key counts are additive, so three epochs
+    fold to the batch join_size_estimate table BIT-IDENTICALLY (shared
+    join_size_report); a replayed epoch is a no-op by overwrite, and
+    epoch-less writes are refused (additive stores have no safe
+    sentinel)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.stats_stream import (
+        stats_readout,
+        update_stats,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    store = f"{workdir}/stats_store"
+    for k in range(3):
+        update_stats(spark, ev.where(F.col("event_id") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["join_size_estimate"](spark, SF_SMALL).collect()
+    ]
+    got = [tuple(r) for r in stats_readout(spark, store).collect()]
+    assert got == want
+
+    update_stats(spark, ev.where(F.col("event_id") % 3 == 0), store, 0)
+    assert [tuple(r) for r in stats_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError):
+        update_stats(spark, ev, store, None)
+
+
+def test_stats_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_stats_stream as an actual Structured Streaming query: the
+    folded ledger equals the one-shot batch fold, and forced
+    auto-compaction leaves it unchanged (epoch-tagged rows keep the
+    dedup-before-sum read double-count-safe through the window)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.stats_stream import (
+        read_counts,
+        start_stats_stream,
+        update_stats,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "user_id")
+    src = f"{workdir}/ev_stsrc"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    store = f"{workdir}/stats_live"
+    q = start_stats_stream(
+        spark,
+        spark.readStream.schema("event_id LONG, user_id LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/stats_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/stats_ref"
+    update_stats(spark, ev, ref, 0)
+    got = sorted(tuple(r) for r in read_counts(spark, store).collect())
+    want = sorted(tuple(r) for r in read_counts(spark, ref).collect())
+    assert got == want

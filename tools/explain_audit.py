@@ -173,6 +173,7 @@ AUDITED = [
     "embedding_dim_ablation",
     "join_size_estimate",
     "revenue_ewma",
+    "event_value_quantiles_by_type",
 ]
 
 
