@@ -3500,11 +3500,21 @@ def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the BOUNDED aggregated day frame. The n/S/den scalars attach as
     collected literals (bounded)."""
     orders = load_table(spark, sf_dir, "orders")
-    daily = daily_revenue_cents(orders)
+    return acf_from_daily(spark, daily_revenue_cents(orders))
+
+
+def acf_from_daily(
+    spark: SparkSession, daily: DataFrame, pin_ns: str = "acf"
+) -> DataFrame:
+    """(day, cents) series → the lag-1..{ACF_MAX_LAG} autocorrelation
+    table — THE one ACF computation, shared by the batch query and the
+    streaming revenue ledger's readout (streaming/cusum_stream.py
+    serves CUSUM and ACF from the same folded day store), so the two
+    cannot center or divide differently."""
     from open_pulsar_spark.operators.dedup import _pin
 
     c = _pin(
-        "acf_c",
+        f"{pin_ns}_c",
         daily.select(
             "day",
             F.expr(

@@ -106,3 +106,17 @@ def start_cusum_stream(
         cluster_cols=_CLUSTER_COLS,
         compact_max_segments=compact_max_segments,
     )
+
+
+def acf_readout(spark: SparkSession, store_path: str) -> DataFrame:
+    """Autocorrelation table from the SAME stream-maintained day
+    ledger the CUSUM readout folds — one additive revenue store, two
+    statistics readouts (the 'one ledger, many readouts' contract):
+    runs the batch query's acf_from_daily over the folded series, so
+    the numbers bit-match revenue_acf over the union of all delivered
+    rows."""
+    from open_pulsar_spark.operators.analytics import acf_from_daily
+
+    return acf_from_daily(
+        spark, read_daily(spark, store_path), pin_ns="acf_stream"
+    )

@@ -2612,3 +2612,30 @@ def test_stats_stream_runs_as_real_streaming_query(spark, workdir):
     got = sorted(tuple(r) for r in read_counts(spark, store).collect())
     want = sorted(tuple(r) for r in read_counts(spark, ref).collect())
     assert got == want
+
+
+def test_cusum_ledger_also_serves_acf_readout(spark, workdir):
+    """One additive day-cents ledger, two readouts: the same store the
+    CUSUM test folds also reproduces revenue_acf BIT-IDENTICALLY via
+    acf_readout (shared acf_from_daily) — statistics readouts compose
+    over one ledger instead of each maintaining its own."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.cusum_stream import (
+        acf_readout,
+        update_cusum,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    store = f"{workdir}/ledger_store"
+    for k in range(3):
+        update_cusum(spark, orders.where(F.col("o_orderkey") % 3 == k), store, k)
+
+    want = [
+        tuple(r) for r in all_queries()["revenue_acf"](spark, SF_SMALL).collect()
+    ]
+    got = [tuple(r) for r in acf_readout(spark, store).collect()]
+    assert got == want
