@@ -181,6 +181,7 @@ EXTRA = [
     "join_size_estimate",
     "revenue_ewma",
     "event_value_quantiles_by_type",
+    "bloom_join_pruning",
 ]
 
 HEADLINE = [

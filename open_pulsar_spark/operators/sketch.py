@@ -1151,3 +1151,140 @@ def event_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type", "p")
     )
+
+
+# --------------------------------------------------------------------------
+# bloom_join_pruning — runtime-filter join pruning, with the savings
+# MEASURED (the optimizer story the bloom filter exists for).
+# --------------------------------------------------------------------------
+BJP_PRICE_MIN = 490000  # selective build-side predicate (~1.5% of orders)
+
+
+@query(
+    "bloom_join_pruning",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT o_orderkey::VARCHAR AS t
+        FROM orders WHERE o_totalprice > {BJP_PRICE_MIN}),
+    slots AS (
+        SELECT {_BLOOM_SLOT_SQL} AS slot
+        FROM build CROSS JOIN unnest(range(0, {BLOOM_K})) AS u(k)),
+    bloom AS (
+        SELECT (slot // {BLOOM_WORD})::INT AS word,
+               bit_or(1::BIGINT << (slot % {BLOOM_WORD})::INT)::BIGINT AS bits
+        FROM slots GROUP BY 1),
+    lk AS (
+        SELECT l_orderkey, l_orderkey::VARCHAR AS t, count(*)::BIGINT AS n
+        FROM lineitem GROUP BY 1, 2),
+    hits AS (
+        SELECT p.l_orderkey, count(*)::BIGINT AS k_hits
+        FROM (SELECT lk.l_orderkey, {_BLOOM_SLOT_SQL.replace("|| t", "|| lk.t")} AS slot
+              FROM lk CROSS JOIN unnest(range(0, {BLOOM_K})) AS u(k)) p
+        JOIN bloom b ON b.word = (p.slot // {BLOOM_WORD})::INT
+                    AND (b.bits & (1::BIGINT << (p.slot % {BLOOM_WORD})::INT)) != 0
+        GROUP BY 1),
+    flagged AS (
+        SELECT lk.l_orderkey, lk.n,
+               coalesce(h.k_hits, 0) = {BLOOM_K} AS pass,
+               EXISTS (SELECT 1 FROM build b WHERE b.t = lk.t) AS truly
+        FROM lk LEFT JOIN hits h USING (l_orderkey)),
+    agg AS (
+        SELECT (SELECT count(*) FROM build)::BIGINT AS n_build_keys,
+               sum(n)::BIGINT AS n_probe_rows,
+               sum(CASE WHEN pass THEN n ELSE 0 END)::BIGINT AS n_pass_rows,
+               sum(CASE WHEN truly THEN n ELSE 0 END)::BIGINT AS n_match_rows
+        FROM flagged)
+    SELECT n_build_keys, n_probe_rows, n_pass_rows, n_match_rows,
+           ((n_probe_rows - n_pass_rows) * 1000000
+               // n_probe_rows)::BIGINT AS pruned_ppm,
+           (n_pass_rows - n_match_rows)::BIGINT AS false_pass_rows
+    FROM agg
+    """,
+)
+def bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join pruning, MEASURED: a Bloom filter built from
+    the selective side of orders⋈lineitem (orders with totalprice >
+    {BJP_PRICE_MIN}, ~1.5%) pre-filters the probe side, and the query
+    reports exactly what the filter buys — the fraction of probe ROWS
+    skipped before the join (pruned_ppm) and the false-pass overhead
+    the join must still reject. This is Spark's own runtime-filtering /
+    bloom-pruned-scan story with the effectiveness quantified instead
+    of assumed, and the join-side consumer the bloom family exists for
+    (the shingle query measures FPR; this one measures the I/O win).
+
+    Scale: the build side is the filtered key set (one aggregate into
+    a fixed {BLOOM_M // BLOOM_WORD}-word filter — broadcast-sized by
+    construction, which is WHY blooms are the runtime-filter format);
+    the probe side reduces lineitem to per-key row counts (one
+    shuffle), probes map-side against the filter words, and the truth
+    column is the exact left-semi the filter would normally replace —
+    kept here as the harness. All counts integer."""
+    from open_pulsar_spark.operators.dedup import _pin
+
+    orders = load_table(spark, sf_dir, "orders")
+    build = _pin(
+        "bjp_build",
+        orders.where(F.col("o_totalprice") > BJP_PRICE_MIN)
+        .select(F.col("o_orderkey").cast("string").alias("t"))
+        .distinct(),
+    )
+    n_build = build.count()
+    bloom = bloom_rows(build.select(F.lit("build").alias("source"), "t")).select(
+        "word", "bits"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lk = _pin(
+        "bjp_lk",
+        li.groupBy(
+            F.col("l_orderkey"),
+            F.col("l_orderkey").cast("string").alias("t"),
+        ).agg(F.count("*").cast("bigint").alias("n")),
+    )
+    lk.count()
+    ks = F.explode(F.array(*[F.lit(k) for k in range(BLOOM_K)])).alias("k")
+    probe = lk.select("l_orderkey", "t", ks).select(
+        "l_orderkey", F.expr(_BLOOM_SLOT_SPARK).alias("slot")
+    ).select(
+        "l_orderkey",
+        F.expr(f"slot div {BLOOM_WORD}").cast("int").alias("word"),
+        F.expr(
+            f"shiftleft(cast(1 as bigint), cast(slot % {BLOOM_WORD} as int))"
+        ).alias("m"),
+    )
+    hits = (
+        probe.join(F.broadcast(bloom), "word")
+        .where(F.expr("(bits & m) != 0"))
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("k_hits"))
+    )
+    truly = lk.join(
+        build.withColumnRenamed("t", "t"), "t", "left_semi"
+    ).select("l_orderkey")
+    flagged = (
+        lk.join(hits, "l_orderkey", "left")
+        .join(truly.withColumn("truly", F.lit(1)), "l_orderkey", "left")
+        .select(
+            "n",
+            (F.coalesce("k_hits", F.lit(0)) == BLOOM_K).alias("pass"),
+            F.coalesce("truly", F.lit(0)).alias("truly"),
+        )
+    )
+    return flagged.agg(
+        F.lit(n_build).cast("bigint").alias("n_build_keys"),
+        F.sum("n").cast("bigint").alias("n_probe_rows"),
+        F.sum(F.when(F.col("pass"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass_rows"),
+        F.sum(F.when(F.col("truly") == 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_match_rows"),
+    ).select(
+        "*",
+        F.expr(
+            "cast((n_probe_rows - n_pass_rows) * 1000000"
+            " div n_probe_rows as bigint)"
+        ).alias("pruned_ppm"),
+        (F.col("n_pass_rows") - F.col("n_match_rows"))
+        .cast("bigint")
+        .alias("false_pass_rows"),
+    )

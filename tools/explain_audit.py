@@ -174,6 +174,7 @@ AUDITED = [
     "join_size_estimate",
     "revenue_ewma",
     "event_value_quantiles_by_type",
+    "bloom_join_pruning",
 ]
 
 
