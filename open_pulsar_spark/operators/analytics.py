@@ -3471,6 +3471,7 @@ ACF_MAX_LAG = 14  # two weeks: exposes the weekly cycle and its harmonic
            ((1000000::HUGEINT * (m + (SELECT d FROM den)))
                // (SELECT d FROM den) - 1000000)::BIGINT AS acf_ppm
     FROM num
+    WHERE (SELECT d FROM den) > 0
     ORDER BY lag
     """,
 )
@@ -3526,6 +3527,14 @@ def acf_from_daily(
     den = c.agg(F.sum(F.expr("nx * nx")).cast("decimal(38, 0)").alias("d")).first()[
         0
     ]
+    if den is None or den == 0:
+        # empty or CONSTANT daily series: the ACF is undefined (zero
+        # variance). Return an empty table — the oracle's
+        # WHERE den > 0 makes the same call, so degenerate inputs
+        # agree across engines instead of null-vs-error diverging.
+        return spark.createDataFrame(
+            [], "lag INT, n_pairs BIGINT, acf_ppm BIGINT"
+        )
     a = c.select(F.col("day").alias("d_a"), F.col("nx").alias("nx_t"))
     b = c.select(F.col("day").alias("d_b"), F.col("nx").alias("nx_tk"))
     pairs = (
@@ -3562,8 +3571,12 @@ EWMA_ALPHA_DEN = 5
     "revenue_ewma",
     oracle=f"""
     WITH RECURSIVE weekly AS (
-        SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE) // 7
-                   AS week_id,
+        -- explicit floor: DuckDB's integer // truncates toward zero,
+        -- which would split pre-1970 dates differently from Spark's
+        -- floor() bucketing (days magnitude ≪ 2^53, double is exact)
+        SELECT floor(
+                   date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+                   / 7.0)::BIGINT AS week_id,
                sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
         FROM orders GROUP BY 1),
     seq AS (
@@ -3607,8 +3620,10 @@ def revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix folds, and the lag all run on the BOUNDED week frame
     (hundreds of rows at any corpus size)."""
     orders = load_table(spark, sf_dir, "orders")
+    # floor() (not a trunc-toward-zero cast) so pre-1970 dates — negative
+    # datediff — bucket identically to the oracle's // floor division.
     weekly = orders.groupBy(
-        (
+        F.floor(
             F.datediff(
                 F.col("o_orderdate").cast("date"),
                 F.lit("1970-01-01").cast("date"),

@@ -1573,6 +1573,10 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the Matryoshka question: how many dims does top-k retrieval need?).
 # --------------------------------------------------------------------------
 ABLATION_DIMS = (8, 16, 32, 64)
+# The truth set is the d == DIM row: without the full width in the sweep
+# every recall would grade against an EMPTY truth set (0 on both engines —
+# parity green, result meaningless). Fail loudly at import instead.
+assert DIM in ABLATION_DIMS, "ABLATION_DIMS must include the full width DIM"
 
 
 def _ablation_oracle() -> str:

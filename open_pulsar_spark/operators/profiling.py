@@ -952,20 +952,21 @@ JSE_HH = 10  # heavy hitters kept exactly by the corrected estimator
                   count(*)::BIGINT AS h FROM hh),
     est AS (
         SELECT 'uniform' AS estimator,
-               (st.big_n * st.big_n // st.ndv)::BIGINT AS est_rows,
-               st.exact_sz::BIGINT AS exact_rows
+               (st.big_n * st.big_n // st.ndv)::DECIMAL(38,0) AS est_rows,
+               st.exact_sz::DECIMAL(38,0) AS exact_rows
         FROM st
         UNION ALL
         SELECT 'hh_corrected',
                (hs.hh_sq
                 + (st.big_n - hs.hh_n) * (st.big_n - hs.hh_n)
-                  // greatest(st.ndv - hs.h, 1))::BIGINT,
-               st.exact_sz::BIGINT
+                  // greatest(st.ndv - hs.h, 1))::DECIMAL(38,0),
+               st.exact_sz::DECIMAL(38,0)
         FROM st, hs)
     SELECT estimator, est_rows, exact_rows,
            (abs(est_rows - exact_rows)::HUGEINT * 1000000
-               // exact_rows)::BIGINT AS rel_err_ppm
+               // exact_rows::HUGEINT)::BIGINT AS rel_err_ppm
     FROM est
+    WHERE exact_rows IS NOT NULL
     ORDER BY estimator
     """,
 )
@@ -1009,15 +1010,23 @@ def join_size_report(spark: SparkSession, counts: DataFrame) -> DataFrame:
     THE one estimator computation, shared by the batch query and the
     streaming statistics store (streaming/stats_stream.py) so a folded
     count ledger and a batch scan price the statistics identically."""
+    schema = (
+        "estimator STRING, est_rows DECIMAL(38,0),"
+        " exact_rows DECIMAL(38,0), rel_err_ppm LONG"
+    )
     st = counts.agg(
         F.sum("n").cast("decimal(38,0)").alias("big_n"),
         F.count("*").cast("bigint").alias("ndv"),
-        F.sum(F.expr("n * n")).cast("decimal(38,0)").alias("exact_sz"),
+        F.sum(F.expr("cast(n as decimal(38,0)) * n")).alias("exact_sz"),
     ).first()
+    if st.big_n is None:
+        # empty input: both engines agree on an empty report (the
+        # oracle's WHERE exact_rows IS NOT NULL drops its NULL rows)
+        return spark.createDataFrame([], schema)
     big_n, ndv, exact = int(st.big_n), int(st.ndv), int(st.exact_sz)
     hh = counts.orderBy(F.desc("n"), "user_id").limit(JSE_HH).agg(
         F.sum("n").cast("decimal(38,0)").alias("hh_n"),
-        F.sum(F.expr("n * n")).cast("decimal(38,0)").alias("hh_sq"),
+        F.sum(F.expr("cast(n as decimal(38,0)) * n")).alias("hh_sq"),
         F.count("*").cast("bigint").alias("h"),
     ).first()
     hh_n, hh_sq, h = int(hh.hh_n), int(hh.hh_sq), int(hh.h)
@@ -1027,10 +1036,18 @@ def join_size_report(spark: SparkSession, counts: DataFrame) -> DataFrame:
         ("hh_corrected", corrected, exact),
         ("uniform", uniform, exact),
     ]
+    # DECIMAL(38,0) output: Σn² and N²/ndv exceed 2^63 well before the
+    # 100 TB point (10¹² events at mild skew ⇒ moments ~10²⁰+), so the
+    # report columns carry the same width as the internal arithmetic.
+    from decimal import Decimal
+
     out = [
-        (e, int(est), int(exact), abs(int(est) - exact) * 10**6 // exact)
+        (
+            e,
+            Decimal(int(est)),
+            Decimal(int(exact)),
+            abs(int(est) - exact) * 10**6 // exact,
+        )
         for e, est, exact in rows
     ]
-    return spark.createDataFrame(
-        out, "estimator STRING, est_rows LONG, exact_rows LONG, rel_err_ppm LONG"
-    ).orderBy("estimator")
+    return spark.createDataFrame(out, schema).orderBy("estimator")

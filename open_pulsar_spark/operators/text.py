@@ -1326,14 +1326,14 @@ VOCAB_BLOCK_DOCS = 50  # docs per corpus-order block
     WITH tok AS (
         SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
     per_doc AS (
-        SELECT doc_id // {VOCAB_BLOCK_DOCS} AS block_id,
+        SELECT floor(doc_id / {VOCAB_BLOCK_DOCS}.0)::BIGINT AS block_id,
                count(*)::BIGINT AS n_tok
         FROM tok GROUP BY 1),
     tokens_per_block AS (
         SELECT block_id, sum(n_tok)::BIGINT AS n_tokens
         FROM per_doc GROUP BY block_id),
     first_seen AS (
-        SELECT t, min(doc_id) // {VOCAB_BLOCK_DOCS} AS block_id FROM tok GROUP BY t),
+        SELECT t, floor(min(doc_id) / {VOCAB_BLOCK_DOCS}.0)::BIGINT AS block_id FROM tok GROUP BY t),
     new_per_block AS (
         SELECT block_id, count(*)::BIGINT AS n_new_types
         FROM first_seen GROUP BY block_id)
@@ -1370,14 +1370,16 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("t")
     )
     tokens_per_block = (
-        tok.groupBy((F.col("doc_id") / VOCAB_BLOCK_DOCS).cast("bigint").alias("block_id"))
+        tok.groupBy(
+            F.floor(F.col("doc_id") / VOCAB_BLOCK_DOCS).cast("bigint").alias("block_id")
+        )
         .agg(F.count("*").cast("bigint").alias("n_tokens"))
     )
     new_per_block = (
         tok.groupBy("t")
         .agg(F.min("doc_id").alias("first_doc"))
         .groupBy(
-            (F.col("first_doc") / VOCAB_BLOCK_DOCS).cast("bigint").alias("block_id")
+            F.floor(F.col("first_doc") / VOCAB_BLOCK_DOCS).cast("bigint").alias("block_id")
         )
         .agg(F.count("*").cast("bigint").alias("n_new_types"))
     )

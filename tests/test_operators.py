@@ -792,3 +792,93 @@ def test_next_event_prediction_evaluates_nonvacuously(spark):
         assert 0 <= r.n_hits <= r.n_test
         assert abs(r.hitrate - round(r.n_hits / r.n_test, 6)) < 1e-9
         assert r.predicted_next != "(cold)"
+
+
+def test_acf_degenerate_series_yields_empty_on_both_engines(spark):
+    """ADVICE r6: a CONSTANT daily series has zero variance (den = 0),
+    which used to null out on Spark but divide-by-zero in the DuckDB
+    oracle. Both now agree on an EMPTY table (the oracle filters
+    den > 0); same for a fully empty series."""
+    import datetime
+
+    import duckdb
+
+    from open_pulsar_spark.operators.analytics import acf_from_daily
+
+    const = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1 + i), 500) for i in range(30)],
+        "day DATE, cents LONG",
+    )
+    assert acf_from_daily(spark, const, pin_ns="acf_t1").count() == 0
+    empty = spark.createDataFrame([], "day DATE, cents LONG")
+    assert acf_from_daily(spark, empty, pin_ns="acf_t2").count() == 0
+    # oracle replica of the constant case: WHERE den > 0 drops all rows
+    con = duckdb.connect()
+    n = con.execute(
+        """
+        WITH daily AS (
+            SELECT (DATE '2024-01-01' + (i || ' days')::INTERVAL)::DATE AS day,
+                   500::BIGINT AS cents
+            FROM range(30) t(i)),
+        st AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS s FROM daily),
+        c AS (SELECT day, (SELECT n FROM st)::HUGEINT * cents
+                              - (SELECT s FROM st)::HUGEINT AS nx FROM daily),
+        den AS (SELECT sum(nx * nx)::HUGEINT AS d FROM c)
+        SELECT count(*) FROM c WHERE (SELECT d FROM den) > 0
+        """
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_join_size_report_empty_input_and_decimal_width(spark):
+    """ADVICE r6: join_size_report on an EMPTY counts frame returns an
+    empty report (was: TypeError on int(None)), and the est/exact
+    columns are DECIMAL(38,0) so 100 TB-scale moments (Σn² > 2^63)
+    survive the output cast."""
+    from decimal import Decimal
+
+    from open_pulsar_spark.operators.profiling import join_size_report
+
+    empty = spark.createDataFrame([], "user_id LONG, n LONG")
+    out = join_size_report(spark, empty)
+    assert out.count() == 0
+    assert dict(out.dtypes)["est_rows"] == "decimal(38,0)"
+    assert dict(out.dtypes)["exact_rows"] == "decimal(38,0)"
+    # a single key with n = 2^33 events: exact size 2^66 > LONG range
+    big = spark.createDataFrame([(1, 2**33)], "user_id LONG, n LONG")
+    row = {r.estimator: r for r in join_size_report(spark, big).collect()}
+    assert row["uniform"].exact_rows == Decimal(2**66)
+    assert row["uniform"].est_rows == Decimal(2**66)
+
+
+def test_revenue_weekly_bucket_floors_pre_1970_dates(spark):
+    """ADVICE r6: week_id must FLOOR on BOTH engines, not truncate
+    toward zero — a 1969 date lands in week -1's bucket, not week 0's.
+    (DuckDB's integer // itself truncates, so the oracle spells out
+    floor(d / 7.0) — this test pins both sides of that contract.)"""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("1969-12-29",), ("1970-01-02",)], "d STRING"
+    ).select(
+        F.floor(
+            F.datediff(F.col("d").cast("date"), F.lit("1970-01-01").cast("date"))
+            / 7
+        )
+        .cast("bigint")
+        .alias("week_id")
+    )
+    got = sorted(r.week_id for r in df.collect())
+    import duckdb
+
+    want = sorted(
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            "SELECT floor(date_diff('day', DATE '1970-01-01', d) / 7.0)"
+            "::BIGINT FROM "
+            "(VALUES (DATE '1969-12-29'), (DATE '1970-01-02')) t(d)"
+        )
+        .fetchall()
+    )
+    assert got == want == [-1, 0]
