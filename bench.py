@@ -314,6 +314,15 @@ def main() -> None:
         )
 
     total_v2 = round(total + sum(extra[n] for n in HEADLINE_V2_ADDITIONS), 3)
+    all_mins_full = {**extra, **timings}
+    tpch22_full = round(
+        sum(
+            v
+            for n, v in all_mins_full.items()
+            if n.split("_")[0][0] == "q" and n.split("_")[0][1:].isdigit()
+        ),
+        3,
+    )
 
     print(
         json.dumps(
@@ -321,6 +330,7 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "value_v2": total_v2,
+                "tpch22_total": tpch22_full,
                 "headline_v2": HEADLINE + HEADLINE_V2_ADDITIONS,
                 "unit": "sec",
                 "queries": timings,
@@ -334,15 +344,28 @@ def main() -> None:
             }
         )
     )
-    # The driver records only the LAST ~2000 chars of stdout, and the
-    # big line above has overflowed it three rounds running (the
-    # headline block truncates away). This compact trailing line
-    # carries the two totals AND the 21 v1 per-query mins (~800 chars
-    # total, inside any tail window) so cross-round per-query
-    # comparison works from the recorded tail alone — r4/r5 tails had
-    # zero overlapping per-query numbers because the big line kept a
-    # different dict slice each round. If the driver parses the last
-    # line, it parses this one.
+    # The driver records only the LAST ~2000 chars of stdout plus the
+    # parsed FINAL JSON line. The big line above always overflows that
+    # window, so the final line must carry everything cross-round
+    # comparison needs by itself: the two totals, the 21 v1 per-query
+    # mins (dict, continuity with r4-r6 tails), and — new in r7 — the
+    # min of EVERY registered bench query at 2 decimals as "mins", an
+    # array ordered by sorted(HEADLINE + EXTRA) query name (the name
+    # list is reproducible from this file at the matching round's
+    # commit; "n_mins" sanity-checks the length). ~1.8 KB total with
+    # compact separators, inside the 2000-char tail window.
+    all_mins = all_mins_full
+    names = sorted(set(HEADLINE) | set(EXTRA))
+    # tpch22_total: the 22 adapted TPC-H shapes as one compact number,
+    # so the relational core gets the same cross-round regression guard
+    # the headline total has (all 22 are individually timed above).
+    tpch = [
+        n
+        for n in names
+        if n.split("_")[0][0] == "q" and n.split("_")[0][1:].isdigit()
+    ]
+    assert len(tpch) == 22, tpch
+    tpch22_total = round(sum(all_mins[n] for n in tpch), 2)
     print(
         json.dumps(
             {
@@ -352,7 +375,11 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "queries": timings,
-            }
+                "tpch22_total": tpch22_total,
+                "n_mins": len(names),
+                "mins": [round(all_mins[n], 2) for n in names],
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

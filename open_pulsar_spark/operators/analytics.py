@@ -3258,6 +3258,7 @@ _BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
     SELECT digit, n_obs, obs_ppm, expected_ppm, chisq_term_fp,
            sum(chisq_term_fp) OVER ()::BIGINT AS chisq_total_fp
     FROM terms
+    WHERE (SELECT n FROM tot) > 0
     ORDER BY digit
     """,
 )
@@ -3276,8 +3277,17 @@ def orders_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after the aggregate (digit spine join, χ² window) is a
     9-row frame. Nothing about the plan changes at 100 TB."""
     orders = load_table(spark, sf_dir, "orders")
-    n = orders.count()
-    obs = (
+    return benford_report(spark, benford_digit_counts(orders))
+
+
+def benford_digit_counts(orders: DataFrame) -> DataFrame:
+    """orders → (digit, n_obs) first-significant-digit counts — the
+    ONE reduction feeding the batch Benford query and the streaming
+    twin's per-epoch partials (per-digit counts are additive, so the
+    folded ledger and a batch scan see identical counts). Every order
+    row contributes exactly one digit, so Σ n_obs == count(*) and the
+    report's total-n needs no separate scan."""
+    return (
         orders.select(
             F.substring(
                 F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
@@ -3290,6 +3300,22 @@ def orders_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count("*").cast("bigint").alias("n_obs"))
     )
+
+
+def benford_report(spark: SparkSession, obs: DataFrame) -> DataFrame:
+    """(digit, n_obs) counts → the 9-row Benford conformance table —
+    THE one χ² closing computation, shared by the batch query and the
+    streaming digit ledger's readout (streaming/benford_stream.py), so
+    the two cannot round or sum differently. Empty input returns an
+    empty table on both engines (the oracle filters n > 0)."""
+    n_row = obs.agg(F.sum("n_obs").cast("bigint").alias("n")).first()
+    n = int(n_row.n) if n_row.n is not None else 0
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "digit INT, n_obs BIGINT, obs_ppm BIGINT, expected_ppm BIGINT,"
+            " chisq_term_fp BIGINT, chisq_total_fp BIGINT",
+        )
     spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
     p_col = F.expr(
         "CASE digit "
@@ -3620,23 +3646,25 @@ def revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix folds, and the lag all run on the BOUNDED week frame
     (hundreds of rows at any corpus size)."""
     orders = load_table(spark, sf_dir, "orders")
+    return ewma_from_daily(spark, daily_revenue_cents(orders))
+
+
+def ewma_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """(day, cents) series → the weekly EWMA table — THE one smoothing
+    computation, shared by the batch query and the streaming revenue
+    ledger's readout (streaming/cusum_stream.py serves CUSUM, ACF and
+    EWMA from the same folded day store). Weeks are exact-integer
+    day-rollups, so folding the ledger and scanning orders produce the
+    identical weekly series."""
     # floor() (not a trunc-toward-zero cast) so pre-1970 dates — negative
-    # datediff — bucket identically to the oracle's // floor division.
-    weekly = orders.groupBy(
+    # datediff — bucket identically to the oracle's explicit floor.
+    weekly = daily.groupBy(
         F.floor(
-            F.datediff(
-                F.col("o_orderdate").cast("date"),
-                F.lit("1970-01-01").cast("date"),
-            )
-            / 7
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) / 7
         )
         .cast("bigint")
         .alias("week_id")
-    ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("cents")
-    )
+    ).agg(F.sum("cents").cast("bigint").alias("cents"))
     arr = weekly.agg(
         F.sort_array(F.collect_list(F.struct("week_id", "cents"))).alias("a")
     )

@@ -120,3 +120,14 @@ def acf_readout(spark: SparkSession, store_path: str) -> DataFrame:
     return acf_from_daily(
         spark, read_daily(spark, store_path), pin_ns="acf_stream"
     )
+
+
+def ewma_readout(spark: SparkSession, store_path: str) -> DataFrame:
+    """Weekly EWMA table from the SAME stream-maintained day ledger —
+    the third readout over the one additive revenue store (CUSUM, ACF,
+    EWMA): weeks are exact-integer rollups of the folded days, so the
+    shared ewma_from_daily bit-matches the batch revenue_ewma over the
+    union of all delivered rows."""
+    from open_pulsar_spark.operators.analytics import ewma_from_daily
+
+    return ewma_from_daily(spark, read_daily(spark, store_path))

@@ -2639,3 +2639,124 @@ def test_cusum_ledger_also_serves_acf_readout(spark, workdir):
     ]
     got = [tuple(r) for r in acf_readout(spark, store).collect()]
     assert got == want
+
+
+def test_cusum_ledger_also_serves_ewma_readout(spark, workdir):
+    """One additive day-cents ledger, THREE readouts: the same store
+    that serves CUSUM and ACF also reproduces the batch revenue_ewma
+    BIT-IDENTICALLY via ewma_readout (shared ewma_from_daily — weeks
+    are exact-integer rollups of the folded days)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.cusum_stream import (
+        ewma_readout,
+        update_cusum,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    store = f"{workdir}/ledger_store_ewma"
+    for k in range(3):
+        update_cusum(spark, orders.where(F.col("o_orderkey") % 3 == k), store, k)
+
+    want = [
+        tuple(r) for r in all_queries()["revenue_ewma"](spark, SF_SMALL).collect()
+    ]
+    got = [tuple(r) for r in ewma_readout(spark, store).collect()]
+    assert got == want
+
+
+def test_benford_stream_folds_to_batch_report(spark, workdir):
+    """Streaming Benford: per-digit counts are additive, so three
+    epochs fold to the batch orders_benford_test table BIT-IDENTICALLY
+    (shared benford_report — including the order-independent
+    micro-unit χ² total); a replayed epoch is a no-op by overwrite,
+    and epoch-less writes are refused (additive stores have no safe
+    sentinel)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.benford_stream import (
+        benford_readout,
+        update_benford,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    store = f"{workdir}/benford_store"
+    for k in range(3):
+        update_benford(
+            spark, orders.where(F.col("o_orderkey") % 3 == k), store, k
+        )
+
+    want = [
+        tuple(r)
+        for r in all_queries()["orders_benford_test"](spark, SF_SMALL).collect()
+    ]
+    got = [tuple(r) for r in benford_readout(spark, store).collect()]
+    assert got == want
+
+    update_benford(spark, orders.where(F.col("o_orderkey") % 3 == 0), store, 0)
+    assert [tuple(r) for r in benford_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError):
+        update_benford(spark, orders, store, None)
+
+
+def test_benford_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_benford_stream as an actual Structured Streaming query:
+    the folded digit ledger equals the one-shot batch report over the
+    same delivered rows."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.analytics import (
+        benford_digit_counts,
+        benford_report,
+    )
+    from open_pulsar_spark.streaming.benford_stream import (
+        benford_readout,
+        start_benford_stream,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    src = f"{workdir}/benford_src"
+    orders.where(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    orders.where(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store = f"{workdir}/benford_live"
+    q = start_benford_stream(
+        spark,
+        spark.readStream.schema("o_orderkey LONG, o_totalprice DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/benford_ck",
+    )
+    q.processAllAvailable()
+    q.stop()
+    want = [
+        tuple(r)
+        for r in benford_report(spark, benford_digit_counts(orders)).collect()
+    ]
+    got = [tuple(r) for r in benford_readout(spark, store).collect()]
+    assert got == want
+
+
+def test_benford_report_empty_input_is_empty(spark):
+    """Degenerate input: zero orders → empty report on both engines
+    (the oracle filters n > 0; the report guards the n=0 division)."""
+    from open_pulsar_spark.operators.analytics import benford_report
+
+    empty = spark.createDataFrame([], "digit INT, n_obs LONG")
+    assert benford_report(spark, empty).count() == 0
