@@ -182,6 +182,9 @@ EXTRA = [
     "revenue_ewma",
     "event_value_quantiles_by_type",
     "bloom_join_pruning",
+    # round-7 additions
+    "lsh_bucket_skew_profile",
+    "dedup_lsh_capped_recall",
 ]
 
 HEADLINE = [

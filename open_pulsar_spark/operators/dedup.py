@@ -271,7 +271,13 @@ def _band_frame(sigs: DataFrame) -> DataFrame:
 
 def _band_candidates(sigs: DataFrame) -> DataFrame:
     """Distinct candidate pairs (a_id < b_id) sharing a band signature."""
-    bands = _band_frame(sigs)
+    return _pairs_of_bands(_band_frame(sigs))
+
+
+def _pairs_of_bands(bands: DataFrame) -> DataFrame:
+    """(doc_id, bk) band frame → distinct candidate pairs — shared by
+    the exact path and the hot-bucket-capped path so the two differ
+    ONLY in which band rows enter the self-join."""
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, F.col("a.bk") == F.col("b.bk"))
@@ -279,6 +285,34 @@ def _band_candidates(sigs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
+
+
+def _band_candidates_capped(
+    sigs: DataFrame, max_band_collisions: int
+) -> DataFrame:
+    """Candidate pairs with HOT BUCKETS EXCLUDED — the batch form of
+    neardup_stream's ``max_band_collisions`` guard: a band key shared
+    by more than the cap many docs is dropped from candidate
+    generation entirely, bounding the self-join's per-key fan-out at
+    cnt² ≤ cap² instead of the unbounded worst case (boilerplate/junk
+    signatures — the content a quality filter drops anyway). Recall
+    vs the exact join is MEASURED by dedup_lsh_capped_recall; the
+    bucket-mass distribution that prices the cap is
+    lsh_bucket_skew_profile. At 100 TB set the cap at a high
+    percentile (e.g. p99.9) of that profile's bucket sizes.
+
+    Scale: the hot-key set is one map-combinable count over the band
+    frame, bounded by #buckets-over-cap (tiny by construction — hot
+    buckets are the tail), and the exclusion is a left-anti join AQE
+    broadcasts."""
+    bands = _band_frame(sigs)
+    hot = (
+        bands.groupBy("bk")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_band_collisions)
+        .select("bk")
+    )
+    return _pairs_of_bands(bands.join(hot, "bk", "left_anti"))
 
 
 _HASHED_SQL = """
@@ -382,8 +416,15 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an unmaterialized cached partition redundantly (measured 2-10×
     # kernel recompute); one cheap count() job pins it exactly once.
     sigs.count()
-    cand = _band_candidates(sigs)
+    return _verify_jaccard(sigs, _band_candidates(sigs))
 
+
+def _verify_jaccard(sigs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Candidate pairs → exact-Jaccard-verified pairs over the docs'
+    cached hash sets — THE one verify step, shared by the exact and
+    hot-bucket-capped candidate paths (so the capped-recall grade
+    measures only the candidate generation, never a second verify
+    definition)."""
     x = sigs.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("hs_a"))
     y = sigs.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
@@ -1466,6 +1507,28 @@ def _para_sigs(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(fn, _PARA_SIGS_SCHEMA)
 
 
+def _para_band_frame(sigs: DataFrame) -> DataFrame:
+    """(doc_id, par_id, m0..mk) → exploded (doc_id, par_id, bk) — the
+    paragraph-granularity twin of _band_frame (same xxhash64 band-key
+    collapse, same collision argument), factored out so the skew
+    profile diagnoses the exact band keys the candidate join uses."""
+    return sigs.select(
+        "doc_id",
+        "par_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    )
+
+
 def _para_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified CROSS-DOC paragraph near-dup pairs
     (a_id, a_par, b_id, b_par, jaccard ≥ PARA_JACCARD).
@@ -1485,21 +1548,7 @@ def _para_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ))
     sigs.count()  # materialize before the self-join reads it 4x (see _minhash_pairs)
-    bands = sigs.select(
-        "doc_id",
-        "par_id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    )
+    bands = _para_band_frame(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, F.col("a.bk") == F.col("b.bk"))
@@ -1572,10 +1621,20 @@ _PARA_JACC_SQL = (
     "(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))"
 )
 
-_PARA_PAIRS_CTE = f"""pshingled AS ({_PARA_SHINGLE_SQL}),
-    phashed AS (
+_PARA_HASHED_SQL = """
         SELECT doc_id, par_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
-        FROM (SELECT doc_id, par_id, unnest(sh) AS t FROM pshingled)),
+        FROM (SELECT doc_id, par_id, unnest(sh) AS t FROM pshingled)"""
+
+# pshingled → pbands: the paragraph banding pipeline WITHOUT the
+# verify CTEs — shared by the pair oracle below and the band-key skew
+# profile (which must diagnose the exact keys the candidate join uses)
+_PARA_BANDS_CTES = f"""pshingled AS ({_PARA_SHINGLE_SQL}),
+    phashed AS ({_PARA_HASHED_SQL}),
+    psigs AS ({_PARA_SIGS_SQL}),
+    pbands AS ({_PARA_BANDS_SQL})"""
+
+_PARA_PAIRS_CTE = f"""pshingled AS ({_PARA_SHINGLE_SQL}),
+    phashed AS ({_PARA_HASHED_SQL}),
     psigs AS ({_PARA_SIGS_SQL}),
     phsets AS (
         SELECT doc_id, par_id, list_distinct(list(h)) AS hs
@@ -1640,3 +1699,228 @@ def paragraph_neardup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("label").alias("cluster_rep"),
         F.when(F.col("u") == F.col("label"), "keep").otherwise("drop").alias("action"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# lsh_bucket_skew_profile — per-band-key candidate-mass diagnosis for the
+# three batch LSH families (the events_key_skew_profile treatment applied
+# to the band keys the candidate self-joins actually shuffle on).
+# --------------------------------------------------------------------------
+def _bucket_profile_arm(cte: str, family: str) -> str:
+    """One family's profile SELECT over a (cnt) bucket-count CTE."""
+    mass = "sum((cnt * (cnt - 1)) // 2)"
+    top10 = (
+        f"(SELECT {mass} FROM "
+        f"(SELECT cnt FROM {cte} ORDER BY cnt DESC LIMIT 10))"
+    )
+    return f"""SELECT '{family}' AS family,
+           count(*)::BIGINT AS n_buckets,
+           sum(cnt)::BIGINT AS n_items,
+           quantile_cont(cnt, 0.5) AS p50_sz,
+           quantile_cont(cnt, 0.99) AS p99_sz,
+           max(cnt)::BIGINT AS max_sz,
+           {mass}::DECIMAL(38,0) AS cand_pairs,
+           round({top10} * 1.0 / nullif({mass}, 0), 6) AS top10_mass_share
+    FROM {cte}"""
+
+
+def _lsh_profile_oracle() -> str:
+    from open_pulsar_spark.operators.similarity import _BUCKET_SQL
+
+    return f"""
+    WITH {_MINHASH_CTES},
+    {_PARA_BANDS_CTES},
+    mh AS (SELECT count(*)::BIGINT AS cnt FROM bands GROUP BY band, sig),
+    pb AS (SELECT count(*)::BIGINT AS cnt FROM pbands GROUP BY band, sig),
+    em AS (SELECT count(*)::BIGINT AS cnt
+           FROM (SELECT {_BUCKET_SQL} AS bucket FROM embeddings)
+           GROUP BY bucket)
+    {_bucket_profile_arm('mh', 'minhash_band')}
+    UNION ALL {_bucket_profile_arm('pb', 'paragraph_band')}
+    UNION ALL {_bucket_profile_arm('em', 'sign_bucket')}
+    ORDER BY family
+    """
+
+
+def _bucket_profile(counts: DataFrame, family: str) -> DataFrame:
+    """(cnt) bucket sizes → the 1-row skew profile: bucket-count
+    percentiles, the largest bucket, total candidate-pair mass
+    Σ cnt·(cnt−1)/2 (the rows the banded self-join will emit), and the
+    share of that mass held by the ten heaviest buckets — the numbers
+    that price a hot-bucket cap (_band_candidates_capped /
+    neardup_stream's max_band_collisions) before committing to one.
+
+    Per-bucket pair counts use BIGINT (exact to cnt ≤ 3·10⁹ — a single
+    bucket beyond that has already failed any sane cap and this
+    profile exists to flag it long before); the SUM is DECIMAL(38,0).
+    Top-10 tie-safety: mass is monotone in cnt, so the top-10 SUM is
+    invariant to which tied boundary buckets are chosen."""
+    pair_mass = F.sum(F.expr("(cnt * (cnt - 1)) div 2")).cast("decimal(38,0)")
+    top10 = (
+        counts.orderBy(F.desc("cnt"))
+        .limit(10)
+        .agg(pair_mass.alias("s"))
+        .first()
+        .s
+    )
+    top10_lit = (
+        F.lit(int(top10)).cast("decimal(38,0)")
+        if top10 is not None
+        else F.lit(None).cast("decimal(38,0)")
+    )
+    return (
+        counts.agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("cnt").cast("bigint").alias("n_items"),
+            F.expr("percentile(cnt, 0.5)").alias("p50_sz"),
+            F.expr("percentile(cnt, 0.99)").alias("p99_sz"),
+            F.max("cnt").cast("bigint").alias("max_sz"),
+            pair_mass.alias("cand_pairs"),
+            F.when(
+                pair_mass > 0,
+                F.round(top10_lit * F.lit(1.0) / pair_mass, 6),
+            ).alias("top10_mass_share"),
+        )
+        .select(
+            F.lit(family).alias("family"),
+            "n_buckets",
+            "n_items",
+            "p50_sz",
+            "p99_sz",
+            "max_sz",
+            "cand_pairs",
+            "top10_mass_share",
+        )
+    )
+
+
+@query("lsh_bucket_skew_profile", oracle=_lsh_profile_oracle())
+def lsh_bucket_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-key SKEW diagnosis for every batch LSH candidate join —
+    doc-level minhash bands (_band_frame), paragraph minhash bands
+    (_para_band_frame) and the embedding sign buckets
+    (similarity._tagged_corpus) — one row per family with bucket-size
+    percentiles, the max bucket, the total candidate-pair mass
+    Σ cnt·(cnt−1)/2 and the top-10-bucket share of it. This is the
+    diagnosis; _band_candidates_capped (graded by
+    dedup_lsh_capped_recall) and neardup_stream's max_band_collisions
+    are the treatment — at 100 TB, read this profile first, then set
+    the cap at a high percentile of the bucket sizes.
+
+    Scale: each family is ONE map-combinable count over its band/tag
+    frame (the signature kernels are the same pinned frames the pair
+    queries read — no second text/embedding scan), then O(#buckets)
+    aggregates; the top-10 cut is TakeOrdered. The exact-percentile
+    buffer holds per-bucket counts — at 100 TB switch to
+    percentile_approx (the events_key_skew_profile precedent).
+
+    Band-key parity caveat: Spark groups by the xxhash64-collapsed
+    key the joins shuffle on; the oracle groups by the exact
+    (band, sig) pair. A 64-bit collision would merge two buckets and
+    diverge the profile — probability ~n²/2⁶⁵, the same accepted
+    argument as _band_frame itself."""
+    from open_pulsar_spark.operators.similarity import _tagged_corpus
+
+    sigs = _pin("minhash_sigs", _scan_sigs(spark, sf_dir))
+    sigs.count()
+    mh = _band_frame(sigs).groupBy("bk").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    psigs = _pin(
+        "para_sigs",
+        _para_sigs(
+            widen_for_kernel(
+                load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            )
+        ),
+    )
+    psigs.count()
+    pb = _para_band_frame(psigs).groupBy("bk").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    em = (
+        _tagged_corpus(
+            load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return (
+        _bucket_profile(mh, "minhash_band")
+        .unionByName(_bucket_profile(pb, "paragraph_band"))
+        .unionByName(_bucket_profile(em, "sign_bucket"))
+        .orderBy("family")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_lsh_capped_recall — the hot-bucket cap, GRADED against the exact
+# banded join (the dedup_lsh_recall_full treatment applied to the cap).
+# --------------------------------------------------------------------------
+BAND_CAP = 2  # bites at test scale; at 100 TB pick from the skew profile
+
+
+@query(
+    "dedup_lsh_capped_recall",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    hot AS (SELECT band, sig FROM bands
+            GROUP BY band, sig HAVING count(*) > {BAND_CAP}),
+    kept AS (SELECT b.* FROM bands b
+             ANTI JOIN hot h ON b.band = h.band AND b.sig = h.sig),
+    ccand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM kept a JOIN kept b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id),
+    cpairs AS (
+        SELECT c.a_id, c.b_id FROM ccand c
+        JOIN hsets x ON c.a_id = x.doc_id
+        JOIN hsets y ON c.b_id = y.doc_id
+        WHERE {_JACC_SQL} >= {JACCARD_THRESHOLD}),
+    fcand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id),
+    fpairs AS (
+        SELECT c.a_id, c.b_id FROM fcand c
+        JOIN hsets x ON c.a_id = x.doc_id
+        JOIN hsets y ON c.b_id = y.doc_id
+        WHERE {_JACC_SQL} >= {JACCARD_THRESHOLD})
+    SELECT {BAND_CAP} AS band_cap,
+           (SELECT count(*) FROM cpairs)::BIGINT AS n_capped_pairs,
+           (SELECT count(*) FROM fpairs)::BIGINT AS n_exact_pairs,
+           round((SELECT count(*) FROM cpairs) * 1.0
+                 / nullif((SELECT count(*) FROM fpairs), 0), 6) AS recall
+    """,
+)
+def dedup_lsh_capped_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket candidate cap, GRADED: verified near-dup pairs
+    found with buckets over {BAND_CAP} docs excluded
+    (_band_candidates_capped) vs the exact banded join — the measured
+    price of the skew guard, so the cap is an engineering decision
+    with a recall number attached, never a silent truncation. The cap
+    can only LOSE pairs (capped ⊆ exact, shared _verify_jaccard), so
+    one count ratio IS the recall.
+
+    Scale: both paths read the ONE pinned signature frame; the exact
+    path is the same plan as dedup_minhash_lsh; the capped path adds
+    one map-combinable bucket count + an AQE-broadcast anti-join and
+    bounds the self-join fan-out at cap² per key — the plan that
+    survives a degenerate boilerplate bucket the exact path cannot."""
+    sigs = _pin("minhash_sigs", _scan_sigs(spark, sf_dir))
+    sigs.count()
+    exact = _verify_jaccard(sigs, _band_candidates(sigs))
+    capped = _verify_jaccard(sigs, _band_candidates_capped(sigs, BAND_CAP))
+    c = capped.agg(F.count("*").cast("bigint").alias("n_capped_pairs"))
+    e = exact.agg(F.count("*").cast("bigint").alias("n_exact_pairs"))
+    return c.crossJoin(e).select(
+        F.lit(BAND_CAP).alias("band_cap"),
+        "n_capped_pairs",
+        "n_exact_pairs",
+        F.when(
+            F.col("n_exact_pairs") > 0,
+            F.round(
+                F.col("n_capped_pairs") * F.lit(1.0) / F.col("n_exact_pairs"), 6
+            ),
+        ).alias("recall"),
+    )

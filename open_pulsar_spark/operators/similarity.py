@@ -473,6 +473,31 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tagged_corpus(corpus: DataFrame) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, bucket, embedding) with each
+    vector's 64-way sign bucket — THE one bucket-tag kernel, shared by
+    the blocked pair join and the bucket skew profile
+    (dedup.lsh_bucket_skew_profile) so the profile diagnoses exactly
+    the groups applyInPandas will materialize."""
+
+    def tag(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            _, raw, _ = _block_norm(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "bucket": _buckets_of(raw),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    return corpus.mapInPandas(
+        tag, "vec_id LONG, bucket LONG, embedding ARRAY<FLOAT>"
+    )
+
+
 def _embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNSORTED embedding near-dup pairs (a_id, b_id, cos) — the
     internal producer behind dedup_embedding_lsh, exposed separately
@@ -494,23 +519,7 @@ def _embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the knob is N_PLANES — more planes, smaller buckets.
     """
     corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    def tag(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            _, raw, _ = _block_norm(pdf)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "bucket": _buckets_of(raw),
-                    "embedding": pdf["embedding"],
-                }
-            )
-
-    tagged = corpus.mapInPandas(
-        tag, "vec_id LONG, bucket LONG, embedding ARRAY<FLOAT>"
-    )
+    tagged = _tagged_corpus(corpus)
 
     def pairs_of(pdf: pd.DataFrame) -> pd.DataFrame:
         ids, _, un = _block_norm(pdf)

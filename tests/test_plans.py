@@ -142,6 +142,8 @@ _NESTED_LOOP_ALLOWED = {
     "layout_skipping_effectiveness",  # 32-probe × 64-file zone-map grid —
                                  # both sides bounded aggregates by
                                  # construction
+    "dedup_lsh_capped_recall",   # 1-row capped-count × 1-row exact-count,
+                                 # broadcast
 }
 
 
