@@ -185,6 +185,7 @@ EXTRA = [
     # round-7 additions
     "lsh_bucket_skew_profile",
     "dedup_lsh_capped_recall",
+    "ann_sq8_recall",
 ]
 
 HEADLINE = [

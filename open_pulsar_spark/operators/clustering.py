@@ -1697,3 +1697,169 @@ def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --------------------------------------------------------------------------
+# ann_sq8_recall — retrieval recall under int8 scalar quantization (the
+# embedding_dim_ablation pattern applied to width-8 quantization: prices
+# the simplest 4x memory win against the PQ path's measured recall).
+# --------------------------------------------------------------------------
+_SQ8_VARIANTS = ("full", "sq8")
+
+
+def _sq8_oracle() -> str:
+    from open_pulsar_spark.operators.similarity import N_QUERIES, TOP_K
+
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               [CAST(floor(x::DOUBLE * {SCALE} + 0.5) AS BIGINT)
+                FOR x IN embedding] AS q
+        FROM embeddings),
+    s AS (SELECT vec_id, q,
+                 list_aggregate(list_transform(q, v -> abs(v)), 'max') AS mx
+          FROM e),
+    r AS (SELECT vec_id, q,
+                 CASE WHEN mx = 0
+                      THEN list_transform(q, v -> 0::BIGINT)
+                      ELSE list_transform(q,
+                          v -> CAST(floor(v * 127.0 / mx + 0.5) AS BIGINT)
+                               * mx)
+                 END AS rv
+          FROM s),
+    qs AS (SELECT vec_id AS query_id, q AS qv FROM e
+           WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT 'full' AS variant, qs.query_id, r.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(r.q, qs.qv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS dist
+        FROM r CROSS JOIN qs WHERE r.vec_id <> qs.query_id
+        UNION ALL
+        SELECT 'sq8', qs.query_id, r.vec_id,
+               list_sum(list_transform(list_zip(r.rv, qs.qv),
+                   p -> (p[1] - 127 * p[2])
+                        * (p[1] - 127 * p[2])))::BIGINT
+        FROM r CROSS JOIN qs WHERE r.vec_id <> qs.query_id),
+    ranked AS (
+        SELECT variant, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY variant, query_id
+                                  ORDER BY dist, neighbor_id) AS rk
+        FROM scored),
+    topk AS (SELECT variant, query_id, neighbor_id FROM ranked
+             WHERE rk <= {TOP_K}),
+    truth AS (SELECT query_id, neighbor_id FROM topk
+              WHERE variant = 'full'),
+    hits AS (
+        SELECT t.variant, count(*)::BIGINT AS n_hits
+        FROM topk t JOIN truth tr
+          ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
+        GROUP BY t.variant)
+    SELECT vs.variant, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+           (coalesce(h.n_hits, 0) * 1000000
+               // {N_QUERIES * TOP_K})::BIGINT AS recall_ppm
+    FROM (SELECT unnest(['full', 'sq8']) AS variant) vs
+    LEFT JOIN hits h USING (variant)
+    ORDER BY vs.variant
+    """
+
+
+@query("ann_sq8_recall", oracle=_sq8_oracle())
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval recall under INT8 SCALAR QUANTIZATION: exact top-k
+    by asymmetric distance against per-vector-scaled int8 codes
+    (code_i = round(q_i·127/mx), mx = the vector's max |component| —
+    the same grid embedding_quantization_error audits residuals on)
+    vs the full-precision exact top-k. This prices the simplest 4×
+    index-memory win (float32 → int8) next to the PQ path's measured
+    0.925 — SQ8 keeps one code per dimension, so its only loss is the
+    127-level rounding, and the ADC trick keeps queries full
+    precision. The 'full' row is the built-in sanity check (recall
+    1.0 by construction).
+
+    Determinism: multiplying the query grid by 127 puts the
+    asymmetric distance Σ(127·q_i − c_i·mx)² on exact integers
+    (|terms| ≤ (127·{SCALE})²·DIM ≪ 2⁶³); the code expression
+    floor(v·127/mx + 0.5) is the identical IEEE shape in both engines
+    (the embedding_quantization_error precedent); ties break on
+    (dist, neighbor_id).
+
+    Scale: probes are the bounded query set collected as literals
+    (similarity.py's broadcast contract); the corpus scans ONCE
+    computing the int8 reconstruction and all |queries| × 2 variant
+    distances in codegen; the only shuffle is the per-(variant,
+    query) top-k window. At 100 TB the int8 codes are what the index
+    STORES — this harness measures what that storage costs in
+    recall before you commit to it."""
+    from open_pulsar_spark.operators.dedup import _pin
+    from open_pulsar_spark.operators.similarity import N_QUERIES, TOP_K
+
+    qdf = _quantized(spark, sf_dir)
+    rec = qdf.select(
+        "vec_id",
+        "q",
+        F.expr(
+            "CASE WHEN aggregate(q, 0L, (a, v) -> greatest(a, abs(v))) = 0"
+            " THEN transform(q, v -> 0L)"
+            " ELSE transform(q, v -> cast(floor(v * 127.0 /"
+            " aggregate(q, 0L, (a, v) -> greatest(a, abs(v))) + 0.5d)"
+            " as bigint) * aggregate(q, 0L, (a, v) -> greatest(a, abs(v))))"
+            " END"
+        ).alias("rv"),
+    )
+    probes = sorted(
+        (r.vec_id, list(r.q))
+        for r in qdf.where(F.col("vec_id") < N_QUERIES).collect()
+    )
+    dist_cols = []
+    for qid, qv in probes:
+        lit_q = "array(" + ",".join(f"{int(x)}L" for x in qv) + ")"
+        lit_q127 = "array(" + ",".join(f"{127 * int(x)}L" for x in qv) + ")"
+        dist_cols.append(
+            F.expr(
+                f"aggregate(zip_with(q, {lit_q},"
+                f" (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)"
+            ).alias(f"full_{qid}")
+        )
+        dist_cols.append(
+            F.expr(
+                f"aggregate(zip_with(rv, {lit_q127},"
+                f" (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)"
+            ).alias(f"sq8_{qid}")
+        )
+    scored_wide = rec.select("vec_id", *dist_cols)
+    stack_args = ", ".join(
+        f"'{v}', {qid}L, {v}_{qid}" for qid, _ in probes for v in _SQ8_VARIANTS
+    )
+    n_cells = len(probes) * len(_SQ8_VARIANTS)
+    scored = scored_wide.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(f"stack({n_cells}, {stack_args}) AS (variant, query_id, dist)"),
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("variant", "query_id").orderBy("dist", "neighbor_id")
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("variant", "query_id", "neighbor_id")
+    )
+    topk = _pin("sq8_topk", topk)
+    truth = topk.where(F.col("variant") == "full").select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        topk.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("variant")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    vs = spark.createDataFrame([(v,) for v in _SQ8_VARIANTS], "variant STRING")
+    return (
+        vs.join(hits, "variant", "left")
+        .select(
+            "variant",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(
+                f"cast(coalesce(n_hits, 0) * 1000000"
+                f" div {N_QUERIES * TOP_K} as bigint)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("variant")
+    )
