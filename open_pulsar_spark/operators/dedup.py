@@ -128,6 +128,32 @@ def _pin(name: str, df: DataFrame) -> DataFrame:
         return df
 
 
+_PIN_KEYS: dict[str, object] = {}
+
+
+def _pin_keyed(name: str, key: object, build) -> DataFrame:
+    """Cross-query generation cache: like _pin, but REUSES the live
+    generation when `key` (e.g. the sf_dir) matches instead of
+    rebuilding — for intermediates several registry queries share
+    (the co-purchase weighted edge frame). A stale key rebuilds; an
+    external clearCache() merely drops the storage level, so a reused
+    frame silently recomputes its lineage — correct, just uncached
+    (exactly what bench.py's cold-per-sample contract relies on).
+    `build` is a thunk so a cache hit never constructs the plan."""
+    with _PIN_LOCK:
+        live = _LIVE_CACHES.get(name)
+        if live is not None and _PIN_KEYS.get(name) == key:
+            return live
+    df = build().persist()
+    with _PIN_LOCK:
+        old = _LIVE_CACHES.pop(name, None)
+        if old is not None and old is not df:
+            old.unpersist()
+        _LIVE_CACHES[name] = df
+        _PIN_KEYS[name] = key
+        return df
+
+
 def _release(name: str) -> None:
     """Explicitly end a pin's generation: pop the registry entry AND
     unpersist in one place — for operators whose consumption of the
@@ -136,6 +162,7 @@ def _release(name: str) -> None:
     invariant (the registry only ever lists live generations) instead
     of unpersisting behind its back."""
     with _PIN_LOCK:
+        _PIN_KEYS.pop(name, None)
         df = _LIVE_CACHES.pop(name, None)
         if df is not None:
             df.unpersist()

@@ -100,6 +100,36 @@ def _copurchase_pair_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _undirected_pairs(_copurchase_baskets(spark, sf_dir))
 
 
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, w) with u < v and w = co-occurrence count — THE weighted
+    co-purchase edge frame, built once per (session, sf_dir) and
+    shared by all six graph queries (pagerank, triangles, components,
+    assortativity, kcore, modularity) via the keyed pin registry:
+    each used to rebuild the basket explode + pair aggregate
+    (~1-2 s each at sf0.1); now the first builds it and the rest read
+    the cache (measured at sf0.1: six-query warm-session min total
+    42.1 s → 37.6 s, cold-per-sample min total 32.2 s → 30.1 s —
+    SCALE.md has the per-query split). The unweighted edge set the
+    triangle/assortativity queries need is the (u, v) projection —
+    distinct by construction, no second aggregate. bench.py's
+    cold-per-sample contract is unaffected: clearCache() drops the
+    storage level and the lineage recomputes inside the measured run.
+
+    At 100 TB this frame is the natural MATERIALIZED artifact (a
+    table bucketed on u) — the keyed pin is the session-scoped form
+    of that decision."""
+    from open_pulsar_spark.operators.dedup import _pin_keyed
+
+    we = _pin_keyed(
+        "copurchase_wedges",
+        sf_dir,
+        lambda: _copurchase_pair_rows(spark, sf_dir)
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w")),
+    )
+    return we
+
+
 def _pr_iter_cte(prev: str, cur: str) -> str:
     return f"""
     {cur} AS (
@@ -157,11 +187,7 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan-stability reason);
       - the final top-{PR_TOP} is a rank window over the node set.
     """
-    und = (
-        _copurchase_pair_rows(spark, sf_dir)
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("w"))
-    )
+    und = _weighted_edges(spark, sf_dir)
     # directed both ways with the symmetric weight — identical to the
     # oracle's ordered-pair self-join counts
     edges = und.select(
@@ -443,8 +469,10 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking is bit-identical across engines and partitionings.
     """
     # eu feeds TWO consumers (the degree aggregate and the orientation
-    # join) — pin it, or the basket explode + distinct execute twice
-    eu = _copurchase_pair_rows(spark, sf_dir).distinct().persist()
+    # join) — it is the (u, v) projection of the SHARED pinned
+    # weighted edge frame (distinct by construction), so neither
+    # rebuild nor a local persist is needed
+    eu = _weighted_edges(spark, sf_dir).select("u", "v")
     deg = (
         eu.select(F.col("u").alias("n"))
         .unionAll(eu.select(F.col("v").alias("n")))
@@ -504,7 +532,6 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             adj.unpersist()
     finally:
         oe.unpersist()
-        eu.unpersist()
 
 
 # --------------------------------------------------------------------------
@@ -560,11 +587,9 @@ def part_bundle_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_pulsar_spark.operators.dedup import closure_labels
 
     pairs = (
-        _copurchase_pair_rows(spark, sf_dir)
-        .groupBy(F.col("u").alias("a_id"), F.col("v").alias("b_id"))
-        .agg(F.count("*").alias("w"))
+        _weighted_edges(spark, sf_dir)
         .where(F.col("w") >= BUNDLE_MIN_W)
-        .select("a_id", "b_id")
+        .select(F.col("u").alias("a_id"), F.col("v").alias("b_id"))
     )
     labels = closure_labels(spark, pairs)
     w = Window.partitionBy("label")
@@ -629,11 +654,11 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one division on a 1-row frame — correctly-rounded ops, identical
     in both engines (the corr-matrix contract).
     """
-    # eu feeds the degree aggregate AND the endpoint join; endpairs
-    # feeds both directions of the symmetric union — pin both, or the
-    # basket explode + distinct and the two degree joins re-execute
-    # per consumer (the triangle query's rule, applied here)
-    eu = _copurchase_pair_rows(spark, sf_dir).distinct().persist()
+    # eu feeds the degree aggregate AND the endpoint join: the (u, v)
+    # projection of the SHARED pinned weighted edge frame (distinct by
+    # construction); endpairs feeds both directions of the symmetric
+    # union and keeps its own pin (the triangle query's rule)
+    eu = _weighted_edges(spark, sf_dir).select("u", "v")
     deg = (
         eu.select(F.col("u").alias("n"))
         .unionAll(eu.select(F.col("v").alias("n")))
@@ -672,7 +697,6 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-row result: materialize while the caches are live, release
     result = spark.createDataFrame(out.collect(), out.schema)
     endpairs.unpersist()
-    eu.unpersist()
     return result
 
 
@@ -739,9 +763,7 @@ def part_bundle_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge frame persists across rounds. TakeOrdered top-k, integer
     ordering."""
     edges = (
-        _copurchase_pair_rows(spark, sf_dir)
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("w"))
+        _weighted_edges(spark, sf_dir)
         .where(F.col("w") >= BUNDLE_MIN_W)
         .select("u", "v")
         .persist()
@@ -870,13 +892,7 @@ def bundle_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-cardinality sized. TakeOrdered top-{MODULARITY_TOP}."""
     from open_pulsar_spark.operators.dedup import _pin, closure_labels
 
-    wpairs = _pin(
-        "modularity_wpairs",
-        _copurchase_pair_rows(spark, sf_dir)
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("w")),
-    )
-    wpairs.count()
+    wpairs = _weighted_edges(spark, sf_dir)
     labels = closure_labels(
         spark,
         wpairs.where(F.col("w") >= BUNDLE_MIN_W).select(
