@@ -175,6 +175,10 @@ AUDITED = [
     "revenue_ewma",
     "event_value_quantiles_by_type",
     "bloom_join_pruning",
+    # round-7 additions
+    "lsh_bucket_skew_profile",
+    "dedup_lsh_capped_recall",
+    "ann_sq8_recall",
 ]
 
 
