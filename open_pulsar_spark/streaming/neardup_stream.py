@@ -343,3 +343,28 @@ def delete_from_index(
         target_files=target_files,
         id_col="doc_id",
     )
+
+
+def index_bucket_skew(spark: SparkSession, index_path: str) -> DataFrame:
+    """Hot-bucket skew profile of the LIVE signature index — the
+    batch lsh_bucket_skew_profile readout pointed at the streaming
+    store, so the `max_band_collisions` cap (this module's guard) is
+    set from a measured distribution of the index it actually prunes,
+    not from offline guesswork. Counts (band, sig) bucket sizes on
+    the CLEAN index view (dedup on (doc_id, band) — the same
+    mid-compaction double-read safety the cap's own count basis uses)
+    and closes with the shared dedup._bucket_profile, so batch and
+    index profiles report identical columns."""
+    from open_pulsar_spark.operators.dedup import _bucket_profile
+
+    index = read_index(spark, index_path)
+    if index is None:
+        counts = spark.createDataFrame([], "cnt BIGINT")
+    else:
+        counts = (
+            index.dropDuplicates(["doc_id", "band"])
+            .groupBy("band", "sig")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .select("cnt")
+        )
+    return _bucket_profile(counts, "index_band")

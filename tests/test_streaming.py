@@ -2760,3 +2760,57 @@ def test_benford_report_empty_input_is_empty(spark):
 
     empty = spark.createDataFrame([], "digit INT, n_obs LONG")
     assert benford_report(spark, empty).count() == 0
+
+
+def test_index_bucket_skew_profiles_the_live_index(spark, workdir):
+    """index_bucket_skew over a stream-built signature index: the
+    profile's totals must agree with an independent recount of the
+    clean index view (n_items = band rows, cand_pairs = sum of
+    per-bucket C(n,2)), a replayed epoch must not move the profile,
+    and an empty store yields the empty-family row (n_buckets 0,
+    null share)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.neardup_stream import (
+        filter_batch_against_index,
+        index_bucket_skew,
+        read_index,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    empty_row = index_bucket_skew(spark, f"{workdir}/no_such_index").collect()[0]
+    assert empty_row.n_buckets == 0 and empty_row.top10_mass_share is None
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    index = f"{workdir}/skew_index"
+    for k in range(2):
+        filter_batch_against_index(
+            spark, docs.where(F.col("doc_id") % 2 == k), index, epoch_id=k
+        )
+    prof = index_bucket_skew(spark, index).collect()[0]
+    clean = (
+        read_index(spark, index)
+        .dropDuplicates(["doc_id", "band"])
+        .groupBy("band", "sig")
+        .agg(F.count("*").alias("n"))
+    )
+    want = clean.agg(
+        F.sum("n").alias("items"),
+        F.count("*").alias("buckets"),
+        F.max("n").alias("mx"),
+        F.sum(F.expr("(n * (n - 1)) div 2")).alias("pairs"),
+    ).collect()[0]
+    assert prof.family == "index_band"
+    assert prof.n_items == want.items
+    assert prof.n_buckets == want.buckets
+    assert prof.max_sz == want.mx
+    assert prof.cand_pairs == Decimal(int(want.pairs))
+
+    # replay epoch 0: committed-epoch skip leaves the profile unchanged
+    filter_batch_against_index(
+        spark, docs.where(F.col("doc_id") % 2 == 0), index, epoch_id=0
+    )
+    assert index_bucket_skew(spark, index).collect()[0] == prof
