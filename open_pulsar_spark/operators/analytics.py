@@ -3420,6 +3420,15 @@ def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     end_ts = ev.agg(F.max("ts")).first()[0]
+    if end_ts is None:
+        # empty events: the oracle's per-user CTE is empty so it
+        # returns no rows; match that instead of crashing on the
+        # None corpus-end timestamp.
+        return spark.createDataFrame(
+            [],
+            "duration_days INT, n_at_risk BIGINT, n_churned BIGINT,"
+            " hazard_ppm BIGINT, km_survival_fp BIGINT",
+        )
     cutoff = end_ts - datetime.timedelta(hours=SURVIVAL_CHURN_HOURS)
     pu = ev.groupBy("user_id").agg(
         F.min("ts").alias("fst"), F.max("ts").alias("lst")

@@ -911,6 +911,16 @@ def bundle_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     m = le.count()
+    if m == 0:
+        # no co-purchase edges at all (degenerate corpus): modularity
+        # is undefined (denominator 4m²). The oracle's joins over the
+        # empty edge set produce no rows, so both engines agree on an
+        # EMPTY table instead of a None-crash/zero-divide.
+        return spark.createDataFrame(
+            [],
+            "bundle_rep LONG, n_nodes BIGINT, internal_edges BIGINT,"
+            " total_degree BIGINT, contrib_ppm BIGINT, q_total_ppm BIGINT",
+        )
     internal = (
         le.where(F.col("lab_a") == F.col("lab_b"))
         .groupBy(F.col("lab_a").alias("lab"))

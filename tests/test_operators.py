@@ -882,3 +882,31 @@ def test_revenue_weekly_bucket_floors_pre_1970_dates(spark):
         .fetchall()
     )
     assert got == want == [-1, 0]
+
+
+def test_degenerate_empty_tables_yield_empty_on_guarded_queries(spark, tmp_path):
+    """Round-7 hardening: queries that collect a driver-side scalar
+    (corpus-end timestamp, edge count, variance) must return EMPTY on
+    empty input — matching their oracles' empty CTE output — instead
+    of crashing on None or dividing by zero."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    sf = str(tmp_path / "sf_empty")
+    for t in ("events", "lineitem", "orders"):
+        load_table(spark, SF_SMALL, t).limit(0).write.mode("overwrite").parquet(
+            f"{sf}/{t}.parquet"
+        )
+    qs = all_queries()
+    for name in (
+        "user_survival_curve",
+        "bundle_modularity",
+        "revenue_acf",
+        "revenue_ewma",
+        "orders_benford_test",
+    ):
+        rows = qs[name](spark, sf).collect()
+        assert rows == [], (name, rows)
