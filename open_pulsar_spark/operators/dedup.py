@@ -918,14 +918,22 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _prefix_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, num: int, den: int, pin_name: str
+    spark: SparkSession,
+    sf_dir: str,
+    num: int,
+    den: int,
+    pin_name: str,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Exact J ≥ num/den pairs (a_id, b_id, jaccard) over the whole
     corpus via prefix filtering — the parameterized builder behind
     dedup_jaccard_prefix_join (see its docstring for the theorem and
     the scale contract) and the corpus-wide recall harness. All prefix
     and threshold arithmetic is integer (num/den rational), never
-    float τ."""
+    float τ. `with_counts` additionally emits the exact integer
+    (n_inter, n_union) so consumers that bucket by Jaccard can do it
+    in integer arithmetic (lsh_s_curve) instead of flooring a rounded
+    double near a decile boundary."""
     sh = _pin(pin_name, _shingled(spark, sf_dir))
     sized = sh.select("doc_id", F.size("sh").alias("n"), "sh")
     tok = sized.select(
@@ -979,6 +987,14 @@ def _prefix_jaccard_pairs(
             "a_id",
             "b_id",
             F.round(inter * F.lit(1.0) / union, 6).alias("jaccard"),
+            *(
+                [
+                    inter.cast("bigint").alias("n_inter"),
+                    union.cast("bigint").alias("n_union"),
+                ]
+                if with_counts
+                else []
+            ),
         )
     )
 
@@ -1950,4 +1966,126 @@ def dedup_lsh_capped_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_capped_pairs") * F.lit(1.0) / F.col("n_exact_pairs"), 6
             ),
         ).alias("recall"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lsh_s_curve — MEASURED banding catch probability per true-Jaccard decile
+# vs the analytic 1−(1−J^r)^b curve (the (b, r) tuning readout).
+# --------------------------------------------------------------------------
+SCURVE_NUM, SCURVE_DEN = 3, 10  # truth floor τ_min = 0.3 (below threshold
+#                                 on purpose: the S-curve's interesting
+#                                 region straddles JACCARD_THRESHOLD)
+
+
+def _scurve_theory_ppm(bucket: int) -> int:
+    """Analytic catch probability 1−(1−J^r)^b at the bucket midpoint
+    (J = 1.0 for the exact-dup bucket 10), on the ppm grid. A pure
+    Python literal shared into BOTH engines' plans."""
+    j = 1.0 if bucket == 10 else (bucket + 0.5) / 10.0
+    return round((1.0 - (1.0 - j**LSH_ROWS) ** LSH_BANDS) * 1_000_000)
+
+
+_SCURVE_BUCKETS = list(range(SCURVE_NUM, 11))  # floor(10·J) for J ∈ [0.3, 1]
+
+
+def _scurve_oracle() -> str:
+    spine = ", ".join(
+        f"({b}, {_scurve_theory_ppm(b)})" for b in _SCURVE_BUCKETS
+    )
+    o = "len(list_filter(a.sh, s -> list_contains(b.sh, s)))"
+    return f"""
+    WITH {_MINHASH_CTES},
+    truth AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               {o}::BIGINT AS n_inter,
+               (len(a.sh) + len(b.sh) - {o})::BIGINT AS n_union
+        FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+        WHERE {SCURVE_DEN + SCURVE_NUM} * {o}
+              >= {SCURVE_NUM} * (len(a.sh) + len(b.sh))),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id),
+    bk AS (
+        SELECT least(10, (10 * t.n_inter) // t.n_union)::INT AS j_bucket,
+               CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS caught
+        FROM truth t LEFT JOIN cand c USING (a_id, b_id)),
+    agg AS (
+        SELECT j_bucket, count(*)::BIGINT AS n_true,
+               sum(caught)::BIGINT AS n_caught
+        FROM bk GROUP BY j_bucket)
+    SELECT s.j_bucket, s.theory_ppm,
+           coalesce(a.n_true, 0)::BIGINT AS n_true,
+           coalesce(a.n_caught, 0)::BIGINT AS n_caught,
+           CASE WHEN a.n_true > 0
+                THEN (a.n_caught * 1000000 // a.n_true)::BIGINT
+           END AS catch_ppm
+    FROM (VALUES {spine}) s(j_bucket, theory_ppm)
+    LEFT JOIN agg a USING (j_bucket)
+    ORDER BY s.j_bucket
+    """
+
+
+@query("lsh_s_curve", oracle=_scurve_oracle())
+def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURED LSH S-curve: for each true-Jaccard decile from
+    {SCURVE_NUM}/{SCURVE_DEN} up, the fraction of exact pairs the
+    {LSH_BANDS}-band × {LSH_ROWS}-row banding emits as CANDIDATES,
+    next to the analytic 1−(1−J^r)^b at the bucket midpoint — the
+    readout that tunes (b, r) before committing an index build:
+    dedup_lsh_recall_full grades the detector at its own threshold;
+    this grades candidacy across the threshold (sub-0.5 buckets show
+    what a lower τ WOULD catch without re-running anything).
+
+    Determinism: truth comes from the prefix-filter exact join at
+    τ_min = {SCURVE_NUM}/{SCURVE_DEN} carrying exact integer
+    (n_inter, n_union); the decile is least(10, (10·o) div u) —
+    integer floor, never a rounded double near a decile boundary (the
+    theory column is a shared Python literal in both plans).
+
+    Scale: truth candidates are prefix-bounded (never O(n²)); the
+    banding side is the same bounded candidate equi-join every dedup
+    query uses; the classification join runs pair-set-sized and the
+    output is ≤ 8 rows."""
+    truth = _prefix_jaccard_pairs(
+        spark, sf_dir, SCURVE_NUM, SCURVE_DEN, "ppj_sh_scurve",
+        with_counts=True,
+    )
+    sigs = _pin("minhash_sigs", _scan_sigs(spark, sf_dir))
+    sigs.count()
+    cand = _band_candidates(sigs).withColumn("caught", F.lit(1))
+    agg = (
+        truth.join(cand, ["a_id", "b_id"], "left")
+        .groupBy(
+            F.least(
+                F.lit(10), F.expr("(10 * n_inter) div n_union")
+            )
+            .cast("int")
+            .alias("j_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.sum(F.coalesce("caught", F.lit(0)))
+            .cast("bigint")
+            .alias("n_caught"),
+        )
+    )
+    spine = spark.createDataFrame(
+        [(b, _scurve_theory_ppm(b)) for b in _SCURVE_BUCKETS],
+        "j_bucket INT, theory_ppm BIGINT",
+    )
+    return (
+        spine.join(agg, "j_bucket", "left")
+        .select(
+            "j_bucket",
+            "theory_ppm",
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce("n_caught", F.lit(0)).cast("bigint").alias("n_caught"),
+            F.when(
+                F.col("n_true") > 0,
+                F.expr("cast(n_caught * 1000000 div n_true as bigint)"),
+            ).alias("catch_ppm"),
+        )
+        .orderBy("j_bucket")
     )

@@ -910,3 +910,25 @@ def test_degenerate_empty_tables_yield_empty_on_guarded_queries(spark, tmp_path)
     ):
         rows = qs[name](spark, sf).collect()
         assert rows == [], (name, rows)
+
+
+def test_lsh_s_curve_shape_and_consistency(spark):
+    """lsh_s_curve invariants: the analytic curve is strictly
+    increasing in J and hits 1.0 at the exact-dup bucket; measured
+    catches never exceed truth; every populated bucket at this SF is
+    high-J (the generator makes near-dups, not mid-J pairs) and fully
+    caught — consistent with theory ≥ 0.97 there."""
+    from open_pulsar_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    rows = all_queries()["lsh_s_curve"](spark, SF_SMALL).collect()
+    assert [r.j_bucket for r in rows] == list(range(3, 11))
+    theory = [r.theory_ppm for r in rows]
+    assert theory == sorted(theory) and len(set(theory)) == len(theory)
+    assert theory[-1] == 1_000_000
+    for r in rows:
+        assert 0 <= r.n_caught <= r.n_true
+        if r.n_true > 0:
+            assert r.catch_ppm == r.n_caught * 1_000_000 // r.n_true
+        else:
+            assert r.catch_ppm is None

@@ -179,6 +179,7 @@ AUDITED = [
     "lsh_bucket_skew_profile",
     "dedup_lsh_capped_recall",
     "ann_sq8_recall",
+    "lsh_s_curve",
 ]
 
 
