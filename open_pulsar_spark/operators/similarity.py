@@ -917,3 +917,101 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "fused_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# _embedding_pairs_blocked — the hot-bucket treatment for the ONE skew
+# unit this module names: an applyInPandas sign-bucket group can't split.
+# --------------------------------------------------------------------------
+EMB_PAIR_BLOCK = 4096  # max vectors per sub-block (per-task memory bound)
+
+
+def _embedding_pairs_blocked(
+    spark: SparkSession, sf_dir: str, block_rows: int = EMB_PAIR_BLOCK
+) -> DataFrame:
+    """EXACTLY the _embedding_pairs output (tested pair-for-pair), with
+    every sign bucket split into ≤`block_rows` sub-blocks joined
+    pairwise — the standard blocked all-pairs: a bucket of n vectors
+    becomes C(k+1, 2) grid cells of ≤2·block_rows vectors each
+    (k = ⌈n/block_rows⌉), so per-task memory is bounded by the KNOB,
+    not by the hottest bucket, while total multiply work stays Σ|b|².
+    This is the treatment for the skew unit _embedding_pairs documents
+    ('a hot bucket is a skew unit; grouped-map groups can't split'):
+    at 100 TB run THIS path; at test scale the two are pair-identical
+    so the oracle-checked query keeps the simpler plan.
+
+    Sub-blocks are vec_id ranges within the bucket (row_number over a
+    per-bucket id sort), so for cross cells every left id < every
+    right id — the a_id < b_id orientation needs no per-pair check,
+    and the diagonal cell uses the same triu the unblocked kernel
+    uses. Cosines come from the same float64 normalize + matmul, so
+    values agree with the unblocked path to the bit (same dot, same
+    operands)."""
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    tagged = _tagged_corpus(corpus)
+    w = Window.partitionBy("bucket").orderBy("vec_id")
+    blk = tagged.withColumn(
+        "blk",
+        ((F.row_number().over(w) - F.lit(1)) / block_rows).cast("int"),
+    )
+    groups = blk.groupBy("bucket", "blk").agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias(
+            "rows"
+        )
+    )
+    a = groups.select(
+        "bucket", F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
+    )
+    b = groups.select(
+        "bucket", F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
+    )
+    cells = (
+        a.join(b, "bucket")
+        .where(F.col("blk_a") <= F.col("blk_b"))
+        .select(
+            (F.col("blk_a") == F.col("blk_b")).alias("diag"),
+            "rows_a",
+            "rows_b",
+        )
+    )
+
+    def unpack(rows):
+        ids = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64)
+        raw = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+        )
+        nrm = np.sqrt(np.einsum("ij,ij->i", raw, raw))
+        return ids, raw / nrm[:, None]
+
+    def cross(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for diag, rows_a, rows_b in zip(
+                pdf["diag"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                ids_a, un_a = unpack(rows_a)
+                if diag:
+                    sims = un_a @ un_a.T
+                    r, c = np.where(np.triu(sims >= 0.4, k=1))
+                    out_a.append(ids_a[r])
+                    out_b.append(ids_a[c])
+                    out_c.append(sims[r, c])
+                else:
+                    ids_b, un_b = unpack(rows_b)
+                    sims = un_a @ un_b.T
+                    r, c = np.where(sims >= 0.4)
+                    out_a.append(ids_a[r])
+                    out_b.append(ids_b[c])
+                    out_c.append(sims[r, c])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a_id": np.concatenate(out_a),
+                        "b_id": np.concatenate(out_b),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+    return cells.mapInPandas(cross, "a_id LONG, b_id LONG, cos DOUBLE")

@@ -251,3 +251,33 @@ def delete_from_embedding_index(
         target_files=target_files,
         id_col="vec_id",
     )
+
+
+def embedding_index_bucket_skew(
+    spark: SparkSession, index_path: str
+) -> DataFrame:
+    """Hot-bucket skew profile of the LIVE embedding bucket index —
+    the sign-bucket row of the batch lsh_bucket_skew_profile pointed
+    at the streaming store. The per-bucket candidate mass here prices
+    the per-batch join fan-out (each arriving vector scores against
+    its bucket's index rows) and tells you when to raise N_PLANES or
+    switch the bucket's kernel to the blocked all-pairs path
+    (similarity._embedding_pairs_blocked). Dedups (vec_id) first —
+    mid-compaction double-read safety — then closes with the shared
+    dedup._bucket_profile so batch and index profiles report
+    identical columns."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.dedup import _bucket_profile
+
+    index = read_embedding_index(spark, index_path)
+    if index is None:
+        counts = spark.createDataFrame([], "cnt BIGINT")
+    else:
+        counts = (
+            index.dropDuplicates(["vec_id"])
+            .groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .select("cnt")
+        )
+    return _bucket_profile(counts, "index_sign_bucket")

@@ -932,3 +932,28 @@ def test_lsh_s_curve_shape_and_consistency(spark):
             assert r.catch_ppm == r.n_caught * 1_000_000 // r.n_true
         else:
             assert r.catch_ppm is None
+
+
+def test_blocked_embedding_pairs_match_unblocked_exactly(spark):
+    """_embedding_pairs_blocked with a tiny block size (forcing many
+    sub-blocks and cross-block cells) must emit the identical pair set
+    and 6-dp cosines as the unblocked per-bucket kernel — the blocked
+    path exists to bound per-task memory under a hot sign bucket, not
+    to change a single pair."""
+    from open_pulsar_spark.operators.similarity import (
+        _embedding_pairs,
+        _embedding_pairs_blocked,
+    )
+    from tests.conftest import SF_SMALL
+
+    want = {
+        (r.a_id, r.b_id, round(r.cos, 6))
+        for r in _embedding_pairs(spark, SF_SMALL).collect()
+    }
+    got = {
+        (r.a_id, r.b_id, round(r.cos, 6))
+        for r in _embedding_pairs_blocked(
+            spark, SF_SMALL, block_rows=3
+        ).collect()
+    }
+    assert got == want and len(want) > 0

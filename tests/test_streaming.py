@@ -2814,3 +2814,51 @@ def test_index_bucket_skew_profiles_the_live_index(spark, workdir):
         spark, docs.where(F.col("doc_id") % 2 == 0), index, epoch_id=0
     )
     assert index_bucket_skew(spark, index).collect()[0] == prof
+
+
+def test_embedding_index_bucket_skew_matches_recount(spark, workdir):
+    """embedding_index_bucket_skew over a stream-built bucket index:
+    totals agree with an independent recount of the deduped index
+    view, and the empty store yields the empty-family row."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.embedding_stream import (
+        embedding_index_bucket_skew,
+        filter_embeddings_against_index,
+        read_embedding_index,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    empty = embedding_index_bucket_skew(spark, f"{workdir}/no_emb_index")
+    assert empty.collect()[0].n_buckets == 0
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    index = f"{workdir}/emb_skew_index"
+    for k in range(2):
+        filter_embeddings_against_index(
+            spark, vecs.where(F.col("vec_id") % 2 == k), index, epoch_id=k
+        )
+    prof = embedding_index_bucket_skew(spark, index).collect()[0]
+    want = (
+        read_embedding_index(spark, index)
+        .dropDuplicates(["vec_id"])
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum("n").alias("items"),
+            F.count("*").alias("buckets"),
+            F.max("n").alias("mx"),
+            F.sum(F.expr("(n * (n - 1)) div 2")).alias("pairs"),
+        )
+        .collect()[0]
+    )
+    assert prof.family == "index_sign_bucket"
+    assert prof.n_items == want.items
+    assert prof.n_buckets == want.buckets
+    assert prof.max_sz == want.mx
+    assert prof.cand_pairs == Decimal(int(want.pairs))
