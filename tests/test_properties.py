@@ -329,3 +329,76 @@ def test_sequence_containment_equals_first_before_last(events):
             )
             rewrite = occ[t1][0] < occ[t2][-1]
             assert brute == rewrite
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=10**6), max_size=60),
+)
+def test_bucket_profile_math_matches_python_reference(counts):
+    """The round-7 bucket-profile closing arithmetic (candidate mass
+    Σ c·(c−1)/2 and the top-10 mass share) as PURE integer math — the
+    Spark aggregate uses the same expressions, so this pins the
+    reference the oracle and the engine both implement."""
+    mass = sum(c * (c - 1) // 2 for c in counts)
+    top10 = sum(c * (c - 1) // 2 for c in sorted(counts, reverse=True)[:10])
+    # top-10 mass never exceeds the total, and equals it for ≤10 buckets
+    assert 0 <= top10 <= mass
+    if len(counts) <= 10:
+        assert top10 == mass
+    # tie-safety: the share is invariant to WHICH tied boundary bucket
+    # is chosen, because mass is a function of the count alone
+    if mass > 0:
+        import itertools
+
+        best = sorted(counts, reverse=True)[:10]
+        for perm in itertools.islice(
+            itertools.permutations(sorted(counts, reverse=True)[:12]), 3
+        ):
+            chosen = sorted(perm, reverse=True)[:10]
+            if sorted(chosen) == sorted(best):
+                assert sum(c * (c - 1) // 2 for c in chosen) == top10
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    o=st.integers(min_value=0, max_value=10**6),
+    extra=st.integers(min_value=1, max_value=10**6),
+)
+def test_jaccard_decile_integer_floor_matches_float(o, extra):
+    """lsh_s_curve's integer decile least(10, (10·o) div u) equals
+    floor(10·o/u) computed in exact rational arithmetic for every
+    intersection/union — the rounded-double path it replaces fails at
+    binary boundaries like J = 0.3."""
+    from fractions import Fraction
+
+    u = o + extra  # union > intersection unless o = u (handled below)
+    got = min(10, (10 * o) // u)
+    want = min(10, int(Fraction(10 * o, u)))
+    assert got == want
+    assert min(10, (10 * u) // u) == 10  # exact dup lands in bucket 10
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    digits=st.lists(
+        st.tuples(st.integers(1, 9), st.integers(0, 10**7)),
+        min_size=1,
+        max_size=30,
+    ),
+    split=st.integers(min_value=0, max_value=2**31),
+)
+def test_benford_digit_counts_are_additive(digits, split):
+    """The streaming Benford contract's algebra: per-digit counts from
+    any two-way split of the corpus sum to the whole — the property
+    that makes the epoch fold bit-match the batch scan."""
+    whole: dict[int, int] = {}
+    a: dict[int, int] = {}
+    b: dict[int, int] = {}
+    for i, (d, n) in enumerate(digits):
+        whole[d] = whole.get(d, 0) + n
+        part_a = min(n, (split >> (i % 16)) % (n + 1))
+        a[d] = a.get(d, 0) + part_a
+        b[d] = b.get(d, 0) + (n - part_a)
+    for d in whole:
+        assert a.get(d, 0) + b.get(d, 0) == whole[d]
