@@ -187,6 +187,8 @@ EXTRA = [
     "dedup_lsh_capped_recall",
     "ann_sq8_recall",
     "lsh_s_curve",
+    "doc_winnowing_fingerprints",
+    "winnowing_overlap_pairs",
 ]
 
 HEADLINE = [

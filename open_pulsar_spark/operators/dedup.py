@@ -2089,3 +2089,200 @@ def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS) — POSITIONAL
+# local fingerprinting: any shared run of ≥ WINNOW_GUARANTEE tokens is
+# GUARANTEED to share a fingerprint (minhash gives only a probability,
+# and only for whole-doc similarity).
+# --------------------------------------------------------------------------
+WINNOW_K = 3   # token k-grams (the corpus shingle width)
+WINNOW_W = 4   # window of consecutive gram hashes per fingerprint
+WINNOW_GUARANTEE = WINNOW_W + WINNOW_K - 1  # shared run length that MUST match
+WINNOW_MIN_SHARED = 3  # fingerprints two docs must share to pair
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h, fpos, n_windows) — each doc's winnowed fingerprint
+    set: position-ordered k-gram hashes, one fingerprint per length-W
+    window = the window's min hash (rightmost occurrence on ties — the
+    MOSS rule), deduped across overlapping windows.
+
+    Scale: grams explode MAP-SIDE from the token array (one projection,
+    no shuffle); the min-per-window is ONE per-doc window pass (docs
+    are partition keys — bounded groups); the rightmost-tie resolution
+    is a W-offset equi-join back to the gram frame (never a range
+    join). Everything is keyed by doc_id, so no global hot key exists;
+    selected density is ~2/(W+1) of grams, so the fingerprint frame is
+    ~2.4 B/token."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("a")
+    ).withColumn("n", F.size("a"))
+    grams = (
+        toks.where(F.col("n") >= WINNOW_K + WINNOW_W - 1)
+        .select(
+            "doc_id",
+            (F.col("n") - WINNOW_K + 1).alias("n_g"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, n - {WINNOW_K}),"
+                    " i -> concat_ws(' ', element_at(a, i + 1),"
+                    " element_at(a, i + 2), element_at(a, i + 3)))"
+                )
+            ).alias("pos", "gram"),
+        )
+        .select(
+            "doc_id",
+            "n_g",
+            "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    grams = _pin("winnow_grams", grams)
+    grams.count()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        0, WINNOW_W - 1
+    )
+    starts = (
+        grams.withColumn("mn", F.min("h").over(w))
+        .where(F.col("pos") <= F.col("n_g") - WINNOW_W)
+        .select("doc_id", F.col("pos").alias("s"), "mn", "n_g")
+    )
+    off = starts.select(
+        "doc_id",
+        "s",
+        "mn",
+        "n_g",
+        F.explode(
+            F.expr(f"sequence(cast(0 as int), cast({WINNOW_W - 1} as int))")
+        ).alias("off"),
+    ).withColumn("p_pos", F.col("s") + F.col("off"))
+    sel = (
+        off.join(
+            grams.select("doc_id", F.col("pos").alias("p_pos"), "h"),
+            ["doc_id", "p_pos"],
+        )
+        .where(F.col("h") == F.col("mn"))
+        .groupBy("doc_id", "s", "mn", "n_g")
+        .agg(F.max("p_pos").alias("fpos"))
+    )
+    return sel.select(
+        "doc_id",
+        F.col("mn").alias("h"),
+        "fpos",
+        (F.col("n_g") - WINNOW_W + 1).alias("n_windows"),
+    ).distinct()
+
+
+_WINNOW_FPS_CTES = f"""wtoks AS (
+        SELECT doc_id, str_split(text, ' ') AS a, len(str_split(text, ' ')) AS n
+        FROM documents),
+    wgrams AS (
+        SELECT doc_id, (n - {WINNOW_K} + 1)::BIGINT AS n_g, u.pos::BIGINT AS pos,
+               ('0x' || substr(md5(a[u.pos + 1] || ' ' || a[u.pos + 2]
+                   || ' ' || a[u.pos + 3]), 1, 8))::BIGINT AS h
+        FROM wtoks CROSS JOIN unnest(range(0, n - {WINNOW_K} + 1)) AS u(pos)
+        WHERE n >= {WINNOW_K + WINNOW_W - 1}),
+    wstarts AS (
+        SELECT doc_id, pos AS s, n_g,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS mn
+        FROM wgrams),
+    wsel AS (
+        SELECT st.doc_id, st.s, st.mn, st.n_g, max(g.pos) AS fpos
+        FROM (SELECT * FROM wstarts WHERE s <= n_g - {WINNOW_W}) st
+        JOIN wgrams g ON g.doc_id = st.doc_id
+                     AND g.pos BETWEEN st.s AND st.s + {WINNOW_W - 1}
+                     AND g.h = st.mn
+        GROUP BY st.doc_id, st.s, st.mn, st.n_g),
+    wfps AS (
+        SELECT DISTINCT doc_id, mn AS h, fpos,
+               (n_g - {WINNOW_W} + 1)::BIGINT AS n_windows
+        FROM wsel)"""
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTES}
+    SELECT doc_id, max(n_windows)::BIGINT AS n_windows,
+           count(*)::BIGINT AS n_fp,
+           (count(*) * 1000000 // max(n_windows))::BIGINT AS density_ppm
+    FROM wfps
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document WINNOWING fingerprint profile (MOSS:
+    token {WINNOW_K}-gram hashes → min of each {WINNOW_W}-window,
+    rightmost on ties, deduped): fingerprint count and selected
+    density vs the window count. Expected density is ~2/(w+1) ≈ 0.4 —
+    the guarantee the whole scheme buys is POSITIONAL: any shared
+    token run of ≥ {WINNOW_GUARANTEE} tokens between two documents
+    shares at least one fingerprint DETERMINISTICALLY, where minhash
+    offers only a probability and only at whole-document granularity.
+
+    Scale: see _winnow_fps — map-side gram explode, one per-doc window
+    pass, a {WINNOW_W}-offset equi-join; all keyed by doc_id."""
+    fps = _winnow_fps(spark, sf_dir)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.max("n_windows").cast("bigint").alias("n_windows"),
+            F.count("*").cast("bigint").alias("n_fp"),
+            F.expr(
+                "cast(count(*) * 1000000 div max(n_windows) as bigint)"
+            ).alias("density_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "winnowing_overlap_pairs",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTES}
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           count(DISTINCT a.h)::BIGINT AS n_shared
+    FROM (SELECT DISTINCT doc_id, h FROM wfps) a
+    JOIN (SELECT DISTINCT doc_id, h FROM wfps) b
+      ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(DISTINCT a.h) >= {WINNOW_MIN_SHARED}
+    ORDER BY a_id, b_id
+    """,
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing ≥ {WINNOW_MIN_SHARED} winnowing
+    fingerprints — the LOCAL-overlap detector (quotes, plagiarized
+    passages, shared boilerplate runs) sitting between
+    doc_containment_pairs (asymmetric whole-set) and
+    paragraph_neardup_pairs (fixed blocks): winnowing guarantees any
+    shared run of ≥ {WINNOW_GUARANTEE} tokens surfaces, positions
+    intact, without choosing a block boundary.
+
+    Scale: the join is an equi-join on the fingerprint hash —
+    fan-out bounded by real content overlap, the same
+    collision-bounded argument as every banded family here, and the
+    same hot-bucket treatment applies if boilerplate concentrates one
+    hash (lsh_bucket_skew_profile's contract; a HAVING-style cap
+    would mirror _band_candidates_capped)."""
+    fps = _winnow_fps(spark, sf_dir).select("doc_id", "h").distinct()
+    a = fps.select(F.col("doc_id").alias("a_id"), "h")
+    b = fps.select(F.col("doc_id").alias("b_id"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.countDistinct("h").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("a_id", "b_id")
+    )

@@ -180,6 +180,8 @@ AUDITED = [
     "dedup_lsh_capped_recall",
     "ann_sq8_recall",
     "lsh_s_curve",
+    "doc_winnowing_fingerprints",
+    "winnowing_overlap_pairs",
 ]
 
 
