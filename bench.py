@@ -189,6 +189,7 @@ EXTRA = [
     "lsh_s_curve",
     "doc_winnowing_fingerprints",
     "winnowing_overlap_pairs",
+    "embedding_mutual_knn_pairs",
 ]
 
 HEADLINE = [

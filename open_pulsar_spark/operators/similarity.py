@@ -1015,3 +1015,102 @@ def _embedding_pairs_blocked(
                 )
 
     return cells.mapInPandas(cross, "a_id LONG, b_id LONG, cos DOUBLE")
+
+
+# --------------------------------------------------------------------------
+# embedding_mutual_knn_pairs — reciprocal nearest neighbors within sign
+# buckets: the robust linkage criterion (a pair only counts when EACH
+# side ranks the other in its top-k — one-directional hubness links drop).
+# --------------------------------------------------------------------------
+MKNN_K = 3
+
+
+@query(
+    "embedding_mutual_knn_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_SQL} AS nrm,
+                      {_BUCKET_SQL} AS bucket
+               FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        FROM e a JOIN e b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    knn AS (
+        SELECT src, dst, cos,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cos DESC, dst) AS rk
+        FROM scored),
+    topk AS (SELECT src, dst, cos FROM knn WHERE rk <= {MKNN_K})
+    SELECT a.src AS a_id, a.dst AS b_id, round(a.cos, 6) AS cosine
+    FROM topk a JOIN topk b ON a.src = b.dst AND a.dst = b.src
+    WHERE a.src < a.dst
+    ORDER BY a_id, b_id
+    """,
+)
+def embedding_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL k-NN pairs within sign buckets: (a, b) qualifies
+    only when b is in a's top-{MKNN_K} AND a is in b's top-{MKNN_K}
+    (cos desc, id ties) — the mutual-NN criterion semantic dedup and
+    bitext mining use to kill hubness artifacts: a vector near a hub
+    lists the hub, but the hub's own list is full of closer points,
+    so the one-directional link drops. Threshold-free, so it adapts
+    to local density where dedup_embedding_lsh's fixed 0.4 cannot.
+
+    Scale: the same one-bucket-shuffle posture as _embedding_pairs —
+    per-bucket Arrow matmul emits each vector's LOCAL top-{MKNN_K}
+    (≤ k rows/vector leave the kernel, never the n² sims), and
+    reciprocity is one self equi-join of that bounded directed frame
+    on the flipped key. A hot bucket is the module's known skew unit
+    (knob N_PLANES; _embedding_pairs_blocked's grid applies if one
+    degenerates). Float parity: numpy vs DuckDB dot differ ~1e-16;
+    ranking flips need two distinct-vector cosines within ~1e-15 —
+    measure-zero (the module-docstring argument), and output cosines
+    round to 6 dp."""
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    tagged = _tagged_corpus(corpus)
+
+    def topk_of(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, _, un = _block_norm(pdf)
+        order = np.argsort(ids, kind="stable")
+        ids, un = ids[order], un[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"src": [], "dst": [], "cos": []}).astype(
+                {"src": np.int64, "dst": np.int64, "cos": np.float64}
+            )
+        sims = un @ un.T
+        np.fill_diagonal(sims, -np.inf)
+        k = min(MKNN_K, n - 1)
+        out_s, out_d, out_c = [], [], []
+        for i in range(n):
+            row = sims[i]
+            sel = np.lexsort((ids, -row))[:k]
+            out_s.append(np.full(k, ids[i]))
+            out_d.append(ids[sel])
+            out_c.append(row[sel])
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(out_s),
+                "dst": np.concatenate(out_d),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    knn = tagged.groupBy("bucket").applyInPandas(
+        lambda _, pdf: topk_of(pdf), "src LONG, dst LONG, cos DOUBLE"
+    )
+    a = knn.select("src", "dst", "cos")
+    b = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    return (
+        a.join(b, ["src", "dst"], "left_semi")
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("a_id"),
+            F.col("dst").alias("b_id"),
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("a_id", "b_id")
+    )

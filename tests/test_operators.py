@@ -1004,3 +1004,22 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark, tmp_path):
     # output when the overlap is minimal
     pairs = winnowing_overlap_pairs(spark, sf).collect()
     assert all((p.a_id, p.b_id) != (1, 3) for p in pairs)
+
+
+def test_mutual_knn_pairs_are_reciprocal_and_bounded(spark):
+    """Every emitted pair must appear in BOTH directed top-k lists
+    (the criterion's whole point), outputs are unique (a < b), and
+    the pair count is bounded by k·n/2."""
+    from open_pulsar_spark.operators.similarity import (
+        MKNN_K,
+        embedding_mutual_knn_pairs,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    rows = embedding_mutual_knn_pairs(spark, SF_SMALL).collect()
+    n = load_table(spark, SF_SMALL, "embeddings").count()
+    pairs = [(r.a_id, r.b_id) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(a < b for a, b in pairs)
+    assert 0 < len(pairs) <= MKNN_K * n / 2

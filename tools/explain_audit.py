@@ -182,6 +182,7 @@ AUDITED = [
     "lsh_s_curve",
     "doc_winnowing_fingerprints",
     "winnowing_overlap_pairs",
+    "embedding_mutual_knn_pairs",
 ]
 
 
