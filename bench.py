@@ -190,6 +190,7 @@ EXTRA = [
     "doc_winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "embedding_mutual_knn_pairs",
+    "events_value_psi",
 ]
 
 HEADLINE = [

@@ -1051,3 +1051,142 @@ def join_size_report(spark: SparkSession, counts: DataFrame) -> DataFrame:
         for e, est, exact in rows
     ]
     return spark.createDataFrame(out, schema).orderBy("estimator")
+
+
+# --------------------------------------------------------------------------
+# events_value_psi — population-stability-index drift between the corpus's
+# two time halves (the model-monitoring staple next to the KL lang drift).
+# --------------------------------------------------------------------------
+@query(
+    "events_value_psi",
+    oracle="""
+    WITH bounds AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS piv_us
+        FROM events),
+    binned AS (
+        SELECT CASE WHEN epoch_us(ts) < (SELECT piv_us FROM bounds)
+                    THEN 0 ELSE 1 END AS period,
+               floor(log2(greatest(round(value * 100)::BIGINT, 1)))::BIGINT
+                   AS bin
+        FROM events),
+    tot AS (SELECT sum(CASE WHEN period = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+                   sum(CASE WHEN period = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+            FROM binned),
+    cell AS (
+        SELECT bin,
+               sum(CASE WHEN period = 0 THEN 1 ELSE 0 END)::BIGINT AS n_base,
+               sum(CASE WHEN period = 1 THEN 1 ELSE 0 END)::BIGINT AS n_cur
+        FROM binned GROUP BY bin),
+    terms AS (
+        SELECT bin, n_base, n_cur,
+               CASE WHEN n_base > 0 AND n_cur > 0 THEN
+                   CAST(round(
+                       (n_base * 1.0 / (SELECT n0 FROM tot)
+                        - n_cur * 1.0 / (SELECT n1 FROM tot))
+                       * ln((n_base * 1.0 / (SELECT n0 FROM tot))
+                            / (n_cur * 1.0 / (SELECT n1 FROM tot)))
+                       * 1000000000, 0) AS BIGINT)
+               END AS psi_term_nano
+        FROM cell)
+    SELECT bin, n_base, n_cur, psi_term_nano,
+           sum(psi_term_nano) OVER ()::BIGINT AS psi_total_nano
+    FROM terms
+    ORDER BY bin
+    """,
+)
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution
+    between the corpus's two time halves — the model-monitoring
+    staple ('did the input distribution move enough to retrain'):
+    PSI = Σ (p_b − q_b)·ln(p_b/q_b) over value bins, with the usual
+    reading ≤0.1 stable / 0.1-0.25 drifting / >0.25 shifted. Sits
+    next to corpus_source_drift's KL (language mix) and
+    embedding_centroid_drift (vector space) as the numeric-feature
+    leg of the drift suite.
+
+    Determinism: bins are integer powers of two over cents (the
+    doc_length_log_histogram rule — no data-dependent quantile edges,
+    so bin assignment is exact in both engines); the time pivot is
+    integer µs midpoint arithmetic; each ln term is computed with the
+    identical double expression shape and rounded onto a NANO-unit
+    integer grid BEFORE summation (the Benford χ² contract), so the
+    total is order-independent and engine-exact. Bins present in only
+    one half carry a NULL term (the standard smoothed-PSI caveat,
+    surfaced rather than hidden) and drop out of the sum.
+
+    Scale: one pass bins map-side (the pivot is a 1-row aggregate
+    broadcast as a scalar); the cell frame is O(#bins) ≈ 16 rows —
+    the window total runs on that bounded frame. Nothing changes at
+    100 TB except the scan."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    piv = ev.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias(
+            "pivot"
+        )
+    ).first()
+    if piv.pivot is None:
+        return spark.createDataFrame(
+            [],
+            "bin BIGINT, n_base BIGINT, n_cur BIGINT,"
+            " psi_term_nano BIGINT, psi_total_nano BIGINT",
+        )
+    pivot = int(piv.pivot)
+    binned = ev.select(
+        F.when(F.expr(f"unix_micros(ts) < {pivot}"), 0)
+        .otherwise(1)
+        .alias("period"),
+        F.floor(
+            F.log2(
+                F.greatest(
+                    F.round(F.col("value") * 100).cast("bigint"), F.lit(1)
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    tot = binned.agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    ).first()
+    n0, n1 = int(tot.n0), int(tot.n1)
+    cell = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_base"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    term = F.when(
+        (F.col("n_base") > 0) & (F.col("n_cur") > 0),
+        F.round(
+            (
+                F.col("n_base") * F.lit(1.0) / F.lit(n0)
+                - F.col("n_cur") * F.lit(1.0) / F.lit(n1)
+            )
+            * F.log(
+                (F.col("n_base") * F.lit(1.0) / F.lit(n0))
+                / (F.col("n_cur") * F.lit(1.0) / F.lit(n1))
+            )
+            * F.lit(1000000000),
+            0,
+        ).cast("bigint"),
+    ).alias("psi_term_nano")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    return (
+        cell.select("bin", "n_base", "n_cur", term)
+        .select(
+            "*",
+            F.sum("psi_term_nano").over(w).cast("bigint").alias(
+                "psi_total_nano"
+            ),
+        )
+        .orderBy("bin")
+    )

@@ -1023,3 +1023,52 @@ def test_mutual_knn_pairs_are_reciprocal_and_bounded(spark):
     assert len(pairs) == len(set(pairs))
     assert all(a < b for a, b in pairs)
     assert 0 < len(pairs) <= MKNN_K * n / 2
+
+
+def test_psi_is_zero_for_identical_halves_and_detects_shift(spark, tmp_path):
+    """PSI contract on constructed data: two identical half-period
+    distributions give PSI = 0 exactly (every p_b == q_b makes each
+    nano term round to 0); a deliberate distribution shift yields a
+    clearly positive total; empty events give an empty report."""
+    import datetime
+
+    from open_pulsar_spark.registry import all_queries
+
+    q = all_queries()["events_value_psi"]
+
+    def write_sf(name, rows):
+        sf = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "event_id LONG, ts TIMESTAMP, user_id LONG,"
+            " event_type STRING, value DOUBLE, props STRING"
+        ).write.parquet(f"{sf}/events.parquet")
+        return sf
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, day, value):
+        return (i, t0 + datetime.timedelta(days=day), 1, "view", value, "{}")
+
+    same = [ev(i, 0, float(v)) for i, v in enumerate([1, 2, 4, 8, 16] * 8)]
+    same += [
+        ev(100 + i, 10, float(v)) for i, v in enumerate([1, 2, 4, 8, 16] * 8)
+    ]
+    rows = q(spark, write_sf("sf_same", same)).collect()
+    assert rows and all(r.psi_total_nano == 0 for r in rows)
+
+    shifted = [ev(i, 0, 1.0) for i in range(40)]
+    shifted += [ev(100 + i, 10, 400.0) for i in range(40)]
+    rows = q(spark, write_sf("sf_shift", shifted)).collect()
+    # disjoint bins: every term is NULL (one-sided), total NULL — the
+    # surfaced degenerate; a PARTIAL shift must be positive
+    mixed = [ev(i, 0, 1.0) for i in range(30)] + [
+        ev(50 + i, 0, 400.0) for i in range(10)
+    ]
+    mixed += [ev(100 + i, 10, 1.0) for i in range(10)] + [
+        ev(150 + i, 10, 400.0) for i in range(30)
+    ]
+    rows = q(spark, write_sf("sf_mix", mixed)).collect()
+    assert rows and rows[0].psi_total_nano > 0
+
+    empty = write_sf("sf_none", [])
+    assert q(spark, empty).count() == 0

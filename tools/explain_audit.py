@@ -183,6 +183,7 @@ AUDITED = [
     "doc_winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "embedding_mutual_knn_pairs",
+    "events_value_psi",
 ]
 
 
