@@ -191,6 +191,7 @@ EXTRA = [
     "winnowing_overlap_pairs",
     "embedding_mutual_knn_pairs",
     "events_value_psi",
+    "corpus_zipf_fit",
 ]
 
 HEADLINE = [

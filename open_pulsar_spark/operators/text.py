@@ -1404,3 +1404,136 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_id")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_zipf_fit — log-log OLS fit of the token rank-frequency curve
+# (the corpus-health check: natural text slopes ≈ −1; a pipeline bug —
+# dedup gone wrong, boilerplate floods, template spam — bends it).
+# --------------------------------------------------------------------------
+ZIPF_MIN_FREQ = 5  # rank tail below this is sampling noise, excluded
+
+
+@query(
+    "corpus_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(str_split(text, ' ')) AS t FROM documents),
+    vocab AS (
+        SELECT t, count(*)::BIGINT AS freq FROM tok GROUP BY t
+        HAVING count(*) >= {ZIPF_MIN_FREQ}),
+    ranked AS (
+        SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, t) AS rk
+        FROM vocab),
+    pts AS (
+        SELECT CAST(round(ln(rk) * 1000000000, 0) AS HUGEINT) AS x,
+               CAST(round(ln(freq) * 1000000000, 0) AS HUGEINT) AS y
+        FROM ranked),
+    s AS (
+        SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM pts)
+    SELECT n::BIGINT AS n_types,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE, 6) AS slope,
+           round((sy::DOUBLE / n::DOUBLE
+                  - ((n * sxy - sx * sy)::DOUBLE
+                     / (n * sxx - sx * sx)::DOUBLE)
+                    * (sx::DOUBLE / n::DOUBLE)) / 1000000000, 6)
+               AS intercept_ln,
+           CASE WHEN (n * syy - sy * sy) > 0 THEN
+               round(((n * sxy - sx * sy)::DOUBLE
+                      * (n * sxy - sx * sy)::DOUBLE)
+                     / ((n * sxx - sx * sx)::DOUBLE
+                        * (n * syy - sy * sy)::DOUBLE), 6)
+           END AS r2
+    FROM s
+    WHERE n >= 2 AND (n * sxx - sx * sx) > 0
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope, intercept
+    and r² of ln(freq) on ln(rank) over all types with freq ≥
+    {ZIPF_MIN_FREQ} — the one-row corpus-health gauge (natural text
+    slopes ≈ −1 with r² near 1; boilerplate floods flatten the head,
+    failed dedup steepens it, template spam shows as r² collapse).
+    Complements corpus_vocab_growth (Heaps) — that tracks NEW types
+    over corpus order, this checks the equilibrium frequency shape.
+
+    Determinism — the integerize-before-summing doctrine applied to
+    a log-log regression: each point's (ln rank, ln freq) is computed
+    once with the identical double expression and ROUNDED ONTO A
+    NANO-UNIT INTEGER GRID, so all five OLS moments are exact integer
+    sums (DECIMAL38/HUGEINT — order-independent, engine-identical);
+    only the closing divisions run in doubles, on identically-rounded
+    operands (the assortativity contract). Ranks tie on (freq DESC,
+    token) — a total order, identical in both engines.
+
+    Scale: one tokenize explode + one vocab aggregate (map-side
+    combinable); the ranking runs over the FREQ-FLOORED vocab via the
+    distributed prefix rank (never a single-partition window over raw
+    tokens); the moments are one map-combinable aggregate over that
+    frame to a single row."""
+    from open_pulsar_spark.operators.prefix import global_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .where(F.col("freq") >= ZIPF_MIN_FREQ)
+    )
+    aug, totals, release = global_prefix(
+        spark, vocab, [F.desc("freq"), F.asc("t")]
+    )
+    try:
+        pts = aug.select(
+            F.round(F.log(F.col("rk")) * 1000000000, 0)
+            .cast("decimal(38,0)")
+            .alias("x"),
+            F.round(F.log(F.col("freq")) * 1000000000, 0)
+            .cast("decimal(38,0)")
+            .alias("y"),
+        )
+        s = pts.agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("y * y")).alias("syy"),
+        )
+        nd = F.col("n").cast("double")
+        cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+        out = s.where(
+            (F.col("n") >= 2)
+            & ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) > 0)
+        ).select(
+            F.col("n").cast("bigint").alias("n_types"),
+            F.round(cov / vx, 6).alias("slope"),
+            F.round(
+                (
+                    F.col("sy").cast("double") / nd
+                    - (cov / vx) * (F.col("sx").cast("double") / nd)
+                )
+                / F.lit(1000000000.0),
+                6,
+            ).alias("intercept_ln"),
+            F.when(
+                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) > 0,
+                F.round(cov * cov / (vx * vy), 6),
+            ).alias("r2"),
+        )
+        # 1-row result: materialize before releasing the rank caches
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        release()

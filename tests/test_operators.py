@@ -1072,3 +1072,24 @@ def test_psi_is_zero_for_identical_halves_and_detects_shift(spark, tmp_path):
 
     empty = write_sf("sf_none", [])
     assert q(spark, empty).count() == 0
+
+
+def test_zipf_fit_recovers_slope_on_constructed_zipfian_corpus(spark, tmp_path):
+    """corpus_zipf_fit on a corpus built to BE Zipfian (freq of type
+    r = 600 // r, one doc) must recover slope ≈ -1 with high r² —
+    while the engine's synthetic corpus honestly reads as NON-Zipfian
+    (r² ≈ 0.05 at sf0.1), this pins that the gauge itself works."""
+    from open_pulsar_spark.registry import all_queries
+
+    words = []
+    for r in range(1, 61):
+        words += [f"w{r:03d}"] * (600 // r)
+    sf = str(tmp_path / "sf_zipf")
+    spark.createDataFrame(
+        [(1, " ".join(words), "en", "synth", len(words))],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).write.parquet(f"{sf}/documents.parquet")
+    row = all_queries()["corpus_zipf_fit"](spark, sf).collect()[0]
+    assert row.n_types == 60
+    assert -1.2 < row.slope < -0.8
+    assert row.r2 > 0.95

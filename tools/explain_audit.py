@@ -184,6 +184,7 @@ AUDITED = [
     "winnowing_overlap_pairs",
     "embedding_mutual_knn_pairs",
     "events_value_psi",
+    "corpus_zipf_fit",
 ]
 
 
