@@ -1475,15 +1475,31 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed prefix rank (never a single-partition window over raw
     tokens); the moments are one map-combinable aggregate over that
     frame to a single row."""
-    from open_pulsar_spark.operators.prefix import global_prefix
-
     docs = load_table(spark, sf_dir, "documents")
-    vocab = (
+    vocab = vocab_counts(docs)
+    return zipf_fit_from_vocab(spark, vocab)
+
+
+def vocab_counts(docs: DataFrame) -> DataFrame:
+    """documents → (t, freq) token counts — the ONE tokenize+count
+    reduction feeding the batch Zipf fit and the streaming vocabulary
+    ledger's per-epoch partials (token counts are additive, so the
+    folded ledger and a batch scan see identical frequencies)."""
+    return (
         docs.select(F.explode(F.split("text", " ")).alias("t"))
         .groupBy("t")
         .agg(F.count("*").cast("bigint").alias("freq"))
-        .where(F.col("freq") >= ZIPF_MIN_FREQ)
     )
+
+
+def zipf_fit_from_vocab(spark: SparkSession, vocab: DataFrame) -> DataFrame:
+    """(t, freq) vocabulary → the 1-row Zipf OLS table — THE one fit
+    computation, shared by the batch query and the streaming
+    vocabulary ledger's readout (streaming/vocab_stream.py), so the
+    two cannot rank, round or divide differently."""
+    from open_pulsar_spark.operators.prefix import global_prefix
+
+    vocab = vocab.where(F.col("freq") >= ZIPF_MIN_FREQ)
     aug, totals, release = global_prefix(
         spark, vocab, [F.desc("freq"), F.asc("t")]
     )

@@ -2862,3 +2862,79 @@ def test_embedding_index_bucket_skew_matches_recount(spark, workdir):
     assert prof.n_buckets == want.buckets
     assert prof.max_sz == want.mx
     assert prof.cand_pairs == Decimal(int(want.pairs))
+
+
+def test_vocab_stream_folds_to_batch_zipf_fit(spark, workdir):
+    """Streaming vocabulary: token counts are additive, so three
+    epochs fold to the batch corpus_zipf_fit row BIT-IDENTICALLY
+    (shared vocab_counts reduction + zipf_fit_from_vocab closing);
+    a replayed epoch is a no-op by overwrite, and epoch-less writes
+    are refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.vocab_stream import (
+        update_vocab,
+        zipf_readout,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    store = f"{workdir}/vocab_store"
+    for k in range(3):
+        update_vocab(spark, docs.where(F.col("doc_id") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["corpus_zipf_fit"](spark, SF_SMALL).collect()
+    ]
+    got = [tuple(r) for r in zipf_readout(spark, store).collect()]
+    assert got == want
+
+    update_vocab(spark, docs.where(F.col("doc_id") % 3 == 0), store, 0)
+    assert [tuple(r) for r in zipf_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError):
+        update_vocab(spark, docs, store, None)
+
+
+def test_vocab_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_vocab_stream as an actual Structured Streaming query: the
+    folded vocabulary equals the one-shot batch count over the same
+    delivered rows."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.text import vocab_counts
+    from open_pulsar_spark.streaming.vocab_stream import (
+        read_vocab,
+        start_vocab_stream,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    src = f"{workdir}/vocab_src"
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store = f"{workdir}/vocab_live"
+    q = start_vocab_stream(
+        spark,
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/vocab_ck",
+    )
+    q.processAllAvailable()
+    q.stop()
+    want = sorted(
+        tuple(r) for r in vocab_counts(docs).collect()
+    )
+    got = sorted(tuple(r) for r in read_vocab(spark, store).collect())
+    assert got == want
