@@ -2104,10 +2104,21 @@ WINNOW_MIN_SHARED = 3  # fingerprints two docs must share to pair
 
 
 def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scan entry point for _winnow_fps_of (the streaming ledger
+    calls the docs-frame form directly on micro-batches)."""
+    return _winnow_fps_of(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _winnow_fps_of(docs: DataFrame) -> DataFrame:
     """(doc_id, h, fpos, n_windows) — each doc's winnowed fingerprint
     set: position-ordered k-gram hashes, one fingerprint per length-W
     window = the window's min hash (rightmost occurrence on ties — the
-    MOSS rule), deduped across overlapping windows.
+    MOSS rule), deduped across overlapping windows. THE one winnowing
+    computation, shared by the batch queries and the streaming
+    fingerprint index so the two cannot select differently (a doc's
+    set is a pure function of its text — the idempotent fold class).
 
     Scale: grams explode MAP-SIDE from the token array (one projection,
     no shuffle); the min-per-window is ONE per-doc window pass (docs
@@ -2116,7 +2127,6 @@ def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     join). Everything is keyed by doc_id, so no global hot key exists;
     selected density is ~2/(W+1) of grams, so the fingerprint frame is
     ~2.4 B/token."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.split("text", " ").alias("a")
     ).withColumn("n", F.size("a"))

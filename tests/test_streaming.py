@@ -2938,3 +2938,51 @@ def test_vocab_stream_runs_as_real_streaming_query(spark, workdir):
     )
     got = sorted(tuple(r) for r in read_vocab(spark, store).collect())
     assert got == want
+
+
+def test_winnow_stream_folds_to_batch_overlap_pairs(spark, workdir):
+    """Streaming winnowing index: per-doc fingerprint sets are
+    idempotent folds, so three epochs' index reproduces the batch
+    winnowing_overlap_pairs BIT-IDENTICALLY over the union of
+    delivered docs; a replayed epoch is a no-op; the at-ingest screen
+    flags an unindexed near-copy against history."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.winnow_stream import (
+        batch_overlaps_vs_history,
+        overlap_pairs_readout,
+        update_winnow_index,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    store = f"{workdir}/winnow_store"
+    for k in range(3):
+        update_winnow_index(
+            spark, docs.where(F.col("doc_id") % 3 == k), store, k
+        )
+
+    want = [
+        tuple(r)
+        for r in all_queries()["winnowing_overlap_pairs"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    got = [tuple(r) for r in overlap_pairs_readout(spark, store).collect()]
+    assert got == want and len(want) > 0
+
+    update_winnow_index(spark, docs.where(F.col("doc_id") % 3 == 0), store, 0)
+    assert [
+        tuple(r) for r in overlap_pairs_readout(spark, store).collect()
+    ] == want
+
+    # at-ingest screen: a verbatim copy of an indexed doc (new id)
+    # must flag against exactly its source's doc_id
+    src = docs.where(F.col("doc_id") == want[0][0]).collect()[0]
+    probe = spark.createDataFrame(
+        [(10**9, src.text)], "doc_id LONG, text STRING"
+    )
+    hits = batch_overlaps_vs_history(spark, probe, store).collect()
+    assert any(h.hist_id == src.doc_id for h in hits)
