@@ -1091,6 +1091,7 @@ def join_size_report(spark: SparkSession, counts: DataFrame) -> DataFrame:
     SELECT bin, n_base, n_cur, psi_term_nano,
            sum(psi_term_nano) OVER ()::BIGINT AS psi_total_nano
     FROM terms
+    WHERE (SELECT n0 FROM tot) > 0 AND (SELECT n1 FROM tot) > 0
     ORDER BY bin
     """,
 )
@@ -1135,25 +1136,8 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.expr(f"unix_micros(ts) < {pivot}"), 0)
         .otherwise(1)
         .alias("period"),
-        F.floor(
-            F.log2(
-                F.greatest(
-                    F.round(F.col("value") * 100).cast("bigint"), F.lit(1)
-                )
-            )
-        )
-        .cast("bigint")
-        .alias("bin"),
+        value_log_bin(F.col("value")).alias("bin"),
     )
-    tot = binned.agg(
-        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n0"),
-        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n1"),
-    ).first()
-    n0, n1 = int(tot.n0), int(tot.n1)
     cell = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
         .cast("bigint")
@@ -1162,6 +1146,40 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_cur"),
     )
+    return psi_from_cells(spark, cell)
+
+
+def value_log_bin(value):
+    """value → power-of-two cent bin — the ONE binning expression,
+    shared by the batch PSI query and the streaming bin ledger so the
+    two cannot bucket differently."""
+    return (
+        F.floor(
+            F.log2(F.greatest(F.round(value * 100).cast("bigint"), F.lit(1)))
+        )
+        .cast("bigint")
+        .alias("bin")
+    )
+
+
+def psi_from_cells(spark: SparkSession, cell: DataFrame) -> DataFrame:
+    """(bin, n_base, n_cur) cell counts → the PSI table — THE one
+    closing computation (totals, nano-grid terms, order-independent
+    integer total), shared by the batch query and the streaming bin
+    ledger's readout (streaming/psi_stream.py). Empty input (or an
+    empty side) degrades the same way on both engines: missing bins
+    carry NULL terms; zero totals return an empty table."""
+    tot = cell.agg(
+        F.sum("n_base").cast("bigint").alias("n0"),
+        F.sum("n_cur").cast("bigint").alias("n1"),
+    ).first()
+    if tot.n0 is None or tot.n1 is None or tot.n0 == 0 or tot.n1 == 0:
+        return spark.createDataFrame(
+            [],
+            "bin BIGINT, n_base BIGINT, n_cur BIGINT,"
+            " psi_term_nano BIGINT, psi_total_nano BIGINT",
+        )
+    n0, n1 = int(tot.n0), int(tot.n1)
     term = F.when(
         (F.col("n_base") > 0) & (F.col("n_cur") > 0),
         F.round(

@@ -2986,3 +2986,53 @@ def test_winnow_stream_folds_to_batch_overlap_pairs(spark, workdir):
     )
     hits = batch_overlaps_vs_history(spark, probe, store).collect()
     assert any(h.hist_id == src.doc_id for h in hits)
+
+
+def test_psi_stream_matches_batch_closing_bit_for_bit(spark, workdir):
+    """Streaming PSI: freeze the first time half as baseline, fold the
+    second half through three epochs — the readout must BIT-MATCH the
+    batch events_value_psi (whose self-baseline IS that same split,
+    shared psi_from_cells); replayed epochs are no-ops; an empty
+    ledger yields an empty readout (zero-side guard)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.psi_stream import (
+        freeze_baseline,
+        psi_readout,
+        update_psi,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select("ts", "value")
+    piv = ev.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2")
+    ).first()[0]
+    base = ev.where(F.expr(f"unix_micros(ts) < {piv}"))
+    cur = ev.where(F.expr(f"unix_micros(ts) >= {piv}"))
+
+    baseline = f"{workdir}/psi_baseline"
+    store = f"{workdir}/psi_store"
+    freeze_baseline(spark, base, baseline)
+    assert psi_readout(spark, baseline, store).count() == 0  # empty ledger
+
+    cur = cur.withColumn("rnd", F.col("value") * 1000)
+    for k in range(3):
+        update_psi(
+            spark,
+            cur.where(F.expr(f"cast(rnd as bigint) % 3 = {k}")),
+            store,
+            k,
+        )
+    want = [
+        tuple(r)
+        for r in all_queries()["events_value_psi"](spark, SF_SMALL).collect()
+    ]
+    got = [tuple(r) for r in psi_readout(spark, baseline, store).collect()]
+    assert got == want and len(want) > 0
+
+    update_psi(spark, cur.where(F.expr("cast(rnd as bigint) % 3 = 0")), store, 0)
+    assert [
+        tuple(r) for r in psi_readout(spark, baseline, store).collect()
+    ] == want
