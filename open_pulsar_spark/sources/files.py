@@ -118,3 +118,58 @@ def quarantine_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record"):
     clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.where(F.col(corrupt_col).isNotNull())
     return clean, bad
+
+
+STREAM_FORMATS = ("parquet", "orc", "csv", "json", "text")
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    file_format: str = "parquet",
+    schema: StructType | None = None,
+    options: dict[str, str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming twin of read_batch: a file-discovery
+    stream over the same five formats with the same contract —
+    streaming ALWAYS requires the declared schema (Spark refuses
+    streaming inference, and the batch rationale holds doubly: an
+    unbounded source can drift mid-stream), csv/json default to
+    PERMISSIVE so corrupt rows flow to quarantine_corrupt inside
+    foreachBatch instead of killing the query, and text yields the
+    one-`value`-per-line log-tail shape.
+
+    Scale: file discovery is the source's only state (checkpointed by
+    the sink's query); `max_files_per_trigger` is the ingestion-rate
+    knob (the bus.py micro-batch contract). check_schema runs ONCE on
+    the unbounded frame — column drift in files added later surfaces
+    as a per-batch parse failure into the corrupt column, never a
+    silent column reorder, because the declared schema pins the read.
+    """
+    if file_format not in STREAM_FORMATS:
+        raise ValueError(
+            f"unknown format {file_format!r}; one of {STREAM_FORMATS}"
+        )
+    if schema is None and file_format != "text":
+        raise ValueError(
+            "streaming sources require an explicit schema (Spark does "
+            "not infer on unbounded input)"
+        )
+    reader = spark.readStream
+    opts = dict(options or {})
+    if file_format == "csv":
+        opts.setdefault("header", "true")
+        opts.setdefault("mode", "PERMISSIVE")
+    if file_format == "json":
+        opts.setdefault("mode", "PERMISSIVE")
+    if max_files_per_trigger is not None:
+        opts["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = getattr(reader, file_format)(path)
+    if schema is not None:
+        df = check_schema(df, schema)
+    return df

@@ -139,3 +139,55 @@ def test_orc_roundtrip_with_schema_contract(spark, tmp_path):
         raise AssertionError("expected SchemaDriftError")
     except SchemaDriftError:
         pass
+
+
+def test_read_stream_csv_quarantines_corrupt_rows(spark, tmp_path):
+    """read_stream over CSV: clean rows land, corrupt rows quarantine
+    per batch (PERMISSIVE + _corrupt_record through foreachBatch), the
+    schema contract is enforced, and schema-less csv streaming is
+    refused."""
+    import pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from open_pulsar_spark.sources.files import quarantine_corrupt, read_stream
+
+    src = tmp_path / "csv_src"
+    src.mkdir()
+    (src / "a.csv").write_text("id,name\n1,alpha\n2,beta\n")
+    (src / "b.csv").write_text('id,name\nnot_a_number,"unclosed\n3,gamma\n')
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    with pytest.raises(ValueError):
+        read_stream(spark, str(src), "csv")
+
+    stream = read_stream(
+        spark, str(src), "csv", schema=schema, max_files_per_trigger=1
+    )
+    assert stream.isStreaming
+
+    got_clean, got_bad = [], []
+
+    def sink(batch, _epoch):
+        clean, bad = quarantine_corrupt(batch)
+        got_clean.extend((r.id, r.name) for r in clean.collect())
+        got_bad.extend(r._corrupt_record for r in bad.collect())
+
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    assert sorted(got_clean) == [(1, "alpha"), (2, "beta"), (3, "gamma")]
+    assert len(got_bad) == 1 and "not_a_number" in got_bad[0]
