@@ -192,6 +192,7 @@ EXTRA = [
     "embedding_mutual_knn_pairs",
     "events_value_psi",
     "corpus_zipf_fit",
+    "customer_kanonymity_audit",
 ]
 
 HEADLINE = [

@@ -1208,3 +1208,87 @@ def psi_from_cells(spark: SparkSession, cell: DataFrame) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# customer_kanonymity_audit — re-identification risk of the quasi-
+# identifier tuple (the privacy leg of the DQ suite).
+# --------------------------------------------------------------------------
+KANON_QUASI = ("c_nationkey", "c_mktsegment")  # published quasi-identifiers
+KANON_KS = (2, 5, 10)  # the k thresholds a release policy quotes
+
+
+@query(
+    "customer_kanonymity_audit",
+    oracle=f"""
+    WITH g AS (
+        SELECT {", ".join(KANON_QUASI)}, count(*)::BIGINT AS sz
+        FROM customer GROUP BY {", ".join(KANON_QUASI)}),
+    tot AS (SELECT count(*)::BIGINT AS n_groups,
+                   sum(sz)::BIGINT AS n_rows FROM g),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in KANON_KS)}])::INT AS k)
+    SELECT ks.k,
+           (SELECT n_groups FROM tot) AS n_groups,
+           sum(CASE WHEN g.sz < ks.k THEN 1 ELSE 0 END)::BIGINT
+               AS n_groups_below_k,
+           sum(CASE WHEN g.sz < ks.k THEN g.sz ELSE 0 END)::BIGINT
+               AS n_rows_below_k,
+           (sum(CASE WHEN g.sz < ks.k THEN g.sz ELSE 0 END) * 1000000
+               // (SELECT n_rows FROM tot))::BIGINT AS risk_ppm
+    FROM ks CROSS JOIN g
+    GROUP BY ks.k
+    ORDER BY ks.k
+    """,
+)
+def customer_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ANONYMITY audit of the customer table under the published
+    quasi-identifier tuple {KANON_QUASI}: for each policy threshold
+    k ∈ {KANON_KS}, how many equivalence classes are smaller than k
+    and what fraction of ROWS (ppm) sits in them — the
+    re-identification risk number a privacy review quotes before a
+    data release, and the measurement that prices generalization
+    (coarsen a column until risk_ppm is acceptable). The privacy leg
+    of the DQ suite next to doc_pii_scrub (content) and the RTBF
+    tombstone machinery (deletion).
+
+    Scale: ONE groupBy over the quasi-identifier tuple reduces the
+    table to its equivalence classes (map-side combinable); the
+    |ks| × |classes| grading explodes the BOUNDED class frame, never
+    the table. All integer arithmetic."""
+    cust = load_table(spark, sf_dir, "customer").select(*KANON_QUASI)
+    g = cust.groupBy(*KANON_QUASI).agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    g = _pin("kanon_groups", g)
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+    ).first()
+    if tot.n_rows is None:
+        return spark.createDataFrame(
+            [],
+            "k INT, n_groups BIGINT, n_groups_below_k BIGINT,"
+            " n_rows_below_k BIGINT, risk_ppm BIGINT",
+        )
+    n_groups, n_rows = int(tot.n_groups), int(tot.n_rows)
+    ks = spark.createDataFrame([(k,) for k in KANON_KS], "k INT")
+    return (
+        ks.crossJoin(g)
+        .groupBy("k")
+        .agg(
+            F.lit(n_groups).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_groups_below_k"),
+            F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_below_k"),
+            F.expr(
+                f"cast(sum(CASE WHEN sz < k THEN sz ELSE 0 END) * 1000000"
+                f" div {n_rows} as bigint)"
+            ).alias("risk_ppm"),
+        )
+        .orderBy("k")
+    )

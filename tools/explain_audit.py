@@ -185,6 +185,7 @@ AUDITED = [
     "embedding_mutual_knn_pairs",
     "events_value_psi",
     "corpus_zipf_fit",
+    "customer_kanonymity_audit",
 ]
 
 
