@@ -193,6 +193,7 @@ EXTRA = [
     "events_value_psi",
     "corpus_zipf_fit",
     "customer_kanonymity_audit",
+    "events_partition_plan",
 ]
 
 HEADLINE = [

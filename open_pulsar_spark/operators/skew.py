@@ -136,3 +136,102 @@ def skew_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_value"), "user_id")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# events_partition_plan — key-atomic range-partition planning (what
+# repartitionByRange decides, surfaced as a graded artifact).
+# --------------------------------------------------------------------------
+PLAN_PARTS = 32  # target partition count
+
+
+@query(
+    "events_partition_plan",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id),
+    tot AS (SELECT sum(n)::BIGINT AS total FROM c),
+    cum AS (
+        SELECT user_id, n,
+               sum(n) OVER (ORDER BY user_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - n AS start_off
+        FROM c),
+    asg AS (
+        SELECT user_id, n,
+               (start_off * {PLAN_PARTS}) // (SELECT total FROM tot) AS part
+        FROM cum)
+    SELECT part::INT AS part,
+           min(user_id)::BIGINT AS lo_key,
+           max(user_id)::BIGINT AS hi_key,
+           count(*)::BIGINT AS n_keys,
+           sum(n)::BIGINT AS n_rows,
+           (sum(n) * {PLAN_PARTS} * 1000000
+               // (SELECT total FROM tot) - 1000000)::BIGINT AS dev_ppm
+    FROM asg
+    WHERE (SELECT total FROM tot) > 0
+    GROUP BY part
+    ORDER BY part
+    """,
+)
+def events_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition PLAN for the events fact on user_id: the
+    key-atomic boundary assignment repartitionByRange computes from a
+    sample, done exactly — each key's cumulative start offset maps it
+    to partition ⌊start·P/N⌋, so keys never split, partitions stay
+    contiguous in key order, and the per-partition deviation from the
+    ideal N/P (signed ppm) is the skew a layout review reads next to
+    events_key_skew_profile (that says WHETHER the key skews; this
+    says what the resulting partitions would look like — a single key
+    bigger than N/P shows up as one partition's dev_ppm spike that no
+    boundary choice can fix, the salting signal).
+
+    Determinism: the cumulative offset is an exact integer prefix sum
+    over the per-key counts in user_id order, and the assignment and
+    deviations are single integer divisions — bit-identical across
+    engines (no sampling, unlike the RangePartitioner it grades).
+
+    Scale: one groupBy reduces the fact to its keys; the prefix sum
+    runs distributed (prefix.global_prefix — never a single-partition
+    window over the keys frame); the plan aggregate is {PLAN_PARTS}
+    rows."""
+    from open_pulsar_spark.operators.prefix import global_prefix
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    c = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("cnt"))
+    aug, totals, release = global_prefix(
+        spark, c, [F.asc("user_id")], cum_cols=["cnt"]
+    )
+    try:
+        total = int(totals.get("cnt", 0) or 0)
+        if total == 0:
+            return spark.createDataFrame(
+                [],
+                "part INT, lo_key BIGINT, hi_key BIGINT, n_keys BIGINT,"
+                " n_rows BIGINT, dev_ppm BIGINT",
+            )
+        asg = aug.select(
+            "user_id",
+            F.col("cnt").alias("n"),
+            F.expr(f"((cum_cnt - cnt) * {PLAN_PARTS}) div {total}")
+            .cast("int")
+            .alias("part"),
+        )
+        out = (
+            asg.groupBy("part")
+            .agg(
+                F.min("user_id").cast("bigint").alias("lo_key"),
+                F.max("user_id").cast("bigint").alias("hi_key"),
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.expr(
+                    f"cast(sum(n) * {PLAN_PARTS} * 1000000 div {total}"
+                    f" - 1000000 as bigint)"
+                ).alias("dev_ppm"),
+            )
+            .orderBy("part")
+        )
+        # bounded result: materialize before releasing the rank caches
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        release()

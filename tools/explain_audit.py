@@ -186,6 +186,7 @@ AUDITED = [
     "events_value_psi",
     "corpus_zipf_fit",
     "customer_kanonymity_audit",
+    "events_partition_plan",
 ]
 
 
