@@ -1273,9 +1273,12 @@ def customer_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_rows_below_k BIGINT, risk_ppm BIGINT",
         )
     n_groups, n_rows = int(tot.n_groups), int(tot.n_rows)
-    ks = spark.createDataFrame([(k,) for k in KANON_KS], "k INT")
+    # k-grid via map-side explode over the bounded class frame — no
+    # join at all (a crossJoin here compiles to a nested-loop)
+    ks_arr = "array(" + ",".join(str(k) for k in KANON_KS) + ")"
     return (
-        ks.crossJoin(g)
+        g.select("sz", F.explode(F.expr(ks_arr)).alias("k"))
+        .select("sz", F.col("k").cast("int").alias("k"))
         .groupBy("k")
         .agg(
             F.lit(n_groups).cast("bigint").alias("n_groups"),
