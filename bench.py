@@ -194,6 +194,7 @@ EXTRA = [
     "corpus_zipf_fit",
     "customer_kanonymity_audit",
     "events_partition_plan",
+    "revenue_dow_anova",
 ]
 
 HEADLINE = [

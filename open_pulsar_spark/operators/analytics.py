@@ -3701,3 +3701,108 @@ def ewma_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
         )
         .orderBy("week_id")
     )
+
+
+# --------------------------------------------------------------------------
+# revenue_dow_anova — how much of daily-revenue variance the weekday
+# explains (eta-squared), exactly.
+# --------------------------------------------------------------------------
+@query(
+    "revenue_dow_anova",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY 1),
+    dowd AS (
+        SELECT ((date_diff('day', DATE '1970-01-01', day) % 7) + 7) % 7
+                   AS dow,
+               cents
+        FROM daily),
+    g AS (
+        SELECT dow, count(*)::BIGINT AS n_days,
+               sum(cents)::HUGEINT AS s,
+               sum(cents::HUGEINT * cents) AS s2,
+               -- per-group scaled term (S_g^2 * 1e6) // n_g: exact
+               -- integer, so the 7-term between-group sum is
+               -- order-independent
+               (sum(cents)::HUGEINT * sum(cents)::HUGEINT * 1000000)
+                   // count(*) AS a_term
+        FROM dowd GROUP BY dow),
+    tot AS (
+        SELECT sum(n_days)::HUGEINT AS n, sum(s)::HUGEINT AS st,
+               sum(s2)::HUGEINT AS s2t, sum(a_term)::HUGEINT AS a
+        FROM g)
+    SELECT g.dow::INT AS dow, g.n_days,
+           g.s::DECIMAL(38,0) AS revenue_cents,
+           (g.s // g.n_days)::BIGINT AS mean_cents,
+           ((SELECT (a * n - st * st * 1000000) * 1000000
+                 // ((n * s2t - st * st) * 1000000) FROM tot))::BIGINT
+               AS eta2_ppm
+    FROM g
+    WHERE (SELECT n * s2t - st * st FROM tot) > 0
+    ORDER BY dow
+    """,
+)
+def revenue_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily revenue by WEEKDAY: per-dow day counts,
+    totals and floored means, plus η² — the share of daily-revenue
+    variance the weekday factor explains — as one ppm integer. This
+    is the measurement behind the dow-forecast family's assumption
+    (revenue_acf shows the lag-7 cycle exists; this quantifies how
+    much of the variance it is) and the general grouped-variance
+    shape (SSbetween/SStotal) any segmentation claim should quote.
+
+    Determinism — exact-integer ANOVA: SStotal's n·Σx²−(Σx)² is the
+    established exact-moment form; SSbetween needs Σ_g S_g²/n_g,
+    whose per-group division is NOT integer — so each group's term is
+    scaled to (S_g²·10⁶) div n_g FIRST (exact trunc on positive
+    operands, deterministic), making the 7-term between-group sum
+    order-independent; η²_ppm is then one integer division of the
+    scaled moments. The ≤1e-6 per-group truncation is bounded and
+    identical in both engines — never a float. Weekday is
+    ((epoch_day mod 7)+7) mod 7 — the dow-forecast arithmetic, exact
+    for pre-1970 dates too.
+
+    Scale: one shuffle to the day series; everything after runs on
+    the bounded 7-group frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = daily_revenue_cents(orders)
+    dowd = daily.select(
+        F.expr(
+            "((datediff(day, date '1970-01-01') % 7) + 7) % 7"
+        ).alias("dow"),
+        "cents",
+    )
+    g = dowd.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("cast(cents as decimal(38,0)) * cents")).alias("s2"),
+    )
+    # the whole group frame is ≤7 rows — close exactly in Python ints
+    # (unbounded, so S_g² · 10⁶ can never overflow a LONG the way a
+    # decimal `div` would; the join_size_report precedent)
+    schema = (
+        "dow INT, n_days BIGINT, revenue_cents DECIMAL(38,0),"
+        " mean_cents BIGINT, eta2_ppm BIGINT"
+    )
+    rows = sorted(
+        ((int(r.dow), int(r.n_days), int(r.s), int(r.s2)) for r in g.collect())
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    n = sum(r[1] for r in rows)
+    st = sum(r[2] for r in rows)
+    s2t = sum(r[3] for r in rows)
+    a = sum((r[2] * r[2] * 1000000) // r[1] for r in rows)
+    sst_scaled = n * s2t - st * st
+    if sst_scaled <= 0:
+        # constant daily series: eta2 undefined — empty on both engines
+        return spark.createDataFrame([], schema)
+    eta2 = (a * n - st * st * 1000000) * 1000000 // (sst_scaled * 1000000)
+    from decimal import Decimal
+
+    out = [
+        (dow, nd, Decimal(sg), sg // nd, eta2) for dow, nd, sg, _ in rows
+    ]
+    return spark.createDataFrame(out, schema).orderBy("dow")

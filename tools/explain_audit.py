@@ -187,6 +187,7 @@ AUDITED = [
     "corpus_zipf_fit",
     "customer_kanonymity_audit",
     "events_partition_plan",
+    "revenue_dow_anova",
 ]
 
 
