@@ -195,6 +195,7 @@ EXTRA = [
     "customer_kanonymity_audit",
     "events_partition_plan",
     "revenue_dow_anova",
+    "ab_test_sequential",
 ]
 
 HEADLINE = [

@@ -3806,3 +3806,146 @@ def revenue_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dow, nd, Decimal(sg), sg // nd, eta2) for dow, nd, sg, _ in rows
     ]
     return spark.createDataFrame(out, schema).orderBy("dow")
+
+
+# --------------------------------------------------------------------------
+# ab_test_sequential — anytime-valid (peeking-safe) experiment monitor:
+# a time-uniform confidence boundary over the cumulative daily readout.
+# --------------------------------------------------------------------------
+SEQ_ALPHA_INV = 20  # alpha = 0.05, carried as an integer reciprocal
+
+
+@query(
+    "ab_test_sequential",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT ts::DATE AS day,
+               CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                        % 2 = 0
+                    THEN 0 ELSE 1 END AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events),
+    dailyc AS (
+        SELECT day,
+               sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS d_na,
+               sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS d_nb,
+               sum(CASE WHEN v = 0 THEN conv ELSE 0 END)::BIGINT AS d_ca,
+               sum(CASE WHEN v = 1 THEN conv ELSE 0 END)::BIGINT AS d_cb
+        FROM tagged GROUP BY day),
+    cum AS (
+        SELECT day,
+               sum(d_na) OVER w AS n_a, sum(d_nb) OVER w AS n_b,
+               sum(d_ca) OVER w AS c_a, sum(d_cb) OVER w AS c_b
+        FROM dailyc
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW))
+    SELECT day, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           c_a::BIGINT AS conv_a, c_b::BIGINT AS conv_b,
+           (c_a * 1000000 // n_a - c_b * 1000000 // n_b)::BIGINT
+               AS diff_ppm,
+           CASE WHEN least(n_a, n_b) >= 1 THEN
+               CAST(round(sqrt((1.1 * ln(ln(greatest(2 * least(n_a, n_b), 3)))
+                                + ln(5.2 * {SEQ_ALPHA_INV}))
+                               / (2 * least(n_a, n_b))) * 1000000, 0)
+                    AS BIGINT)
+           END AS bound_ppm,
+           CASE WHEN least(n_a, n_b) >= 1 THEN
+               CASE WHEN abs(c_a * 1000000 // n_a - c_b * 1000000 // n_b)
+                        > CAST(round(sqrt((1.1
+                                * ln(ln(greatest(2 * least(n_a, n_b), 3)))
+                                + ln(5.2 * {SEQ_ALPHA_INV}))
+                               / (2 * least(n_a, n_b))) * 1000000, 0)
+                              AS BIGINT)
+                    THEN 1 ELSE 0 END
+           END AS significant
+    FROM cum
+    WHERE n_a > 0 AND n_b > 0
+    ORDER BY day
+    """,
+)
+def ab_test_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEEKING-SAFE experiment monitoring: the cumulative daily A/B
+    readout with a TIME-UNIFORM confidence boundary (a stitched
+    sub-Gaussian bound, Howard-et-al-style ε_n =
+    √((1.1·ln ln 2n + ln(5.2/α))/(2n)) at α = 1/{SEQ_ALPHA_INV}),
+    so 'significant' may be read EVERY day without inflating the
+    false-positive rate — the fixed-horizon z-test (ab_test_report)
+    is only valid at its one pre-registered look, and daily peeking
+    at it is the classic way experiments lie. The boundary shrinks
+    like √(ln ln n / n); the day it first crosses is the earliest
+    honest stopping day.
+
+    Determinism: assignment is the md5-bucket coin; daily and
+    cumulative counts are exact integers (windows over the BOUNDED
+    day frame); rates land on the ppm grid via integer division;
+    the one float — the boundary — is a single identical expression
+    in both engines rounded to the ppm grid per row, and the
+    significance flag compares two already-rounded integers.
+
+    Scale: one shuffle to the (day, variant) frame; cumulative
+    windows and the closing run on the bounded day series."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type"
+    )
+    tagged = ev.select(
+        F.to_date("ts").alias("day"),
+        F.expr(
+            "CASE WHEN conv(substring(md5(cast(user_id as string)), 1, 8),"
+            " 16, 10) % 2 = 0 THEN 0 ELSE 1 END"
+        ).alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    dailyc = tagged.groupBy("day").agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d_na"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d_nb"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("d_ca"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("d_cb"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dailyc.select(
+        "day",
+        F.sum("d_na").over(w).alias("n_a"),
+        F.sum("d_nb").over(w).alias("n_b"),
+        F.sum("d_ca").over(w).alias("c_a"),
+        F.sum("d_cb").over(w).alias("c_b"),
+    ).where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    diff = F.expr("c_a * 1000000 div n_a - c_b * 1000000 div n_b")
+    n_eff = F.least("n_a", "n_b")
+    bound = F.when(
+        n_eff >= 1,
+        F.round(
+            F.sqrt(
+                (
+                    F.lit(1.1)
+                    * F.log(F.log(F.greatest(2 * n_eff, F.lit(3))))
+                    + F.log(F.lit(5.2 * SEQ_ALPHA_INV))
+                )
+                / (2 * n_eff)
+            )
+            * 1000000,
+            0,
+        ).cast("bigint"),
+    )
+    return cum.select(
+        "day",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("c_a").cast("bigint").alias("conv_a"),
+        F.col("c_b").cast("bigint").alias("conv_b"),
+        diff.cast("bigint").alias("diff_ppm"),
+        bound.alias("bound_ppm"),
+        F.when(
+            n_eff >= 1,
+            F.when(F.abs(diff) > bound, 1).otherwise(0),
+        ).alias("significant"),
+    ).orderBy("day")

@@ -1093,3 +1093,24 @@ def test_zipf_fit_recovers_slope_on_constructed_zipfian_corpus(spark, tmp_path):
     assert row.n_types == 60
     assert -1.2 < row.slope < -0.8
     assert row.r2 > 0.95
+
+
+def test_sequential_ab_controls_peeking_on_null_data(spark):
+    """The anytime boundary's defining property on A/A-like data: the
+    deterministic md5 coin splits the same population, so with no
+    real treatment effect the boundary should rarely be crossed —
+    assert the final-day diff sits INSIDE the boundary at this SF,
+    the boundary shrinks monotonically with n, and counts are
+    cumulative (non-decreasing)."""
+    from open_pulsar_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    rows = all_queries()["ab_test_sequential"](spark, SF_SMALL).collect()
+    assert len(rows) > 5
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_a >= prev.n_a and cur.n_b >= prev.n_b
+        if prev.bound_ppm is not None and cur.bound_ppm is not None:
+            assert cur.bound_ppm <= prev.bound_ppm
+    last = rows[-1]
+    assert last.significant == 0
+    assert abs(last.diff_ppm) < last.bound_ppm

@@ -188,6 +188,7 @@ AUDITED = [
     "customer_kanonymity_audit",
     "events_partition_plan",
     "revenue_dow_anova",
+    "ab_test_sequential",
 ]
 
 
