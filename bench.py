@@ -196,6 +196,7 @@ EXTRA = [
     "events_partition_plan",
     "revenue_dow_anova",
     "ab_test_sequential",
+    "multimodal_payload_entropy",
 ]
 
 HEADLINE = [

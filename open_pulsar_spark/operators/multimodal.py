@@ -445,3 +445,115 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return chunk_stats(chunk_counts(docs)).orderBy("kind")
+
+
+# --------------------------------------------------------------------------
+# multimodal_payload_entropy — byte-level Shannon entropy per payload
+# (the corrupt/mislabeled-binary detector: real compressed media sits
+# near 8 bits/byte; text-as-bytes sits near 4-5; a "video" payload at
+# text entropy is a labeling bug).
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_payload_entropy",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               CASE ((doc_id % 3) + 1)
+                    WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text))::BIGINT AS n_bytes
+        FROM documents
+        WHERE octet_length(encode(text)) > 0),
+    by_byte AS (
+        SELECT doc_id, kind, n_bytes,
+               substr(hx, 2 * u.i + 1, 2) AS b
+        FROM p CROSS JOIN unnest(range(0, n_bytes)) AS u(i)),
+    cnt AS (
+        SELECT doc_id, kind, n_bytes, b, count(*)::BIGINT AS c
+        FROM by_byte GROUP BY doc_id, kind, n_bytes, b),
+    ent AS (
+        SELECT doc_id, kind, n_bytes,
+               ((floor(ln(n_bytes) * 1000000000 + 0.5)::HUGEINT * n_bytes
+                 - sum(floor(c * ln(c) * 1000000000 + 0.5)::HUGEINT))
+                // n_bytes)::BIGINT AS h_nano
+        FROM cnt GROUP BY doc_id, kind, n_bytes)
+    SELECT kind, count(*)::BIGINT AS n_payloads,
+           sum(n_bytes)::BIGINT AS total_bytes,
+           min(h_nano)::BIGINT AS min_h_nano,
+           max(h_nano)::BIGINT AS max_h_nano,
+           (sum(h_nano::HUGEINT) // count(*))::BIGINT AS mean_h_nano
+    FROM ent
+    GROUP BY kind
+    ORDER BY kind
+    """,
+)
+def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind byte-entropy profile of the binary payloads — REAL
+    binary analytics over the multimodal column (no decode library
+    needed): each payload's byte histogram yields Shannon entropy
+    H = ln n − (Σ c·ln c)/n in nano-nats. The reading: properly
+    compressed media ≈ ln 256 ≈ 5.545 nats/byte; text-as-bytes sits
+    far lower — so a 'video' payload at text entropy is mislabeled or
+    uncompressed, and near-zero entropy is a stuck/corrupt payload.
+    This is the triage an ingest pipeline runs BEFORE paying for
+    decode (the decode stub stays PIL-gated; entropy needs no codec).
+
+    Determinism: bytes come from the SAME hex-pair explode expression
+    in both engines (no UDF anywhere — hex() of the binary column);
+    each c·ln c term and the ln n term land on a nano integer grid
+    via floor(x·10⁹ + 0.5) (≡ round-half-away for positive x), so the
+    ≤256-term per-doc sum and the per-kind means are exact integer
+    arithmetic — order-independent and engine-identical.
+
+    Scale: the explode is one row per BYTE — map-side from the scan,
+    feeding a map-combinable (doc, byte) count; per-doc frames are
+    ≤256 rows after it. At 100 TB, sample payloads or sketch the
+    histogram per partition; the plan shape (scan → explode →
+    two aggregates) is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = (
+        with_binary_payload(docs)
+        .where(F.col("n_bytes") > 0)
+        .select(
+            "doc_id",
+            "kind",
+            F.hex("payload").alias("hx"),
+            F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        )
+    )
+    by_byte = p.select(
+        "doc_id",
+        "kind",
+        "n_bytes",
+        F.expr(
+            "explode(transform(sequence(0, cast(n_bytes as int) - 1),"
+            " i -> substr(hx, 2 * i + 1, 2)))"
+        ).alias("b"),
+    )
+    cnt = by_byte.groupBy("doc_id", "kind", "n_bytes", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    ent = cnt.groupBy("doc_id", "kind", "n_bytes").agg(
+        F.expr(
+            "cast((cast(floor(ln(n_bytes) * 1000000000 + 0.5d)"
+            "       as decimal(38,0)) * n_bytes"
+            "  - sum(cast(floor(c * ln(c) * 1000000000 + 0.5d)"
+            "        as decimal(38,0))))"
+            " div n_bytes as bigint)"
+        ).alias("h_nano")
+    )
+    return (
+        ent.groupBy("kind")
+        .agg(
+            F.count("*").cast("bigint").alias("n_payloads"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.min("h_nano").cast("bigint").alias("min_h_nano"),
+            F.max("h_nano").cast("bigint").alias("max_h_nano"),
+            F.expr(
+                "cast(sum(cast(h_nano as decimal(38,0))) div count(*)"
+                " as bigint)"
+            ).alias("mean_h_nano"),
+        )
+        .orderBy("kind")
+    )

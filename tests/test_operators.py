@@ -1114,3 +1114,34 @@ def test_sequential_ab_controls_peeking_on_null_data(spark):
     last = rows[-1]
     assert last.significant == 0
     assert abs(last.diff_ppm) < last.bound_ppm
+
+
+def test_payload_entropy_separates_uniform_from_constant(spark, tmp_path):
+    """The entropy gauge's contract on constructed payloads: a
+    constant byte string scores ~0 nano-nats, a 256-symbol uniform
+    string scores ~ln 256, and both engines' integer formula agrees
+    with a direct Python computation to the grid's truncation."""
+    import math
+
+    from open_pulsar_spark.registry import all_queries
+
+    # doc_id % 3: 0->image slot... build one doc per kind with known bytes
+    const_text = "a" * 512
+    uniform_text = "".join(chr(32 + (i % 96)) for i in range(960))
+    sf = str(tmp_path / "sf_ent")
+    spark.createDataFrame(
+        [
+            (0, const_text, "en", "s", len(const_text)),
+            (1, uniform_text, "en", "s", len(uniform_text)),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = {
+        r.kind: r
+        for r in all_queries()["multimodal_payload_entropy"](
+            spark, sf
+        ).collect()
+    }
+    assert rows["image"].mean_h_nano == 0  # doc 0: constant bytes
+    want = round(math.log(96) * 1e9)  # doc 1: exactly uniform over 96 syms
+    assert abs(rows["audio"].mean_h_nano - want) < 1000

@@ -189,6 +189,7 @@ AUDITED = [
     "events_partition_plan",
     "revenue_dow_anova",
     "ab_test_sequential",
+    "multimodal_payload_entropy",
 ]
 
 
