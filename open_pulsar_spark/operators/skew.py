@@ -195,10 +195,22 @@ def events_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs distributed (prefix.global_prefix — never a single-partition
     window over the keys frame); the plan aggregate is {PLAN_PARTS}
     rows."""
-    from open_pulsar_spark.operators.prefix import global_prefix
-
     ev = load_table(spark, sf_dir, "events").select("user_id")
     c = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("cnt"))
+    return partition_plan_from_counts(spark, c)
+
+
+def partition_plan_from_counts(
+    spark: SparkSession, counts: DataFrame
+) -> DataFrame:
+    """(user_id, cnt) per-key counts → the partition plan — THE one
+    planning computation, shared by the batch query and the streaming
+    statistics ledger's readout (streaming/stats_stream.py maintains
+    exactly this count frame for join-size estimation; the same folded
+    ledger now also answers 'what should the range boundaries be')."""
+    from open_pulsar_spark.operators.prefix import global_prefix
+
+    c = counts.select("user_id", F.col("cnt").cast("bigint").alias("cnt"))
     aug, totals, release = global_prefix(
         spark, c, [F.asc("user_id")], cum_cols=["cnt"]
     )

@@ -112,3 +112,21 @@ def start_stats_stream(
         cluster_cols=_CLUSTER_COLS,
         compact_max_segments=compact_max_segments,
     )
+
+
+def partition_plan_readout(spark: SparkSession, store_path: str) -> DataFrame:
+    """Range-partition plan from the SAME stream-maintained per-key
+    count ledger the join-size estimator folds — one additive
+    statistics store, two planning readouts (cardinality estimation
+    AND range boundaries): runs the batch query's
+    partition_plan_from_counts over the folded counts, so the numbers
+    bit-match events_partition_plan over the union of all delivered
+    rows."""
+    from open_pulsar_spark.operators.skew import partition_plan_from_counts
+
+    return partition_plan_from_counts(
+        spark,
+        read_counts(spark, store_path).select(
+            "user_id", F.col("n").alias("cnt")
+        ),
+    )

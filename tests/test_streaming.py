@@ -3036,3 +3036,33 @@ def test_psi_stream_matches_batch_closing_bit_for_bit(spark, workdir):
     assert [
         tuple(r) for r in psi_readout(spark, baseline, store).collect()
     ] == want
+
+
+def test_stats_ledger_also_serves_partition_plan(spark, workdir):
+    """One additive per-key count ledger, two planning readouts: the
+    same store that feeds join-size estimation reproduces the batch
+    events_partition_plan BIT-IDENTICALLY via partition_plan_readout
+    (shared partition_plan_from_counts)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.stats_stream import (
+        partition_plan_readout,
+        update_stats,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    store = f"{workdir}/stats_store_plan"
+    for k in range(3):
+        update_stats(spark, ev.where(F.col("event_id") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["events_partition_plan"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    got = [tuple(r) for r in partition_plan_readout(spark, store).collect()]
+    assert got == want and len(want) > 0
