@@ -197,6 +197,7 @@ EXTRA = [
     "revenue_dow_anova",
     "ab_test_sequential",
     "multimodal_payload_entropy",
+    "winnowing_capped_recall",
 ]
 
 HEADLINE = [

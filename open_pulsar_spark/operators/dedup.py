@@ -2296,3 +2296,94 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# winnowing_capped_recall — the hot-fingerprint cap for the winnowing
+# overlap join, GRADED (the dedup_lsh_capped_recall treatment applied to
+# document-frequency-capped fingerprints).
+# --------------------------------------------------------------------------
+WINNOW_DF_CAP = 2  # bites at test scale (keeps 21/25 pairs, recall 0.84, at sf0.01); at
+#                     100 TB read the df distribution first, as with BAND_CAP
+
+
+@query(
+    "winnowing_capped_recall",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTES},
+    fp AS (SELECT DISTINCT doc_id, h FROM wfps),
+    hot AS (SELECT h FROM fp GROUP BY h
+            HAVING count(*) > {WINNOW_DF_CAP}),
+    kept AS (SELECT f.* FROM fp f ANTI JOIN hot USING (h)),
+    cpairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(DISTINCT a.h) >= {WINNOW_MIN_SHARED}),
+    fpairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(DISTINCT a.h) >= {WINNOW_MIN_SHARED})
+    SELECT {WINNOW_DF_CAP} AS df_cap,
+           (SELECT count(*) FROM cpairs)::BIGINT AS n_capped_pairs,
+           (SELECT count(*) FROM fpairs)::BIGINT AS n_exact_pairs,
+           round((SELECT count(*) FROM cpairs) * 1.0
+                 / nullif((SELECT count(*) FROM fpairs), 0), 6) AS recall
+    """,
+)
+def winnowing_capped_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing overlap join's hot-fingerprint cap, GRADED:
+    pairs found after dropping fingerprints shared by more than
+    {WINNOW_DF_CAP} documents (corpus-wide boilerplate runs — licence
+    headers, templates — whose equi-join fan-out grows as df²) vs the
+    exact join. The df-capped candidate set can only LOSE pairs, so
+    the count ratio is the recall — the same deliberate, priced
+    truncation as dedup_lsh_capped_recall, applied to the positional
+    family (and what the docstring of winnowing_overlap_pairs
+    promised). At 100 TB set the cap from the fingerprint
+    document-frequency distribution the same way the band cap reads
+    lsh_bucket_skew_profile.
+
+    Scale: the hot set is one map-combinable count over the
+    fingerprint frame (bounded by #fingerprints-over-cap — the
+    boilerplate tail), excluded via an AQE-broadcast anti-join; both
+    pair joins are the bounded hash equi-joins of the base query."""
+    fps = _winnow_fps(spark, sf_dir).select("doc_id", "h").distinct()
+    fps = _pin("winnow_fp_capped", fps)
+    fps.count()
+    hot = (
+        fps.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > WINNOW_DF_CAP)
+        .select("h")
+    )
+    kept = fps.join(hot, "h", "left_anti")
+
+    def pairs_of(f: DataFrame) -> DataFrame:
+        a = f.select(F.col("doc_id").alias("a_id"), "h")
+        b = f.select(F.col("doc_id").alias("b_id"), "h")
+        return (
+            a.join(b, "h")
+            .where(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.countDistinct("h").alias("n_shared"))
+            .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        )
+
+    c = pairs_of(kept).agg(
+        F.count("*").cast("bigint").alias("n_capped_pairs")
+    )
+    e = pairs_of(fps).agg(F.count("*").cast("bigint").alias("n_exact_pairs"))
+    return c.crossJoin(e).select(
+        F.lit(WINNOW_DF_CAP).alias("df_cap"),
+        "n_capped_pairs",
+        "n_exact_pairs",
+        F.when(
+            F.col("n_exact_pairs") > 0,
+            F.round(
+                F.col("n_capped_pairs") * F.lit(1.0) / F.col("n_exact_pairs"),
+                6,
+            ),
+        ).alias("recall"),
+    )

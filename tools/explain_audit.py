@@ -190,6 +190,7 @@ AUDITED = [
     "revenue_dow_anova",
     "ab_test_sequential",
     "multimodal_payload_entropy",
+    "winnowing_capped_recall",
 ]
 
 
