@@ -144,6 +144,7 @@ _NESTED_LOOP_ALLOWED = {
                                  # construction
     "dedup_lsh_capped_recall",   # 1-row capped-count × 1-row exact-count,
                                  # broadcast
+    "winnowing_capped_recall",   # same shape: 1-row × 1-row count join
 }
 
 
