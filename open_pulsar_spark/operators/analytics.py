@@ -3897,7 +3897,17 @@ def ab_test_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv"
         ),
     )
-    dailyc = tagged.groupBy("day").agg(
+    dailyc = sequential_daily_counts(tagged)
+    return sequential_from_daily(spark, dailyc)
+
+
+def sequential_daily_counts(tagged: DataFrame) -> DataFrame:
+    """(day, v, conv) tagged events → per-day variant exposure/
+    conversion counts — the ONE reduction feeding the batch monitor
+    and the streaming ledger's per-epoch partials (daily counts are
+    additive, so the folded ledger and a batch scan see identical
+    cumulatives)."""
+    return tagged.groupBy("day").agg(
         F.sum(F.when(F.col("v") == 0, 1).otherwise(0))
         .cast("bigint")
         .alias("d_na"),
@@ -3911,6 +3921,16 @@ def ab_test_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("d_cb"),
     )
+
+
+def sequential_from_daily(
+    spark: SparkSession, dailyc: DataFrame
+) -> DataFrame:
+    """(day, d_na, d_nb, d_ca, d_cb) daily counts → the anytime-valid
+    monitor table — THE one boundary computation, shared by the batch
+    query and the streaming experiment ledger's readout
+    (streaming/sequential_stream.py), so the two cannot round the
+    boundary differently."""
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     cum = dailyc.select(
         "day",

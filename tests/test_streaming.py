@@ -3066,3 +3066,40 @@ def test_stats_ledger_also_serves_partition_plan(spark, workdir):
     ]
     got = [tuple(r) for r in partition_plan_readout(spark, store).collect()]
     assert got == want and len(want) > 0
+
+
+def test_sequential_stream_folds_to_batch_monitor(spark, workdir):
+    """Streaming experiment ledger: daily variant counts are additive,
+    so three epochs fold to the batch ab_test_sequential table
+    BIT-IDENTICALLY (shared tagging, reduction and boundary closing);
+    a replayed epoch is a no-op; epoch-less writes are refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.sequential_stream import (
+        monitor_readout,
+        update_experiment,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    store = f"{workdir}/exp_store"
+    for k in range(3):
+        update_experiment(
+            spark, ev.where(F.col("event_id") % 3 == k), store, k
+        )
+
+    want = [
+        tuple(r)
+        for r in all_queries()["ab_test_sequential"](spark, SF_SMALL).collect()
+    ]
+    got = [tuple(r) for r in monitor_readout(spark, store).collect()]
+    assert got == want and len(want) > 0
+
+    update_experiment(spark, ev.where(F.col("event_id") % 3 == 0), store, 0)
+    assert [tuple(r) for r in monitor_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError):
+        update_experiment(spark, ev, store, None)
