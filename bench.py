@@ -259,6 +259,14 @@ HEADLINE_V2_ADDITIONS = [
     "user_survival_curve",
     "source_bloom_filter",
     "bundle_modularity",
+    # round-7 families: band-key skew diagnosis, positional winnowing
+    # fingerprints, int8-quantized retrieval, numeric drift (PSI),
+    # codec-free binary analytics
+    "lsh_bucket_skew_profile",
+    "doc_winnowing_fingerprints",
+    "ann_sq8_recall",
+    "events_value_psi",
+    "multimodal_payload_entropy",
 ]
 
 
