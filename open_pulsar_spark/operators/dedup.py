@@ -265,6 +265,18 @@ def _scan_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pinned_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc-level minhash signature frame under a KEYED pin: five
+    registry queries read it (pairs, clusters, capped recall, the
+    S-curve, the skew profile) — the first in a session builds and
+    caches, the rest reuse (the _weighted_edges contract applied to
+    the Arrow kernel output; bench's cold-per-sample clearCache still
+    measures each query cold)."""
+    return _pin_keyed(
+        "minhash_sigs", sf_dir, lambda: _scan_sigs(spark, sf_dir)
+    )
+
+
 def _band_frame(sigs: DataFrame) -> DataFrame:
     """(doc_id, m0..mk) → exploded (doc_id, bk) — the one banding
     definition every batch candidate join shares (streaming keeps its
@@ -437,7 +449,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit hash sets instead of shingle strings (identical result,
     modulo md5 collisions the oracle shares by construction).
     """
-    sigs = _pin("minhash_sigs", _scan_sigs(spark, sf_dir))
+    sigs = _pinned_sigs(spark, sf_dir)
     # Materialize the cache BEFORE the self-join references it 4×: AQE
     # runs the join's map stages concurrently, and racing tasks compute
     # an unmaterialized cached partition redundantly (measured 2-10×
@@ -1585,11 +1597,17 @@ def _para_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     once. Within-doc matches are excluded (a_id < b_id): internal
     repetition is doc_repeated_spans' job; this query is the
     cross-document boilerplate detector."""
-    sigs = _pin("para_sigs", _para_sigs(
-        widen_for_kernel(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        )
-    ))
+    sigs = _pin_keyed(
+        "para_sigs",
+        sf_dir,
+        lambda: _para_sigs(
+            widen_for_kernel(
+                load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "text"
+                )
+            )
+        ),
+    )
     sigs.count()  # materialize before the self-join reads it 4x (see _minhash_pairs)
     bands = _para_band_frame(sigs)
     a, b = bands.alias("a"), bands.alias("b")
@@ -1864,16 +1882,19 @@ def lsh_bucket_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument as _band_frame itself."""
     from open_pulsar_spark.operators.similarity import _tagged_corpus
 
-    sigs = _pin("minhash_sigs", _scan_sigs(spark, sf_dir))
+    sigs = _pinned_sigs(spark, sf_dir)
     sigs.count()
     mh = _band_frame(sigs).groupBy("bk").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
-    psigs = _pin(
+    psigs = _pin_keyed(
         "para_sigs",
-        _para_sigs(
+        sf_dir,
+        lambda: _para_sigs(
             widen_for_kernel(
-                load_table(spark, sf_dir, "documents").select("doc_id", "text")
+                load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "text"
+                )
             )
         ),
     )
@@ -1950,7 +1971,7 @@ def dedup_lsh_capped_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-combinable bucket count + an AQE-broadcast anti-join and
     bounds the self-join fan-out at cap² per key — the plan that
     survives a degenerate boilerplate bucket the exact path cannot."""
-    sigs = _pin("minhash_sigs", _scan_sigs(spark, sf_dir))
+    sigs = _pinned_sigs(spark, sf_dir)
     sigs.count()
     exact = _verify_jaccard(sigs, _band_candidates(sigs))
     capped = _verify_jaccard(sigs, _band_candidates_capped(sigs, BAND_CAP))
@@ -2052,7 +2073,7 @@ def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, SCURVE_NUM, SCURVE_DEN, "ppj_sh_scurve",
         with_counts=True,
     )
-    sigs = _pin("minhash_sigs", _scan_sigs(spark, sf_dir))
+    sigs = _pinned_sigs(spark, sf_dir)
     sigs.count()
     cand = _band_candidates(sigs).withColumn("caught", F.lit(1))
     agg = (
@@ -2104,11 +2125,20 @@ WINNOW_MIN_SHARED = 3  # fingerprints two docs must share to pair
 
 
 def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-scan entry point for _winnow_fps_of (the streaming ledger
-    calls the docs-frame form directly on micro-batches)."""
-    return _winnow_fps_of(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    """Corpus-scan entry point for _winnow_fps_of, under a KEYED pin:
+    three registry queries read the fingerprint frame (the per-doc
+    profile, the overlap pairs, the capped recall) — first build per
+    (session, sf_dir), the rest reuse. The streaming ledger calls the
+    docs-frame form directly on micro-batches."""
+    fps = _pin_keyed(
+        "winnow_fps",
+        sf_dir,
+        lambda: _winnow_fps_of(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ),
     )
+    fps.count()
+    return fps
 
 
 def _winnow_fps_of(docs: DataFrame) -> DataFrame:
