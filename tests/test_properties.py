@@ -402,3 +402,39 @@ def test_benford_digit_counts_are_additive(digits, split):
         b[d] = b.get(d, 0) + (n - part_a)
     for d in whole:
         assert a.get(d, 0) + b.get(d, 0) == whole[d]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=10**5), min_size=1,
+                    max_size=200),
+    parts=st.integers(min_value=1, max_value=64),
+)
+def test_partition_plan_assignment_invariants(counts, parts):
+    """events_partition_plan's integer assignment p = ⌊start·P/N⌋ as
+    pure math: partitions are contiguous and monotone in key order,
+    ids stay in [0, P), keys never split, and every partition's row
+    count is < ideal + its largest member key (the key-atomicity
+    bound — balance can only be violated by a single key bigger than
+    the ideal, which is exactly the salting signal the query
+    surfaces)."""
+    n = sum(counts)
+    ideal = n / parts
+    start = 0
+    assignments = []
+    for c in counts:  # keys in order
+        p = (start * parts) // n
+        assignments.append((p, c))
+        start += c
+    ps = [p for p, _ in assignments]
+    assert all(0 <= p < parts for p in ps)
+    assert ps == sorted(ps)  # contiguous in key order
+    from collections import defaultdict
+
+    rows = defaultdict(int)
+    mx = defaultdict(int)
+    for p, c in assignments:
+        rows[p] += c
+        mx[p] = max(mx[p], c)
+    for p, r in rows.items():
+        assert r < ideal + mx[p] + 1
