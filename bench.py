@@ -337,6 +337,23 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # A/A evidence for the noise hypothesis (round-7 task): the r7
+    # headline drifted +20% on unchanged code, and headline samples run
+    # FIRST while EXTRA adds ~8-10 min of JVM churn before the tail is
+    # written. Re-sample the headline AFTER the full EXTRA sweep: if
+    # aa_value ≈ value, suite length doesn't bias the headline and a
+    # cross-round drift is box noise; if aa_value >> value, late-suite
+    # JVM state inflates samples and mins should be read accordingly.
+    aa: dict[str, float] = {}
+    for name in HEADLINE:
+        best, (lo, hi), med, _ = sample(name, runs=2)
+        aa[name] = round(best, 3)
+        print(
+            f"# aa {name}: {aa[name]}s [{lo:.3f}..{hi:.3f}]",
+            file=sys.stderr,
+        )
+    aa_total = round(sum(aa.values()), 3)
+
     total_v2 = round(total + sum(extra[n] for n in HEADLINE_V2_ADDITIONS), 3)
     all_mins_full = {**extra, **timings}
     tpch22_full = round(
@@ -354,6 +371,7 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "value_v2": total_v2,
+                "aa_value": aa_total,
                 "tpch22_total": tpch22_full,
                 "headline_v2": HEADLINE + HEADLINE_V2_ADDITIONS,
                 "unit": "sec",
@@ -362,8 +380,9 @@ def main() -> None:
                 "medians": medians,
                 "extra": extra,
                 "extra_spread": extra_spreads,
+                "aa_queries": aa,
                 "stat": "min",
-                "runs_per_query": {"headline": 5, "extra": 3},
+                "runs_per_query": {"headline": 5, "extra": 3, "aa": 2},
                 "sf": sf,
             }
         )
@@ -390,14 +409,25 @@ def main() -> None:
     ]
     assert len(tpch) == 22, tpch
     tpch22_total = round(sum(all_mins[n] for n in tpch), 2)
+    # "hl_spread": the 21 headline [lo,hi] pairs in HEADLINE list
+    # order (reproducible from this file at the matching commit), 2 dp
+    # — so a cross-round headline drift is adjudicable from artifacts:
+    # a delta inside the recorded spread is box noise, outside it is
+    # real (round-7 task #3). "aa_value" is the post-suite headline
+    # re-total (task #9): compare to "value" for suite-length bias.
     tail_doc = {
         "metric": "headline_queries_total",
         "value": total,
         "value_v2": total_v2,
+        "aa_value": aa_total,
         "unit": "sec",
         "sf": sf,
         "queries": timings,
         "tpch22_total": tpch22_total,
+        "hl_spread": [
+            [round(spreads[n][0], 2), round(spreads[n][1], 2)]
+            for n in HEADLINE
+        ],
         "n_mins": len(names),
         "mins": [round(all_mins[n], 2) for n in names],
     }
@@ -408,6 +438,7 @@ def main() -> None:
         # redundant with "mins" (name-sorted, 2 dp), so drop it first
         del tail_doc["queries"]
         line = json.dumps(tail_doc, separators=(",", ":"))
+    assert len(line) <= 1900, len(line)
     print(line)
     spark.stop()
 

@@ -3734,9 +3734,14 @@ def ewma_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
                sum(s2)::HUGEINT AS s2t, sum(a_term)::HUGEINT AS a
         FROM g)
     SELECT g.dow::INT AS dow, g.n_days,
-           g.s::DECIMAL(38,0) AS revenue_cents,
+           g.s::BIGINT AS revenue_cents,
            (g.s // g.n_days)::BIGINT AS mean_cents,
-           ((SELECT (a * n - st * st * 1000000) * 1000000
+           -- SSbetween >= 0 by Cauchy-Schwarz, but per-group a_term
+           -- truncation can push the scaled numerator a few ulps
+           -- negative when group means are equal: clamp at 0 so the
+           -- (floor vs trunc) negative-division divergence between
+           -- engines can never fire
+           ((SELECT greatest(a * n - st * st * 1000000, 0) * 1000000
                  // ((n * s2t - st * st) * 1000000) FROM tot))::BIGINT
                AS eta2_ppm
     FROM g
@@ -3782,8 +3787,12 @@ def revenue_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole group frame is ≤7 rows — close exactly in Python ints
     # (unbounded, so S_g² · 10⁶ can never overflow a LONG the way a
     # decimal `div` would; the join_size_report precedent)
+    # revenue_cents is emitted as BIGINT: global revenue cents stay
+    # far below 2^63 at any conceivable sf, and the driver's value
+    # hash canonicalizes BIGINT identically on both engines whereas
+    # DECIMAL(38,0) was the round-7 hash-mismatch culprit
     schema = (
-        "dow INT, n_days BIGINT, revenue_cents DECIMAL(38,0),"
+        "dow INT, n_days BIGINT, revenue_cents BIGINT,"
         " mean_cents BIGINT, eta2_ppm BIGINT"
     )
     rows = sorted(
@@ -3799,12 +3808,13 @@ def revenue_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sst_scaled <= 0:
         # constant daily series: eta2 undefined — empty on both engines
         return spark.createDataFrame([], schema)
-    eta2 = (a * n - st * st * 1000000) * 1000000 // (sst_scaled * 1000000)
-    from decimal import Decimal
-
-    out = [
-        (dow, nd, Decimal(sg), sg // nd, eta2) for dow, nd, sg, _ in rows
-    ]
+    # clamp: SSbetween >= 0 mathematically; a_term truncation can
+    # leave the scaled numerator slightly negative (equal means),
+    # where Python // (floor) and DuckDB HUGEINT // (trunc) diverge
+    eta2 = max(a * n - st * st * 1000000, 0) * 1000000 // (
+        sst_scaled * 1000000
+    )
+    out = [(dow, nd, sg, sg // nd, eta2) for dow, nd, sg, _ in rows]
     return spark.createDataFrame(out, schema).orderBy("dow")
 
 

@@ -1780,7 +1780,7 @@ def _bucket_profile_arm(cte: str, family: str) -> str:
            quantile_cont(cnt, 0.5) AS p50_sz,
            quantile_cont(cnt, 0.99) AS p99_sz,
            max(cnt)::BIGINT AS max_sz,
-           {mass}::DECIMAL(38,0) AS cand_pairs,
+           ({mass}::HUGEINT)::VARCHAR AS cand_pairs,
            round({top10} * 1.0 / nullif({mass}, 0), 6) AS top10_mass_share
     FROM {cte}"""
 
@@ -1813,7 +1813,10 @@ def _bucket_profile(counts: DataFrame, family: str) -> DataFrame:
 
     Per-bucket pair counts use BIGINT (exact to cnt ≤ 3·10⁹ — a single
     bucket beyond that has already failed any sane cap and this
-    profile exists to flag it long before); the SUM is DECIMAL(38,0).
+    profile exists to flag it long before); the SUM runs in
+    DECIMAL(38,0) and leaves the query as exact digit STRINGs on both
+    engines (>2^63-capable counters never carry DECIMAL in a final
+    schema — the round-7 driver-hash contract).
     Top-10 tie-safety: mass is monotone in cnt, so the top-10 SUM is
     invariant to which tied boundary buckets are chosen."""
     pair_mass = F.sum(F.expr("(cnt * (cnt - 1)) div 2")).cast("decimal(38,0)")
@@ -1849,7 +1852,7 @@ def _bucket_profile(counts: DataFrame, family: str) -> DataFrame:
             "p50_sz",
             "p99_sz",
             "max_sz",
-            "cand_pairs",
+            F.col("cand_pairs").cast("string").alias("cand_pairs"),
             "top10_mass_share",
         )
     )
@@ -2168,8 +2171,12 @@ def _winnow_fps_of(docs: DataFrame) -> DataFrame:
             F.posexplode(
                 F.expr(
                     f"transform(sequence(0, n - {WINNOW_K}),"
-                    " i -> concat_ws(' ', element_at(a, i + 1),"
-                    " element_at(a, i + 2), element_at(a, i + 3)))"
+                    " i -> concat_ws(' ', "
+                    + ", ".join(
+                        f"element_at(a, i + {j + 1})"
+                        for j in range(WINNOW_K)
+                    )
+                    + "))"
                 )
             ).alias("pos", "gram"),
         )
@@ -2225,8 +2232,11 @@ _WINNOW_FPS_CTES = f"""wtoks AS (
         FROM documents),
     wgrams AS (
         SELECT doc_id, (n - {WINNOW_K} + 1)::BIGINT AS n_g, u.pos::BIGINT AS pos,
-               ('0x' || substr(md5(a[u.pos + 1] || ' ' || a[u.pos + 2]
-                   || ' ' || a[u.pos + 3]), 1, 8))::BIGINT AS h
+               ('0x' || substr(md5({
+                   " || ' ' || ".join(
+                       f"a[u.pos + {j + 1}]" for j in range(WINNOW_K)
+                   )
+               }), 1, 8))::BIGINT AS h
         FROM wtoks CROSS JOIN unnest(range(0, n - {WINNOW_K} + 1)) AS u(pos)
         WHERE n >= {WINNOW_K + WINNOW_W - 1}),
     wstarts AS (

@@ -952,21 +952,26 @@ JSE_HH = 10  # heavy hitters kept exactly by the corrected estimator
                   count(*)::BIGINT AS h FROM hh),
     est AS (
         SELECT 'uniform' AS estimator,
-               (st.big_n * st.big_n // st.ndv)::DECIMAL(38,0) AS est_rows,
-               st.exact_sz::DECIMAL(38,0) AS exact_rows
+               (st.big_n * st.big_n // st.ndv)::HUGEINT AS est_n,
+               st.exact_sz::HUGEINT AS exact_n
         FROM st
         UNION ALL
         SELECT 'hh_corrected',
                (hs.hh_sq
                 + (st.big_n - hs.hh_n) * (st.big_n - hs.hh_n)
-                  // greatest(st.ndv - hs.h, 1))::DECIMAL(38,0),
-               st.exact_sz::DECIMAL(38,0)
+                  // greatest(st.ndv - hs.h, 1))::HUGEINT,
+               st.exact_sz::HUGEINT
         FROM st, hs)
-    SELECT estimator, est_rows, exact_rows,
-           (abs(est_rows - exact_rows)::HUGEINT * 1000000
-               // exact_rows::HUGEINT)::BIGINT AS rel_err_ppm
+    -- >2^63-capable exact counters leave the query as digit STRINGs:
+    -- both engines print the same decimal digits, and the driver's
+    -- value hash canonicalizes STRING identically (DECIMAL(38,0) was
+    -- the round-7 hash-mismatch culprit)
+    SELECT estimator, est_n::VARCHAR AS est_rows,
+           exact_n::VARCHAR AS exact_rows,
+           (abs(est_n - exact_n) * 1000000 // exact_n)::BIGINT
+               AS rel_err_ppm
     FROM est
-    WHERE exact_rows IS NOT NULL
+    WHERE exact_n IS NOT NULL
     ORDER BY estimator
     """,
 )
@@ -1011,8 +1016,8 @@ def join_size_report(spark: SparkSession, counts: DataFrame) -> DataFrame:
     streaming statistics store (streaming/stats_stream.py) so a folded
     count ledger and a batch scan price the statistics identically."""
     schema = (
-        "estimator STRING, est_rows DECIMAL(38,0),"
-        " exact_rows DECIMAL(38,0), rel_err_ppm LONG"
+        "estimator STRING, est_rows STRING,"
+        " exact_rows STRING, rel_err_ppm LONG"
     )
     st = counts.agg(
         F.sum("n").cast("decimal(38,0)").alias("big_n"),
@@ -1036,16 +1041,16 @@ def join_size_report(spark: SparkSession, counts: DataFrame) -> DataFrame:
         ("hh_corrected", corrected, exact),
         ("uniform", uniform, exact),
     ]
-    # DECIMAL(38,0) output: Σn² and N²/ndv exceed 2^63 well before the
-    # 100 TB point (10¹² events at mild skew ⇒ moments ~10²⁰+), so the
-    # report columns carry the same width as the internal arithmetic.
-    from decimal import Decimal
-
+    # STRING output for the exact counters: Σn² and N²/ndv exceed 2^63
+    # well before the 100 TB point (10¹² events at mild skew ⇒ moments
+    # ~10²⁰+), and digit strings are exact at any width while hashing
+    # identically on both engines (unlike DECIMAL(38,0), the round-7
+    # driver-hash culprit). Arithmetic stays in unbounded Python ints.
     out = [
         (
             e,
-            Decimal(int(est)),
-            Decimal(int(exact)),
+            str(int(est)),
+            str(int(exact)),
             abs(int(est) - exact) * 10**6 // exact,
         )
         for e, est, exact in rows

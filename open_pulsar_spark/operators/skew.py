@@ -159,14 +159,17 @@ PLAN_PARTS = 32  # target partition count
         FROM c),
     asg AS (
         SELECT user_id, n,
-               (start_off * {PLAN_PARTS}) // (SELECT total FROM tot) AS part
+               -- HUGEINT before the *P scaling: BIGINT would wrap past
+               -- 2^63/P total rows, silently on Spark's side
+               (start_off::HUGEINT * {PLAN_PARTS})
+                   // (SELECT total FROM tot) AS part
         FROM cum)
     SELECT part::INT AS part,
            min(user_id)::BIGINT AS lo_key,
            max(user_id)::BIGINT AS hi_key,
            count(*)::BIGINT AS n_keys,
            sum(n)::BIGINT AS n_rows,
-           (sum(n) * {PLAN_PARTS} * 1000000
+           (sum(n)::HUGEINT * {PLAN_PARTS} * 1000000
                // (SELECT total FROM tot) - 1000000)::BIGINT AS dev_ppm
     FROM asg
     WHERE (SELECT total FROM tot) > 0
@@ -225,7 +228,14 @@ def partition_plan_from_counts(
         asg = aug.select(
             "user_id",
             F.col("cnt").alias("n"),
-            F.expr(f"((cum_cnt - cnt) * {PLAN_PARTS}) div {total}")
+            # DECIMAL(38,0) before the *P scaling: a BIGINT product
+            # wraps (non-ANSI, silently) past 2^63/P total rows while
+            # DuckDB raises — exactly the 100 TB divergence to avoid.
+            # The quotient itself is < P, so the div result is tiny.
+            F.expr(
+                f"(cast(cum_cnt - cnt as decimal(38,0)) * {PLAN_PARTS})"
+                f" div {total}"
+            )
             .cast("int")
             .alias("part"),
         )
@@ -236,9 +246,12 @@ def partition_plan_from_counts(
                 F.max("user_id").cast("bigint").alias("hi_key"),
                 F.count("*").cast("bigint").alias("n_keys"),
                 F.sum("n").cast("bigint").alias("n_rows"),
+                # same widening: sum(n)*P*1e6 overflows BIGINT past
+                # ~2.9e11 total rows; the div quotient is ≤ ~P·1e6 so
+                # the final BIGINT cast is always safe
                 F.expr(
-                    f"cast(sum(n) * {PLAN_PARTS} * 1000000 div {total}"
-                    f" - 1000000 as bigint)"
+                    f"cast(cast(sum(n) as decimal(38,0)) * {PLAN_PARTS}"
+                    f" * 1000000 div {total} - 1000000 as bigint)"
                 ).alias("dev_ppm"),
             )
             .orderBy("part")

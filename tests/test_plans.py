@@ -149,21 +149,49 @@ _NESTED_LOOP_ALLOWED = {
 
 
 def test_no_query_compiles_to_unbounded_nested_loop(spark):
-    """Engine-wide scale guardrail: every registered query's physical
-    plan is free of CartesianProduct, and free of
-    BroadcastNestedLoopJoin except where a documented bounded scalar /
-    baseline makes it safe. A refactor that silently turns an equi-join
-    into a nested loop fails here, not at 100 TB."""
+    """Engine-wide guardrails, one pass over every registered query:
+
+    1. Scale: the physical plan is free of CartesianProduct, and free
+       of BroadcastNestedLoopJoin except where a documented bounded
+       scalar / baseline makes it safe. A refactor that silently turns
+       an equi-join into a nested loop fails here, not at 100 TB.
+    2. Output-type contract: no FINAL schema carries a DECIMAL column.
+       Round 7's only driver-red row (revenue_dow_anova) was the only
+       query ever sampled with DECIMAL(38,0) in its output — the
+       driver's value-hash canonicalizes it differently from DuckDB.
+       Internal arithmetic may use decimal(38,0) freely; outputs stick
+       to BIGINT/DOUBLE/STRING/DATE/TIMESTAMP (>2^63-capable exact
+       counters leave as digit STRINGs on both engines)."""
+    import contextlib
+    import io
+
+    from pyspark.sql.types import DecimalType
+
     from open_pulsar_spark import registry
 
     offenders = {}
-    for name in sorted(registry.all_queries()):
-        plan = plan_of(spark, name)
+    decimal_outputs = {}
+    for name, qfn in sorted(registry.all_queries().items()):
+        df = qfn(spark, SF_SMALL)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in _NESTED_LOOP_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin"
+        dec_cols = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, DecimalType)
+        ]
+        if dec_cols:
+            decimal_outputs[name] = dec_cols
     assert not offenders, offenders
+    assert not decimal_outputs, (
+        "DECIMAL-typed output columns are a driver-hash hazard "
+        "(round-7 revenue_dow_anova precedent): " + repr(decimal_outputs)
+    )
 
 
 def test_q2_pushes_band_filter_and_broadcasts_dims(spark):
