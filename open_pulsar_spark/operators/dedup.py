@@ -135,14 +135,23 @@ def _pin_keyed(name: str, key: object, build) -> DataFrame:
     """Cross-query generation cache: like _pin, but REUSES the live
     generation when `key` (e.g. the sf_dir) matches instead of
     rebuilding — for intermediates several registry queries share
-    (the co-purchase weighted edge frame). A stale key rebuilds; an
-    external clearCache() merely drops the storage level, so a reused
-    frame silently recomputes its lineage — correct, just uncached
-    (exactly what bench.py's cold-per-sample contract relies on).
-    `build` is a thunk so a cache hit never constructs the plan."""
+    (the co-purchase weighted edge frame). A stale key rebuilds.
+    `build` is a thunk so a cache hit never constructs the plan.
+
+    An external clearCache() (bench.py's cold-per-sample contract)
+    drops the storage level behind our back; a hit must RE-PERSIST
+    then, or the consumer's materializing count() runs uncached and
+    the multi-reference join recomputes the kernel once per reference
+    — the exact regression _pin never had (it re-persisted every
+    call; measured on dedup_minhash_lsh: ~2.0 s cold vs ~1.2 s with
+    the re-persist, sf0.1)."""
     with _PIN_LOCK:
         live = _LIVE_CACHES.get(name)
         if live is not None and _PIN_KEYS.get(name) == key:
+            lvl = live.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                live = live.persist()
+                _LIVE_CACHES[name] = live
             return live
     df = build().persist()
     with _PIN_LOCK:
