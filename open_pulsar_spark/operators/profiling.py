@@ -1266,7 +1266,17 @@ def customer_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from open_pulsar_spark.operators.dedup import _pin
 
-    g = _pin("kanon_groups", g)
+    return kanonymity_report(spark, _pin("kanon_groups", g))
+
+
+def kanonymity_report(spark: SparkSession, groups: DataFrame) -> DataFrame:
+    """(quasi..., sz) equivalence-class frame → the k-grid audit table
+    — THE one k-anonymity computation, shared by the batch query and
+    the streaming class-size ledger (streaming/kanon_stream.py): a
+    folded per-QI-tuple count store and a batch table scan price the
+    release risk identically. Only `sz` is read; the quasi columns
+    exist so the caller's frame is self-describing."""
+    g = groups
     tot = g.agg(
         F.count("*").cast("bigint").alias("n_groups"),
         F.sum("sz").cast("bigint").alias("n_rows"),

@@ -3103,3 +3103,88 @@ def test_sequential_stream_folds_to_batch_monitor(spark, workdir):
 
     with pytest.raises(ValueError):
         update_experiment(spark, ev, store, None)
+
+
+def test_kanon_stream_folds_to_batch_audit(spark, workdir):
+    """Live privacy monitor: per-QI-tuple class sizes are additive, so
+    three epochs of customer rows fold to the batch
+    customer_kanonymity_audit BIT-IDENTICALLY (shared
+    kanonymity_report); a replayed epoch is a no-op by overwrite, and
+    epoch-less writes are refused (additive stores have no safe
+    sentinel)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.kanon_stream import (
+        kanon_readout,
+        update_kanon,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    cust = load_table(spark, SF_SMALL, "customer")
+    store = f"{workdir}/kanon_store"
+    for k in range(3):
+        update_kanon(spark, cust.where(F.col("c_custkey") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["customer_kanonymity_audit"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    got = [tuple(r) for r in kanon_readout(spark, store).collect()]
+    assert got == want
+
+    update_kanon(spark, cust.where(F.col("c_custkey") % 3 == 0), store, 0)
+    assert [tuple(r) for r in kanon_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError):
+        update_kanon(spark, cust, store, None)
+
+
+def test_kanon_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_kanon_stream as an actual Structured Streaming query: the
+    folded class-size ledger equals the one-shot batch fold, and forced
+    auto-compaction leaves it unchanged (epoch-tagged rows keep the
+    dedup-before-sum read double-count-safe through the window)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.kanon_stream import (
+        read_class_sizes,
+        start_kanon_stream,
+        update_kanon,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    cust = load_table(spark, SF_SMALL, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    src = f"{workdir}/cust_kasrc"
+    cust.where(F.col("c_custkey") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    cust.where(F.col("c_custkey") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store = f"{workdir}/kanon_live"
+    q = start_kanon_stream(
+        spark,
+        spark.readStream.schema(
+            "c_custkey LONG, c_nationkey INT, c_mktsegment STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/kanon_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/kanon_ref"
+    update_kanon(spark, cust, ref, 0)
+    got = sorted(tuple(r) for r in read_class_sizes(spark, store).collect())
+    want = sorted(tuple(r) for r in read_class_sizes(spark, ref).collect())
+    assert got == want
