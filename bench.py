@@ -198,6 +198,8 @@ EXTRA = [
     "ab_test_sequential",
     "multimodal_payload_entropy",
     "winnowing_capped_recall",
+    # round-8 additions
+    "winnowing_shared_runs",
 ]
 
 HEADLINE = [

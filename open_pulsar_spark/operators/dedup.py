@@ -2436,3 +2436,122 @@ def winnowing_capped_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("recall"),
     )
+
+
+@query(
+    "winnowing_shared_runs",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTES},
+    fp AS (SELECT DISTINCT doc_id, h, fpos FROM wfps),
+    fph AS (SELECT DISTINCT doc_id, h FROM wfps),
+    pairsq AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM fph a JOIN fph b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(DISTINCT a.h) >= {WINNOW_MIN_SHARED}),
+    sh AS (
+        SELECT DISTINCT p.a_id, p.b_id, a.fpos AS pa,
+               (a.fpos - b.fpos) AS delta
+        FROM pairsq p
+        JOIN fp a ON a.doc_id = p.a_id
+        JOIN fp b ON b.doc_id = p.b_id AND b.h = a.h),
+    rn AS (
+        SELECT a_id, b_id, delta, pa,
+               CASE WHEN pa - lag(pa) OVER (
+                        PARTITION BY a_id, b_id, delta ORDER BY pa)
+                        > {WINNOW_GUARANTEE}
+                    THEN 1 ELSE 0 END AS brk
+        FROM sh),
+    runs AS (
+        SELECT a_id, b_id, delta, pa,
+               sum(brk) OVER (PARTITION BY a_id, b_id, delta ORDER BY pa
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM rn),
+    per_run AS (
+        SELECT a_id, b_id, delta, run_id, count(*)::BIGINT AS n_fp,
+               (max(pa) - min(pa) + {WINNOW_K})::BIGINT AS span
+        FROM runs GROUP BY a_id, b_id, delta, run_id)
+    SELECT a_id, b_id, count(*)::BIGINT AS n_runs,
+           max(span)::BIGINT AS longest_run_tokens,
+           sum(span)::BIGINT AS aligned_tokens,
+           sum(n_fp)::BIGINT AS n_aligned_fp
+    FROM per_run GROUP BY a_id, b_id
+    ORDER BY a_id, b_id
+    """,
+)
+def winnowing_shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote-LENGTH profile for every winnowing overlap pair: the
+    shared fingerprints carry POSITIONS (fpos), so each pair's overlap
+    decomposes into aligned runs — groups of shared fingerprints at a
+    constant positional offset (delta = fpos_a − fpos_b; a verbatim
+    quote keeps one delta for its whole length), split where the gap
+    between consecutive aligned fingerprints exceeds
+    {WINNOW_GUARANTEE} (inside a contiguous shared run the winnowing
+    guarantee keeps selected fingerprints ≤ {WINNOW_W} grams apart;
+    the run boundary adds ≤ {WINNOW_K}−1). Per pair: how many distinct
+    quoted blocks, the longest one in tokens (gram span + {WINNOW_K}),
+    total aligned tokens and fingerprint mass — turning
+    winnowing_overlap_pairs' yes/no detector into the trim-pass
+    work-list (which pairs share a licence header vs a wholesale
+    copied section), the positional answer doc_containment_pairs
+    (set-level) cannot give.
+
+    Scale: the pair gate and the position join are the same
+    hash-equi-joins as winnowing_overlap_pairs (fan-out bounded by
+    real content overlap; the df cap applies upstream if boilerplate
+    concentrates a hash); the run windows partition by
+    (pair, delta) — millions of tiny groups, never a global window.
+    All integer arithmetic."""
+    fps = _winnow_fps(spark, sf_dir)
+    fp = fps.select("doc_id", "h", "fpos").distinct()
+    fph = fp.select("doc_id", "h").distinct()
+    a = fph.select(F.col("doc_id").alias("a_id"), "h")
+    b = fph.select(F.col("doc_id").alias("b_id"), "h")
+    pairsq = (
+        a.join(b, "h")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.countDistinct("h").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .select("a_id", "b_id")
+    )
+    fa = fp.select(
+        F.col("doc_id").alias("a_id"), "h", F.col("fpos").alias("pa")
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("b_id"), "h", F.col("fpos").alias("pb")
+    )
+    sh = (
+        pairsq.join(fa, "a_id")
+        .join(fb, ["b_id", "h"])
+        .select("a_id", "b_id", "pa", (F.col("pa") - F.col("pb")).alias("delta"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("a_id", "b_id", "delta").orderBy("pa")
+    runs = sh.withColumn(
+        "brk",
+        F.when(
+            F.col("pa") - F.lag("pa").over(w) > WINNOW_GUARANTEE, 1
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_run = runs.groupBy("a_id", "b_id", "delta", "run_id").agg(
+        F.count("*").cast("bigint").alias("n_fp"),
+        (F.max("pa") - F.min("pa") + F.lit(WINNOW_K))
+        .cast("bigint")
+        .alias("span"),
+    )
+    return (
+        per_run.groupBy("a_id", "b_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_runs"),
+            F.max("span").cast("bigint").alias("longest_run_tokens"),
+            F.sum("span").cast("bigint").alias("aligned_tokens"),
+            F.sum("n_fp").cast("bigint").alias("n_aligned_fp"),
+        )
+        .orderBy("a_id", "b_id")
+    )

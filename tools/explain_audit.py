@@ -191,6 +191,8 @@ AUDITED = [
     "ab_test_sequential",
     "multimodal_payload_entropy",
     "winnowing_capped_recall",
+    # round-8 additions
+    "winnowing_shared_runs",
 ]
 
 
