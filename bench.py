@@ -200,6 +200,10 @@ EXTRA = [
     "winnowing_capped_recall",
     # round-8 additions
     "winnowing_shared_runs",
+    "bm25_topk",
+    "copurchase_link_prediction",
+    "context_window_packing",
+    "revenue_bootstrap_ci",
 ]
 
 HEADLINE = [

@@ -3979,3 +3979,148 @@ def sequential_from_daily(
             F.when(F.abs(diff) > bound, 1).otherwise(0),
         ).alias("significant"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# revenue_bootstrap_ci — deterministic Poisson-bootstrap confidence
+# interval for mean daily revenue (uncertainty as a first-class readout).
+# --------------------------------------------------------------------------
+BOOT_B = 40  # replicates; nearest-rank 2.5%/97.5% = ranks 1 and 39
+# Poisson(1) CDF on the 1e6 integer grid (cumulative, k = 0..6; the
+# ≥7 tail, p ≈ 8.3e-5, is lumped into weight 7 — documented
+# truncation). Hardcoded identically on both engines: the draw is
+# pure integer compares, no runtime float.
+_POIS_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406, 999917)
+
+
+def _pois_case(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF_PPM)
+    )
+    return f"CASE {arms} ELSE 7 END"
+
+
+@query(
+    "revenue_bootstrap_ci",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY 1),
+    d AS (SELECT date_diff('day', DATE '1970-01-01', day)::BIGINT AS dd,
+                 cents
+          FROM daily),
+    rep AS (
+        SELECT bb.b, dd, cents,
+               ('0x' || substr(md5(dd::VARCHAR || '|' || bb.b::VARCHAR),
+                               1, 8))::BIGINT % 1000000 AS u
+        FROM d CROSS JOIN (SELECT unnest(range(0, {BOOT_B})) AS b) bb),
+    wts AS (SELECT b, cents, {_pois_case('u')} AS w FROM rep),
+    g AS (SELECT b, sum(w)::HUGEINT AS sw,
+                 sum(w::HUGEINT * cents) AS swc
+          FROM wts GROUP BY b),
+    means AS (SELECT b, (swc // sw)::BIGINT AS m FROM g WHERE sw > 0),
+    rk AS (SELECT m, row_number() OVER (ORDER BY m, b) AS r,
+                  count(*) OVER () AS nb
+           FROM means),
+    tot AS (SELECT count(*)::BIGINT AS n_days,
+                   sum(cents)::HUGEINT AS sc FROM d)
+    SELECT (SELECT n_days FROM tot) AS n_days,
+           (SELECT (sc // n_days)::BIGINT FROM tot) AS mean_cents,
+           max(nb)::BIGINT AS n_boot,
+           max(CASE WHEN r = (nb * 25 + 999) // 1000 THEN m END)::BIGINT
+               AS boot_lo_cents,
+           max(CASE WHEN r = (nb * 975 + 999) // 1000 THEN m END)::BIGINT
+               AS boot_hi_cents
+    FROM rk
+    HAVING count(*) > 0
+    """,
+)
+def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for MEAN DAILY REVENUE — the
+    uncertainty readout every point estimate in the revenue family
+    (trend, EWMA, changepoint levels) should be quoted with: each of
+    {BOOT_B} replicates reweights every DAY by a deterministic
+    Poisson(1) draw (the streaming-friendly bootstrap — no resample
+    indices, one weight per (unit, replicate)), the replicate means
+    are ranked, and the nearest-rank 2.5%/97.5% means bound the CI.
+    Days are the resampling unit (cluster bootstrap): daily revenues
+    are the exchangeable units of this series, and resampling rows
+    inside a day would understate day-level variance.
+
+    Determinism: the draw is md5(epoch_day | replicate) reduced to a
+    1e6 grid and cut by the HARDCODED Poisson CDF thresholds (no
+    runtime float anywhere — both engines compare the same integers);
+    replicate means are single trunc-divs of exact integer sums; the
+    rank cut breaks ties on (mean, replicate). The ≥7 tail of
+    Poisson(1) (p ≈ 8.3e-5) is lumped into weight 7.
+
+    Scale: the bootstrap runs on the AGGREGATED day frame (one
+    shuffle to days, shared shape with the CUSUM/ACF family), so the
+    ×{BOOT_B} replicate explode amplifies a frame of |days| rows, not
+    the fact table; the replicate aggregate is {BOOT_B} groups. At
+    100 TB the day frame is still ~10⁵ rows — the explode stays
+    negligible next to the orders scan (never Poisson-weight raw rows
+    for a day-level statistic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return bootstrap_ci_from_daily(spark, daily_revenue_cents(orders))
+
+
+def bootstrap_ci_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """(day, cents) series → the 1-row bootstrap-CI table — THE one
+    CI computation, shared by the batch query and the streaming day
+    ledger's readout (streaming/cusum_stream.bootstrap_readout): the
+    same additive store that serves CUSUM/ACF/EWMA also quotes the
+    uncertainty of its own mean, bit-matched to the batch answer."""
+    d = daily.select(
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("dd"),
+        "cents",
+    )
+    schema = (
+        "n_days BIGINT, mean_cents BIGINT, n_boot BIGINT,"
+        " boot_lo_cents BIGINT, boot_hi_cents BIGINT"
+    )
+    tot = d.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sc"),
+    ).first()
+    if not tot.n_days:
+        return spark.createDataFrame([], schema)
+    n_days, sc = int(tot.n_days), int(tot.sc)
+    rep = d.select(
+        "dd",
+        "cents",
+        F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
+    ).select(
+        "b",
+        "cents",
+        F.expr(
+            "conv(substring(md5(concat(cast(dd as string), '|',"
+            " cast(b as string))), 1, 8), 16, 10)"
+        )
+        .cast("bigint")
+        .alias("uh"),
+    )
+    wts = rep.select(
+        "b", "cents", F.expr(_pois_case("(uh % 1000000)")).alias("w")
+    )
+    g = wts.groupBy("b").agg(
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.expr("cast(w as decimal(38,0)) * cents")).alias("swc"),
+    )
+    # ≤ BOOT_B rows: close the ranked cut exactly in Python ints (the
+    # revenue_dow_anova precedent — unbounded ints, no engine div)
+    means = sorted(
+        (int(r.swc) // int(r.sw), int(r.b))
+        for r in g.collect()
+        if r.sw is not None and int(r.sw) > 0
+    )
+    if not means:
+        return spark.createDataFrame([], schema)
+    nb = len(means)
+    lo = means[(nb * 25 + 999) // 1000 - 1][0]
+    hi = means[(nb * 975 + 999) // 1000 - 1][0]
+    row = (n_days, sc // n_days, nb, lo, hi)
+    return spark.createDataFrame([row], schema)

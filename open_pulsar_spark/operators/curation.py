@@ -1670,3 +1670,119 @@ def token_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("t").alias("token"), "community", "n_members")
         .orderBy("community", "token")
     )
+
+
+# --------------------------------------------------------------------------
+# context_window_packing — fixed-context concat-and-chunk layout profile
+# (the LLM pretraining packing: how many windows, how much padding, how
+# many documents fragment across window boundaries).
+# --------------------------------------------------------------------------
+CTX_TOKENS = 512
+
+
+@query(
+    "context_window_packing",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               len(str_split(text, ' '))::BIGINT AS n_toks
+        FROM documents),
+    laid AS (
+        SELECT doc_id, source, n_toks,
+               (sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n_toks) AS start_off
+        FROM sized),
+    marked AS (
+        SELECT source, n_toks,
+               CASE WHEN start_off // {CTX_TOKENS}
+                        <> (start_off + n_toks - 1) // {CTX_TOKENS}
+                    THEN 1 ELSE 0 END AS split
+        FROM laid)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS total_tokens,
+           ((sum(n_toks) + {CTX_TOKENS} - 1) // {CTX_TOKENS})::BIGINT
+               AS n_windows,
+           (((sum(n_toks) + {CTX_TOKENS} - 1) // {CTX_TOKENS})
+               * {CTX_TOKENS} - sum(n_toks))::BIGINT AS pad_tokens,
+           ((((sum(n_toks) + {CTX_TOKENS} - 1) // {CTX_TOKENS})
+               * {CTX_TOKENS} - sum(n_toks)) * 1000000
+               // (((sum(n_toks) + {CTX_TOKENS} - 1) // {CTX_TOKENS})
+                   * {CTX_TOKENS}))::BIGINT AS pad_ppm,
+           sum(split)::BIGINT AS split_docs,
+           (sum(split) * 1000000 // count(*))::BIGINT AS split_ppm
+    FROM marked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context PACKING profile per source: lay each source's
+    documents out in doc_id order, concatenate, and chunk into
+    {CTX_TOKENS}-token training windows (the standard LLM pretraining
+    'concat-and-chunk' — no per-document padding, one partial window
+    at the end). Reports window count, padding (absolute + ppm — the
+    compute wasted on pad tokens), and the documents that FRAGMENT
+    across a window boundary (split_docs / split_ppm — the fraction of
+    examples whose context is cut mid-document, the quality cost the
+    padding saving buys). Next to doc_shard_packing (file-level
+    layout) this is the example-level layout readout a training-data
+    team quotes when choosing context length and whether to add
+    document-boundary resets.
+
+    Determinism: a doc splits iff its exclusive prefix offset and its
+    last token land in different windows — pure integer trunc-div on
+    non-negative operands, identical in both engines; every reported
+    quantity is an exact integer.
+
+    Scale: one window shuffle on the layout key (source, doc_id
+    order) for the prefix offsets, then one aggregate per source. At
+    100 TB the per-source prefix chains across doc_id ranges from a
+    per-range token-total manifest exactly like doc_shard_packing —
+    the assignment depends only on the prefix sum, so it is
+    incrementally recomputable when docs are appended."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    laid = sized.withColumn(
+        "start_off", F.sum("n_toks").over(w) - F.col("n_toks")
+    )
+    marked = laid.select(
+        "source",
+        "n_toks",
+        F.expr(
+            f"CASE WHEN start_off div {CTX_TOKENS}"
+            f" <> (start_off + n_toks - 1) div {CTX_TOKENS}"
+            " THEN 1 ELSE 0 END"
+        ).alias("split"),
+    )
+    nw = f"((sum(n_toks) + {CTX_TOKENS} - 1) div {CTX_TOKENS})"
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.expr(f"cast({nw} as bigint)").alias("n_windows"),
+            F.expr(
+                f"cast({nw} * {CTX_TOKENS} - sum(n_toks) as bigint)"
+            ).alias("pad_tokens"),
+            F.expr(
+                f"cast(({nw} * {CTX_TOKENS} - sum(n_toks)) * 1000000"
+                f" div ({nw} * {CTX_TOKENS}) as bigint)"
+            ).alias("pad_ppm"),
+            F.sum("split").cast("bigint").alias("split_docs"),
+            F.expr(
+                "cast(sum(split) * 1000000 div count(*) as bigint)"
+            ).alias("split_ppm"),
+        )
+        .orderBy("source")
+    )

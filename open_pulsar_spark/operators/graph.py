@@ -974,3 +974,124 @@ def bundle_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("internal_edges"), "bundle_rep")
         .limit(MODULARITY_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# copurchase_link_prediction — Adamic-Adar scores for NON-edges (the
+# link-prediction classic: which parts SHOULD co-occur but don't yet).
+# --------------------------------------------------------------------------
+AA_TOP = 20
+AA_DEG_CAP = 64  # max degree for the COMMON-NEIGHBOR role: a hub's
+#                  wedge fan-out is C(d,2) while its score weight
+#                  1/ln(d) is the smallest possible term — capping
+#                  drops the quadratically-expensive, least-informative
+#                  wedges. Never bites on the real bundle graph (max
+#                  degree 13 at sf0.01, 6 at sf0.1); exists so the
+#                  plan is degree-bounded BY CONSTRUCTION at 100 TB.
+
+
+@query(
+    "copurchase_link_prediction",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    pairs AS (
+        SELECT a.pk AS a_id, b.pk AS b_id
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk HAVING count(*) >= {BUNDLE_MIN_W}),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    deg AS (SELECT u AS n, count(*)::BIGINT AS d FROM edges GROUP BY u),
+    wedge AS (
+        SELECT e1.v AS a, e2.v AS b, e1.u AS w
+        FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v),
+    scored AS (
+        SELECT a, b, count(*)::BIGINT AS common_nbrs,
+               sum(CAST(round(1000000000.0 / ln(d.d), 0) AS BIGINT))::BIGINT
+                   AS aa_ppb
+        FROM wedge
+        JOIN deg d ON d.n = wedge.w AND d.d <= {AA_DEG_CAP}
+        GROUP BY a, b),
+    nonedge AS (
+        SELECT s.* FROM scored s
+        ANTI JOIN pairs p ON s.a = p.a_id AND s.b = p.b_id)
+    SELECT a AS u, b AS v, common_nbrs, aa_ppb
+    FROM nonedge
+    ORDER BY aa_ppb DESC, u, v
+    LIMIT {AA_TOP}
+    """,
+)
+def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{AA_TOP} NON-adjacent part pairs by Adamic-Adar score —
+    link prediction on the BUNDLE graph (co-purchase edges with
+    weight ≥ {BUNDLE_MIN_W}, the part_bundle_components threshold:
+    one-off co-occurrences are noise edges that would both drown the
+    score and quadratically inflate the wedge set): pairs that share
+    many bundle neighbors, each common neighbor w weighted
+    1/ln(deg w) (a rare shared neighbor says more than a hub),
+    restricted to pairs with NO existing bundle edge. This is the
+    'assortment gap' readout a recommender ships next to
+    copurchase_rec_hitrate's 'also-bought': hitrate grades edges that
+    exist; this ranks the edges to create.
+
+    Determinism: each neighbor's 1/ln(deg) is rounded onto the ppb
+    integer grid BEFORE the per-pair sum (the PSI/keyness contract —
+    order-independent BIGINT totals); a common neighbor has degree ≥ 2
+    by construction, so ln(d) ≥ ln 2 and the grid term is bounded by
+    ~1.44e9. Ranking ties break on (u, v).
+
+    Scale: no wedge JOIN — each vertex's sorted neighbor array comes
+    from ONE groupBy over the shared pinned edge frame, and its
+    C(d, 2) candidate pairs explode MAP-SIDE with the 1/ln(d) term
+    attached (the _undirected_pairs expression over adjacency instead
+    of baskets); one (a, b) aggregate and a broadcast-able anti-join
+    against the existing edges close it. Hub fan-out is the standard
+    AA cost (Σ d²), so the common-neighbor role carries an explicit
+    degree cap ({AA_DEG_CAP} — see the constant: plan bounded at
+    cap²/vertex BY CONSTRUCTION, the lsh_bucket_skew_profile
+    treatment, in the semantics of both engines rather than a silent
+    truncation; it never bites on the real bundle graph whose max
+    degree is an order of magnitude below it)."""
+    eu = (
+        _weighted_edges(spark, sf_dir)
+        .where(F.col("w") >= BUNDLE_MIN_W)
+        .select("u", "v")
+    )
+    edges = eu.unionAll(eu.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    adj = (
+        edges.groupBy("u")
+        .agg(F.sort_array(F.collect_set("v")).alias("ns"))
+        .where(F.size("ns") <= AA_DEG_CAP)
+    )
+    wedges = adj.select(
+        F.expr(
+            "cast(round(1000000000.0 / ln(cast(size(ns) as double)), 0)"
+            " as bigint)"
+        ).alias("term_ppb"),
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (x, i) ->"
+                " transform(slice(ns, i + 2, size(ns) - i - 1),"
+                "           y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p"),
+    ).select("p.a", "p.b", "term_ppb")
+    scored = wedges.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("common_nbrs"),
+        F.sum("term_ppb").cast("bigint").alias("aa_ppb"),
+    )
+    nonedge = scored.join(
+        eu.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        nonedge.select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "common_nbrs",
+            "aa_ppb",
+        )
+        .orderBy(F.desc("aa_ppb"), "u", "v")
+        .limit(AA_TOP)
+    )

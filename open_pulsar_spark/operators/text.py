@@ -1553,3 +1553,141 @@ def zipf_fit_from_vocab(spark: SparkSession, vocab: DataFrame) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         release()
+
+
+# --------------------------------------------------------------------------
+# bm25_topk — Okapi BM25 retrieval over the inverted index, exact-integer
+# scoring (the sparse-retrieval classic next to tf-idf and RRF).
+# --------------------------------------------------------------------------
+BM25_QUERIES = 8   # doc_id < 8 are the query documents (the retrieval
+#                    family's probe convention: similarity.N_QUERIES)
+BM25_TOP_K = 5
+# k1 = 6/5, b = 3/4 (the standard 1.2 / 0.75) carried as EXACT
+# rationals: with dl, tf, total_dl, N integers, the tf-saturation term
+#   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),  avgdl = total_dl/N
+# multiplies out to the integer ratio
+#   44·tf·total_dl / (20·tf·total_dl + 6·total_dl + 18·dl·N)
+# — numerator and denominator exact on both engines.
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, u.t FROM (
+            SELECT doc_id, str_split(text, ' ') AS a FROM documents)
+        CROSS JOIN unnest(a) AS u(t)),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*)::BIGINT AS n_docs,
+                     sum(dl)::BIGINT AS total_dl FROM dl),
+    tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf
+           FROM toks GROUP BY doc_id, t),
+    idf AS (
+        SELECT t, CAST(round(ln(
+                   ((SELECT n_docs FROM stats) - count(*) + 0.5)
+                   / (count(*) + 0.5) + 1.0) * 1000000000, 0) AS BIGINT)
+                   AS idf_ppb
+        FROM tf GROUP BY t),
+    q AS (SELECT doc_id AS query_id, t FROM tf
+          WHERE doc_id < {BM25_QUERIES}),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               sum((idf.idf_ppb::HUGEINT * (44 * tf.tf
+                        * (SELECT total_dl FROM stats)))
+                   // (20 * tf.tf::HUGEINT * (SELECT total_dl FROM stats)
+                       + 6 * (SELECT total_dl FROM stats)
+                       + 18 * dl.dl * (SELECT n_docs FROM stats))
+                  )::BIGINT AS score_ppb
+        FROM q
+        JOIN tf ON tf.t = q.t AND tf.doc_id <> q.query_id
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN idf ON idf.t = q.t
+        GROUP BY q.query_id, tf.doc_id)
+    SELECT query_id, doc_id, score_ppb, rk FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_ppb DESC, doc_id) AS rk
+        FROM scored)
+    WHERE rk <= {BM25_TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{BM25_TOP_K} retrieval: the {BM25_QUERIES} probe
+    documents' term sets scored against the corpus through the
+    inverted index — the sparse-retrieval classic the RRF fusion
+    (hybrid_rrf_retrieval) assumes exists, here as a first-class
+    Spark plan: posting join (query term = index term), per-doc
+    tf-saturation, Lucene-form idf ln((N−df+0.5)/(df+0.5)+1) ≥ 0.
+
+    Determinism — exact-integer BM25: k1/b are exact rationals, so the
+    saturation term is one integer ratio (see the constants above);
+    the single ln per (query-)term is rounded onto the ppb grid
+    BEFORE the per-document sum (the PSI/keyness contract), making
+    the score an order-independent BIGINT and the ranking exact on
+    both engines (ties break on doc_id).
+
+    Scale: this IS the inverted-index plan — tf/df/dl are one
+    tokenize-explode pass reduced by (doc, term) and (term); scoring
+    joins touch only postings of the {BM25_QUERIES} query term sets,
+    never all (query, doc) pairs; the final cut is a per-query top-k
+    window over matched docs only. At 100 TB the known hot spot is
+    stopword postings — the production mitigations are the ones this
+    engine already grades elsewhere: df-cap the posting lists
+    (winnowing_capped_recall's treatment) or impact-order + WAND,
+    both pruning the same join. Internal products ride DECIMAL(38,0)
+    (Σdl·tf overflows 2^63 at corpus scale); the emitted score is ppb
+    BIGINT (bounded by |query| · idf_max·(k1+1) ≈ 10¹³)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    tf = toks.groupBy("doc_id", "t").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    tf = _pin("bm25_tf", tf)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    st = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_dl"),
+    ).first()
+    if st.n_docs is None or st.n_docs == 0:
+        return spark.createDataFrame(
+            [], "query_id LONG, doc_id LONG, score_ppb BIGINT, rk INT"
+        )
+    n_docs, total_dl = int(st.n_docs), int(st.total_dl)
+    idf = tf.groupBy("t").agg(
+        F.expr(
+            f"cast(round(ln(({n_docs} - count(*) + 0.5d)"
+            " / (count(*) + 0.5d) + 1.0d) * 1000000000, 0) as bigint)"
+        ).alias("idf_ppb")
+    )
+    q = tf.where(F.col("doc_id") < BM25_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "t"
+    )
+    term_ppb = F.expr(
+        f"cast((cast(idf_ppb as decimal(38,0)) * (44 * tf * {total_dl}))"
+        f" div (cast(20 as decimal(38,0)) * tf * {total_dl}"
+        f"      + 6 * cast({total_dl} as decimal(38,0))"
+        f"      + 18 * cast(dl as decimal(38,0)) * {n_docs}) as bigint)"
+    )
+    scored = (
+        q.join(tf, "t")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(dl, "doc_id")
+        .join(idf, "t")
+        .select("query_id", "doc_id", term_ppb.alias("term_ppb"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_ppb").cast("bigint").alias("score_ppb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_ppb"), "doc_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "score_ppb", "rk")
+        .orderBy("query_id", "rk")
+    )

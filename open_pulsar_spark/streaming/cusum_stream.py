@@ -131,3 +131,16 @@ def ewma_readout(spark: SparkSession, store_path: str) -> DataFrame:
     from open_pulsar_spark.operators.analytics import ewma_from_daily
 
     return ewma_from_daily(spark, read_daily(spark, store_path))
+
+
+def bootstrap_readout(spark: SparkSession, store_path: str) -> DataFrame:
+    """FOURTH readout of the same additive day-cents ledger: the
+    Poisson-bootstrap 95% CI of mean daily revenue (shared
+    bootstrap_ci_from_daily — the replicate weights hash the epoch
+    day, so the folded ledger and a batch scan draw identical
+    replicates), bit-matching the batch revenue_bootstrap_ci over the
+    union of all delivered rows. One store: level (CUSUM), memory
+    (ACF), trend (EWMA), and now uncertainty."""
+    from open_pulsar_spark.operators.analytics import bootstrap_ci_from_daily
+
+    return bootstrap_ci_from_daily(spark, read_daily(spark, store_path))

@@ -3188,3 +3188,36 @@ def test_kanon_stream_runs_as_real_streaming_query(spark, workdir):
     got = sorted(tuple(r) for r in read_class_sizes(spark, store).collect())
     want = sorted(tuple(r) for r in read_class_sizes(spark, ref).collect())
     assert got == want
+
+
+def test_cusum_ledger_also_serves_bootstrap_readout(spark, workdir):
+    """One additive day-cents ledger, FOUR readouts: the same store
+    that serves CUSUM/ACF/EWMA also reproduces the batch
+    revenue_bootstrap_ci BIT-IDENTICALLY via bootstrap_readout (shared
+    bootstrap_ci_from_daily — replicate weights hash the epoch day, so
+    the ledger's fold cannot change the draws)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.cusum_stream import (
+        bootstrap_readout,
+        update_cusum,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    store = f"{workdir}/boot_ledger"
+    for k in range(3):
+        update_cusum(
+            spark, orders.where(F.col("o_orderkey") % 3 == k), store, k
+        )
+
+    want = [
+        tuple(r)
+        for r in all_queries()["revenue_bootstrap_ci"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    got = [tuple(r) for r in bootstrap_readout(spark, store).collect()]
+    assert got == want

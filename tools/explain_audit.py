@@ -193,6 +193,10 @@ AUDITED = [
     "winnowing_capped_recall",
     # round-8 additions
     "winnowing_shared_runs",
+    "bm25_topk",
+    "copurchase_link_prediction",
+    "context_window_packing",
+    "revenue_bootstrap_ci",
 ]
 
 
