@@ -1647,7 +1647,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from open_pulsar_spark.operators.dedup import _pin
 
-    tf = _pin("bm25_tf", tf)
+    return bm25_from_tf(spark, _pin("bm25_tf", tf))
+
+
+def bm25_from_tf(spark: SparkSession, tf: DataFrame) -> DataFrame:
+    """(doc_id, t, tf) term-frequency frame → the BM25 top-k table —
+    THE one scoring computation, shared by the batch query and the
+    streaming tf ledger (streaming/bm25_stream.py): tf counts are
+    ADDITIVE (a document's chunks delivered across micro-batches sum
+    to the same frequencies), so a folded ledger and a batch tokenize
+    score retrieval identically over the union of delivered text."""
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     st = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),

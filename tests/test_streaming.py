@@ -3221,3 +3221,38 @@ def test_cusum_ledger_also_serves_bootstrap_readout(spark, workdir):
     ]
     got = [tuple(r) for r in bootstrap_readout(spark, store).collect()]
     assert got == want
+
+
+def test_bm25_stream_folds_to_batch_ranking(spark, workdir):
+    """Streaming sparse index: per-(doc, term) tf counts are additive,
+    so three epochs of document text fold to the batch bm25_topk
+    ranking BIT-IDENTICALLY (shared bm25_from_tf — df, dl and avgdl
+    all derive from the same folded rows); a replayed epoch is a
+    no-op by overwrite, and epoch-less writes are refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.bm25_stream import (
+        bm25_readout,
+        update_bm25,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    store = f"{workdir}/bm25_store"
+    for k in range(3):
+        update_bm25(spark, docs.where(F.col("doc_id") % 3 == k), store, k)
+
+    want = [
+        tuple(r) for r in all_queries()["bm25_topk"](spark, SF_SMALL).collect()
+    ]
+    got = [tuple(r) for r in bm25_readout(spark, store).collect()]
+    assert got == want
+
+    update_bm25(spark, docs.where(F.col("doc_id") % 3 == 0), store, 0)
+    assert [tuple(r) for r in bm25_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError):
+        update_bm25(spark, docs, store, None)
