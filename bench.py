@@ -204,6 +204,9 @@ EXTRA = [
     "copurchase_link_prediction",
     "context_window_packing",
     "revenue_bootstrap_ci",
+    "ivf_list_balance",
+    "copurchase_edge_novelty",
+    "user_entropy_rate",
 ]
 
 HEADLINE = [

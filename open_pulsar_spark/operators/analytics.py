@@ -4124,3 +4124,118 @@ def bootstrap_ci_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
     hi = means[(nb * 975 + 999) // 1000 - 1][0]
     row = (n_days, sc // n_days, nb, lo, hi)
     return spark.createDataFrame([row], schema)
+
+
+# --------------------------------------------------------------------------
+# user_entropy_rate — per-user next-event predictability (first-order
+# Markov entropy rate over the user's own transition counts).
+# --------------------------------------------------------------------------
+ENTROPY_MIN_TRANS = 20  # users below this transition count are noise
+ENTROPY_TOP = 50
+
+
+@query(
+    "user_entropy_rate",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type AS s,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t
+        FROM events),
+    c AS (SELECT user_id, s, t, count(*)::BIGINT AS c_st
+          FROM seq WHERE t IS NOT NULL GROUP BY user_id, s, t),
+    cs AS (SELECT user_id, s, sum(c_st)::BIGINT AS c_s
+           FROM c GROUP BY user_id, s),
+    tot AS (SELECT user_id, sum(c_st)::BIGINT AS t_n,
+                   count(*)::BIGINT AS n_cells
+            FROM c GROUP BY user_id),
+    terms AS (
+        SELECT c.user_id,
+               CAST(round((c.c_st * 1.0 / tot.t_n)
+                          * ln(cs.c_s * 1.0 / c.c_st)
+                          * 1000000000, 0) AS BIGINT) AS h_nano
+        FROM c
+        JOIN cs ON cs.user_id = c.user_id AND cs.s = c.s
+        JOIN tot ON tot.user_id = c.user_id)
+    SELECT t.user_id, t.t_n AS n_transitions, t.n_cells,
+           sum(terms.h_nano)::BIGINT AS entropy_nano
+    FROM terms JOIN tot t ON t.user_id = terms.user_id
+    WHERE t.t_n >= {ENTROPY_MIN_TRANS}
+    GROUP BY t.user_id, t.t_n, t.n_cells
+    ORDER BY entropy_nano, t.user_id
+    LIMIT {ENTROPY_TOP}
+    """,
+)
+def user_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {ENTROPY_TOP} most PREDICTABLE users by first-order Markov
+    entropy rate: H = Σ_(s,t) (c_st/T)·ln(c_s/c_st) over each user's
+    own event-type transition counts — 0 nats means the next event is
+    fully determined by the current one (bots, scripted crawlers,
+    monitoring probes); humans browse noisily. The information-theoretic
+    complement to user_bot_regularity's timing signal: regularity
+    catches metronomic WHEN, this catches deterministic WHAT, and a
+    training-data pipeline filtering synthetic traffic wants both.
+    Users under {ENTROPY_MIN_TRANS} transitions are excluded (entropy
+    estimates from a handful of bigrams are noise).
+
+    Determinism: each (s,t) cell's term is computed with the identical
+    double expression shape and rounded onto the NANO grid BEFORE the
+    per-user sum (the PSI/Benford contract — order-independent integer
+    totals); timestamp ties in the transition window break on event_id
+    in both engines; the final ranking ties on user_id.
+
+    Scale: one user_id window (the sessionization shuffle — bucket by
+    user_id to make it exchange-free) reduces events to per-user
+    bigram cells (≤ |types|² per user, bounded); everything after is
+    keyed aggregates on that bounded frame; top-{ENTROPY_TOP} is
+    TakeOrdered."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    ).where(F.col("t").isNotNull())
+    c = seq.groupBy("user_id", "s", "t").agg(
+        F.count("*").cast("bigint").alias("c_st")
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    c = _pin("entropy_cells", c)
+    cs = c.groupBy("user_id", "s").agg(
+        F.sum("c_st").cast("bigint").alias("c_s")
+    )
+    tot = c.groupBy("user_id").agg(
+        F.sum("c_st").cast("bigint").alias("t_n"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )
+    terms = (
+        c.join(cs, ["user_id", "s"])
+        .join(tot, "user_id")
+        .select(
+            "user_id",
+            "t_n",
+            "n_cells",
+            F.round(
+                (F.col("c_st") * F.lit(1.0) / F.col("t_n"))
+                * F.log(F.col("c_s") * F.lit(1.0) / F.col("c_st"))
+                * F.lit(1000000000),
+                0,
+            )
+            .cast("bigint")
+            .alias("h_nano"),
+        )
+    )
+    return (
+        terms.where(F.col("t_n") >= ENTROPY_MIN_TRANS)
+        .groupBy("user_id", "t_n", "n_cells")
+        .agg(F.sum("h_nano").cast("bigint").alias("entropy_nano"))
+        .select(
+            "user_id",
+            F.col("t_n").alias("n_transitions"),
+            "n_cells",
+            "entropy_nano",
+        )
+        .orderBy("entropy_nano", "user_id")
+        .limit(ENTROPY_TOP)
+    )

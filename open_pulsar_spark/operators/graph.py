@@ -1095,3 +1095,83 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_ppb"), "u", "v")
         .limit(AA_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# copurchase_edge_novelty — first-seen month of every co-purchase edge
+# (the corpus_vocab_growth curve, for the graph).
+# --------------------------------------------------------------------------
+@query(
+    "copurchase_edge_novelty",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    om AS (SELECT o_orderkey AS ok, strftime(o_orderdate, '%Y-%m') AS month
+           FROM orders),
+    pm AS (
+        SELECT a.pk AS a_id, b.pk AS b_id, min(om.month) AS first_month
+        FROM op a
+        JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        JOIN om ON om.ok = a.ok
+        GROUP BY a.pk, b.pk),
+    m AS (SELECT first_month AS month, count(*)::BIGINT AS new_edges
+          FROM pm GROUP BY 1)
+    SELECT month, new_edges,
+           sum(new_edges) OVER (ORDER BY month
+                                ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS cum_edges
+    FROM m ORDER BY month
+    """,
+)
+def copurchase_edge_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-NOVELTY curve of the co-purchase graph: per month, how
+    many part pairs co-occur for the FIRST time, plus the cumulative
+    edge count — the graph's discovery curve (corpus_vocab_growth's
+    Heaps-law readout applied to relationships instead of tokens). A
+    flattening curve says the assortment's co-occurrence structure is
+    saturating (recommendation models can train on a frozen edge set);
+    a steady slope says edges are still arriving and graph-derived
+    features go stale at that rate — the retraining-cadence number.
+
+    Scale: pairs explode MAP-SIDE from the shared basket producer
+    with the order's month attached (the one orderkey shuffle joins
+    lineitem's basket to orders' month — an equi-join on the natural
+    key); first-seen is one (a, b) min-aggregate; the month rollup
+    and its running sum act on a bounded ~|months| frame (the single-
+    partition window is over that bounded frame only — the
+    events_cumulative_users precedent)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    om = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    baskets = li.groupBy("ok").agg(
+        F.sort_array(F.collect_set("pk")).alias("ps")
+    )
+    pairs = (
+        baskets.join(om, "ok")
+        .select(
+            "month",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    "           y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p"),
+        )
+        .select("p.a", "p.b", "month")
+    )
+    pm = pairs.groupBy("a", "b").agg(F.min("month").alias("first_month"))
+    m = pm.groupBy(F.col("first_month").alias("month")).agg(
+        F.count("*").cast("bigint").alias("new_edges")
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        m.withColumn(
+            "cum_edges", F.sum("new_edges").over(w).cast("bigint")
+        )
+        .orderBy("month")
+    )

@@ -1114,3 +1114,118 @@ def embedding_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# ivf_list_balance — inverted-list size diagnosis for the IVF families
+# (the lsh_bucket_skew_profile treatment applied to centroid assignment).
+# --------------------------------------------------------------------------
+@query(
+    "ivf_list_balance",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_SQL} AS nrm
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+          FROM e WHERE {_CENTROID_SQL}),
+    assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv)
+                                / (e.nrm * c.cn) DESC,
+                                c.centroid_id) AS rn
+            FROM e CROSS JOIN c)
+        WHERE rn = 1),
+    sizes AS (SELECT centroid_id, count(*)::BIGINT AS cnt
+              FROM assigned GROUP BY centroid_id)
+    SELECT count(*)::BIGINT AS n_lists,
+           sum(cnt)::BIGINT AS n_vectors,
+           quantile_cont(cnt, 0.5) AS p50_sz,
+           quantile_cont(cnt, 0.99) AS p99_sz,
+           max(cnt)::BIGINT AS max_sz,
+           (max(cnt)::HUGEINT * count(*) * 1000000 // sum(cnt)
+               - 1000000)::BIGINT AS max_dev_ppm,
+           (sum(cnt::HUGEINT * cnt) // sum(cnt))::BIGINT
+               AS probe_scan_rows
+    FROM sizes
+    HAVING count(*) > 0
+    """,
+)
+def ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-LIST balance profile for the IVF index family
+    (ann_ivf_coarse / _kmeans / _pq share the nearest-centroid
+    assignment this profiles): list-count, size percentiles, the
+    largest list, its deviation from the ideal n/k (ppm — the
+    straggler a hot list makes of every probe that lands on it), and
+    probe_scan_rows = Σ cnt²/n — the EXPECTED rows scanned per query
+    when queries land on lists proportionally to list size (the
+    nprobe=1 cost number an index review quotes; a balanced index
+    approaches n/k, a collapsed one approaches n). This closes the
+    diagnosis symmetry: the banded-LSH families read
+    lsh_bucket_skew_profile before picking caps — the IVF families
+    read this before picking k and nprobe. Lists with zero vectors
+    don't appear (count via assignment, not the centroid roster):
+    n_lists is the OCCUPIED count, itself a collapse signal when it
+    drops below k.
+
+    Determinism: assignment is the exact argmax ann_ivf_coarse's
+    oracle parity already established (ties toward the smaller
+    centroid id in both engines); everything downstream is integer
+    (percentiles are exact over the bounded per-list count frame).
+
+    Scale: assignment is the same broadcast-centroid blocked matmul
+    as the IVF queries, but emitting per-block (centroid, count)
+    PARTIALS — the map-side combine means the shuffle carries
+    ≤ blocks × k rows, never the corpus; the profile is one aggregate
+    over k counts. At 100 TB widen the internal Σ cnt² to
+    DECIMAL (done) and switch percentiles to percentile_approx (the
+    events_key_skew_profile precedent)."""
+    cent_ids, _, cent_u = _corpus_numpy(
+        spark, sf_dir, F.col("vec_id") % CENTROID_MOD == CENTROID_RESIDUE
+    )
+    if len(cent_ids) == 0:
+        return spark.createDataFrame(
+            [],
+            "n_lists BIGINT, n_vectors BIGINT, p50_sz DOUBLE,"
+            " p99_sz DOUBLE, max_sz BIGINT, max_dev_ppm BIGINT,"
+            " probe_scan_rows BIGINT",
+        )
+    bc = spark.sparkContext.broadcast((cent_ids, cent_u))
+
+    def fn(batches):
+        cids, cu = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            _, _, bn = _block_norm(pdf)
+            sims = bn @ cu.T
+            best = sims.max(axis=1, keepdims=True)
+            cent = cids[np.argmax(sims == best, axis=1)]
+            vc = pd.Series(cent).value_counts()
+            yield pd.DataFrame(
+                {
+                    "centroid_id": vc.index.to_numpy(dtype=np.int64),
+                    "cnt": vc.to_numpy(dtype=np.int64),
+                }
+            )
+
+    sizes = (
+        _scan_scored(spark, sf_dir, fn, "centroid_id LONG, cnt LONG")
+        .groupBy("centroid_id")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return sizes.agg(
+        F.count("*").cast("bigint").alias("n_lists"),
+        F.sum("cnt").cast("bigint").alias("n_vectors"),
+        F.expr("percentile(cnt, 0.5)").alias("p50_sz"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_sz"),
+        F.max("cnt").cast("bigint").alias("max_sz"),
+        F.expr(
+            "cast(cast(max(cnt) as decimal(38,0)) * count(*) * 1000000"
+            " div sum(cnt) - 1000000 as bigint)"
+        ).alias("max_dev_ppm"),
+        F.expr(
+            "cast(sum(cast(cnt as decimal(38,0)) * cnt) div sum(cnt)"
+            " as bigint)"
+        ).alias("probe_scan_rows"),
+    ).where(F.col("n_lists") > 0)
