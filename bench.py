@@ -207,6 +207,8 @@ EXTRA = [
     "ivf_list_balance",
     "copurchase_edge_novelty",
     "user_entropy_rate",
+    "sketch_accuracy_matrix",
+    "session_gap_sensitivity",
 ]
 
 HEADLINE = [

@@ -796,3 +796,114 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema)
     release()
     return result
+
+
+# --------------------------------------------------------------------------
+# session_gap_sensitivity — how the session count depends on the gap
+# threshold (the parameter audit for every sessionization consumer).
+# --------------------------------------------------------------------------
+GAP_GRID_S = (900, 1800, 3600, 7200)  # 15m, 30m (the production gap), 1h, 2h
+
+
+@query(
+    "session_gap_sensitivity",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+        FROM events),
+    u AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM d),
+    t AS (SELECT count(*)::BIGINT AS n_transitions FROM d
+          WHERE delta_us IS NOT NULL),
+    g AS (SELECT unnest([{", ".join(str(g) for g in GAP_GRID_S)}])::BIGINT
+                     AS gap_s),
+    b AS (
+        SELECT g.gap_s,
+               sum(CASE WHEN d.delta_us > g.gap_s * 1000000
+                        THEN 1 ELSE 0 END)::BIGINT AS n_breaks
+        FROM g, d WHERE d.delta_us IS NOT NULL GROUP BY g.gap_s)
+    SELECT b.gap_s,
+           ((SELECT n_users FROM u) + b.n_breaks)::BIGINT AS n_sessions,
+           b.n_breaks,
+           (b.n_breaks * 1000000
+               // greatest((SELECT n_transitions FROM t), 1))::BIGINT
+               AS break_ppm
+    FROM b
+    ORDER BY gap_s
+    """,
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-count SENSITIVITY to the inactivity-gap threshold: for
+    each gap in {GAP_GRID_S} seconds (bracketing the production
+    {SESSION_GAP_US // 60_000_000}-minute gap user_sessionize ships),
+    the number of sessions the corpus would split into, the break
+    count, and breaks per transition (ppm). Sessions(g) = users +
+    breaks(g), so this is the whole parameter curve from ONE pass —
+    the audit that says whether downstream session metrics are stable
+    or sitting on a cliff of the gap choice (a steep curve between
+    two adjacent gaps means inter-event times cluster exactly there —
+    pick differently or sessionize twice).
+
+    Determinism: inter-event deltas are exact integer µs (timestamp
+    ties break on event_id, the transition-matrix convention); the
+    gap grid explodes as a constant array; counts and the ppm rate
+    are integer arithmetic end to end.
+
+    Scale: ONE user_id window (the sessionization shuffle every
+    consumer already pays — bucket by user_id to make it
+    exchange-free) reduces events to deltas; the |grid|× explode is
+    map-side on the delta frame and collapses immediately to
+    |grid| count rows. No second scan, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("delta_us"),
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    d = _pin("gap_deltas", d)
+    tot = d.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("delta_us").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_transitions"),
+    ).first()
+    if not tot.n_users:
+        return spark.createDataFrame(
+            [],
+            "gap_s BIGINT, n_sessions BIGINT, n_breaks BIGINT,"
+            " break_ppm BIGINT",
+        )
+    n_users, n_trans = int(tot.n_users), int(tot.n_transitions)
+    grid = "array(" + ",".join(str(g) for g in GAP_GRID_S) + ")"
+    return (
+        d.where(F.col("delta_us").isNotNull())
+        .select("delta_us", F.explode(F.expr(grid)).alias("gap_i"))
+        # cast AFTER the explode: a generator nested in cast() is
+        # UNSUPPORTED_GENERATOR in Spark
+        .select("delta_us", F.col("gap_i").cast("bigint").alias("gap_s"))
+        .groupBy("gap_s")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("delta_us") > F.col("gap_s") * 1000000, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_breaks")
+        )
+        .select(
+            "gap_s",
+            (F.lit(n_users) + F.col("n_breaks")).cast("bigint").alias("n_sessions"),
+            "n_breaks",
+            F.expr(
+                f"cast(n_breaks * 1000000 div greatest({n_trans}, 1)"
+                " as bigint)"
+            ).alias("break_ppm"),
+        )
+        .orderBy("gap_s")
+    )

@@ -830,25 +830,27 @@ def test_acf_degenerate_series_yields_empty_on_both_engines(spark):
     assert n == 0
 
 
-def test_join_size_report_empty_input_and_decimal_width(spark):
-    """ADVICE r6: join_size_report on an EMPTY counts frame returns an
-    empty report (was: TypeError on int(None)), and the est/exact
-    columns are DECIMAL(38,0) so 100 TB-scale moments (Σn² > 2^63)
-    survive the output cast."""
-    from decimal import Decimal
-
+def test_join_size_report_empty_input_and_counter_width(spark):
+    """ADVICE r6 + the round-7 driver-hash contract: join_size_report
+    on an EMPTY counts frame returns an empty report (was: TypeError
+    on int(None)), and the est/exact columns are exact digit STRINGs —
+    wide enough for 100 TB-scale moments (Σn² > 2^63, which killed
+    LONG in r6) while avoiding DECIMAL in a final schema (which the
+    driver's value-hash canonicalizes differently — r7's only red
+    row)."""
     from open_pulsar_spark.operators.profiling import join_size_report
 
     empty = spark.createDataFrame([], "user_id LONG, n LONG")
     out = join_size_report(spark, empty)
     assert out.count() == 0
-    assert dict(out.dtypes)["est_rows"] == "decimal(38,0)"
-    assert dict(out.dtypes)["exact_rows"] == "decimal(38,0)"
-    # a single key with n = 2^33 events: exact size 2^66 > LONG range
+    assert dict(out.dtypes)["est_rows"] == "string"
+    assert dict(out.dtypes)["exact_rows"] == "string"
+    # a single key with n = 2^33 events: exact size 2^66 > LONG range,
+    # carried loss-free as decimal digits
     big = spark.createDataFrame([(1, 2**33)], "user_id LONG, n LONG")
     row = {r.estimator: r for r in join_size_report(spark, big).collect()}
-    assert row["uniform"].exact_rows == Decimal(2**66)
-    assert row["uniform"].est_rows == Decimal(2**66)
+    assert row["uniform"].exact_rows == str(2**66)
+    assert row["uniform"].est_rows == str(2**66)
 
 
 def test_revenue_weekly_bucket_floors_pre_1970_dates(spark):

@@ -200,6 +200,8 @@ AUDITED = [
     "ivf_list_balance",
     "copurchase_edge_novelty",
     "user_entropy_rate",
+    "sketch_accuracy_matrix",
+    "session_gap_sensitivity",
 ]
 
 
