@@ -2769,7 +2769,6 @@ def test_index_bucket_skew_profiles_the_live_index(spark, workdir):
     per-bucket C(n,2)), a replayed epoch must not move the profile,
     and an empty store yields the empty-family row (n_buckets 0,
     null share)."""
-    from decimal import Decimal
 
     from pyspark.sql import functions as F
 
@@ -2807,7 +2806,9 @@ def test_index_bucket_skew_profiles_the_live_index(spark, workdir):
     assert prof.n_items == want.items
     assert prof.n_buckets == want.buckets
     assert prof.max_sz == want.mx
-    assert prof.cand_pairs == Decimal(int(want.pairs))
+    # digit-STRING contract (round 8): >2^63-capable exact counters
+    # never carry DECIMAL in a final schema
+    assert prof.cand_pairs == str(int(want.pairs))
 
     # replay epoch 0: committed-epoch skip leaves the profile unchanged
     filter_batch_against_index(
@@ -2820,7 +2821,6 @@ def test_embedding_index_bucket_skew_matches_recount(spark, workdir):
     """embedding_index_bucket_skew over a stream-built bucket index:
     totals agree with an independent recount of the deduped index
     view, and the empty store yields the empty-family row."""
-    from decimal import Decimal
 
     from pyspark.sql import functions as F
 
@@ -2861,7 +2861,9 @@ def test_embedding_index_bucket_skew_matches_recount(spark, workdir):
     assert prof.n_items == want.items
     assert prof.n_buckets == want.buckets
     assert prof.max_sz == want.mx
-    assert prof.cand_pairs == Decimal(int(want.pairs))
+    # digit-STRING contract (round 8): >2^63-capable exact counters
+    # never carry DECIMAL in a final schema
+    assert prof.cand_pairs == str(int(want.pairs))
 
 
 def test_vocab_stream_folds_to_batch_zipf_fit(spark, workdir):
