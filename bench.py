@@ -209,6 +209,8 @@ EXTRA = [
     "user_entropy_rate",
     "sketch_accuracy_matrix",
     "session_gap_sensitivity",
+    "click_asof_tolerance",
+    "table_broadcast_advisor",
 ]
 
 HEADLINE = [

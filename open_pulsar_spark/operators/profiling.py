@@ -1310,3 +1310,153 @@ def kanonymity_report(spark: SparkSession, groups: DataFrame) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# table_broadcast_advisor — join-strategy sizing for every catalog table
+# (the planner-statistics readout behind autoBroadcastJoinThreshold).
+# --------------------------------------------------------------------------
+BROADCAST_THRESHOLD_B = 10 * 1024 * 1024   # Spark's default 10 MB
+TARGET_PART_B = 128 * 1024 * 1024          # maxPartitionBytes default
+
+# (column, kind) per table — PUBLIC schema knowledge (TESTDATA.md).
+# kind → in-memory width model (UnsafeRow-ish accounting):
+#   i4 = 4 B, fix8 = 8 B, str = 8 B + octet_length, vec = 16 B + 4·len
+_ADVISOR_SPEC = {
+    "region": [("r_regionkey", "i4"), ("r_name", "str")],
+    "nation": [("n_nationkey", "i4"), ("n_name", "str"),
+               ("n_regionkey", "i4")],
+    "customer": [("c_custkey", "fix8"), ("c_name", "str"),
+                 ("c_nationkey", "i4"), ("c_acctbal", "fix8"),
+                 ("c_mktsegment", "str")],
+    "supplier": [("s_suppkey", "fix8"), ("s_name", "str"),
+                 ("s_nationkey", "i4"), ("s_acctbal", "fix8")],
+    "part": [("p_partkey", "fix8"), ("p_name", "str"),
+             ("p_brand", "str"), ("p_type", "str"), ("p_size", "i4"),
+             ("p_retailprice", "fix8")],
+    "orders": [("o_orderkey", "fix8"), ("o_custkey", "fix8"),
+               ("o_orderstatus", "str"), ("o_totalprice", "fix8"),
+               ("o_orderdate", "fix8"), ("o_orderpriority", "str")],
+    "lineitem": [("l_orderkey", "fix8"), ("l_partkey", "fix8"),
+                 ("l_suppkey", "fix8"), ("l_linenumber", "i4"),
+                 ("l_quantity", "fix8"), ("l_extendedprice", "fix8"),
+                 ("l_discount", "fix8"), ("l_tax", "fix8"),
+                 ("l_returnflag", "str"), ("l_linestatus", "str"),
+                 ("l_shipdate", "fix8")],
+    "events": [("event_id", "fix8"), ("ts", "fix8"), ("user_id", "fix8"),
+               ("event_type", "str"), ("value", "fix8"),
+               ("props", "str")],
+    "documents": [("doc_id", "fix8"), ("text", "str"), ("lang", "str"),
+                  ("source", "str"), ("n_chars", "fix8")],
+    "embeddings": [("vec_id", "fix8"), ("embedding", "vec"),
+                   ("label", "i4")],
+}
+
+
+def _advisor_width_terms(spec, len_fn: str, bytes_fn: str) -> str:
+    """The shared row-width expression: fixed widths fold into one
+    constant; variable columns add string-byte / element-count terms.
+    `len_fn` is the array-length function ('size' Spark / 'len'
+    DuckDB); `bytes_fn` the string-byte-length function
+    ('octet_length' Spark / 'strlen' DuckDB — DuckDB's octet_length
+    is BLOB-only) — the only dialect differences."""
+    fixed = 0
+    var_terms = []
+    for col, kind in spec:
+        if kind == "i4":
+            fixed += 4
+        elif kind == "fix8":
+            fixed += 8
+        elif kind == "str":
+            fixed += 8
+            var_terms.append(f"coalesce({bytes_fn}({col}), 0)")
+        elif kind == "vec":
+            fixed += 16
+            var_terms.append(f"4 * coalesce({len_fn}({col}), 0)")
+    return " + ".join([str(fixed)] + var_terms)
+
+
+def _advisor_oracle() -> str:
+    arms = []
+    for t, spec in _ADVISOR_SPEC.items():
+        width = _advisor_width_terms(spec, "len", "strlen")
+        arms.append(f"""SELECT '{t}' AS table_name,
+               count(*)::BIGINT AS n_rows,
+               coalesce(sum({width}), 0)::BIGINT AS est_bytes,
+               CASE WHEN count(*) > 0
+                    THEN (sum({width}) // count(*))::BIGINT END
+                   AS avg_row_bytes,
+               CASE WHEN coalesce(sum({width}), 0)
+                             <= {BROADCAST_THRESHOLD_B}
+                    THEN 1 ELSE 0 END::BIGINT AS broadcastable,
+               ((coalesce(sum({width}), 0) + {TARGET_PART_B} - 1)
+                   // {TARGET_PART_B})::BIGINT AS est_scan_partitions
+        FROM {t}""")
+        # noqa: the per-table scan is the point — stats come from data
+    return "\n    UNION ALL ".join(arms) + "\n    ORDER BY table_name"
+
+
+@query("table_broadcast_advisor", oracle=_advisor_oracle())
+def table_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy SIZING for every catalog table: estimated
+    in-memory bytes under a fixed width model (8 B fixed-width
+    columns, 4 B ints, 8 B + octet_length per string, 16 B + 4·len
+    per float vector), whether the table fits Spark's default 10 MB
+    autoBroadcastJoinThreshold, and how many 128 MB scan partitions
+    it implies — the ANALYZE-style statistics a cost-based planner
+    (and a human review) reads before choosing broadcast vs
+    shuffle joins and sizing spark.sql.shuffle.partitions. The
+    measured companion to tables.BROADCASTABLE's static allowlist:
+    at sf0.1 region/nation/supplier sit far under the threshold
+    while lineitem/events/documents are firmly shuffle-side; the
+    crossover as sf grows is exactly what this table watches.
+
+    Determinism: octet_length on identical UTF-8 bytes and fixed
+    per-type constants — every number is an exact integer on both
+    engines (never engine row-size estimates, which are not
+    portable).
+
+    Scale: one aggregate per table (map-combinable sums; the string
+    tables pay one octet_length pass over columns they'd scan for
+    any profile); arms union to a 10-row frame. At 100 TB this is
+    the statistics-refresh job you run per snapshot — and the width
+    model is the portable proxy for executor memory, not file bytes
+    (parquet compresses; broadcast hash tables don't)."""
+    frames = []
+    for t, spec in _ADVISOR_SPEC.items():
+        width = _advisor_width_terms(spec, "size", "octet_length")
+        df = load_table(spark, sf_dir, t)
+        frames.append(
+            df.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.coalesce(F.expr(f"sum({width})"), F.lit(0))
+                .cast("bigint")
+                .alias("est_bytes"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                "est_bytes",
+                F.when(
+                    F.col("n_rows") > 0,
+                    F.expr("est_bytes div n_rows"),
+                )
+                .cast("bigint")
+                .alias("avg_row_bytes"),
+                F.when(
+                    F.col("est_bytes") <= BROADCAST_THRESHOLD_B, 1
+                )
+                .otherwise(0)
+                .cast("bigint")
+                .alias("broadcastable"),
+                F.expr(
+                    f"(est_bytes + {TARGET_PART_B} - 1)"
+                    f" div {TARGET_PART_B}"
+                )
+                .cast("bigint")
+                .alias("est_scan_partitions"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("table_name")

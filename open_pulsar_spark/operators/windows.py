@@ -907,3 +907,100 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_s")
     )
+
+
+# --------------------------------------------------------------------------
+# click_asof_tolerance — as-of join with a match-window tolerance (the
+# pandas merge_asof(tolerance=...) semantics at scale).
+# --------------------------------------------------------------------------
+ASOF_TOL_S = 3600  # matches older than 1 h are no match at all
+
+
+@query(
+    "click_asof_tolerance",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CASE WHEN lag_s <= {ASOF_TOL_S} THEN purchase_event_id END
+               AS purchase_event_id,
+           CASE WHEN lag_s <= {ASOF_TOL_S} THEN purchase_value END
+               AS purchase_value,
+           CASE WHEN lag_s <= {ASOF_TOL_S} THEN lag_s END AS lag_s
+    FROM (
+        SELECT c.event_id, c.user_id,
+               p.event_id AS purchase_event_id,
+               round(p.value, 2) AS purchase_value,
+               (epoch_us(c.ts::TIMESTAMP) - epoch_us(p.ts::TIMESTAMP))
+                   // 1000000 AS lag_s
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, max(event_id) AS event_id,
+                   arg_max(value, event_id) AS value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        ) p ON c.user_id = p.user_id AND c.ts >= p.ts)
+    ORDER BY event_id
+    """,
+)
+def click_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE: each click paired with the user's
+    most recent purchase at-or-before it, but only if that purchase
+    is within {ASOF_TOL_S} seconds — older matches are no match (the
+    pandas merge_asof(tolerance=...) contract, which is what
+    attribution actually wants: a purchase from last month does not
+    explain today's click). Adds the match lag in whole seconds.
+
+    Same scalable composition as click_asof_purchase (union-tag +
+    last-ignorenulls over ONE user_id window — no range join, no
+    Python); the tolerance is a post-window integer-µs filter, so the
+    plan is identical plus one projection. Ties at equal timestamps
+    resolve to the highest purchase event_id on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+        F.col("ts").alias("purchase_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.lit(None).cast("timestamp").alias("purchase_ts"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("event_id", "purchase_event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = (
+        purchases.unionByName(clicks)
+        .select(
+            "event_id",
+            "user_id",
+            "kind",
+            "ts",
+            F.last("purchase_event_id", ignorenulls=True)
+            .over(w)
+            .alias("p_id"),
+            F.round(
+                F.last("purchase_value", ignorenulls=True).over(w), 2
+            ).alias("p_val"),
+            F.last("purchase_ts", ignorenulls=True).over(w).alias("p_ts"),
+        )
+        .where(F.col("kind") == 1)
+    )
+    lag_s = F.expr("(unix_micros(ts) - unix_micros(p_ts)) div 1000000")
+    in_tol = lag_s <= ASOF_TOL_S
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(in_tol, F.col("p_id")).alias("purchase_event_id"),
+        F.when(in_tol, F.col("p_val")).alias("purchase_value"),
+        F.when(in_tol, lag_s).cast("bigint").alias("lag_s"),
+    ).orderBy("event_id")

@@ -202,6 +202,8 @@ AUDITED = [
     "user_entropy_rate",
     "sketch_accuracy_matrix",
     "session_gap_sensitivity",
+    "click_asof_tolerance",
+    "table_broadcast_advisor",
 ]
 
 
