@@ -211,6 +211,8 @@ EXTRA = [
     "session_gap_sensitivity",
     "click_asof_tolerance",
     "table_broadcast_advisor",
+    "lang_token_fertility",
+    "embedding_label_knn_accuracy",
 ]
 
 HEADLINE = [

@@ -1067,10 +1067,33 @@ def embedding_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking flips need two distinct-vector cosines within ~1e-15 —
     measure-zero (the module-docstring argument), and output cosines
     round to 6 dp."""
-    corpus = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
+    knn = _bucket_knn(
+        _tagged_corpus(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+        )
     )
-    tagged = _tagged_corpus(corpus)
+    a = knn.select("src", "dst", "cos")
+    b = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    return (
+        a.join(b, ["src", "dst"], "left_semi")
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("a_id"),
+            F.col("dst").alias("b_id"),
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _bucket_knn(tagged: DataFrame) -> DataFrame:
+    """(vec_id, bucket, embedding) → each vector's LOCAL top-{MKNN_K}
+    within its sign bucket as (src, dst, cos) — THE one bucketed kNN
+    kernel, shared by embedding_mutual_knn_pairs (reciprocity filter)
+    and embedding_label_knn_accuracy (majority-vote labels). ≤ k rows
+    per vector leave the Arrow kernel, never the n² sims."""
 
     def topk_of(pdf: pd.DataFrame) -> pd.DataFrame:
         ids, _, un = _block_norm(pdf)
@@ -1099,20 +1122,8 @@ def embedding_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    knn = tagged.groupBy("bucket").applyInPandas(
+    return tagged.groupBy("bucket").applyInPandas(
         lambda _, pdf: topk_of(pdf), "src LONG, dst LONG, cos DOUBLE"
-    )
-    a = knn.select("src", "dst", "cos")
-    b = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
-    return (
-        a.join(b, ["src", "dst"], "left_semi")
-        .where(F.col("src") < F.col("dst"))
-        .select(
-            F.col("src").alias("a_id"),
-            F.col("dst").alias("b_id"),
-            F.round("cos", 6).alias("cosine"),
-        )
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -1229,3 +1240,109 @@ def ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("probe_scan_rows"),
     ).where(F.col("n_lists") > 0)
+
+
+# --------------------------------------------------------------------------
+# embedding_label_knn_accuracy — leave-one-out kNN label agreement (the
+# label-noise / class-separability audit).
+# --------------------------------------------------------------------------
+@query(
+    "embedding_label_knn_accuracy",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_SQL} AS nrm,
+                      {_BUCKET_SQL} AS bucket
+               FROM embeddings),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        FROM e a JOIN e b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    knn AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cos DESC, dst) AS rk
+        FROM scored),
+    topk AS (SELECT src, dst FROM knn WHERE rk <= {MKNN_K}),
+    votes AS (
+        SELECT t.src, l.label AS nlabel, count(*)::BIGINT AS c
+        FROM topk t JOIN lab l ON l.vec_id = t.dst
+        GROUP BY t.src, l.label),
+    pred AS (
+        SELECT src, nlabel AS pred_label FROM (
+            SELECT src, nlabel,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY c DESC, nlabel) AS rn
+            FROM votes)
+        WHERE rn = 1)
+    SELECT tl.label::INT AS label,
+           count(*)::BIGINT AS n_eval,
+           sum(CASE WHEN p.pred_label = tl.label THEN 1 ELSE 0 END)::BIGINT
+               AS n_correct,
+           (sum(CASE WHEN p.pred_label = tl.label THEN 1 ELSE 0 END)
+               * 1000000 // count(*))::BIGINT AS accuracy_ppm
+    FROM pred p JOIN lab tl ON tl.vec_id = p.src
+    GROUP BY tl.label
+    ORDER BY label
+    """,
+)
+def embedding_label_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN LABEL agreement per class: each vector's
+    top-{MKNN_K} same-bucket neighbors vote (majority, ties to the
+    smaller label id) and the vote is scored against the vector's own
+    label — the label-noise / class-separability audit a training-data
+    team runs before trusting labels for supervised fine-tuning: a
+    class whose own neighbors systematically vote it down is either
+    mislabeled (relabel queue) or inseparable in this embedding space
+    (merge candidate — read next to label_embedding_affinity's
+    centroid view, which can look clean while the boundary is mush;
+    this is the per-point truth). Vectors alone in their sign bucket
+    are excluded (no neighbors to vote — at {MKNN_K}-NN scale the
+    bucketed approximation is the same one every retrieval query here
+    grades).
+
+    Determinism: votes are integer counts (majority tie → smaller
+    label on both engines); the kNN cut reuses _bucket_knn, whose
+    float-ranking parity argument is the module docstring's
+    measure-zero case; everything after the kernel is integer.
+
+    Scale: the same one-bucket-shuffle posture as
+    embedding_mutual_knn_pairs — ≤ {MKNN_K} rows per vector leave the
+    kernel; voting is one (src, label) aggregate + a rank-1 window on
+    the ≤ k-row-per-src frame; the readout is |labels| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = _bucket_knn(_tagged_corpus(emb.select("vec_id", "embedding")))
+    lab = emb.select("vec_id", F.col("label").cast("int").alias("label"))
+    votes = (
+        knn.join(
+            lab.select(
+                F.col("vec_id").alias("dst"), F.col("label").alias("nlabel")
+            ),
+            "dst",
+        )
+        .groupBy("src", "nlabel")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), "nlabel")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("src", F.col("nlabel").alias("pred_label"))
+    )
+    return (
+        pred.join(lab.select(F.col("vec_id").alias("src"), "label"), "src")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+            F.expr(
+                "cast(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)"
+                " * 1000000 div count(*) as bigint)"
+            ).alias("accuracy_ppm"),
+        )
+        .orderBy("label")
+    )

@@ -1700,3 +1700,80 @@ def bm25_from_tf(spark: SparkSession, tf: DataFrame) -> DataFrame:
         .select("query_id", "doc_id", "score_ppb", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# lang_token_fertility — per-language tokenizer fertility (the number
+# multilingual tokenizer/mixture design actually budgets with).
+# --------------------------------------------------------------------------
+@query(
+    "lang_token_fertility",
+    oracle=r"""
+    WITH t AS (
+        SELECT lang,
+               len(regexp_extract_all(text,
+                   '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT
+                   AS n_bpeish,
+               len(str_split(text, ' '))::BIGINT AS n_ws,
+               n_chars::BIGINT AS n_chars
+        FROM documents)
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_ws)::BIGINT AS ws_tokens,
+           sum(n_bpeish)::BIGINT AS bpeish_tokens,
+           (sum(n_bpeish) * 1000000 // sum(n_ws))::BIGINT
+               AS fertility_ppm,
+           (sum(n_chars) * 1000000 // sum(n_bpeish))::BIGINT
+               AS chars_per_token_ppm
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: BPE-ish tokens per whitespace
+    word (ppm) and characters per BPE-ish token — the two numbers
+    multilingual tokenizer and mixture design budget with (a language
+    whose fertility is 2× pays 2× the context length and 2× the
+    compute for the same text, the standard low-resource-language
+    penalty; chars/token is the compression the tokenizer achieves).
+    The per-language rollup of doc_token_bpeish's per-doc counts,
+    plus the cost framing that makes it actionable next to
+    corpus_temperature_mix (which reweights by doc share — fertility
+    says the TOKEN share differs from it).
+
+    Determinism: identical regex token classes on both engines
+    (doc_token_bpeish's established parity); integer sums and
+    trunc-div ppm ratios end to end.
+
+    Scale: one scan, one map-side regex count per doc, one |langs|-
+    group aggregate — map-combinable, nothing else."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(
+            F.expr(
+                r"regexp_extract_all(text,"
+                r" '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]', 0)"
+            )
+        )
+        .cast("bigint")
+        .alias("n_bpeish"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+            F.sum("n_bpeish").cast("bigint").alias("bpeish_tokens"),
+            F.expr(
+                "cast(sum(n_bpeish) * 1000000 div sum(n_ws) as bigint)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "cast(sum(n_chars) * 1000000 div sum(n_bpeish) as bigint)"
+            ).alias("chars_per_token_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -204,6 +204,8 @@ AUDITED = [
     "session_gap_sensitivity",
     "click_asof_tolerance",
     "table_broadcast_advisor",
+    "lang_token_fertility",
+    "embedding_label_knn_accuracy",
 ]
 
 
