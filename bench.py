@@ -282,6 +282,14 @@ HEADLINE_V2_ADDITIONS = [
     "ann_sq8_recall",
     "events_value_psi",
     "multimodal_payload_entropy",
+    # round-8 families: inverted-index sparse retrieval, positional
+    # quote-length profiling, graph link prediction, side-by-side
+    # sketch grading, bootstrap uncertainty
+    "bm25_topk",
+    "winnowing_shared_runs",
+    "copurchase_link_prediction",
+    "sketch_accuracy_matrix",
+    "revenue_bootstrap_ci",
 ]
 
 

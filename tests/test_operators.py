@@ -1147,3 +1147,26 @@ def test_payload_entropy_separates_uniform_from_constant(spark, tmp_path):
     assert rows["image"].mean_h_nano == 0  # doc 0: constant bytes
     want = round(math.log(96) * 1e9)  # doc 1: exactly uniform over 96 syms
     assert abs(rows["audio"].mean_h_nano - want) < 1000
+
+
+def test_bootstrap_poisson_grid_is_the_poisson1_cdf():
+    """The hardcoded integer CDF grid behind revenue_bootstrap_ci IS
+    round(CDF_Poisson(1)(k) * 1e6): recompute from math.exp with
+    exact-rational factorials and compare — a typo in the constants
+    would silently bias every replicate weight on BOTH engines (parity
+    green, statistics wrong), which is exactly the failure class the
+    WINNOW_K hardcode review flagged."""
+    import math
+
+    from open_pulsar_spark.operators.analytics import _POIS_CDF_PPM
+
+    cum, fact = 0.0, 1
+    want = []
+    for k in range(len(_POIS_CDF_PPM)):
+        if k > 0:
+            fact *= k
+        cum += math.exp(-1.0) / fact
+        want.append(round(cum * 1_000_000))
+    assert list(_POIS_CDF_PPM) == want
+    assert all(a < b for a, b in zip(_POIS_CDF_PPM, _POIS_CDF_PPM[1:]))
+    assert _POIS_CDF_PPM[-1] < 1_000_000
