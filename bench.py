@@ -213,6 +213,8 @@ EXTRA = [
     "table_broadcast_advisor",
     "lang_token_fertility",
     "embedding_label_knn_accuracy",
+    "ab_test_power_mde",
+    "retrieval_label_precision",
 ]
 
 HEADLINE = [

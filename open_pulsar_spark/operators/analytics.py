@@ -4239,3 +4239,133 @@ def user_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("entropy_nano", "user_id")
         .limit(ENTROPY_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# ab_test_power_mde — minimum detectable effect at the standard
+# alpha/power point (the sample-size half of the experimentation family).
+# --------------------------------------------------------------------------
+# z_{0.975} + z_{0.80} for a two-sided alpha = 0.05 test at 80% power,
+# as ONE shared 6-dp literal so both engines multiply the same double.
+AB_Z_SUM = 2.801585
+
+
+def _ab_mde_sql(na: str, xa: str, nb: str, xb: str) -> str:
+    """The ONE MDE expression (text-identical on both engines):
+    (z_a + z_b) · sqrt(p̂(1−p̂)(1/nA+1/nB)) on the ppm grid, p̂ pooled.
+    Double arithmetic with identical shape, rounded once (the
+    ab_test_sequential contract: one float per row, rounded before
+    any comparison)."""
+    p = f"(({xa} + {xb}) * 1.0 / ({na} + {nb}))"
+    return (
+        f"CAST(round({AB_Z_SUM} * sqrt({p} * (1.0 - {p})"
+        f" * (1.0 / {na} + 1.0 / {nb})) * 1000000, 0) AS BIGINT)"
+    )
+
+
+@query(
+    "ab_test_power_mde",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                         % 2 = 0
+                    THEN 'A' ELSE 'B' END AS variant,
+               user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY 1, 2),
+    v AS (SELECT variant, count(*)::BIGINT AS n, sum(conv)::BIGINT AS x
+          FROM tagged GROUP BY variant),
+    w AS (SELECT
+            max(CASE WHEN variant = 'A' THEN n END)::BIGINT AS na,
+            max(CASE WHEN variant = 'A' THEN x END)::BIGINT AS xa,
+            max(CASE WHEN variant = 'B' THEN n END)::BIGINT AS nb,
+            max(CASE WHEN variant = 'B' THEN x END)::BIGINT AS xb
+          FROM v),
+    m AS (SELECT na, nb,
+                 (xa * 1000000 // na)::BIGINT AS conv_a_ppm,
+                 (xb * 1000000 // nb)::BIGINT AS conv_b_ppm,
+                 ((xb * 1000000 // nb) - (xa * 1000000 // na))::BIGINT
+                     AS lift_ppm,
+                 {_ab_mde_sql('na', 'xa', 'nb', 'xb')} AS mde_ppm
+          FROM w WHERE na IS NOT NULL AND nb IS NOT NULL
+                   AND na > 0 AND nb > 0)
+    SELECT na AS n_a, nb AS n_b, conv_a_ppm, conv_b_ppm, lift_ppm,
+           mde_ppm,
+           (CASE WHEN abs(lift_ppm) >= mde_ppm THEN 1 ELSE 0 END)::BIGINT
+               AS powered
+    FROM m
+    """,
+)
+def ab_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POWER analysis for the experimentation family: with the current
+    variant sizes and pooled conversion rate, the minimum detectable
+    effect (ppm, two-sided α = 0.05 at 80% power — the industry
+    default) next to the observed lift and a `powered` verdict
+    (|lift| ≥ MDE). This is the number that separates 'no significant
+    difference' from 'this experiment could never have seen the
+    difference you care about' — the readout ab_test_report and
+    ab_test_cuped implicitly assume someone checked, and the
+    anytime-valid monitor's design-time counterpart (run this BEFORE
+    launching; run ab_test_sequential while live).
+
+    Determinism: user-level conversion and the pooled rate are exact
+    integers; the single float expression (z·sqrt(p̂(1−p̂)(1/nA+1/nB)))
+    is text-identical on both engines and rounded to the ppm grid
+    before the one comparison (the ab_test_sequential contract); the
+    hash-coin variant tag is the shared experiment assignment.
+
+    Scale: one (variant, user) aggregate (the sessionization-class
+    shuffle), one 2-row rollup, closing arithmetic on a 1-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = (
+        ev.select(
+            F.expr(
+                "CASE WHEN conv(substring(md5(cast(user_id as string)),"
+                " 1, 8), 16, 10) % 2 = 0 THEN 'A' ELSE 'B' END"
+            ).alias("variant"),
+            "user_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("c"),
+        )
+        .groupBy("variant", "user_id")
+        .agg(F.max("c").alias("conv"))
+    )
+    v = tagged.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("x"),
+    )
+    w = v.agg(
+        F.expr("max(CASE WHEN variant = 'A' THEN n END)").alias("na"),
+        F.expr("max(CASE WHEN variant = 'A' THEN x END)").alias("xa"),
+        F.expr("max(CASE WHEN variant = 'B' THEN n END)").alias("nb"),
+        F.expr("max(CASE WHEN variant = 'B' THEN x END)").alias("xb"),
+    )
+    m = w.where(
+        F.col("na").isNotNull()
+        & F.col("nb").isNotNull()
+        & (F.col("na") > 0)
+        & (F.col("nb") > 0)
+    ).select(
+        "na",
+        "nb",
+        F.expr("cast(xa * 1000000 div na as bigint)").alias("conv_a_ppm"),
+        F.expr("cast(xb * 1000000 div nb as bigint)").alias("conv_b_ppm"),
+        F.expr(
+            "cast((xb * 1000000 div nb) - (xa * 1000000 div na) as bigint)"
+        ).alias("lift_ppm"),
+        F.expr(_ab_mde_sql("na", "xa", "nb", "xb")).alias("mde_ppm"),
+    )
+    return m.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "conv_a_ppm",
+        "conv_b_ppm",
+        "lift_ppm",
+        "mde_ppm",
+        F.expr(
+            "cast(CASE WHEN abs(lift_ppm) >= mde_ppm THEN 1 ELSE 0 END"
+            " as bigint)"
+        ).alias("powered"),
+    )

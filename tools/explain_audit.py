@@ -206,6 +206,8 @@ AUDITED = [
     "table_broadcast_advisor",
     "lang_token_fertility",
     "embedding_label_knn_accuracy",
+    "ab_test_power_mde",
+    "retrieval_label_precision",
 ]
 
 
