@@ -746,3 +746,116 @@ def q9_brand_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# orders_cdc_merge — MERGE INTO semantics (insert/update/delete/carry)
+# over a deterministic synthetic change batch.
+# --------------------------------------------------------------------------
+@query(
+    "orders_cdc_merge",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               round(o_totalprice * 100)::BIGINT AS cents
+        FROM orders WHERE o_orderkey % 4 <> 0),
+    cdc AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 17 = 0 THEN 'D'
+                    WHEN o_orderkey % 4 = 0 THEN 'I' ELSE 'U' END AS op,
+               round(o_totalprice * 100)::BIGINT + 1 AS cents
+        FROM orders
+        WHERE o_orderkey % 4 = 0 OR o_orderkey % 17 = 0
+              OR o_orderkey % 10 = 0),
+    merged AS (
+        SELECT coalesce(b.k, c.k) AS k,
+               CASE WHEN c.k IS NULL THEN 'carry'
+                    WHEN c.op = 'D' AND b.k IS NOT NULL THEN 'delete'
+                    WHEN b.k IS NULL AND c.op <> 'D' THEN 'insert'
+                    WHEN c.op = 'D' THEN 'noop_delete'
+                    ELSE 'update' END AS action,
+               CASE WHEN c.k IS NULL THEN b.cents
+                    WHEN c.op = 'D' THEN NULL
+                    ELSE c.cents END AS cents
+        FROM base b FULL JOIN cdc c ON b.k = c.k)
+    SELECT action,
+           count(*)::BIGINT AS n_rows,
+           coalesce(sum(cents), 0)::BIGINT AS sum_cents,
+           (sum(((k % 1000003) * (k % 1000003)) % 999983))::BIGINT
+               AS key_checksum
+    FROM merged
+    GROUP BY action
+    ORDER BY action
+    """,
+)
+def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics, audited: a deterministic synthetic CDC
+    batch (keys ≡0 mod 4 are inserts — they are excluded from the
+    base snapshot; ≡0 mod 17 deletes; ≡0 mod 10 updates at +1 cent)
+    is applied to the base snapshot with the full WHEN MATCHED /
+    NOT MATCHED decision table, and the result is summarized per
+    action with row counts, a cents total, and a modular key checksum
+    — the reconciliation artifact a lakehouse MERGE job emits so the
+    writer and an independent auditor can agree the merge did what
+    the change log said (the batch counterpart of the streaming
+    state-upsert path, K4).
+
+    Decision table: carry (no change row), update (matched, op≠D),
+    delete (matched, op=D → row leaves, counted with NULL cents),
+    insert (unmatched change, op≠D), noop_delete (delete for an
+    absent key — the CDC replay artifact MERGE must tolerate).
+
+    Determinism: pure integer key arithmetic everywhere (the checksum
+    is Σ (k mod p)² mod q — order-independent); cents are the integer-
+    cents rule.
+
+    Scale: ONE full-outer equi-join on the key (both sides shuffle
+    once — the exact plan a Delta/Iceberg MERGE compiles to before
+    file pruning) and a 5-group rollup. At 100 TB the base side prunes
+    to files touched by the change-key ranges first (bloom_join_
+    pruning is the measured form of that step here)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base = o.where(F.col("k") % 4 != 0)
+    cdc = o.where(
+        (F.col("k") % 4 == 0) | (F.col("k") % 17 == 0) | (F.col("k") % 10 == 0)
+    ).select(
+        "k",
+        F.when(F.col("k") % 17 == 0, "D")
+        .when(F.col("k") % 4 == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+        (F.col("cents") + 1).alias("cents"),
+    )
+    b = base.alias("b")
+    c = cdc.alias("c")
+    merged = b.join(c, F.col("b.k") == F.col("c.k"), "full").select(
+        F.coalesce(F.col("b.k"), F.col("c.k")).alias("k"),
+        F.when(F.col("c.k").isNull(), "carry")
+        .when((F.col("c.op") == "D") & F.col("b.k").isNotNull(), "delete")
+        .when(F.col("b.k").isNull() & (F.col("c.op") != "D"), "insert")
+        .when(F.col("c.op") == "D", "noop_delete")
+        .otherwise("update")
+        .alias("action"),
+        F.when(F.col("c.k").isNull(), F.col("b.cents"))
+        .when(F.col("c.op") == "D", F.lit(None).cast("bigint"))
+        .otherwise(F.col("c.cents"))
+        .alias("cents"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.sum(
+                F.expr("((k % 1000003) * (k % 1000003)) % 999983")
+            )
+            .cast("bigint")
+            .alias("key_checksum"),
+        )
+        .orderBy("action")
+    )

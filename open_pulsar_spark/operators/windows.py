@@ -1004,3 +1004,110 @@ def click_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("p_val")).alias("purchase_value"),
         F.when(in_tol, lag_s).cast("bigint").alias("lag_s"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# user_features_point_in_time — leakage-free feature assembly at label
+# time (the feature-store training-serving-skew killer).
+# --------------------------------------------------------------------------
+PIT_SAMPLE = 200
+
+
+@query(
+    "user_features_point_in_time",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts,
+               round(value * 100)::BIGINT AS cents
+        FROM events),
+    feats AS (
+        SELECT user_id, event_id, event_type,
+               count(*) OVER w - 1 AS n_prior_events,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   OVER w
+                 - CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                   AS n_prior_clicks,
+               sum(CASE WHEN event_type = 'purchase' THEN cents
+                        ELSE 0 END) OVER w
+                 - CASE WHEN event_type = 'purchase' THEN cents
+                        ELSE 0 END AS prior_purchase_cents
+        FROM seq
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id,
+           n_prior_events::BIGINT AS n_prior_events,
+           n_prior_clicks::BIGINT AS n_prior_clicks,
+           prior_purchase_cents::BIGINT AS prior_purchase_cents
+    FROM feats
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    LIMIT {PIT_SAMPLE}
+    """,
+)
+def user_features_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature assembly: for every purchase (the label
+    event), the user's features as they stood STRICTLY BEFORE it —
+    prior event count, prior clicks, prior purchase revenue. This is
+    the feature-store join that kills training-serving skew: a model
+    trained on user_feature_assembly's whole-history aggregates sees
+    the future (the label's own row and everything after), scores
+    differently in production, and nobody knows why. The strictly-
+    before frame makes the training row identical to what serving
+    could have computed at that instant. First {PIT_SAMPLE} label
+    events by event_id keep the gate output bounded; the operator
+    itself is the unlimited frame.
+
+    Determinism: one total order (ts, event_id) per user (the
+    transition-matrix convention); the strictly-before aggregates are
+    inclusive running sums minus the current row's own contribution —
+    exact integers, and the rewrite avoids a second window frame
+    (ROWS ... AND 1 PRECEDING compiles to a separate frame buffer in
+    Spark; subtracting the current row reuses the inclusive one).
+
+    Scale: ONE user_id window pass (the sessionization shuffle —
+    bucket by user_id to make it exchange-free) computes every
+    feature at every label simultaneously; no per-label re-scan, no
+    point-in-time range join. At 100 TB this is the entire argument
+    for event-sourced feature stores: the window pass is linear, the
+    range-join formulation is not."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_click = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    pcents = F.when(
+        F.col("event_type") == "purchase", F.col("cents")
+    ).otherwise(0)
+    feats = seq.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.count("*").over(w) - 1).cast("bigint").alias("n_prior_events"),
+        (F.sum(is_click).over(w) - is_click)
+        .cast("bigint")
+        .alias("n_prior_clicks"),
+        (F.sum(pcents).over(w) - pcents)
+        .cast("bigint")
+        .alias("prior_purchase_cents"),
+    )
+    return (
+        feats.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "n_prior_events",
+            "n_prior_clicks",
+            "prior_purchase_cents",
+        )
+        .orderBy("event_id")
+        .limit(PIT_SAMPLE)
+    )

@@ -208,6 +208,8 @@ AUDITED = [
     "embedding_label_knn_accuracy",
     "ab_test_power_mde",
     "retrieval_label_precision",
+    "orders_cdc_merge",
+    "user_features_point_in_time",
 ]
 
 
