@@ -3258,3 +3258,110 @@ def test_bm25_stream_folds_to_batch_ranking(spark, workdir):
 
     with pytest.raises(ValueError):
         update_bm25(spark, docs, store, None)
+
+
+def test_lww_store_resolves_by_epoch_and_tolerates_replay(spark, workdir):
+    """The LWW keyed store (third fold class: pick-max-epoch, not sum
+    or max-of-value): three CDC epochs — base upserts, then updates,
+    then deletes — fold to exactly the per-key last-writer outcome; a
+    replayed epoch is a no-op by overwrite; epoch-less writes are
+    refused (they have no position in the last-writer order)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.lww_stream import (
+        read_current,
+        update_lww,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    o = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base = o.where(F.col("k") % 4 != 0).select(
+        "k", F.lit("U").alias("op"), "cents"
+    )
+    upd = o.where(F.col("k") % 10 == 0).select(
+        "k", F.lit("U").alias("op"), (F.col("cents") + 1).alias("cents")
+    )
+    dele = o.where(F.col("k") % 17 == 0).select(
+        "k", F.lit("D").alias("op"), F.lit(None).cast("long").alias("cents")
+    )
+    store = f"{workdir}/lww_store"
+    update_lww(spark, base, store, 0)
+    update_lww(spark, upd, store, 1)
+    update_lww(spark, dele, store, 2)
+
+    # independent expectation: last touching epoch wins per key
+    want_df = (
+        o.where((F.col("k") % 4 != 0) | (F.col("k") % 10 == 0))
+        .where(F.col("k") % 17 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 10 == 0, F.col("cents") + 1)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+    )
+    want = sorted(tuple(r) for r in want_df.collect())
+    got = sorted(tuple(r) for r in read_current(spark, store).collect())
+    assert got == want
+
+    # replaying an old epoch cannot resurrect deleted keys or roll back
+    update_lww(spark, base, store, 0)
+    got2 = sorted(tuple(r) for r in read_current(spark, store).collect())
+    assert got2 == want
+
+    with pytest.raises(ValueError):
+        update_lww(spark, base, store, None)
+
+
+def test_lww_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_lww_stream as an actual Structured Streaming query, with
+    forced compaction: per-key last-writer resolution survives the
+    segment rewrite because epochs travel with the rows."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.lww_stream import (
+        read_current,
+        start_lww_stream,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    o = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    # file 1: upsert everything; file 2: delete k%3==0 (seq orders the
+    # two change kinds when both land in one micro-batch)
+    src = f"{workdir}/lww_src"
+    o.select(
+        "k", F.lit("U").alias("op"), "cents", F.lit(0).cast("long").alias("seq")
+    ).coalesce(1).write.mode("append").parquet(src)
+    o.where(F.col("k") % 3 == 0).select(
+        "k",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("seq"),
+    ).coalesce(1).write.mode("append").parquet(src)
+    store = f"{workdir}/lww_live"
+    q = start_lww_stream(
+        spark,
+        spark.readStream.schema("k LONG, op STRING, cents LONG, seq LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/lww_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    want = sorted(
+        tuple(r)
+        for r in o.where(F.col("k") % 3 != 0).select("k", "cents").collect()
+    )
+    got = sorted(tuple(r) for r in read_current(spark, store).collect())
+    assert got == want
