@@ -217,6 +217,7 @@ EXTRA = [
     "retrieval_label_precision",
     "orders_cdc_merge",
     "user_features_point_in_time",
+    "ivf_nprobe_recall_curve",
 ]
 
 HEADLINE = [

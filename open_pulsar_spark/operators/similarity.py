@@ -1445,3 +1445,199 @@ def retrieval_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# ivf_nprobe_recall_curve — recall@k as a function of nprobe (the IVF
+# tuning curve, the lsh_s_curve symmetry for the centroid index).
+# --------------------------------------------------------------------------
+IVF_NPROBES = (1, 2, 3)
+
+
+@query(
+    "ivf_nprobe_recall_curve",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_SQL} AS nrm
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+          FROM e WHERE {_CENTROID_SQL}),
+    assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv)
+                                / (e.nrm * c.cn) DESC,
+                                c.centroid_id) AS rn
+            FROM e CROSS JOIN c)
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+          WHERE vec_id < {N_QUERIES}),
+    qc AS (
+        SELECT query_id, centroid_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY list_dot_product(qv, cv) / (qn * cn) DESC,
+                            centroid_id) AS crk
+        FROM q CROSS JOIN c),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.qv, e.v)
+                                / (q.qn * e.nrm) DESC, e.vec_id) AS rk
+            FROM q JOIN e ON e.vec_id <> q.query_id)
+        WHERE rk <= {TOP_K}),
+    np AS (SELECT unnest([{", ".join(str(n) for n in IVF_NPROBES)}])
+                      AS nprobe),
+    cand AS (
+        SELECT np.nprobe, qc.query_id, a.vec_id
+        FROM np
+        JOIN qc ON qc.crk <= np.nprobe
+        JOIN assigned a ON a.centroid_id = qc.centroid_id
+        WHERE a.vec_id <> qc.query_id),
+    ret AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT cd.nprobe, cd.query_id, cd.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY cd.nprobe, cd.query_id
+                       ORDER BY list_dot_product(q.qv, e.v)
+                                / (q.qn * e.nrm) DESC, cd.vec_id) AS rk
+            FROM cand cd
+            JOIN q ON q.query_id = cd.query_id
+            JOIN e ON e.vec_id = cd.vec_id)
+        WHERE rk <= {TOP_K}),
+    hits AS (
+        SELECT r.nprobe, count(*)::BIGINT AS n_hits
+        FROM ret r
+        JOIN truth t ON t.query_id = r.query_id
+                    AND t.neighbor_id = r.neighbor_id
+        GROUP BY r.nprobe),
+    den AS (SELECT count(*)::BIGINT AS n_truth FROM truth)
+    SELECT np.nprobe::INT AS nprobe,
+           coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+           (SELECT n_truth FROM den) AS n_truth,
+           (coalesce(h.n_hits, 0) * 1000000
+               // greatest((SELECT n_truth FROM den), 1))::BIGINT
+               AS recall_ppm
+    FROM np LEFT JOIN hits h ON h.nprobe = np.nprobe
+    ORDER BY np.nprobe
+    """,
+)
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} as a function of nprobe ∈ {IVF_NPROBES} for the
+    IVF index — the tuning curve an index review reads next to
+    ivf_list_balance's cost side: balance says what each probed list
+    COSTS, this says what probing more lists BUYS (the knee of the
+    curve is where nprobe stops paying). The lsh_s_curve symmetry for
+    the centroid index: LSH tunes (b, r) against the banding S-curve,
+    IVF tunes nprobe against this.
+
+    Determinism: assignment and both rankings are the module's exact
+    argmax/top-k (cos DESC, id ties — the measure-zero float
+    argument); hits and the ppm recall are integers.
+
+    Scale: ONE corpus scan — the blocked kernel assigns each row to
+    its centroid and scores it against the (broadcast) queries whose
+    probe sets contain that centroid, emitting block-local top-k per
+    (nprobe, query) (≤ |nprobes|·|queries|·k rows per block); truth
+    is the same broadcast-probe brute-force pass every recall harness
+    here grades against. The curve costs one scan regardless of how
+    many nprobe points it carries."""
+    cent_ids, _, cent_u = _corpus_numpy(
+        spark, sf_dir, F.col("vec_id") % CENTROID_MOD == CENTROID_RESIDUE
+    )
+    q_ids, _, q_u = _corpus_numpy(
+        spark, sf_dir, F.col("vec_id") < N_QUERIES
+    )
+    schema_empty = (
+        "nprobe INT, n_hits BIGINT, n_truth BIGINT, recall_ppm BIGINT"
+    )
+    if len(cent_ids) == 0 or len(q_ids) == 0:
+        return spark.createDataFrame([], schema_empty)
+    # per-query centroid ranking (tiny: |queries| × k centroids)
+    sims_qc = q_u @ cent_u.T
+    probe_sets: dict[int, list[set]] = {}
+    order = [
+        np.lexsort((cent_ids, -sims_qc[i]))
+        for i in range(len(q_ids))
+    ]
+    for npb in IVF_NPROBES:
+        probe_sets[npb] = [
+            set(cent_ids[order[i][:npb]].tolist())
+            for i in range(len(q_ids))
+        ]
+    bc = spark.sparkContext.broadcast(
+        (q_ids, q_u, cent_ids, cent_u, probe_sets)
+    )
+
+    def fn(batches):
+        qids, qu, cids, cu, probes = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids, _, bn = _block_norm(pdf)
+            csims = bn @ cu.T
+            best = csims.max(axis=1, keepdims=True)
+            b_cent = cids[np.argmax(csims == best, axis=1)]
+            qsims = bn @ qu.T
+            for npb, per_q in probes.items():
+                for qi, qid in enumerate(qids):
+                    in_probe = np.isin(
+                        b_cent, list(per_q[qi]), assume_unique=False
+                    )
+                    m = in_probe & (b_ids != qid)
+                    if not m.any():
+                        continue
+                    cos = qsims[m, qi]
+                    ids_m = b_ids[m]
+                    sel = np.lexsort((ids_m, -cos))[:TOP_K]
+                    yield pd.DataFrame(
+                        {
+                            "nprobe": np.int32(npb),
+                            "query_id": qid,
+                            "neighbor_id": ids_m[sel],
+                            "cos": cos[sel],
+                        }
+                    )
+
+    scored = _scan_scored(
+        spark,
+        sf_dir,
+        fn,
+        "nprobe INT, query_id LONG, neighbor_id LONG, cos DOUBLE",
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cos"), "neighbor_id"
+    )
+    ret = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    truth = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    truth = _pin("ivf_curve_truth", truth)
+    n_truth = truth.count()
+    hits = ret.join(truth, ["query_id", "neighbor_id"], "left_semi").groupBy(
+        "nprobe"
+    ).agg(F.count("*").cast("bigint").alias("n_hits"))
+    grid = spark.createDataFrame(
+        [(int(n),) for n in IVF_NPROBES], "nprobe INT"
+    )
+    return (
+        grid.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.lit(int(n_truth)).cast("bigint").alias("n_truth"),
+            F.expr(
+                f"cast(coalesce(n_hits, 0) * 1000000"
+                f" div greatest({int(n_truth)}, 1) as bigint)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("nprobe")
+    )
