@@ -211,6 +211,7 @@ AUDITED = [
     "orders_cdc_merge",
     "user_features_point_in_time",
     "ivf_nprobe_recall_curve",
+    "order_total_reconciliation",
 ]
 
 
