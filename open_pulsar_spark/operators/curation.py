@@ -1786,3 +1786,90 @@ def context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# chunk_overlap_grid — RAG chunking-policy cost curve: emitted-token
+# redundancy for a grid of (chunk_size, overlap) configs.
+# --------------------------------------------------------------------------
+CHUNK_GRID = ((256, 0), (256, 32), (512, 0), (512, 64), (512, 128))
+
+
+@query(
+    "chunk_overlap_grid",
+    oracle=f"""
+    WITH sized AS (
+        SELECT len(str_split(text, ' '))::BIGINT AS n FROM documents),
+    g AS (SELECT s, o FROM (VALUES
+            {", ".join(f"({s}, {o})" for s, o in CHUNK_GRID)}) AS t(s, o)),
+    per AS (
+        SELECT g.s, g.o, sized.n,
+               CASE WHEN sized.n <= g.s THEN 1
+                    ELSE 1 + (sized.n - g.s + (g.s - g.o) - 1)
+                             // (g.s - g.o) END AS m
+        FROM g CROSS JOIN sized)
+    SELECT s AS chunk_tokens, o AS overlap_tokens,
+           count(*)::BIGINT AS n_docs,
+           sum(m)::BIGINT AS n_chunks,
+           sum(n)::BIGINT AS corpus_tokens,
+           sum(n + (m - 1) * o)::BIGINT AS emitted_tokens,
+           (sum((m - 1) * o) * 1000000
+               // sum(n + (m - 1) * o))::BIGINT AS redundancy_ppm
+    FROM per
+    GROUP BY s, o
+    ORDER BY chunk_tokens, overlap_tokens
+    """,
+)
+def chunk_overlap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking-policy COST CURVE: for each (chunk_size, overlap)
+    config in {CHUNK_GRID}, the chunk count, the emitted token volume
+    and its redundancy (ppm of emitted tokens that are overlap
+    copies) over the whole corpus — the storage/embedding-compute
+    price of boundary context, from closed-form integer arithmetic
+    per document (chunks m = 1 + ceil((n−s)/(s−o)); emitted = n +
+    (m−1)·o — no chunk materialization at all). Read next to
+    doc_chunk_plan (which lays out ONE policy's actual chunks):
+    sweep here, materialize there. At embedding prices, redundancy
+    ppm × corpus tokens IS the overlap bill.
+
+    Determinism: pure integer ceil-div arithmetic, identical on both
+    engines; the grid is a constant VALUES list.
+
+    Scale: one token-count projection per doc, a |grid|× map-side
+    explode of the 1-column count frame, one |grid|-group aggregate —
+    the whole sweep costs one scan regardless of grid size."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(F.size(F.split("text", " ")).cast("long").alias("n"))
+    grid_rows = ", ".join(
+        f"struct({s} as s, {o} as o)" for s, o in CHUNK_GRID
+    )
+    per = sized.select(
+        "n", F.explode(F.expr(f"array({grid_rows})")).alias("g")
+    ).select(
+        F.col("g.s").alias("s"),
+        F.col("g.o").alias("o"),
+        "n",
+        F.expr(
+            "CASE WHEN n <= g.s THEN 1"
+            " ELSE 1 + (n - g.s + (g.s - g.o) - 1) div (g.s - g.o) END"
+        ).alias("m"),
+    )
+    return (
+        per.groupBy(
+            F.col("s").alias("chunk_tokens"),
+            F.col("o").alias("overlap_tokens"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("m").cast("bigint").alias("n_chunks"),
+            F.sum("n").cast("bigint").alias("corpus_tokens"),
+            F.sum(F.expr("n + (m - 1) * o"))
+            .cast("bigint")
+            .alias("emitted_tokens"),
+            F.expr(
+                "cast(sum((m - 1) * o) * 1000000"
+                " div sum(n + (m - 1) * o) as bigint)"
+            ).alias("redundancy_ppm"),
+        )
+        .orderBy("chunk_tokens", "overlap_tokens")
+    )

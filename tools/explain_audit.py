@@ -212,6 +212,7 @@ AUDITED = [
     "user_features_point_in_time",
     "ivf_nprobe_recall_curve",
     "order_total_reconciliation",
+    "chunk_overlap_grid",
 ]
 
 
