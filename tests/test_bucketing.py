@@ -1,80 +1,82 @@
-"""Bucketed-layout join: the SCALE.md co-location claim, asserted on a
-real physical plan — both sides bucketed on the join key must join
-with NO shuffle exchange on either side."""
+"""Bucketing: the 100 TB co-location story, made executable.
+
+SCALE.md and a dozen docstrings say "bucket the fact tables on their
+natural keys and the sessionization/fact-fact shuffles disappear".
+This test proves the engine's plans actually take that deal: the same
+orders ⋈ lineitem join compiles WITH two shuffle exchanges over plain
+parquet and WITHOUT any over tables bucketed on the join key — so the
+claim is a property of our query shapes, not a slogan (a refactor
+that broke exchange reuse or added a non-key repartition would fail
+here)."""
 
 from __future__ import annotations
 
-import pytest
+import contextlib
+import io
 
-from open_pulsar_spark.tables import load_table, write_bucketed
+from pyspark.sql import functions as F
+
+from open_pulsar_spark.tables import load_table
 from tests.conftest import SF_SMALL
 
 
-@pytest.fixture(scope="module")
-def bucketed_tables(spark, tmp_path_factory):
-    base = tmp_path_factory.mktemp("bucketed")
-    orders = load_table(spark, SF_SMALL, "orders")
-    lineitem = load_table(spark, SF_SMALL, "lineitem")
-    write_bucketed(orders, "orders_b", str(base / "orders_b"), "o_orderkey")
-    write_bucketed(
-        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
-        "lineitem_b",
-        str(base / "lineitem_b"),
-        "o_orderkey",
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_fact_join_elides_both_shuffles(spark):
+    o = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderdate"
     )
-    yield
-    spark.sql("DROP TABLE IF EXISTS orders_b")
-    spark.sql("DROP TABLE IF EXISTS lineitem_b")
-
-
-def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
-    # force the sort-merge path so the assertion is about bucketing,
-    # not about AQE choosing broadcast on tiny test data
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        joined = spark.table("orders_b").join(
-            spark.table("lineitem_b"), "o_orderkey"
-        )
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan        # co-located: no shuffle at all
-        # and it actually computes
-        assert joined.count() > 0
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-
-
-def test_unbucketed_join_shuffles_for_contrast(spark):
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        orders = load_table(spark, SF_SMALL, "orders")
-        li = load_table(spark, SF_SMALL, "lineitem").withColumnRenamed(
-            "l_orderkey", "o_orderkey"
-        )
-        plan = orders.join(li, "o_orderkey")._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" in plan            # the layout, not luck, removed it
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-
-
-def test_date_partitioned_layout_prunes_partitions(spark, tmp_path):
-    """The SCALE.md layout claim for facts ('events by user_id+date'):
-    a date filter over a date-partitioned dataset must prune at the
-    FILE LISTING level (PartitionFilters in the scan), not scan
-    everything and filter rows."""
-    from pyspark.sql import functions as F
-
-    ev = load_table(spark, SF_SMALL, "events").withColumn(
-        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity"
     )
-    path = str(tmp_path / "events_by_date")
-    ev.write.partitionBy("event_date").parquet(path)
 
-    one_day = ev.select("event_date").distinct().limit(1).collect()[0][0]
-    back = spark.read.parquet(path).where(F.col("event_date") == one_day)
-    plan_buf = back._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan_buf
-    assert f"(event_date = {one_day})" in plan_buf or "isnotnull(event_date" in plan_buf
-    # and the pruned read returns exactly that day's rows
-    expected = ev.where(F.col("event_date") == one_day).count()
-    assert back.count() == expected > 0
+    def the_join(orders, lineitem):
+        # force the sort-merge path so the exchange question is the
+        # only variable (a broadcast join hides it at test scale)
+        j = orders.hint("merge").join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        return j.groupBy("o_orderkey").agg(
+            F.sum("l_quantity").alias("qty")
+        )
+
+    plain = _plan_of(the_join(o, li))
+    # plain parquet: both sides shuffle on the join key
+    assert plain.count("Exchange") >= 2
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        bucketed = _plan_of(the_join(bo, bl))
+        # bucketed on the join key: NO exchange anywhere — the join
+        # reads co-located buckets and the aggregate reuses the same
+        # distribution
+        assert "Exchange" not in bucketed, bucketed
+        # and the answers are identical
+        want = sorted(
+            tuple(r) for r in the_join(o, li).collect()
+        )
+        got = sorted(tuple(r) for r in the_join(bo, bl).collect())
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
