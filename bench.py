@@ -220,6 +220,8 @@ EXTRA = [
     "ivf_nprobe_recall_curve",
     "order_total_reconciliation",
     "chunk_overlap_grid",
+    "cohort_ltv_curve",
+    "price_quantity_elasticity",
 ]
 
 HEADLINE = [

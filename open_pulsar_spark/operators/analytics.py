@@ -4369,3 +4369,245 @@ def ab_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("powered"),
     )
+
+
+# --------------------------------------------------------------------------
+# cohort_ltv_curve — cumulative revenue per cohort member by weeks since
+# signup (the LTV companion to the retention matrix).
+# --------------------------------------------------------------------------
+LTV_MAX_WEEK = 4
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle=f"""
+    WITH first_seen AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+    cohort_size AS (
+        SELECT cohort_week, count(*)::BIGINT AS n_cohort
+        FROM first_seen GROUP BY cohort_week),
+    rev AS (
+        SELECT f.cohort_week,
+               date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+                   AS week_offset,
+               sum(round(e.value * 100)::BIGINT)::BIGINT AS cents
+        FROM events e JOIN first_seen f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2),
+    grid AS (
+        SELECT c.cohort_week, c.n_cohort, w.week_offset
+        FROM cohort_size c
+        CROSS JOIN (SELECT unnest(range(0, {LTV_MAX_WEEK + 1}))
+                        AS week_offset) w),
+    cells AS (
+        SELECT g.cohort_week, g.n_cohort,
+               g.week_offset::BIGINT AS week_offset,
+               coalesce(r.cents, 0)::BIGINT AS cents
+        FROM grid g
+        LEFT JOIN rev r ON r.cohort_week = g.cohort_week
+                       AND r.week_offset = g.week_offset)
+    SELECT cohort_week::TIMESTAMP AS cohort_week, week_offset,
+           n_cohort, cents AS revenue_cents,
+           sum(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                            ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS cum_revenue_cents,
+           (sum(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                             ROWS UNBOUNDED PRECEDING)
+               // n_cohort)::BIGINT AS ltv_cents_per_user
+    FROM cells
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV curve per signup cohort: cumulative purchase revenue per
+    cohort member at 0..{LTV_MAX_WEEK} weeks since first activity —
+    the MONETARY companion to user_retention_cohorts (retention says
+    who comes back; this says what that is worth, the payback-period
+    number acquisition spend is judged against). The week grid is
+    DENSE (zero-revenue weeks appear explicitly), so curves are
+    comparable across cohorts of different ages.
+
+    Determinism: the cohort/offset conventions are exactly the
+    retention matrix's (date_trunc week, truncated-week diff);
+    revenue is per-row integer cents; the cumulative sum and per-user
+    division are integer arithmetic on the bounded cohort×week frame.
+
+    Scale: first-seen is one user_id aggregate; the revenue rollup
+    reuses the same user_id join key and collapses to cohorts×offsets
+    rows BEFORE the window, so the running sum and the grid join act
+    on a bounded frame (the retention matrix's two-shuffle shape plus
+    one broadcast grid join)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.date_trunc("week", F.col("ts")).alias("week"),
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    cohort_size = first_seen.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("n_cohort")
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    grid = cohort_size.select(
+        "cohort_week",
+        "n_cohort",
+        F.explode(F.expr(f"sequence(0, {LTV_MAX_WEEK})")).alias("wo"),
+    ).select(
+        "cohort_week",
+        "n_cohort",
+        F.col("wo").cast("bigint").alias("week_offset"),
+    )
+    cells = grid.join(rev, ["cohort_week", "week_offset"], "left").select(
+        "cohort_week",
+        "week_offset",
+        "n_cohort",
+        F.coalesce(F.col("cents"), F.lit(0)).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.withColumn(
+            "cum_revenue_cents", F.sum("cents").over(w).cast("bigint")
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_cohort",
+            F.col("cents").alias("revenue_cents"),
+            "cum_revenue_cents",
+            F.expr("cum_revenue_cents div n_cohort")
+            .cast("bigint")
+            .alias("ltv_cents_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# price_quantity_elasticity — log-log OLS of quantity on unit price per
+# brand (the econometrics readout of the relational core).
+# --------------------------------------------------------------------------
+@query(
+    "price_quantity_elasticity",
+    oracle="""
+    WITH j AS (
+        SELECT p.p_brand AS brand,
+               CAST(round(ln(round(p.p_retailprice * 100)::BIGINT)
+                    * 1000000000, 0) AS BIGINT) AS x,
+               CAST(round(ln(round(l.l_quantity)::BIGINT)
+                    * 1000000000, 0) AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity >= 1 AND p.p_retailprice > 0),
+    s AS (
+        SELECT brand, count(*)::BIGINT AS n,
+               sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+               sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy,
+               sum(y::HUGEINT * y) AS syy
+        FROM j GROUP BY brand)
+    SELECT brand, n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE),
+                 6) AS elasticity,
+           CASE WHEN (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                         > 0
+                THEN round((n::DOUBLE * sxy::DOUBLE
+                            - sx::DOUBLE * sy::DOUBLE)
+                           * (n::DOUBLE * sxy::DOUBLE
+                              - sx::DOUBLE * sy::DOUBLE)
+                           / ((n::DOUBLE * sxx::DOUBLE
+                               - sx::DOUBLE * sx::DOUBLE)
+                              * (n::DOUBLE * syy::DOUBLE
+                                 - sy::DOUBLE * sy::DOUBLE)), 6)
+           END AS r2
+    FROM s
+    WHERE n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+    ORDER BY brand
+    """,
+)
+def price_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE ELASTICITY per brand: the log-log OLS slope of line-item
+    quantity on the part's unit retail price (d ln q / d ln p — the
+    econometrics constant pricing teams quote; on synthetic data it
+    measures near-zero, which is itself the readout: quantities here
+    don't respond to price, so any 'pricing insight' downstream would
+    be fiction). r² says how much of the quantity variance the price
+    explains. The OLS-on-logs member of the trend family next to
+    segment_revenue_trend's linear form.
+
+    Determinism: each row's ln(price_cents) and ln(quantity) land on
+    the NANO integer grid BEFORE the sums (the corpus_zipf_fit
+    contract), so the five moments are exact order-independent
+    integers (HUGEINT/DECIMAL38 — Σx² reaches ~10²⁶ at sf0.1); the
+    closing slope/r² run the identical double expression shape on
+    both engines and round to 6 dp (the lineitem_corr_matrix
+    pattern).
+
+    Scale: one fact-dimension equi-join (part broadcasts), one
+    map-combinable 5-moment aggregate per brand, closing arithmetic
+    on a |brands|-row frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    j = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .where((F.col("l_quantity") >= 1) & (F.col("p_retailprice") > 0))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "cast(round(ln(cast(round(p_retailprice * 100) as bigint))"
+                " * 1000000000, 0) as bigint)"
+            ).alias("x"),
+            F.expr(
+                "cast(round(ln(cast(round(l_quantity) as bigint))"
+                " * 1000000000, 0) as bigint)"
+            ).alias("y"),
+        )
+    )
+    s = j.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return (
+        s.where(vx > 0)
+        .select(
+            "brand",
+            "n",
+            F.round(num / vx, 6).alias("elasticity"),
+            F.when(vy > 0, F.round(num * num / (vx * vy), 6)).alias("r2"),
+        )
+        .orderBy("brand")
+    )
