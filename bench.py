@@ -222,6 +222,7 @@ EXTRA = [
     "chunk_overlap_grid",
     "cohort_ltv_curve",
     "price_quantity_elasticity",
+    "winnowing_cross_source_matrix",
 ]
 
 HEADLINE = [

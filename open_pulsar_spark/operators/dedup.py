@@ -2555,3 +2555,140 @@ def winnowing_shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+@query(
+    "winnowing_cross_source_matrix",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTES},
+    fp AS (SELECT DISTINCT doc_id, h, fpos FROM wfps),
+    fph AS (SELECT DISTINCT doc_id, h FROM wfps),
+    pairsq AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM fph a JOIN fph b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(DISTINCT a.h) >= {WINNOW_MIN_SHARED}),
+    sh AS (
+        SELECT DISTINCT p.a_id, p.b_id, a.fpos AS pa,
+               (a.fpos - b.fpos) AS delta
+        FROM pairsq p
+        JOIN fp a ON a.doc_id = p.a_id
+        JOIN fp b ON b.doc_id = p.b_id AND b.h = a.h),
+    rn AS (
+        SELECT a_id, b_id, delta, pa,
+               CASE WHEN pa - lag(pa) OVER (
+                        PARTITION BY a_id, b_id, delta ORDER BY pa)
+                        > {WINNOW_GUARANTEE}
+                    THEN 1 ELSE 0 END AS brk
+        FROM sh),
+    runs AS (
+        SELECT a_id, b_id, delta, pa,
+               sum(brk) OVER (PARTITION BY a_id, b_id, delta ORDER BY pa
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM rn),
+    per_run AS (
+        SELECT a_id, b_id,
+               (max(pa) - min(pa) + {WINNOW_K})::BIGINT AS span
+        FROM runs GROUP BY a_id, b_id, delta, run_id),
+    per_pair AS (
+        SELECT a_id, b_id, sum(span)::BIGINT AS aligned_tokens,
+               max(span)::BIGINT AS longest_run
+        FROM per_run GROUP BY a_id, b_id),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           count(*)::BIGINT AS n_pairs,
+           sum(p.aligned_tokens)::BIGINT AS aligned_tokens,
+           max(p.longest_run)::BIGINT AS longest_run_tokens
+    FROM per_pair p
+    JOIN src sa ON sa.doc_id = p.a_id
+    JOIN src sb ON sb.doc_id = p.b_id
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """,
+)
+def winnowing_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote-run PROVENANCE matrix: the winnowing shared-run profile
+    rolled up to (source, source) — which source pairs exchange
+    verbatim runs, how much aligned text flows between them, and the
+    longest single run per pair of sources. The positional companion
+    to source_neardup_matrix (whole-doc similarity): that says two
+    sources publish near-identical documents; this catches the
+    subtler cross-source QUOTING (syndication, shared licence blocks,
+    scraped mirrors embedding fragments) that never crosses a
+    whole-doc threshold, with the token mass that a trim pass would
+    reclaim per source relationship. Same-source pairs appear on the
+    diagonal — the within-source boilerplate load.
+
+    Determinism and scale: identical to winnowing_shared_runs (this
+    IS its per-run frame — same pins, same equi-joins, same
+    (pair, delta) windows) plus two broadcastable doc→source lookups
+    and a |sources|² -bounded rollup."""
+    fps = _winnow_fps(spark, sf_dir)
+    fp = fps.select("doc_id", "h", "fpos").distinct()
+    fph = fp.select("doc_id", "h").distinct()
+    a = fph.select(F.col("doc_id").alias("a_id"), "h")
+    b = fph.select(F.col("doc_id").alias("b_id"), "h")
+    pairsq = (
+        a.join(b, "h")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.countDistinct("h").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .select("a_id", "b_id")
+    )
+    fa = fp.select(
+        F.col("doc_id").alias("a_id"), "h", F.col("fpos").alias("pa")
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("b_id"), "h", F.col("fpos").alias("pb")
+    )
+    sh = (
+        pairsq.join(fa, "a_id")
+        .join(fb, ["b_id", "h"])
+        .select(
+            "a_id", "b_id", "pa", (F.col("pa") - F.col("pb")).alias("delta")
+        )
+        .distinct()
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("a_id", "b_id", "delta").orderBy("pa")
+    runs = sh.withColumn(
+        "brk",
+        F.when(
+            F.col("pa") - F.lag("pa").over(w) > WINNOW_GUARANTEE, 1
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per_run = runs.groupBy("a_id", "b_id", "delta", "run_id").agg(
+        (F.max("pa") - F.min("pa") + F.lit(WINNOW_K))
+        .cast("bigint")
+        .alias("span")
+    )
+    per_pair = per_run.groupBy("a_id", "b_id").agg(
+        F.sum("span").cast("bigint").alias("aligned_tokens"),
+        F.max("span").cast("bigint").alias("longest_run"),
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("src_b"))
+    return (
+        per_pair.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "aligned_tokens",
+            "longest_run",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("aligned_tokens").cast("bigint").alias("aligned_tokens"),
+            F.max("longest_run").cast("bigint").alias("longest_run_tokens"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -215,6 +215,7 @@ AUDITED = [
     "chunk_overlap_grid",
     "cohort_ltv_curve",
     "price_quantity_elasticity",
+    "winnowing_cross_source_matrix",
 ]
 
 
