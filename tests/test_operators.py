@@ -1170,3 +1170,30 @@ def test_bootstrap_poisson_grid_is_the_poisson1_cdf():
     assert list(_POIS_CDF_PPM) == want
     assert all(a < b for a, b in zip(_POIS_CDF_PPM, _POIS_CDF_PPM[1:]))
     assert _POIS_CDF_PPM[-1] < 1_000_000
+
+
+def test_bench_and_audit_lists_resolve_in_registry():
+    """Every name in bench.py's HEADLINE/EXTRA/v2 lists and
+    explain_audit's AUDITED list is a registered query — a typo here
+    would crash the driver's per-round bench/plan runs at the worst
+    possible time (no local test exercises those lists otherwise)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+    from tools import explain_audit
+
+    qs = set(registry.all_queries())
+    for name, lst in (
+        ("HEADLINE", bench.HEADLINE),
+        ("EXTRA", bench.EXTRA),
+        ("HEADLINE_V2_ADDITIONS", bench.HEADLINE_V2_ADDITIONS),
+        ("AUDITED", explain_audit.AUDITED),
+    ):
+        missing = [n for n in lst if n not in qs]
+        assert not missing, (name, missing)
+    # v2 additions must be timed: every one rides EXTRA
+    assert set(bench.HEADLINE_V2_ADDITIONS) <= set(bench.EXTRA) | set(
+        bench.HEADLINE
+    )
