@@ -223,6 +223,7 @@ EXTRA = [
     "cohort_ltv_curve",
     "price_quantity_elasticity",
     "winnowing_cross_source_matrix",
+    "events_dau_wau_mau",
 ]
 
 HEADLINE = [

@@ -4611,3 +4611,111 @@ def price_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# --------------------------------------------------------------------------
+# events_dau_wau_mau — rolling active-user counts and stickiness (the
+# product-metrics staple the cumulative curve can't answer).
+# --------------------------------------------------------------------------
+WAU_DAYS = 7
+MAU_DAYS = 28
+
+
+@query(
+    "events_dau_wau_mau",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d
+        FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    wau_x AS (
+        SELECT DISTINCT ud.user_id, ud.d + u.i AS d
+        FROM ud CROSS JOIN unnest(range(0, {WAU_DAYS})) AS u(i)),
+    mau_x AS (
+        SELECT DISTINCT ud.user_id, ud.d + u.i AS d
+        FROM ud CROSS JOIN unnest(range(0, {MAU_DAYS})) AS u(i)),
+    dau AS (SELECT d, count(*)::BIGINT AS dau FROM ud GROUP BY d),
+    wau AS (SELECT d, count(*)::BIGINT AS wau FROM wau_x GROUP BY d),
+    mau AS (SELECT d, count(*)::BIGINT AS mau FROM mau_x GROUP BY d)
+    SELECT (DATE '1970-01-01' + INTERVAL (days.d) DAY)::DATE AS day,
+           dau.dau, wau.wau, mau.mau,
+           (dau.dau * 1000000 // mau.mau)::BIGINT AS stickiness_ppm
+    FROM days
+    JOIN dau ON dau.d = days.d
+    JOIN wau ON wau.d = days.d
+    JOIN mau ON mau.d = days.d
+    ORDER BY day
+    """,
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU({WAU_DAYS}d) / MAU({MAU_DAYS}d) per active day, plus
+    stickiness (DAU/MAU, ppm) — the engagement dashboard row
+    events_cumulative_users' ever-seen curve cannot answer (rolling
+    distinct actives need windowed membership, not first-seen). Days
+    with no activity are omitted (the readout is per ACTIVE day;
+    trailing windows still see activity from prior days because
+    membership explodes forward).
+
+    Determinism — the scatter rewrite for windowed distinct: instead
+    of 'for each day, count distinct users in the trailing K days'
+    (a range join), each (user, day) membership SCATTERS forward to
+    the K day-buckets it keeps the user active in (map-side explode),
+    and a distinct + count per bucket closes it — exact integers,
+    no approximation, no ordering sensitivity.
+
+    Scale: the base frame is the DEDUPED (user, day) grid (one
+    shuffle from the fact); the ×{WAU_DAYS}/×{MAU_DAYS} explodes
+    amplify THAT frame, not events; distinct+count per day is one
+    more shuffle each. At 100 TB this is the standard exact form —
+    the sketch form (per-day HLL registers merged over the trailing
+    window, events_kmv_weekly_rollup's pattern) replaces it when the
+    user-day grid itself is too big, trading exactness for a merge."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    ud = _pin("dau_user_days", ud)
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
+
+    def rolling(k: int, name: str) -> DataFrame:
+        return (
+            ud.select(
+                "user_id",
+                F.explode(F.expr(f"sequence(d, d + {k - 1})")).alias("d"),
+            )
+            .distinct()
+            .groupBy("d")
+            .agg(F.count("*").cast("bigint").alias(name))
+        )
+
+    wau = rolling(WAU_DAYS, "wau")
+    mau = rolling(MAU_DAYS, "mau")
+    return (
+        days.join(dau, "d")
+        .join(wau, "d")
+        .join(mau, "d")
+        .select(
+            F.expr("date_add(date '1970-01-01', cast(d as int))").alias(
+                "day"
+            ),
+            "dau",
+            "wau",
+            "mau",
+            F.expr("cast(dau * 1000000 div mau as bigint)").alias(
+                "stickiness_ppm"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -216,6 +216,7 @@ AUDITED = [
     "cohort_ltv_curve",
     "price_quantity_elasticity",
     "winnowing_cross_source_matrix",
+    "events_dau_wau_mau",
 ]
 
 
