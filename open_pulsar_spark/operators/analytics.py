@@ -4685,7 +4685,15 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from open_pulsar_spark.operators.dedup import _pin
 
-    ud = _pin("dau_user_days", ud)
+    return dau_wau_mau_from_user_days(spark, _pin("dau_user_days", ud))
+
+
+def dau_wau_mau_from_user_days(spark: SparkSession, ud: DataFrame) -> DataFrame:
+    """(user_id, d) membership grid → the DAU/WAU/MAU table — THE one
+    closing computation, shared by the batch query and the streaming
+    membership ledger (streaming/active_stream.py): a folded
+    idempotent (user, day) store and a batch scan serve the identical
+    dashboard."""
     days = ud.select("d").distinct()
     dau = ud.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
 

@@ -3365,3 +3365,37 @@ def test_lww_stream_runs_as_real_streaming_query(spark, workdir):
     )
     got = sorted(tuple(r) for r in read_current(spark, store).collect())
     assert got == want
+
+
+def test_active_stream_folds_to_batch_dashboard(spark, workdir):
+    """Streaming engagement dashboard: (user, day) membership is
+    set-idempotent, so three epochs of events fold to the batch
+    events_dau_wau_mau BIT-IDENTICALLY (shared
+    dau_wau_mau_from_user_days); replays and even epoch-less
+    backfills are harmless by idempotence."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.active_stream import (
+        dau_readout,
+        update_active,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    store = f"{workdir}/active_store"
+    for k in range(3):
+        update_active(spark, ev.where(F.col("event_id") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["events_dau_wau_mau"](spark, SF_SMALL).collect()
+    ]
+    got = [tuple(r) for r in dau_readout(spark, store).collect()]
+    assert got == want
+
+    # replay + an epoch-less duplicate backfill: both no-ops here
+    update_active(spark, ev.where(F.col("event_id") % 3 == 0), store, 0)
+    update_active(spark, ev.where(F.col("event_id") % 5 == 0), store, None)
+    assert [tuple(r) for r in dau_readout(spark, store).collect()] == want
