@@ -1313,6 +1313,146 @@ def kanonymity_report(spark: SparkSession, groups: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# customer_ldiversity_audit — sensitive-attribute diversity WITHIN the
+# k-anonymity equivalence classes (the homogeneity-attack audit).
+# --------------------------------------------------------------------------
+# Sensitive attribute: the account-balance band. Banding runs on integer
+# cents with a +100000 offset so the div operand is never negative
+# (Spark `div` truncates, DuckDB `//` floors — they agree only on a
+# non-negative domain; acctbal ≥ -999.99 ⇒ cents+100000 ≥ 1).
+LDIV_BAND_OFFSET = 100000          # cents; clears TPC-H's acctbal ≥ -999.99
+LDIV_BAND_WIDTH = 250000           # 2500-currency-unit bands (5 at TPC-H range)
+LDIV_LS = (2, 3, 5)                # the l thresholds a release policy quotes
+
+_LDIV_BAND_SQL = (
+    f"(CAST(round(c_acctbal * 100) AS BIGINT) + {LDIV_BAND_OFFSET})"
+    f" // {LDIV_BAND_WIDTH}"
+)
+
+
+@query(
+    "customer_ldiversity_audit",
+    oracle=f"""
+    WITH cells AS (
+        SELECT {", ".join(KANON_QUASI)},
+               ({_LDIV_BAND_SQL})::BIGINT AS band,
+               count(*)::BIGINT AS cnt
+        FROM customer GROUP BY 1, 2, 3),
+    cls AS (
+        SELECT {", ".join(KANON_QUASI)},
+               count(*)::BIGINT AS l_distinct,
+               sum(cnt)::BIGINT AS sz
+        FROM cells GROUP BY 1, 2),
+    tot AS (SELECT count(*)::BIGINT AS n_classes,
+                   sum(sz)::BIGINT AS n_rows,
+                   min(l_distinct)::BIGINT AS min_l FROM cls),
+    ls AS (SELECT unnest([{", ".join(str(v) for v in LDIV_LS)}])::INT AS l)
+    SELECT ls.l,
+           (SELECT n_classes FROM tot) AS n_classes,
+           (SELECT min_l FROM tot) AS min_l,
+           sum(CASE WHEN cls.l_distinct < ls.l THEN 1 ELSE 0 END)::BIGINT
+               AS n_classes_below_l,
+           sum(CASE WHEN cls.l_distinct < ls.l THEN cls.sz ELSE 0 END)::BIGINT
+               AS n_rows_below_l,
+           (sum(CASE WHEN cls.l_distinct < ls.l THEN cls.sz ELSE 0 END)
+               * 1000000 // (SELECT n_rows FROM tot))::BIGINT AS risk_ppm
+    FROM ls CROSS JOIN cls
+    GROUP BY ls.l
+    ORDER BY ls.l
+    """,
+)
+def customer_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit (Machanavajjhala et al.) of the customer table:
+    k-anonymity bounds class SIZE, but a class of 50 rows that all
+    share one sensitive value still leaks it — the homogeneity attack.
+    For each policy threshold l ∈ {LDIV_LS}, how many equivalence
+    classes under the published quasi-identifiers {KANON_QUASI} carry
+    fewer than l DISTINCT account-balance bands, what fraction of ROWS
+    (ppm) sits in them, and the table's realized min_l (the largest l
+    the release actually satisfies). Completes the served privacy
+    family: doc_pii_scrub (content), RTBF tombstones (deletion),
+    customer_kanonymity_audit (class size), this query (class
+    diversity).
+
+    Scale: ONE groupBy over (quasi..., band) reduces the table to its
+    occupied cells (map-side combinable); the class rollup and the
+    |ls|-grid explode run on the BOUNDED cell frame, never the table.
+    All integer arithmetic — banding offsets cents onto a non-negative
+    domain so trunc-vs-floor division cannot diverge."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        *KANON_QUASI, "c_acctbal"
+    )
+    cells = cust.groupBy(
+        *KANON_QUASI,
+        F.expr(
+            f"(cast(round(c_acctbal * 100) as bigint) + {LDIV_BAND_OFFSET})"
+            f" div {LDIV_BAND_WIDTH}"
+        )
+        .cast("bigint")
+        .alias("band"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    from open_pulsar_spark.operators.dedup import _pin
+
+    return ldiversity_report(spark, _pin("ldiv_cells", cells))
+
+
+def ldiversity_report(spark: SparkSession, cells: DataFrame) -> DataFrame:
+    """(quasi..., band, cnt) sensitive-cell frame → the l-grid audit
+    table — THE one l-diversity computation, shared by the batch query
+    and the streaming sensitive-cell ledger (kanon_stream.py's second
+    store): a folded per-(QI, band) count store and a batch table scan
+    price the homogeneity risk identically. Only the quasi columns and
+    `cnt` are grouped/summed; `band` is consumed by the distinct-count
+    rollup."""
+    cls = cells.groupBy(*KANON_QUASI).agg(
+        F.count("*").cast("bigint").alias("l_distinct"),
+        F.sum("cnt").cast("bigint").alias("sz"),
+    )
+    tot = cls.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.min("l_distinct").cast("bigint").alias("min_l"),
+    ).first()
+    if tot.n_rows is None:
+        return spark.createDataFrame(
+            [],
+            "l INT, n_classes BIGINT, min_l BIGINT,"
+            " n_classes_below_l BIGINT, n_rows_below_l BIGINT,"
+            " risk_ppm BIGINT",
+        )
+    n_classes, n_rows = int(tot.n_classes), int(tot.n_rows)
+    min_l = int(tot.min_l)
+    ls_arr = "array(" + ",".join(str(v) for v in LDIV_LS) + ")"
+    return (
+        cls.select(
+            "l_distinct", "sz", F.explode(F.expr(ls_arr)).alias("l")
+        )
+        .select(
+            "l_distinct", "sz", F.col("l").cast("int").alias("l")
+        )
+        .groupBy("l")
+        .agg(
+            F.lit(n_classes).cast("bigint").alias("n_classes"),
+            F.lit(min_l).cast("bigint").alias("min_l"),
+            F.sum(F.when(F.col("l_distinct") < F.col("l"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_classes_below_l"),
+            F.sum(
+                F.when(F.col("l_distinct") < F.col("l"), F.col("sz"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rows_below_l"),
+            F.expr(
+                f"cast(sum(CASE WHEN l_distinct < l THEN sz ELSE 0 END)"
+                f" * 1000000 div {n_rows} as bigint)"
+            ).alias("risk_ppm"),
+        )
+        .orderBy("l")
+    )
+
+
+# --------------------------------------------------------------------------
 # table_broadcast_advisor — join-strategy sizing for every catalog table
 # (the planner-statistics readout behind autoBroadcastJoinThreshold).
 # --------------------------------------------------------------------------

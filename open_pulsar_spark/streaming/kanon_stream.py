@@ -117,3 +117,100 @@ def start_kanon_stream(
         cluster_cols=_CLUSTER_COLS,
         compact_max_segments=compact_max_segments,
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity ledger — the SENSITIVE-CELL counts (quasi..., band, cnt),
+# additive per cell exactly like the class sizes above, serving the
+# batch customer_ldiversity_audit's homogeneity-attack readout live.
+# k-anonymity watches class SIZE; this ledger watches class DIVERSITY —
+# together they are the full release gate (a new ingest can push a
+# class below l without changing any class below k).
+# --------------------------------------------------------------------------
+_LDIV_SCHEMA = (
+    "c_nationkey INT, c_mktsegment STRING, band LONG, cnt LONG, epoch LONG"
+)
+_LDIV_KEYS = ["epoch", *KANON_QUASI, "band"]
+
+
+def _ldiv_partial(customers: DataFrame) -> DataFrame:
+    """customer rows → per-batch (quasi..., band, cnt) sensitive-cell
+    counts — the SAME banding expression as the batch query (imported
+    constants, offset keeps the div operand non-negative)."""
+    from open_pulsar_spark.operators.profiling import (
+        LDIV_BAND_OFFSET,
+        LDIV_BAND_WIDTH,
+    )
+
+    return customers.groupBy(
+        *KANON_QUASI,
+        F.expr(
+            f"(cast(round(c_acctbal * 100) as bigint) + {LDIV_BAND_OFFSET})"
+            f" div {LDIV_BAND_WIDTH}"
+        )
+        .cast("bigint")
+        .alias("band"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+
+
+def update_ldiv(
+    spark: SparkSession,
+    customers: DataFrame,
+    store_path: str,
+    epoch_id: int | None,
+) -> None:
+    """Fold one batch of customer rows into the sensitive-cell ledger.
+    ADDITIVE store: the epoch is mandatory (same contract as
+    update_kanon — an epoch-less backfill would double-add)."""
+    if epoch_id is None:
+        raise ValueError(
+            "ldiv_stream is additive: epoch-less backfills would "
+            "double-count on redelivery; pass a unique epoch id"
+        )
+    update_partial_store(customers, store_path, epoch_id, _ldiv_partial)
+
+
+def read_sensitive_cells(spark: SparkSession, store_path: str) -> DataFrame:
+    """The current folded (quasi..., band, cnt) sensitive-cell frame.
+    Dedup on (epoch, quasi..., band) FIRST — the mid-compaction
+    double-read guard — then cell-sum."""
+    raw = read_segments(spark, store_path, _LDIV_SCHEMA)
+    if raw is None:
+        return spark.createDataFrame(
+            [], "c_nationkey INT, c_mktsegment STRING, band LONG, cnt LONG"
+        )
+    return (
+        raw.dropDuplicates(_LDIV_KEYS)
+        .groupBy(*KANON_QUASI, "band")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def ldiv_readout(spark: SparkSession, store_path: str) -> DataFrame:
+    """The l-grid homogeneity-risk audit from the stream-maintained
+    sensitive-cell ledger — the SAME profiling.ldiversity_report as the
+    batch query, bit-matched over the union of all delivered rows."""
+    from open_pulsar_spark.operators.profiling import ldiversity_report
+
+    return ldiversity_report(spark, read_sensitive_cells(spark, store_path))
+
+
+def start_ldiv_stream(
+    spark: SparkSession,
+    customers_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    compact_max_segments: int | None = 64,
+):
+    """customer stream → continuously-maintained sensitive-cell ledger,
+    on the shared partial-stream scaffold."""
+    return start_partial_stream(
+        customers_stream,
+        store_path,
+        checkpoint,
+        partial_of=_ldiv_partial,
+        schema=_LDIV_SCHEMA,
+        dedup_keys=_LDIV_KEYS,
+        cluster_cols=[*KANON_QUASI, "band"],
+        compact_max_segments=compact_max_segments,
+    )

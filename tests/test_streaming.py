@@ -3146,6 +3146,44 @@ def test_kanon_stream_folds_to_batch_audit(spark, workdir):
         update_kanon(spark, cust, store, None)
 
 
+def test_ldiv_stream_folds_to_batch_audit(spark, workdir):
+    """Live homogeneity monitor: per-(QI, band) sensitive-cell counts
+    are additive, so three epochs of customer rows fold to the batch
+    customer_ldiversity_audit BIT-IDENTICALLY (shared
+    ldiversity_report); a replayed epoch is a no-op by overwrite, and
+    epoch-less writes are refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.kanon_stream import (
+        ldiv_readout,
+        update_ldiv,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    cust = load_table(spark, SF_SMALL, "customer")
+    store = f"{workdir}/ldiv_store"
+    for k in range(3):
+        update_ldiv(spark, cust.where(F.col("c_custkey") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["customer_ldiversity_audit"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    got = [tuple(r) for r in ldiv_readout(spark, store).collect()]
+    assert got == want and len(want) > 0
+
+    update_ldiv(spark, cust.where(F.col("c_custkey") % 3 == 0), store, 0)
+    assert [tuple(r) for r in ldiv_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError):
+        update_ldiv(spark, cust, store, None)
+
+
 def test_kanon_stream_runs_as_real_streaming_query(spark, workdir):
     """start_kanon_stream as an actual Structured Streaming query: the
     folded class-size ledger equals the one-shot batch fold, and forced
