@@ -1643,6 +1643,191 @@ def events_dow_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# forecast_conformal_interval — split-conformal prediction intervals for
+# the seasonal-naive forecast (finite-sample-valid uncertainty, the
+# missing half of a point forecast).
+# --------------------------------------------------------------------------
+CONF_TEST_DAYS = 7    # holdout the interval is graded on
+CONF_CAL_DAYS = 28    # calibration window for the nonconformity quantile
+CONF_ALPHAS_PPM = (100000, 200000)  # miscoverage targets 10% / 20%
+
+
+@query(
+    "forecast_conformal_interval",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         date_trunc('day', ts)::DATE)::BIGINT AS ed,
+               sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY 1
+    ),
+    scores AS (
+        SELECT a.ed, abs(a.cents - b.cents)::BIGINT AS err
+        FROM daily a JOIN daily b ON b.ed = a.ed - 7
+    ),
+    ranked AS (
+        SELECT ed, err, row_number() OVER (ORDER BY ed DESC) AS rn
+        FROM scores
+    ),
+    test AS (SELECT err FROM ranked WHERE rn <= {CONF_TEST_DAYS}),
+    cal AS (
+        SELECT err, row_number() OVER (ORDER BY err, ed) AS r
+        FROM ranked
+        WHERE rn > {CONF_TEST_DAYS}
+          AND rn <= {CONF_TEST_DAYS} + {CONF_CAL_DAYS}
+    ),
+    nc AS (SELECT count(*)::BIGINT AS n FROM cal),
+    nt AS (SELECT count(*)::BIGINT AS n FROM test),
+    ks AS (
+        SELECT alpha_ppm,
+               least((SELECT n FROM nc),
+                     ((1000000 - alpha_ppm) * ((SELECT n FROM nc) + 1)
+                      + 999999) // 1000000)::BIGINT AS q_rank
+        FROM (SELECT unnest([{", ".join(str(a) for a in CONF_ALPHAS_PPM)}
+                            ])::BIGINT AS alpha_ppm)
+    ),
+    qs AS (
+        SELECT ks.alpha_ppm, ks.q_rank, cal.err AS q_cents
+        FROM ks JOIN cal ON cal.r = ks.q_rank
+    )
+    SELECT q.alpha_ppm,
+           (1000000 - q.alpha_ppm)::BIGINT AS target_ppm,
+           (SELECT n FROM nc) AS n_cal,
+           q.q_rank, q.q_cents,
+           (SELECT n FROM nt) AS n_test,
+           sum(CASE WHEN t.err <= q.q_cents THEN 1 ELSE 0 END)::BIGINT
+               AS n_covered,
+           (sum(CASE WHEN t.err <= q.q_cents THEN 1 ELSE 0 END) * 1000000
+               // (SELECT n FROM nt))::BIGINT AS coverage_ppm
+    FROM qs q CROSS JOIN test t
+    GROUP BY 1, 2, 3, 4, 5, 6
+    ORDER BY alpha_ppm
+    """,
+)
+def forecast_conformal_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPLIT-CONFORMAL prediction intervals (Vovk; Lei et al.) for the
+    seasonal-naive daily-value forecast ŷ(t) = y(t−7): the
+    nonconformity score is |y(t) − y(t−7)| in integer cents, the
+    interval half-width q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest
+    calibration score — finite-sample valid with NO distributional
+    assumption — and the last {CONF_TEST_DAYS} scored days grade the
+    realized coverage against the (1−α) target for α ∈ 10%/20%. The
+    uncertainty leg of the forecast family: the backtest says how
+    wrong the point forecast is on average, this query says what
+    band you may promise and then MEASURES that the band holds.
+
+    Determinism: scores are exact integer cents; day pairing is by
+    CALENDAR day (epoch-day equi-join, gap days score nothing) like
+    revenue_acf; the quantile is nearest-rank with an (err, day)
+    tie-break — no float anywhere until nothing is left to round.
+
+    Scale: ONE scan reduces the fact table to the daily frame; the
+    t−7 self-join, ranking windows and the α-grid explode all run on
+    the BOUNDED day series (the revenue_acf posture). The two q̂
+    scalars collect from a ≤{CONF_CAL_DAYS}-row frame — config-sized
+    by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("ed")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    a, b = daily.alias("a"), daily.alias("b")
+    scores = _pin(
+        "conformal_scores",
+        a.join(b, F.col("b.ed") == F.col("a.ed") - 7)
+        .select(
+            F.col("a.ed").alias("ed"),
+            F.abs(F.col("a.cents") - F.col("b.cents"))
+            .cast("bigint")
+            .alias("err"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy().orderBy(F.desc("ed"))),
+        ),
+    )
+    test = scores.where(F.col("rn") <= CONF_TEST_DAYS).select("err")
+    cal = (
+        scores.where(
+            (F.col("rn") > CONF_TEST_DAYS)
+            & (F.col("rn") <= CONF_TEST_DAYS + CONF_CAL_DAYS)
+        )
+        .select(
+            "err",
+            F.row_number()
+            .over(Window.partitionBy().orderBy("err", "ed"))
+            .alias("r"),
+        )
+    )
+    n_cal = cal.count()
+    n_test = test.count()
+    if n_cal == 0 or n_test == 0:
+        return spark.createDataFrame(
+            [],
+            "alpha_ppm BIGINT, target_ppm BIGINT, n_cal BIGINT,"
+            " q_rank BIGINT, q_cents BIGINT, n_test BIGINT,"
+            " n_covered BIGINT, coverage_ppm BIGINT",
+        )
+    ks = {
+        alpha: min(
+            n_cal, ((1000000 - alpha) * (n_cal + 1) + 999999) // 1000000
+        )
+        for alpha in CONF_ALPHAS_PPM
+    }
+    q_by_rank = {
+        int(row.r): int(row.err)
+        for row in cal.where(
+            F.col("r").isin(sorted(set(ks.values())))
+        ).collect()
+    }
+    grid = ", ".join(
+        f"named_struct('alpha_ppm', cast({alpha} as bigint),"
+        f" 'q_rank', cast({ks[alpha]} as bigint),"
+        f" 'q_cents', cast({q_by_rank[ks[alpha]]} as bigint))"
+        for alpha in CONF_ALPHAS_PPM
+    )
+    return (
+        test.select(
+            "err", F.explode(F.expr(f"array({grid})")).alias("g")
+        )
+        .groupBy("g.alpha_ppm", "g.q_rank", "g.q_cents")
+        .agg(
+            F.sum(
+                F.when(F.col("err") <= F.col("g.q_cents"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered")
+        )
+        .select(
+            F.col("alpha_ppm").cast("bigint").alias("alpha_ppm"),
+            (F.lit(1000000) - F.col("alpha_ppm"))
+            .cast("bigint")
+            .alias("target_ppm"),
+            F.lit(n_cal).cast("bigint").alias("n_cal"),
+            F.col("q_rank").cast("bigint").alias("q_rank"),
+            F.col("q_cents").cast("bigint").alias("q_cents"),
+            F.lit(n_test).cast("bigint").alias("n_test"),
+            "n_covered",
+            F.expr(f"cast(n_covered * 1000000 div {n_test} as bigint)")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("alpha_ppm")
+    )
+
+
+# --------------------------------------------------------------------------
 # events_key_skew_profile — shuffle-key skew diagnosis (the profile a
 # perf engineer reads before choosing salting / AQE skew-join).
 # --------------------------------------------------------------------------
