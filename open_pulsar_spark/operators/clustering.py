@@ -437,6 +437,113 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# embedding_hbos_outliers — histogram-based outlier score (the
+# DENSITY-based detector next to embedding_outliers' distance-based one).
+# --------------------------------------------------------------------------
+HBOS_BIN_GRID = 512   # bin width on the fixed-point grid: 512/4096 = 0.125
+HBOS_TOP_N = 20       # outliers reported
+
+
+@query(
+    "embedding_hbos_outliers",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5)
+                             AS BIGINT)) AS q
+        FROM embeddings),
+    ex AS (
+        SELECT vec_id, dims.dim AS pos,
+               ((q[dims.dim] + {SCALE}) // {HBOS_BIN_GRID})::BIGINT AS bin
+        FROM q
+        CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS dim) dims),
+    tot AS (SELECT count(*)::BIGINT AS n FROM q),
+    cells AS (
+        SELECT pos, bin, count(*)::BIGINT AS cnt,
+               CAST(round(ln((SELECT n FROM tot) * 1.0 / count(*))
+                          * 1000000000) AS BIGINT) AS term_nano
+        FROM ex GROUP BY pos, bin),
+    scored AS (
+        SELECT e.vec_id, sum(c.term_nano)::BIGINT AS hbos_nano
+        FROM ex e JOIN cells c ON c.pos = e.pos AND c.bin = e.bin
+        GROUP BY e.vec_id)
+    SELECT s.vec_id, q.label::BIGINT AS label, s.hbos_nano
+    FROM scored s JOIN q ON q.vec_id = s.vec_id
+    ORDER BY s.hbos_nano DESC, s.vec_id
+    LIMIT {HBOS_TOP_N}
+    """,
+)
+def embedding_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS outliers (Goldstein & Dengel): score each vector by
+    Σ_dims ln(n / count(dim-bin)) over FIXED-width histograms of the
+    fixed-point grid — vectors living in sparse bins across many
+    dimensions score high. The density-based detector next to
+    embedding_outliers' cluster-distance MAD flags: HBOS needs no
+    trained model, treats dimensions independently (which is what
+    makes it O(n·d) and shuffle-light), and catches a different
+    failure mode — a vector can sit at a normal distance from its
+    centroid while occupying tail bins dimension-by-dimension.
+
+    Determinism: bins are fixed-width on the integer grid with a
+    +SCALE offset so the div operand is never negative (trunc == floor);
+    each ln term is computed once per (dim, bin) CELL with the same
+    double expression shape in both engines and rounded onto a
+    nano-unit integer grid (the events_value_psi closing), so
+    per-vector scores are order-independent integer sums; top-k ties
+    break on vec_id.
+
+    Scale: one map-side posexplode (n×DIM rows, the documented
+    payload-entropy cost) feeds a (dim, bin) cell aggregate BOUNDED at
+    DIM×(2·SCALE/width) rows; scoring is a broadcast equi-join of the
+    exploded frame against that cell frame, then one vec_id-keyed sum
+    and a TakeOrdered top-{HBOS_TOP_N} — no self-join, no window over
+    the corpus."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    qdf = embs.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.expr(_Q_EXPR).alias("q"),
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    ex = _pin(
+        "hbos_ex",
+        qdf.select("vec_id", F.posexplode("q").alias("pos", "qv")).select(
+            "vec_id",
+            "pos",
+            F.expr(f"(qv + {SCALE}) div {HBOS_BIN_GRID}")
+            .cast("bigint")
+            .alias("bin"),
+        ),
+    )
+    n = qdf.count()
+    cells = ex.groupBy("pos", "bin").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    term = (
+        F.round(
+            F.log(F.lit(n) * F.lit(1.0) / F.col("cnt"))
+            * F.lit(1000000000),
+            0,
+        )
+        .cast("bigint")
+        .alias("term_nano")
+    )
+    scored = (
+        ex.join(F.broadcast(cells.select("pos", "bin", term)), ["pos", "bin"])
+        .groupBy("vec_id")
+        .agg(F.sum("term_nano").cast("bigint").alias("hbos_nano"))
+    )
+    return (
+        scored.join(qdf.select("vec_id", "label"), "vec_id")
+        .orderBy(F.desc("hbos_nano"), "vec_id")
+        .limit(HBOS_TOP_N)
+        .select("vec_id", "label", "hbos_nano")
+    )
+
+
+# --------------------------------------------------------------------------
 # ann_ivf_kmeans — IVF with the LEARNED coarse quantizer.
 # --------------------------------------------------------------------------
 _DOT_SELF = (
