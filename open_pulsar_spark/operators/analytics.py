@@ -4004,6 +4004,181 @@ def revenue_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# revenue_trend_seasonal_split — classical decomposition strengths: how
+# much of daily-revenue variance is TREND, how much is the weekly cycle,
+# and what per-dow seasonal components remain after detrending.
+# --------------------------------------------------------------------------
+# Offset for the possibly-negative per-dow seasonal mean: Python/DuckDB
+# floor-vs-trunc division agrees only on a non-negative domain, so the
+# mean is computed as ((T_d + K·n_d) div n_d) − K. |detr| ≤ 7·max-daily
+# cents, so K = 10^15 clears any gate-scale series with huge margin
+# (the close runs in HUGEINT/unbounded Python ints — no overflow).
+TSS_MEAN_OFFSET = 10**15
+
+
+@query(
+    "revenue_trend_seasonal_split",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
+                   AS ed,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY 1),
+    bounds AS (SELECT min(ed) AS lo, max(ed) AS hi FROM daily),
+    spine AS (
+        SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds)))::BIGINT AS ed),
+    dense AS (
+        SELECT s.ed, coalesce(d.cents, 0)::BIGINT AS rev
+        FROM spine s LEFT JOIN daily d ON d.ed = s.ed),
+    ma AS (
+        SELECT ed, rev,
+               sum(rev) OVER (ORDER BY ed
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::BIGINT AS t7
+        FROM dense),
+    interior AS (
+        SELECT ((ed % 7) + 7) % 7 AS dow,
+               7 * rev AS y7,
+               7 * rev - t7 AS detr
+        FROM ma
+        WHERE ed >= (SELECT lo FROM bounds) + 3
+          AND ed <= (SELECT hi FROM bounds) - 3),
+    g AS (
+        SELECT dow, count(*)::HUGEINT AS n_d,
+               sum(detr)::HUGEINT AS t_d,
+               sum(detr::HUGEINT * detr) AS d2_d,
+               sum(y7)::HUGEINT AS y_d,
+               sum(y7::HUGEINT * y7) AS y2_d,
+               (sum(detr)::HUGEINT * sum(detr)::HUGEINT * 1000000)
+                   // count(*) AS a_term
+        FROM interior GROUP BY dow),
+    tot AS (
+        SELECT sum(n_d) AS n, sum(t_d) AS t, sum(d2_d) AS d2,
+               sum(y_d) AS y, sum(y2_d) AS y2, sum(a_term) AS a FROM g),
+    ss AS (
+        SELECT (n * y2 - y * y) AS ssy,
+               (n * d2 - t * t) AS ssd,
+               greatest(a * n - t * t * 1000000, 0) AS ssb_scaled
+        FROM tot)
+    SELECT g.dow::INT AS dow, g.n_d::BIGINT AS n_days,
+           ((g.t_d + {TSS_MEAN_OFFSET}::HUGEINT * g.n_d) // g.n_d
+               - {TSS_MEAN_OFFSET})::BIGINT AS seasonal_x7_cents,
+           (SELECT CASE WHEN ssy > 0
+                   THEN greatest(ssy - ssd, 0) * 1000000 // ssy
+                   ELSE 0 END FROM ss)::BIGINT AS trend_strength_ppm,
+           (SELECT CASE WHEN ssd > 0
+                   THEN ssb_scaled * 1000000 // (ssd * 1000000)
+                   ELSE 0 END FROM ss)::BIGINT AS seasonal_strength_ppm
+    FROM g
+    ORDER BY dow
+    """,
+)
+def revenue_trend_seasonal_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical seasonal decomposition STRENGTHS (Hyndman's F_T/F_S)
+    of daily revenue: detrend with a centered 7-day moving sum on the
+    DENSE calendar spine (missing days are zero-revenue days), then
+    (a) trend_strength = max(0, 1 − Var(detrended)/Var(raw)) — the
+    variance share the trend removes; (b) seasonal_strength = the
+    weekday η² OF THE DETRENDED series — the weekly cycle net of
+    trend (revenue_dow_anova measures the cycle gross of trend; a
+    drifting level inflates that number, this one is immune); and
+    (c) the per-dow seasonal component in 7×cents units. Together:
+    level, cycle, and noise shares — the decomposition a forecaster
+    reads before model selection.
+
+    Determinism: the series is integer cents ×7 (the moving AVERAGE
+    becomes a moving SUM — no division in the hot path); both
+    strength ratios close on exact scaled moments (the dow_anova
+    n-scaling + clamp), and the possibly-negative per-dow mean is
+    offset onto a non-negative domain (floor == trunc) before its one
+    integer division.
+
+    Scale: one shuffle to the day series; the dense spine, the
+    7-row window, and the dow rollup run on the BOUNDED calendar
+    frame; the ≤7-group close is exact unbounded-int Python, emitted
+    as literals (the dow_anova shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = daily_revenue_cents(orders).select(
+        F.expr("datediff(day, date '1970-01-01')").cast("bigint").alias(
+            "ed"
+        ),
+        "cents",
+    )
+    schema = (
+        "dow INT, n_days BIGINT, seasonal_x7_cents BIGINT,"
+        " trend_strength_ppm BIGINT, seasonal_strength_ppm BIGINT"
+    )
+    b = daily.agg(
+        F.min("ed").alias("lo"), F.max("ed").alias("hi")
+    ).first()
+    if b.lo is None:
+        return spark.createDataFrame([], schema)
+    lo, hi = int(b.lo), int(b.hi)
+    dense = (
+        spark.range(lo, hi + 1)
+        .select(F.col("id").cast("bigint").alias("ed"))
+        .join(daily, "ed", "left")
+        .select("ed", F.coalesce("cents", F.lit(0)).cast("bigint").alias("rev"))
+    )
+    w = Window.orderBy("ed").rowsBetween(-3, 3)
+    interior = (
+        dense.select(
+            "ed", "rev", F.sum("rev").over(w).cast("bigint").alias("t7")
+        )
+        .where((F.col("ed") >= lo + 3) & (F.col("ed") <= hi - 3))
+        .select(
+            F.expr("((ed % 7) + 7) % 7").cast("int").alias("dow"),
+            (F.lit(7) * F.col("rev")).cast("bigint").alias("y7"),
+            (F.lit(7) * F.col("rev") - F.col("t7"))
+            .cast("bigint")
+            .alias("detr"),
+        )
+    )
+    g = interior.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_d"),
+        F.sum("detr").cast("decimal(38,0)").alias("t_d"),
+        F.sum(F.expr("cast(detr as decimal(38,0)) * detr")).alias("d2_d"),
+        F.sum("y7").cast("decimal(38,0)").alias("y_d"),
+        F.sum(F.expr("cast(y7 as decimal(38,0)) * y7")).alias("y2_d"),
+    )
+    rows = sorted(
+        (int(r.dow), int(r.n_d), int(r.t_d), int(r.d2_d), int(r.y_d),
+         int(r.y2_d))
+        for r in g.collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    n = sum(r[1] for r in rows)
+    t = sum(r[2] for r in rows)
+    d2 = sum(r[3] for r in rows)
+    y = sum(r[4] for r in rows)
+    y2 = sum(r[5] for r in rows)
+    a = sum((r[2] * r[2] * 1000000) // r[1] for r in rows)
+    ssy = n * y2 - y * y
+    ssd = n * d2 - t * t
+    trend_ppm = max(ssy - ssd, 0) * 1000000 // ssy if ssy > 0 else 0
+    seas_ppm = (
+        max(a * n - t * t * 1000000, 0) * 1000000 // (ssd * 1000000)
+        if ssd > 0
+        else 0
+    )
+    K = TSS_MEAN_OFFSET
+    out = [
+        (
+            dow,
+            n_d,
+            (t_d + K * n_d) // n_d - K,
+            trend_ppm,
+            seas_ppm,
+        )
+        for dow, n_d, t_d, _, _, _ in rows
+    ]
+    return spark.createDataFrame(out, schema).orderBy("dow")
+
+
+# --------------------------------------------------------------------------
 # ab_test_sequential — anytime-valid (peeking-safe) experiment monitor:
 # a time-uniform confidence boundary over the cumulative daily readout.
 # --------------------------------------------------------------------------
