@@ -4015,11 +4015,12 @@ def revenue_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the close runs in HUGEINT/unbounded Python ints — no overflow).
 TSS_MEAN_OFFSET = 10**15
 
-
-@query(
-    "revenue_trend_seasonal_split",
-    oracle=f"""
-    WITH daily AS (
+# Shared oracle CTE block: orders → dense calendar spine → centered
+# 7-day moving sum → detrended interior day series (ed, dow, y7, detr).
+# THE one detrend definition, used by both the variance split and the
+# seasonal-anomaly detector so the two cannot detrend differently.
+_DETREND_CTES = """
+    daily AS (
         SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
                    AS ed,
                sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
@@ -4037,12 +4038,57 @@ TSS_MEAN_OFFSET = 10**15
                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::BIGINT AS t7
         FROM dense),
     interior AS (
-        SELECT ((ed % 7) + 7) % 7 AS dow,
-               7 * rev AS y7,
+        SELECT ed, ((ed % 7) + 7) % 7 AS dow,
+               rev, 7 * rev AS y7,
                7 * rev - t7 AS detr
         FROM ma
         WHERE ed >= (SELECT lo FROM bounds) + 3
-          AND ed <= (SELECT hi FROM bounds) - 3),
+          AND ed <= (SELECT hi FROM bounds) - 3)"""
+
+
+def detrended_day_series(
+    spark: SparkSession, daily: DataFrame
+) -> DataFrame | None:
+    """(ed, cents) day series → the detrended INTERIOR frame
+    (ed, dow, rev, y7, detr) on the dense calendar spine — THE one
+    detrend computation (mirrors _DETREND_CTES exactly), shared by
+    revenue_trend_seasonal_split and revenue_seasonal_anomalies.
+    Returns None on an empty series. The ×7 scaling turns the centered
+    moving average into a moving SUM, so detrending never divides."""
+    b = daily.agg(F.min("ed").alias("lo"), F.max("ed").alias("hi")).first()
+    if b.lo is None:
+        return None
+    lo, hi = int(b.lo), int(b.hi)
+    dense = (
+        spark.range(lo, hi + 1)
+        .select(F.col("id").cast("bigint").alias("ed"))
+        .join(daily, "ed", "left")
+        .select(
+            "ed", F.coalesce("cents", F.lit(0)).cast("bigint").alias("rev")
+        )
+    )
+    w = Window.orderBy("ed").rowsBetween(-3, 3)
+    return (
+        dense.select(
+            "ed", "rev", F.sum("rev").over(w).cast("bigint").alias("t7")
+        )
+        .where((F.col("ed") >= lo + 3) & (F.col("ed") <= hi - 3))
+        .select(
+            "ed",
+            F.expr("((ed % 7) + 7) % 7").cast("int").alias("dow"),
+            "rev",
+            (F.lit(7) * F.col("rev")).cast("bigint").alias("y7"),
+            (F.lit(7) * F.col("rev") - F.col("t7"))
+            .cast("bigint")
+            .alias("detr"),
+        )
+    )
+
+
+@query(
+    "revenue_trend_seasonal_split",
+    oracle=f"""
+    WITH {_DETREND_CTES},
     g AS (
         SELECT dow, count(*)::HUGEINT AS n_d,
                sum(detr)::HUGEINT AS t_d,
@@ -4110,32 +4156,9 @@ def revenue_trend_seasonal_split(
         "dow INT, n_days BIGINT, seasonal_x7_cents BIGINT,"
         " trend_strength_ppm BIGINT, seasonal_strength_ppm BIGINT"
     )
-    b = daily.agg(
-        F.min("ed").alias("lo"), F.max("ed").alias("hi")
-    ).first()
-    if b.lo is None:
+    interior = detrended_day_series(spark, daily)
+    if interior is None:
         return spark.createDataFrame([], schema)
-    lo, hi = int(b.lo), int(b.hi)
-    dense = (
-        spark.range(lo, hi + 1)
-        .select(F.col("id").cast("bigint").alias("ed"))
-        .join(daily, "ed", "left")
-        .select("ed", F.coalesce("cents", F.lit(0)).cast("bigint").alias("rev"))
-    )
-    w = Window.orderBy("ed").rowsBetween(-3, 3)
-    interior = (
-        dense.select(
-            "ed", "rev", F.sum("rev").over(w).cast("bigint").alias("t7")
-        )
-        .where((F.col("ed") >= lo + 3) & (F.col("ed") <= hi - 3))
-        .select(
-            F.expr("((ed % 7) + 7) % 7").cast("int").alias("dow"),
-            (F.lit(7) * F.col("rev")).cast("bigint").alias("y7"),
-            (F.lit(7) * F.col("rev") - F.col("t7"))
-            .cast("bigint")
-            .alias("detr"),
-        )
-    )
     g = interior.groupBy("dow").agg(
         F.count("*").cast("bigint").alias("n_d"),
         F.sum("detr").cast("decimal(38,0)").alias("t_d"),
@@ -4176,6 +4199,127 @@ def revenue_trend_seasonal_split(
         for dow, n_d, t_d, _, _, _ in rows
     ]
     return spark.createDataFrame(out, schema).orderBy("dow")
+
+
+# --------------------------------------------------------------------------
+# revenue_seasonal_anomalies — the decomposition's actionable consumer:
+# days whose remainder (after trend AND weekly cycle) is a robust outlier.
+# --------------------------------------------------------------------------
+@query(
+    "revenue_seasonal_anomalies",
+    oracle=f"""
+    WITH {_DETREND_CTES},
+    seas AS (
+        SELECT dow,
+               ((sum(detr)::HUGEINT + {TSS_MEAN_OFFSET}::HUGEINT * count(*))
+                   // count(*) - {TSS_MEAN_OFFSET})::BIGINT AS s_x7
+        FROM interior GROUP BY dow),
+    scored AS (
+        SELECT i.ed, i.dow, i.rev, (i.detr - s.s_x7)::BIGINT AS r
+        FROM interior i JOIN seas s ON s.dow = i.dow),
+    nn AS (SELECT count(*)::BIGINT AS n FROM scored),
+    med AS (
+        SELECT r AS med FROM (
+            SELECT r, row_number() OVER (ORDER BY r, ed) AS rn FROM scored)
+        WHERE rn = ((SELECT n FROM nn) + 1) // 2),
+    dev AS (
+        SELECT ed, dow, rev, r,
+               abs(r - (SELECT med FROM med))::BIGINT AS d
+        FROM scored),
+    mad AS (
+        SELECT d AS mad FROM (
+            SELECT d, row_number() OVER (ORDER BY d, ed) AS rn FROM dev)
+        WHERE rn = ((SELECT n FROM nn) + 1) // 2)
+    SELECT strftime(DATE '1970-01-01' + ed::INT, '%Y-%m-%d') AS day,
+           dow::INT AS dow,
+           rev AS revenue_cents,
+           r AS remainder_x7,
+           (SELECT med FROM med) AS med_x7,
+           (SELECT mad FROM mad) AS mad_x7
+    FROM dev
+    WHERE d > 3 * (SELECT mad FROM mad)
+    ORDER BY day
+    """,
+)
+def revenue_seasonal_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonally-adjusted anomaly days: remove the trend (centered
+    7-day moving sum) AND the weekly cycle (per-dow floored mean of
+    the detrended series), then flag days whose remainder deviates
+    from the remainder median by more than 3×MAD — the robust
+    detector events_anomaly_mad is on RAW values, which mistakes every
+    busy Saturday and every growth month for an incident; this one
+    alerts only on what the decomposition cannot explain. Shares the
+    detrend kernel (detrended_day_series / _DETREND_CTES) with
+    revenue_trend_seasonal_split so the detector and the variance
+    split cannot disagree about what 'trend' means.
+
+    Determinism: integer end-to-end — the seasonal mean divides on an
+    offset non-negative domain (floor == trunc), the median and MAD
+    are lower-median ranks with an (value, ed) tie-break, and the
+    flag threshold is integer comparison. No float anywhere.
+
+    Scale: one shuffle to the day series; the spine, windows, the
+    7-row seasonal join and both rank passes run on the BOUNDED
+    calendar frame (pinned — three consumers)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = daily_revenue_cents(orders).select(
+        F.expr("datediff(day, date '1970-01-01')").cast("bigint").alias(
+            "ed"
+        ),
+        "cents",
+    )
+    schema = (
+        "day STRING, dow INT, revenue_cents BIGINT, remainder_x7 BIGINT,"
+        " med_x7 BIGINT, mad_x7 BIGINT"
+    )
+    interior = detrended_day_series(spark, daily)
+    if interior is None:
+        return spark.createDataFrame([], schema)
+    K = TSS_MEAN_OFFSET
+    seas = interior.groupBy("dow").agg(
+        F.expr(
+            f"cast((sum(cast(detr as decimal(38,0)))"
+            f" + cast({K} as decimal(38,0)) * count(*)) div count(*)"
+            f" - {K} as bigint)"
+        ).alias("s_x7")
+    )
+    scored = interior.join(F.broadcast(seas), "dow").select(
+        "ed",
+        "dow",
+        "rev",
+        (F.col("detr") - F.col("s_x7")).cast("bigint").alias("r"),
+    )
+    # the scored frame is BOUNDED by the calendar span — ONE collect,
+    # then the median/MAD/flag close runs in exact Python ints (the
+    # dow_anova shape; five sequential Spark actions measured 5× the
+    # single-action wall time for zero distribution benefit)
+    rows = sorted(
+        (int(x.ed), int(x.dow), int(x.rev), int(x.r))
+        for x in scored.collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    k_med = (len(rows) + 1) // 2
+    med = sorted((r, ed) for ed, _, _, r in rows)[k_med - 1][0]
+    mad = sorted((abs(r - med), ed) for ed, _, _, r in rows)[k_med - 1][0]
+    from datetime import date, timedelta
+
+    epoch = date(1970, 1, 1)
+    out = [
+        (
+            (epoch + timedelta(days=ed)).isoformat(),
+            dow,
+            rev,
+            r,
+            med,
+            mad,
+        )
+        for ed, dow, rev, r in rows
+        if abs(r - med) > 3 * mad
+    ]
+    return spark.createDataFrame(out, schema).orderBy("day")
 
 
 # --------------------------------------------------------------------------
