@@ -169,14 +169,14 @@ def _zip_dist_sql(left: str = "v") -> str:
 _ZIP_DIST = _zip_dist_sql("v")
 
 
-def _assign_cte(name: str, cent: str) -> str:
+def _assign_cte(name: str, cent: str, src: str = "q") -> str:
     return f"""
     {name} AS (
         SELECT vec_id, q, cid, CAST(dist AS BIGINT) AS sq_dist FROM (
             SELECT v.vec_id, v.q, c.cid, {_ZIP_DIST} AS dist,
                 row_number() OVER (PARTITION BY v.vec_id
                                    ORDER BY {_ZIP_DIST}, c.cid) AS rn
-            FROM q v CROSS JOIN {cent} c) WHERE rn = 1
+            FROM {src} v CROSS JOIN {cent} c) WHERE rn = 1
     )"""
 
 
@@ -1400,6 +1400,132 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("sq_shift"), "label")
     )
+
+
+# --------------------------------------------------------------------------
+# ivf_assignment_churn — index staleness: how many vectors change cells
+# when a half-corpus codebook is warm-start-refreshed on the full corpus.
+# --------------------------------------------------------------------------
+_CHURN_CTES = f"""q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    qh AS (SELECT vec_id, q FROM q WHERE vec_id % 2 = 0),
+    c0h AS (SELECT vec_id AS cid, q AS c FROM qh ORDER BY vec_id LIMIT {K}),
+    {_assign_cte("a0h", "c0h", src="qh")},
+    {_update_cte("c1h", "a0h")},
+    {_assign_cte("a1h", "c1h", src="qh")},
+    {_update_cte("c2h", "a1h")},
+    {_assign_cte("af0", "c2h")},
+    {_update_cte("cf1", "af0")},
+    {_assign_cte("af1", "cf1")},
+    {_update_cte("cf2", "af1")},
+    {_assign_cte("sa", "c2h")},
+    {_assign_cte("fa", "cf2")}"""
+
+
+@query(
+    "ivf_assignment_churn",
+    oracle=f"""
+    WITH {_CHURN_CTES},
+    j AS (
+        SELECT sa.vec_id, sa.cid AS scid, fa.cid AS fcid
+        FROM sa JOIN fa ON fa.vec_id = sa.vec_id),
+    tot AS (
+        SELECT (sum(CASE WHEN scid <> fcid THEN 1 ELSE 0 END) * 1000000
+                // count(*))::BIGINT AS total_churn_ppm
+        FROM j)
+    SELECT scid::INT AS cell,
+           count(*)::BIGINT AS n_vecs,
+           sum(CASE WHEN scid <> fcid THEN 1 ELSE 0 END)::BIGINT
+               AS n_churned,
+           (sum(CASE WHEN scid <> fcid THEN 1 ELSE 0 END) * 1000000
+               // count(*))::BIGINT AS churn_ppm,
+           (SELECT total_churn_ppm FROM tot) AS total_churn_ppm
+    FROM j
+    GROUP BY scid
+    ORDER BY cell
+    """,
+)
+def ivf_assignment_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index STALENESS, measured: train the coarse codebook on the
+    even-id HALF of the corpus (the index you built last month), then
+    warm-start {UPDATE_ROUNDS} Lloyd rounds on the FULL corpus (the
+    refresh you are pricing) — the warm start preserves cell identity,
+    so per-cell churn (vectors whose nearest centroid changed) is
+    well-defined. total_churn_ppm is the fraction of the corpus whose
+    inverted-list home is stale; per-cell rows show WHICH lists to
+    rebuild first. The maintenance readout between
+    embedding_centroid_drift (how far centroids moved) and
+    ivf_nprobe_recall_curve (what probing more lists buys): this one
+    prices the rebuild itself.
+
+    Determinism: both codebooks and all four assignment passes run on
+    the fixed-point grid (integer distances, min-cid tie-break) — the
+    kmeans replay contract — so churn is bit-identical across engines
+    and partitionings.
+
+    Scale: each Lloyd round and each assignment pass is map-only
+    codegen against K literal centroids + one K×DIM driver aggregate
+    (the _fit contract); the final double assignment runs in ONE scan
+    (two literal-array argmins side by side) feeding a ≤K-row cell
+    aggregate closed in Python ints. The corpus never shuffles."""
+    qdf = _quantized(spark, sf_dir)
+    qh = qdf.where(F.col("vec_id") % 2 == 0)
+    seeds = sorted(
+        (int(r.vec_id), list(r.q))
+        for r in qh.orderBy("vec_id").limit(K).collect()
+    )
+    if len(seeds) < K:
+        raise ValueError(
+            f"ivf_assignment_churn: need {K} even-id seed vectors,"
+            f" found {len(seeds)}"
+        )
+    stale = seeds
+    for _ in range(UPDATE_ROUNDS):
+        stale = _update(qh, stale)
+    fresh = stale
+    for _ in range(UPDATE_ROUNDS):
+        fresh = _update(qdf, fresh)
+    both = (
+        qdf.withColumn("_asg_s", _assign_col(stale))
+        .withColumn("_asg_f", _assign_col(fresh))
+        .select(
+            F.col("_asg_s.cid").alias("scid"),
+            F.col("_asg_f.cid").alias("fcid"),
+        )
+    )
+    cells = (
+        both.groupBy("scid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(
+                F.when(F.col("scid") != F.col("fcid"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_churned"),
+        )
+        .collect()
+    )
+    schema = (
+        "cell INT, n_vecs BIGINT, n_churned BIGINT, churn_ppm BIGINT,"
+        " total_churn_ppm BIGINT"
+    )
+    rows = sorted(
+        (int(r.scid), int(r.n_vecs), int(r.n_churned)) for r in cells
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    n_all = sum(r[1] for r in rows)
+    ch_all = sum(r[2] for r in rows)
+    total_ppm = ch_all * 1000000 // n_all
+    out = [
+        (cell, n, ch, ch * 1000000 // n, total_ppm)
+        for cell, n, ch in rows
+    ]
+    return spark.createDataFrame(out, schema).orderBy("cell")
 
 
 # --------------------------------------------------------------------------
