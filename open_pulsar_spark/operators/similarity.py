@@ -1448,6 +1448,168 @@ def retrieval_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# retrieval_ndcg — graded ranking quality of dense retrieval (nDCG@k
+# under label relevance; P@k sees WHETHER relevant items surface, this
+# sees WHERE in the ranking they sit).
+# --------------------------------------------------------------------------
+# 1/log2(i+1) position discounts on a nano grid, PRECOMPUTED as integer
+# literals for ranks 1..TOP_K (and their prefix sums for the ideal DCG)
+# — both engines consume the same constants, so no libm call exists at
+# query time at all. round(1e9 / log2(i+1)) for i = 1..5:
+DCG_GAIN_NANO = (1000000000, 630929754, 500000000, 430676558, 386852807)
+DCG_IDEAL_PREFIX_NANO = tuple(
+    sum(DCG_GAIN_NANO[: i + 1]) for i in range(len(DCG_GAIN_NANO))
+)
+assert len(DCG_GAIN_NANO) == TOP_K
+
+
+@query(
+    "retrieval_ndcg",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_SQL} AS nrm
+               FROM embeddings),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    lc AS (SELECT label, count(*)::BIGINT AS n_label FROM lab GROUP BY 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS cos
+        FROM q JOIN e ON e.vec_id <> q.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored),
+    topk AS (SELECT query_id, neighbor_id, rk FROM ranked
+             WHERE rk <= {TOP_K}),
+    gains AS (SELECT unnest(generate_series(1, {TOP_K})) AS rk,
+                     unnest([{", ".join(str(g) for g in DCG_GAIN_NANO)}
+                            ])::BIGINT AS gain_nano),
+    per_q AS (
+        SELECT t.query_id, ql.label,
+               sum(CASE WHEN nl.label = ql.label
+                        THEN g.gain_nano ELSE 0 END)::BIGINT AS dcg_nano,
+               sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)::BIGINT
+                   AS n_rel_topk,
+               max(lc.n_label) - 1 AS r_q
+        FROM topk t
+        JOIN lab ql ON ql.vec_id = t.query_id
+        JOIN lab nl ON nl.vec_id = t.neighbor_id
+        JOIN gains g ON g.rk = t.rk
+        JOIN lc ON lc.label = ql.label
+        GROUP BY t.query_id, ql.label),
+    scored_q AS (
+        SELECT query_id, label::INT AS label, n_rel_topk,
+               CASE WHEN r_q <= 0 THEN 0
+                    ELSE dcg_nano * 1000000 //
+                         ([{", ".join(str(p) for p in
+                                      DCG_IDEAL_PREFIX_NANO)}]
+                          [least({TOP_K}, r_q)])
+               END::BIGINT AS ndcg_ppm
+        FROM per_q)
+    SELECT query_id, label, n_rel_topk, ndcg_ppm,
+           (SELECT (sum(ndcg_ppm) // count(*))::BIGINT FROM scored_q)
+               AS mean_ndcg_ppm
+    FROM scored_q
+    ORDER BY query_id
+    """,
+)
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{TOP_K} of exact dense retrieval under label relevance:
+    binary gains discounted by rank position (the precomputed
+    1/log2(i+1) nano-grid literals), normalized by the IDEAL DCG for
+    min(k, R_q) available relevant items. retrieval_label_precision
+    counts how many same-label items the top-k holds; this query
+    scores WHERE they sit — a system that always buries its hits at
+    rank 5 has identical P@k but visibly lower nDCG, which is exactly
+    the re-ranker/calibration signal. Completes the IR-eval leg:
+    P@k (set quality), nDCG@k (rank quality), recall curves (index
+    quality).
+
+    Determinism: the ranking is the established exact top-k (cos
+    DESC, id tie-break); position discounts are INTEGER LITERALS
+    shared by both engines (no runtime libm); the per-query close is
+    exact integer arithmetic with a trunc-div ppm.
+
+    Scale: reuses the broadcast-probe blocked matmul; everything
+    after the top-k runs on ≤ queries × k rows, and the mean closes
+    over the ≤{N_QUERIES}-row per-query frame in Python."""
+    dense = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rk"
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+    lc = lab.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_label")
+    )
+    gains = "array(" + ",".join(f"{g}L" for g in DCG_GAIN_NANO) + ")"
+    prefix = (
+        "array(" + ",".join(f"{p}L" for p in DCG_IDEAL_PREFIX_NANO) + ")"
+    )
+    per_q = (
+        dense.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("qlabel"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(lc.select(F.col("label").alias("qlabel"), "n_label")),
+            "qlabel",
+        )
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("nlabel") == F.col("qlabel"),
+                    F.expr(f"element_at({gains}, cast(rk as int))"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dcg_nano"),
+            F.sum(F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rel_topk"),
+            (F.max("n_label") - 1).cast("bigint").alias("r_q"),
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            "n_rel_topk",
+            F.expr(
+                f"cast(CASE WHEN r_q <= 0 THEN 0"
+                f" ELSE dcg_nano * 1000000 div"
+                f" element_at({prefix}, cast(least({TOP_K}, r_q) as int))"
+                f" END as bigint)"
+            ).alias("ndcg_ppm"),
+        )
+    )
+    schema = (
+        "query_id BIGINT, label INT, n_rel_topk BIGINT, ndcg_ppm BIGINT,"
+        " mean_ndcg_ppm BIGINT"
+    )
+    rows = sorted(
+        (int(r.query_id), int(r.label), int(r.n_rel_topk), int(r.ndcg_ppm))
+        for r in per_q.collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    mean_ppm = sum(r[3] for r in rows) // len(rows)
+    out = [(qid, lb, nr, nd, mean_ppm) for qid, lb, nr, nd in rows]
+    return spark.createDataFrame(out, schema).orderBy("query_id")
+
+
+# --------------------------------------------------------------------------
 # ivf_nprobe_recall_curve — recall@k as a function of nprobe (the IVF
 # tuning curve, the lsh_s_curve symmetry for the centroid index).
 # --------------------------------------------------------------------------
