@@ -780,6 +780,153 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# segment_diff_in_diff — the observational causal readout: treated vs
+# control order revenue across a fixed policy cutover.
+# --------------------------------------------------------------------------
+DID_TREATED_SEGMENT = "BUILDING"   # the segment the hypothetical policy hit
+DID_CUTOVER = "1998-07-01"         # fixed cutover date (series midpoint-ish)
+DID_MEAN_OFFSET = 10**12           # offset for possibly-negative micro-divs
+
+
+@query(
+    "segment_diff_in_diff",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CASE WHEN c.c_mktsegment = '{DID_TREATED_SEGMENT}'
+                    THEN 'treated' ELSE 'control' END AS grp,
+               CASE WHEN o.o_orderdate >= TIMESTAMP '{DID_CUTOVER} 00:00:00'
+                    THEN 'post' ELSE 'pre' END AS period,
+               count(*)::BIGINT AS n_orders,
+               sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT
+                   AS revenue_cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+    w AS (
+        SELECT
+            max(CASE WHEN grp='treated' AND period='post'
+                     THEN revenue_cents END)::HUGEINT AS stp,
+            max(CASE WHEN grp='treated' AND period='post'
+                     THEN n_orders END)::HUGEINT AS ntp,
+            max(CASE WHEN grp='treated' AND period='pre'
+                     THEN revenue_cents END)::HUGEINT AS str,
+            max(CASE WHEN grp='treated' AND period='pre'
+                     THEN n_orders END)::HUGEINT AS ntr,
+            max(CASE WHEN grp='control' AND period='post'
+                     THEN revenue_cents END)::HUGEINT AS scp,
+            max(CASE WHEN grp='control' AND period='post'
+                     THEN n_orders END)::HUGEINT AS ncp,
+            max(CASE WHEN grp='control' AND period='pre'
+                     THEN revenue_cents END)::HUGEINT AS scr,
+            max(CASE WHEN grp='control' AND period='pre'
+                     THEN n_orders END)::HUGEINT AS ncr
+        FROM cells),
+    est AS (
+        SELECT
+            (((stp * ntr - str * ntp) * ncp * ncr
+              - (scp * ncr - scr * ncp) * ntp * ntr) * 1000000
+             + {DID_MEAN_OFFSET}::HUGEINT * (ntp * ntr * ncp * ncr))
+                // (ntp * ntr * ncp * ncr) - {DID_MEAN_OFFSET}
+                AS did_microcents,
+            ((str * ncr - scr * ntr) * 1000000
+             + {DID_MEAN_OFFSET}::HUGEINT * (ntr * ncr))
+                // (ntr * ncr) - {DID_MEAN_OFFSET} AS pregap_microcents
+        FROM w)
+    SELECT grp, period, n_orders, revenue_cents,
+           (revenue_cents // n_orders)::BIGINT AS mean_cents,
+           (SELECT did_microcents FROM est)::BIGINT AS did_microcents,
+           (SELECT pregap_microcents FROM est)::BIGINT AS pregap_microcents
+    FROM cells
+    ORDER BY grp, period
+    """,
+)
+def segment_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES of per-order revenue across the fixed
+    {DID_CUTOVER} cutover, treated = {DID_TREATED_SEGMENT} customers,
+    control = everyone else: the observational fallback when no
+    randomized assignment exists (the ab_test family covers the
+    randomized case). Output is the four (group × period) cells with
+    exact counts/sums/floored means, the DiD estimate
+    (Δtreated − Δcontrol) in micro-cents, and the PRE-period gap — the
+    number a reviewer reads to judge the parallel-trends assumption
+    before believing the estimate.
+
+    Determinism: the four cell moments are exact integers; both
+    closing rationals go through a single common-denominator integer
+    division offset onto a non-negative domain (floor == trunc for
+    the possibly-negative estimates). The Spark close runs the same
+    arithmetic in unbounded Python ints over the collected 4-row cell
+    frame (the dow_anova shape); the oracle carries it in HUGEINT —
+    n³·s·10⁶ ≈ 10²⁸ at gate scales, far inside both.
+
+    Scale: ONE broadcast join labels orders with their customer's
+    segment (customer is the schema-bounded side at any sf — the
+    standard dim-broadcast), one map-combinable 4-group aggregate;
+    nothing after touches the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(
+            F.col("c_mktsegment") == DID_TREATED_SEGMENT, "treated"
+        )
+        .otherwise("control")
+        .alias("grp"),
+    )
+    cells = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .select(
+            "grp",
+            F.when(
+                F.col("o_orderdate")
+                >= F.lit(f"{DID_CUTOVER} 00:00:00").cast("timestamp"),
+                "post",
+            )
+            .otherwise("pre")
+            .alias("period"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("grp", "period")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+    schema = (
+        "grp STRING, period STRING, n_orders BIGINT, revenue_cents BIGINT,"
+        " mean_cents BIGINT, did_microcents BIGINT, pregap_microcents BIGINT"
+    )
+    got = {
+        (r.grp, r.period): (int(r.n_orders), int(r.revenue_cents))
+        for r in cells.collect()
+    }
+    need = [(g, p) for g in ("treated", "control") for p in ("post", "pre")]
+    if any(k not in got for k in need):
+        # a missing cell means DiD is undefined — empty on both engines
+        # is NOT mirrorable in SQL cheaply, so require all four (holds
+        # at every gate sf; the oracle would emit NULL-poisoned rows)
+        return spark.createDataFrame([], schema)
+    (ntp, stp), (ntr, st_r) = got[("treated", "post")], got[("treated", "pre")]
+    (ncp, scp), (ncr, scr) = got[("control", "post")], got[("control", "pre")]
+    K = DID_MEAN_OFFSET
+    den = ntp * ntr * ncp * ncr
+    num = ((stp * ntr - st_r * ntp) * ncp * ncr
+           - (scp * ncr - scr * ncp) * ntp * ntr)
+    did = (num * 1000000 + K * den) // den - K
+    pregap = ((st_r * ncr - scr * ntr) * 1000000 + K * (ntr * ncr)) // (
+        ntr * ncr
+    ) - K
+    out = [
+        (g, p, got[(g, p)][0], got[(g, p)][1],
+         got[(g, p)][1] // got[(g, p)][0], did, pregap)
+        for g, p in sorted(need)
+    ]
+    return spark.createDataFrame(out, schema).orderBy("grp", "period")
+
+
+# --------------------------------------------------------------------------
 # segment_revenue_trend — closed-form distributed OLS slope per segment.
 # --------------------------------------------------------------------------
 def _segment_monthly_xy(spark: SparkSession, sf_dir: str, pin_name: str) -> DataFrame:
