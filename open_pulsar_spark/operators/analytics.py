@@ -785,7 +785,6 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 DID_TREATED_SEGMENT = "BUILDING"   # the segment the hypothetical policy hit
 DID_CUTOVER = "1998-07-01"         # fixed cutover date (series midpoint-ish)
-DID_MEAN_OFFSET = 10**12           # offset for possibly-negative micro-divs
 
 
 @query(
@@ -820,17 +819,25 @@ DID_MEAN_OFFSET = 10**12           # offset for possibly-negative micro-divs
             max(CASE WHEN grp='control' AND period='pre'
                      THEN n_orders END)::HUGEINT AS ncr
         FROM cells),
-    est AS (
+    nums AS (
         SELECT
-            (((stp * ntr - str * ntp) * ncp * ncr
-              - (scp * ncr - scr * ncp) * ntp * ntr) * 1000000
-             + {DID_MEAN_OFFSET}::HUGEINT * (ntp * ntr * ncp * ncr))
-                // (ntp * ntr * ncp * ncr) - {DID_MEAN_OFFSET}
-                AS did_microcents,
-            ((str * ncr - scr * ntr) * 1000000
-             + {DID_MEAN_OFFSET}::HUGEINT * (ntr * ncr))
-                // (ntr * ncr) - {DID_MEAN_OFFSET} AS pregap_microcents
-        FROM w)
+            ((stp * ntr - str * ntp) * ncp * ncr
+             - (scp * ncr - scr * ncp) * ntp * ntr) AS num1,
+            (ntp * ntr * ncp * ncr) AS den1,
+            (str * ncr - scr * ntr) AS num2,
+            (ntr * ncr) AS den2
+        FROM w),
+    est AS (
+        -- sign-split TRUNCATING division: positive operands only, so
+        -- DuckDB // and Python // cannot disagree (an additive offset
+        -- cannot be sized safely here — the estimate's own magnitude
+        -- is unbounded in the data)
+        SELECT
+            CASE WHEN num1 >= 0 THEN (num1 * 1000000) // den1
+                 ELSE -(((-num1) * 1000000) // den1) END AS did_microcents,
+            CASE WHEN num2 >= 0 THEN (num2 * 1000000) // den2
+                 ELSE -(((-num2) * 1000000) // den2) END AS pregap_microcents
+        FROM nums)
     SELECT grp, period, n_orders, revenue_cents,
            (revenue_cents // n_orders)::BIGINT AS mean_cents,
            (SELECT did_microcents FROM est)::BIGINT AS did_microcents,
@@ -851,12 +858,14 @@ def segment_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     before believing the estimate.
 
     Determinism: the four cell moments are exact integers; both
-    closing rationals go through a single common-denominator integer
-    division offset onto a non-negative domain (floor == trunc for
-    the possibly-negative estimates). The Spark close runs the same
-    arithmetic in unbounded Python ints over the collected 4-row cell
-    frame (the dow_anova shape); the oracle carries it in HUGEINT —
-    n³·s·10⁶ ≈ 10²⁸ at gate scales, far inside both.
+    closing rationals divide SIGN-SPLIT on explicit magnitudes
+    (truncate toward zero with positive operands on both engines — an
+    additive offset cannot be sized safely here because the estimate's
+    own magnitude is unbounded in the data, the bug the first cut of
+    this query shipped). The Spark close runs in unbounded Python ints
+    over the collected 4-row cell frame (the dow_anova shape); the
+    oracle carries it in HUGEINT — n³·s·10⁶ ≈ 10³¹ at sf0.1, inside
+    HUGEINT's 1.7e38.
 
     Scale: ONE broadcast join labels orders with their customer's
     segment (customer is the schema-bounded side at any sf — the
@@ -910,14 +919,17 @@ def segment_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], schema)
     (ntp, stp), (ntr, st_r) = got[("treated", "post")], got[("treated", "pre")]
     (ncp, scp), (ncr, scr) = got[("control", "post")], got[("control", "pre")]
-    K = DID_MEAN_OFFSET
-    den = ntp * ntr * ncp * ncr
-    num = ((stp * ntr - st_r * ntp) * ncp * ncr
-           - (scp * ncr - scr * ncp) * ntp * ntr)
-    did = (num * 1000000 + K * den) // den - K
-    pregap = ((st_r * ncr - scr * ntr) * 1000000 + K * (ntr * ncr)) // (
-        ntr * ncr
-    ) - K
+
+    def _tdiv(num: int, den: int) -> int:
+        # truncate toward zero on explicit magnitudes — mirrors the
+        # oracle's sign-split CASE exactly (Python // floors)
+        q = (abs(num) * 1000000) // den
+        return q if num >= 0 else -q
+
+    num1 = ((stp * ntr - st_r * ntp) * ncp * ncr
+            - (scp * ncr - scr * ncp) * ntp * ntr)
+    did = _tdiv(num1, ntp * ntr * ncp * ncr)
+    pregap = _tdiv(st_r * ncr - scr * ntr, ntr * ncr)
     out = [
         (g, p, got[(g, p)][0], got[(g, p)][1],
          got[(g, p)][1] // got[(g, p)][0], did, pregap)
