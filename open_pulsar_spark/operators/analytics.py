@@ -1900,11 +1900,23 @@ def forecast_conformal_interval(
         .cast("bigint")
         .alias("cents")
     )
+    return conformal_from_daily(spark, daily)
+
+
+def conformal_from_daily(
+    spark: SparkSession, daily: DataFrame, pin_ns: str = "conformal"
+) -> DataFrame:
+    """(ed, cents) day series → the split-conformal coverage table —
+    THE one conformal computation, shared by the batch query (events
+    daily values) and the streaming revenue day ledger's readout
+    (cusum_stream.conformal_readout serves it from the same folded
+    store as CUSUM/ACF/EWMA/bootstrap), so the live interval and a
+    batch recompute cannot rank or cover differently."""
     from open_pulsar_spark.operators.dedup import _pin
 
     a, b = daily.alias("a"), daily.alias("b")
     scores = _pin(
-        "conformal_scores",
+        f"{pin_ns}_scores",
         a.join(b, F.col("b.ed") == F.col("a.ed") - 7)
         .select(
             F.col("a.ed").alias("ed"),

@@ -144,3 +144,23 @@ def bootstrap_readout(spark: SparkSession, store_path: str) -> DataFrame:
     from open_pulsar_spark.operators.analytics import bootstrap_ci_from_daily
 
     return bootstrap_ci_from_daily(spark, read_daily(spark, store_path))
+
+
+def conformal_readout(spark: SparkSession, store_path: str) -> DataFrame:
+    """FIFTH readout of the same additive day-cents ledger: the
+    split-conformal prediction-interval coverage table over the folded
+    revenue series (shared analytics.conformal_from_daily — the batch
+    query runs it on events daily values, this serves the orders
+    ledger), bit-matching a batch recompute over the union of all
+    delivered rows. One store: level (CUSUM), memory (ACF), trend
+    (EWMA), uncertainty of the mean (bootstrap), and now uncertainty
+    of the FORECAST — the live interval an ops dashboard quotes."""
+    from open_pulsar_spark.operators.analytics import conformal_from_daily
+
+    daily = read_daily(spark, store_path).select(
+        F.expr("datediff(day, date '1970-01-01')").cast("bigint").alias(
+            "ed"
+        ),
+        "cents",
+    )
+    return conformal_from_daily(spark, daily, pin_ns="conformal_stream")

@@ -3263,6 +3263,49 @@ def test_cusum_ledger_also_serves_bootstrap_readout(spark, workdir):
     assert got == want
 
 
+def test_cusum_ledger_also_serves_conformal_readout(spark, workdir):
+    """One additive day-cents ledger, FIVE readouts: the folded store
+    reproduces the split-conformal coverage table BIT-IDENTICALLY vs
+    the shared conformal_from_daily run over a direct batch scan of
+    the same orders (the batch QUERY scores events values — the
+    contract here is ledger-fold == batch-scan on the ledger's own
+    source, the read_daily pattern)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.analytics import (
+        conformal_from_daily,
+        daily_revenue_cents,
+    )
+    from open_pulsar_spark.streaming.cusum_stream import (
+        conformal_readout,
+        update_cusum,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    store = f"{workdir}/conf_ledger"
+    for k in range(3):
+        update_cusum(
+            spark, orders.where(F.col("o_orderkey") % 3 == k), store, k
+        )
+
+    batch_daily = daily_revenue_cents(orders).select(
+        F.expr("datediff(day, date '1970-01-01')").cast("bigint").alias(
+            "ed"
+        ),
+        "cents",
+    )
+    want = [
+        tuple(r)
+        for r in conformal_from_daily(
+            spark, batch_daily, pin_ns="conf_batch_twin"
+        ).collect()
+    ]
+    got = [tuple(r) for r in conformal_readout(spark, store).collect()]
+    assert got == want and len(want) > 0
+
+
 def test_bm25_stream_folds_to_batch_ranking(spark, workdir):
     """Streaming sparse index: per-(doc, term) tf counts are additive,
     so three epochs of document text fold to the batch bm25_topk
