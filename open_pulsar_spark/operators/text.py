@@ -1777,3 +1777,98 @@ def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# doc_char_entropy — per-document character-distribution entropy (the
+# information-theoretic quality signal: noise scores high, boilerplate
+# and keyboard-mash repetition score low).
+# --------------------------------------------------------------------------
+@query(
+    "doc_char_entropy",
+    oracle="""
+    WITH ex AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents),
+    cells AS (
+        SELECT doc_id, c, count(*)::BIGINT AS cnt,
+               CAST(round(count(*) * ln(count(*)) * 1000000000) AS BIGINT)
+                   AS t_nano
+        FROM ex GROUP BY doc_id, c),
+    per_doc AS (
+        SELECT doc_id,
+               sum(cnt)::BIGINT AS n_chars_split,
+               count(*)::BIGINT AS n_distinct_chars,
+               sum(t_nano)::BIGINT AS st
+        FROM cells GROUP BY doc_id)
+    SELECT p.doc_id, d.lang, p.n_chars_split, p.n_distinct_chars,
+           (CAST(round(ln(p.n_chars_split) * 1000000000) AS BIGINT)
+               - p.st // p.n_chars_split)::BIGINT AS entropy_nano
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the CHARACTER distribution, in
+    nano-nats: H = ln(n) − (Σ c·ln c)/n over the per-char counts —
+    the text twin of multimodal_payload_entropy and the
+    information-theoretic leg of the quality family (doc_quality_score
+    reads surface ratios, doc_repetition_stats reads n-gram structure;
+    this reads the raw symbol distribution — mojibake and
+    random-looking noise score near the alphabet's maximum,
+    single-char floods and whitespace padding score near zero).
+
+    Determinism: each (doc, char) cell's c·ln(c) term is rounded onto
+    a NANO-unit integer grid before the per-doc sum (order-independent
+    — the PSI/HBOS closing), and the final subtraction divides exact
+    positive integers (Σ c·ln c ≤ n·ln n, so entropy_nano ≥ 0 and
+    trunc == floor). Char splitting is the identical one-codepoint
+    split in both engines (probed: split(text, '') ==
+    string_split(text, '')).
+
+    Scale: ONE map-side character explode (corpus-size rows — the
+    documented payload-entropy cost, linear) into a map-combinable
+    (doc, char) cell aggregate, then a per-doc rollup; the lang join
+    touches only doc-grain rows. No window, no self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            "doc_id",
+            "cnt",
+            F.round(
+                F.col("cnt") * F.log(F.col("cnt").cast("double"))
+                * F.lit(1000000000),
+                0,
+            )
+            .cast("bigint")
+            .alias("t_nano"),
+        )
+    )
+    per_doc = cells.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_chars_split"),
+        F.count("*").cast("bigint").alias("n_distinct_chars"),
+        F.sum("t_nano").cast("bigint").alias("st"),
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars_split",
+            "n_distinct_chars",
+            (
+                F.round(
+                    F.log(F.col("n_chars_split").cast("double"))
+                    * F.lit(1000000000),
+                    0,
+                ).cast("bigint")
+                - F.expr("st div n_chars_split")
+            )
+            .cast("bigint")
+            .alias("entropy_nano"),
+        )
+        .orderBy("doc_id")
+    )
