@@ -4060,6 +4060,137 @@ def ewma_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# revenue_holt_forecast — Holt double exponential smoothing: the
+# level+TREND tracker next to the level-only EWMA, as a 2-state exact
+# integer recurrence.
+# --------------------------------------------------------------------------
+HOLT_ALPHA_NUM, HOLT_ALPHA_DEN = 1, 5   # level smoothing
+HOLT_BETA_NUM, HOLT_BETA_DEN = 1, 5     # trend smoothing
+
+# l_t referenced by b_t: SQL lambdas have no let-binding, so the level
+# expression is inlined twice (identical text ⇒ identical value). All
+# operands are BIGINT; Spark `div` and DuckDB `//` BOTH truncate toward
+# zero (probed — the repo's EWMA comment), so the possibly-negative
+# trend state divides identically without an offset.
+_HOLT_L = (
+    f"(x.cents * {HOLT_ALPHA_NUM} + (acc.l + acc.b)"
+    f" * {HOLT_ALPHA_DEN - HOLT_ALPHA_NUM}) div {HOLT_ALPHA_DEN}"
+)
+_HOLT_B = (
+    f"(({_HOLT_L} - acc.l) * {HOLT_BETA_NUM}"
+    f" + acc.b * {HOLT_BETA_DEN - HOLT_BETA_NUM}) div {HOLT_BETA_DEN}"
+)
+
+
+@query(
+    "revenue_holt_forecast",
+    oracle=f"""
+    WITH RECURSIVE weekly AS (
+        SELECT floor(
+                   date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+                   / 7.0)::BIGINT AS week_id,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY 1),
+    seq AS (
+        SELECT week_id, cents,
+               row_number() OVER (ORDER BY week_id) AS rn
+        FROM weekly),
+    hw(rn, week_id, cents, l, b) AS (
+        SELECT rn, week_id, cents, cents, 0::BIGINT FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT rn, week_id, cents, nl,
+               ((nl - pl) * {HOLT_BETA_NUM}
+                + pb * {HOLT_BETA_DEN - HOLT_BETA_NUM}) // {HOLT_BETA_DEN}
+        FROM (
+            SELECT q.rn, q.week_id, q.cents, e.l AS pl, e.b AS pb,
+                   (q.cents * {HOLT_ALPHA_NUM} + (e.l + e.b)
+                    * {HOLT_ALPHA_DEN - HOLT_ALPHA_NUM})
+                       // {HOLT_ALPHA_DEN} AS nl
+            FROM hw e JOIN seq q ON q.rn = e.rn + 1))
+    SELECT e.week_id, e.cents AS revenue_cents,
+           e.l AS level_cents, e.b AS trend_cents,
+           (p.l + p.b)::BIGINT AS forecast_cents,
+           abs(e.cents - (p.l + p.b))::BIGINT AS abs_err_cents
+    FROM hw e LEFT JOIN hw p ON p.rn = e.rn - 1
+    ORDER BY e.week_id
+    """,
+)
+def revenue_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt DOUBLE exponential smoothing of weekly revenue
+    (α = {HOLT_ALPHA_NUM}/{HOLT_ALPHA_DEN},
+    β = {HOLT_BETA_NUM}/{HOLT_BETA_DEN}): a level state AND a trend
+    state, so the one-step forecast l+b leads a drifting series
+    instead of lagging it the way the level-only EWMA structurally
+    must. Per week: level, trend, the honest one-step-ahead forecast
+    from the PREVIOUS states, and its absolute error — put next to
+    revenue_ewma's residuals, the delta is exactly what modeling the
+    trend buys.
+
+    Determinism — the sequential-recurrence-on-an-integer-grid trick
+    extended to VECTOR state: both recurrences use rational smoothing
+    constants, so (l, b) stays in exact integer cents; the trend
+    state can be negative, where Spark's `div` and DuckDB's `//`
+    still agree (both truncate toward zero — only Python floor
+    differs, and Python never touches this path). The Spark side
+    folds prefix slices with a struct accumulator; the oracle is a
+    recursive CTE with the level expression inlined (no let-binding
+    in either engine's lambda/CTE); bit-identical by construction.
+
+    Scale: one shuffle to the weekly series; the O(k²) prefix folds
+    run on the BOUNDED week frame (hundreds of rows at any corpus
+    size — the EWMA posture)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return holt_from_daily(spark, daily_revenue_cents(orders))
+
+
+def holt_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """(day, cents) series → the weekly Holt table — THE one
+    double-smoothing computation, shared by the batch query and the
+    streaming revenue ledger's readout (cusum_stream.holt_readout),
+    reusing ewma_from_daily's exact weekly reduction shape."""
+    weekly = daily.groupBy(
+        F.floor(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) / 7
+        )
+        .cast("bigint")
+        .alias("week_id")
+    ).agg(F.sum("cents").cast("bigint").alias("cents"))
+    arr = weekly.agg(
+        F.sort_array(F.collect_list(F.struct("week_id", "cents"))).alias("a")
+    )
+    init = "named_struct('l', cast(-1 as bigint), 'b', cast(0 as bigint))"
+    step = (
+        f"(acc, x) -> if(acc.l = -1L,"
+        f" named_struct('l', cast(x.cents as bigint), 'b', cast(0 as bigint)),"
+        f" named_struct('l', cast({_HOLT_L} as bigint),"
+        f" 'b', cast({_HOLT_B} as bigint)))"
+    )
+    hw = f"aggregate(slice(a, 1, pos + 1), {init}, {step})"
+    hw_prev = f"aggregate(slice(a, 1, pos), {init}, {step})"
+    return (
+        arr.select("a", F.posexplode("a").alias("pos", "x"))
+        .select(
+            F.col("x.week_id").alias("week_id"),
+            F.col("x.cents").alias("revenue_cents"),
+            F.expr(f"{hw}.l").cast("bigint").alias("level_cents"),
+            F.expr(f"{hw}.b").cast("bigint").alias("trend_cents"),
+            F.when(
+                F.col("pos") > 0,
+                F.expr(f"{hw_prev}.l + {hw_prev}.b").cast("bigint"),
+            ).alias("forecast_cents"),
+            F.when(
+                F.col("pos") > 0,
+                F.abs(
+                    F.col("x.cents")
+                    - F.expr(f"{hw_prev}.l + {hw_prev}.b")
+                ).cast("bigint"),
+            ).alias("abs_err_cents"),
+        )
+        .orderBy("week_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # revenue_dow_anova — how much of daily-revenue variance the weekday
 # explains (eta-squared), exactly.
 # --------------------------------------------------------------------------

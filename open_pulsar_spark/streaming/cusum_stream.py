@@ -146,6 +146,16 @@ def bootstrap_readout(spark: SparkSession, store_path: str) -> DataFrame:
     return bootstrap_ci_from_daily(spark, read_daily(spark, store_path))
 
 
+def holt_readout(spark: SparkSession, store_path: str) -> DataFrame:
+    """Holt level+trend smoothing over the folded day-cents ledger
+    (shared analytics.holt_from_daily), bit-matching the batch
+    revenue_holt_forecast over the union of all delivered rows — the
+    trend-aware companion to ewma_readout on the same store."""
+    from open_pulsar_spark.operators.analytics import holt_from_daily
+
+    return holt_from_daily(spark, read_daily(spark, store_path))
+
+
 def conformal_readout(spark: SparkSession, store_path: str) -> DataFrame:
     """FIFTH readout of the same additive day-cents ledger: the
     split-conformal prediction-interval coverage table over the folded

@@ -3306,6 +3306,38 @@ def test_cusum_ledger_also_serves_conformal_readout(spark, workdir):
     assert got == want and len(want) > 0
 
 
+def test_cusum_ledger_also_serves_holt_readout(spark, workdir):
+    """The folded day-cents ledger reproduces the batch
+    revenue_holt_forecast BIT-IDENTICALLY via holt_readout (shared
+    holt_from_daily — the 2-state integer recurrence folds the same
+    weekly series whatever the batching)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.cusum_stream import (
+        holt_readout,
+        update_cusum,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    store = f"{workdir}/holt_ledger"
+    for k in range(3):
+        update_cusum(
+            spark, orders.where(F.col("o_orderkey") % 3 == k), store, k
+        )
+
+    want = [
+        tuple(r)
+        for r in all_queries()["revenue_holt_forecast"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    got = [tuple(r) for r in holt_readout(spark, store).collect()]
+    assert got == want and len(want) > 0
+
+
 def test_bm25_stream_folds_to_batch_ranking(spark, workdir):
     """Streaming sparse index: per-(doc, term) tf counts are additive,
     so three epochs of document text fold to the batch bm25_topk
