@@ -950,6 +950,11 @@ JSE_HH = 10  # heavy hitters kept exactly by the corrected estimator
         SELECT n FROM counts ORDER BY n DESC, user_id LIMIT {JSE_HH}),
     hs AS (SELECT sum(n)::HUGEINT AS hh_n, sum(n * n)::HUGEINT AS hh_sq,
                   count(*)::BIGINT AS h FROM hh),
+    hist AS (
+        SELECT floor(log2(n))::BIGINT AS bin,
+               sum(n)::HUGEINT AS s_b, count(*)::BIGINT AS k_b
+        FROM counts GROUP BY 1),
+    he AS (SELECT sum(s_b * s_b // k_b)::HUGEINT AS est_hist FROM hist),
     est AS (
         SELECT 'uniform' AS estimator,
                (st.big_n * st.big_n // st.ndv)::HUGEINT AS est_n,
@@ -961,7 +966,10 @@ JSE_HH = 10  # heavy hitters kept exactly by the corrected estimator
                 + (st.big_n - hs.hh_n) * (st.big_n - hs.hh_n)
                   // greatest(st.ndv - hs.h, 1))::HUGEINT,
                st.exact_sz::HUGEINT
-        FROM st, hs)
+        FROM st, hs
+        UNION ALL
+        SELECT 'histogram', he.est_hist, st.exact_sz::HUGEINT
+        FROM st, he)
     -- >2^63-capable exact counters leave the query as digit STRINGs:
     -- both engines print the same decimal digits, and the driver's
     -- value hash canonicalizes STRING identically (DECIMAL(38,0) was
@@ -984,8 +992,12 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         statistics can say; under skew it UNDERestimates, sometimes
         catastrophically;
       - `hh_corrected`: exact Σ n² over the top-{JSE_HH} heavy hitters
-        plus the uniform tail — the histogram/TopN statistics shape
-        (what ANALYZE's most-common-values list buys).
+        plus the uniform tail — what ANALYZE's most-common-values
+        list buys;
+      - `histogram`: power-of-two equi-width buckets over the COUNT
+        distribution, uniform within each bucket (Σ_b S_b²/k_b) — the
+        full-histogram statistics shape, the rung between MCV and
+        exact.
     The rel_err_ppm column prices each statistic set, the measured
     companion to events_key_skew_profile's diagnosis.
 
@@ -1035,10 +1047,23 @@ def join_size_report(spark: SparkSession, counts: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("h"),
     ).first()
     hh_n, hh_sq, h = int(hh.hh_n), int(hh.hh_sq), int(hh.h)
+    # power-of-two histogram over the count distribution: ≤ ~log2(max n)
+    # bins, collected exactly (floor(log2) is the PSI binning precedent
+    # — same libm double on both engines, exact at every power of two)
+    bins = (
+        counts.groupBy(F.expr("floor(log2(n))").cast("bigint").alias("bin"))
+        .agg(
+            F.sum("n").cast("decimal(38,0)").alias("s_b"),
+            F.count("*").cast("bigint").alias("k_b"),
+        )
+        .collect()
+    )
+    est_hist = sum(int(b.s_b) * int(b.s_b) // int(b.k_b) for b in bins)
     uniform = (big_n * big_n) // ndv
     corrected = hh_sq + (big_n - hh_n) * (big_n - hh_n) // max(ndv - h, 1)
     rows = [
         ("hh_corrected", corrected, exact),
+        ("histogram", est_hist, exact),
         ("uniform", uniform, exact),
     ]
     # STRING output for the exact counters: Σn² and N²/ndv exceed 2^63
