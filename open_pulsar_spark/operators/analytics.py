@@ -2866,6 +2866,136 @@ def next_event_prediction_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# next_event_calibration — reliability diagram + ECE of the Markov
+# next-event model (hitrate grades the argmax; this grades the PROBABILITIES).
+# --------------------------------------------------------------------------
+@query(
+    "next_event_calibration",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev,
+               ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 10
+                   < {NEP_TRAIN_BUCKETS} AS is_train
+        FROM events),
+    tr AS (SELECT prev, event_type AS nxt FROM seq
+           WHERE prev IS NOT NULL AND is_train),
+    model AS (
+        SELECT prev, nxt,
+               (count(*) * 1000000 //
+                sum(count(*)) OVER (PARTITION BY prev))::BIGINT AS p_ppm
+        FROM tr GROUP BY prev, nxt),
+    te AS (SELECT prev, event_type AS nxt FROM seq
+           WHERE prev IS NOT NULL AND NOT is_train),
+    cand AS (
+        SELECT m.p_ppm,
+               CASE WHEN te.nxt = m.nxt THEN 1 ELSE 0 END AS outcome
+        FROM te JOIN model m ON m.prev = te.prev),
+    binned AS (
+        SELECT least(p_ppm // 100000, 9)::INT AS bin,
+               count(*)::BIGINT AS n,
+               (sum(p_ppm) // count(*))::BIGINT AS mean_pred_ppm,
+               (sum(outcome) * 1000000 // count(*))::BIGINT AS realized_ppm
+        FROM cand GROUP BY 1),
+    tot AS (
+        SELECT (sum(n * abs(mean_pred_ppm - realized_ppm)) // sum(n))::BIGINT
+                   AS ece_ppm
+        FROM binned)
+    SELECT bin, n, mean_pred_ppm, realized_ppm,
+           (mean_pred_ppm - realized_ppm)::BIGINT AS gap_ppm,
+           (SELECT ece_ppm FROM tot) AS ece_ppm
+    FROM binned
+    ORDER BY bin
+    """,
+)
+def next_event_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION of the first-order Markov next-event model:
+    next_event_prediction_hitrate grades the argmax; this grades the
+    full predicted DISTRIBUTION. Every (test transition × trained
+    candidate next-type) pair contributes its predicted probability
+    (ppm, fit on TRAIN users only — same md5 coin, same leakage
+    hygiene) and a binary outcome; pairs bucket into probability
+    deciles, and each bucket compares mean predicted vs realized
+    frequency — the reliability diagram — with the n-weighted |gap|
+    rolled into one Expected Calibration Error. A model can have a
+    fine hit-rate and terrible probabilities (overconfident argmax);
+    anything consuming the probabilities — sampling, abstention,
+    ranking — needs THIS readout, not hitrate.
+
+    Determinism: probabilities, bucket means and realized rates are
+    all trunc-div ppm integers on positive operands; the ECE closes
+    over the ≤10-row bucket frame in exact Python ints.
+
+    Scale: transitions are the hitrate's one user-keyed lag window;
+    the model is bounded |types|² and BROADCASTS to the test side; the
+    candidate fan-out is ≤|types| per test row, map-side after the
+    broadcast join; one bucket aggregate ends it."""
+    from open_pulsar_spark.operators.curation import _hash_raw_spark
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+        (_hash_raw_spark(F.col("user_id")) % 10 < NEP_TRAIN_BUCKETS).alias(
+            "is_train"
+        ),
+    ).where(F.col("prev").isNotNull())
+    wp = Window.partitionBy("prev")
+    model = (
+        seq.where("is_train")
+        .groupBy("prev", F.col("event_type").alias("nxt"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(
+            "prev",
+            "nxt",
+            F.expr(
+                "cast(c * 1000000 div sum(c) over"
+                " (partition by prev) as bigint)"
+            ).alias("p_ppm"),
+        )
+    )
+    te = seq.where(~F.col("is_train")).select(
+        "prev", F.col("event_type").alias("nxt_actual")
+    )
+    cand = te.join(F.broadcast(model), "prev").select(
+        "p_ppm",
+        F.when(F.col("nxt_actual") == F.col("nxt"), 1)
+        .otherwise(0)
+        .alias("outcome"),
+    )
+    binned = cand.groupBy(
+        F.least(F.expr("p_ppm div 100000"), F.lit(9))
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("cast(sum(p_ppm) div count(*) as bigint)").alias(
+            "mean_pred_ppm"
+        ),
+        F.expr(
+            "cast(sum(outcome) * 1000000 div count(*) as bigint)"
+        ).alias("realized_ppm"),
+    )
+    schema = (
+        "bin INT, n BIGINT, mean_pred_ppm BIGINT, realized_ppm BIGINT,"
+        " gap_ppm BIGINT, ece_ppm BIGINT"
+    )
+    rows = sorted(
+        (int(r.bin), int(r.n), int(r.mean_pred_ppm), int(r.realized_ppm))
+        for r in binned.collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    n_tot = sum(r[1] for r in rows)
+    ece = sum(r[1] * abs(r[2] - r[3]) for r in rows) // n_tot
+    out = [(b, n, mp, rp, mp - rp, ece) for b, n, mp, rp in rows]
+    return spark.createDataFrame(out, schema).orderBy("bin")
+
+
+# --------------------------------------------------------------------------
 # purchase_touch_attribution — multi-touch revenue attribution (24 h).
 # --------------------------------------------------------------------------
 ATTR_WINDOW_S = 86400  # look-back window: 24 h of epoch seconds
