@@ -262,6 +262,105 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# functional_dependency_mining — approximate-FD DISCOVERY (the
+# constraint-suggestion half of the DQ family: dq_violation_counts
+# checks declared rules, this measures which rules the data could bear).
+# --------------------------------------------------------------------------
+# (table, determinant, dependent) candidates — PUBLIC schema knowledge.
+# n_nationkey → n_name is a true FD (key) and anchors the scale's top;
+# the rest are plausible-but-false dependencies whose measured strength
+# is the point.
+FD_CANDIDATES = (
+    ("nation", "n_nationkey", "n_name"),
+    ("part", "p_brand", "p_type"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_orderpriority", "o_orderstatus"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, det, dep in FD_CANDIDATES:
+        name = f"{tbl}: {det} -> {dep}"
+        parts.append(f"""
+    SELECT '{name}' AS candidate,
+           sum(tot)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_det_values,
+           sum(tot - mx)::BIGINT AS n_violations,
+           ((sum(tot) - sum(tot - mx)) * 1000000 // sum(tot))::BIGINT
+               AS strength_ppm,
+           (CASE WHEN (sum(tot) - sum(tot - mx)) * 100 >= sum(tot) * 99
+                 THEN 1 ELSE 0 END)::INT AS holds_99
+    FROM (SELECT {det} AS d, max(n) AS mx, sum(n) AS tot
+          FROM (SELECT {det}, {dep}, count(*)::BIGINT AS n
+                FROM {tbl} GROUP BY 1, 2) GROUP BY 1)""")
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY candidate"
+    )
+
+
+@query("functional_dependency_mining", oracle=_fd_oracle())
+def functional_dependency_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate functional-dependency MINING (the Tane/Deequ
+    constraint-suggestion shape): for each candidate X → Y in
+    {FD_CANDIDATES}, the minimum rows that would need to change for
+    the FD to hold exactly (per determinant value, everything outside
+    the majority dependent value is a violation — the g3 error
+    measure), its strength in ppm, and whether it clears a 99% bar.
+    dq_violation_counts CHECKS rules someone wrote; this DISCOVERS
+    which rules the data could bear — the profiling pass that writes
+    the next version of the rule suite. The true key-FD
+    nation.n_nationkey → n_name anchors strength at exactly 10⁶.
+
+    Determinism: violations count via max-per-group (no majority
+    tie-break needed — only the majority's SIZE matters); strength is
+    one trunc-div ppm on positive operands.
+
+    Scale: each candidate is one map-combinable (X, Y) count aggregate
+    + one X-keyed rollup + a 1-row reduce, unioned — never a join, no
+    window over any fact table; candidate list is config-bounded."""
+    branches = []
+    for tbl, det, dep in FD_CANDIDATES:
+        name = f"{tbl}: {det} -> {dep}"
+        c = (
+            load_table(spark, sf_dir, tbl)
+            .select(det, dep)
+            .groupBy(det, dep)
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        m = c.groupBy(det).agg(
+            F.max("n").alias("mx"), F.sum("n").alias("tot")
+        )
+        branches.append(
+            m.agg(
+                F.lit(name).alias("candidate"),
+                F.sum("tot").cast("bigint").alias("n_rows"),
+                F.count("*").cast("bigint").alias("n_det_values"),
+                F.sum(F.col("tot") - F.col("mx"))
+                .cast("bigint")
+                .alias("n_violations"),
+                F.expr(
+                    "cast((sum(tot) - sum(tot - mx)) * 1000000"
+                    " div sum(tot) as bigint)"
+                ).alias("strength_ppm"),
+                F.expr(
+                    "cast(CASE WHEN (sum(tot) - sum(tot - mx)) * 100"
+                    " >= sum(tot) * 99 THEN 1 ELSE 0 END as int)"
+                ).alias("holds_99"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("candidate")
+
+
+# --------------------------------------------------------------------------
 # dq_violation_counts — declarative data-quality rule suite (the
 # Deequ/dbt-tests class) in minimal scans.
 # --------------------------------------------------------------------------
