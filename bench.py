@@ -224,6 +224,19 @@ EXTRA = [
     "price_quantity_elasticity",
     "winnowing_cross_source_matrix",
     "events_dau_wau_mau",
+    # round-8 continuation additions
+    "customer_ldiversity_audit",
+    "forecast_conformal_interval",
+    "embedding_hbos_outliers",
+    "revenue_trend_seasonal_split",
+    "revenue_seasonal_anomalies",
+    "ivf_assignment_churn",
+    "retrieval_ndcg",
+    "segment_diff_in_diff",
+    "doc_char_entropy",
+    "revenue_holt_forecast",
+    "next_event_calibration",
+    "functional_dependency_mining",
 ]
 
 HEADLINE = [
