@@ -237,6 +237,7 @@ EXTRA = [
     "revenue_holt_forecast",
     "next_event_calibration",
     "functional_dependency_mining",
+    "events_lateness_profile",
 ]
 
 HEADLINE = [

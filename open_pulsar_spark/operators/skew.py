@@ -260,3 +260,149 @@ def partition_plan_from_counts(
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         release()
+
+# --------------------------------------------------------------------------
+# events_lateness_profile — the withWatermark() design readout: how late
+# would events arrive under each ingest model, and what would each
+# candidate delay drop?
+# --------------------------------------------------------------------------
+WATERMARK_CANDIDATES_S = (0, 3600, 21600, 86400)  # 0s / 1h / 6h / 24h
+# Arrival models bracketing real ingests: 'offset' = events arrive in
+# event_id order (an ordered broker partition — this corpus measures 0
+# lateness, itself a finding); 'daily_batch' = a daily backfill whose
+# intra-day order is an ingestion hash (md5-shuffled within each
+# event-time day) — the standard worst case for a batch-loaded stream.
+LATENESS_MODELS = ("offset", "daily_batch")
+
+
+@query(
+    "events_lateness_profile",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_id, md5(event_id::VARCHAR) AS h,
+               floor(epoch(ts))::BIGINT AS es
+        FROM events),
+    late AS (
+        SELECT 'offset' AS model,
+               greatest(coalesce(
+                   max(es) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - es, 0), 0)::BIGINT AS lateness_s
+        FROM seq
+        UNION ALL
+        SELECT 'daily_batch',
+               greatest(coalesce(
+                   max(es) OVER (ORDER BY es // 86400, h, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - es, 0), 0)::BIGINT
+        FROM seq),
+    tot AS (SELECT model, count(*)::BIGINT AS n,
+                   max(lateness_s)::BIGINT AS mx
+            FROM late GROUP BY model),
+    grid AS (SELECT unnest([{", ".join(str(s) for s in
+                                       WATERMARK_CANDIDATES_S)}
+                           ])::BIGINT AS delay_s)
+    SELECT l.model, g.delay_s,
+           max(t.n) AS n_events,
+           sum(CASE WHEN l.lateness_s > g.delay_s THEN 1 ELSE 0 END)::BIGINT
+               AS n_dropped,
+           (sum(CASE WHEN l.lateness_s > g.delay_s THEN 1 ELSE 0 END)
+               * 1000000 // max(t.n))::BIGINT AS dropped_ppm,
+           max(t.mx) AS max_lateness_s
+    FROM grid g
+    CROSS JOIN late l
+    JOIN tot t ON t.model = l.model
+    GROUP BY l.model, g.delay_s
+    ORDER BY l.model, g.delay_s
+    """,
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME LATENESS profile — the measurement behind every
+    `withWatermark()` delay choice, under two ingest models that
+    bracket reality: `offset` (events arrive in event_id order — an
+    ordered broker partition; THIS corpus measures zero lateness,
+    itself the finding) and `daily_batch` (a daily backfill whose
+    intra-day arrival is an ingestion md5 hash — the worst case for a
+    batch-loaded stream). For each candidate watermark delay
+    ({WATERMARK_CANDIDATES_S} s) the table reports exactly how many
+    events a stateful streaming job would DROP as too-late, in ppm:
+    pick the first row whose dropped_ppm your pipeline tolerates —
+    measured, not guessed. Completes the streaming-design readouts
+    next to events_partition_plan (state sizing) and
+    session_gap_sensitivity (window sizing).
+
+    Determinism: each model's running max runs over a TOTAL order
+    ((event_id) / (day, md5, event_id)); lateness and grid counts are
+    exact integers, one trunc-div ppm per row.
+
+    Scale: both running maxima are prefix.exclusive_prefix_max — the
+    distributed three-step prefix scaffold, never a single-partition
+    window over the fact table; the candidate grid is a map-side
+    explode of 4 literals; the result is |models|×|grid| rows,
+    materialized before the prefix caches release."""
+    from open_pulsar_spark.operators.prefix import exclusive_prefix_max
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("h"),
+        F.expr("cast(floor(unix_timestamp(ts)) as bigint)").alias("es"),
+    )
+    orders = {
+        "offset": ["event_id"],
+        "daily_batch": [F.expr("es div 86400"), F.col("h"), F.col("event_id")],
+    }
+    schema = (
+        "model STRING, delay_s BIGINT, n_events BIGINT, n_dropped BIGINT,"
+        " dropped_ppm BIGINT, max_lateness_s BIGINT"
+    )
+    grid = "array(" + ",".join(f"{s}L" for s in WATERMARK_CANDIDATES_S) + ")"
+    out_rows = []
+    for model in LATENESS_MODELS:
+        aug, release = exclusive_prefix_max(spark, ev, orders[model], "es")
+        try:
+            late = aug.select(
+                F.greatest(
+                    F.coalesce(F.col("prev_max") - F.col("es"), F.lit(0)),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("lateness_s")
+            )
+            tot = late.agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.max("lateness_s").cast("bigint").alias("mx"),
+            ).first()
+            if not tot.n:
+                continue
+            n, mx = int(tot.n), int(tot.mx)
+            rows = (
+                late.select(
+                    "lateness_s", F.explode(F.expr(grid)).alias("delay_s")
+                )
+                .groupBy("delay_s")
+                .agg(
+                    F.sum(
+                        F.when(F.col("lateness_s") > F.col("delay_s"), 1)
+                        .otherwise(0)
+                    )
+                    .cast("bigint")
+                    .alias("n_dropped")
+                )
+                .collect()
+            )
+            out_rows.extend(
+                (
+                    model,
+                    int(r.delay_s),
+                    n,
+                    int(r.n_dropped),
+                    int(r.n_dropped) * 1000000 // n,
+                    mx,
+                )
+                for r in rows
+            )
+        finally:
+            release()
+    return spark.createDataFrame(out_rows, schema).orderBy(
+        "model", "delay_s"
+    )

@@ -230,6 +230,7 @@ AUDITED = [
     "revenue_holt_forecast",
     "next_event_calibration",
     "functional_dependency_mining",
+    "events_lateness_profile",
 ]
 
 
