@@ -238,6 +238,7 @@ EXTRA = [
     "next_event_calibration",
     "functional_dependency_mining",
     "events_lateness_profile",
+    "corpus_neyman_allocation",
 ]
 
 HEADLINE = [

@@ -1873,3 +1873,126 @@ def chunk_overlap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk_tokens", "overlap_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_neyman_allocation — variance-OPTIMAL stratified sample design
+# (proportional allocation is what corpus_sample_stratified executes;
+# this computes what the allocation SHOULD be, and what optimality buys).
+# --------------------------------------------------------------------------
+@query(
+    "corpus_neyman_allocation",
+    oracle="""
+    WITH g AS (
+        SELECT source,
+               count(*)::HUGEINT AS n_h,
+               sum(n_chars)::HUGEINT AS s_h,
+               sum(n_chars::HUGEINT * n_chars) AS s2_h
+        FROM documents GROUP BY source),
+    m AS (
+        -- x_h = N_h·Σx² − S² = N_h²·σ_h²; w_h = isqrt(x_h) = N_h·σ_h.
+        -- Exact integer sqrt: floor(sqrt(double)) corrected ±1 (error
+        -- < 1 ulp below ~2^52 — the documented envelope).
+        SELECT source, n_h, s_h, s2_h,
+               (n_h * s2_h - s_h * s_h) AS x_h,
+               (SELECT s + (CASE WHEN (s+1)*(s+1) <= (n_h*s2_h - s_h*s_h)
+                                 THEN 1 ELSE 0 END)
+                          - (CASE WHEN s*s > (n_h*s2_h - s_h*s_h)
+                                 THEN 1 ELSE 0 END)
+                FROM (SELECT floor(sqrt((n_h*s2_h - s_h*s_h)::DOUBLE))
+                          ::HUGEINT AS s)) AS w_h
+        FROM g),
+    tot AS (
+        SELECT sum(n_h) AS n, sum(w_h) AS w,
+               sum(x_h * 1000000 // n_h) AS a_scaled
+        FROM m)
+    SELECT m.source,
+           m.n_h::BIGINT AS n_docs,
+           (m.s_h // m.n_h)::BIGINT AS mean_chars,
+           (m.w_h // m.n_h)::BIGINT AS sigma_chars,
+           (m.n_h * 1000000 // (SELECT n FROM tot))::BIGINT
+               AS proportional_ppm,
+           -- all-constant strata (w = 0): Neyman degenerates to
+           -- proportional rather than dividing by zero
+           (CASE WHEN (SELECT w FROM tot) > 0
+                 THEN m.w_h * 1000000 // (SELECT w FROM tot)
+                 ELSE m.n_h * 1000000 // (SELECT n FROM tot)
+            END)::BIGINT AS neyman_ppm,
+           (SELECT CASE WHEN a_scaled > 0
+                   THEN w * w * 1000000 * 1000000 // (n * a_scaled)
+                   ELSE 1000000 END FROM tot)::BIGINT
+               AS variance_ratio_ppm
+    FROM m
+    ORDER BY m.source
+    """,
+)
+def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN (variance-optimal) allocation for stratified sampling of
+    the corpus by source, sized on document length: the optimal share
+    of a fixed sampling budget for stratum h is N_h·σ_h / Σ N_k·σ_k —
+    big AND internally-diverse sources deserve more of the budget than
+    proportional allocation gives them. Output per source: size, mean
+    and σ of n_chars, the proportional share corpus_sample_stratified
+    would draw, the Neyman share it SHOULD draw, and the realized
+    variance ratio V_neyman/V_proportional for estimating mean doc
+    length (ppm; < 10⁶ means optimality buys that much variance).
+
+    Determinism — exact integer sqrt as a first-class trick:
+    N_h·σ_h = √(N_h·Σx² − S_h²) exactly, so the Neyman weight is the
+    INTEGER square root of an exact moment — Python's math.isqrt on
+    one side, floor(sqrt(double)) with a ±1 correction on the other
+    (exact below the documented ~2^52 envelope). The variance ratio
+    closes on a 10⁶-scaled trunc-div grid with the same formula on
+    both engines.
+
+    Scale: ONE map-combinable moment aggregate per source; everything
+    after runs on the ≤|sources|-row frame, closed in Python ints."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    )
+    g = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_h"),
+        F.sum("n_chars").cast("decimal(38,0)").alias("s_h"),
+        F.sum(F.expr("cast(n_chars as decimal(38,0)) * n_chars")).alias(
+            "s2_h"
+        ),
+    )
+    schema = (
+        "source STRING, n_docs BIGINT, mean_chars BIGINT,"
+        " sigma_chars BIGINT, proportional_ppm BIGINT, neyman_ppm BIGINT,"
+        " variance_ratio_ppm BIGINT"
+    )
+    rows = sorted(
+        (r.source, int(r.n_h), int(r.s_h), int(r.s2_h))
+        for r in g.collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    m = [
+        (src, n_h, s_h, n_h * s2_h - s_h * s_h)
+        for src, n_h, s_h, s2_h in rows
+    ]
+    ws = {src: math.isqrt(x_h) for src, _, _, x_h in m}
+    n = sum(r[1] for r in m)
+    w = sum(ws.values())
+    a_scaled = sum(x_h * 1000000 // n_h for _, n_h, _, x_h in m)
+    ratio = (
+        w * w * 1000000 * 1000000 // (n * a_scaled)
+        if a_scaled > 0
+        else 1000000
+    )
+    out = [
+        (
+            src,
+            n_h,
+            s_h // n_h,
+            ws[src] // n_h,
+            n_h * 1000000 // n,
+            ws[src] * 1000000 // w if w > 0 else n_h * 1000000 // n,
+            ratio,
+        )
+        for src, n_h, s_h, x_h in m
+    ]
+    return spark.createDataFrame(out, schema).orderBy("source")

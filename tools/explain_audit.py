@@ -231,6 +231,7 @@ AUDITED = [
     "next_event_calibration",
     "functional_dependency_mining",
     "events_lateness_profile",
+    "corpus_neyman_allocation",
 ]
 
 
