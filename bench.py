@@ -239,6 +239,7 @@ EXTRA = [
     "functional_dependency_mining",
     "events_lateness_profile",
     "corpus_neyman_allocation",
+    "retrieval_mmr_topk",
 ]
 
 HEADLINE = [

@@ -1610,6 +1610,206 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# retrieval_mmr_topk — Maximal Marginal Relevance: diversified top-k
+# (pure relevance ranking returns near-duplicates; MMR trades relevance
+# against redundancy with the selected set).
+# --------------------------------------------------------------------------
+MMR_POOL = 20          # relevance top-C candidate pool per query
+MMR_K = 5              # diversified results returned
+MMR_LAMBDA_NUM = 7     # λ = 7/10: score = (7·rel − 3·max-sim-to-selected)/10
+MMR_LAMBDA_DEN = 10
+
+
+def _mmr_oracle() -> str:
+    rest = MMR_LAMBDA_DEN - MMR_LAMBDA_NUM
+    score = f"({MMR_LAMBDA_NUM} * r_ppb - {rest} * mx)"
+    steps = []
+    for t in range(2, MMR_K + 1):
+        prev = f"sel{t - 1}"
+        steps.append(f"""
+    mx{t} AS (
+        SELECT c.query_id, c.neighbor_id, c.r_ppb,
+               max(p.s_ppb) AS mx
+        FROM cand c
+        JOIN pair p ON p.query_id = c.query_id
+                   AND p.a = c.neighbor_id
+        WHERE p.b IN (SELECT neighbor_id FROM {prev} s2
+                      WHERE s2.query_id = c.query_id)
+          AND NOT EXISTS (SELECT 1 FROM {prev} s3
+                          WHERE s3.query_id = c.query_id
+                            AND s3.neighbor_id = c.neighbor_id)
+        GROUP BY c.query_id, c.neighbor_id, c.r_ppb),
+    pick{t} AS (
+        SELECT query_id, neighbor_id, r_ppb, {t} AS rank_pos,
+               {score} AS mmr_x10
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY {score} DESC, neighbor_id) AS rn
+              FROM mx{t}) WHERE rn = 1),
+    sel{t} AS (SELECT query_id, neighbor_id FROM {prev}
+               UNION ALL SELECT query_id, neighbor_id FROM pick{t})""")
+    picks_union = " UNION ALL ".join(
+        f"SELECT query_id, rank_pos, neighbor_id, r_ppb, mmr_x10"
+        f" FROM pick{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_SQL} AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS cos
+        FROM q JOIN e ON e.vec_id <> q.query_id),
+    cand AS (
+        SELECT query_id, neighbor_id,
+               CAST(round(cos * 1000000000) AS BIGINT) AS r_ppb
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rk
+              FROM scored) WHERE rk <= {MMR_POOL}),
+    pair AS (
+        SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+               CAST(round(list_dot_product(e1.v, e2.v)
+                          / (e1.nrm * e2.nrm) * 1000000000) AS BIGINT)
+                   AS s_ppb
+        FROM cand c1
+        JOIN cand c2 ON c2.query_id = c1.query_id
+                    AND c2.neighbor_id <> c1.neighbor_id
+        JOIN e e1 ON e1.vec_id = c1.neighbor_id
+        JOIN e e2 ON e2.vec_id = c2.neighbor_id),
+    pick1 AS (
+        SELECT query_id, neighbor_id, r_ppb, 1 AS rank_pos,
+               {MMR_LAMBDA_NUM} * r_ppb AS mmr_x10
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY r_ppb DESC, neighbor_id) AS rn
+              FROM cand) WHERE rn = 1),
+    sel1 AS (SELECT query_id, neighbor_id FROM pick1),
+    {",".join(steps)}
+    SELECT query_id, rank_pos::INT AS rank_pos, neighbor_id,
+           r_ppb AS relevance_ppb, mmr_x10::BIGINT AS mmr_x10
+    FROM ({picks_union})
+    ORDER BY query_id, rank_pos
+    """
+
+
+@query("retrieval_mmr_topk", oracle=_mmr_oracle())
+def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein) diversified
+    top-{MMR_K}: greedily pick from the relevance top-{MMR_POOL} the
+    candidate maximizing λ·relevance − (1−λ)·max-similarity-to-
+    already-selected (λ = {MMR_LAMBDA_NUM}/{MMR_LAMBDA_DEN}, carried
+    ×{MMR_LAMBDA_DEN} so the score is an exact integer). Pure cosine
+    ranking returns near-duplicates of one passage; a RAG context
+    window assembled with MMR covers more of the answer with the same
+    k — the diversification leg of the retrieval family next to P@k
+    (set quality) and nDCG (rank quality).
+
+    Determinism: relevance and pairwise sims round onto a ppb integer
+    grid FIRST; the greedy argmax then runs on integers with a
+    neighbor_id tie-break — the Spark close replicates the oracle's
+    unrolled {MMR_K}-step selection exactly (no let-binding tricks:
+    both engines walk the same integer sequence).
+
+    Scale: the candidate pool is the broadcast-probe blocked matmul
+    (corpus never collected), keeping a local top-{MMR_POOL} per
+    block; everything after — the ≤ queries×{MMR_POOL} pool, its
+    ≤ queries×{MMR_POOL}² pairwise sims, the greedy walk — is
+    config-bounded driver work, the _seeds/centroid contract."""
+    ids_all, _, u_all = _corpus_numpy(
+        spark, sf_dir, F.col("vec_id") < N_QUERIES
+    )
+    qm = ids_all < N_QUERIES
+    bc = spark.sparkContext.broadcast((ids_all[qm], u_all[qm]))
+
+    def fn(batches):
+        q_ids, qn = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids, _, bn = _block_norm(pdf)
+            sims = bn @ qn.T
+            for qi, qid in enumerate(q_ids):
+                m = b_ids != qid
+                if m.any():
+                    order = np.lexsort((b_ids[m], -sims[m, qi]))[:MMR_POOL]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": b_ids[m][order],
+                            "cos": sims[m, qi][order],
+                        }
+                    )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    cand = (
+        _scan_scored(spark, sf_dir, fn)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MMR_POOL)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos") * 1000000000, 0)
+            .cast("bigint")
+            .alias("r_ppb"),
+        )
+    )
+    cand_rows = cand.collect()
+    schema = (
+        "query_id BIGINT, rank_pos INT, neighbor_id BIGINT,"
+        " relevance_ppb BIGINT, mmr_x10 BIGINT"
+    )
+    if not cand_rows:
+        return spark.createDataFrame([], schema)
+    pool: dict[int, list[tuple[int, int]]] = {}
+    for r in cand_rows:
+        pool.setdefault(int(r.query_id), []).append(
+            (int(r.neighbor_id), int(r.r_ppb))
+        )
+    need = sorted({nid for v in pool.values() for nid, _ in v})
+    ids_c, _, u_c = _corpus_numpy(
+        spark, sf_dir, F.col("vec_id").isin(need)
+    )
+    pos = {int(i): k for k, i in enumerate(ids_c)}
+    sims_c = u_c @ u_c.T
+
+    def ppb(x: float) -> int:
+        # round-half-away-from-zero — DuckDB round()'s tie rule
+        import math
+
+        s = math.floor(abs(x) * 1000000000 + 0.5)
+        return s if x >= 0 else -s
+
+    rest = MMR_LAMBDA_DEN - MMR_LAMBDA_NUM
+    out = []
+    for qid in sorted(pool):
+        cands = sorted(pool[qid])  # (neighbor_id, r_ppb)
+        sel: list[int] = []
+        for rank_pos in range(1, MMR_K + 1):
+            best = None
+            for nid, r_ppb in cands:
+                if nid in sel:
+                    continue
+                if rank_pos == 1:
+                    score = MMR_LAMBDA_NUM * r_ppb
+                else:
+                    mx = max(
+                        ppb(sims_c[pos[nid], pos[s]]) for s in sel
+                    )
+                    score = MMR_LAMBDA_NUM * r_ppb - rest * mx
+                key = (-score, nid)
+                if best is None or key < best[0]:
+                    best = (key, nid, r_ppb, score)
+            if best is None:
+                break
+            _, nid, r_ppb, score = best
+            sel.append(nid)
+            out.append((qid, rank_pos, nid, r_ppb, score))
+    return spark.createDataFrame(out, schema).orderBy(
+        "query_id", "rank_pos"
+    )
+
+
+# --------------------------------------------------------------------------
 # ivf_nprobe_recall_curve — recall@k as a function of nprobe (the IVF
 # tuning curve, the lsh_s_curve symmetry for the centroid index).
 # --------------------------------------------------------------------------

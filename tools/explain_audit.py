@@ -232,6 +232,7 @@ AUDITED = [
     "functional_dependency_mining",
     "events_lateness_profile",
     "corpus_neyman_allocation",
+    "retrieval_mmr_topk",
 ]
 
 
