@@ -240,6 +240,7 @@ EXTRA = [
     "events_lateness_profile",
     "corpus_neyman_allocation",
     "retrieval_mmr_topk",
+    "event_dwell_quantiles",
 ]
 
 HEADLINE = [

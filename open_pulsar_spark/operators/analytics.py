@@ -5663,3 +5663,105 @@ def dau_wau_mau_from_user_days(spark: SparkSession, ud: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# event_dwell_quantiles — per-type engagement time: exact p50/p90/p99 of
+# the dwell (gap to the user's next event) grouped by the CURRENT event.
+# --------------------------------------------------------------------------
+@query(
+    "event_dwell_quantiles",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, event_id,
+               floor(epoch(ts))::BIGINT AS es,
+               lead(floor(epoch(ts))::BIGINT)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_es
+        FROM events),
+    dw AS (
+        SELECT event_type, event_id,
+               (next_es - es)::BIGINT AS dwell_s
+        FROM seq WHERE next_es IS NOT NULL),
+    ranked AS (
+        SELECT event_type, dwell_s,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY dwell_s, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+        FROM dw)
+    SELECT event_type,
+           max(n)::BIGINT AS n_dwells,
+           max(CASE WHEN rn = (n + 1) // 2 THEN dwell_s END)::BIGINT
+               AS p50_s,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN dwell_s END)::BIGINT
+               AS p90_s,
+           max(CASE WHEN rn = (99 * n + 99) // 100 THEN dwell_s END)::BIGINT
+               AS p99_s,
+           max(dwell_s)::BIGINT AS max_s
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_dwell_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type DWELL-TIME percentiles: how long users linger on each
+    event type before their next action (exact nearest-rank
+    p50/p90/p99 of the gap to the user's next event, in seconds) —
+    the engagement readout product analytics quotes ('median time on
+    search results'), and the input a sessionization review reads
+    NEXT TO session_gap_sensitivity (a p99 dwell near the session gap
+    means the gap is truncating real engagement).
+    conversion_lag_quantiles measures one specific transition; this
+    profiles every type's outgoing gap.
+
+    Determinism: dwell is integer epoch-seconds from one user-keyed
+    lead window; quantiles are nearest-rank with a (dwell, event_id)
+    tie-break — exact order statistics, no interpolation.
+
+    Scale: the lead runs keyed by user_id (the natural partition);
+    the per-type rank window is bounded by |types| partitions — the
+    event_value_quantiles_by_type posture: fine while the group count
+    is small, with the keyed bottom-k Arrow kernel as the documented
+    high-cardinality path."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dw = (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.expr("cast(floor(unix_timestamp(ts)) as bigint)").alias("es"),
+            F.lead(
+                F.expr("cast(floor(unix_timestamp(ts)) as bigint)")
+            )
+            .over(wu)
+            .alias("next_es"),
+        )
+        .where(F.col("next_es").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            (F.col("next_es") - F.col("es")).cast("bigint").alias("dwell_s"),
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("dwell_s", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = dw.select(
+        "event_type",
+        "dwell_s",
+        F.row_number().over(wt).alias("rn"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    pick = lambda expr: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(expr), F.col("dwell_s"))
+    ).cast("bigint")
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_dwells"),
+            pick("(n + 1) div 2").alias("p50_s"),
+            pick("(9 * n + 9) div 10").alias("p90_s"),
+            pick("(99 * n + 99) div 100").alias("p99_s"),
+            F.max("dwell_s").cast("bigint").alias("max_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -233,6 +233,7 @@ AUDITED = [
     "events_lateness_profile",
     "corpus_neyman_allocation",
     "retrieval_mmr_topk",
+    "event_dwell_quantiles",
 ]
 
 
