@@ -241,6 +241,7 @@ EXTRA = [
     "corpus_neyman_allocation",
     "retrieval_mmr_topk",
     "event_dwell_quantiles",
+    "revenue_cusum_hierarchy",
 ]
 
 HEADLINE = [

@@ -5765,3 +5765,134 @@ def event_dwell_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# revenue_cusum_hierarchy — binary-segmentation changepoints: the global
+# CUSUM argmax, then one more level inside each resulting segment.
+# --------------------------------------------------------------------------
+def _bs_oracle() -> str:
+    segs = [
+        ("all", "0", "TRUE"),
+        ("left", "1", "day <= (SELECT d FROM pick_all)"),
+        ("right", "1", "day > (SELECT d FROM pick_all)"),
+    ]
+    blocks, rows = [], []
+    for s, level, pred in segs:
+        blocks.append(f"""
+    seq_{s} AS (
+        SELECT day, cents, row_number() OVER (ORDER BY day) AS t,
+               sum(cents) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS prefix,
+               count(*) OVER ()::BIGINT AS n,
+               sum(cents) OVER ()::BIGINT AS total
+        FROM daily WHERE {pred}),
+    cus_{s} AS (
+        SELECT day, cents, (n * prefix - t * total)::BIGINT AS c
+        FROM seq_{s}),
+    pick_{s} AS (
+        SELECT min(day) AS d FROM cus_{s}
+        WHERE abs(c) = (SELECT max(abs(c)) FROM cus_{s})),
+    row_{s} AS (
+        SELECT {level} AS level, '{s}' AS segment,
+               strftime((SELECT d FROM pick_{s}), '%Y-%m-%d') AS day,
+               (SELECT count(*) FROM seq_{s})::BIGINT AS n_seg,
+               (SELECT c FROM cus_{s}
+                WHERE day = (SELECT d FROM pick_{s}))::BIGINT
+                   AS cusum_scaled,
+               (SELECT sum(cents) // count(*) FROM seq_{s}
+                WHERE day <= (SELECT d FROM pick_{s}))::BIGINT
+                   AS mean_before_cents,
+               (SELECT sum(cents) // count(*) FROM seq_{s}
+                WHERE day > (SELECT d FROM pick_{s}))::BIGINT
+                   AS mean_after_cents
+        WHERE (SELECT count(*) FROM seq_{s}) >= 2
+          AND (SELECT d FROM pick_{s}) < (SELECT max(day) FROM seq_{s}))""")
+        rows.append(f"SELECT * FROM row_{s}")
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY 1),
+    {",".join(blocks)}
+    SELECT level::INT AS level, segment, day, n_seg, cusum_scaled,
+           mean_before_cents, mean_after_cents,
+           (mean_after_cents - mean_before_cents)::BIGINT AS shift_cents
+    FROM ({" UNION ALL ".join(rows)})
+    ORDER BY level, segment
+    """
+
+
+@query("revenue_cusum_hierarchy", oracle=_bs_oracle())
+def revenue_cusum_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY SEGMENTATION over the daily revenue series — the
+    multi-changepoint upgrade of revenue_cusum_changepoint: the global
+    CUSUM argmax splits the series, then the SAME statistic runs
+    inside each half (segment-local n and total), yielding up to three
+    level-ordered changepoints with their before/after mean shift in
+    cents. One changepoint answers 'did the level move'; the hierarchy
+    answers 'how is the whole history segmented' — the first two
+    levels of the standard recursive procedure, unrolled so both
+    engines walk identical arithmetic.
+
+    Determinism: the scaled statistic C_t = n·prefix_t − t·total is
+    exact integer; the argmax day is the EARLIEST day achieving
+    max|C| (a min over the argmax set); segment guards (≥2 days,
+    changepoint strictly inside) are integer comparisons; the means
+    are floored divisions on positive operands.
+
+    Scale: one shuffle to the day series; the segmentation closes
+    over the collected BOUNDED calendar frame in exact Python ints
+    (the seasonal_anomalies posture — three windowed passes over a
+    2 400-row frame buy nothing from distribution)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = daily_revenue_cents(orders)
+    schema = (
+        "level INT, segment STRING, day STRING, n_seg BIGINT,"
+        " cusum_scaled BIGINT, mean_before_cents BIGINT,"
+        " mean_after_cents BIGINT, shift_cents BIGINT"
+    )
+    series = sorted(
+        (r.day.isoformat(), int(r.cents)) for r in daily.collect()
+    )
+    if not series:
+        return spark.createDataFrame([], schema)
+
+    def pick(rows):
+        """rows (day, cents) sorted → (argmax_day, c_at_argmax) or the
+        argmax even when the row guards later reject it."""
+        n = len(rows)
+        total = sum(c for _, c in rows)
+        best = None
+        prefix = 0
+        for t, (d, c) in enumerate(rows, start=1):
+            prefix += c
+            cv = n * prefix - t * total
+            key = (-abs(cv), d)
+            if best is None or key < best[0]:
+                best = (key, d, cv)
+        return best[1], best[2]
+
+    def row_of(rows, level, seg):
+        if len(rows) < 2:
+            return None
+        d, cv = pick(rows)
+        if d >= rows[-1][0]:
+            return None
+        before = [c for dd, c in rows if dd <= d]
+        after = [c for dd, c in rows if dd > d]
+        mb = sum(before) // len(before)
+        ma = sum(after) // len(after)
+        return (level, seg, d, len(rows), cv, mb, ma, ma - mb)
+
+    d0, _ = pick(series)
+    out = [
+        r
+        for r in (
+            row_of(series, 0, "all"),
+            row_of([x for x in series if x[0] <= d0], 1, "left"),
+            row_of([x for x in series if x[0] > d0], 1, "right"),
+        )
+        if r is not None
+    ]
+    return spark.createDataFrame(out, schema).orderBy("level", "segment")

@@ -234,6 +234,7 @@ AUDITED = [
     "corpus_neyman_allocation",
     "retrieval_mmr_topk",
     "event_dwell_quantiles",
+    "revenue_cusum_hierarchy",
 ]
 
 
