@@ -242,6 +242,7 @@ EXTRA = [
     "retrieval_mmr_topk",
     "event_dwell_quantiles",
     "revenue_cusum_hierarchy",
+    "event_type_audience_overlap",
 ]
 
 HEADLINE = [

@@ -5896,3 +5896,108 @@ def revenue_cusum_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r is not None
     ]
     return spark.createDataFrame(out, schema).orderBy("level", "segment")
+
+
+# --------------------------------------------------------------------------
+# event_type_audience_overlap — pairwise audience Jaccard between event
+# types (the 'same users or different users?' product question).
+# --------------------------------------------------------------------------
+@query(
+    "event_type_audience_overlap",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events),
+    sz AS (
+        SELECT event_type, count(*)::BIGINT AS n_users
+        FROM ut GROUP BY 1),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*)::BIGINT AS n_both
+        FROM ut a JOIN ut b ON b.user_id = a.user_id
+                           AND b.event_type > a.event_type
+        GROUP BY 1, 2)
+    SELECT i.type_a, i.type_b,
+           sa.n_users AS n_users_a,
+           sb.n_users AS n_users_b,
+           i.n_both,
+           (i.n_both * 1000000
+               // (sa.n_users + sb.n_users - i.n_both))::BIGINT
+               AS jaccard_ppm,
+           (i.n_both * 1000000
+               // least(sa.n_users, sb.n_users))::BIGINT
+               AS containment_ppm
+    FROM inter i
+    JOIN sz sa ON sa.event_type = i.type_a
+    JOIN sz sb ON sb.event_type = i.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def event_type_audience_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIENCE OVERLAP matrix: for every pair of event types, the
+    Jaccard and smaller-side containment of their USER sets — do
+    'search' and 'purchase' reach the same people or different ones?
+    The segmentation question behind funnel design and feature
+    bundling, answered exactly (source_overlap_kmv answers the same
+    shape for vocabulary via sketches; audiences here are small enough
+    per type that the exact form IS the scale path).
+
+    Scale: ONE distinct reduces the fact table to the (user, type)
+    membership grid — map-combinable, ≤ |users|·|types| rows; the
+    pair intersection is a self equi-join ON user_id (each user
+    contributes ≤ |types|² pair rows, types is schema-bounded), and
+    the output is the |types|² matrix. Never an all-pairs user join.
+
+    Determinism: counts and trunc-div ppm only."""
+    ev = load_table(spark, sf_dir, "events")
+    from open_pulsar_spark.operators.dedup import _pin
+
+    ut = _pin(
+        "audience_ut",
+        ev.select("user_id", "event_type").distinct(),
+    )
+    sz = ut.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.event_type") > F.col("a.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = F.broadcast(
+        sz.select(F.col("event_type").alias("type_a"),
+                  F.col("n_users").alias("n_users_a"))
+    )
+    sb = F.broadcast(
+        sz.select(F.col("event_type").alias("type_b"),
+                  F.col("n_users").alias("n_users_b"))
+    )
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_a",
+            "n_users_b",
+            "n_both",
+            F.expr(
+                "cast(n_both * 1000000"
+                " div (n_users_a + n_users_b - n_both) as bigint)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "cast(n_both * 1000000"
+                " div least(n_users_a, n_users_b) as bigint)"
+            ).alias("containment_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -235,6 +235,7 @@ AUDITED = [
     "retrieval_mmr_topk",
     "event_dwell_quantiles",
     "revenue_cusum_hierarchy",
+    "event_type_audience_overlap",
 ]
 
 
