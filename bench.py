@@ -243,6 +243,7 @@ EXTRA = [
     "event_dwell_quantiles",
     "revenue_cusum_hierarchy",
     "event_type_audience_overlap",
+    "revenue_twoway_anova",
 ]
 
 HEADLINE = [

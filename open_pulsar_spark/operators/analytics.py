@@ -6001,3 +6001,145 @@ def event_type_audience_overlap(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# revenue_twoway_anova — two-factor variance decomposition of order
+# revenue: weekday x customer segment, with interaction and residual.
+# --------------------------------------------------------------------------
+@query(
+    "revenue_twoway_anova",
+    oracle="""
+    WITH cells AS (
+        SELECT ((date_diff('day', DATE '1970-01-01', o.o_orderdate::DATE)
+                 % 7) + 7) % 7 AS dow,
+               c.c_mktsegment AS seg,
+               count(*)::HUGEINT AS n_g,
+               sum(round(o.o_totalprice * 100)::BIGINT)::HUGEINT AS s_g,
+               sum(round(o.o_totalprice * 100)::BIGINT::HUGEINT
+                   * round(o.o_totalprice * 100)::BIGINT) AS s2_g
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+    md AS (SELECT dow, sum(n_g) AS n, sum(s_g) AS s FROM cells GROUP BY 1),
+    ms AS (SELECT seg, sum(n_g) AS n, sum(s_g) AS s FROM cells GROUP BY 1),
+    tot AS (
+        SELECT sum(n_g) AS n, sum(s_g) AS s, sum(s2_g) AS s2t,
+               (SELECT sum(s * s * 1000000 // n) FROM md) AS a_dow,
+               (SELECT sum(s * s * 1000000 // n) FROM ms) AS a_seg,
+               (SELECT sum(s_g * s_g * 1000000 // n_g) FROM cells)
+                   AS a_cells,
+               (SELECT count(*) FROM md) AS gd,
+               (SELECT count(*) FROM ms) AS gs,
+               (SELECT count(*) FROM cells) AS gc
+        FROM cells),
+    sst AS (SELECT n, (n * s2t - s * s) * 1000000 AS d,
+                   (a_dow * n - s * s * 1000000) AS x_dow,
+                   (a_seg * n - s * s * 1000000) AS x_seg,
+                   (a_cells * n - s * s * 1000000) AS x_cells,
+                   gd, gs, gc
+            FROM tot)
+    SELECT source, df, eta2_ppm FROM (
+        SELECT 'dow' AS source, (gd - 1)::BIGINT AS df,
+               (greatest(x_dow, 0) * 1000000 // d)::BIGINT AS eta2_ppm
+        FROM sst WHERE d > 0
+        UNION ALL
+        SELECT 'segment', (gs - 1)::BIGINT,
+               (greatest(x_seg, 0) * 1000000 // d)::BIGINT
+        FROM sst WHERE d > 0
+        UNION ALL
+        SELECT 'interaction', ((gd - 1) * (gs - 1))::BIGINT,
+               (greatest(x_cells - x_dow - x_seg, 0) * 1000000 // d)::BIGINT
+        FROM sst WHERE d > 0
+        UNION ALL
+        SELECT 'residual', (n - gc)::BIGINT,
+               (greatest(d - x_cells, 0) * 1000000 // d)::BIGINT
+        FROM sst WHERE d > 0)
+    ORDER BY source
+    """,
+)
+def revenue_twoway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-WAY variance decomposition of per-order revenue by weekday
+    AND customer segment: η² shares for each main effect, their
+    interaction (cell SS minus both margins — the unbalanced-design
+    cell-means form, clamped at 0 where margin overlap makes it
+    negative), and the within-cell residual. revenue_dow_anova asks
+    'does the weekday matter'; this asks 'does it matter DIFFERENTLY
+    per segment' — the interaction row is what justifies (or kills)
+    per-segment forecast models.
+
+    Determinism: the dow_anova n-scaling applied per GROUPING — every
+    margin term is (S_g²·10⁶) div n_g on positive integers, summed
+    exactly; all four η² rows divide the same scaled SS_total. Weekday
+    is epoch-day arithmetic; cents are exact integers end-to-end.
+
+    Scale: ONE broadcast dim join labels orders, ONE map-combinable
+    (dow × segment) cell aggregate (≤35 rows); margins, totals and
+    the four-row close derive from the cell frame in exact Python
+    ints (the oracle folds the same cells in HUGEINT)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    cells = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .select(
+            F.expr(
+                "((datediff(to_date(o_orderdate), date '1970-01-01')"
+                " % 7) + 7) % 7"
+            ).alias("dow"),
+            "seg",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("dow", "seg")
+        .agg(
+            F.count("*").cast("bigint").alias("n_g"),
+            F.sum("cents").cast("decimal(38,0)").alias("s_g"),
+            F.sum(F.expr("cast(cents as decimal(38,0)) * cents")).alias(
+                "s2_g"
+            ),
+        )
+    )
+    schema = "source STRING, df BIGINT, eta2_ppm BIGINT"
+    rows = [
+        (int(r.dow), r.seg, int(r.n_g), int(r.s_g), int(r.s2_g))
+        for r in cells.collect()
+    ]
+    if not rows:
+        return spark.createDataFrame([], schema)
+    n = sum(r[2] for r in rows)
+    s = sum(r[3] for r in rows)
+    s2t = sum(r[4] for r in rows)
+    d = (n * s2t - s * s) * 1000000
+    if d <= 0:
+        return spark.createDataFrame([], schema)
+
+    def margin_a(key):
+        m: dict = {}
+        for r in rows:
+            k = key(r)
+            ng, sg = m.get(k, (0, 0))
+            m[k] = (ng + r[2], sg + r[3])
+        return (
+            sum(sg * sg * 1000000 // ng for ng, sg in m.values()),
+            len(m),
+        )
+
+    a_dow, gd = margin_a(lambda r: r[0])
+    a_seg, gs = margin_a(lambda r: r[1])
+    a_cells = sum(r[3] * r[3] * 1000000 // r[2] for r in rows)
+    gc = len(rows)
+    x_dow = a_dow * n - s * s * 1000000
+    x_seg = a_seg * n - s * s * 1000000
+    x_cells = a_cells * n - s * s * 1000000
+    out = [
+        ("dow", gd - 1, max(x_dow, 0) * 1000000 // d),
+        ("interaction", (gd - 1) * (gs - 1),
+         max(x_cells - x_dow - x_seg, 0) * 1000000 // d),
+        ("residual", n - gc, max(d - x_cells, 0) * 1000000 // d),
+        ("segment", gs - 1, max(x_seg, 0) * 1000000 // d),
+    ]
+    return spark.createDataFrame(out, schema).orderBy("source")

@@ -236,6 +236,7 @@ AUDITED = [
     "event_dwell_quantiles",
     "revenue_cusum_hierarchy",
     "event_type_audience_overlap",
+    "revenue_twoway_anova",
 ]
 
 
