@@ -244,6 +244,7 @@ EXTRA = [
     "revenue_cusum_hierarchy",
     "event_type_audience_overlap",
     "revenue_twoway_anova",
+    "copurchase_negative_samples",
 ]
 
 HEADLINE = [

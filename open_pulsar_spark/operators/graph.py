@@ -1175,3 +1175,131 @@ def copurchase_edge_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# copurchase_negative_samples — popularity-matched negative mining: the
+# training-set builder for the link-prediction model class.
+# --------------------------------------------------------------------------
+NEG_POOL = 50   # negatives draw from the top-50 most-connected parts
+NEG_K = 3       # negatives emitted per anchor
+
+
+@query(
+    "copurchase_negative_samples",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    edges AS (
+        SELECT a.pk AS u, b.pk AS v, count(*)::BIGINT AS w
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk),
+    deg AS (
+        SELECT pk, sum(w)::BIGINT AS deg_w FROM (
+            SELECT u AS pk, w FROM edges
+            UNION ALL SELECT v AS pk, w FROM edges)
+        GROUP BY pk),
+    pool AS (
+        SELECT pk AS cand, deg_w AS cand_deg FROM deg
+        ORDER BY deg_w DESC, pk LIMIT {NEG_POOL}),
+    cand AS (
+        SELECT d.pk AS anchor, p.cand, p.cand_deg
+        FROM deg d CROSS JOIN pool p
+        WHERE p.cand <> d.pk
+          AND NOT EXISTS (
+              SELECT 1 FROM edges e
+              WHERE e.u = least(d.pk, p.cand)
+                AND e.v = greatest(d.pk, p.cand))),
+    ranked AS (
+        SELECT anchor, cand, cand_deg,
+               row_number() OVER (PARTITION BY anchor
+                   ORDER BY md5(anchor::VARCHAR || '_' || cand::VARCHAR),
+                            cand) AS rk
+        FROM cand)
+    SELECT anchor, cand AS negative, cand_deg AS negative_degree,
+           rk::INT AS rk
+    FROM ranked WHERE rk <= {NEG_K}
+    ORDER BY anchor, rk
+    """,
+)
+def copurchase_negative_samples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POPULARITY-MATCHED negative sampling for link-prediction
+    training: for every part in the co-purchase graph, {NEG_K}
+    deterministic non-neighbors drawn from the {NEG_POOL}
+    most-connected parts — hard negatives by construction (a random
+    non-edge is trivially easy; a POPULAR part you never co-sold
+    against is the negative that teaches the model something).
+    Selection is an md5 coin over (anchor, candidate), so the
+    training set is a pure function of the data — reproducible,
+    engine-independent, re-drawable after every snapshot.
+    copurchase_link_prediction SCORES non-edges; this builds the
+    labeled set a learned ranker trains on.
+
+    Scale: the edge/degree frames are the shared basket-explode
+    producers; the candidate pool is a TakeOrdered({NEG_POOL})
+    collected to a LITERAL array, so the anchor×pool fan-out is a
+    MAP-SIDE explode (≤{NEG_POOL} rows per anchor, no join); the
+    neighbor exclusion is one left-anti equi-join against the edge
+    list; the md5 rank partitions by anchor.
+
+    Determinism: degree ties in the pool cut break on part id; the
+    per-anchor ranking is (md5 hex, candidate id) — total orders
+    everywhere."""
+    edges = _weighted_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("pk"), "w")
+        .unionAll(edges.select(F.col("v").alias("pk"), "w"))
+        .groupBy("pk")
+        .agg(F.sum("w").cast("bigint").alias("deg_w"))
+    )
+    pool = [
+        (int(r.pk), int(r.deg_w))
+        for r in deg.orderBy(F.desc("deg_w"), "pk").limit(NEG_POOL).collect()
+    ]
+    if not pool:
+        return spark.createDataFrame(
+            [], "anchor BIGINT, negative BIGINT,"
+            " negative_degree BIGINT, rk INT"
+        )
+    pool_arr = "array(" + ",".join(
+        f"named_struct('cand', {pk}L, 'cand_deg', {dw}L)"
+        for pk, dw in pool
+    ) + ")"
+    cand = (
+        deg.select(F.col("pk").alias("anchor"))
+        .select("anchor", F.explode(F.expr(pool_arr)).alias("p"))
+        .select("anchor", F.col("p.cand").alias("cand"),
+                F.col("p.cand_deg").alias("cand_deg"))
+        .where(F.col("cand") != F.col("anchor"))
+        .join(
+            edges.select(
+                F.col("u").alias("eu"), F.col("v").alias("ev")
+            ),
+            (F.least(F.col("anchor"), F.col("cand")) == F.col("eu"))
+            & (F.greatest(F.col("anchor"), F.col("cand")) == F.col("ev")),
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.md5(
+            F.concat(
+                F.col("anchor").cast("string"),
+                F.lit("_"),
+                F.col("cand").cast("string"),
+            )
+        ),
+        "cand",
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= NEG_K)
+        .select(
+            "anchor",
+            F.col("cand").alias("negative"),
+            F.col("cand_deg").alias("negative_degree"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("anchor", "rk")
+    )

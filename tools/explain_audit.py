@@ -237,6 +237,7 @@ AUDITED = [
     "revenue_cusum_hierarchy",
     "event_type_audience_overlap",
     "revenue_twoway_anova",
+    "copurchase_negative_samples",
 ]
 
 
