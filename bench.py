@@ -245,6 +245,7 @@ EXTRA = [
     "event_type_audience_overlap",
     "revenue_twoway_anova",
     "copurchase_negative_samples",
+    "multimodal_magic_type_audit",
 ]
 
 HEADLINE = [

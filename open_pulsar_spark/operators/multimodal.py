@@ -578,3 +578,147 @@ def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_magic_type_audit — content-sniffing vs declared kind (the
+# mislabeled/corrupt screen BEFORE paying for decode).
+# --------------------------------------------------------------------------
+# (hex-prefix, detected type) magic signatures — public file-format
+# knowledge. Sniffing falls back to a printable-byte heuristic over the
+# first SNIFF_BYTES bytes: ≥95% printable ⇒ 'text', else 'binary'.
+MAGIC_SIGS = (
+    ("89504E47", "png"),
+    ("FFD8FF", "jpeg"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),
+)
+SNIFF_BYTES = 64
+
+
+def _sniff_sql(hexcol: str) -> str:
+    """Shared detection CASE over an UPPERCASE hex string column —
+    identical text on both engines (hex pairs compare lexically ==
+    numerically at fixed width; printable = 0x20–0x7E + TAB/LF/CR)."""
+    magic = " ".join(
+        f"WHEN {hexcol} LIKE '{sig}%' THEN '{kind}'"
+        for sig, kind in MAGIC_SIGS
+    )
+    return f"""CASE {magic} ELSE
+        CASE WHEN printable_n * 100 >= checked_n * 95 THEN 'text'
+             ELSE 'binary' END END"""
+
+
+@query(
+    "multimodal_magic_type_audit",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               upper(hex(encode(text))) AS hx
+        FROM documents),
+    pairs AS (
+        SELECT doc_id, kind, hx,
+               substr(hx, 2 * i - 1, 2) AS pr
+        FROM b CROSS JOIN (SELECT unnest(generate_series(1, {SNIFF_BYTES}))
+                           AS i)
+        WHERE 2 * i - 1 <= length(hx)),
+    sniff AS (
+        SELECT doc_id, kind, max(hx) AS hx,
+               count(*)::BIGINT AS checked_n,
+               sum(CASE WHEN (pr >= '20' AND pr <= '7E')
+                          OR pr IN ('09', '0A', '0D')
+                        THEN 1 ELSE 0 END)::BIGINT AS printable_n
+        FROM pairs GROUP BY doc_id, kind),
+    det AS (
+        SELECT kind, {_sniff_sql("hx")} AS detected FROM sniff),
+    kt AS (SELECT kind, count(*)::BIGINT AS kind_total
+           FROM det GROUP BY kind)
+    SELECT d.kind, d.detected, count(*)::BIGINT AS n_docs,
+           (count(*) * 1000000 // max(kt.kind_total))::BIGINT AS share_ppm,
+           (CASE WHEN d.detected = d.kind THEN 0 ELSE 1 END)::INT
+               AS is_mismatch
+    FROM det d JOIN kt ON kt.kind = d.kind
+    GROUP BY d.kind, d.detected
+    ORDER BY d.kind, d.detected
+    """,
+)
+def multimodal_magic_type_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTENT SNIFFING vs declared modality — the mislabeled-payload
+    screen that runs BEFORE any decoder is paid for: magic-byte
+    signatures ({", ".join(k for _, k in MAGIC_SIGS)}) on the payload
+    prefix, with a printable-byte heuristic over the first
+    {SNIFF_BYTES} bytes as the text/binary fallback. On THIS corpus
+    every payload is synthesized from text, so the audit correctly
+    reports 100% kind↔detected mismatch — which is the point: rows
+    declared 'image' that sniff as 'text' are exactly what this
+    screen exists to catch (the multimodal twin of doc_lang_id's
+    confusion audit, upstream of multimodal_features' decode stub).
+
+    Determinism: detection is string prefix matches and integer
+    counts over UPPERCASE hex pairs (lexical == numeric order at
+    fixed width); shares are trunc-div ppm.
+
+    Scale: the sniff explodes only {SNIFF_BYTES} pairs per payload
+    (bounded — NOT the full-payload entropy explode); grouping is
+    map-combinable; output is the |kinds|×|detected| matrix."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    b = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(k) for k in KINDS]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.upper(F.hex(payload)).alias("hx"),
+    )
+    pairs = b.select(
+        "doc_id",
+        "kind",
+        "hx",
+        F.explode(
+            F.expr(f"sequence(1, {SNIFF_BYTES})")
+        ).alias("i"),
+    ).where(F.expr("2 * i - 1 <= length(hx)")).select(
+        "doc_id", "kind", "hx", F.expr("substr(hx, 2 * i - 1, 2)").alias("pr")
+    )
+    sniff = pairs.groupBy("doc_id", "kind").agg(
+        F.max("hx").alias("hx"),
+        F.count("*").cast("bigint").alias("checked_n"),
+        F.sum(
+            F.when(
+                ((F.col("pr") >= "20") & (F.col("pr") <= "7E"))
+                | F.col("pr").isin("09", "0A", "0D"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("printable_n"),
+    )
+    det = sniff.select("kind", F.expr(_sniff_sql("hx")).alias("detected"))
+    from open_pulsar_spark.operators.dedup import _pin
+
+    det = _pin("magic_det", det)
+    kt = det.groupBy("kind").agg(
+        F.count("*").cast("bigint").alias("kind_total")
+    )
+    return (
+        det.groupBy("kind", "detected")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(F.broadcast(kt), "kind")
+        .select(
+            "kind",
+            "detected",
+            "n_docs",
+            F.expr(
+                "cast(n_docs * 1000000 div kind_total as bigint)"
+            ).alias("share_ppm"),
+            F.expr(
+                "cast(CASE WHEN detected = kind THEN 0 ELSE 1 END as int)"
+            ).alias("is_mismatch"),
+        )
+        .orderBy("kind", "detected")
+    )

@@ -238,6 +238,7 @@ AUDITED = [
     "event_type_audience_overlap",
     "revenue_twoway_anova",
     "copurchase_negative_samples",
+    "multimodal_magic_type_audit",
 ]
 
 
