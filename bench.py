@@ -246,6 +246,7 @@ EXTRA = [
     "revenue_twoway_anova",
     "copurchase_negative_samples",
     "multimodal_magic_type_audit",
+    "doc_rake_keyphrases",
 ]
 
 HEADLINE = [

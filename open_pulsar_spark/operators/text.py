@@ -1872,3 +1872,158 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# doc_rake_keyphrases — RAKE keyphrase extraction (phrase-level salience,
+# where tfidf_topterms is term-level and corpus-relative).
+# --------------------------------------------------------------------------
+RAKE_TOP = 3
+
+
+@query(
+    "doc_rake_keyphrases",
+    oracle=f"""
+    WITH toks AS (
+        SELECT d.doc_id, g.i AS pos, d.arr[g.i] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr
+              FROM documents) d,
+             LATERAL (SELECT unnest(generate_series(1, len(d.arr)))
+                      AS i) g),
+    lab AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN tok IN {_SW_SQL} OR tok = '' THEN 1 ELSE 0 END
+                   AS st
+        FROM toks),
+    ph AS (
+        SELECT doc_id, pos, tok, st,
+               sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+        FROM lab),
+    words AS (SELECT doc_id, phrase_id, pos, tok FROM ph WHERE st = 0),
+    plen AS (SELECT doc_id, phrase_id, count(*)::BIGINT AS len
+             FROM words GROUP BY 1, 2),
+    freq AS (SELECT doc_id, tok, count(*)::BIGINT AS f
+             FROM words GROUP BY 1, 2),
+    degw AS (
+        SELECT w.doc_id, w.tok, sum(p.len)::BIGINT AS dg
+        FROM words w
+        JOIN plen p ON p.doc_id = w.doc_id AND p.phrase_id = w.phrase_id
+        GROUP BY 1, 2),
+    wsc AS (
+        SELECT f.doc_id, f.tok, (d.dg * 1000000 // f.f)::BIGINT AS ws
+        FROM freq f JOIN degw d ON d.doc_id = f.doc_id AND d.tok = f.tok),
+    phr AS (
+        SELECT w.doc_id, w.phrase_id,
+               string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+               sum(s.ws)::BIGINT AS score,
+               count(*)::BIGINT AS n_words
+        FROM words w
+        JOIN wsc s ON s.doc_id = w.doc_id AND s.tok = w.tok
+        GROUP BY 1, 2),
+    dist AS (
+        SELECT doc_id, phrase,
+               max(score)::BIGINT AS score_ppm,
+               max(n_words)::BIGINT AS n_words,
+               count(*)::BIGINT AS n_occ
+        FROM phr GROUP BY 1, 2)
+    SELECT doc_id, rk::INT AS rk, phrase, n_words, n_occ, score_ppm
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_ppm DESC, phrase) AS rk
+          FROM dist)
+    WHERE rk <= {RAKE_TOP}
+    ORDER BY doc_id, rk
+    """,
+)
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al.): candidate phrases are
+    the maximal stopword-delimited token runs; each word scores
+    degree/frequency over the document's phrase graph (degree = total
+    length of phrases it appears in — words that keep company with
+    many co-words outrank isolated frequent words); a phrase scores
+    the sum of its words, and the top-{RAKE_TOP} distinct phrases per
+    document win. The PHRASE-level salience extractor next to
+    doc_tfidf_topterms' corpus-relative single terms — the difference
+    is exactly multi-word index entries ('hash value table' vs three
+    unrelated unigrams).
+
+    Determinism: degree/frequency are integer counts; word scores are
+    one trunc-div ppm each; phrase scores are integer sums; ranking
+    ties break on the phrase string.
+
+    Scale: every stage keys by doc_id (the natural partition) — the
+    phrase-id running sum is a doc-local window, the freq/degree/
+    score joins are doc-keyed equi-joins, and nothing ever crosses
+    documents. Output is ≤{RAKE_TOP} rows per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    lab = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(
+            F.col("tok").isin(*STOPWORDS) | (F.col("tok") == ""), 1
+        )
+        .otherwise(0)
+        .alias("st"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    ph = lab.select(
+        "doc_id", "pos", "tok", "st",
+        F.sum("st").over(wd).alias("phrase_id"),
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    words = _pin(
+        "rake_words", ph.where(F.col("st") == 0).drop("st")
+    )
+    plen = words.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    freq = words.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("bigint").alias("f")
+    )
+    degw = (
+        words.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "tok")
+        .agg(F.sum("len").cast("bigint").alias("dg"))
+    )
+    wsc = freq.join(degw, ["doc_id", "tok"]).select(
+        "doc_id",
+        "tok",
+        F.expr("cast(dg * 1000000 div f as bigint)").alias("ws"),
+    )
+    phr = (
+        words.join(wsc, ["doc_id", "tok"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(sort_array("
+                "collect_list(struct(pos, tok))), x -> x.tok))"
+            ).alias("phrase"),
+            F.sum("ws").cast("bigint").alias("score"),
+            F.count("*").cast("bigint").alias("n_words"),
+        )
+    )
+    dist = phr.groupBy("doc_id", "phrase").agg(
+        F.max("score").cast("bigint").alias("score_ppm"),
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_occ"),
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_ppm"), "phrase"
+    )
+    return (
+        dist.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= RAKE_TOP)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            "phrase",
+            "n_words",
+            "n_occ",
+            "score_ppm",
+        )
+        .orderBy("doc_id", "rk")
+    )

@@ -239,6 +239,7 @@ AUDITED = [
     "revenue_twoway_anova",
     "copurchase_negative_samples",
     "multimodal_magic_type_audit",
+    "doc_rake_keyphrases",
 ]
 
 
