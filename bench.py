@@ -247,6 +247,7 @@ EXTRA = [
     "copurchase_negative_samples",
     "multimodal_magic_type_audit",
     "doc_rake_keyphrases",
+    "quality_token_lorenz",
 ]
 
 HEADLINE = [

@@ -2027,3 +2027,99 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# quality_token_lorenz — the curation BUDGET curve: token mass vs
+# quality rank (what quality threshold a token budget actually buys).
+# --------------------------------------------------------------------------
+@query(
+    "quality_token_lorenz",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks
+               FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(floor((0.4 * least(len(toks) / 100.0, 1.0)
+                      + 0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
+                      + 0.2 * least((len(list_filter(toks, x -> x IN {_SW_SQL}))
+                                     * 1.0 / len(toks)) / 0.1, 1.0))
+                      * 1000000 + 0.5) AS BIGINT) AS q_int,
+                 len(toks)::BIGINT AS n_toks
+          FROM t),
+    r AS (SELECT q_int, n_toks,
+                 row_number() OVER (ORDER BY q_int DESC, doc_id) AS rk,
+                 sum(n_toks) OVER (ORDER BY q_int DESC, doc_id
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+                 count(*) OVER ()::BIGINT AS n,
+                 sum(n_toks) OVER ()::BIGINT AS tt
+          FROM m)
+    SELECT (((rk - 1) * 10) // n + 1)::BIGINT AS decile,
+           count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS tokens,
+           max(cum)::BIGINT AS cum_tokens,
+           (max(cum) * 1000000 // max(tt))::BIGINT AS cum_token_share_ppm,
+           min(q_int)::BIGINT AS min_quality_micro
+    FROM r
+    GROUP BY 1
+    ORDER BY decile
+    """,
+)
+def quality_token_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation BUDGET curve: rank the corpus best-quality-first
+    and report, per quality decile, the cumulative TOKEN share — the
+    reading that turns 'train on the top X% quality' into 'that buys
+    Y% of the tokens, and the threshold is this score'. The missing
+    axis in quality_llm_calibration (which grades the score) and
+    corpus_mix_weights (which assumes a kept set): budgets are paid in
+    tokens, not documents, and quality and length correlate — only
+    this curve shows by how much.
+
+    Determinism: quality is the shared 1e-6 integer grid, token
+    counts are exact, the decile is the rank formula, shares are
+    trunc-div ppm.
+
+    Scale: the global quality rank AND the running token sum ride the
+    distributed prefix scaffold (global_prefix with a cum column —
+    the revenue_pareto pattern), never a single-partition window;
+    the rollup is 10 groups."""
+    from open_pulsar_spark.operators.prefix import global_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    q_int = F.expr(
+        "cast(floor((0.4 * least(size(split(text, ' ')) / 100.0d, 1.0d)"
+        " + 0.4 * (size(array_distinct(split(text, ' '))) * 1.0d"
+        "          / size(split(text, ' ')))"
+        " + 0.2 * least((size(filter(split(text, ' '),"
+        f"                x -> x IN {_SW_SQL}))"
+        "                * 1.0d / size(split(text, ' '))) / 0.1d, 1.0d))"
+        " * 1000000 + 0.5d) as bigint)"
+    )
+    m = docs.select(
+        "doc_id",
+        q_int.alias("q_int"),
+        (-q_int).alias("q_neg"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+    )
+    aug, totals, release = global_prefix(
+        spark, m, ["q_neg", "doc_id"], cum_cols=["n_toks"]
+    )
+    n, tt = totals["n"], totals["n_toks"]
+    out = (
+        aug.withColumn(
+            "decile", F.expr(f"((rk - 1) * 10) div {n} + 1")
+        )
+        .groupBy(F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens"),
+            F.max("cum_n_toks").cast("bigint").alias("cum_tokens"),
+            F.expr(
+                f"cast(max(cum_n_toks) * 1000000 div {tt} as bigint)"
+            ).alias("cum_token_share_ppm"),
+            F.min("q_int").cast("bigint").alias("min_quality_micro"),
+        )
+        .orderBy("decile")
+    )
+    result = spark.createDataFrame(out.collect(), out.schema)
+    release()
+    return result

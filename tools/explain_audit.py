@@ -240,6 +240,7 @@ AUDITED = [
     "copurchase_negative_samples",
     "multimodal_magic_type_audit",
     "doc_rake_keyphrases",
+    "quality_token_lorenz",
 ]
 
 
