@@ -248,6 +248,7 @@ EXTRA = [
     "multimodal_magic_type_audit",
     "doc_rake_keyphrases",
     "quality_token_lorenz",
+    "ltv_forecast_backtest",
 ]
 
 HEADLINE = [

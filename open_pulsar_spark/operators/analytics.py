@@ -6143,3 +6143,173 @@ def revenue_twoway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("segment", gs - 1, max(x_seg, 0) * 1000000 // d),
     ]
     return spark.createDataFrame(out, schema).orderBy("source")
+
+# --------------------------------------------------------------------------
+# ltv_forecast_backtest — early-signal LTV prediction, GRADED at user
+# grain: predict each user's week-4 revenue from weeks 0-1 with the
+# ratio fitted on held-out train users.
+# --------------------------------------------------------------------------
+LTV_BT_WEEKS_EARLY = 1   # 'early signal' = cumulative weeks 0..1
+LTV_BT_WEEKS_FULL = 4    # predicted horizon = cumulative weeks 0..4
+
+
+@query(
+    "ltv_forecast_backtest",
+    oracle=f"""
+    WITH first_seen AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cw
+        FROM events GROUP BY user_id),
+    u AS (
+        SELECT f.user_id,
+               ('0x' || substr(md5(f.user_id::VARCHAR), 1, 8))::BIGINT % 10
+                   < {NEP_TRAIN_BUCKETS} AS is_train,
+               coalesce(sum(CASE WHEN date_diff('week', f.cw,
+                        date_trunc('week', e.ts)) <= {LTV_BT_WEEKS_EARLY}
+                        THEN round(e.value * 100)::BIGINT END), 0)::BIGINT
+                   AS s1,
+               coalesce(sum(CASE WHEN date_diff('week', f.cw,
+                        date_trunc('week', e.ts)) <= {LTV_BT_WEEKS_FULL}
+                        THEN round(e.value * 100)::BIGINT END), 0)::BIGINT
+                   AS s4
+        FROM first_seen f
+        LEFT JOIN events e ON e.user_id = f.user_id
+                          AND e.event_type = 'purchase'
+        WHERE date_diff('week', f.cw,
+                  (SELECT max(date_trunc('week', ts)) FROM events))
+              >= {LTV_BT_WEEKS_FULL}
+        GROUP BY 1, 2),
+    tr AS (
+        SELECT sum(s4)::BIGINT AS num, sum(s1)::BIGINT AS den
+        FROM u WHERE is_train),
+    te AS (
+        SELECT floor(log2(greatest(s1, 1)))::BIGINT AS bin,
+               s1, s4,
+               (s1 * (SELECT num FROM tr)
+                   // (SELECT den FROM tr))::BIGINT AS pred
+        FROM u WHERE NOT is_train AND (SELECT den FROM tr) > 0)
+    SELECT bin,
+           count(*)::BIGINT AS n_users,
+           sum(s1)::BIGINT AS ltv1_cents,
+           sum(s4)::BIGINT AS actual_ltv4_cents,
+           sum(pred)::BIGINT AS predicted_ltv4_cents,
+           (abs(sum(pred) - sum(s4)) * 1000000 // sum(s4))::BIGINT
+               AS abs_err_ppm,
+           ((SELECT num FROM tr) * 1000000
+               // (SELECT den FROM tr))::BIGINT AS train_ratio_ppm
+    FROM te
+    GROUP BY bin
+    HAVING sum(s4) > 0
+    ORDER BY bin
+    """,
+)
+def ltv_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EARLY-SIGNAL LTV prediction, graded: predict each user's
+    cumulative week-{LTV_BT_WEEKS_FULL} purchase revenue from their
+    weeks 0-{LTV_BT_WEEKS_EARLY}, using the Σltv4/Σltv1 ratio fitted
+    on TRAIN users only (the hitrate family's md5 coin — test users
+    never touch the ratio), and report accuracy per power-of-two
+    early-revenue bucket: where on the spend curve the naive ratio
+    model holds and where it breaks. cohort_ltv_curve draws the
+    curve; this is the forecasting product run at user grain (this
+    corpus has a single signup cohort, so user grain is also the only
+    non-degenerate grain — measured, which is why this query exists
+    in this form).
+
+    Determinism: integer cents on the shared week conventions;
+    per-user predictions are one trunc-div each; buckets are
+    floor(log2) (the PSI binning precedent); bucket errors are
+    trunc-div ppm on exact sums.
+
+    Scale: one user-keyed aggregate builds (user, s1, s4); the ratio
+    is a 2-scalar reduce over train users; grading is one
+    map-combinable bucket aggregate over test users."""
+    from open_pulsar_spark.operators.curation import _hash_raw_spark
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.date_trunc("week", F.col("ts")).alias("week"),
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("week").alias("cw"))
+    mw = ev.agg(F.max("week").alias("m")).first()
+    schema = (
+        "bin BIGINT, n_users BIGINT, ltv1_cents BIGINT,"
+        " actual_ltv4_cents BIGINT, predicted_ltv4_cents BIGINT,"
+        " abs_err_ppm BIGINT, train_ratio_ppm BIGINT"
+    )
+    if mw.m is None:
+        return spark.createDataFrame([], schema)
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "week",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    off = (F.datediff(F.col("week"), F.col("cw")) / 7).cast("bigint")
+    u = (
+        first_seen.where(
+            F.expr(
+                f"datediff(timestamp'{mw.m}', cw) div 7"
+                f" >= {LTV_BT_WEEKS_FULL}"
+            )
+        )
+        .join(purch, "user_id", "left")
+        .groupBy(
+            "user_id",
+            (_hash_raw_spark(F.col("user_id")) % 10 < NEP_TRAIN_BUCKETS)
+            .alias("is_train"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(off <= LTV_BT_WEEKS_EARLY, F.col("cents"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("s1"),
+            F.coalesce(
+                F.sum(F.when(off <= LTV_BT_WEEKS_FULL, F.col("cents"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("s4"),
+        )
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    u = _pin("ltv_bt_u", u)
+    tr = u.where("is_train").agg(
+        F.sum("s4").cast("bigint").alias("num"),
+        F.sum("s1").cast("bigint").alias("den"),
+    ).first()
+    if tr.den is None or int(tr.den) <= 0:
+        return spark.createDataFrame([], schema)
+    num, den = int(tr.num), int(tr.den)
+    return (
+        u.where(~F.col("is_train"))
+        .select(
+            F.expr("cast(floor(log2(greatest(s1, 1))) as bigint)").alias(
+                "bin"
+            ),
+            "s1",
+            "s4",
+            F.expr(f"cast(s1 * {num} div {den} as bigint)").alias("pred"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("s1").cast("bigint").alias("ltv1_cents"),
+            F.sum("s4").cast("bigint").alias("actual_ltv4_cents"),
+            F.sum("pred").cast("bigint").alias("predicted_ltv4_cents"),
+            F.expr(
+                "cast(abs(sum(pred) - sum(s4)) * 1000000"
+                " div sum(s4) as bigint)"
+            ).alias("abs_err_ppm"),
+            F.lit(num * 1000000 // den)
+            .cast("bigint")
+            .alias("train_ratio_ppm"),
+        )
+        .where(F.col("actual_ltv4_cents") > 0)
+        .orderBy("bin")
+    )

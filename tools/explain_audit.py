@@ -241,6 +241,7 @@ AUDITED = [
     "multimodal_magic_type_audit",
     "doc_rake_keyphrases",
     "quality_token_lorenz",
+    "ltv_forecast_backtest",
 ]
 
 
