@@ -249,6 +249,7 @@ EXTRA = [
     "doc_rake_keyphrases",
     "quality_token_lorenz",
     "ltv_forecast_backtest",
+    "churn_rule_backtest",
 ]
 
 HEADLINE = [

@@ -6313,3 +6313,151 @@ def ltv_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("actual_ltv4_cents") > 0)
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# churn_rule_backtest — recency-rule churn prediction, graded with
+# precision/recall/F1 on a time-split holdout.
+# --------------------------------------------------------------------------
+CHURN_HORIZON_D = 28                # label window: inactive 28 days past T
+CHURN_RECENCY_GRID_D = (7, 14, 28)  # rule grid: recency > d ⇒ predict churn
+
+
+@query(
+    "churn_rule_backtest",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    cut AS (SELECT (SELECT m FROM mx)
+                - INTERVAL {CHURN_HORIZON_D} DAY AS t FROM mx),
+    u AS (
+        SELECT user_id,
+               date_diff('day', max(CASE WHEN ts <= (SELECT t FROM cut)
+                                         THEN ts END),
+                         (SELECT t FROM cut))::BIGINT AS recency_d,
+               max(CASE WHEN ts > (SELECT t FROM cut)
+                        THEN 1 ELSE 0 END)::INT AS active_post
+        FROM events
+        GROUP BY user_id
+        HAVING max(CASE WHEN ts <= (SELECT t FROM cut) THEN ts END)
+               IS NOT NULL),
+    grid AS (SELECT unnest([{", ".join(str(d) for d in
+                                       CHURN_RECENCY_GRID_D)}
+                           ])::BIGINT AS thresh_d),
+    scored AS (
+        SELECT g.thresh_d,
+               CASE WHEN u.recency_d > g.thresh_d THEN 1 ELSE 0 END
+                   AS pred_churn,
+               1 - u.active_post AS churned
+        FROM grid g CROSS JOIN u)
+    SELECT thresh_d,
+           count(*)::BIGINT AS n_users,
+           sum(churned)::BIGINT AS n_churned,
+           sum(pred_churn * churned)::BIGINT AS tp,
+           sum(pred_churn * (1 - churned))::BIGINT AS fp,
+           sum((1 - pred_churn) * churned)::BIGINT AS fn,
+           (sum(pred_churn * churned) * 1000000
+               // greatest(sum(pred_churn), 1))::BIGINT AS precision_ppm,
+           (sum(pred_churn * churned) * 1000000
+               // greatest(sum(churned), 1))::BIGINT AS recall_ppm,
+           (2 * sum(pred_churn * churned) * 1000000
+               // greatest(2 * sum(pred_churn * churned)
+                   + sum(pred_churn * (1 - churned))
+                   + sum((1 - pred_churn) * churned), 1))::BIGINT AS f1_ppm
+    FROM scored
+    GROUP BY thresh_d
+    ORDER BY thresh_d
+    """,
+)
+def churn_rule_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHURN-RULE backtest on a time split: features freeze at
+    T = max(ts) − {CHURN_HORIZON_D} days, the label is
+    'no activity in the following {CHURN_HORIZON_D} days', and the
+    rule 'recency > d ⇒ churn' is graded at
+    d ∈ {CHURN_RECENCY_GRID_D} with exact precision/recall/F1
+    (F1 via the integer identity 2·tp/(2·tp+fp+fn) — one trunc-div,
+    no rational p/r intermediate). user_survival_curve describes the
+    population hazard; this grades the simplest actionable predictor
+    against a leakage-clean time holdout — the baseline any learned
+    churn model must beat, measured the way every model-class query
+    here is (hitrate/calibration/backtest contracts).
+
+    Scale: ONE user-keyed aggregate builds (recency, label) — the
+    time split is two conditional aggregates in the same pass, so
+    features and labels cannot leak across T by construction; the
+    rule grid is a map-side 3-literal explode; the readout is a
+    3-group rollup."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    mx = ev.agg(F.max("ts").alias("m")).first()
+    schema = (
+        "thresh_d BIGINT, n_users BIGINT, n_churned BIGINT, tp BIGINT,"
+        " fp BIGINT, fn BIGINT, precision_ppm BIGINT, recall_ppm BIGINT,"
+        " f1_ppm BIGINT"
+    )
+    if mx.m is None:
+        return spark.createDataFrame([], schema)
+    cut = f"timestamp'{mx.m}' - interval {CHURN_HORIZON_D} days"
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                f"datediff(to_date({cut}),"
+                f" to_date(max(CASE WHEN ts <= {cut} THEN ts END)))"
+            )
+            .cast("bigint")
+            .alias("recency_d"),
+            F.max(
+                F.expr(f"CASE WHEN ts > {cut} THEN 1 ELSE 0 END")
+            )
+            .cast("int")
+            .alias("active_post"),
+        )
+        .where(F.col("recency_d").isNotNull())
+    )
+    grid = "array(" + ",".join(
+        f"{d}L" for d in CHURN_RECENCY_GRID_D
+    ) + ")"
+    scored = (
+        u.select(
+            "recency_d",
+            "active_post",
+            F.explode(F.expr(grid)).alias("thresh_d"),
+        )
+        .select(
+            "thresh_d",
+            F.when(F.col("recency_d") > F.col("thresh_d"), 1)
+            .otherwise(0)
+            .alias("pred_churn"),
+            (F.lit(1) - F.col("active_post")).alias("churned"),
+        )
+    )
+    return (
+        scored.groupBy("thresh_d")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("churned").cast("bigint").alias("n_churned"),
+            F.sum(F.col("pred_churn") * F.col("churned"))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.col("pred_churn") * (1 - F.col("churned")))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum((1 - F.col("pred_churn")) * F.col("churned"))
+            .cast("bigint")
+            .alias("fn"),
+            F.expr(
+                "cast(sum(pred_churn * churned) * 1000000"
+                " div greatest(sum(pred_churn), 1) as bigint)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "cast(sum(pred_churn * churned) * 1000000"
+                " div greatest(sum(churned), 1) as bigint)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "cast(2 * sum(pred_churn * churned) * 1000000"
+                " div greatest(2 * sum(pred_churn * churned)"
+                " + sum(pred_churn * (1 - churned))"
+                " + sum((1 - pred_churn) * churned), 1) as bigint)"
+            ).alias("f1_ppm"),
+        )
+        .orderBy("thresh_d")
+    )

@@ -242,6 +242,7 @@ AUDITED = [
     "doc_rake_keyphrases",
     "quality_token_lorenz",
     "ltv_forecast_backtest",
+    "churn_rule_backtest",
 ]
 
 
