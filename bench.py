@@ -250,6 +250,7 @@ EXTRA = [
     "quality_token_lorenz",
     "ltv_forecast_backtest",
     "churn_rule_backtest",
+    "doc_boilerplate_coverage",
 ]
 
 HEADLINE = [

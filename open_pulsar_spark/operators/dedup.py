@@ -2692,3 +2692,118 @@ def winnowing_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# doc_boilerplate_coverage — C4-style EXACT repeated-block screen: the
+# df-thresholded twin of the paragraph NEAR-dup family.
+# --------------------------------------------------------------------------
+BOILER_DF_SHARED = 2  # block seen in ≥2 docs: shared content
+BOILER_DF_RULE = 3    # the C4 line rule: drop content seen in ≥3 docs
+
+
+@query(
+    "doc_boilerplate_coverage",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr
+               FROM documents),
+    b AS (
+        SELECT doc_id, g.i AS block_id,
+               md5(array_to_string(
+                   list_slice(t.arr, g.i * {PARA_W} + 1,
+                              g.i * {PARA_W} + {PARA_W}), ' ')) AS h
+        FROM t, LATERAL (SELECT unnest(generate_series(0,
+                             len(t.arr) // {PARA_W})) AS i) g
+        WHERE g.i * {PARA_W} < len(t.arr)
+          AND least(len(t.arr) - g.i * {PARA_W}, {PARA_W})
+              >= {PARA_MIN_TOKS}),
+    df AS (SELECT h, count(DISTINCT doc_id)::BIGINT AS d
+           FROM b GROUP BY h)
+    SELECT b.doc_id,
+           count(*)::BIGINT AS n_blocks,
+           sum(CASE WHEN df.d >= {BOILER_DF_SHARED} THEN 1 ELSE 0 END)
+               ::BIGINT AS n_shared_blocks,
+           sum(CASE WHEN df.d >= {BOILER_DF_RULE} THEN 1 ELSE 0 END)
+               ::BIGINT AS n_boiler_blocks,
+           (sum(CASE WHEN df.d >= {BOILER_DF_RULE} THEN 1 ELSE 0 END)
+               * 1000000 // count(*))::BIGINT AS boiler_coverage_ppm
+    FROM b JOIN df ON df.h = b.h
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT repeated-block boilerplate screen — the C4 preprocessing
+    rule ('drop any line occurring ≥{BOILER_DF_RULE} times in the
+    corpus') measured per document: each {PARA_W}-word block (the
+    paragraph family's deterministic splitter) hashes once, document
+    frequency is one distinct-count per hash, and every doc reports
+    how many of its blocks are corpus-SHARED (df ≥ {BOILER_DF_SHARED})
+    vs corpus-BOILERPLATE (df ≥ {BOILER_DF_RULE}), with the rule's
+    removal coverage in ppm. Sits exactly between
+    paragraph_neardup_pairs (fuzzy, pairwise) and
+    doc_repeated_substring_coverage (positional windows): exact,
+    df-thresholded, and per-doc actionable — the cheapest of the
+    three screens and the one C4 actually shipped.
+
+    Scale: one map-side block explode (|doc|/{PARA_W} rows per doc —
+    far below the shingle fan-out), a map-combinable per-hash distinct
+    count, one hash-keyed equi-join back, one doc rollup. No windows,
+    no pairs.
+
+    Determinism: md5 keys, integer counts, one trunc-div ppm."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        docs.select(
+            "doc_id", F.split("text", " ").alias("arr")
+        )
+        .select(
+            "doc_id",
+            "arr",
+            F.explode(
+                F.expr(f"sequence(0, size(arr) div {PARA_W})")
+            ).alias("i"),
+        )
+        .where(
+            F.expr(
+                f"i * {PARA_W} < size(arr) AND"
+                f" least(size(arr) - i * {PARA_W}, {PARA_W})"
+                f" >= {PARA_MIN_TOKS}"
+            )
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.expr(
+                    f"concat_ws(' ', slice(arr, i * {PARA_W} + 1,"
+                    f" {PARA_W}))"
+                )
+            ).alias("h"),
+        )
+    )
+    b = _pin("boiler_blocks", b)
+    df = b.groupBy("h").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("d")
+    )
+    return (
+        b.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_blocks"),
+            F.sum(
+                F.when(F.col("d") >= BOILER_DF_SHARED, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_shared_blocks"),
+            F.sum(
+                F.when(F.col("d") >= BOILER_DF_RULE, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_boiler_blocks"),
+            F.expr(
+                f"cast(sum(CASE WHEN d >= {BOILER_DF_RULE} THEN 1"
+                f" ELSE 0 END) * 1000000 div count(*) as bigint)"
+            ).alias("boiler_coverage_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -243,6 +243,7 @@ AUDITED = [
     "quality_token_lorenz",
     "ltv_forecast_backtest",
     "churn_rule_backtest",
+    "doc_boilerplate_coverage",
 ]
 
 
