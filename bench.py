@@ -251,6 +251,7 @@ EXTRA = [
     "ltv_forecast_backtest",
     "churn_rule_backtest",
     "doc_boilerplate_coverage",
+    "brand_return_rate_wilson",
 ]
 
 HEADLINE = [

@@ -1832,3 +1832,99 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# brand_return_rate_wilson — proportion ranking done right: order by the
+# Wilson lower confidence bound, not the raw rate.
+# --------------------------------------------------------------------------
+@query(
+    "brand_return_rate_wilson",
+    oracle="""
+    WITH g AS (
+        SELECT p.p_brand AS brand,
+               count(*)::HUGEINT AS n,
+               sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   ::HUGEINT AS k
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1),
+    s AS (
+        -- s ≈ sqrt(n·(k(n−k)+n)) · 1e6, exact integer sqrt via the
+        -- corrected floor(sqrt(double)) (±1 adjustment; exact while
+        -- sqrt(x) < ~9e15 — the documented envelope)
+        SELECT brand, n, k,
+               (SELECT s0
+                    + (CASE WHEN (s0+1)*(s0+1)
+                            <= n*(k*(n-k)+n)*1000000000000
+                            THEN 1 ELSE 0 END)
+                    - (CASE WHEN s0*s0 > n*(k*(n-k)+n)*1000000000000
+                            THEN 1 ELSE 0 END)
+                FROM (SELECT floor(sqrt((n*(k*(n-k)+n)
+                          *1000000000000)::DOUBLE))::HUGEINT AS s0))
+                   AS sq
+        FROM g)
+    SELECT brand,
+           n::BIGINT AS n_lines,
+           k::BIGINT AS n_returned,
+           (k * 1000000 // n)::BIGINT AS rate_ppm,
+           (((k + 2) * n * 1000000 - 2 * sq) // (n * (n + 4)))::BIGINT
+               AS wilson_lb_ppm,
+           row_number() OVER (
+               ORDER BY ((k + 2) * n * 1000000 - 2 * sq)
+                        // (n * (n + 4)) DESC, brand)::INT AS rk
+    FROM s
+    ORDER BY rk
+    """,
+)
+def brand_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETURN-RATE ranking by the WILSON LOWER BOUND (z = 2): a brand
+    with 3/5 returns must not outrank one with 400/1000 — sorting by
+    the lower confidence bound of the proportion (the Evan Miller /
+    Reddit-comment-ranking correction) is the standard fix, here in
+    EXACT integer arithmetic: with z² = 4 the bound reduces to
+    (k + 2 − 2·√((k(n−k)+n)/n)) / (n+4), and scaling the radicand by
+    10¹² makes the square root an INTEGER sqrt of an exact moment —
+    math.isqrt on the Spark close, corrected floor(sqrt) in the
+    oracle (the corpus_neyman_allocation contract). The raw rate sits
+    beside the bound so the reordering is visible.
+
+    Scale: one broadcast dim join + one map-combinable brand
+    aggregate; the ≤|brands|-row close runs in Python ints."""
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    g = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    schema = (
+        "brand STRING, n_lines BIGINT, n_returned BIGINT, rate_ppm BIGINT,"
+        " wilson_lb_ppm BIGINT, rk INT"
+    )
+    rows = [(r.brand, int(r.n), int(r.k)) for r in g.collect()]
+    if not rows:
+        return spark.createDataFrame([], schema)
+    scored = []
+    for brand, n, k in rows:
+        sq = math.isqrt(n * (k * (n - k) + n) * 10**12)
+        lb = ((k + 2) * n * 10**6 - 2 * sq) // (n * (n + 4))
+        scored.append((brand, n, k, k * 10**6 // n, lb))
+    scored.sort(key=lambda t: (-t[4], t[0]))
+    out = [
+        (brand, n, k, rate, lb, i + 1)
+        for i, (brand, n, k, rate, lb) in enumerate(scored)
+    ]
+    return spark.createDataFrame(out, schema).orderBy("rk")

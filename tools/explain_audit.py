@@ -244,6 +244,7 @@ AUDITED = [
     "ltv_forecast_backtest",
     "churn_rule_backtest",
     "doc_boilerplate_coverage",
+    "brand_return_rate_wilson",
 ]
 
 
