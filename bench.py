@@ -252,6 +252,7 @@ EXTRA = [
     "churn_rule_backtest",
     "doc_boilerplate_coverage",
     "brand_return_rate_wilson",
+    "shipping_delay_quantiles",
 ]
 
 HEADLINE = [

@@ -245,6 +245,7 @@ AUDITED = [
     "churn_rule_backtest",
     "doc_boilerplate_coverage",
     "brand_return_rate_wilson",
+    "shipping_delay_quantiles",
 ]
 
 
