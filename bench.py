@@ -253,6 +253,7 @@ EXTRA = [
     "doc_boilerplate_coverage",
     "brand_return_rate_wilson",
     "shipping_delay_quantiles",
+    "orders_asof_snapshot",
 ]
 
 HEADLINE = [

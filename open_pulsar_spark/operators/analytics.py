@@ -6552,3 +6552,95 @@ def shipping_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# orders_asof_snapshot — the AS OF consumer of the SCD2 history: each
+# customer's state at a fixed point in time, plus version statistics.
+# --------------------------------------------------------------------------
+ASOF_TS = "1998-07-01 00:00:00"  # the DiD cutover — one shared epoch
+
+
+@query(
+    "orders_asof_snapshot",
+    oracle=f"""
+    WITH h AS (
+        SELECT o_custkey, o_orderkey,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS valid_to
+        FROM orders WHERE o_custkey < 50),
+    live AS (
+        SELECT o_custkey, o_orderkey, valid_from
+        FROM h
+        WHERE valid_from <= TIMESTAMP '{ASOF_TS}'
+          AND (valid_to IS NULL OR valid_to > TIMESTAMP '{ASOF_TS}')),
+    vc AS (
+        SELECT o_custkey,
+               count(*)::BIGINT AS n_versions_asof
+        FROM h WHERE valid_from <= TIMESTAMP '{ASOF_TS}'
+        GROUP BY 1)
+    SELECT l.o_custkey,
+           l.o_orderkey AS live_orderkey,
+           strftime(l.valid_from, '%Y-%m-%d') AS live_since,
+           date_diff('day', l.valid_from::DATE,
+                     DATE '{ASOF_TS.split(" ")[0]}')::BIGINT
+               AS live_age_days,
+           vc.n_versions_asof
+    FROM live l JOIN vc ON vc.o_custkey = l.o_custkey
+    ORDER BY l.o_custkey
+    """,
+)
+def orders_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF query over the SCD2 history — the read side every
+    bitemporal store exists for: reconstruct, at the fixed
+    {ASOF_TS} epoch, which version was LIVE for each tracked customer
+    (validity interval covering the timestamp), how long it had been
+    live, and how many versions existed by then.
+    order_history_scd2 BUILDS the intervals (shared scd2_intervals,
+    so this snapshot and the streaming CDC twin replay the same
+    history); this consumes them the way a time-travel SELECT ... FOR
+    TIMESTAMP AS OF does — without a lakehouse format, from plain
+    windows.
+
+    Determinism: interval containment on exact timestamps with the
+    interval-assembly's own (date, orderkey) tie-break; ages are
+    integer days.
+
+    Scale: the SCD2 window keys by customer (the natural partition);
+    the snapshot filter and the version count are one more pass over
+    the same keyed frame — no new shuffle beyond the history build."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") < 50
+    )
+    h = scd2_intervals(orders)
+    from open_pulsar_spark.operators.dedup import _pin
+
+    h = _pin(
+        "asof_h",
+        h.where(F.col("valid_from") <= F.lit(ASOF_TS).cast("timestamp")),
+    )
+    live = h.where(
+        F.col("valid_to").isNull()
+        | (F.col("valid_to") > F.lit(ASOF_TS).cast("timestamp"))
+    ).select("o_custkey", "o_orderkey", "valid_from")
+    vc = h.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_versions_asof")
+    )
+    asof_date = ASOF_TS.split(" ")[0]
+    return (
+        live.join(vc, "o_custkey")
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("live_orderkey"),
+            F.date_format("valid_from", "yyyy-MM-dd").alias("live_since"),
+            F.datediff(
+                F.lit(asof_date).cast("date"),
+                F.col("valid_from").cast("date"),
+            )
+            .cast("bigint")
+            .alias("live_age_days"),
+            "n_versions_asof",
+        )
+        .orderBy("o_custkey")
+    )

@@ -246,6 +246,7 @@ AUDITED = [
     "doc_boilerplate_coverage",
     "brand_return_rate_wilson",
     "shipping_delay_quantiles",
+    "orders_asof_snapshot",
 ]
 
 
