@@ -254,6 +254,7 @@ EXTRA = [
     "brand_return_rate_wilson",
     "shipping_delay_quantiles",
     "orders_asof_snapshot",
+    "revenue_tail_index",
 ]
 
 HEADLINE = [

@@ -6644,3 +6644,80 @@ def orders_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# revenue_tail_index — Hill estimator of the order-value tail (is
+# revenue heavy-tailed enough that means mislead?).
+# --------------------------------------------------------------------------
+HILL_K = 100  # tail order statistics used
+
+
+@query(
+    "revenue_tail_index",
+    oracle=f"""
+    WITH x AS (
+        SELECT round(o_totalprice * 100)::BIGINT AS cents, o_orderkey,
+               row_number() OVER (ORDER BY round(o_totalprice * 100)::BIGINT
+                                  DESC, o_orderkey) AS rn
+        FROM orders),
+    ref AS (SELECT cents AS xk1 FROM x WHERE rn = {HILL_K} + 1),
+    terms AS (
+        SELECT CAST(round(ln(cents * 1.0 / (SELECT xk1 FROM ref))
+                    * 1000000000) AS BIGINT) AS t_nano
+        FROM x WHERE rn <= {HILL_K})
+    SELECT {HILL_K}::BIGINT AS k,
+           (SELECT xk1 FROM ref)::BIGINT AS x_k1_cents,
+           sum(t_nano)::BIGINT AS sum_log_ratio_nano,
+           ({HILL_K}::HUGEINT * 1000000000 * 1000000
+               // greatest(sum(t_nano), 1))::BIGINT AS alpha_ppm
+    FROM terms
+    """,
+)
+def revenue_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL ESTIMATOR of the order-value tail index: α̂ = k / Σ ln(x_i
+    / x_(k+1)) over the top-{HILL_K} order totals. α ≤ 2 means the
+    tail is heavy enough that variance is effectively infinite and
+    every mean-based readout (A/B lifts, daily averages) is dominated
+    by whales — the diagnostic that says WHETHER to trust the mean,
+    sitting upstream of revenue_gini/revenue_pareto (which describe
+    concentration but not tail decay). corpus_zipf_fit is the same
+    question asked of word frequencies; this asks it of money.
+
+    Determinism: the tail cut is an exact TakeOrdered with an
+    (amount, orderkey) tie-break; each log-ratio rounds onto the
+    nano grid per term before the order-independent sum; the final α
+    is one trunc-div.
+
+    Scale: TakeOrdered({HILL_K}+1) over the fact table — no global
+    sort, no window; the close runs on {HILL_K} literal rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    top = [
+        (int(r.cents), int(r.o_orderkey))
+        for r in x.orderBy(F.desc("cents"), "o_orderkey")
+        .limit(HILL_K + 1)
+        .collect()
+    ]
+    schema = (
+        "k BIGINT, x_k1_cents BIGINT, sum_log_ratio_nano BIGINT,"
+        " alpha_ppm BIGINT"
+    )
+    if len(top) < HILL_K + 1:
+        return spark.createDataFrame([], schema)
+    xk1 = top[HILL_K][0]
+    # per-term nano rounding mirrors the oracle: round-half-away on
+    # ln(cents/xk1) — positive domain, so floor(x*1e9 + 0.5) matches
+    import math
+
+    s = sum(
+        math.floor(math.log(c * 1.0 / xk1) * 1000000000 + 0.5)
+        for c, _ in top[:HILL_K]
+    )
+    alpha_ppm = HILL_K * 1000000000 * 1000000 // max(s, 1)
+    return spark.createDataFrame(
+        [(HILL_K, xk1, s, alpha_ppm)], schema
+    )

@@ -247,6 +247,7 @@ AUDITED = [
     "brand_return_rate_wilson",
     "shipping_delay_quantiles",
     "orders_asof_snapshot",
+    "revenue_tail_index",
 ]
 
 
