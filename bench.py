@@ -255,6 +255,7 @@ EXTRA = [
     "shipping_delay_quantiles",
     "orders_asof_snapshot",
     "revenue_tail_index",
+    "brand_seasonal_demand_index",
 ]
 
 HEADLINE = [

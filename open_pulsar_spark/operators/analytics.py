@@ -6721,3 +6721,88 @@ def revenue_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(HILL_K, xk1, s, alpha_ppm)], schema
     )
+
+
+# --------------------------------------------------------------------------
+# brand_seasonal_demand_index — month-of-year demand index per brand
+# (which assortments are seasonal, and when).
+# --------------------------------------------------------------------------
+@query(
+    "brand_seasonal_demand_index",
+    oracle="""
+    WITH d AS (
+        SELECT p.p_brand AS brand,
+               month(l.l_shipdate)::INT AS m,
+               sum(l.l_quantity)::BIGINT AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2),
+    tot AS (SELECT brand, sum(qty)::BIGINT AS t FROM d GROUP BY 1)
+    SELECT d.brand, d.m AS month, d.qty,
+           (d.qty * 12 * 1000000 // t.t)::BIGINT AS seasonal_index_ppm,
+           (SELECT max(x) FROM (
+               SELECT (d2.qty * 12 * 1000000 // t.t) AS x
+               FROM d d2 WHERE d2.brand = d.brand))::BIGINT
+               AS peak_index_ppm
+    FROM d JOIN tot t ON t.brand = d.brand
+    ORDER BY d.brand, d.m
+    """,
+)
+def brand_seasonal_demand_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MONTH-OF-YEAR demand index per brand: shipped quantity share of
+    each calendar month ×12 (10⁶ = perfectly flat; 2·10⁶ = that month
+    ships double its fair share), with the brand's peak index
+    alongside — the merchandising readout that separates seasonal
+    assortments from steady ones before anyone forecasts them.
+    revenue_trend_seasonal_split measures the WEEKLY cycle of total
+    revenue; this measures the ANNUAL cycle per product line.
+
+    Determinism: integer quantities, trunc-div ppm, calendar month
+    from the date both engines extract identically.
+
+    Scale: one broadcast dim join, one (brand × month) map-combinable
+    aggregate (≤ |brands|·12 rows); the peak is a max over the
+    bounded per-brand frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_shipdate"
+    )
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    d = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy(
+            "brand", F.month("l_shipdate").cast("int").alias("month")
+        )
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    idx = _pin(
+        "brand_season_idx",
+        d.join(
+            d.groupBy("brand").agg(
+                F.sum("qty").cast("bigint").alias("t")
+            ),
+            "brand",
+        ).select(
+            "brand",
+            "month",
+            "qty",
+            F.expr(
+                "cast(qty * 12 * 1000000 div t as bigint)"
+            ).alias("seasonal_index_ppm"),
+        ),
+    )
+    peak = idx.groupBy("brand").agg(
+        F.max("seasonal_index_ppm").cast("bigint").alias("peak_index_ppm")
+    )
+    return (
+        idx.join(F.broadcast(peak), "brand")
+        .select(
+            "brand", "month", "qty", "seasonal_index_ppm",
+            "peak_index_ppm",
+        )
+        .orderBy("brand", "month")
+    )

@@ -248,6 +248,7 @@ AUDITED = [
     "shipping_delay_quantiles",
     "orders_asof_snapshot",
     "revenue_tail_index",
+    "brand_seasonal_demand_index",
 ]
 
 
