@@ -256,6 +256,7 @@ EXTRA = [
     "orders_asof_snapshot",
     "revenue_tail_index",
     "brand_seasonal_demand_index",
+    "order_basket_profile",
 ]
 
 HEADLINE = [

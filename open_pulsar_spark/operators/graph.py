@@ -1303,3 +1303,86 @@ def copurchase_negative_samples(
         )
         .orderBy("anchor", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# order_basket_profile — the fan-out cost model behind every co-purchase
+# query: lines-per-order distribution and the pair mass it implies.
+# --------------------------------------------------------------------------
+@query(
+    "order_basket_profile",
+    oracle="""
+    WITH b AS (
+        SELECT l_orderkey AS ok,
+               count(DISTINCT l_partkey)::BIGINT AS k
+        FROM lineitem GROUP BY 1),
+    tot AS (
+        SELECT count(*)::BIGINT AS n_orders,
+               sum(k)::BIGINT AS n_lines,
+               sum(k * (k - 1) // 2)::BIGINT AS pair_mass,
+               max(k)::BIGINT AS max_k
+        FROM b)
+    SELECT b.k AS basket_size,
+           count(*)::BIGINT AS n_orders,
+           (count(*) * b.k * (b.k - 1) // 2)::BIGINT AS pairs_contributed,
+           (count(*) * b.k * (b.k - 1) // 2 * 1000000
+               // greatest((SELECT pair_mass FROM tot), 1))::BIGINT
+               AS pair_mass_share_ppm,
+           (SELECT pair_mass FROM tot) AS total_pair_mass,
+           (SELECT max_k FROM tot) AS max_basket
+    FROM b
+    GROUP BY b.k
+    ORDER BY basket_size
+    """,
+)
+def order_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COST MODEL behind the whole co-purchase family, measured:
+    the distribution of distinct parts per order (basket size k) and
+    the C(k,2) PAIR MASS each size contributes — i.e. exactly how many
+    rows the map-side basket explode emits, and which basket sizes
+    dominate it. Every graph query here cites 'fan-out bounded by
+    lines-per-order'; this query prints that bound's actual shape, and
+    at 100 TB it is the number that decides whether a giant-basket cap
+    is needed BEFORE the explode is paid (the lsh_bucket_skew_profile
+    contract applied to baskets).
+
+    Scale: one orderkey-keyed distinct-count aggregate, one bounded
+    basket-size rollup. Determinism: integer counts and trunc-div
+    shares only."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    b = li.groupBy("ok").agg(
+        F.countDistinct("pk").cast("bigint").alias("k")
+    )
+    tot = b.agg(
+        F.sum(F.expr("k * (k - 1) div 2")).cast("bigint").alias("pm"),
+        F.max("k").cast("bigint").alias("mk"),
+    ).first()
+    schema = (
+        "basket_size BIGINT, n_orders BIGINT, pairs_contributed BIGINT,"
+        " pair_mass_share_ppm BIGINT, total_pair_mass BIGINT,"
+        " max_basket BIGINT"
+    )
+    if tot.pm is None:
+        return spark.createDataFrame([], schema)
+    pm, mk = int(tot.pm), int(tot.mk)
+    return (
+        b.groupBy(F.col("k").alias("basket_size"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .select(
+            "basket_size",
+            "n_orders",
+            F.expr(
+                "cast(n_orders * basket_size * (basket_size - 1)"
+                " div 2 as bigint)"
+            ).alias("pairs_contributed"),
+            F.expr(
+                f"cast(n_orders * basket_size * (basket_size - 1)"
+                f" div 2 * 1000000 div {max(pm, 1)} as bigint)"
+            ).alias("pair_mass_share_ppm"),
+            F.lit(pm).cast("bigint").alias("total_pair_mass"),
+            F.lit(mk).cast("bigint").alias("max_basket"),
+        )
+        .orderBy("basket_size")
+    )

@@ -249,6 +249,7 @@ AUDITED = [
     "orders_asof_snapshot",
     "revenue_tail_index",
     "brand_seasonal_demand_index",
+    "order_basket_profile",
 ]
 
 
