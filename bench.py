@@ -257,6 +257,7 @@ EXTRA = [
     "revenue_tail_index",
     "brand_seasonal_demand_index",
     "order_basket_profile",
+    "customer_reorder_cycle",
 ]
 
 HEADLINE = [

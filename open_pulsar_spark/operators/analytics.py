@@ -6806,3 +6806,102 @@ def brand_seasonal_demand_index(
         )
         .orderBy("brand", "month")
     )
+
+
+# --------------------------------------------------------------------------
+# customer_reorder_cycle — per-segment replenishment cadence: exact
+# quantiles of the gap between consecutive orders.
+# --------------------------------------------------------------------------
+@query(
+    "customer_reorder_cycle",
+    oracle="""
+    WITH g AS (
+        SELECT c.c_mktsegment AS segment,
+               o.o_orderkey AS uid,
+               date_diff('day',
+                   lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                       ORDER BY o.o_orderdate, o.o_orderkey)::DATE,
+                   o.o_orderdate::DATE)::BIGINT AS gap_d
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    d AS (SELECT segment, uid, gap_d FROM g WHERE gap_d IS NOT NULL),
+    ranked AS (
+        SELECT segment, gap_d,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY gap_d, uid) AS rn,
+               count(*) OVER (PARTITION BY segment)::BIGINT AS n
+        FROM d)
+    SELECT segment,
+           max(n)::BIGINT AS n_gaps,
+           max(CASE WHEN rn = (n + 1) // 2 THEN gap_d END)::BIGINT
+               AS p50_d,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_d END)::BIGINT
+               AS p90_d,
+           max(gap_d)::BIGINT AS max_d
+    FROM ranked
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def customer_reorder_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLENISHMENT cadence per market segment: exact nearest-rank
+    p50/p90 of the days between a customer's consecutive orders — the
+    number that sizes reorder reminders, subscription pitches and the
+    churn rule's recency thresholds (a segment whose p90 cycle is 40
+    days should not share churn_rule_backtest's 14-day rule with one
+    cycling weekly). RFM's frequency is a count; this is the cadence
+    DISTRIBUTION behind it.
+
+    Determinism: gaps are integer days from one customer-keyed lag
+    window with the (date, orderkey) tie-break; quantiles are exact
+    nearest-rank order statistics.
+
+    Scale: the lag keys by customer (the natural partition); the
+    segment label is a broadcast dim join; the per-segment rank
+    window is bounded by the 5 segments — the documented
+    small-group-count posture."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    d = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .select(
+            "segment",
+            F.col("o_orderkey").alias("uid"),
+            F.datediff(
+                F.to_date("o_orderdate"),
+                F.to_date(F.lag("o_orderdate").over(w)),
+            )
+            .cast("bigint")
+            .alias("gap_d"),
+        )
+        .where(F.col("gap_d").isNotNull())
+    )
+    wt = Window.partitionBy("segment").orderBy("gap_d", "uid")
+    wn = Window.partitionBy("segment")
+    ranked = d.select(
+        "segment",
+        "gap_d",
+        F.row_number().over(wt).alias("rn"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    pick = lambda expr: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(expr), F.col("gap_d"))
+    ).cast("bigint")
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.max("n").cast("bigint").alias("n_gaps"),
+            pick("(n + 1) div 2").alias("p50_d"),
+            pick("(9 * n + 9) div 10").alias("p90_d"),
+            F.max("gap_d").cast("bigint").alias("max_d"),
+        )
+        .orderBy("segment")
+    )

@@ -250,6 +250,7 @@ AUDITED = [
     "revenue_tail_index",
     "brand_seasonal_demand_index",
     "order_basket_profile",
+    "customer_reorder_cycle",
 ]
 
 
