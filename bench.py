@@ -258,6 +258,7 @@ EXTRA = [
     "brand_seasonal_demand_index",
     "order_basket_profile",
     "customer_reorder_cycle",
+    "brand_lifecycle_mix",
 ]
 
 HEADLINE = [

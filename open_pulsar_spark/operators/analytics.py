@@ -6905,3 +6905,115 @@ def customer_reorder_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# brand_lifecycle_mix — assortment freshness: new / active / retired
+# parts per brand from first/last shipment months.
+# --------------------------------------------------------------------------
+LIFECYCLE_EDGE_MONTHS = 6  # new = first ship within the last 6 months;
+                           # retired = last ship more than 6 months ago
+
+
+@query(
+    "brand_lifecycle_mix",
+    oracle=f"""
+    WITH p AS (
+        SELECT l_partkey AS pk,
+               min(date_trunc('month', l_shipdate)) AS first_m,
+               max(date_trunc('month', l_shipdate)) AS last_m,
+               sum(l_quantity)::BIGINT AS qty
+        FROM lineitem GROUP BY 1),
+    mx AS (SELECT max(last_m) AS m FROM p),
+    staged AS (
+        SELECT pt.p_brand AS brand, p.qty,
+               CASE WHEN date_diff('month', p.first_m,
+                        (SELECT m FROM mx)) < {LIFECYCLE_EDGE_MONTHS}
+                    THEN 'new'
+                    WHEN date_diff('month', p.last_m,
+                        (SELECT m FROM mx)) >= {LIFECYCLE_EDGE_MONTHS}
+                    THEN 'retired'
+                    ELSE 'active' END AS stage
+        FROM p JOIN part pt ON pt.p_partkey = p.pk)
+    SELECT brand, stage,
+           count(*)::BIGINT AS n_parts,
+           sum(qty)::BIGINT AS qty,
+           (count(*) * 1000000 // sum(count(*)) OVER
+               (PARTITION BY brand))::BIGINT AS brand_share_ppm
+    FROM staged
+    GROUP BY brand, stage
+    ORDER BY brand, stage
+    """,
+)
+def brand_lifecycle_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSORTMENT FRESHNESS per brand: classify every part by its
+    shipment lifecycle — `new` (first shipped within the last
+    {LIFECYCLE_EDGE_MONTHS} months), `retired` (nothing shipped for
+    {LIFECYCLE_EDGE_MONTHS}+ months), `active` otherwise — and report
+    each brand's mix with lifetime quantities. The assortment-health
+    readout next to copurchase_edge_novelty (which tracks GRAPH
+    freshness): a brand whose mix skews retired is aging out of the
+    catalog regardless of its current revenue.
+
+    Determinism: month arithmetic on truncated dates, integer counts,
+    one trunc-div share per row (window over the bounded brand×stage
+    frame).
+
+    Scale: one partkey-keyed min/max/sum aggregate over the fact
+    table, a broadcast dim join, a ≤|brands|×3 rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_shipdate"
+    )
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    p = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min(F.date_trunc("month", "l_shipdate")).alias("first_m"),
+        F.max(F.date_trunc("month", "l_shipdate")).alias("last_m"),
+        F.sum("l_quantity").cast("bigint").alias("qty"),
+    )
+    mx = p.agg(F.max("last_m").alias("m")).first()
+    schema = (
+        "brand STRING, stage STRING, n_parts BIGINT, qty BIGINT,"
+        " brand_share_ppm BIGINT"
+    )
+    if mx.m is None:
+        return spark.createDataFrame([], schema)
+    months_between = (
+        lambda a, b: f"(year({a}) - year({b})) * 12"
+        f" + (month({a}) - month({b}))"
+    )
+    m_lit = f"timestamp'{mx.m}'"
+    staged = (
+        p.join(F.broadcast(parts), p.pk == parts.p_partkey)
+        .select(
+            "brand",
+            "qty",
+            F.expr(
+                f"CASE WHEN {months_between(m_lit, 'first_m')}"
+                f" < {LIFECYCLE_EDGE_MONTHS} THEN 'new'"
+                f" WHEN {months_between(m_lit, 'last_m')}"
+                f" >= {LIFECYCLE_EDGE_MONTHS} THEN 'retired'"
+                f" ELSE 'active' END"
+            ).alias("stage"),
+        )
+    )
+    wb = Window.partitionBy("brand")
+    return (
+        staged.groupBy("brand", "stage")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("qty").cast("bigint").alias("qty"),
+        )
+        .select(
+            "brand",
+            "stage",
+            "n_parts",
+            "qty",
+            F.expr(
+                "cast(n_parts * 1000000 div sum(n_parts) over"
+                " (partition by brand) as bigint)"
+            ).alias("brand_share_ppm"),
+        )
+        .orderBy("brand", "stage")
+    )

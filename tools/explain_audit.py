@@ -251,6 +251,7 @@ AUDITED = [
     "brand_seasonal_demand_index",
     "order_basket_profile",
     "customer_reorder_cycle",
+    "brand_lifecycle_mix",
 ]
 
 
