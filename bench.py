@@ -259,6 +259,7 @@ EXTRA = [
     "order_basket_profile",
     "customer_reorder_cycle",
     "brand_lifecycle_mix",
+    "segment_brand_entropy",
 ]
 
 HEADLINE = [

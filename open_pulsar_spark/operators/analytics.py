@@ -7017,3 +7017,101 @@ def brand_lifecycle_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand", "stage")
     )
+
+
+# --------------------------------------------------------------------------
+# segment_brand_entropy — purchasing-concentration entropy per segment
+# (cross-sell headroom: who buys broadly, who buys narrowly).
+# --------------------------------------------------------------------------
+@query(
+    "segment_brand_entropy",
+    oracle="""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS segment, p.p_brand AS brand,
+               count(*)::BIGINT AS n
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2),
+    terms AS (
+        SELECT segment, brand, n,
+               CAST(round(n * ln(n) * 1000000000) AS BIGINT) AS t_nano
+        FROM cells)
+    SELECT segment,
+           count(*)::BIGINT AS n_brands,
+           sum(n)::BIGINT AS n_lines,
+           (CAST(round(ln(sum(n)) * 1000000000) AS BIGINT)
+               - sum(t_nano) // sum(n))::BIGINT AS entropy_nano,
+           (max(n) * 1000000 // sum(n))::BIGINT AS top_brand_share_ppm
+    FROM terms
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def segment_brand_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRAND-MIX entropy per market segment: Shannon entropy of each
+    segment's purchase distribution across brands (nano-nats, the
+    doc_char_entropy closing applied to the merchandising grid) plus
+    the top-brand share — a low-entropy, high-top-share segment buys
+    narrowly (cross-sell headroom), a near-uniform one is already
+    diversified. part_supplier_hhi reads supply concentration; this
+    reads DEMAND concentration, per segment.
+
+    Determinism: cell n·ln(n) terms round onto the nano grid before
+    the order-independent sum; the final subtraction divides exact
+    positive integers.
+
+    Scale: the three-way join is the q3/q10 broadcast-dim shape
+    (orderkey co-partitioned fact join + two broadcast dims); the
+    entropy closes over the |segments|×|brands| cell frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    cells = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("segment", "brand")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    terms = cells.select(
+        "segment",
+        "n",
+        F.round(
+            F.col("n") * F.log(F.col("n").cast("double"))
+            * F.lit(1000000000),
+            0,
+        )
+        .cast("bigint")
+        .alias("t_nano"),
+    )
+    return (
+        terms.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_brands"),
+            F.sum("n").cast("bigint").alias("n_lines"),
+            (
+                F.round(
+                    F.log(F.sum("n").cast("double")) * F.lit(1000000000),
+                    0,
+                ).cast("bigint")
+                - F.expr("sum(t_nano) div sum(n)")
+            )
+            .cast("bigint")
+            .alias("entropy_nano"),
+            F.expr(
+                "cast(max(n) * 1000000 div sum(n) as bigint)"
+            ).alias("top_brand_share_ppm"),
+        )
+        .orderBy("segment")
+    )

@@ -252,6 +252,7 @@ AUDITED = [
     "order_basket_profile",
     "customer_reorder_cycle",
     "brand_lifecycle_mix",
+    "segment_brand_entropy",
 ]
 
 
