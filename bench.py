@@ -260,6 +260,7 @@ EXTRA = [
     "customer_reorder_cycle",
     "brand_lifecycle_mix",
     "segment_brand_entropy",
+    "event_type_burstiness",
 ]
 
 HEADLINE = [

@@ -7115,3 +7115,110 @@ def segment_brand_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# event_type_burstiness — Poisson-or-bursty per traffic class: the
+# Goh–Barabási burstiness of interarrival gaps, exactly.
+# --------------------------------------------------------------------------
+@query(
+    "event_type_burstiness",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, event_id,
+               floor(epoch(ts))::BIGINT AS es,
+               lag(floor(epoch(ts))::BIGINT)
+                   OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                   AS prev_es
+        FROM events),
+    g AS (
+        SELECT event_type, (es - prev_es)::BIGINT AS gap_s
+        FROM seq WHERE prev_es IS NOT NULL),
+    m AS (
+        SELECT event_type,
+               count(*)::HUGEINT AS n,
+               sum(gap_s)::HUGEINT AS s,
+               sum(gap_s::HUGEINT * gap_s) AS s2
+        FROM g GROUP BY 1),
+    q AS (
+        SELECT event_type, n, s,
+               (SELECT s0
+                    + (CASE WHEN (s0+1)*(s0+1) <= n*s2 - s*s
+                            THEN 1 ELSE 0 END)
+                    - (CASE WHEN s0*s0 > n*s2 - s*s THEN 1 ELSE 0 END)
+                FROM (SELECT floor(sqrt((n*s2 - s*s)::DOUBLE))::HUGEINT
+                          AS s0)) AS sq
+        FROM m)
+    SELECT event_type,
+           n::BIGINT AS n_gaps,
+           (s // n)::BIGINT AS mean_gap_s,
+           (sq // n)::BIGINT AS stddev_gap_s,
+           (CASE WHEN sq + s = 0 THEN 0
+                 WHEN sq >= s THEN (sq - s) * 1000000 // (sq + s)
+                 ELSE -((s - sq) * 1000000 // (sq + s)) END)::BIGINT
+               AS burstiness_ppm
+    FROM q
+    ORDER BY event_type
+    """,
+)
+def event_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURSTINESS (Goh–Barabási B = (σ−μ)/(σ+μ)) of each event type's
+    interarrival process: B ≈ 0 is Poisson traffic, B → 1 is heavy
+    bursting (provision for spikes), B < 0 is pacemaker-regular
+    (suspect automation — the traffic-class twin of
+    user_bot_regularity's per-user readout). The capacity-planning
+    number behind events_peak_concurrency: peaks tell you the worst
+    minute seen, B tells you whether worse minutes are coming.
+
+    Determinism — the exact-integer σ contract: n·σ and n·μ share the
+    denominator, so B = (√D − S)/(√D + S) with D = n·Σx²−S² — the
+    square root is an INTEGER sqrt of an exact moment (math.isqrt vs
+    the corrected floor(sqrt), the Neyman/Wilson pattern), and the
+    possibly-negative close divides sign-split magnitudes (trunc on
+    both engines).
+
+    Scale: one type-keyed lag window (types are the partition), one
+    map-combinable moment aggregate, a ≤|types|-row Python close."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    es = F.expr("cast(floor(unix_timestamp(ts)) as bigint)")
+    g = (
+        ev.select(
+            "event_type",
+            es.alias("es"),
+            F.lag(es).over(w).alias("prev_es"),
+        )
+        .where(F.col("prev_es").isNotNull())
+        .select(
+            "event_type",
+            (F.col("es") - F.col("prev_es")).cast("bigint").alias("gap_s"),
+        )
+    )
+    m = g.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("gap_s").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("cast(gap_s as decimal(38,0)) * gap_s")).alias("s2"),
+    )
+    schema = (
+        "event_type STRING, n_gaps BIGINT, mean_gap_s BIGINT,"
+        " stddev_gap_s BIGINT, burstiness_ppm BIGINT"
+    )
+    rows = sorted(
+        (r.event_type, int(r.n), int(r.s), int(r.s2))
+        for r in m.collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    out = []
+    for et, n, s, s2 in rows:
+        sq = math.isqrt(n * s2 - s * s)
+        if sq + s == 0:
+            b = 0
+        elif sq >= s:
+            b = (sq - s) * 1000000 // (sq + s)
+        else:
+            b = -((s - sq) * 1000000 // (sq + s))
+        out.append((et, n, s // n, sq // n, b))
+    return spark.createDataFrame(out, schema).orderBy("event_type")

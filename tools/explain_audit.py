@@ -253,6 +253,7 @@ AUDITED = [
     "customer_reorder_cycle",
     "brand_lifecycle_mix",
     "segment_brand_entropy",
+    "event_type_burstiness",
 ]
 
 
