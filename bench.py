@@ -261,6 +261,7 @@ EXTRA = [
     "brand_lifecycle_mix",
     "segment_brand_entropy",
     "event_type_burstiness",
+    "brand_market_coverage",
 ]
 
 HEADLINE = [

@@ -7222,3 +7222,110 @@ def event_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             b = -((s - sq) * 1000000 // (sq + s))
         out.append((et, n, s // n, sq // n, b))
     return spark.createDataFrame(out, schema).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# brand_market_coverage — geographic reach per brand: nations, regions,
+# and regional revenue concentration.
+# --------------------------------------------------------------------------
+@query(
+    "brand_market_coverage",
+    oracle="""
+    WITH cells AS (
+        SELECT p.p_brand AS brand, n.n_regionkey AS region,
+               c.c_nationkey AS nation,
+               sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                   ::BIGINT)::BIGINT AS cents
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2, 3),
+    per_region AS (
+        SELECT brand, region, sum(cents)::BIGINT AS rcents
+        FROM cells GROUP BY 1, 2)
+    SELECT c.brand,
+           count(DISTINCT c.nation)::BIGINT AS n_nations,
+           count(DISTINCT c.region)::BIGINT AS n_regions,
+           sum(c.cents)::BIGINT AS revenue_cents,
+           (max(r.mx) * 1000000 // sum(c.cents))::BIGINT
+               AS top_region_share_ppm
+    FROM cells c
+    JOIN (SELECT brand, max(rcents)::BIGINT AS mx
+          FROM per_region GROUP BY 1) r ON r.brand = c.brand
+    GROUP BY c.brand
+    ORDER BY c.brand
+    """,
+)
+def brand_market_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOGRAPHIC REACH per brand: how many customer nations and
+    regions each brand's revenue comes from, and how concentrated it
+    is in its top region — the market-coverage readout between q8's
+    single-market share and brand_lifecycle_mix's temporal health
+    (a brand with strong revenue but 1-region concentration is an
+    expansion candidate AND a geo-risk).
+
+    Determinism: exact integer discounted cents (the q1 expression),
+    distinct counts, one trunc-div share.
+
+    Scale: the orderkey fact join plus three schema-bounded broadcast
+    dims; the (brand × region × nation) cell frame is bounded by the
+    dimension product and everything closes on it."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    cells = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy(
+            "brand",
+            F.col("n_regionkey").alias("region"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    cells = _pin("brand_coverage_cells", cells)
+    per_region_max = (
+        cells.groupBy("brand", "region")
+        .agg(F.sum("cents").cast("bigint").alias("rcents"))
+        .groupBy("brand")
+        .agg(F.max("rcents").cast("bigint").alias("mx"))
+    )
+    return (
+        cells.join(F.broadcast(per_region_max), "brand")
+        .groupBy("brand")
+        .agg(
+            F.countDistinct("nation").cast("bigint").alias("n_nations"),
+            F.countDistinct("region").cast("bigint").alias("n_regions"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.expr(
+                "cast(max(mx) * 1000000 div sum(cents) as bigint)"
+            ).alias("top_region_share_ppm"),
+        )
+        .orderBy("brand")
+    )

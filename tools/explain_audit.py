@@ -254,6 +254,7 @@ AUDITED = [
     "brand_lifecycle_mix",
     "segment_brand_entropy",
     "event_type_burstiness",
+    "brand_market_coverage",
 ]
 
 
