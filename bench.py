@@ -262,6 +262,7 @@ EXTRA = [
     "segment_brand_entropy",
     "event_type_burstiness",
     "brand_market_coverage",
+    "dedup_cluster_size_histogram",
 ]
 
 HEADLINE = [

@@ -2807,3 +2807,84 @@ def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_cluster_size_histogram — the SHAPE of near-duplication: how much
+# of the corpus sits in clusters of each size.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    {_CLOSURE_CTES},
+    sizes AS (
+        SELECT cluster_rep, count(*)::BIGINT AS k
+        FROM labels GROUP BY 1),
+    tot AS (
+        SELECT sum(k)::BIGINT AS n_docs,
+               sum(k - 1)::BIGINT AS n_droppable FROM sizes)
+    SELECT k AS cluster_size,
+           count(*)::BIGINT AS n_clusters,
+           (count(*) * k)::BIGINT AS n_docs,
+           (count(*) * (k - 1))::BIGINT AS n_droppable,
+           (count(*) * (k - 1) * 1000000
+               // greatest((SELECT n_droppable FROM tot), 1))::BIGINT
+               AS droppable_share_ppm
+    FROM sizes
+    GROUP BY k
+    ORDER BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SHAPE of near-duplication: cluster-size histogram over the
+    MinHash-verified transitive closure — how many near-dup clusters
+    of each size exist, how many documents they hold, and what share
+    of the total DROPPABLE mass (size−1 per cluster) each size class
+    carries. dedup_clusters says which doc to keep; this says whether
+    duplication is a long tail of pairs (trim as you go) or a few
+    giant clusters (investigate the source before deduping —
+    template/mirror content behaves differently from organic
+    near-dups). The dedup-strategy readout next to
+    dedup_token_savings' byte accounting.
+
+    Scale: rides closure_labels' shared component machinery (pinned
+    pair graph, min-label propagation); the rollups run on the
+    cluster frame, bounded by the verified-pair graph.
+
+    Determinism: integer counts, one trunc-div share."""
+    labels = closure_labels(spark, _minhash_pairs(spark, sf_dir))
+    sizes = labels.groupBy(F.col("label").alias("cluster_rep")).agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    tot = sizes.agg(
+        F.sum(F.col("k") - 1).cast("bigint").alias("nd")
+    ).first()
+    schema = (
+        "cluster_size BIGINT, n_clusters BIGINT, n_docs BIGINT,"
+        " n_droppable BIGINT, droppable_share_ppm BIGINT"
+    )
+    if tot.nd is None:
+        return spark.createDataFrame([], schema)
+    nd = max(int(tot.nd), 1)
+    return (
+        sizes.groupBy(F.col("k").alias("cluster_size"))
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size"))
+            .cast("bigint")
+            .alias("n_docs"),
+            (F.col("n_clusters") * (F.col("cluster_size") - 1))
+            .cast("bigint")
+            .alias("n_droppable"),
+            F.expr(
+                f"cast(n_clusters * (cluster_size - 1) * 1000000"
+                f" div {nd} as bigint)"
+            ).alias("droppable_share_ppm"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -255,6 +255,7 @@ AUDITED = [
     "segment_brand_entropy",
     "event_type_burstiness",
     "brand_market_coverage",
+    "dedup_cluster_size_histogram",
 ]
 
 
