@@ -867,10 +867,11 @@ def segment_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle carries it in HUGEINT — n³·s·10⁶ ≈ 10³¹ at sf0.1, inside
     HUGEINT's 1.7e38.
 
-    Scale: ONE broadcast join labels orders with their customer's
-    segment (customer is the schema-bounded side at any sf — the
-    standard dim-broadcast), one map-combinable 4-group aggregate;
-    nothing after touches the fact table."""
+    Scale: ONE join labels orders with their customer's segment —
+    customer is SF-linear, so no forced hint (AQE broadcasts the
+    2-column projection while it fits, shuffles on custkey beyond
+    8 GB); one map-combinable 4-group aggregate; nothing after touches
+    the fact table."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -882,7 +883,7 @@ def segment_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = (
         orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            cust, orders.o_custkey == cust.c_custkey
         )
         .select(
             "grp",
@@ -6072,17 +6073,19 @@ def revenue_twoway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly; all four η² rows divide the same scaled SS_total. Weekday
     is epoch-day arithmetic; cents are exact integers end-to-end.
 
-    Scale: ONE broadcast dim join labels orders, ONE map-combinable
-    (dow × segment) cell aggregate (≤35 rows); margins, totals and
-    the four-row close derive from the cell frame in exact Python
-    ints (the oracle folds the same cells in HUGEINT)."""
+    Scale: ONE dim join labels orders (customer is SF-linear — no
+    forced hint, AQE picks broadcast while the 2-column projection
+    fits), ONE map-combinable (dow × segment) cell aggregate (≤35
+    rows); margins, totals and the four-row close derive from the
+    cell frame in exact Python ints (the oracle folds the same cells
+    in HUGEINT)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("seg")
     )
     cells = (
         orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            cust, orders.o_custkey == cust.c_custkey
         )
         .select(
             F.expr(
@@ -6761,9 +6764,10 @@ def brand_seasonal_demand_index(
     Determinism: integer quantities, trunc-div ppm, calendar month
     from the date both engines extract identically.
 
-    Scale: one broadcast dim join, one (brand × month) map-combinable
-    aggregate (≤ |brands|·12 rows); the peak is a max over the
-    bounded per-brand frame."""
+    Scale: one dim join (part is SF-linear — unhinted, AQE picks),
+    one (brand × month) map-combinable aggregate (≤ |brands|·12
+    rows); the peak is a max over the bounded per-brand frame, which
+    IS force-broadcast (≤ |brands| rows at any sf)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_shipdate"
     )
@@ -6771,7 +6775,7 @@ def brand_seasonal_demand_index(
         "p_partkey", F.col("p_brand").alias("brand")
     )
     d = (
-        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        li.join(parts, li.l_partkey == parts.p_partkey)
         .groupBy(
             "brand", F.month("l_shipdate").cast("int").alias("month")
         )
@@ -6856,9 +6860,10 @@ def customer_reorder_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-rank order statistics.
 
     Scale: the lag keys by customer (the natural partition); the
-    segment label is a broadcast dim join; the per-segment rank
-    window is bounded by the 5 segments — the documented
-    small-group-count posture."""
+    segment label is an unhinted dim join (customer is SF-linear —
+    AQE picks broadcast while it fits); the per-segment rank window
+    is bounded by the 5 segments — the documented small-group-count
+    posture."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
     )
@@ -6870,7 +6875,7 @@ def customer_reorder_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = (
         orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            cust, orders.o_custkey == cust.c_custkey
         )
         .select(
             "segment",
@@ -6960,7 +6965,8 @@ def brand_lifecycle_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame).
 
     Scale: one partkey-keyed min/max/sum aggregate over the fact
-    table, a broadcast dim join, a ≤|brands|×3 rollup."""
+    table, an unhinted dim join (part is SF-linear — AQE picks), a
+    ≤|brands|×3 rollup."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_shipdate"
     )
@@ -6985,7 +6991,7 @@ def brand_lifecycle_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m_lit = f"timestamp'{mx.m}'"
     staged = (
-        p.join(F.broadcast(parts), p.pk == parts.p_partkey)
+        p.join(parts, p.pk == parts.p_partkey)
         .select(
             "brand",
             "qty",
@@ -7062,9 +7068,10 @@ def segment_brand_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order-independent sum; the final subtraction divides exact
     positive integers.
 
-    Scale: the three-way join is the q3/q10 broadcast-dim shape
-    (orderkey co-partitioned fact join + two broadcast dims); the
-    entropy closes over the |segments|×|brands| cell frame."""
+    Scale: the q3/q10 shape — orderkey co-partitioned fact join plus
+    two unhinted dim joins (customer and part are SF-linear: AQE
+    broadcasts the 2-column projections while they fit); the entropy
+    closes over the |segments|×|brands| cell frame."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -7079,8 +7086,8 @@ def segment_brand_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(parts, li.l_partkey == parts.p_partkey)
         .groupBy("segment", "brand")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
@@ -7269,9 +7276,11 @@ def brand_market_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: exact integer discounted cents (the q1 expression),
     distinct counts, one trunc-div share.
 
-    Scale: the orderkey fact join plus three schema-bounded broadcast
-    dims; the (brand × region × nation) cell frame is bounded by the
-    dimension product and everything closes on it."""
+    Scale: the orderkey fact join plus one schema-bounded broadcast
+    dim (nation) and two unhinted SF-linear dims (customer, part —
+    AQE picks their strategy); the (brand × region × nation) cell
+    frame is bounded by the dimension product and everything closes
+    on it (per_region_max stays force-broadcast: ≤ |brands| rows)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_partkey",
@@ -7295,11 +7304,11 @@ def brand_market_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
         )
-        .join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(parts, li.l_partkey == parts.p_partkey)
         .groupBy(
             "brand",
             F.col("n_regionkey").alias("region"),

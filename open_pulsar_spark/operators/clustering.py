@@ -410,11 +410,16 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
         w_rank = Window.partitionBy("cid").orderBy(col, "vec_id")
         w_all = Window.partitionBy("cid")
+        # exactly one row survives per cid; the closing min-agg is an
+        # identity that makes the ≤K-row bound STRUCTURAL in the plan
+        # (an Aggregate node), so the broadcast hint downstream is
+        # provably over a bounded frame (plan_hints rule)
         return (
             df.withColumn("rn", F.row_number().over(w_rank))
             .withColumn("n", F.count("*").over(w_all))
             .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
-            .select("cid", F.col(col).alias(out))
+            .groupBy("cid")
+            .agg(F.min(col).alias(out))
         )
 
     med = lower_median(assigned, "sq_dist", "med")
@@ -616,11 +621,18 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", "embedding", F.expr(f"sqrt({_DOT_SELF})").alias("nrm")
     ).join(assigned, "vec_id")
-    qs = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("nrm").alias("qn"),
-        "cid",
+    # the key filter already bounds qs to N_QUERIES rows; the explicit
+    # limit makes that bound structural (GlobalLimit node) so the
+    # broadcast hint is provably over a bounded frame (plan_hints rule)
+    qs = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "cid",
+        )
+        .limit(N_QUERIES)
     )
     scored = (
         e.join(F.broadcast(qs), "cid")
@@ -1121,10 +1133,14 @@ def ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored, qdf = _pq_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    # rk ≤ PQ_RERANK over N_QUERIES queries already bounds the
+    # shortlist; the explicit limit makes the bound structural
+    # (GlobalLimit node) for the broadcast hint below (plan_hints rule)
     short = (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= PQ_RERANK)
         .select("query_id", "neighbor_id")
+        .limit(N_QUERIES * PQ_RERANK)
     )
     qq = qdf.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
@@ -1250,10 +1266,16 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_cells.extend((qid, cid) for _, cid in ranked_cells)
     probes = spark.createDataFrame(probe_cells, "query_id LONG, cid INT")
 
-    qs = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("nrm").alias("qn"),
+    # key filter bounds qs to N_QUERIES rows; the limit makes the
+    # bound structural for the broadcast hint (plan_hints rule)
+    qs = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        .limit(N_QUERIES)
     )
     probe_side = probes.join(qs, "query_id")
     scored = (

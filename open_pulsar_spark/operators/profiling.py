@@ -1888,7 +1888,8 @@ def brand_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (the corpus_neyman_allocation contract). The raw rate sits
     beside the bound so the reordering is visible.
 
-    Scale: one broadcast dim join + one map-combinable brand
+    Scale: one unhinted dim join (part is SF-linear — AQE broadcasts
+    the 2-column projection while it fits) + one map-combinable brand
     aggregate; the ≤|brands|-row close runs in Python ints."""
     import math
 
@@ -1899,7 +1900,7 @@ def brand_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", F.col("p_brand").alias("brand")
     )
     g = (
-        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        li.join(parts, li.l_partkey == parts.p_partkey)
         .groupBy("brand")
         .agg(
             F.count("*").cast("bigint").alias("n"),

@@ -104,9 +104,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 unshipped-revenue orders for one market segment.
 
-    Scale: customer (filtered to 1 segment) broadcasts into orders;
-    orders⋈lineitem shuffles on orderkey (the natural bucket key).
-    Top-k is a TakeOrderedAndProject — no global sort materialization.
+    Scale: customer is SF-linear, so the segment-filtered dim carries
+    no forced hint — AQE broadcasts it while it fits and degrades to a
+    shuffled join beyond the 8 GB limit; orders⋈lineitem shuffles on
+    orderkey (the natural bucket key).  Top-k is a
+    TakeOrderedAndProject — no global sort materialization.
     """
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
@@ -120,7 +122,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(
             orders.join(
-                F.broadcast(cust.select("c_custkey")),
+                cust.select("c_custkey"),
                 orders.o_custkey == F.col("c_custkey"),
             ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
             li.l_orderkey == F.col("o_orderkey"),
@@ -153,9 +155,11 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier revenue by nation within one region.
 
-    Scale: region→nation→supplier collapses to a broadcast dim;
-    customer joins it broadcast too; the only big shuffles are
-    orders⋈customer (on custkey) and lineitem⋈orders (on orderkey).
+    Scale: region and nation (schema-bounded) carry forced broadcast
+    hints; supplier and customer are SF-linear so their joins are left
+    to AQE (broadcast while they fit, shuffle beyond 8 GB); the big
+    shuffles are orders⋈customer (on custkey) and lineitem⋈orders
+    (on orderkey).
     """
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
@@ -177,7 +181,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
@@ -208,7 +212,7 @@ def mktsegment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -719,10 +723,11 @@ def q9_brand_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profit by brand and order year for one product type (TPC-H Q9
     shape, minus the partsupp cost leg the test schema doesn't carry).
 
-    Plan posture: the p_type filter pushes to the part scan and the
-    filtered part dim broadcasts into lineitem (partkey join never
-    shuffles the fact); lineitem⋈orders on orderkey is the single big
-    shuffle, co-located under the bucketed layout. Profit uses the
+    Plan posture: the p_type filter pushes to the part scan; part is
+    SF-linear so the filtered dim carries no forced hint (AQE
+    broadcasts it while it fits, shuffles beyond 8 GB);
+    lineitem⋈orders on orderkey is the single big shuffle, co-located
+    under the bucketed layout. Profit uses the
     same exact integer-cents sum as q7 — order-independent, so the
     value hash can't be flipped by double summation order.
     """
@@ -730,7 +735,7 @@ def q9_brand_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
     od = load_table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(pa.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        li.join(pa.select("p_partkey", "p_brand"), li.l_partkey == F.col("p_partkey"))
         .join(od, li.l_orderkey == od.o_orderkey)
         .groupBy("p_brand", F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(

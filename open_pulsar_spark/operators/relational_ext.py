@@ -145,8 +145,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """National market share: CHINA's fraction of PROMO-part revenue
     sold to ASIA customers, per order year.
 
-    Scale: part (filtered to one type), supplier⋈nation, and
-    nation⋈region all broadcast; the two big shuffles are
+    Scale: nation⋈region broadcast by hint (schema-bounded); part
+    (filtered to one type) and supplier⋈nation are SF-linear, so AQE
+    picks their strategy; the two big shuffles are
     lineitem⋈orders (orderkey) and ⋈customer (custkey). The share is
     one conditional-sum pass — no second join against a totals table.
     """
@@ -173,8 +174,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     rows = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
         .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
               li.l_orderkey == F.col("o_orderkey"))
         .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
@@ -261,9 +262,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion effect: PROMO parts' percentage of one month's
     revenue.
 
-    Scale: part is a dimension → broadcast into the month-pruned
-    lineitem scan; single conditional-sum agg, no shuffle of lineitem
-    beyond the final single-row reduce.
+    Scale: part is an SF-linear dimension — no forced hint; AQE
+    broadcasts it into the month-pruned lineitem scan while it fits;
+    single conditional-sum agg, no shuffle of lineitem beyond the
+    final single-row reduce.
     """
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
@@ -272,7 +274,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        li.join(part, li.l_partkey == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -329,7 +331,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
     ).where(F.col("rnk") == 1)
     return (
-        ranked.join(F.broadcast(supplier), ranked.supplier_no == F.col("s_suppkey"))
+        ranked.join(supplier, ranked.supplier_no == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -356,16 +358,19 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     be lost by refusing sub-20%-of-average orders).
 
     Scale: the correlated subquery is decorrelated by hand — per-part
-    averages are an aggregate over lineitem restricted via broadcast
-    semi-join to the brand's parts (tiny), then broadcast back against
-    the same restricted scan. Lineitem is never shuffled on partkey.
+    averages are an aggregate over lineitem restricted via semi-join
+    to the brand's parts, then joined back against the same restricted
+    scan.  Both the brand dim and the per-part aggregate are SF-linear
+    (a fixed fraction of part), so neither carries a forced hint: AQE
+    broadcasts them while they fit and the partkey join co-locates the
+    two derived frames beyond that.
     """
     part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     brand_li = li.join(
-        F.broadcast(part.select("p_partkey")),
+        part.select("p_partkey"),
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     )
@@ -374,7 +379,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         brand_li.join(
-            F.broadcast(per_part.withColumnRenamed("l_partkey", "pp_key")),
+            per_part.withColumnRenamed("l_partkey", "pp_key"),
             brand_li.l_partkey == F.col("pp_key"),
         )
         .where(F.col("l_quantity") < F.col("qty_cut"))
@@ -457,14 +462,15 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: part prunes to the three brands via a derived top-level
     disjunct (Catalyst extracts `p_brand IN (...)` as a common factor
-    and pushes it to the part scan); part broadcasts; the residual
-    disjunction evaluates post-join, one pass, no shuffle.
+    and pushes it to the part scan); part is SF-linear so the join is
+    left to AQE (broadcast while it fits); the residual disjunction
+    evaluates post-join, one pass.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    joined = li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+    joined = li.join(part, li.l_partkey == F.col("p_partkey"))
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (q >= 1) & (q <= 11))
@@ -646,12 +652,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-cost supplier per part in a size/type band (TPC-H Q2
     shape: correlated min over the part-supplier bridge, ties kept).
 
-    Scale: the band filter prunes part BEFORE the bridge (broadcast
-    semi onto lineitem, predicate pushed to the part scan); the pair
+    Scale: the band filter prunes part BEFORE the bridge (semi-join
+    onto lineitem, predicate pushed to the part scan); the pair
     aggregate shuffles the surviving lineitem slice once on
     (partkey, suppkey); the per-part min is a window over the compact
     aggregate sharing the partkey partitioning — no second lineitem
-    scan, no correlated re-execution. Supplier is a broadcast dim.
+    scan, no correlated re-execution.  Part and supplier are SF-linear
+    so their joins carry no forced hint (AQE broadcasts while small).
     """
     pr = load_table(spark, sf_dir, "part").where(
         (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
@@ -665,7 +672,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         " div cast(l_quantity as bigint)"
     )
     pairs = (
-        li.join(F.broadcast(pr.select("p_partkey")),
+        li.join(pr.select("p_partkey"),
                 li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(unit_milli).alias("unit_milli"))
@@ -674,8 +681,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part_min", F.min("unit_milli").over(Window.partitionBy("l_partkey"))
     ).where(F.col("unit_milli") == F.col("part_min"))
     return (
-        best.join(F.broadcast(pr), best.l_partkey == pr.p_partkey)
-        .join(F.broadcast(supplier), best.l_suppkey == F.col("s_suppkey"))
+        best.join(pr, best.l_partkey == pr.p_partkey)
+        .join(supplier, best.l_suppkey == F.col("s_suppkey"))
         .select(
             "p_partkey",
             "p_name",
@@ -711,8 +718,9 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     region's sales value (TPC-H Q11 shape: group-by + HAVING against a
     scalar share-of-total).
 
-    Scale: the region's suppliers reduce to a broadcast semi-join on
-    lineitem; one shuffle aggregates value per part; the grand total is
+    Scale: the region's suppliers reduce to an unhinted semi-join on
+    lineitem (SF-linear slice — AQE broadcasts while it fits); one
+    shuffle aggregates value per part; the grand total is
     a 1-ROW scalar broadcast against the compact per-part aggregate
     (allowlisted nested-loop, same as q22) — never a second pass over
     lineitem. Integer-cents arithmetic end to end.
@@ -721,7 +729,7 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     v = (
-        li.join(F.broadcast(sup.select("s_suppkey")),
+        li.join(sup.select("s_suppkey"),
                 li.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum(cents).alias("cents"))
@@ -816,11 +824,11 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How many distinct (non-excluded) suppliers ship each part
     brand/type/size combination (TPC-H Q16 shape).
 
-    Scale: the part attribute filter is a broadcast inner join that
-    also carries the group-by columns; the supplier exclusion is a
-    broadcast LEFT ANTI (the excluded set is tiny); countDistinct
-    shuffles once on the group key with partial distinct aggregation
-    map-side.
+    Scale: the part attribute filter is an inner join that also
+    carries the group-by columns; the supplier exclusion is a LEFT
+    ANTI; both sides are SF-linear slices so strategy is left to AQE
+    (broadcast while they fit).  countDistinct shuffles once on the
+    group key with partial distinct aggregation map-side.
     """
     pr = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1")
@@ -831,8 +839,8 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(pr), li.l_partkey == pr.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        li.join(pr, li.l_partkey == pr.p_partkey)
+        .join(bad, li.l_suppkey == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -868,11 +876,12 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume of some 'red' part (TPC-H Q20 shape: filtered part list →
     nested aggregate → dominance predicate → supplier semi-join).
 
-    Scale: 'red' parts prune lineitem via broadcast semi-join at the
-    scan; per-(part, supplier) and per-part aggregates share the
-    partkey shuffle (AQE reuses the exchange); the dominance test is
-    integer quantity math (exact); the supplier join broadcasts the
-    dim and the final DISTINCT collapses a supplier-cardinality set.
+    Scale: 'red' parts prune lineitem via a semi-join at the scan
+    (AQE-chosen strategy — the red slice is SF-linear); per-(part,
+    supplier) and per-part aggregates share the partkey shuffle (AQE
+    reuses the exchange); the dominance test is integer quantity math
+    (exact); the supplier join is unhinted and the final DISTINCT
+    collapses a supplier-cardinality set.
     """
     red = load_table(spark, sf_dir, "part").where(
         F.col("p_name").like("red%")
@@ -885,7 +894,7 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") < 10
     ).select("s_suppkey", "s_name")
     shipped = (
-        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"), "left_semi")
+        li.join(red, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
     )
@@ -893,7 +902,7 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shipped.join(tot, "l_partkey")
         .where(F.col("qty") * 10 > F.col("part_qty") * 3)
-        .join(F.broadcast(sup), shipped.l_suppkey == F.col("s_suppkey"))
+        .join(sup, shipped.l_suppkey == F.col("s_suppkey"))
         .select("s_suppkey", "s_name")
         .distinct()
         .orderBy("s_suppkey")
@@ -969,7 +978,7 @@ def q21_waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lines.where(F.col("late"))
         .join(per_order, "l_orderkey")
         .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

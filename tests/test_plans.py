@@ -235,3 +235,105 @@ def test_hll_reduces_to_registers_before_the_fold(spark):
     plan = plan_of(spark, "events_hll_distinct")
     assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# Broadcast-hint discipline (SCALE.md "Global posture"): explicit
+# F.broadcast hints are NOT demoted by AQE, so a hint over a frame that
+# grows with scale factor is a hard `Cannot broadcast > 8GB` failure at
+# the 100 TB north star.  The sweep below monkeypatches F.broadcast and
+# builds EVERY registered query, profiling each hinted frame's analyzed
+# plan — including hints applied inside eagerly-executed driver-side
+# jobs (ANOVA/DiD cell collects) that never reach the returned plan.
+# --------------------------------------------------------------------------
+
+# Reviewed bounded-derived broadcast frames: each entry is a hinted frame
+# that reads SF-linear tables but carries a bounding operator (Aggregate /
+# GlobalLimit / Deduplicate) that reduces it to a row count independent of
+# data volume.  Adding an entry here requires the same review: state WHY
+# the frame is bounded at any scale factor.
+ALLOWED_BOUNDED_HINTS: dict[str, set[frozenset[str]]] = {
+    # 1-row grand totals / scalar stat frames
+    "q11_important_part_value": {frozenset({"lineitem", "supplier"})},
+    "q22_idle_customers": {frozenset({"customer"})},
+    "ab_test_cuped": {frozenset({"events"})},
+    "layout_skipping_effectiveness": {frozenset({"events"})},
+    # per-(bounded-domain) stat frames: event_type / band / hour / source /
+    # segment / brand / lang are schema- or config-bounded domains
+    "events_anomaly_mad": {frozenset({"events"})},
+    "events_type_hour_chisq": {frozenset({"events"})},
+    "event_type_audience_overlap": {frozenset({"events"})},
+    "event_type_itemsets": {frozenset({"events"})},  # ≤|event_type| k-sets
+    "next_event_prediction_hitrate": {frozenset({"events"})},  # |types|² model
+    "next_event_calibration": {frozenset({"events"})},  # |types|² model
+    "revenue_seasonal_anomalies": {frozenset({"orders"})},  # 7-row dow medians
+    "source_token_keyness": {frozenset({"documents"})},
+    "source_crossentropy_matrix": {frozenset({"documents"})},
+    "source_overlap_kmv": {frozenset({"documents"})},  # K-bounded KMV synopses
+    "multimodal_magic_type_audit": {frozenset({"documents"})},  # ≤|kinds| rows
+    "brand_seasonal_demand_index": {frozenset({"lineitem", "part"})},  # ≤|brands|
+    "brand_market_coverage": {
+        frozenset({"customer", "lineitem", "nation", "orders", "part"})
+    },  # per-brand max over the bounded brand×region cell frame
+    # time-horizon-bounded series (grow with calendar span, not volume)
+    "segment_revenue_trend": {frozenset({"customer", "orders"})},
+    "segment_revenue_theilsen": {frozenset({"customer", "orders"})},
+    "revenue_cusum_changepoint": {frozenset({"orders"})},
+    # top-N / limit-bounded heads and shortlists
+    "doc_tfidf_topterms": {frozenset({"documents"})},
+    "doc_unigram_logprob": {frozenset({"documents"})},
+    "term_posting_index": {frozenset({"documents"})},
+    "token_pmi_pairs": {frozenset({"documents"})},
+    "token_communities": {frozenset({"documents"})},
+    "shingle_cms_heavy_hitters": {frozenset({"documents"})},
+    # config-bounded sketch / probe frames
+    "bloom_join_pruning": {frozenset({"orders"})},  # m-bit filter words
+    # K-centroid / N_QUERIES-bounded ANN frames (bounds made structural
+    # via the identity min-agg / explicit .limit in clustering.py)
+    "embedding_outliers": {frozenset({"embeddings"})},
+    "embedding_hbos_outliers": {frozenset({"embeddings"})},
+    "ann_ivf_kmeans": {frozenset({"embeddings"})},
+    "ann_ivf_pq_refined": {frozenset({"embeddings"})},
+    "ann_hard_negatives": {frozenset({"embeddings"})},
+    "retrieval_ndcg": {frozenset({"embeddings"})},  # per-label counts (≤|labels|)
+}
+
+
+def test_no_forced_broadcast_of_sf_linear_tables(spark):
+    """Walk every registered query, intercepting every F.broadcast call:
+    a hint over a frame that reads SF-linear tables must carry a
+    structural bounding operator AND a reviewed allowlist entry."""
+    import pyspark.sql.functions as SF
+
+    from open_pulsar_spark.plan_hints import frame_profile
+
+    recorded: list = []
+    real_broadcast = SF.broadcast
+
+    def recording_broadcast(df):
+        recorded.append(frame_profile(df))
+        return real_broadcast(df)
+
+    failures = []
+    SF.broadcast = recording_broadcast
+    try:
+        for name, fn in sorted(registry.all_queries().items()):
+            recorded.clear()
+            fn(spark, SF_SMALL)  # build (and run any eager driver jobs)
+            for prof in recorded:
+                if not prof.sf_linear_tables:
+                    continue  # schema-bounded dims / literal frames
+                if (
+                    prof.has_bounding_op
+                    and prof.tables in ALLOWED_BOUNDED_HINTS.get(name, set())
+                ):
+                    continue
+                failures.append(
+                    f"{name}: forced broadcast over {sorted(prof.tables)} "
+                    f"(bounding_op={prof.has_bounding_op}) — raw SF-linear "
+                    "hints are forbidden; bounded derived frames need an "
+                    "ALLOWED_BOUNDED_HINTS review entry"
+                )
+    finally:
+        SF.broadcast = real_broadcast
+    assert not failures, "\n".join(failures)
