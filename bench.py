@@ -232,6 +232,7 @@ EXTRA = [
     "revenue_seasonal_anomalies",
     "ivf_assignment_churn",
     "retrieval_ndcg",
+    "retrieval_mrr",
     "segment_diff_in_diff",
     "doc_char_entropy",
     "revenue_holt_forecast",
@@ -263,6 +264,21 @@ EXTRA = [
     "event_type_burstiness",
     "brand_market_coverage",
     "dedup_cluster_size_histogram",
+]
+
+# Fixed A/A probe (round-9, VERDICT r8 task #7): re-sampled AFTER the
+# full EXTRA sweep to classify cross-round drift as box noise vs real.
+# Fixed at 8 queries so the A/A cost stays constant as EXTRA grows;
+# includes the four r8 drift-watch queries.
+AA_PROBE = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "user_sessionize",
+    "events_sliding_window",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_lsh_bucketed",
+    "doc_quality_score",
 ]
 
 HEADLINE = [
@@ -410,15 +426,19 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # A/A evidence for the noise hypothesis (round-7 task): the r7
-    # headline drifted +20% on unchanged code, and headline samples run
-    # FIRST while EXTRA adds ~8-10 min of JVM churn before the tail is
-    # written. Re-sample the headline AFTER the full EXTRA sweep: if
-    # aa_value ≈ value, suite length doesn't bias the headline and a
-    # cross-round drift is box noise; if aa_value >> value, late-suite
-    # JVM state inflates samples and mins should be read accordingly.
+    # A/A evidence for the noise hypothesis (round-7 task): headline
+    # samples run FIRST while EXTRA adds minutes of JVM churn before
+    # the tail is written. Re-sampling classifies drift — if the A/A
+    # re-total ≈ the same queries' first-pass total, suite length
+    # doesn't bias the headline and cross-round drift is box noise.
+    # Round-9 trim (VERDICT r8 task #7): the A/A exists to CLASSIFY
+    # drift, not to re-time everything — a fixed 8-query probe (two
+    # relational, the four r8 drift-watch queries, one window, one
+    # sessionization) bounds suite wall-clock as EXTRA keeps growing.
+    # Compare "aa_value" against "aa_ref" (the SAME 8 queries'
+    # first-pass mins), not against "value" (the full 21-query total).
     aa: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in AA_PROBE:
         best, (lo, hi), med, _ = sample(name, runs=2)
         aa[name] = round(best, 3)
         print(
@@ -426,6 +446,7 @@ def main() -> None:
             file=sys.stderr,
         )
     aa_total = round(sum(aa.values()), 3)
+    aa_ref = round(sum(timings[n] for n in AA_PROBE), 3)
 
     total_v2 = round(total + sum(extra[n] for n in HEADLINE_V2_ADDITIONS), 3)
     all_mins_full = {**extra, **timings}
@@ -445,6 +466,8 @@ def main() -> None:
                 "value": total,
                 "value_v2": total_v2,
                 "aa_value": aa_total,
+                "aa_ref": aa_ref,
+                "aa_probe": AA_PROBE,
                 "tpch22_total": tpch22_full,
                 "headline_v2": HEADLINE + HEADLINE_V2_ADDITIONS,
                 "unit": "sec",
@@ -488,11 +511,43 @@ def main() -> None:
     # a delta inside the recorded spread is box noise, outside it is
     # real (round-7 task #3). "aa_value" is the post-suite headline
     # re-total (task #9): compare to "value" for suite-length bias.
+    # Self-describing mins (VERDICT r8 task #3): the 254-name list
+    # can't fit in the 2000-char tail, so bench.py writes the FULL
+    # named per-query mins to BENCH_MINS.json beside this file (the
+    # driver commits uncommitted work each round, so the sidecar lands
+    # in git history next to BENCH_r{N}.json) and the tail carries
+    # "mins_sha" — sha256 of the comma-joined sorted name list — so a
+    # reader can verify which name order the "mins" array follows
+    # without replaying the suite.
+    import hashlib
+
+    mins_sha = hashlib.sha256(",".join(names).encode()).hexdigest()[:12]
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_MINS.json")
+    with open(sidecar, "w") as fh:
+        json.dump(
+            {
+                "mins_sha": mins_sha,
+                "sf": sf,
+                "aa_value": aa_total,
+                "aa_ref": aa_ref,
+                "aa_probe": AA_PROBE,
+                "aa_queries": aa,
+                "names": names,
+                "mins": {n: all_mins[n] for n in names},
+                "hl_spread": {n: spreads[n] for n in HEADLINE},
+                "extra_spread": extra_spreads,
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
     tail_doc = {
         "metric": "headline_queries_total",
         "value": total,
         "value_v2": total_v2,
         "aa_value": aa_total,
+        "aa_ref": aa_ref,
         "unit": "sec",
         "sf": sf,
         "queries": timings,
@@ -501,6 +556,8 @@ def main() -> None:
             [round(spreads[n][0], 2), round(spreads[n][1], 2)]
             for n in HEADLINE
         ],
+        "mins_sha": mins_sha,
+        "mins_file": "BENCH_MINS.json",
         "n_mins": len(names),
         "mins": [round(all_mins[n], 2) for n in names],
     }

@@ -1891,8 +1891,11 @@ def chunk_overlap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents GROUP BY source),
     m AS (
         -- x_h = N_h·Σx² − S² = N_h²·σ_h²; w_h = isqrt(x_h) = N_h·σ_h.
-        -- Exact integer sqrt: floor(sqrt(double)) corrected ±1 (error
-        -- < 1 ulp below ~2^52 — the documented envelope).
+        -- Exact integer sqrt: floor(sqrt(double)) corrected ±1 — the
+        -- correction is exact while sqrt(radicand) < ~9e15 (radicand
+        -- up to ~8e31, where double conversion + sqrt error stays
+        -- under 1), the same contract brand_return_rate_wilson and
+        -- event_type_burstiness state.
         SELECT source, n_h, s_h, s2_h,
                (n_h * s2_h - s_h * s_h) AS x_h,
                (SELECT s + (CASE WHEN (s+1)*(s+1) <= (n_h*s2_h - s_h*s_h)

@@ -1610,6 +1610,148 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# retrieval_mrr — Mean Reciprocal Rank@k of dense retrieval (where does
+# the FIRST relevant item sit?). Fourth leg of the IR-eval family:
+# P@k (set), nDCG@k (graded rank), MRR@k (first-hit rank), MMR (diversity).
+# --------------------------------------------------------------------------
+# 1/rank reciprocal gains on a ppb grid, precomputed as integer literals
+# for ranks 1..TOP_K — both engines consume the same constants, so the
+# only arithmetic at query time is integer min/sum/div:
+RR_GAIN_PPB = (1000000000, 500000000, 333333333, 250000000, 200000000)
+assert len(RR_GAIN_PPB) == TOP_K
+assert all(
+    g == (10**9 * 2 + i) // (2 * i)  # round-half-up(1e9 / i), exact
+    for i, g in enumerate(RR_GAIN_PPB, start=1)
+)
+
+
+@query(
+    "retrieval_mrr",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_SQL} AS nrm
+               FROM embeddings),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS cos
+        FROM q JOIN e ON e.vec_id <> q.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored),
+    topk AS (SELECT query_id, neighbor_id, rk FROM ranked
+             WHERE rk <= {TOP_K}),
+    per_q AS (
+        SELECT t.query_id, ql.label,
+               coalesce(min(CASE WHEN nl.label = ql.label
+                                 THEN t.rk END), 0) AS first_rel_rank
+        FROM topk t
+        JOIN lab ql ON ql.vec_id = t.query_id
+        JOIN lab nl ON nl.vec_id = t.neighbor_id
+        GROUP BY t.query_id, ql.label),
+    scored_q AS (
+        SELECT query_id, label::INT AS label,
+               first_rel_rank::INT AS first_rel_rank,
+               (CASE WHEN first_rel_rank = 0 THEN 0
+                     ELSE [{", ".join(str(g) for g in RR_GAIN_PPB)}]
+                          [first_rel_rank]
+                END)::BIGINT AS rr_ppb
+        FROM per_q)
+    SELECT query_id, label, first_rel_rank, rr_ppb,
+           (SELECT (sum(rr_ppb) // count(*))::BIGINT FROM scored_q)
+               AS mean_rr_ppb
+    FROM scored_q
+    ORDER BY query_id
+    """,
+)
+def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@{TOP_K} of exact dense retrieval under label relevance: the
+    reciprocal rank of the FIRST same-label neighbor in the top-k
+    (0 when none surfaces), per query, plus the mean across queries.
+    P@k counts hits and nDCG weighs all their positions; MRR isolates
+    the known-item / question-answering readout — "how far does the
+    user scan before the first relevant result" — and is the metric
+    that moves when a re-ranker fixes only the top slot.
+
+    Determinism: the ranking is the established exact top-k (cos DESC,
+    id tie-break); reciprocal gains are INTEGER LITERALS shared by
+    both engines (no runtime division by rank); the first-hit rank is
+    an integer min and the mean is one trunc-div over ppb integers.
+
+    Scale: reuses the broadcast-probe blocked matmul (corpus never
+    collected, block-local top-k); the label joins touch only the
+    ≤ queries × k result rows and the mean closes over the
+    ≤{N_QUERIES}-row per-query frame in Python."""
+    dense = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rk"
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+    gains = "array(" + ",".join(f"{g}L" for g in RR_GAIN_PPB) + ")"
+    per_q = (
+        dense.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("qlabel"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("nlabel") == F.col("qlabel"), F.col("rk")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("int")
+            .alias("first_rel_rank")
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            "first_rel_rank",
+            F.expr(
+                f"cast(CASE WHEN first_rel_rank = 0 THEN 0"
+                f" ELSE element_at({gains}, first_rel_rank)"
+                f" END as bigint)"
+            ).alias("rr_ppb"),
+        )
+    )
+    schema = (
+        "query_id BIGINT, label INT, first_rel_rank INT, rr_ppb BIGINT,"
+        " mean_rr_ppb BIGINT"
+    )
+    rows = sorted(
+        (
+            int(r.query_id),
+            int(r.label),
+            int(r.first_rel_rank),
+            int(r.rr_ppb),
+        )
+        for r in per_q.collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    mean_ppb = sum(r[3] for r in rows) // len(rows)
+    out = [(qid, lb, fr, rr, mean_ppb) for qid, lb, fr, rr in rows]
+    return spark.createDataFrame(out, schema).orderBy("query_id")
+
+
+# --------------------------------------------------------------------------
 # retrieval_mmr_topk — Maximal Marginal Relevance: diversified top-k
 # (pure relevance ranking returns near-duplicates; MMR trades relevance
 # against redundancy with the selected set).
@@ -1667,16 +1809,42 @@ def _mmr_oracle() -> str:
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY cos DESC, neighbor_id) AS rk
               FROM scored) WHERE rk <= {MMR_POOL}),
+    -- Pairwise sims on the FIXED-POINT INTEGER GRID (the kmeans /
+    -- _ZIP_DIST contract): components quantize to w = round(x·10⁶)
+    -- (|x| ≤ ~0.53, dim 64 ⇒ every product ≤ 2.8e11 and every dot
+    -- ≤ 1.8e13 — EXACT in double, below 2^53), the integer dot and
+    -- norms close in HUGEINT, and s_ppb = (D·10⁹) // isqrt(Na·Nb)
+    -- (corrected floor-sqrt, exact while sqrt(radicand) < ~9e15;
+    -- here ≤ 1.8e13). Both engines derive s_ppb from the identical
+    -- integer sequence — no double-summation-order 1-ulp risk in the
+    -- greedy MMR cascade.
+    w AS (SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                                x -> round(x * 1000000)) AS wv
+          FROM embeddings),
+    wn AS (SELECT vec_id, wv,
+                  CAST(list_dot_product(wv, wv) AS HUGEINT) AS n2
+           FROM w),
     pair AS (
-        SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
-               CAST(round(list_dot_product(e1.v, e2.v)
-                          / (e1.nrm * e2.nrm) * 1000000000) AS BIGINT)
-                   AS s_ppb
-        FROM cand c1
-        JOIN cand c2 ON c2.query_id = c1.query_id
-                    AND c2.neighbor_id <> c1.neighbor_id
-        JOIN e e1 ON e1.vec_id = c1.neighbor_id
-        JOIN e e2 ON e2.vec_id = c2.neighbor_id),
+        SELECT query_id, a, b,
+               (SELECT CASE WHEN d >= 0 THEN (d * 1000000000) // r
+                            ELSE -((-d * 1000000000) // r) END
+                FROM (SELECT s + (CASE WHEN (s+1)*(s+1) <= n2p
+                                       THEN 1 ELSE 0 END)
+                               - (CASE WHEN s*s > n2p
+                                       THEN 1 ELSE 0 END) AS r
+                      FROM (SELECT floor(sqrt(n2p::DOUBLE))::HUGEINT
+                                AS s))) AS s_ppb
+        FROM (SELECT c1.query_id, c1.neighbor_id AS a,
+                     c2.neighbor_id AS b,
+                     CAST(list_dot_product(w1.wv, w2.wv) AS HUGEINT)
+                         AS d,
+                     w1.n2 * w2.n2 AS n2p
+              FROM cand c1
+              JOIN cand c2 ON c2.query_id = c1.query_id
+                          AND c2.neighbor_id <> c1.neighbor_id
+              JOIN wn w1 ON w1.vec_id = c1.neighbor_id
+              JOIN wn w2 ON w2.vec_id = c2.neighbor_id)),
     pick1 AS (
         SELECT query_id, neighbor_id, r_ppb, 1 AS rank_pos,
                {MMR_LAMBDA_NUM} * r_ppb AS mmr_x10
@@ -1704,11 +1872,15 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k — the diversification leg of the retrieval family next to P@k
     (set quality) and nDCG (rank quality).
 
-    Determinism: relevance and pairwise sims round onto a ppb integer
-    grid FIRST; the greedy argmax then runs on integers with a
-    neighbor_id tie-break — the Spark close replicates the oracle's
-    unrolled {MMR_K}-step selection exactly (no let-binding tricks:
-    both engines walk the same integer sequence).
+    Determinism: relevance rounds onto a ppb integer grid; pairwise
+    sims are STRUCTURALLY integer (round-9): components quantize to
+    round(x·10⁶), the dot and norms close exactly in integers (dim 64,
+    |x| ≤ ~0.53 ⇒ dots ≤ 1.8e13, exact in double for the oracle's
+    list_dot_product), and s_ppb = trunc_div(D·10⁹, isqrt(Na·Nb)) —
+    both engines derive the pairwise leg from the identical integer
+    sequence, so the greedy {MMR_K}-step cascade cannot be flipped by
+    a double summation-order ulp. The greedy argmax runs on integers
+    with a neighbor_id tie-break.
 
     Scale: the candidate pool is the broadcast-probe blocked matmul
     (corpus never collected), keeping a local top-{MMR_POOL} per
@@ -1766,18 +1938,32 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (int(r.neighbor_id), int(r.r_ppb))
         )
     need = sorted({nid for v in pool.values() for nid, _ in v})
-    ids_c, _, u_c = _corpus_numpy(
+    ids_c, v_c, _ = _corpus_numpy(
         spark, sf_dir, F.col("vec_id").isin(need)
     )
-    pos = {int(i): k for k, i in enumerate(ids_c)}
-    sims_c = u_c @ u_c.T
+    # Pairwise sims on the fixed-point integer grid (matches the
+    # oracle's quantized `pair` CTE exactly): w = round-half-away
+    # (x·10⁶) per component, exact Python-int dot and norms, then
+    # s_ppb = trunc_div(D·10⁹, isqrt(Na·Nb)). Identical integer
+    # arithmetic in both engines — the greedy cascade can't be
+    # flipped by a 1-ulp double-summation-order difference.
+    import math
 
-    def ppb(x: float) -> int:
-        # round-half-away-from-zero — DuckDB round()'s tie rule
-        import math
-
-        s = math.floor(abs(x) * 1000000000 + 0.5)
+    def q6(x: float) -> int:
+        s = math.floor(abs(x) * 1000000 + 0.5)
         return s if x >= 0 else -s
+
+    wq = {
+        int(i): [q6(float(x)) for x in row]
+        for i, row in zip(ids_c, v_c)
+    }
+    n2 = {i: sum(w * w for w in row) for i, row in wq.items()}
+
+    def s_ppb(a: int, b: int) -> int:
+        d = sum(x * y for x, y in zip(wq[a], wq[b]))
+        r = math.isqrt(n2[a] * n2[b])
+        num = d * 1000000000
+        return num // r if num >= 0 else -((-num) // r)
 
     rest = MMR_LAMBDA_DEN - MMR_LAMBDA_NUM
     out = []
@@ -1792,9 +1978,7 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if rank_pos == 1:
                     score = MMR_LAMBDA_NUM * r_ppb
                 else:
-                    mx = max(
-                        ppb(sims_c[pos[nid], pos[s]]) for s in sel
-                    )
+                    mx = max(s_ppb(nid, s) for s in sel)
                     score = MMR_LAMBDA_NUM * r_ppb - rest * mx
                 key = (-score, nid)
                 if best is None or key < best[0]:

@@ -46,7 +46,7 @@ from open_pulsar_spark.streaming.segments import (
     update_partial_store,
 )
 
-_PARTIAL_SCHEMA = "k LONG, op STRING, cents LONG, seq LONG, epoch LONG"
+_PARTIAL_SCHEMA = "k LONG, op STRING, cents LONG, seq LONG, n LONG, epoch LONG"
 _DEDUP_KEYS = ["epoch", "k"]
 _CLUSTER_COLS = ["k"]
 
@@ -57,7 +57,9 @@ def _lww_partial(changes: DataFrame) -> DataFrame:
     column get one derived as a constant 0 — then the batch must not
     carry conflicting changes per key). Deterministic: ties on seq
     resolve by (op, cents) lexicographically so replays of the same
-    batch pick the same winner."""
+    batch pick the same winner. `n` counts the change rows folded into
+    this winner — the ADDITIVE sidecar that lets the AS-OF readout
+    report version counts without keeping losing rows."""
     cols = changes.columns
     if "seq" not in cols:
         changes = changes.withColumn("seq", F.lit(0).cast("long"))
@@ -68,8 +70,15 @@ def _lww_partial(changes: DataFrame) -> DataFrame:
                 F.struct("op", "cents"), F.struct("seq", "op", "cents")
             ).alias("w"),
             F.max("seq").cast("long").alias("seq"),
+            F.count("*").cast("long").alias("n"),
         )
-        .select("k", F.col("w.op").alias("op"), F.col("w.cents").alias("cents"), "seq")
+        .select(
+            "k",
+            F.col("w.op").alias("op"),
+            F.col("w.cents").alias("cents"),
+            "seq",
+            "n",
+        )
     )
 
 
@@ -108,6 +117,48 @@ def read_current(spark: SparkSession, store_path: str) -> DataFrame:
         )
         .where(F.col("w.op") != "D")
         .select("k", F.col("w.cents").alias("cents"))
+    )
+
+
+def read_asof(
+    spark: SparkSession, store_path: str, as_of_epoch: int
+) -> DataFrame:
+    """TIME-TRAVEL readout: the snapshot as it stood after epoch
+    `as_of_epoch` committed — resolve only over segments with
+    epoch ≤ as_of_epoch, exactly the `SELECT ... FOR TIMESTAMP AS OF`
+    read orders_asof_snapshot performs over the batch SCD2 history
+    (granularity is the epoch boundary, the same version-granularity
+    contract lakehouse time travel gives). Returns, per surviving key:
+    the winning value, the (epoch, seq) it was written at, and
+    `n_versions` — the count of ALL change rows folded for the key up
+    to the epoch (deletes count as versions; a later un-resolved
+    delete does not hide earlier versions). The store never rewrites
+    history, so every past epoch stays readable — compaction unions
+    segments with the epoch column intact."""
+    raw = read_segments(spark, store_path, _PARTIAL_SCHEMA)
+    empty = "k LONG, cents LONG, epoch LONG, seq LONG, n_versions LONG"
+    if raw is None:
+        return spark.createDataFrame([], empty)
+    h = raw.dropDuplicates(["epoch", "k"]).where(
+        F.col("epoch") <= F.lit(int(as_of_epoch))
+    )
+    return (
+        h.groupBy("k")
+        .agg(
+            F.max_by(
+                F.struct("op", "cents", "epoch", "seq"),
+                F.struct("epoch", "seq"),
+            ).alias("w"),
+            F.sum("n").cast("long").alias("n_versions"),
+        )
+        .where(F.col("w.op") != "D")
+        .select(
+            "k",
+            F.col("w.cents").alias("cents"),
+            F.col("w.epoch").alias("epoch"),
+            F.col("w.seq").alias("seq"),
+            "n_versions",
+        )
     )
 
 

@@ -3512,3 +3512,83 @@ def test_active_stream_folds_to_batch_dashboard(spark, workdir):
     update_active(spark, ev.where(F.col("event_id") % 3 == 0), store, 0)
     update_active(spark, ev.where(F.col("event_id") % 5 == 0), store, None)
     assert [tuple(r) for r in dau_readout(spark, store).collect()] == want
+
+
+def test_lww_asof_readout_matches_batch_snapshot(spark, workdir):
+    """TIME-TRAVEL over the LWW ledger: the SCD2 version events of
+    orders_asof_snapshot's tracked customers, folded epoch-by-epoch
+    (half-year CDC batches), read back AS OF the epoch containing the
+    batch query's {ASOF_TS} — and the readout reconstructs the batch
+    snapshot BIT-IDENTICALLY: live version, live-since date, age and
+    version count per customer (the stats_stream/kanon_stream
+    bit-match pattern applied to the pick-max fold class)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.analytics import ASOF_TS
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.lww_stream import read_asof, update_lww
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    # half-year CDC boundaries; a version dated EXACTLY on a boundary
+    # belongs to the earlier epoch (strict >), so "epoch <= as_of"
+    # reproduces the snapshot's INCLUSIVE valid_from <= T containment
+    boundaries = [
+        f"{y}-{m}-01 00:00:00"
+        for y in range(1992, 2000)
+        for m in ("01", "07")
+    ]
+    epoch_expr = "CAST(" + " + ".join(
+        f"(CASE WHEN o_orderdate > timestamp'{b}' THEN 1 ELSE 0 END)"
+        for b in boundaries
+    ) + " AS LONG)"
+    as_of_epoch = sum(b < ASOF_TS for b in boundaries)
+
+    o = load_table(spark, SF_SMALL, "orders").where(F.col("o_custkey") < 50)
+    # seq orders versions by (valid_from, orderkey) inside an epoch —
+    # unix seconds * 1e7 + orderkey stays well under 2^63 at test keys
+    changes = o.select(
+        F.col("o_custkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.col("o_orderkey").cast("long").alias("cents"),
+        (
+            F.unix_timestamp("o_orderdate") * F.lit(10000000)
+            + F.col("o_orderkey")
+        ).cast("long").alias("seq"),
+        F.expr(epoch_expr).alias("ep"),
+    )
+    store = f"{workdir}/lww_asof_store"
+    epochs = sorted(
+        r.ep for r in changes.select("ep").distinct().collect()
+    )
+    for e in epochs:
+        update_lww(
+            spark, changes.where(F.col("ep") == e).drop("ep"), store, int(e)
+        )
+
+    asof_date = ASOF_TS.split(" ")[0]
+    got_df = read_asof(spark, store, as_of_epoch).select(
+        F.col("k").alias("o_custkey"),
+        F.col("cents").alias("live_orderkey"),
+        F.date_format(
+            F.from_unixtime(F.expr("seq div 10000000")), "yyyy-MM-dd"
+        ).alias("live_since"),
+        F.datediff(
+            F.lit(asof_date).cast("date"),
+            F.to_date(F.from_unixtime(F.expr("seq div 10000000"))),
+        ).cast("bigint").alias("live_age_days"),
+        F.col("n_versions").alias("n_versions_asof"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in all_queries()["orders_asof_snapshot"](
+            spark, SF_SMALL
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert want and got == want
+
+    # one epoch earlier the ledger answers a DIFFERENT question (the
+    # point of time travel): every readout row predates the boundary
+    prev = read_asof(spark, store, as_of_epoch - 1)
+    assert prev.where(F.col("epoch") > as_of_epoch - 1).count() == 0

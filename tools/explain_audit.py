@@ -225,6 +225,7 @@ AUDITED = [
     "revenue_seasonal_anomalies",
     "ivf_assignment_churn",
     "retrieval_ndcg",
+    "retrieval_mrr",
     "segment_diff_in_diff",
     "doc_char_entropy",
     "revenue_holt_forecast",
