@@ -5497,9 +5497,10 @@ def price_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines and round to 6 dp (the lineitem_corr_matrix
     pattern).
 
-    Scale: one fact-dimension equi-join (part broadcasts), one
-    map-combinable 5-moment aggregate per brand, closing arithmetic
-    on a |brands|-row frame."""
+    Scale: one fact-dimension equi-join (part is SF-linear — unhinted,
+    AQE broadcasts while it fits), one map-combinable 5-moment
+    aggregate per brand, closing arithmetic on a |brands|-row
+    frame."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity"
     )

@@ -7,9 +7,11 @@ Python UDFs in this module.
 
 Scale notes (100 TB posture) per query are in each docstring. The
 general rules:
-  - dimension tables (region/nation, and customer/supplier relative to
-    the fact tables) are broadcast — no shuffle of the fact table for
-    dim joins when the dim fits the broadcast threshold;
+  - dimension joins avoid shuffling the fact table: region/nation
+    (schema-bounded) carry explicit broadcast hints; customer /
+    supplier / part are SF-LINEAR, so their joins are unhinted — AQE
+    broadcasts them while they fit and degrades to sort-merge beyond
+    the 8 GB limit (the plan_hints rule, pinned in test_plans);
   - fact-fact joins (orders ⋈ lineitem) shuffle on the join key, which
     is also the natural bucketing key for a production layout;
   - all money aggregates are rounded in BOTH the Spark and oracle
@@ -208,7 +210,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mktsegment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order stats per market segment (broadcast dim join + distinct agg)."""
+    """Order stats per market segment (unhinted dim join — AQE picks
+    broadcast while customer fits — + distinct agg)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (

@@ -12,7 +12,9 @@ implemented and oracle-checked.
 
 Same ground rules as relational.py: Catalyst-native DataFrame code
 only, no Python UDFs; money sums rounded identically on both sides;
-dims broadcast; fact-fact joins shuffle on their natural bucket keys.
+schema-bounded dims broadcast by hint while SF-linear dims are left
+to AQE (the plan_hints rule); fact-fact joins shuffle on their
+natural bucket keys.
 
 Reference parity: the reference has no relational surface at all
 (SURVEY.md §2.3 documents the gap); these queries exist for the
