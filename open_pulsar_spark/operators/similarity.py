@@ -2187,3 +2187,319 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# --------------------------------------------------------------------------
+# retrieval_map — Mean Average Precision@k: order-sensitive PRECISION.
+# P@k grades the final set, nDCG grades positions with a fixed discount
+# curve; AP integrates precision AT EACH HIT, so it rewards front-
+# loading every hit, not just the first (MRR) or a log-discounted blend
+# (nDCG). Fifth leg of the IR-eval family.
+# --------------------------------------------------------------------------
+# Precision grid: PREC_PPB[i][j] = round-half-up(1e9 · j / i) for a hit
+# at rank i that is the j-th hit so far (j ≤ i), 0-padded above the
+# diagonal — integer LITERALS consumed by both engines, so no runtime
+# division feeds the per-hit terms.
+PREC_PPB = tuple(
+    tuple(
+        (10**9 * 2 * j + i) // (2 * i) if j <= i else 0
+        for j in range(1, TOP_K + 1)
+    )
+    for i in range(1, TOP_K + 1)
+)
+assert PREC_PPB[0][0] == 10**9 and PREC_PPB[4][1] == 400000000
+
+_PREC_SQL = (
+    "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]"
+                    for row in PREC_PPB) + "]"
+)
+_PREC_SPARK = (
+    "array(" + ", ".join(
+        "array(" + ", ".join(f"{v}L" for v in row) + ")" for row in PREC_PPB
+    ) + ")"
+)
+
+
+@query(
+    "retrieval_map",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_SQL} AS nrm
+               FROM embeddings),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    lc AS (SELECT label, count(*)::BIGINT AS n_label FROM lab GROUP BY 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS cos
+        FROM q JOIN e ON e.vec_id <> q.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored),
+    topk AS (SELECT query_id, neighbor_id, rk FROM ranked
+             WHERE rk <= {TOP_K}),
+    hitflag AS (
+        SELECT t.query_id, ql.label, t.rk,
+               CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS hit,
+               max(lc.n_label) OVER (PARTITION BY t.query_id) - 1 AS r_q
+        FROM topk t
+        JOIN lab ql ON ql.vec_id = t.query_id
+        JOIN lab nl ON nl.vec_id = t.neighbor_id
+        JOIN lc ON lc.label = ql.label),
+    terms AS (
+        SELECT query_id, label, r_q, hit,
+               CASE WHEN hit = 1
+                    THEN {_PREC_SQL}[rk]
+                         [(sum(hit) OVER (PARTITION BY query_id
+                                          ORDER BY rk))::BIGINT]
+                    ELSE 0 END::BIGINT AS term_ppb
+        FROM hitflag),
+    per_q AS (
+        SELECT query_id, label::INT AS label,
+               sum(hit)::BIGINT AS n_rel_topk,
+               CASE WHEN max(r_q) <= 0 THEN 0
+                    ELSE sum(term_ppb) // least({TOP_K}, max(r_q))
+               END::BIGINT AS ap_ppb
+        FROM terms GROUP BY query_id, label)
+    SELECT query_id, label, n_rel_topk, ap_ppb,
+           (SELECT (sum(ap_ppb) // count(*))::BIGINT FROM per_q)
+               AS mean_ap_ppb
+    FROM per_q
+    ORDER BY query_id
+    """,
+)
+def retrieval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Average Precision@{TOP_K} of exact dense retrieval under
+    label relevance: at every HIT rank i, take precision-so-far j/i
+    (a triangular grid of integer literals shared by
+    both engines), sum, and normalize by min(k, R_q). AP is the
+    order-sensitive precision the other legs can't express: MRR stops
+    at the first hit, nDCG fixes a log discount; AP rewards a system
+    that front-loads ALL its hits — the standard leaderboard metric
+    for retrieval over labeled corpora.
+
+    Determinism: ranking is the established exact top-k (cos DESC,
+    id tie-break); each hit's j/i precision is an integer LITERAL
+    indexed by (rank, hits-so-far), summed exactly and closed with
+    one trunc-div — no runtime float arithmetic after the ranking.
+
+    Scale: reuses the broadcast-probe blocked matmul top-k; the
+    hit-flag window and AP close run on ≤ queries × {TOP_K} rows, and
+    the mean closes over the ≤{N_QUERIES}-row frame in Python."""
+    dense = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rk"
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+    lc = lab.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_label")
+    )
+    flagged = (
+        dense.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("qlabel"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(lc.select(F.col("label").alias("qlabel"), "n_label")),
+            "qlabel",
+        )
+        .withColumn(
+            "hit",
+            F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0),
+        )
+        .withColumn("r_q", (F.col("n_label") - 1).cast("bigint"))
+    )
+    w_run = (
+        Window.partitionBy("query_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_q = (
+        flagged.withColumn("j", F.sum("hit").over(w_run))
+        .withColumn(
+            "term_ppb",
+            F.when(
+                F.col("hit") == 1,
+                F.expr(
+                    f"element_at(element_at({_PREC_SPARK},"
+                    f" cast(rk as int)), cast(j as int))"
+                ),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.sum("hit").cast("bigint").alias("n_rel_topk"),
+            F.sum("term_ppb").cast("bigint").alias("sum_ppb"),
+            F.max("r_q").alias("r_q"),
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            "n_rel_topk",
+            F.expr(
+                f"cast(CASE WHEN r_q <= 0 THEN 0"
+                f" ELSE sum_ppb div least({TOP_K}, r_q) END as bigint)"
+            ).alias("ap_ppb"),
+        )
+    )
+    schema = (
+        "query_id BIGINT, label INT, n_rel_topk BIGINT, ap_ppb BIGINT,"
+        " mean_ap_ppb BIGINT"
+    )
+    rows = sorted(
+        (int(r.query_id), int(r.label), int(r.n_rel_topk), int(r.ap_ppb))
+        for r in per_q.collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    mean_ppb = sum(r[3] for r in rows) // len(rows)
+    out = [(qid, lb, nr, ap, mean_ppb) for qid, lb, nr, ap in rows]
+    return spark.createDataFrame(out, schema).orderBy("query_id")
+
+
+# --------------------------------------------------------------------------
+# retrieval_recall_at_k — the RECALL complement of P@k: of ALL relevant
+# items in the corpus, how many did the top-k surface? P@k divides by k
+# (user-facing precision); recall divides by R_q (coverage of the
+# relevant set) — the side a dedup/link-finding pipeline cares about,
+# where a miss is an undetected duplicate, not a wasted slot.
+# --------------------------------------------------------------------------
+@query(
+    "retrieval_recall_at_k",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_SQL} AS nrm
+               FROM embeddings),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    lc AS (SELECT label, count(*)::BIGINT AS n_label FROM lab GROUP BY 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS cos
+        FROM q JOIN e ON e.vec_id <> q.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored),
+    topk AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= {TOP_K}),
+    per_q AS (
+        SELECT t.query_id, ql.label::INT AS label,
+               sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)::BIGINT
+                   AS n_rel_topk,
+               (max(lc.n_label) - 1)::BIGINT AS r_q
+        FROM topk t
+        JOIN lab ql ON ql.vec_id = t.query_id
+        JOIN lab nl ON nl.vec_id = t.neighbor_id
+        JOIN lc ON lc.label = ql.label
+        GROUP BY t.query_id, ql.label),
+    scored_q AS (
+        SELECT query_id, label, n_rel_topk, r_q,
+               CASE WHEN r_q <= 0 THEN 0
+                    ELSE n_rel_topk * 1000000 // r_q
+               END::BIGINT AS recall_ppm
+        FROM per_q)
+    SELECT query_id, label, n_rel_topk, r_q, recall_ppm,
+           (SELECT (sum(recall_ppm) // count(*))::BIGINT FROM scored_q)
+               AS mean_recall_ppm
+    FROM scored_q
+    ORDER BY query_id
+    """,
+)
+def retrieval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of exact dense retrieval under label relevance:
+    same-label hits in the top-k divided by R_q (ALL same-label items
+    in the corpus, excluding the query), on a ppm integer grid.
+    retrieval_label_precision answers "how clean is the page the user
+    sees"; this answers "how much of the relevant set did we find" —
+    the coverage number a near-dup-mining or contamination-screening
+    pass is actually graded on, where R_q >> k makes high P@k trivial
+    and high recall hard.
+
+    Determinism: the established exact top-k ranking (cos DESC, id
+    tie-break), then pure integer counts and one trunc-div per query.
+
+    Scale: reuses the broadcast-probe blocked matmul; the close runs
+    on ≤ queries × {TOP_K} rows, label counts come from one
+    map-combinable aggregate over the corpus, and the mean closes
+    over the ≤{N_QUERIES}-row frame in Python."""
+    dense = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+    lc = lab.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_label")
+    )
+    per_q = (
+        dense.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("qlabel"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(lc.select(F.col("label").alias("qlabel"), "n_label")),
+            "qlabel",
+        )
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.sum(
+                F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rel_topk"),
+            (F.max("n_label") - 1).cast("bigint").alias("r_q"),
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            "n_rel_topk",
+            "r_q",
+            F.expr(
+                "cast(CASE WHEN r_q <= 0 THEN 0"
+                " ELSE n_rel_topk * 1000000 div r_q END as bigint)"
+            ).alias("recall_ppm"),
+        )
+    )
+    schema = (
+        "query_id BIGINT, label INT, n_rel_topk BIGINT, r_q BIGINT,"
+        " recall_ppm BIGINT, mean_recall_ppm BIGINT"
+    )
+    rows = sorted(
+        (
+            int(r.query_id),
+            int(r.label),
+            int(r.n_rel_topk),
+            int(r.r_q),
+            int(r.recall_ppm),
+        )
+        for r in per_q.collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    mean_ppm = sum(r[4] for r in rows) // len(rows)
+    out = [(a, b, c, d, e, mean_ppm) for a, b, c, d, e in rows]
+    return spark.createDataFrame(out, schema).orderBy("query_id")
