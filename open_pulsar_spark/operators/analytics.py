@@ -7339,3 +7339,268 @@ def brand_market_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# --------------------------------------------------------------------------
+# daily_order_cusum — CUSUM changepoint detection on the daily order
+# series. The seasonal/anova family asks "does a cyclic factor explain
+# the variance"; CUSUM asks the monitoring question: WHEN did the level
+# shift? One-sided cumulative sums of demeaned daily counts, positive
+# and negative, with the positive peak flagged as the level-shift
+# candidate — the classic SPC drift alarm over an order stream.
+# --------------------------------------------------------------------------
+@query(
+    "daily_order_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+               count(*)::BIGINT AS n_orders
+        FROM orders GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS n_days,
+                   sum(n_orders)::BIGINT AS t_orders FROM daily),
+    pre AS (
+        SELECT d.day, d.n_orders,
+               sum(t.n_days * d.n_orders - t.t_orders)
+                   OVER (ORDER BY d.day)::BIGINT AS p
+        FROM daily d CROSS JOIN tot t),
+    cu AS (
+        SELECT day, n_orders,
+               (p - least(0, min(p) OVER (ORDER BY day)))::BIGINT
+                   AS cusum_pos,
+               (greatest(0, max(p) OVER (ORDER BY day)) - p)::BIGINT
+                   AS cusum_neg
+        FROM pre)
+    SELECT day, n_orders, cusum_pos, cusum_neg,
+           CASE WHEN row_number() OVER (ORDER BY cusum_pos DESC, day) = 1
+                THEN 1 ELSE 0 END AS is_pos_peak
+    FROM cu
+    ORDER BY day
+    """,
+)
+def daily_order_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily order-count series: with
+    d_i = n·x_i − T (counts demeaned WITHOUT division — everything
+    stays integer by scaling through the day count n), the one-sided
+    sums are S⁺_i = P_i − min(0, min_{j≤i} P_j) and
+    S⁻_i = max(0, max_{j≤i} P_j) − P_i over the prefix sums P — the
+    closed form of the max(0, S+x) recursion, so the whole scan is
+    two running extrema instead of a sequential fold. The day where
+    S⁺ peaks is the level-shift candidate a monitoring pipeline
+    alarms on (flagged; ties break to the earliest day).
+
+    Determinism: pure integer arithmetic end to end — counts, the
+    n-scaled demeaning, prefix sums, running extrema. No division
+    ever happens.
+
+    Scale: one shuffle to O(#days) rows; the calendar spine is
+    SCHEMA-bounded (~2.4k days at any SF), so the global ORDER BY
+    windows run on a frame that fits one partition at ANY raw data
+    scale — the orders_monthly_trend exemption. n·x_i stays far below
+    2^63 (n ≤ ~2.4k, x_i ~ 1e12 at 100 TB)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n_orders"))
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("n_orders").cast("bigint").alias("t_orders"),
+    )
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "p",
+        F.sum(
+            F.col("n_days") * F.col("n_orders") - F.col("t_orders")
+        ).over(w_run).cast("bigint"),
+    )
+    cu = pre.select(
+        "day",
+        "n_orders",
+        (
+            F.col("p")
+            - F.least(F.lit(0).cast("bigint"), F.min("p").over(w_run))
+        )
+        .cast("bigint")
+        .alias("cusum_pos"),
+        (
+            F.greatest(F.lit(0).cast("bigint"), F.max("p").over(w_run))
+            - F.col("p")
+        )
+        .cast("bigint")
+        .alias("cusum_neg"),
+    )
+    w_peak = Window.orderBy(F.desc("cusum_pos"), "day")
+    return (
+        cu.withColumn(
+            "is_pos_peak",
+            F.when(F.row_number().over(w_peak) == 1, 1).otherwise(0),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# segment_revenue_mann_kendall — nonparametric TREND test per market
+# segment. The ANOVA legs test cyclic factors; Mann-Kendall asks the
+# monotone question — is weekly revenue drifting up or down, without
+# assuming normality or linearity? S = Σ_{i<j} sign(x_j − x_i) over the
+# weekly series, with the exact-integer 5% significance close.
+# --------------------------------------------------------------------------
+@query(
+    "segment_revenue_mann_kendall",
+    oracle="""
+    WITH weekly AS (
+        SELECT c.c_mktsegment AS segment,
+               date_trunc('week', o.o_orderdate)::TIMESTAMP AS week,
+               sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+    s AS (
+        SELECT a.segment,
+               sum(CASE WHEN b.cents > a.cents THEN 1
+                        WHEN b.cents < a.cents THEN -1
+                        ELSE 0 END)::BIGINT AS s_stat
+        FROM weekly a JOIN weekly b
+          ON b.segment = a.segment AND b.week > a.week
+        GROUP BY a.segment),
+    nw AS (SELECT segment, count(*)::BIGINT AS n_weeks FROM weekly
+           GROUP BY segment),
+    ties AS (
+        SELECT segment,
+               coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT
+                   AS tie_term
+        FROM (SELECT segment, count(*)::BIGINT AS t FROM weekly
+              GROUP BY segment, cents)
+        WHERE t > 1 GROUP BY segment),
+    m AS (
+        SELECT nw.segment, nw.n_weeks, s.s_stat,
+               (nw.n_weeks * (nw.n_weeks - 1) * (2 * nw.n_weeks + 5)
+                - coalesce(t.tie_term, 0))::BIGINT AS var_s_x18
+        FROM nw JOIN s ON s.segment = nw.segment
+        LEFT JOIN ties t ON t.segment = nw.segment)
+    SELECT segment, n_weeks, s_stat, var_s_x18,
+           (CASE WHEN s_stat >= 0
+                 THEN  s_stat * 1000000 // (n_weeks * (n_weeks - 1) // 2)
+                 ELSE -((-s_stat) * 1000000
+                        // (n_weeks * (n_weeks - 1) // 2))
+            END)::BIGINT AS tau_ppm,
+           CASE WHEN abs(s_stat) > 1
+                 AND 11250 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+                     > 2401 * var_s_x18
+                THEN CASE WHEN s_stat > 0 THEN 'up' ELSE 'down' END
+                ELSE 'none' END AS trend
+    FROM m
+    ORDER BY segment
+    """,
+)
+def segment_revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test on WEEKLY revenue per market
+    segment: S = Σ_{i<j} sign(rev_j − rev_i) over the week pairs,
+    Kendall-tau-style effect size S/C(n,2) on a ppm grid, and the
+    normal-approximation 5% call done in EXACT integers — with
+    Var(S)·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) kept unscaled, the
+    two-sided z > 1.96 test is (|S|−1)² · 18 · 625 > 2401 · Var·18
+    (1.96² = 2401/625 exactly), i.e. 11250·(|S|−1)² > 2401·var_s_x18 —
+    no sqrt, no float, no continuity-correction rounding.
+
+    Determinism: revenue is exact integer CENTS (the q7 contract)
+    before any comparison; sign sums, tie terms, and the significance
+    inequality are pure integers; tau divides with sign-split
+    magnitudes (trunc on both engines).
+
+    Scale: the fact pass is one (segment × week) aggregate after an
+    unhinted customer join (AQE broadcasts while it fits); the pair
+    self-join runs on the SCHEMA-bounded weekly frame (~5 segments ×
+    ~350 weeks → ~3e5 pairs at ANY SF), so the quadratic stage never
+    grows with data volume."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("week", "o_orderdate").alias("week"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    weekly = (
+        orders.join(cust, "o_custkey")
+        .groupBy("segment", "week")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    weekly = _pin("mk_weekly", weekly)
+    a = weekly.select(
+        "segment", F.col("week").alias("wa"), F.col("cents").alias("ca")
+    )
+    b = weekly.select(
+        "segment", F.col("week").alias("wb"), F.col("cents").alias("cb")
+    )
+    s = (
+        a.join(b, "segment")
+        .where(F.col("wb") > F.col("wa"))
+        .groupBy("segment")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nw = weekly.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_weeks")
+    )
+    ties = (
+        weekly.groupBy("segment", "cents")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("segment")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    m = (
+        nw.join(s, "segment")
+        .join(ties, "segment", "left")
+        .select(
+            "segment",
+            "n_weeks",
+            "s_stat",
+            (
+                F.col("n_weeks")
+                * (F.col("n_weeks") - 1)
+                * (2 * F.col("n_weeks") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("var_s_x18"),
+        )
+    )
+    return m.select(
+        "segment",
+        "n_weeks",
+        "s_stat",
+        "var_s_x18",
+        F.expr(
+            "cast(CASE WHEN s_stat >= 0"
+            " THEN s_stat * 1000000 div (n_weeks * (n_weeks - 1) div 2)"
+            " ELSE -((-s_stat) * 1000000"
+            "        div (n_weeks * (n_weeks - 1) div 2))"
+            " END as bigint)"
+        ).alias("tau_ppm"),
+        F.expr(
+            "CASE WHEN abs(s_stat) > 1"
+            " AND 11250 * (abs(s_stat) - 1) * (abs(s_stat) - 1)"
+            "     > 2401 * var_s_x18"
+            " THEN CASE WHEN s_stat > 0 THEN 'up' ELSE 'down' END"
+            " ELSE 'none' END"
+        ).alias("trend"),
+    ).orderBy("segment")
