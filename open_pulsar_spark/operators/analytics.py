@@ -7604,3 +7604,144 @@ def segment_revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'none' END"
         ).alias("trend"),
     ).orderBy("segment")
+
+
+# --------------------------------------------------------------------------
+# user_growth_accounting — the DAU growth-accounting ledger (new /
+# retained / resurrected / dormant) per day, with the quick ratio.
+# Retention cohorts answer "how does a signup class decay"; growth
+# accounting answers the operator's daily question — of today's active
+# users, who is new, who came back, who stayed, and how many of
+# yesterday's actives went silent. The identity
+# DAU(d) = new + retained + resurrected and churn(d) = DAU(d−1) −
+# retained(d) makes the four counts a closed ledger.
+# --------------------------------------------------------------------------
+@query(
+    "user_growth_accounting",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts)::TIMESTAMP AS day
+        FROM events),
+    seq AS (
+        SELECT user_id, day,
+               lag(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev,
+               lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+        FROM active),
+    cls AS (
+        SELECT day,
+               sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_new,
+               sum(CASE WHEN prev = day - INTERVAL 1 DAY THEN 1 ELSE 0
+                   END)::BIGINT AS n_retained,
+               sum(CASE WHEN prev IS NOT NULL
+                         AND prev < day - INTERVAL 1 DAY THEN 1 ELSE 0
+                   END)::BIGINT AS n_resurrected
+        FROM seq GROUP BY day),
+    dor AS (
+        SELECT day + INTERVAL 1 DAY AS day, count(*)::BIGINT AS n_dormant
+        FROM seq
+        WHERE (nxt IS NULL OR nxt > day + INTERVAL 1 DAY)
+          AND day + INTERVAL 1 DAY <= (SELECT max(day) FROM active)
+        GROUP BY 1)
+    SELECT coalesce(c.day, d.day) AS day,
+           coalesce(c.n_new, 0)::BIGINT         AS n_new,
+           coalesce(c.n_retained, 0)::BIGINT    AS n_retained,
+           coalesce(c.n_resurrected, 0)::BIGINT AS n_resurrected,
+           coalesce(d.n_dormant, 0)::BIGINT     AS n_dormant,
+           (CASE WHEN coalesce(d.n_dormant, 0) = 0 THEN 0
+                 ELSE (coalesce(c.n_new, 0) + coalesce(c.n_resurrected, 0))
+                      * 1000000 // d.n_dormant END)::BIGINT
+               AS quick_ratio_ppm
+    FROM cls c FULL JOIN dor d ON d.day = c.day
+    ORDER BY day
+    """,
+)
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting over the event stream: each active
+    (user, day) is NEW (first day ever), RETAINED (also active the
+    previous day), or RESURRECTED (returning after a gap); a user
+    active on d with no activity on d+1 generates one DORMANT event
+    at d+1 (clamped to the observed horizon). The quick ratio
+    (new + resurrected) / dormant on a ppm grid is the
+    one-number health readout: above 1e6, the product backfills its
+    churn. Complements user_retention_cohorts (cohort decay curves)
+    with the additive day-over-day ledger.
+
+    Determinism: calendar arithmetic on day-truncated timestamps and
+    pure integer counts; one trunc-div for the ratio; the full outer
+    day spine coalesces both sides identically in both engines.
+
+    Scale: one distinct to (user, day) grain, two user-partitioned
+    sequence windows (shuffle keyed by user_id), then aggregates onto
+    the SCHEMA-bounded day spine; the final full join runs on
+    O(#days) rows at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w_u = Window.partitionBy("user_id").orderBy("day")
+    seq = active.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w_u).alias("prev"),
+        F.lead("day").over(w_u).alias("nxt"),
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    seq = _pin("growth_seq", seq)
+    cls = seq.groupBy("day").agg(
+        F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(
+            F.when(
+                F.col("prev") == F.expr("day - INTERVAL 1 DAY"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.col("prev") < F.expr("day - INTERVAL 1 DAY")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    max_day = active.agg(F.max("day").alias("max_day"))
+    dor = (
+        seq.crossJoin(F.broadcast(max_day))
+        .where(
+            (
+                F.col("nxt").isNull()
+                | (F.col("nxt") > F.expr("day + INTERVAL 1 DAY"))
+            )
+            & (F.expr("day + INTERVAL 1 DAY") <= F.col("max_day"))
+        )
+        .select(F.expr("day + INTERVAL 1 DAY").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("n_dormant"))
+    )
+    joined = cls.join(dor, "day", "full").select(
+        "day",
+        F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        F.coalesce("n_retained", F.lit(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.coalesce("n_resurrected", F.lit(0))
+        .cast("bigint")
+        .alias("n_resurrected"),
+        F.coalesce("n_dormant", F.lit(0))
+        .cast("bigint")
+        .alias("n_dormant"),
+    )
+    return joined.select(
+        "*",
+        F.expr(
+            "cast(CASE WHEN n_dormant = 0 THEN 0"
+            " ELSE (n_new + n_resurrected) * 1000000 div n_dormant"
+            " END as bigint)"
+        ).alias("quick_ratio_ppm"),
+    ).orderBy("day")
