@@ -2123,3 +2123,114 @@ def quality_token_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema)
     release()
     return result
+
+
+# --------------------------------------------------------------------------
+# tokenizer_vocab_coverage — OOV audit of a frequency-built vocabulary.
+# A tokenizer (or merge table) trained on corpus frequencies keeps the
+# top-V units; everything else hits the OOV/byte-fallback path, and the
+# FALLBACK RATE PER SOURCE is the number that decides whether a source
+# needs vocab expansion before training. Unit here: word BIGRAMS (the
+# corpus' ~30-word vocabulary makes unigram coverage degenerate, while
+# its ~900 bigram types give a real frequency cliff — and bigram
+# frequency is exactly the statistic BPE merges are ranked by).
+# --------------------------------------------------------------------------
+VOCAB_V = 256  # vocabulary size: top-V bigrams by corpus frequency
+
+
+@query(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH t AS (SELECT source, str_split(text, ' ') AS toks FROM documents),
+    bg AS (
+        SELECT source, unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM t),
+    freq AS (SELECT bigram, count(*)::BIGINT AS c FROM bg GROUP BY 1),
+    vocab AS (
+        SELECT bigram FROM (
+            SELECT bigram,
+                   row_number() OVER (ORDER BY c DESC, bigram) AS rk
+            FROM freq)
+        WHERE rk <= {VOCAB_V})
+    SELECT source,
+           count(*)::BIGINT AS n_bigrams,
+           sum(CASE WHEN v.bigram IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_oov,
+           count(DISTINCT bg.bigram)::BIGINT AS n_distinct,
+           count(DISTINCT CASE WHEN v.bigram IS NULL
+                               THEN bg.bigram END)::BIGINT
+               AS n_distinct_oov,
+           (sum(CASE WHEN v.bigram IS NULL THEN 1 ELSE 0 END)
+            * 1000000 // count(*))::BIGINT AS oov_ppm
+    FROM bg LEFT JOIN vocab v ON v.bigram = bg.bigram
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against a top-{VOCAB_V}
+    bigram vocabulary built from corpus frequencies (count DESC, then
+    lexicographic — the deterministic merge-rank order). Emits per
+    source the bigram volume, OOV hits, distinct/distinct-OOV type
+    counts, and the OOV rate on a ppm grid — the fertility/fallback
+    audit that decides which sources a tokenizer underserves, next to
+    lang_token_fertility's per-language readout.
+
+    Determinism: the vocabulary cut is a row_number with a total
+    order (count DESC, bigram ASC); coverage is pure integer counts
+    and one trunc-div per source.
+
+    Scale: bigrams explode map-side from each doc's token array (no
+    self-join); ONE shuffle builds the global frequency table; the
+    top-{VOCAB_V} cut is config-bounded, so membership flags ride a
+    BROADCAST left join back onto the stream and the per-source close
+    is one map-combinable aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", _tokens(F.col("text")).alias("toks")
+    )
+    bg = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ',"
+                "             element_at(toks, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    freq = bg.groupBy("bigram").agg(F.count("*").cast("bigint").alias("c"))
+    w_rk = Window.orderBy(F.desc("c"), "bigram")
+    vocab = (
+        freq.withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") <= VOCAB_V)
+        .select("bigram", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        bg.join(F.broadcast(vocab), "bigram", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.countDistinct("bigram").cast("bigint").alias("n_distinct"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("bigram"))
+            )
+            .cast("bigint")
+            .alias("n_distinct_oov"),
+        )
+        .select(
+            "source",
+            "n_bigrams",
+            "n_oov",
+            "n_distinct",
+            "n_distinct_oov",
+            F.expr(
+                "cast(n_oov * 1000000 div n_bigrams as bigint)"
+            ).alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )
