@@ -1999,3 +1999,107 @@ def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         for src, n_h, s_h, x_h in m
     ]
     return spark.createDataFrame(out, schema).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# dedup_quality_shift — does dedup make the corpus BETTER, not just
+# smaller? Near-dups concentrate in low-quality boilerplate, so
+# keep-one-per-cluster dedup should RAISE mean quality; a source where
+# it doesn't is duplicating its good documents (a crawler revisiting
+# canonical pages), which flips the curation decision from "dedup
+# harder" to "dedup is eating signal". The per-source before/after
+# mean-quality ledger is that check.
+# --------------------------------------------------------------------------
+def _quality_shift_oracle() -> str:
+    from open_pulsar_spark.operators.dedup import (
+        _CLOSURE_CTES,
+        _MINHASH_PAIRS_CTE,
+    )
+    from open_pulsar_spark.operators.text import _QUALITY_Q_CTE
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    {_CLOSURE_CTES},
+    {_QUALITY_Q_CTE},
+    j AS (
+        SELECT d.source,
+               round(q.quality * 1000000)::BIGINT AS q_ppm,
+               CASE WHEN l.ldoc IS NULL OR l.cluster_rep = d.doc_id
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        LEFT JOIN labels l ON l.ldoc = d.doc_id),
+    m AS (
+        SELECT source,
+               count(*)::BIGINT AS n_docs,
+               sum(kept)::BIGINT AS n_kept,
+               (sum(q_ppm) // count(*))::BIGINT AS mean_q_pre_ppm,
+               (sum(CASE WHEN kept = 1 THEN q_ppm ELSE 0 END)
+                // sum(kept))::BIGINT AS mean_q_post_ppm
+        FROM j GROUP BY source)
+    SELECT source, n_docs, n_kept, mean_q_pre_ppm, mean_q_post_ppm,
+           (mean_q_post_ppm - mean_q_pre_ppm)::BIGINT AS shift_ppm
+    FROM m
+    ORDER BY source
+    """
+
+
+@query("dedup_quality_shift", oracle=_quality_shift_oracle())
+def dedup_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean document quality per source BEFORE vs AFTER near-dup dedup
+    (dedup_clusters' keep-the-min-id survivor; singletons survive),
+    with the shift in ppm. dedup_token_savings prices dedup in tokens
+    removed; this prices it in SIGNAL — a positive shift confirms
+    duplication was concentrated in low-quality boilerplate, a
+    negative shift on a source is the "crawler is duplicating the
+    good pages" alarm that says tighten the near-dup threshold before
+    training on it.
+
+    Determinism: each document's quality lands on the ppm integer
+    grid BEFORE any sum (the per-cell rounding contract); means are
+    integer trunc-divs; every source keeps ≥ 1 document (cluster
+    survivors are members), so the post-dedup divisor is never zero.
+
+    Scale: the closure is dedup_clusters' measured-linear plan; this
+    adds the map-side quality projection on the documents scan, one
+    key join to the (small) cluster-member frame, and a
+    |sources|-row aggregate."""
+    from open_pulsar_spark.operators.dedup import dedup_clusters
+    from open_pulsar_spark.operators.text import quality_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.round(quality_expr(F.col("text")) * 1000000, 0)
+        .cast("bigint")
+        .alias("q_ppm"),
+    )
+    reps = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
+    kept = F.when(
+        F.col("cluster_rep").isNull()
+        | (F.col("cluster_rep") == F.col("doc_id")),
+        1,
+    ).otherwise(0)
+    return (
+        docs.join(reps, "doc_id", "left")
+        .withColumn("kept", kept)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.expr("cast(sum(q_ppm) div count(*) as bigint)").alias(
+                "mean_q_pre_ppm"
+            ),
+            F.expr(
+                "cast(sum(CASE WHEN kept = 1 THEN q_ppm ELSE 0 END)"
+                " div sum(kept) as bigint)"
+            ).alias("mean_q_post_ppm"),
+        )
+        .select(
+            "*",
+            (F.col("mean_q_post_ppm") - F.col("mean_q_pre_ppm"))
+            .cast("bigint")
+            .alias("shift_ppm"),
+        )
+        .orderBy("source")
+    )
