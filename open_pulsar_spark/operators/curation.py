@@ -2103,3 +2103,189 @@ def dedup_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# dsir_importance_weights — Data Selection via Importance Resampling
+# (Xie et al., 2023): score every document by how target-like its
+# HASHED n-gram profile is, log p_target(f)/p_raw(f) summed over the
+# document's features under two smoothed bag-of-hashed-bigrams models.
+# The scalable stand-in for "run a classifier over 100 TB": two count
+# aggregates and a broadcast join, no model inference. Target here: the
+# English slice (the reference-corpus role); raw: the full corpus.
+# --------------------------------------------------------------------------
+DSIR_BUCKETS = 1024  # hashed-feature space (power of two, fits broadcast)
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks
+               FROM documents),
+    f AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(bg), 1, 15))::BIGINT % {DSIR_BUCKETS}
+                   AS b
+        FROM (SELECT doc_id, lang,
+                     unnest(list_transform(
+                         generate_series(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1])) AS bg
+              FROM t)),
+    cb AS (
+        SELECT b,
+               count(*)::BIGINT AS c_r,
+               sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0
+                   END)::BIGINT AS c_t
+        FROM f GROUP BY b),
+    term AS (
+        SELECT b,
+               (CAST(round(ln(c_t + 1) * 1000000000) AS BIGINT)
+                - CAST(round(ln(c_r + 1) * 1000000000) AS BIGINT))
+                   AS lt_nano
+        FROM cb),
+    tot AS (
+        SELECT CAST(round(ln(count(*) + {DSIR_BUCKETS}) * 1000000000)
+                    AS BIGINT)
+               - CAST(round(ln(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                                        THEN 1 ELSE 0 END)
+                                + {DSIR_BUCKETS}) * 1000000000) AS BIGINT)
+                   AS norm_nano
+        FROM f),
+    per_doc AS (
+        SELECT f.doc_id, count(*)::BIGINT AS n_feats,
+               sum(term.lt_nano)::BIGINT AS s_nano
+        FROM f JOIN term ON term.b = f.b
+        GROUP BY f.doc_id)
+    SELECT d.doc_id, d.lang,
+           coalesce(p.n_feats, 0)::BIGINT AS n_feats,
+           coalesce(p.s_nano + p.n_feats * t.norm_nano, 0)::BIGINT
+               AS logw_nano,
+           CASE WHEN coalesce(p.s_nano + p.n_feats * t.norm_nano, 0) > 0
+                THEN 1 ELSE 0 END AS target_like
+    FROM documents d
+    LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    CROSS JOIN tot t
+    ORDER BY d.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: log of the likelihood
+    ratio of the doc's hashed-bigram features under an add-one-
+    smoothed TARGET model (lang = '{DSIR_TARGET_LANG}', the reference-
+    corpus role) vs the RAW corpus model —
+    Σ_f [ln(c_t(f)+1) − ln(c_r(f)+1)] + n·[ln(R+B) − ln(T+B)],
+    features hashed md5-60-bit into B = {DSIR_BUCKETS} buckets (the
+    shared hash rule). Positive means "looks like the target"; the
+    resampling step keeps documents ∝ exp(w), so the weight IS the
+    curation signal. This is the importance-resampling leg the
+    corpus_* sampling family was missing: quality gates score form,
+    DSIR scores DISTRIBUTIONAL fit to a reference.
+
+    Determinism: every ln lands on the nano integer grid as a SINGLE
+    rounding of a count-valued ln (the keyness contract — ln is
+    IEEE-identical across engines on integer-valued doubles); all
+    sums and the n·norm close are exact integer arithmetic.
+
+    Scale: features explode map-side; ONE shuffle builds the
+    {DSIR_BUCKETS}-bucket count table, which is config-bounded and
+    broadcasts back onto the feature stream; the per-doc close is one
+    map-combinable aggregate plus a doc-grain left join. The global
+    scalar rides a 1-row broadcast. Nothing quadratic, nothing
+    collected."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _bigram_col()
+    )
+    f = docs.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("bg")), 1, 15), 16, 10).cast(
+                "bigint"
+            )
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    cb = f.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("c_r"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c_t"),
+    )
+    term = cb.select(
+        "b",
+        (
+            F.round(F.log(F.col("c_t") + 1) * 1000000000, 0).cast("bigint")
+            - F.round(F.log(F.col("c_r") + 1) * 1000000000, 0).cast(
+                "bigint"
+            )
+        ).alias("lt_nano"),
+    )
+    tot = f.agg(
+        (
+            F.round(
+                F.log(F.count("*") + DSIR_BUCKETS) * 1000000000, 0
+            ).cast("bigint")
+            - F.round(
+                F.log(
+                    F.sum(
+                        F.when(
+                            F.col("lang") == DSIR_TARGET_LANG, 1
+                        ).otherwise(0)
+                    )
+                    + DSIR_BUCKETS
+                )
+                * 1000000000,
+                0,
+            ).cast("bigint")
+        ).alias("norm_nano")
+    )
+    per_doc = (
+        f.join(F.broadcast(term), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("lt_nano").cast("bigint").alias("s_nano"),
+        )
+    )
+    spine = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        spine.join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce(
+                F.col("s_nano") + F.col("n_feats") * F.col("norm_nano"),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("logw_nano"),
+        )
+        .withColumn(
+            "target_like",
+            F.when(F.col("logw_nano") > 0, 1).otherwise(0),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bigram_col():
+    """Word-bigram explode column (1-based element_at, matching the
+    oracle's 1-based list indexing). Guarded for < 2 tokens: Spark's
+    sequence(1, 0) counts DOWN ([1, 0] — element_at(_, 0) throws)
+    where DuckDB's generate_series(1, 0) is empty, so the short-doc
+    case must short-circuit to an empty array (explode then drops the
+    row, matching the oracle's zero-feature behavior)."""
+    return F.explode(
+        F.expr(
+            "CASE WHEN size(split(text, ' ')) < 2"
+            " THEN array()"
+            " ELSE transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> concat(element_at(split(text, ' '), i), ' ',"
+            "             element_at(split(text, ' '), i + 1))) END"
+        )
+    ).alias("bg")

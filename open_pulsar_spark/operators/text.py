@@ -2190,13 +2190,17 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "source", _tokens(F.col("text")).alias("toks")
     )
+    # Guard for < 2 tokens: Spark's sequence(1, 0) counts DOWN ([1, 0]
+    # — element_at(_, 0) throws) where DuckDB's generate_series(1, 0)
+    # is empty, so short docs must short-circuit to an empty array.
     bg = docs.select(
         "source",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(toks) - 1),"
+                "CASE WHEN size(toks) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(toks) - 1),"
                 " i -> concat(element_at(toks, i), ' ',"
-                "             element_at(toks, i + 1)))"
+                "             element_at(toks, i + 1))) END"
             )
         ).alias("bigram"),
     )
