@@ -2888,3 +2888,126 @@ def dedup_cluster_size_histogram(
         )
         .orderBy("cluster_size")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_containment — ASYMMETRIC near-dup detection. Jaccard misses the
+# quote/subset case: a 100-shingle doc fully embedded in a 2000-shingle
+# doc scores J ≈ 0.05 (invisible below any sane threshold) but
+# containment C(A,B) = |A∩B|/|A| = 1.0. This is the metric that finds
+# excerpts, mirrored sections, and doc-inside-doc duplication that the
+# symmetric family structurally cannot.
+# --------------------------------------------------------------------------
+CONT_DF_CAP = 16       # shingles in > CAP docs are corpus boilerplate:
+#                        excluded from the metric's universe in BOTH
+#                        engines (the WINNOW_DF_CAP pattern — a
+#                        semantic definition, not a silent truncation).
+#                        Cluster-scale repetition (near-dup clusters
+#                        are far smaller than 16) stays in.
+CONT_MIN_PPM = 500000  # report pairs with max-direction containment ≥ 0.5
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLE_SQL}),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+    capped AS (
+        SELECT doc_id, s FROM ex
+        WHERE s IN (SELECT s FROM ex GROUP BY s
+                    HAVING count(*) <= {CONT_DF_CAP})),
+    sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM capped GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               count(*)::BIGINT AS n_shared
+        FROM capped a JOIN capped b
+          ON b.s = a.s AND b.doc_id > a.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT i.a_id, i.b_id, i.n_shared,
+           sa.n AS n_a, sb.n AS n_b,
+           (i.n_shared * 1000000 // sa.n)::BIGINT AS cont_a_ppm,
+           (i.n_shared * 1000000 // sb.n)::BIGINT AS cont_b_ppm
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.a_id
+    JOIN sz sb ON sb.doc_id = i.b_id
+    WHERE greatest(i.n_shared * 1000000 // sa.n,
+                   i.n_shared * 1000000 // sb.n) >= {CONT_MIN_PPM}
+    ORDER BY a_id, b_id
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs: over the df-capped 3-gram shingle
+    universe (df ≤ {CONT_DF_CAP} — corpus-wide boilerplate shingles
+    are excluded from the metric itself, identically in both engines),
+    every ordered pair sharing shingles gets both directional scores
+    C(A,B) = |A∩B|/|A| and C(B,A) = |A∩B|/|B| on a ppm grid; pairs
+    where EITHER direction ≥ {CONT_MIN_PPM/10000:.0f}% are reported.
+    The asymmetric complement of dedup_ngram_jaccard: a short document
+    swallowed by a long one is invisible to Jaccard but scores 1.0
+    here — the excerpt/quote/subset-dup detector.
+
+    Determinism: exact distinct-shingle sets, integer intersection
+    counts, trunc-div ppm scores.
+
+    Scale: no all-pairs pass exists anywhere — candidates come from
+    the shingle INVERTED INDEX (one explode + one equi-self-join on
+    the shingle key), and the df cap bounds each shingle's fan-out at
+    C({CONT_DF_CAP},2) pairs BY CONSTRUCTION, so the join output is
+    linear in the index size. One aggregate to pair grain, two
+    key joins for the denominators."""
+    shingled = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat(element_at(toks, i), ' ',"
+                    "             element_at(toks, i + 1), ' ',"
+                    "             element_at(toks, i + 2)))"
+                )
+            ).alias("sh"),
+        )
+    )
+    ex = shingled.select("doc_id", F.explode("sh").alias("s"))
+    keep = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= CONT_DF_CAP)
+        .select("s")
+    )
+    capped = _pin("containment_capped", ex.join(keep, "s", "left_semi"))
+    sz = capped.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    a = capped.select(F.col("doc_id").alias("a_id"), "s")
+    b = capped.select(F.col("doc_id").alias("b_id"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("b_id") > F.col("a_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("a_id"),
+                             F.col("n").alias("n_a")), "a_id")
+        .join(sz.select(F.col("doc_id").alias("b_id"),
+                        F.col("n").alias("n_b")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("cast(n_shared * 1000000 div n_a as bigint)").alias(
+                "cont_a_ppm"
+            ),
+            F.expr("cast(n_shared * 1000000 div n_b as bigint)").alias(
+                "cont_b_ppm"
+            ),
+        )
+        .where(
+            F.greatest("cont_a_ppm", "cont_b_ppm") >= CONT_MIN_PPM
+        )
+        .orderBy("a_id", "b_id")
+    )
