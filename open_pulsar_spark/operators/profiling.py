@@ -1929,3 +1929,142 @@ def brand_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (brand, n, k, rate, lb) in enumerate(scored)
     ]
     return spark.createDataFrame(out, schema).orderBy("rk")
+
+
+# --------------------------------------------------------------------------
+# source_length_ks_matrix — pairwise two-sample Kolmogorov–Smirnov
+# distance between sources' document-length distributions.
+# corpus_source_drift watches ONE source's language mix over time; the
+# KS matrix answers the cross-sectional question — which sources are
+# drawing documents from visibly DIFFERENT length regimes? A high-KS
+# outlier row is the "this crawler is truncating / this dump is
+# concatenating" alarm that length histograms per source make you
+# eyeball and this query makes a number.
+# --------------------------------------------------------------------------
+KS_C2_PPM = 1844164  # 1.358² · 1e6 — the α = 0.05 two-sample KS critical
+#                      constant, squared onto a ppm grid so the
+#                      significance test is a pure integer inequality.
+
+
+@query(
+    "source_length_ks_matrix",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT source, n_chars AS v, count(*)::BIGINT AS c
+        FROM documents GROUP BY 1, 2),
+    vals AS (SELECT DISTINCT v FROM cnt),
+    srcs AS (SELECT source, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+    spine AS (
+        SELECT s.source, s.n, vals.v,
+               sum(coalesce(c.c, 0)) OVER (PARTITION BY s.source
+                                           ORDER BY vals.v)::BIGINT AS cum
+        FROM srcs s CROSS JOIN vals
+        LEFT JOIN cnt c ON c.source = s.source AND c.v = vals.v),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               max(a.n) AS n_a, max(b.n) AS n_b,
+               max(abs(a.cum * b.n - b.cum * a.n))::BIGINT AS m
+        FROM spine a JOIN spine b
+          ON b.v = a.v AND b.source > a.source
+        GROUP BY a.source, b.source)
+    SELECT src_a, src_b, n_a, n_b,
+           (m * 1000000 // (n_a * n_b))::BIGINT AS ks_ppm,
+           CASE WHEN (m * 1000000 // (n_a * n_b))::HUGEINT
+                     * (m * 1000000 // (n_a * n_b)) * n_a * n_b
+                   > {KS_C2_PPM}::HUGEINT * (n_a + n_b) * 1000000
+                THEN 1 ELSE 0 END AS drift
+    FROM pairs
+    ORDER BY src_a, src_b
+    """,
+)
+def source_length_ks_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic for every source pair over the
+    doc-length (n_chars) distribution: D = max_x |ECDF_a − ECDF_b|,
+    computed EXACTLY as max |cum_a·n_b − cum_b·n_a| / (n_a·n_b) in
+    integers, on a ppm grid, with the α = 0.05 significance call
+    D > 1.358·√((n_a+n_b)/(n_a·n_b)) squared into the pure-integer
+    inequality ks² · n_a·n_b > {KS_C2_PPM} · (n_a+n_b) · 10⁶ (widened
+    to 128-bit so the product can't overflow at any corpus size).
+
+    Determinism: integer counts, integer cross-multiplied ECDF gaps,
+    one trunc-div, and an integer significance inequality — no floats
+    anywhere.
+
+    Scale: one (source × length) count aggregate over the corpus is
+    the only full-data pass; the ECDF spine is |sources| × |distinct
+    lengths| — both CONTENT-bounded (length range saturates ~500
+    values) — so the pair join runs on a few-thousand-row frame at
+    ANY SF, the ab_test/anova bounded-close shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy(
+        "source", F.col("n_chars").alias("v")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    from open_pulsar_spark.operators.dedup import _pin
+
+    cnt = _pin("ks_cnt", cnt)
+    from pyspark.sql.window import Window
+
+    vals = cnt.select("v").distinct()
+    srcs = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spine = (
+        srcs.crossJoin(vals)
+        .join(cnt, ["source", "v"], "left")
+        .select(
+            "source",
+            "n",
+            "v",
+            F.sum(F.coalesce("c", F.lit(0)))
+            .over(w_cum)
+            .cast("bigint")
+            .alias("cum"),
+        )
+    )
+    a = spine.select(
+        F.col("source").alias("src_a"),
+        F.col("n").alias("na"),
+        "v",
+        F.col("cum").alias("cum_a"),
+    )
+    b = spine.select(
+        F.col("source").alias("src_b"),
+        F.col("n").alias("nb"),
+        "v",
+        F.col("cum").alias("cum_b"),
+    )
+    pairs = (
+        a.join(b, "v")
+        .where(F.col("src_b") > F.col("src_a"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("nb")
+                    - F.col("cum_b") * F.col("na")
+                )
+            )
+            .cast("bigint")
+            .alias("m"),
+        )
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        F.expr("cast(m * 1000000 div (n_a * n_b) as bigint)").alias(
+            "ks_ppm"
+        ),
+        F.expr(
+            f"CASE WHEN cast(m * 1000000 div (n_a * n_b) as decimal(38,0))"
+            f" * (m * 1000000 div (n_a * n_b)) * n_a * n_b"
+            f" > cast({KS_C2_PPM} as decimal(38,0)) * (n_a + n_b) * 1000000"
+            f" THEN 1 ELSE 0 END"
+        ).alias("drift"),
+    ).orderBy("src_a", "src_b")
