@@ -264,6 +264,17 @@ EXTRA = [
     "event_type_burstiness",
     "brand_market_coverage",
     "dedup_cluster_size_histogram",
+    # round-9 wave
+    "retrieval_map",
+    "retrieval_recall_at_k",
+    "daily_order_cusum",
+    "segment_revenue_mann_kendall",
+    "user_growth_accounting",
+    "tokenizer_vocab_coverage",
+    "dedup_quality_shift",
+    "dsir_importance_weights",
+    "dedup_containment",
+    "source_length_ks_matrix",
 ]
 
 # Fixed A/A probe (round-9, VERDICT r8 task #7): re-sampled AFTER the

@@ -7745,3 +7745,136 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END as bigint)"
         ).alias("quick_ratio_ppm"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# user_rfm_segments — the RFM (Recency / Frequency / Monetary) customer
+# segmentation grid: exact quintile scores per dimension and the named
+# lifecycle segments ops teams act on. The CRM-side complement of
+# user_growth_accounting: growth accounting counts state transitions,
+# RFM names WHO is in each state and what their wallet looks like.
+# --------------------------------------------------------------------------
+RFM_LABEL_SQL = """CASE
+    WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+    WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+    WHEN r_score <= 2 THEN 'at_risk'
+    WHEN f_score >= 4 THEN 'loyal'
+    WHEN m_score >= 4 THEN 'big_spender'
+    ELSE 'regular' END"""
+
+
+@query(
+    "user_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               datediff('day', max(o_orderdate),
+                        (SELECT max(o_orderdate) FROM orders))::BIGINT
+                   AS recency_days,
+               count(*)::BIGINT AS n_orders,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY o_custkey),
+    n AS (SELECT count(*)::BIGINT AS n FROM cust),
+    scored AS (
+        SELECT o_custkey, recency_days, n_orders, cents,
+               (1 + 5 * (row_number() OVER (ORDER BY recency_days DESC,
+                                            o_custkey) - 1) // n.n)::INT
+                   AS r_score,
+               (1 + 5 * (row_number() OVER (ORDER BY n_orders, o_custkey)
+                         - 1) // n.n)::INT AS f_score,
+               (1 + 5 * (row_number() OVER (ORDER BY cents, o_custkey)
+                         - 1) // n.n)::INT AS m_score
+        FROM cust CROSS JOIN n)
+    SELECT r_score, f_score, m_score,
+           {RFM_LABEL_SQL} AS segment,
+           count(*)::BIGINT AS n_customers,
+           sum(cents)::BIGINT AS total_cents,
+           (sum(recency_days) // count(*))::BIGINT AS avg_recency_days
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1–5 on Recency (5 =
+    bought most recently), Frequency, and Monetary value by EXACT
+    global quintile rank (score = 1 + 5·(rank−1)//n with a custkey
+    tie-break — a total order, so both engines cut identical
+    quintiles), labeled with the standard lifecycle names (champion /
+    loyal / big_spender / new / at_risk / hibernating / regular), and
+    rolled up to the ≤125-cell (r,f,m) grid with customer counts,
+    wallet totals in exact cents, and mean recency.
+
+    Determinism: ranks are total-ordered (metric, custkey); scores,
+    cent sums, and the mean's trunc-div are pure integers; the label
+    CASE is evaluated in one fixed order in both engines.
+
+    Scale: the customer rollup is one fact aggregate; each of the
+    three global ranks uses the RANGE-PARTITIONED prefix scaffold
+    (prefix.global_prefix — per-partition row_numbers + broadcast
+    exclusive offsets), NOT a single-partition global window, so
+    quintile cutting survives an SF-linear customer table; the close
+    is a ≤125-row aggregate."""
+    from open_pulsar_spark.operators.prefix import global_prefix
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("mxd"), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    scores = {}
+    releases = []
+    specs = [
+        ("r_score", [F.desc("recency_days"), F.col("o_custkey")]),
+        ("f_score", [F.col("n_orders"), F.col("o_custkey")]),
+        ("m_score", [F.col("cents"), F.col("o_custkey")]),
+    ]
+    base = cust
+    for name, order_cols in specs:
+        aug, totals, release = global_prefix(spark, base, order_cols)
+        n = totals["n"]
+        scores[name] = aug.select(
+            "o_custkey",
+            F.expr(f"cast(1 + 5 * (rk - 1) div {n} as int)").alias(name),
+        )
+        releases.append(release)
+    joined = (
+        cust.join(scores["r_score"], "o_custkey")
+        .join(scores["f_score"], "o_custkey")
+        .join(scores["m_score"], "o_custkey")
+    )
+    out = (
+        joined.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.expr(
+                "cast(sum(recency_days) div count(*) as bigint)"
+            ).alias("avg_recency_days"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            F.expr(RFM_LABEL_SQL).alias("segment"),
+            "n_customers",
+            "total_cents",
+            "avg_recency_days",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+    result = spark.createDataFrame(out.collect(), out.schema)
+    for release in releases:
+        release()
+    return result

@@ -257,6 +257,17 @@ AUDITED = [
     "event_type_burstiness",
     "brand_market_coverage",
     "dedup_cluster_size_histogram",
+    # round-9 wave
+    "retrieval_map",
+    "retrieval_recall_at_k",
+    "daily_order_cusum",
+    "segment_revenue_mann_kendall",
+    "user_growth_accounting",
+    "tokenizer_vocab_coverage",
+    "dedup_quality_shift",
+    "dsir_importance_weights",
+    "dedup_containment",
+    "source_length_ks_matrix",
 ]
 
 
