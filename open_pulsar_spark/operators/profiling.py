@@ -2068,3 +2068,176 @@ def source_length_ks_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN 1 ELSE 0 END"
         ).alias("drift"),
     ).orderBy("src_a", "src_b")
+
+
+# --------------------------------------------------------------------------
+# segment_value_psi_drift — Population Stability Index of the
+# order-value distribution, first half of the calendar vs second half,
+# per market segment. The KS matrix above compares SOURCES
+# cross-sectionally; PSI is the longitudinal twin scoring how far a
+# segment's spending distribution has walked over time — the model-
+# monitoring number (PSI > 0.2 = retrain/investigate) computed the
+# exact-integer way.
+# --------------------------------------------------------------------------
+PSI_ALERT_NANO = 200000000  # the conventional PSI > 0.2 alert level
+
+
+@query(
+    "segment_value_psi_drift",
+    oracle=f"""
+    WITH o AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN epoch_us(o.o_orderdate) * 2 <=
+                         (SELECT min(epoch_us(o_orderdate))
+                              + max(epoch_us(o_orderdate)) FROM orders)
+                    THEN 1 ELSE 2 END AS half,
+               length(bin(round(o.o_totalprice * 100)::BIGINT)) AS bkt
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    cb AS (
+        SELECT segment, bkt,
+               sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+               sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)::BIGINT AS c2
+        FROM o GROUP BY segment, bkt),
+    t AS (
+        SELECT segment,
+               sum(c1)::BIGINT AS t1, sum(c2)::BIGINT AS t2,
+               count(*)::BIGINT AS nb
+        FROM cb GROUP BY segment),
+    terms AS (
+        SELECT cb.segment,
+               ((cb.c2 + 1)::HUGEINT * (t.t1 + t.nb)
+                - (cb.c1 + 1)::HUGEINT * (t.t2 + t.nb)) AS num,
+               ((t.t1 + t.nb)::HUGEINT * (t.t2 + t.nb)) AS den,
+               (CAST(round(ln(cb.c2 + 1) * 1000000000) AS BIGINT)
+                + CAST(round(ln(t.t1 + t.nb) * 1000000000) AS BIGINT)
+                - CAST(round(ln(cb.c1 + 1) * 1000000000) AS BIGINT)
+                - CAST(round(ln(t.t2 + t.nb) * 1000000000) AS BIGINT))
+                   AS l_nano
+        FROM cb JOIN t ON t.segment = cb.segment),
+    per AS (
+        SELECT segment,
+               sum(CASE WHEN num * l_nano >= 0
+                        THEN  (abs(num) * abs(l_nano)) // den
+                        ELSE -((abs(num) * abs(l_nano)) // den)
+                   END)::BIGINT AS psi_nano
+        FROM terms GROUP BY segment)
+    SELECT p.segment, t.t1 AS n_h1, t.t2 AS n_h2, t.nb AS n_buckets,
+           p.psi_nano,
+           CASE WHEN p.psi_nano > {PSI_ALERT_NANO} THEN 1 ELSE 0 END
+               AS drift_alert
+    FROM per p JOIN t ON t.segment = p.segment
+    ORDER BY p.segment
+    """,
+)
+def segment_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of order value per segment across the calendar midpoint:
+    orders bucket by the BIT LENGTH of their exact cent total (a
+    power-of-two histogram computed with string/integer ops — no
+    float log can flip a boundary), each half's distribution is
+    add-one smoothed over the segment's observed buckets, and
+    PSI = Σ (p₂−p₁)·ln(p₂/p₁) is assembled per bucket as
+    (c₂'·T₁' − c₁'·T₂')·L / (T₁'·T₂') with L the nano-grid sum of four
+    SINGLE ln roundings of integer counts (the keyness contract),
+    sign-split trunc-div per bucket, summed in nano units. Alerts at
+    the conventional PSI > 0.2.
+
+    Determinism: the calendar split compares 2·epoch_µs against the
+    integer min+max sum (no midpoint division); buckets, counts, the
+    cross-multiplied numerator, and the per-bucket close are exact
+    integers (128-bit where products demand it); ln enters only as
+    single nano-roundings of integer-valued arguments.
+
+    Scale: one fact pass after an unhinted customer join builds the
+    (segment × bucket × half) counts — ~5 × ~25 × 2 cells at ANY SF
+    (order values are range-bounded, so bit-length buckets saturate);
+    everything after runs on that bounded frame."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    span = orders.agg(
+        (
+            F.min(F.unix_micros("o_orderdate"))
+            + F.max(F.unix_micros("o_orderdate"))
+        ).alias("mm")
+    )
+    o = (
+        orders.join(cust, "o_custkey")
+        .crossJoin(F.broadcast(span))
+        .select(
+            "segment",
+            F.when(
+                F.unix_micros("o_orderdate") * 2 <= F.col("mm"), 1
+            )
+            .otherwise(2)
+            .alias("half"),
+            F.length(F.bin(F.col("cents"))).alias("bkt"),
+        )
+    )
+    cb = o.groupBy("segment", "bkt").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    cb = _pin("psi_cb", cb)
+    t = cb.groupBy("segment").agg(
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c2").cast("bigint").alias("t2"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    terms = cb.join(F.broadcast(t), "segment").select(
+        "segment",
+        F.expr(
+            "cast(c2 + 1 as decimal(38,0)) * (t1 + nb)"
+            " - cast(c1 + 1 as decimal(38,0)) * (t2 + nb)"
+        ).alias("num"),
+        F.expr(
+            "cast(t1 + nb as decimal(38,0)) * (t2 + nb)"
+        ).alias("den"),
+        (
+            F.round(F.log(F.col("c2") + 1) * 1000000000, 0).cast("bigint")
+            + F.round(F.log(F.col("t1") + F.col("nb")) * 1000000000, 0)
+            .cast("bigint")
+            - F.round(F.log(F.col("c1") + 1) * 1000000000, 0).cast(
+                "bigint"
+            )
+            - F.round(F.log(F.col("t2") + F.col("nb")) * 1000000000, 0)
+            .cast("bigint")
+        ).alias("l_nano"),
+    )
+    per = terms.groupBy("segment").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN num * l_nano >= 0"
+                " THEN  cast((abs(num) * abs(l_nano)) div den as bigint)"
+                " ELSE -cast((abs(num) * abs(l_nano)) div den as bigint)"
+                " END"
+            )
+        )
+        .cast("bigint")
+        .alias("psi_nano")
+    )
+    return (
+        per.join(t, "segment")
+        .select(
+            "segment",
+            F.col("t1").alias("n_h1"),
+            F.col("t2").alias("n_h2"),
+            F.col("nb").alias("n_buckets"),
+            "psi_nano",
+            F.when(F.col("psi_nano") > PSI_ALERT_NANO, 1)
+            .otherwise(0)
+            .alias("drift_alert"),
+        )
+        .orderBy("segment")
+    )

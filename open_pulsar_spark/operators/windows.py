@@ -1111,3 +1111,187 @@ def user_features_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(PIT_SAMPLE)
     )
+
+
+# --------------------------------------------------------------------------
+# session_conversion_attribution — which entry channel converts?
+# user_sessionize counts sessions; the funnel counts step survival; this
+# query closes the marketing loop: per event type, how many sessions
+# ENTER through it (first event), how many of those convert (contain a
+# purchase), and how many conversions it gets credited under LAST-TOUCH
+# (the event immediately before the session's first purchase). First- vs
+# last-touch disagreement is exactly the signal that entry channels and
+# closing channels are different things.
+# --------------------------------------------------------------------------
+@query(
+    "session_conversion_attribution",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+               CASE WHEN epoch_us(ts::TIMESTAMP)
+                         - epoch_us(lag(ts::TIMESTAMP) OVER w)
+                         > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+        SELECT user_id, event_id, event_type, ts,
+               (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts,
+                    event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    CURRENT ROW))::BIGINT AS session_seq
+        FROM flagged),
+    rn AS (
+        SELECT user_id, session_seq, event_type,
+               row_number() OVER (PARTITION BY user_id, session_seq
+                                  ORDER BY ts, event_id) AS pos
+        FROM numbered),
+    conv AS (
+        SELECT user_id, session_seq,
+               min(CASE WHEN event_type = 'purchase' THEN pos END) AS p1
+        FROM rn GROUP BY user_id, session_seq),
+    sess AS (
+        SELECT r.user_id, r.session_seq,
+               max(CASE WHEN r.pos = 1 THEN r.event_type END)
+                   AS entry_type,
+               max(c.p1) AS p1,
+               max(CASE WHEN c.p1 IS NOT NULL AND r.pos = c.p1 - 1
+                        THEN r.event_type END) AS pre_type
+        FROM rn r JOIN conv c ON c.user_id = r.user_id
+                             AND c.session_seq = r.session_seq
+        GROUP BY r.user_id, r.session_seq),
+    first_t AS (
+        SELECT entry_type AS event_type,
+               count(*)::BIGINT AS n_entry_sessions,
+               sum(CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_first_touch_conv
+        FROM sess GROUP BY entry_type),
+    last_t AS (
+        SELECT CASE WHEN p1 = 1 THEN 'direct' ELSE pre_type END
+                   AS event_type,
+               count(*)::BIGINT AS n_last_touch_conv
+        FROM sess WHERE p1 IS NOT NULL
+        GROUP BY 1)
+    SELECT coalesce(f.event_type, l.event_type) AS event_type,
+           coalesce(f.n_entry_sessions, 0)::BIGINT AS n_entry_sessions,
+           coalesce(f.n_first_touch_conv, 0)::BIGINT AS n_first_touch_conv,
+           (CASE WHEN coalesce(f.n_entry_sessions, 0) = 0 THEN 0
+                 ELSE f.n_first_touch_conv * 1000000 // f.n_entry_sessions
+            END)::BIGINT AS first_conv_ppm,
+           coalesce(l.n_last_touch_conv, 0)::BIGINT AS n_last_touch_conv
+    FROM first_t f FULL JOIN last_t l ON l.event_type = f.event_type
+    ORDER BY event_type
+    """,
+)
+def session_conversion_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch vs last-touch conversion attribution over 30-min
+    sessions: per event type, sessions ENTERED through it, how many
+    of those contain a purchase (first-touch credit, with the ppm
+    conversion rate), and how many purchases it sits immediately
+    before (last-touch credit; a purchase opening its own session
+    credits 'direct'). The two credit columns disagreeing is the
+    point — it separates traffic sources from closers.
+
+    Determinism: the session cut is user_sessionize's exact
+    integer-µs gap rule; in-session positions are row_number over the
+    total (ts, event_id) order; everything downstream is integer
+    counts and one trunc-div.
+
+    Scale: two user-keyed window passes (the sessionize shuffle) and
+    one (user, session)-keyed aggregate; the attribution close runs
+    on the ≤|event types|+1 frame. No new shuffle shape beyond
+    user_sessionize itself."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    numbered = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.when(
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > SESSION_GAP_US,
+                1,
+            )
+            .otherwise(0)
+            .alias("new_session"),
+        )
+        .withColumn(
+            "session_seq", F.sum("new_session").over(run).cast("bigint")
+        )
+    )
+    w_s = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    rn = numbered.select(
+        "user_id",
+        "session_seq",
+        "event_type",
+        F.row_number().over(w_s).alias("pos"),
+    )
+    conv = rn.groupBy("user_id", "session_seq").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("pos"))
+        ).alias("p1")
+    )
+    sess = (
+        rn.join(conv, ["user_id", "session_seq"])
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.max(
+                F.when(F.col("pos") == 1, F.col("event_type"))
+            ).alias("entry_type"),
+            F.max("p1").alias("p1"),
+            F.max(
+                F.when(
+                    F.col("p1").isNotNull()
+                    & (F.col("pos") == F.col("p1") - 1),
+                    F.col("event_type"),
+                )
+            ).alias("pre_type"),
+        )
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    sess = _pin("attribution_sess", sess)
+    first_t = sess.groupBy(
+        F.col("entry_type").alias("event_type")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_entry_sessions"),
+        F.sum(F.when(F.col("p1").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first_touch_conv"),
+    )
+    last_t = (
+        sess.where(F.col("p1").isNotNull())
+        .groupBy(
+            F.when(F.col("p1") == 1, F.lit("direct"))
+            .otherwise(F.col("pre_type"))
+            .alias("event_type")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_last_touch_conv"))
+    )
+    return (
+        first_t.join(last_t, "event_type", "full")
+        .select(
+            "event_type",
+            F.coalesce("n_entry_sessions", F.lit(0))
+            .cast("bigint")
+            .alias("n_entry_sessions"),
+            F.coalesce("n_first_touch_conv", F.lit(0))
+            .cast("bigint")
+            .alias("n_first_touch_conv"),
+            F.expr(
+                "cast(CASE WHEN coalesce(n_entry_sessions, 0) = 0 THEN 0"
+                " ELSE n_first_touch_conv * 1000000 div n_entry_sessions"
+                " END as bigint)"
+            ).alias("first_conv_ppm"),
+            F.coalesce("n_last_touch_conv", F.lit(0))
+            .cast("bigint")
+            .alias("n_last_touch_conv"),
+        )
+        .orderBy("event_type")
+    )
