@@ -275,6 +275,9 @@ EXTRA = [
     "dsir_importance_weights",
     "dedup_containment",
     "source_length_ks_matrix",
+    "user_rfm_segments",
+    "session_conversion_attribution",
+    "segment_value_psi_drift",
 ]
 
 # Fixed A/A probe (round-9, VERDICT r8 task #7): re-sampled AFTER the

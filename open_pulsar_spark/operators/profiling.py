@@ -2241,3 +2241,121 @@ def segment_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# orders_benford_audit — first-digit Benford conformance of order
+# totals. Organic multiplicative quantities follow log10(1+1/d);
+# fabricated, capped, or template-generated money values don't — the
+# classic forensic-accounting / synthetic-data screen, scored with a
+# χ² whose expected counts come from ppm INTEGER LITERALS (they sum to
+# exactly 1e6, so the expected masses partition N·1e6 exactly).
+# --------------------------------------------------------------------------
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+               51153, 45757)  # round(1e6·log10(1+1/d)), d = 1..9; Σ = 1e6
+assert sum(BENFORD_PPM) == 10**6
+CHI2_8DF_05_MICRO = 15507000  # χ²(8 df, α = 0.05) = 15.507 on the micro grid
+
+_BENFORD_SQL = "VALUES " + ", ".join(
+    f"({d}, {p})" for d, p in enumerate(BENFORD_PPM, start=1)
+)
+
+
+@query(
+    "orders_benford_audit",
+    oracle=f"""
+    WITH exp_raw(digit, p_ppm) AS ({_BENFORD_SQL}),
+    obs AS (
+        SELECT substr(round(o_totalprice * 100)::BIGINT::VARCHAR, 1, 1)
+                   ::INT AS digit,
+               count(*)::BIGINT AS n_obs
+        FROM orders WHERE o_totalprice > 0
+        GROUP BY 1),
+    n AS (SELECT sum(n_obs)::BIGINT AS n FROM obs),
+    cells AS (
+        SELECT e.digit, coalesce(o.n_obs, 0)::BIGINT AS n_obs,
+               (n.n * e.p_ppm)::BIGINT AS e_ppm,
+               ((coalesce(o.n_obs, 0)::HUGEINT * 1000000 - n.n * e.p_ppm)
+                * (coalesce(o.n_obs, 0)::HUGEINT * 1000000 - n.n * e.p_ppm)
+                // (n.n::HUGEINT * e.p_ppm))::BIGINT AS chi2_term_micro
+        FROM exp_raw e
+        LEFT JOIN obs o ON o.digit = e.digit
+        CROSS JOIN n)
+    SELECT digit, n_obs, e_ppm, chi2_term_micro,
+           (SELECT sum(chi2_term_micro) FROM cells)::BIGINT
+               AS chi2_total_micro,
+           CASE WHEN (SELECT sum(chi2_term_micro) FROM cells)
+                     > {CHI2_8DF_05_MICRO} THEN 1 ELSE 0 END
+               AS benford_alert
+    FROM cells
+    ORDER BY digit
+    """,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed counts per
+    leading digit of the exact cent value vs the Benford expectation
+    N·log10(1+1/d), χ²-scored on a micro integer grid with the
+    α = 0.05, 8-df critical value 15.507 as an integer literal. The
+    data-forensics screen a pipeline runs on any money or count column
+    it didn't generate itself — template or capped values light it up.
+
+    Determinism: digits come from the decimal string of exact integer
+    cents; the Benford masses are ppm literals summing to exactly 1e6;
+    each χ² term is one 128-bit-safe integer trunc-div; the alert is
+    an integer comparison.
+
+    Scale: one map-side digit projection + a 9-group aggregate; the
+    χ² close runs on the 9-row digit frame (the bounded-close shape).
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 0
+    )
+    obs = orders.select(
+        F.expr(
+            "cast(substring(cast(cast(round(o_totalprice * 100) as bigint)"
+            " as string), 1, 1) as int)"
+        ).alias("digit")
+    ).groupBy("digit").agg(F.count("*").cast("bigint").alias("n_obs"))
+    exp = spark.createDataFrame(
+        [(d, p) for d, p in enumerate(BENFORD_PPM, start=1)],
+        "digit INT, p_ppm BIGINT",
+    )
+    n = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    cells = (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+            (F.col("n") * F.col("p_ppm")).cast("bigint").alias("e_ppm"),
+            F.expr(
+                "cast((cast(coalesce(n_obs, 0) as decimal(38,0)) * 1000000"
+                " - cast(n as decimal(38,0)) * p_ppm)"
+                " * (cast(coalesce(n_obs, 0) as decimal(38,0)) * 1000000"
+                " - cast(n as decimal(38,0)) * p_ppm)"
+                " div (cast(n as decimal(38,0)) * p_ppm) as bigint)"
+            ).alias("chi2_term_micro"),
+        )
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    cells = _pin("benford_cells", cells)
+    tot = cells.agg(
+        F.sum("chi2_term_micro").cast("bigint").alias("chi2_total_micro")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            "e_ppm",
+            "chi2_term_micro",
+            "chi2_total_micro",
+            F.when(
+                F.col("chi2_total_micro") > CHI2_8DF_05_MICRO, 1
+            )
+            .otherwise(0)
+            .alias("benford_alert"),
+        )
+        .orderBy("digit")
+    )

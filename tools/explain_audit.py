@@ -268,6 +268,9 @@ AUDITED = [
     "dsir_importance_weights",
     "dedup_containment",
     "source_length_ks_matrix",
+    "user_rfm_segments",
+    "session_conversion_attribution",
+    "segment_value_psi_drift",
 ]
 
 
