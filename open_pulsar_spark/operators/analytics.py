@@ -7878,3 +7878,227 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     for release in releases:
         release()
     return result
+
+
+# --------------------------------------------------------------------------
+# error_rate_pchart — SPC p-chart over the daily error share of the
+# event stream. daily_order_cusum finds LEVEL shifts in volume; the
+# p-chart asks the proportion question — is today's error RATE outside
+# the 3σ binomial band around the process average? The alarm an SRE
+# pipeline wants from its event firehose, in exact integers.
+# --------------------------------------------------------------------------
+@query(
+    "error_rate_pchart",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+               count(*)::BIGINT AS n_events,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                   END)::BIGINT AS n_errors
+        FROM events GROUP BY 1),
+    tot AS (SELECT sum(n_events)::BIGINT AS nn,
+                   sum(n_errors)::BIGINT AS ee FROM daily),
+    j AS (
+        SELECT d.day, d.n_events, d.n_errors, t.nn, t.ee,
+               (d.n_errors::HUGEINT * t.nn - t.ee::HUGEINT * d.n_events)
+                   AS dev
+        FROM daily d CROSS JOIN tot t)
+    SELECT day, n_events, n_errors,
+           (n_errors * 1000000 // n_events)::BIGINT AS rate_ppm,
+           (ee * 1000000 // nn)::BIGINT AS center_ppm,
+           CASE WHEN dev * dev > 9::HUGEINT * ee * (nn - ee) * n_events
+                THEN CASE WHEN dev > 0 THEN 1 ELSE -1 END
+                ELSE 0 END AS ooc
+    FROM j
+    ORDER BY day
+    """,
+)
+def error_rate_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-chart on the daily error share: each day's error proportion
+    against the 3σ binomial control band around the process average
+    p̄ = E/N. The out-of-control test |p_d − p̄| > 3·√(p̄(1−p̄)/n_d)
+    is squared and cross-multiplied into the pure-integer inequality
+    (x_d·N − E·n_d)² > 9·E·(N−E)·n_d (128-bit-safe), signed +1/−1 for
+    an error spike vs an error drought (a drought can mean the
+    error-reporting path itself broke — both directions are alarms).
+
+    Determinism: integer counts, one cross-multiplied 128-bit
+    comparison, two trunc-div ppm readouts. No sqrt, no float.
+
+    Scale: one (day × is-error) aggregate over the stream; the
+    control test runs on the SCHEMA-bounded day spine against a 1-row
+    broadcast total."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    tot = daily.agg(
+        F.sum("n_events").cast("bigint").alias("nn"),
+        F.sum("n_errors").cast("bigint").alias("ee"),
+    )
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n_events",
+            "n_errors",
+            F.expr(
+                "cast(n_errors * 1000000 div n_events as bigint)"
+            ).alias("rate_ppm"),
+            F.expr("cast(ee * 1000000 div nn as bigint)").alias(
+                "center_ppm"
+            ),
+            F.expr(
+                "CASE WHEN (cast(n_errors as decimal(38,0)) * nn"
+                "          - cast(ee as decimal(38,0)) * n_events)"
+                "        * (cast(n_errors as decimal(38,0)) * nn"
+                "          - cast(ee as decimal(38,0)) * n_events)"
+                "     > cast(9 as decimal(38,0)) * ee * (nn - ee)"
+                "       * n_events"
+                " THEN CASE WHEN cast(n_errors as decimal(38,0)) * nn"
+                "              > cast(ee as decimal(38,0)) * n_events"
+                "           THEN 1 ELSE -1 END"
+                " ELSE 0 END"
+            ).alias("ooc"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# part_abc_xyz_classes — the ABC × XYZ inventory segmentation matrix:
+# ABC classes parts by cumulative revenue share (A = the head that
+# earns 80%, B to 95%, C the tail) and XYZ by demand VARIABILITY
+# (QUARTERLY-demand coefficient of variation — quarterly because the
+# per-part demand is sparse at finer grains, where CV degenerates to
+# "everything is Z": X steady, Y variable, Z erratic). The cross matrix is the supply-chain planning primitive —
+# AX items get tight auto-replenishment, CZ items get make-to-order —
+# and neither axis alone supports that decision.
+# --------------------------------------------------------------------------
+@query(
+    "part_abc_xyz_classes",
+    oracle="""
+    WITH line AS (
+        SELECT l_partkey,
+               round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+                   AS cents,
+               round(l_quantity)::BIGINT AS qty,
+               date_trunc('quarter', l_shipdate)::TIMESTAMP AS qtr
+        FROM lineitem),
+    wk AS (SELECT count(DISTINCT qtr)::BIGINT AS w FROM line),
+    pw AS (
+        SELECT l_partkey, qtr, sum(qty)::BIGINT AS q
+        FROM line GROUP BY 1, 2),
+    per_part AS (
+        SELECT p.l_partkey, r.cents, p.s, p.s2
+        FROM (SELECT l_partkey, sum(q)::BIGINT AS s,
+                     sum(q * q)::BIGINT AS s2
+              FROM pw GROUP BY 1) p
+        JOIN (SELECT l_partkey, sum(cents)::BIGINT AS cents
+              FROM line GROUP BY 1) r ON r.l_partkey = p.l_partkey),
+    ranked AS (
+        SELECT l_partkey, cents, s, s2,
+               sum(cents) OVER (ORDER BY cents DESC, l_partkey)
+                   ::BIGINT AS cum,
+               (SELECT sum(cents)::BIGINT FROM per_part) AS tot
+        FROM per_part),
+    classed AS (
+        SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                    WHEN cum * 20 <= tot * 19 THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN 4 * (wk.w::HUGEINT * s2 - s::HUGEINT * s)
+                         <= s::HUGEINT * s THEN 'X'
+                    WHEN (wk.w::HUGEINT * s2 - s::HUGEINT * s)
+                         <= s::HUGEINT * s THEN 'Y'
+                    ELSE 'Z' END AS xyz,
+               cents, s
+        FROM ranked CROSS JOIN wk)
+    SELECT abc, xyz, count(*)::BIGINT AS n_parts,
+           sum(cents)::BIGINT AS revenue_cents,
+           sum(s)::BIGINT AS total_qty
+    FROM classed
+    GROUP BY abc, xyz
+    ORDER BY abc, xyz
+    """,
+)
+def part_abc_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC × XYZ part segmentation: ABC from the EXACT cumulative
+    revenue rank (A while cum ≤ 80% of total — the integer inequality
+    cum·5 ≤ tot·4 — B to 95% via cum·20 ≤ tot·19, else C), XYZ from
+    the quarterly-demand CV on the global quarter spine (zero-demand
+    quarters count: Var·W² = W·Σq²−S² over ALL W quarters), classed by the exact
+    inequalities 4·(W·Σq²−S²) ≤ S² (CV ≤ ½ → X) and W·Σq²−S² ≤ S²
+    (CV ≤ 1 → Y), 128-bit-safe. Rolled up to the ≤9-cell matrix with
+    part counts, revenue, and quantity mass.
+
+    Determinism: exact per-line cents (the discounted-revenue idiom),
+    integer quantity moments, total-ordered cumulative rank
+    (cents DESC, partkey), and pure integer class inequalities.
+
+    Scale: one line-grain pass to (part, quarter) then part grain; the
+    cumulative revenue rank uses the RANGE-PARTITIONED prefix
+    scaffold, not a single-partition window, so the ABC cut survives
+    an SF-linear part table; the close is a ≤9-row aggregate."""
+    from open_pulsar_spark.operators.prefix import global_prefix
+
+    line = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "cast(round(l_extendedprice * (1 - l_discount) * 100)"
+            " as bigint)"
+        ).alias("cents"),
+        F.expr("cast(round(l_quantity) as bigint)").alias("qty"),
+        F.date_trunc("quarter", "l_shipdate").alias("qtr"),
+    )
+    wk = line.agg(F.countDistinct("qtr").cast("bigint").alias("w"))
+    pw = line.groupBy("l_partkey", "qtr").agg(
+        F.sum("qty").cast("bigint").alias("q")
+    )
+    moments = pw.groupBy("l_partkey").agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
+    )
+    rev = line.groupBy("l_partkey").agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    )
+    per_part = moments.join(rev, "l_partkey")
+    aug, totals, release = global_prefix(
+        spark,
+        per_part,
+        [F.desc("cents"), F.col("l_partkey")],
+        cum_cols=["cents"],
+    )
+    tot = totals["cents"]
+    classed = aug.crossJoin(F.broadcast(wk)).select(
+        F.expr(
+            f"CASE WHEN cum_cents * 5 <= {tot}L * 4 THEN 'A'"
+            f" WHEN cum_cents * 20 <= {tot}L * 19 THEN 'B'"
+            f" ELSE 'C' END"
+        ).alias("abc"),
+        F.expr(
+            "CASE WHEN 4 * (cast(w as decimal(38,0)) * s2"
+            "              - cast(s as decimal(38,0)) * s)"
+            "          <= cast(s as decimal(38,0)) * s THEN 'X'"
+            " WHEN (cast(w as decimal(38,0)) * s2"
+            "       - cast(s as decimal(38,0)) * s)"
+            "      <= cast(s as decimal(38,0)) * s THEN 'Y'"
+            " ELSE 'Z' END"
+        ).alias("xyz"),
+        "cents",
+        "s",
+    )
+    out = (
+        classed.groupBy("abc", "xyz")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.sum("s").cast("bigint").alias("total_qty"),
+        )
+        .orderBy("abc", "xyz")
+    )
+    result = spark.createDataFrame(out.collect(), out.schema)
+    release()
+    return result
