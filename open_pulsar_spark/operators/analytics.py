@@ -8102,3 +8102,146 @@ def part_abc_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema)
     release()
     return result
+
+
+# --------------------------------------------------------------------------
+# purchase_survival_km — Kaplan–Meier estimate of the inter-purchase
+# interval WITH right censoring. customer_reorder_cycle reports gap
+# quantiles over completed gaps only — which biases short, because the
+# not-yet-repurchased (the open intervals at the horizon) are exactly
+# the long gaps. KM is the standard fix: every last purchase
+# contributes a CENSORED observation, and the survival curve weighs
+# both. Emitted as ln S(t) on the nano grid (the product of rationals
+# becomes a sum of single-rounded ln terms — order-independent and
+# engine-exact).
+# --------------------------------------------------------------------------
+@query(
+    "purchase_survival_km",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id
+        FROM events WHERE event_type = 'purchase'),
+    horizon AS (SELECT max(ts::TIMESTAMP) AS h FROM events),
+    seq AS (
+        SELECT user_id, ts, event_id,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+        FROM p),
+    obs AS (
+        SELECT CASE WHEN nxt IS NOT NULL
+                    THEN (epoch_us(nxt) - epoch_us(ts)) // 86400000000
+                    ELSE (epoch_us(h.h) - epoch_us(ts)) // 86400000000
+               END::BIGINT AS t_days,
+               CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event
+        FROM seq CROSS JOIN horizon h),
+    spine AS (
+        SELECT t_days,
+               sum(event)::BIGINT AS n_events,
+               sum(1 - event)::BIGINT AS n_censored
+        FROM obs GROUP BY t_days),
+    risk AS (
+        SELECT t_days, n_events, n_censored,
+               sum(n_events + n_censored) OVER (ORDER BY t_days DESC)
+                   ::BIGINT AS n_risk
+        FROM spine),
+    terms AS (
+        SELECT t_days, n_events, n_censored, n_risk,
+               CASE WHEN n_events = 0 THEN 0
+                    WHEN n_risk > n_events
+                    THEN CAST(round(ln(n_risk - n_events) * 1000000000)
+                              AS BIGINT)
+                         - CAST(round(ln(n_risk) * 1000000000) AS BIGINT)
+                    ELSE NULL END AS term_nano
+        FROM risk)
+    SELECT t_days, n_risk, n_events, n_censored,
+           (CASE WHEN count(term_nano) OVER w = count(*) OVER w
+                 THEN sum(term_nano) OVER w ELSE NULL END)::BIGINT
+               AS ln_surv_nano
+    FROM terms
+    WINDOW w AS (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY t_days
+    """,
+)
+def purchase_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of the inter-purchase interval in days:
+    consecutive purchases yield EVENT observations (the completed
+    gap), each user's last purchase yields a CENSORED observation at
+    the stream horizon. Per distinct day t: the risk set (suffix sum),
+    events, censorings, and ln S(t) = Σ_{t'≤t} [ln(n−d) − ln(n)] with
+    each ln a SINGLE nano-grid rounding of an integer count (the
+    keyness contract) — NULL from the first time the risk set is
+    wholly consumed by events (S = 0, ln undefined), identically in
+    both engines.
+
+    Determinism: integer-µs gap arithmetic with trunc-div days;
+    integer counts; the only floats are count-valued ln calls rounded
+    once each; the cumulative close is an integer window sum.
+
+    Scale: one user-keyed sequence window over the purchase slice
+    (filter pushed to the scan), one aggregate to the day spine —
+    HORIZON-bounded, so the suffix-sum and cumulative windows run on
+    a frame that fits one partition at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    horizon = ev.agg(F.max("ts").alias("h"))
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = p.select(
+        "user_id", "ts", F.lead("ts").over(w_u).alias("nxt")
+    )
+    obs = seq.crossJoin(F.broadcast(horizon)).select(
+        F.expr(
+            "cast(CASE WHEN nxt IS NOT NULL"
+            " THEN (unix_micros(nxt) - unix_micros(ts)) div 86400000000"
+            " ELSE (unix_micros(h) - unix_micros(ts)) div 86400000000"
+            " END as bigint)"
+        ).alias("t_days"),
+        F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    spine = obs.groupBy("t_days").agg(
+        F.sum("event").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("event")).cast("bigint").alias("n_censored"),
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    spine = _pin("km_spine", spine)
+    w_desc = Window.orderBy(F.desc("t_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = spine.withColumn(
+        "n_risk",
+        F.sum(F.col("n_events") + F.col("n_censored"))
+        .over(w_desc)
+        .cast("bigint"),
+    )
+    terms = risk.withColumn(
+        "term_nano",
+        F.when(F.col("n_events") == 0, F.lit(0).cast("bigint")).otherwise(
+            F.when(
+                F.col("n_risk") > F.col("n_events"),
+                F.round(
+                    F.log(F.col("n_risk") - F.col("n_events"))
+                    * 1000000000,
+                    0,
+                ).cast("bigint")
+                - F.round(F.log("n_risk") * 1000000000, 0).cast("bigint"),
+            )
+        ),
+    )
+    w_run = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return terms.select(
+        "t_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(
+            F.count("term_nano").over(w_run) == F.count("*").over(w_run),
+            F.sum("term_nano").over(w_run),
+        )
+        .cast("bigint")
+        .alias("ln_surv_nano"),
+    ).orderBy("t_days")
