@@ -278,6 +278,10 @@ EXTRA = [
     "user_rfm_segments",
     "session_conversion_attribution",
     "segment_value_psi_drift",
+    "orders_benford_audit",
+    "error_rate_pchart",
+    "part_abc_xyz_classes",
+    "purchase_survival_km",
 ]
 
 # Fixed A/A probe (round-9, VERDICT r8 task #7): re-sampled AFTER the

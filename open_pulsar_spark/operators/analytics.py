@@ -7679,6 +7679,17 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     active = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).distinct()
+    return growth_accounting_from_user_days(spark, active)
+
+
+def growth_accounting_from_user_days(
+    spark: SparkSession, active: DataFrame
+) -> DataFrame:
+    """The ONE growth-accounting close, shared by the batch query above
+    and the streaming membership-ledger readout
+    (streaming/active_stream.growth_readout) — same sharing contract
+    as dau_wau_mau_from_user_days. `active` must be the DISTINCT
+    (user_id, day TIMESTAMP) grid."""
     w_u = Window.partitionBy("user_id").orderBy("day")
     seq = active.select(
         "user_id",

@@ -104,3 +104,22 @@ def start_active_stream(
         cluster_cols=_CLUSTER_COLS,
         compact_max_segments=compact_max_segments,
     )
+
+
+def growth_readout(spark: SparkSession, store_path: str) -> DataFrame:
+    """Daily growth accounting (new / retained / resurrected / dormant
+    + quick ratio) from the stream-maintained membership grid — the
+    SAME growth_accounting_from_user_days closing as the batch
+    user_growth_accounting query, bit-matched over the union of all
+    delivered events whatever the batching (tested). Membership is
+    set-idempotent, so replays and epoch-less backfills cannot
+    perturb the ledger."""
+    from open_pulsar_spark.operators.analytics import (
+        growth_accounting_from_user_days,
+    )
+
+    grid = read_user_days(spark, store_path).select(
+        "user_id",
+        F.timestamp_seconds(F.col("d") * 86400).alias("day"),
+    )
+    return growth_accounting_from_user_days(spark, grid)

@@ -3592,3 +3592,41 @@ def test_lww_asof_readout_matches_batch_snapshot(spark, workdir):
     # point of time travel): every readout row predates the boundary
     prev = read_asof(spark, store, as_of_epoch - 1)
     assert prev.where(F.col("epoch") > as_of_epoch - 1).count() == 0
+
+
+def test_active_stream_growth_readout_matches_batch(spark, workdir):
+    """Streaming growth accounting: the same set-idempotent (user, day)
+    membership ledger that serves the DAU dashboard also serves the
+    new/retained/resurrected/dormant ledger — folded over three
+    epochs it bit-matches the batch user_growth_accounting (shared
+    growth_accounting_from_user_days close), and replays plus an
+    epoch-less backfill are no-ops by idempotence."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.active_stream import (
+        growth_readout,
+        update_active,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    store = f"{workdir}/growth_store"
+    for k in range(3):
+        update_active(spark, ev.where(F.col("event_id") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["user_growth_accounting"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    got = [tuple(r) for r in growth_readout(spark, store).collect()]
+    assert got == want
+
+    update_active(spark, ev.where(F.col("event_id") % 3 == 1), store, 1)
+    update_active(spark, ev.where(F.col("event_id") % 7 == 0), store, None)
+    assert [
+        tuple(r) for r in growth_readout(spark, store).collect()
+    ] == want

@@ -271,6 +271,10 @@ AUDITED = [
     "user_rfm_segments",
     "session_conversion_attribution",
     "segment_value_psi_drift",
+    "orders_benford_audit",
+    "error_rate_pchart",
+    "part_abc_xyz_classes",
+    "purchase_survival_km",
 ]
 
 
