@@ -8256,3 +8256,196 @@ def purchase_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ln_surv_nano"),
     ).orderBy("t_days")
+
+
+# --------------------------------------------------------------------------
+# nation_supplier_hhi — Herfindahl–Hirschman supplier-concentration
+# index per nation. brand_market_coverage asks where a brand sells;
+# HHI asks the procurement-risk question — within each nation, is
+# supply revenue spread across many suppliers or captive to one?
+# Σ share² in exact integers, with the antitrust-convention bands.
+# --------------------------------------------------------------------------
+@query(
+    "nation_supplier_hhi",
+    oracle="""
+    WITH s AS (
+        SELECT n.n_name AS nation, l.l_suppkey,
+               sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                   ::BIGINT)::BIGINT AS cents
+        FROM lineitem l
+        JOIN supplier su ON su.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = su.s_nationkey
+        GROUP BY 1, 2),
+    per AS (
+        SELECT nation,
+               count(*)::BIGINT AS n_suppliers,
+               sum(cents)::BIGINT AS t,
+               sum(cents::HUGEINT * cents) AS sq,
+               max(cents)::BIGINT AS mx
+        FROM s GROUP BY nation)
+    SELECT nation, n_suppliers,
+           t AS revenue_cents,
+           (sq * 1000000 // (t::HUGEINT * t))::BIGINT AS hhi_ppm,
+           (mx * 1000000 // t)::BIGINT AS top_share_ppm,
+           CASE WHEN sq * 1000000 // (t::HUGEINT * t) < 150000
+                THEN 'competitive'
+                WHEN sq * 1000000 // (t::HUGEINT * t) < 250000
+                THEN 'moderate'
+                ELSE 'concentrated' END AS band
+    FROM per
+    ORDER BY nation
+    """,
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration HHI per nation: each supplier's share of
+    the nation's discounted line revenue, squared and summed —
+    HHI·10⁶ = 10⁶·Σc²/T² as one 128-bit-safe integer division — with
+    the top-supplier share and the antitrust bands (HHI < 0.15
+    competitive, < 0.25 moderate, else concentrated: the DOJ 1500 /
+    2500 thresholds on the ppm grid). The single-point-of-failure
+    screen a procurement pipeline runs before committing volume.
+
+    Determinism: exact per-line cents (the discounted-revenue idiom),
+    128-bit squared sums, trunc-div ppm, integer band cuts.
+
+    Scale: one fact pass with two unhinted dim joins (supplier is
+    SF-linear — AQE picks the strategy; nation is schema-bounded) to
+    (nation, supplier) grain, then a ≤|nations|-row close."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr(
+            "cast(round(l_extendedprice * (1 - l_discount) * 100)"
+            " as bigint)"
+        ).alias("cents"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    s = (
+        li.join(sup, "l_suppkey")
+        .join(F.broadcast(nat), "s_nationkey")
+        .groupBy("nation", "l_suppkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    per = s.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("t"),
+        F.sum(F.expr("cast(cents as decimal(38,0)) * cents")).alias("sq"),
+        F.max("cents").cast("bigint").alias("mx"),
+    )
+    return per.select(
+        "nation",
+        "n_suppliers",
+        F.col("t").alias("revenue_cents"),
+        F.expr(
+            "cast(sq * 1000000 div (cast(t as decimal(38,0)) * t)"
+            " as bigint)"
+        ).alias("hhi_ppm"),
+        F.expr("cast(mx * 1000000 div t as bigint)").alias(
+            "top_share_ppm"
+        ),
+        F.expr(
+            "CASE WHEN sq * 1000000 div (cast(t as decimal(38,0)) * t)"
+            " < 150000 THEN 'competitive'"
+            " WHEN sq * 1000000 div (cast(t as decimal(38,0)) * t)"
+            " < 250000 THEN 'moderate'"
+            " ELSE 'concentrated' END"
+        ).alias("band"),
+    ).orderBy("nation")
+
+
+# --------------------------------------------------------------------------
+# markov_entropy_rate — how PREDICTABLE is the event stream? The
+# transition matrix gives the model; this scores it: conditional
+# entropy H(next | prev) per state and the empirical entropy rate
+# Σ π_i·H_i. Low rate = sessions follow rails (prefetchable, cacheable,
+# compressible); a rate drifting up is new behavior arriving — the
+# information-theoretic twin of next_event_prediction_hitrate.
+# --------------------------------------------------------------------------
+@query(
+    "markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events),
+    c AS (SELECT event_type, next_type, count(*)::BIGINT AS c
+          FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT event_type, sum(c)::BIGINT AS r,
+                 sum(c * CAST(round(ln(c) * 1000000000) AS BIGINT))
+                     ::BIGINT AS sclnc
+          FROM c GROUP BY event_type),
+    h AS (
+        SELECT event_type, r AS n_out,
+               (CAST(round(ln(r) * 1000000000) AS BIGINT)
+                - sclnc // r)::BIGINT AS h_cond_nano
+        FROM r)
+    SELECT event_type, n_out, h_cond_nano,
+           (SELECT (sum(n_out::HUGEINT * h_cond_nano)
+                    // sum(n_out))::BIGINT FROM h) AS entropy_rate_nano
+    FROM h
+    ORDER BY event_type
+    """,
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy per previous state, H(next|prev=i)
+    = ln(r_i) − (Σ_j c_ij·ln c_ij)/r_i in nano-nats (the
+    doc_char_entropy identity — every ln is a SINGLE nano-grid
+    rounding of an integer count, the weighted sum and trunc-div are
+    exact), plus the empirical entropy rate Σ (r_i/N)·H_i folded as
+    one 128-bit-safe integer division. ln(5) ≈ 1.609e9 nano is the
+    ceiling; the gap to it is the stream's predictability — the
+    number that decides whether a next-event prefetcher
+    (next_event_prediction_hitrate's consumer) is worth shipping.
+
+    Determinism: integer transition counts; count-valued lns rounded
+    once each; integer close.
+
+    Scale: the user-keyed lead window (the sessionize shuffle), a
+    |types|²-bounded aggregate, and a ≤|types|-row close."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    r = c.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("r"),
+        F.sum(
+            F.col("c")
+            * F.round(F.log("c") * 1000000000, 0).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sclnc"),
+    )
+    h = r.select(
+        "event_type",
+        F.col("r").alias("n_out"),
+        (
+            F.round(F.log("r") * 1000000000, 0).cast("bigint")
+            - F.expr("sclnc div r")
+        )
+        .cast("bigint")
+        .alias("h_cond_nano"),
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    h = _pin("markov_h", h)
+    rate = h.agg(
+        F.expr(
+            "cast(sum(cast(n_out as decimal(38,0)) * h_cond_nano)"
+            " div sum(n_out) as bigint)"
+        ).alias("entropy_rate_nano")
+    )
+    return (
+        h.crossJoin(F.broadcast(rate))
+        .select("event_type", "n_out", "h_cond_nano", "entropy_rate_nano")
+        .orderBy("event_type")
+    )

@@ -2238,3 +2238,84 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# token_dispersion_profile — Church–Gale burstiness per token: corpus
+# frequency says how OFTEN a token occurs, document frequency says how
+# WIDELY. Function words spread (cf ≈ df·rate everywhere); topical and
+# boilerplate tokens CLUMP (high per-containing-doc rate, low spread).
+# The dispersion table is what separates "frequent because ubiquitous"
+# from "frequent because a few documents hammer it" — the lexical
+# statistic TF-IDF consumes implicitly, made explicit per token.
+# --------------------------------------------------------------------------
+@query(
+    "token_dispersion_profile",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS token
+        FROM documents),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    t AS (
+        SELECT token,
+               count(*)::BIGINT AS cf,
+               count(DISTINCT doc_id)::BIGINT AS df
+        FROM w GROUP BY token)
+    SELECT token, cf, df,
+           (cf::HUGEINT * 1000000 // df)::BIGINT AS per_doc_rate_ppm,
+           (df::HUGEINT * 1000000 // n.n_docs)::BIGINT
+               AS doc_coverage_ppm,
+           CASE WHEN cf::HUGEINT * n.n_docs > 2::HUGEINT * df * df
+                THEN 1 ELSE 0 END AS clumped
+    FROM t CROSS JOIN n
+    ORDER BY token
+    """,
+)
+def token_dispersion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token dispersion: corpus frequency, document frequency, the
+    per-containing-doc rate (cf/df, ppm — 1e6 means "once per doc
+    that has it at all"), corpus coverage (df/n_docs, ppm), and a
+    CLUMPED flag marking tokens whose per-doc rate exceeds twice the
+    rate uniform spreading would give (cf·N > 2·df² — the exact
+    integer cross-multiplication of cf/df > 2·df/N). Clumped tokens
+    are boilerplate/topical anchors; spread tokens are the function-
+    word bed — the explicit form of the contrast TF-IDF, keyness and
+    RAKE all lean on.
+
+    Determinism: integer counts, trunc-div ppm grids, one integer
+    cross-multiplied flag.
+
+    Scale: one map-side token explode, one token-keyed aggregate
+    (count + count distinct), a 1-row broadcast for N. Output is
+    vocabulary-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    t = w.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("cf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    return (
+        t.crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "cf",
+            "df",
+            F.expr(
+                "cast(cast(cf as decimal(38,0)) * 1000000 div df"
+                " as bigint)"
+            ).alias("per_doc_rate_ppm"),
+            F.expr(
+                "cast(cast(df as decimal(38,0)) * 1000000 div n_docs"
+                " as bigint)"
+            ).alias("doc_coverage_ppm"),
+            F.expr(
+                "CASE WHEN cast(cf as decimal(38,0)) * n_docs"
+                " > cast(2 as decimal(38,0)) * df * df"
+                " THEN 1 ELSE 0 END"
+            ).alias("clumped"),
+        )
+        .orderBy("token")
+    )
