@@ -282,6 +282,9 @@ EXTRA = [
     "error_rate_pchart",
     "part_abc_xyz_classes",
     "purchase_survival_km",
+    "nation_supplier_hhi",
+    "markov_entropy_rate",
+    "token_dispersion_profile",
 ]
 
 # Fixed A/A probe (round-9, VERDICT r8 task #7): re-sampled AFTER the

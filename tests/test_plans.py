@@ -296,6 +296,28 @@ ALLOWED_BOUNDED_HINTS: dict[str, set[frozenset[str]]] = {
     "ann_ivf_pq_refined": {frozenset({"embeddings"})},
     "ann_hard_negatives": {frozenset({"embeddings"})},
     "retrieval_ndcg": {frozenset({"embeddings"})},  # per-label counts (≤|labels|)
+    # round-9 wave (each reviewed: the hinted frame is an aggregate whose
+    # row count is bounded by schema, config, or calendar — not volume)
+    "retrieval_map": {frozenset({"embeddings"})},  # per-label counts (≤|labels|)
+    "retrieval_recall_at_k": {frozenset({"embeddings"})},  # same ≤|labels| frame
+    "daily_order_cusum": {frozenset({"orders"})},  # 1-row (n_days, total) scalar
+    "user_growth_accounting": {frozenset({"events"})},  # 1-row max-day scalar
+    "tokenizer_vocab_coverage": {frozenset({"documents"})},  # top-VOCAB_V cut
+    "dsir_importance_weights": {
+        frozenset({"documents"})
+    },  # DSIR_BUCKETS-row hashed-count table + 1-row norm scalar
+    "error_rate_pchart": {frozenset({"events"})},  # 1-row (N, E) totals
+    "markov_entropy_rate": {frozenset({"events"})},  # ≤|types| rows + 1-row rate
+    "orders_benford_audit": {frozenset({"orders"})},  # 1-row N + 9 digit cells
+    "part_abc_xyz_classes": {frozenset({"lineitem"})},  # 1-row quarter count
+    "purchase_survival_km": {frozenset({"events"})},  # 1-row horizon scalar
+    "segment_value_psi_drift": {
+        frozenset({"orders"}),  # 1-row calendar-span scalar
+        frozenset({"customer", "orders"}),  # ≤|segments| smoothing totals
+    },
+    "token_dispersion_profile": {frozenset({"documents"})},  # 1-row n_docs
+    "user_rfm_segments": {frozenset({"orders"})},  # 1-row max-date scalar
+    "nation_supplier_hhi": set(),  # nation dim hint only (schema-bounded)
 }
 
 

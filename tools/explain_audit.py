@@ -275,6 +275,9 @@ AUDITED = [
     "error_rate_pchart",
     "part_abc_xyz_classes",
     "purchase_survival_km",
+    "nation_supplier_hhi",
+    "markov_entropy_rate",
+    "token_dispersion_profile",
 ]
 
 
