@@ -2196,15 +2196,23 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", _bigram_col()
     )
-    f = docs.select(
-        "doc_id",
-        "lang",
-        (
-            F.conv(F.substring(F.md5(F.col("bg")), 1, 15), 16, 10).cast(
-                "bigint"
-            )
-            % DSIR_BUCKETS
-        ).alias("b"),
+    from open_pulsar_spark.operators.dedup import _pin
+
+    # The feature stream feeds THREE consumers (bucket counts, the
+    # global norm scalar, the per-doc close) — pin it so the parquet
+    # scan + bigram explode + md5 run once, not three times.
+    f = _pin(
+        "dsir_feats",
+        docs.select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("bg")), 1, 15), 16, 10
+                ).cast("bigint")
+                % DSIR_BUCKETS
+            ).alias("b"),
+        ),
     )
     cb = f.groupBy("b").agg(
         F.count("*").cast("bigint").alias("c_r"),
