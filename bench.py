@@ -285,6 +285,7 @@ EXTRA = [
     "nation_supplier_hhi",
     "markov_entropy_rate",
     "token_dispersion_profile",
+    "user_event_gini",
 ]
 
 # Fixed A/A probe (round-9, VERDICT r8 task #7): re-sampled AFTER the

@@ -8449,3 +8449,98 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_out", "h_cond_nano", "entropy_rate_nano")
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# user_event_gini — inequality of engagement: the Gini coefficient of
+# per-user event counts, with the Lorenz tail shares. "DAU is up" can
+# mean broad engagement or three whales; Gini is the one-number
+# disambiguation (0 = everyone equal, →1 = all activity in one user),
+# the same readout quality_token_lorenz gives the curation budget,
+# pointed at users. Exact integers on the rank formula
+# G = (2·Σ i·x_(i) − (n+1)·ΣX) / (n·ΣX).
+# --------------------------------------------------------------------------
+@query(
+    "user_event_gini",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, count(*)::BIGINT AS x
+        FROM events GROUP BY user_id),
+    rk AS (
+        SELECT x,
+               row_number() OVER (ORDER BY x, user_id) AS i,
+               count(*) OVER ()::BIGINT AS n,
+               sum(x) OVER ()::BIGINT AS t
+        FROM u),
+    g AS (
+        SELECT max(n)::BIGINT AS n_users, max(t)::BIGINT AS total_events,
+               ((2 * sum(i::HUGEINT * x) - (max(n) + 1)::HUGEINT * max(t))
+                * 1000000 // (max(n)::HUGEINT * max(t)))::BIGINT
+                   AS gini_ppm,
+               (sum(CASE WHEN i * 10 > n * 9 THEN x ELSE 0 END)
+                * 1000000 // max(t))::BIGINT AS top_decile_share_ppm,
+               (sum(CASE WHEN i * 100 > n * 99 THEN x ELSE 0 END)
+                * 1000000 // max(t))::BIGINT AS top_centile_share_ppm
+        FROM rk)
+    SELECT n_users, total_events, gini_ppm,
+           top_decile_share_ppm, top_centile_share_ppm
+    FROM g
+    """,
+)
+def user_event_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-inequality summary: Gini coefficient of per-user
+    event counts via the exact rank identity
+    G = (2·Σ i·x_(i) − (n+1)·ΣX)/(n·ΣX) (ranks total-ordered by
+    (count, user_id)), plus the top-10% and top-1% activity shares
+    (the whale readout). All integer: rank products sum in 128-bit,
+    one trunc-div onto the ppm grid per statistic.
+
+    Determinism: total-ordered ranks, exact integer products, three
+    trunc-divs.
+
+    Scale: one user-grain aggregate, then the global rank rides the
+    RANGE-PARTITIONED prefix scaffold (not a single-partition
+    window); the close folds per-partition partial sums — O(users)
+    work, O(parts) driver state."""
+    from open_pulsar_spark.operators.prefix import global_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("x"))
+    aug, totals, release = global_prefix(
+        spark, u, [F.col("x"), F.col("user_id")]
+    )
+    n = totals["n"]
+    sums = aug.select(
+        F.sum(F.expr("cast(rk as decimal(38,0)) * x")).alias("six"),
+        F.sum("x").cast("bigint").alias("t"),
+        F.sum(
+            F.when(F.col("rk") * 10 > F.lit(n) * 9, F.col("x")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("top10"),
+        F.sum(
+            F.when(F.col("rk") * 100 > F.lit(n) * 99, F.col("x")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("top1"),
+    )
+    row = sums.collect()[0]
+    release()
+    six, t, top10, top1 = int(row.six), int(row.t), int(row.top10), int(
+        row.top1
+    )
+    gini_ppm = (2 * six - (n + 1) * t) * 1000000 // (n * t)
+    out = [(
+        n,
+        t,
+        gini_ppm,
+        top10 * 1000000 // t,
+        top1 * 1000000 // t,
+    )]
+    return spark.createDataFrame(
+        out,
+        "n_users BIGINT, total_events BIGINT, gini_ppm BIGINT,"
+        " top_decile_share_ppm BIGINT, top_centile_share_ppm BIGINT",
+    )

@@ -145,6 +145,17 @@ _NESTED_LOOP_ALLOWED = {
     "dedup_lsh_capped_recall",   # 1-row capped-count × 1-row exact-count,
                                  # broadcast
     "winnowing_capped_recall",   # same shape: 1-row × 1-row count join
+    # round-9 wave: the same benign 1-row / bounded scalar-broadcast class
+    "daily_order_cusum",         # 1-row (n_days, total) scalar, broadcast
+    "user_growth_accounting",    # 1-row max-day scalar, broadcast
+    "dsir_importance_weights",   # 1-row norm scalar, broadcast
+    "source_length_ks_matrix",   # srcs × content-bounded length spine
+    "orders_benford_audit",      # 1-row N scalar + 9-row digit cells
+    "error_rate_pchart",         # 1-row (N, E) totals, broadcast
+    "purchase_survival_km",      # 1-row horizon scalar, broadcast
+    "segment_value_psi_drift",   # 1-row calendar-span scalar, broadcast
+    "markov_entropy_rate",       # 1-row entropy-rate scalar, broadcast
+    "token_dispersion_profile",  # 1-row n_docs scalar, broadcast
 }
 
 
@@ -318,6 +329,7 @@ ALLOWED_BOUNDED_HINTS: dict[str, set[frozenset[str]]] = {
     "token_dispersion_profile": {frozenset({"documents"})},  # 1-row n_docs
     "user_rfm_segments": {frozenset({"orders"})},  # 1-row max-date scalar
     "nation_supplier_hhi": set(),  # nation dim hint only (schema-bounded)
+    "user_event_gini": {frozenset({"events"})},  # O(parts) offsets frame
 }
 
 

@@ -278,6 +278,7 @@ AUDITED = [
     "nation_supplier_hhi",
     "markov_entropy_rate",
     "token_dispersion_profile",
+    "user_event_gini",
 ]
 
 
