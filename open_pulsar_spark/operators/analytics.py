@@ -7946,6 +7946,15 @@ def error_rate_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_errors"),
     )
+    return pchart_from_daily(spark, daily)
+
+
+def pchart_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """The ONE p-chart close, shared by the batch query above and the
+    streaming additive day-ledger readout
+    (streaming/pchart_stream.pchart_readout) — the
+    growth_accounting_from_user_days sharing contract. `daily` must
+    carry (day TIMESTAMP, n_events BIGINT, n_errors BIGINT)."""
     tot = daily.agg(
         F.sum("n_events").cast("bigint").alias("nn"),
         F.sum("n_errors").cast("bigint").alias("ee"),

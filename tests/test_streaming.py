@@ -3630,3 +3630,40 @@ def test_active_stream_growth_readout_matches_batch(spark, workdir):
     assert [
         tuple(r) for r in growth_readout(spark, store).collect()
     ] == want
+
+
+def test_pchart_stream_folds_to_batch_chart(spark, workdir):
+    """Streaming SPC: the additive (day, events, errors) ledger folded
+    over three epochs serves a control chart that bit-matches the
+    batch error_rate_pchart (shared pchart_from_daily close — center
+    line and 3σ band need the GLOBAL average, which the ledger gives
+    without rescanning history). Replays are no-ops by epoch
+    overwrite; epoch-less additive writes are refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.pchart_stream import (
+        pchart_readout,
+        update_pchart,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    store = f"{workdir}/pchart_store"
+    for k in range(3):
+        update_pchart(spark, ev.where(F.col("event_id") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["error_rate_pchart"](spark, SF_SMALL).collect()
+    ]
+    got = [tuple(r) for r in pchart_readout(spark, store).collect()]
+    assert got == want
+
+    update_pchart(spark, ev.where(F.col("event_id") % 3 == 2), store, 2)
+    assert [tuple(r) for r in pchart_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError, match="additive"):
+        update_pchart(spark, ev, store, None)
