@@ -2890,6 +2890,7 @@ def dedup_cluster_size_histogram(
     )
 
 
+
 # --------------------------------------------------------------------------
 # dedup_containment — ASYMMETRIC near-dup detection. Jaccard misses the
 # quote/subset case: a 100-shingle doc fully embedded in a 2000-shingle
@@ -2911,80 +2912,97 @@ CONT_MIN_PPM = 500000  # report pairs with max-direction containment ≥ 0.5
     "dedup_containment",
     oracle=f"""
     WITH shingled AS ({_SHINGLE_SQL}),
-    ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
-    capped AS (
-        SELECT doc_id, s FROM ex
-        WHERE s IN (SELECT s FROM ex GROUP BY s
-                    HAVING count(*) <= {CONT_DF_CAP})),
-    sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM capped GROUP BY 1),
+    ex AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(sh,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))) AS h
+        FROM shingled),
+    grouped AS (
+        SELECT h, list_sort(list(doc_id)) AS ds
+        FROM ex GROUP BY h HAVING count(*) <= {CONT_DF_CAP}),
+    szc AS (SELECT doc_id, count(*)::BIGINT AS n
+            FROM (SELECT unnest(ds) AS doc_id FROM grouped)
+            GROUP BY doc_id),
+    posting AS (SELECT h, unnest(ds) AS d FROM grouped),
     inter AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               count(*)::BIGINT AS n_shared
-        FROM capped a JOIN capped b
-          ON b.s = a.s AND b.doc_id > a.doc_id
-        GROUP BY a.doc_id, b.doc_id)
+        SELECT a.d AS a_id, b.d AS b_id, count(*)::BIGINT AS n_shared
+        FROM posting a JOIN posting b ON b.h = a.h AND b.d > a.d
+        GROUP BY a.d, b.d)
     SELECT i.a_id, i.b_id, i.n_shared,
            sa.n AS n_a, sb.n AS n_b,
            (i.n_shared * 1000000 // sa.n)::BIGINT AS cont_a_ppm,
            (i.n_shared * 1000000 // sb.n)::BIGINT AS cont_b_ppm
     FROM inter i
-    JOIN sz sa ON sa.doc_id = i.a_id
-    JOIN sz sb ON sb.doc_id = i.b_id
+    JOIN szc sa ON sa.doc_id = i.a_id
+    JOIN szc sb ON sb.doc_id = i.b_id
     WHERE greatest(i.n_shared * 1000000 // sa.n,
                    i.n_shared * 1000000 // sb.n) >= {CONT_MIN_PPM}
     ORDER BY a_id, b_id
     """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle CONTAINMENT pairs: over the df-capped 3-gram shingle
-    universe (df ≤ {CONT_DF_CAP} — corpus-wide boilerplate shingles
-    are excluded from the metric itself, identically in both engines),
-    every ordered pair sharing shingles gets both directional scores
+    """Shingle CONTAINMENT pairs: over the df-capped HASHED-shingle
+    universe (60-bit md5 per 3-gram shingle — the shared hash rule, so
+    both engines see the identical universe; df ≤ {CONT_DF_CAP}
+    excludes corpus-wide boilerplate from the metric itself), every
+    ordered pair sharing shingles gets both directional scores
     C(A,B) = |A∩B|/|A| and C(B,A) = |A∩B|/|B| on a ppm grid; pairs
     where EITHER direction ≥ {CONT_MIN_PPM/10000:.0f}% are reported.
     The asymmetric complement of dedup_ngram_jaccard: a short document
     swallowed by a long one is invisible to Jaccard but scores 1.0
     here — the excerpt/quote/subset-dup detector.
 
-    Determinism: exact distinct-shingle sets, integer intersection
-    counts, trunc-div ppm scores.
+    Determinism: hashing is md5 on both engines; per-doc hash sets
+    dedup map-side; integer intersection counts, trunc-div ppm.
 
-    Scale: no all-pairs pass exists anywhere — candidates come from
-    the shingle INVERTED INDEX (one explode + one equi-self-join on
-    the shingle key), and the df cap bounds each shingle's fan-out at
-    C({CONT_DF_CAP},2) pairs BY CONSTRUCTION, so the join output is
-    linear in the index size. One aggregate to pair grain, two
-    key joins for the denominators."""
+    Scale (round-9 rewrite, 9.5 → fewer shuffles): postings carry a
+    60-bit INTEGER key, not a ~30-byte string; ONE groupBy builds the
+    df-capped adjacency (h → sorted doc list), candidate pairs explode
+    MAP-SIDE from each list (the _undirected_pairs idiom — C(df,2) ≤
+    C({CONT_DF_CAP},2) per shingle BY CONSTRUCTION, no posting
+    self-join), and the denominators re-explode the same capped
+    adjacency. No all-pairs pass exists anywhere; the join output is
+    linear in the index size."""
     shingled = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 3)
         .select(
             "doc_id",
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 2),"
-                    " i -> concat(element_at(toks, i), ' ',"
-                    "             element_at(toks, i + 1), ' ',"
-                    "             element_at(toks, i + 2)))"
-                )
-            ).alias("sh"),
+            F.expr(
+                "array_distinct(transform("
+                " transform(sequence(1, size(toks) - 2),"
+                "  i -> concat(element_at(toks, i), ' ',"
+                "              element_at(toks, i + 1), ' ',"
+                "              element_at(toks, i + 2))),"
+                " s -> cast(conv(substring(md5(s), 1, 15), 16, 10)"
+                "      as bigint)))"
+            ).alias("hs"),
         )
     )
-    ex = shingled.select("doc_id", F.explode("sh").alias("s"))
-    keep = (
-        ex.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= CONT_DF_CAP)
-        .select("s")
+    ex = shingled.select("doc_id", F.explode("hs").alias("h"))
+    grouped = _pin(
+        "containment_adj",
+        ex.groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") <= CONT_DF_CAP)
+        .select("ds"),
     )
-    capped = _pin("containment_capped", ex.join(keep, "s", "left_semi"))
-    sz = capped.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
-    a = capped.select(F.col("doc_id").alias("a_id"), "s")
-    b = capped.select(F.col("doc_id").alias("b_id"), "s")
+    sz = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
     inter = (
-        a.join(b, "s")
-        .where(F.col("b_id") > F.col("a_id"))
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                    "           y -> struct(x AS a_id, y AS b_id))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a_id", "p.b_id")
         .groupBy("a_id", "b_id")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
