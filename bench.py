@@ -286,6 +286,7 @@ EXTRA = [
     "markov_entropy_rate",
     "token_dispersion_profile",
     "user_event_gini",
+    "part_association_rules",
 ]
 
 # Fixed A/A probe (round-9, VERDICT r8 task #7): re-sampled AFTER the

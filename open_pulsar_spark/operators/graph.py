@@ -1386,3 +1386,93 @@ def order_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("basket_size")
     )
+
+
+# --------------------------------------------------------------------------
+# part_association_rules — classic market-basket rules with support /
+# confidence / lift. The pair-count queries say WHICH parts co-occur;
+# a rule table says what to DO with that: x→y with high confidence
+# drives "add to cart" placement, and lift < 1 flags substitutes that
+# merely share popularity. Directional — conf(x→y) ≠ conf(y→x) — which
+# is exactly what the undirected edge weight cannot express.
+# --------------------------------------------------------------------------
+RULE_MIN_W = BUNDLE_MIN_W  # support floor: same repeat-co-occurrence bar
+RULE_MIN_CONF_PPM = 100000  # report rules with confidence ≥ 10%
+
+
+@query(
+    "part_association_rules",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n AS (SELECT count(DISTINCT ok)::BIGINT AS n_baskets FROM op),
+    ix AS (SELECT pk, count(*)::BIGINT AS nx FROM op GROUP BY pk),
+    pw AS (
+        SELECT a.pk AS x, b.pk AS y, count(*)::BIGINT AS nxy
+        FROM op a JOIN op b ON b.ok = a.ok AND b.pk <> a.pk
+        GROUP BY a.pk, b.pk HAVING count(*) >= {RULE_MIN_W})
+    SELECT pw.x, pw.y, pw.nxy AS support_n,
+           ix.nx AS n_x, iy.nx AS n_y,
+           (pw.nxy * 1000000 // ix.nx)::BIGINT AS confidence_ppm,
+           (pw.nxy::HUGEINT * n.n_baskets * 1000000
+            // (ix.nx::HUGEINT * iy.nx))::BIGINT AS lift_ppm
+    FROM pw
+    JOIN ix ON ix.pk = pw.x
+    JOIN ix iy ON iy.pk = pw.y
+    CROSS JOIN n
+    WHERE pw.nxy * 1000000 // ix.nx >= {RULE_MIN_CONF_PPM}
+    ORDER BY x, y
+    """,
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules x→y over order baskets: support (co-occurrence
+    count, floor {RULE_MIN_W} — the bundle bar), confidence
+    n_xy/n_x on a ppm grid (reported at ≥ {RULE_MIN_CONF_PPM/10000:.0f}%),
+    and lift n_xy·N/(n_x·n_y) in ppm (128-bit-safe) — >1e6 means the
+    pair attracts, <1e6 repels (substitutes). The directed, normalized
+    form of the co-purchase edge: what a merchandiser actually ships.
+
+    Determinism: integer counts, trunc-div grids.
+
+    Scale: baskets collect once per order (the shared ONE-shuffle
+    basket frame), directed pairs explode MAP-SIDE (C(k,2)·2 per
+    basket, bounded by lines-per-order), one pair aggregate, two key
+    joins against the |parts|-row item counts, a 1-row broadcast N.
+    No self-join of the posting list."""
+    baskets = _copurchase_baskets(spark, sf_dir)
+    from open_pulsar_spark.operators.dedup import _pin
+
+    baskets = _pin("rules_baskets", baskets)
+    n = baskets.agg(F.count("*").cast("bigint").alias("n_baskets"))
+    ix = baskets.select(F.explode("ps").alias("pk")).groupBy("pk").agg(
+        F.count("*").cast("bigint").alias("nx")
+    )
+    pw = (
+        _directed_pairs(baskets)
+        .groupBy(F.col("item").alias("x"), F.col("rec").alias("y"))
+        .agg(F.count("*").cast("bigint").alias("nxy"))
+        .where(F.col("nxy") >= RULE_MIN_W)
+    )
+    return (
+        pw.join(ix.select(F.col("pk").alias("x"),
+                          F.col("nx").alias("n_x")), "x")
+        .join(ix.select(F.col("pk").alias("y"),
+                        F.col("nx").alias("n_y")), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            F.col("nxy").alias("support_n"),
+            "n_x",
+            "n_y",
+            F.expr("cast(nxy * 1000000 div n_x as bigint)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "cast(cast(nxy as decimal(38,0)) * n_baskets * 1000000"
+                " div (cast(n_x as decimal(38,0)) * n_y) as bigint)"
+            ).alias("lift_ppm"),
+        )
+        .where(F.col("confidence_ppm") >= RULE_MIN_CONF_PPM)
+        .orderBy("x", "y")
+    )

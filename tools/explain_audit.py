@@ -279,6 +279,7 @@ AUDITED = [
     "markov_entropy_rate",
     "token_dispersion_profile",
     "user_event_gini",
+    "part_association_rules",
 ]
 
 
