@@ -156,6 +156,7 @@ _NESTED_LOOP_ALLOWED = {
     "segment_value_psi_drift",   # 1-row calendar-span scalar, broadcast
     "markov_entropy_rate",       # 1-row entropy-rate scalar, broadcast
     "token_dispersion_profile",  # 1-row n_docs scalar, broadcast
+    "part_association_rules",    # 1-row basket-count scalar, broadcast
 }
 
 
@@ -330,6 +331,7 @@ ALLOWED_BOUNDED_HINTS: dict[str, set[frozenset[str]]] = {
     "user_rfm_segments": {frozenset({"orders"})},  # 1-row max-date scalar
     "nation_supplier_hhi": set(),  # nation dim hint only (schema-bounded)
     "user_event_gini": {frozenset({"events"})},  # O(parts) offsets frame
+    "part_association_rules": {frozenset({"lineitem"})},  # 1-row N scalar
 }
 
 
