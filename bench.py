@@ -287,6 +287,7 @@ EXTRA = [
     "token_dispersion_profile",
     "user_event_gini",
     "part_association_rules",
+    "embedding_dim_truncation_recall",
 ]
 
 # Fixed A/A probe (round-9, VERDICT r8 task #7): re-sampled AFTER the

@@ -2503,3 +2503,155 @@ def retrieval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_ppm = sum(r[4] for r in rows) // len(rows)
     out = [(a, b, c, d, e, mean_ppm) for a, b, c, d, e in rows]
     return spark.createDataFrame(out, schema).orderBy("query_id")
+
+
+# --------------------------------------------------------------------------
+# embedding_dim_truncation_recall — how much index can you THROW AWAY?
+# Matryoshka-style readout: rank by cosine over only the first d
+# dimensions and measure recall@k against the full-dim exact top-k.
+# Truncation is the cheapest ANN there is (d/64 of the FLOPs and
+# memory, zero training, zero index build); this harness prices it per
+# d, the same measured-recall contract as the LSH/IVF/SQ8 legs.
+# --------------------------------------------------------------------------
+TRUNC_DIMS = (8, 16, 32, 64)  # 64 = full width: the harness sanity row
+
+
+@query(
+    "embedding_dim_truncation_recall",
+    oracle=f"""
+    WITH bf AS ({{BF}}),
+    dims(d) AS (VALUES (8), (16), (32), (64)),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    t AS (SELECT dims.d, e.vec_id, e.v[1:dims.d] AS tv,
+                 sqrt(list_dot_product(e.v[1:dims.d], e.v[1:dims.d]))
+                     AS nrm
+          FROM e CROSS JOIN dims),
+    q AS (SELECT d, vec_id AS query_id, tv AS qv, nrm AS qn
+          FROM t WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.d, q.query_id, t.vec_id AS neighbor_id,
+               list_dot_product(q.qv, t.tv) / (q.qn * t.nrm) AS cos
+        FROM q JOIN t ON t.d = q.d AND t.vec_id <> q.query_id),
+    approx AS (
+        SELECT d, query_id, neighbor_id FROM (
+            SELECT d, query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY d, query_id
+                                      ORDER BY cos DESC, neighbor_id)
+                       AS rk
+            FROM scored)
+        WHERE rk <= {TOP_K}),
+    nt AS (SELECT count(*)::BIGINT AS n_truth FROM bf)
+    SELECT a.d,
+           count(DISTINCT a.query_id)::BIGINT AS n_queries,
+           max(nt.n_truth) AS n_truth,
+           sum(CASE WHEN bf.neighbor_id IS NOT NULL THEN 1 ELSE 0
+               END)::BIGINT AS n_hit,
+           (sum(CASE WHEN bf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000000 // max(nt.n_truth))::BIGINT AS recall_ppm
+    FROM approx a
+    LEFT JOIN bf ON bf.query_id = a.query_id
+                AND bf.neighbor_id = a.neighbor_id
+    CROSS JOIN nt
+    GROUP BY a.d
+    ORDER BY a.d
+    """.replace("{BF}", _registry.ORACLES["ann_topk_bruteforce"]),
+)
+def embedding_dim_truncation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@{TOP_K} of dimension-truncated cosine retrieval vs the
+    full-width exact top-k, for prefix widths {TRUNC_DIMS}: the
+    d = 64 row is the harness sanity check (recall 1e6 by identity),
+    the d = 8/16/32 rows price the Matryoshka trade — if recall holds
+    at d = 16, the serving index shrinks 4× with no retraining.
+    Completes the approximate-retrieval grading set: LSH (bucketing),
+    IVF (partitioning), PQ/SQ8 (quantization), truncation (width).
+
+    Determinism: per-d rankings break ties on neighbor_id; recall is
+    integer set-intersection counts with one trunc-div.
+
+    Scale: the corpus streams ONCE through the blocked matmul kernel
+    and every prefix width scores inside the same pass (slice views
+    of one block, no re-scan); each block emits ≤ |dims| × queries ×
+    {TOP_K} local-top rows, the established broadcast-probe shape."""
+    truth = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    truth = _pin("trunc_truth", truth)
+    n_truth = truth.count()
+    ids_all, raw, _ = _corpus_numpy(
+        spark, sf_dir, F.col("vec_id") < N_QUERIES
+    )
+    dims = tuple(TRUNC_DIMS)
+    qn = {}
+    for d in dims:
+        qd = raw[:, :d]
+        n = np.sqrt((qd * qd).sum(axis=1))
+        qn[d] = qd / n[:, None]
+    bc = spark.sparkContext.broadcast((ids_all, qn))
+
+    def fn(batches):
+        q_ids, qnorm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            bv = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            for d in dims:
+                bd = bv[:, :d]
+                bn = bd / np.sqrt((bd * bd).sum(axis=1))[:, None]
+                sims = bn @ qnorm[d].T
+                for qi, qid in enumerate(q_ids):
+                    m = b_ids != qid
+                    if m.any():
+                        s = sims[m, qi]
+                        bi = b_ids[m]
+                        k = min(TOP_K, len(s))
+                        top = np.argpartition(-s, k - 1)[:k]
+                        yield pd.DataFrame(
+                            {
+                                "d": np.full(k, d, dtype=np.int32),
+                                "query_id": np.full(k, qid),
+                                "neighbor_id": bi[top],
+                                "cos": s[top],
+                            }
+                        )
+
+    scored = _scan_scored(
+        spark,
+        sf_dir,
+        fn,
+        schema="d INT, query_id LONG, neighbor_id LONG, cos DOUBLE",
+    )
+    w = Window.partitionBy("d", "query_id").orderBy(
+        F.desc("cos"), "neighbor_id"
+    )
+    approx = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("d", "query_id", "neighbor_id")
+    )
+    hits = (
+        approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    nq = approx.groupBy("d").agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries")
+    )
+    return (
+        nq.join(hits, "d", "left")
+        .select(
+            "d",
+            "n_queries",
+            F.lit(int(n_truth)).cast("bigint").alias("n_truth"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.expr(
+                f"cast(coalesce(n_hit, 0) * 1000000"
+                f" div greatest({int(n_truth)}, 1) as bigint)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("d")
+    )

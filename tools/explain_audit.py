@@ -280,6 +280,7 @@ AUDITED = [
     "token_dispersion_profile",
     "user_event_gini",
     "part_association_rules",
+    "embedding_dim_truncation_recall",
 ]
 
 
