@@ -288,6 +288,7 @@ EXTRA = [
     "user_event_gini",
     "part_association_rules",
     "embedding_dim_truncation_recall",
+    "orders_backlog_depth",
 ]
 
 # Fixed A/A probe (round-9, VERDICT r8 task #7): re-sampled AFTER the

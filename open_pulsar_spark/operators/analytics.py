@@ -8553,3 +8553,106 @@ def user_event_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users BIGINT, total_events BIGINT, gini_ppm BIGINT,"
         " top_decile_share_ppm BIGINT, top_centile_share_ppm BIGINT",
     )
+
+
+# --------------------------------------------------------------------------
+# orders_backlog_depth — the open-order BACKLOG curve: how many orders
+# are placed but not yet fully shipped, per day. Order counts say how
+# fast work arrives; shipping_delay_quantiles says how long one order
+# waits; the backlog is the QUEUE DEPTH those two imply — the
+# capacity-planning readout (Little's law: L = λW) and the earliest
+# structural signal of a fulfilment stall. Interval-stabbing via the
+# +1/−1 sweep, not a per-day interval join.
+# --------------------------------------------------------------------------
+@query(
+    "orders_backlog_depth",
+    oracle="""
+    WITH span AS (
+        SELECT o.o_orderkey,
+               date_trunc('day', o.o_orderdate)::TIMESTAMP AS open_day,
+               date_trunc('day', max(l.l_shipdate))::TIMESTAMP
+                   + INTERVAL 1 DAY AS close_day
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate),
+    delta AS (
+        SELECT open_day AS day, 1 AS d FROM span
+        UNION ALL
+        SELECT close_day AS day, -1 AS d FROM span),
+    daily AS (
+        SELECT day,
+               sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS n_opened,
+               sum(CASE WHEN d = -1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_closed,
+               sum(sum(d)) OVER (ORDER BY day)::BIGINT AS backlog
+        FROM delta GROUP BY day)
+    SELECT day, n_opened, n_closed, backlog,
+           CASE WHEN row_number() OVER (ORDER BY backlog DESC, day) = 1
+                THEN 1 ELSE 0 END AS is_peak
+    FROM daily
+    ORDER BY day
+    """,
+)
+def orders_backlog_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: each order holds a slot from its
+    order day through the day its LAST line ships (close event at
+    ship+1 so the shipping day still counts as open), and the curve
+    is the running sum of +1/−1 events — the interval-stabbing sweep,
+    so no per-day interval join ever materializes. Emits per day the
+    openings, the closings, the depth, and the all-time peak flag
+    (ties → earliest day).
+
+    Determinism: calendar-truncated integer events, one running
+    integer sum, a rank tie-broken by day.
+
+    Scale: one orderkey-keyed aggregate finds each order's last ship
+    day (the natural fact-fact shuffle), the sweep deltas are
+    map-side, and the running sum executes on the SCHEMA-bounded day
+    spine — the orders_monthly_trend single-partition exemption."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_trunc("day", "o_orderdate").alias("open_day")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_shipdate"
+    )
+    span = (
+        orders.join(li, "o_orderkey")
+        .groupBy("o_orderkey", "open_day")
+        .agg(
+            F.expr(
+                "date_trunc('day', max(l_shipdate)) + INTERVAL 1 DAY"
+            ).alias("close_day")
+        )
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    span = _pin("backlog_span", span)
+    delta = span.select(
+        F.col("open_day").alias("day"), F.lit(1).alias("d")
+    ).unionAll(
+        span.select(F.col("close_day").alias("day"), F.lit(-1).alias("d"))
+    )
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    daily = (
+        delta.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_opened"),
+            F.sum(F.when(F.col("d") == -1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_closed"),
+            F.sum("d").alias("net"),
+        )
+        .withColumn("backlog", F.sum("net").over(w_run).cast("bigint"))
+        .drop("net")
+    )
+    w_peak = Window.orderBy(F.desc("backlog"), "day")
+    return (
+        daily.withColumn(
+            "is_peak",
+            F.when(F.row_number().over(w_peak) == 1, 1).otherwise(0),
+        )
+        .orderBy("day")
+    )

@@ -281,6 +281,7 @@ AUDITED = [
     "user_event_gini",
     "part_association_rules",
     "embedding_dim_truncation_recall",
+    "orders_backlog_depth",
 ]
 
 
