@@ -414,6 +414,8 @@ def main() -> None:
     # a burst cannot inflate; the [min, max] spread plus the median
     # expose how noisy the box was, so a round-over-round delta inside
     # the spread is noise and outside it is a real change.
+    raw_runs: dict[str, list[float]] = {}
+
     def sample(name: str, runs: int = 3) -> tuple[float, list[float], float, int]:
         times = []
         n = 0
@@ -422,6 +424,7 @@ def main() -> None:
             t0 = time.time()
             n = len(qs[name](spark, sf_dir).collect())
             times.append(time.time() - t0)
+        raw_runs[name] = list(times)  # arrival order, pre-sort
         times.sort()
         return times[0], [times[0], times[-1]], times[len(times) // 2], n
 
@@ -460,8 +463,14 @@ def main() -> None:
     # drift, not to re-time everything — a fixed 8-query probe (two
     # relational, the four r8 drift-watch queries, one window, one
     # sessionization) bounds suite wall-clock as EXTRA keeps growing.
-    # Compare "aa_value" against "aa_ref" (the SAME 8 queries'
-    # first-pass mins), not against "value" (the full 21-query total).
+    # Compare "aa_value" against "aa_ref" built from the SAME
+    # ESTIMATOR: the probe takes min-of-2, so the reference is the
+    # min of each query's FIRST TWO first-pass runs (min-of-5 would
+    # bias aa_ref low and misread benign drift as late-suite
+    # inflation), not against "value" (the full 21-query total).
+    aa_ref = round(
+        sum(min(raw_runs[n][:2]) for n in AA_PROBE), 3
+    )
     aa: dict[str, float] = {}
     for name in AA_PROBE:
         best, (lo, hi), med, _ = sample(name, runs=2)
@@ -471,7 +480,6 @@ def main() -> None:
             file=sys.stderr,
         )
     aa_total = round(sum(aa.values()), 3)
-    aa_ref = round(sum(timings[n] for n in AA_PROBE), 3)
 
     total_v2 = round(total + sum(extra[n] for n in HEADLINE_V2_ADDITIONS), 3)
     all_mins_full = {**extra, **timings}

@@ -1343,34 +1343,91 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintiles — the classic lifecycle-marketing scoring, and a second
     consumer of the ntile family over real aggregates.
 
-    Every ntile ordering carries the o_custkey tiebreaker (quintile
-    membership at a tie boundary must be deterministic in both
-    engines), and monetary is rounded BEFORE ranking so a double ulp
-    cannot reorder the sort.
+    ntile semantics are reproduced EXACTLY (larger buckets first:
+    n mod 5 leading tiles get one extra row) but WITHOUT a global
+    window: each dimension's four tile-boundary rows are located at
+    their exact global ranks via the range-partitioned prefix scaffold
+    (prefix.global_prefix), collected (≤ 4 rows per dimension), and
+    broadcast back as literal comparisons — a row's tile is
+    1 + #{boundaries strictly before it in the total order}. The tile
+    orderings carry the o_custkey tiebreaker, so quintile membership
+    at a tie boundary is deterministic in both engines.
+
+    All three ranking keys are EXACT types (date / bigint count /
+    bigint cents — cents, not the rounded double, rank monetary: cent
+    totals are exact so the cents order equals the oracle's order on
+    round(sum,2), whose 0.01 spacing is ~10⁸ ulp wide), so a cache
+    eviction that recomputes the pinned customer frame cannot move a
+    boundary comparison.
 
     Scale: one shuffle aggregates orders down to customer cardinality;
-    the three ntiles are global windows — fine while the customer
-    aggregate is orders of magnitude smaller than the fact table, and
-    at 10⁹ customers the drop-in replacement is bucketing against
-    percentile_approx edges (same output schema, no global sort).
+    boundary location is three prefix-scaffold passes over that frame
+    (no single-partition Window anywhere); the scored output is a pure
+    map over the customer frame against 12 broadcast literals.
     """
-    per = (
+    from open_pulsar_spark.operators.dedup import _pin
+    from open_pulsar_spark.operators.prefix import global_prefix
+
+    per = _pin(
+        "rfm_per",
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count("*").alias("frequency"),
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-        )
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+            .cast("bigint")
+            .alias("cents"),
+        ),
     )
+
+    specs = [  # (score name, exact ranking metric: DESC, custkey ASC)
+        ("r_score", "last_order"),
+        ("f_score", "frequency"),
+        ("m_score", "cents"),
+    ]
+    n = None
+    cuts: list[int] = []
+    score_cols = []
+    for name, metric in specs:
+        aug, totals, release = global_prefix(
+            spark,
+            per.select("o_custkey", metric),
+            [F.desc(metric), F.col("o_custkey")],
+        )
+        if n is None:
+            n = totals["n"]
+            q, r = divmod(n, 5)
+            sizes = [q + 1] * r + [q] * (5 - r)
+            acc = 0
+            for s in sizes[:4]:
+                acc += s
+                cuts.append(acc)
+        bmap = {
+            row["rk"]: (row[metric], row["o_custkey"])
+            for row in aug.where(F.col("rk").isin(sorted(set(cuts))))
+            .select("rk", metric, "o_custkey")
+            .collect()
+        }
+        release()
+        # tile = 1 + #{cut boundaries strictly BEFORE this row in the
+        # (metric DESC, custkey ASC) total order}; a zero-size tile
+        # (n < 5) repeats a cut rank and counts twice, exactly as
+        # ntile skips the empty bucket
+        score = F.lit(1)
+        for c in cuts:
+            if c not in bmap:  # only when n == 0 (empty input)
+                continue
+            bm, bk = bmap[c]
+            after = (F.col(metric) < F.lit(bm)) | (
+                (F.col(metric) == F.lit(bm)) & (F.col("o_custkey") > F.lit(bk))
+            )
+            score = score + F.when(after, 1).otherwise(0)
+        score_cols.append(score.cast("int").alias(name))
+
     return per.select(
-        "o_custkey",
-        "last_order",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(Window.orderBy(F.desc("last_order"), "o_custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "o_custkey")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "o_custkey")).alias("m_score"),
+        "o_custkey", "last_order", "frequency", "monetary", *score_cols
     ).orderBy("o_custkey")
 
 
@@ -3309,12 +3366,14 @@ def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer (the theilsen median contract).
 
     Scale: the raw scan reduces to per-user firsts in ONE conditional-
-    min aggregate (map-side combinable, user-keyed); every window after
-    that runs on the converter lag series — one value per converting
-    user. The count(*) OVER () scalar rides the same frame. At 10⁹
-    users the rank window would move to prefix.global_prefix; at the
-    engine's tested sizes the single exchange on the bounded lag frame
-    is the cheaper plan (documented trade-off).
+    min aggregate (map-side combinable, user-keyed); the converter lag
+    series (one value per converting user, still SF-linear) is ranked
+    by the RANGE-PARTITIONED prefix scaffold (prefix.global_prefix) —
+    no single-partition Window anywhere — and only the four order
+    statistics the report needs (the two middle ranks, the p90 rank,
+    and rank n = max) are collected. lag_s alone is not a total order,
+    but every consumer reads only lag_s, which is rank-invariant under
+    tie permutations, so the output is deterministic anyway.
     """
     ev = load_table(spark, sf_dir, "events")
     es = F.unix_timestamp("ts")
@@ -3329,45 +3388,36 @@ def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("first_purchase").isNotNull()
         & (F.col("first_purchase") >= F.col("first_view"))
     ).select((F.col("first_purchase") - F.col("first_view")).alias("lag_s"))
-    from open_pulsar_spark.operators.dedup import _pin
+    from open_pulsar_spark.operators.prefix import global_prefix
 
-    w = Window.orderBy("lag_s")
-    # three consumers (p50, p90, max branches) — pin, or the events
-    # scan + firsts aggregate + rank window execute once per branch
-    ranked = _pin(
-        "conversion_ranked",
-        lags.select(
-            "lag_s",
-            F.row_number().over(w).alias("rk"),
-            F.count("*").over(Window.partitionBy()).alias("n"),
-        ),
-    )
-    p50 = ranked.where(
-        (F.col("rk") == F.expr("(n + 1) div 2"))
-        | (F.col("rk") == F.expr("(n + 2) div 2"))
-    ).agg(
-        F.lit("p50").alias("quantile"),
-        # floor(sum/count), NOT avg-then-cast: Spark CAST(double)
-        # truncates while DuckDB's ::BIGINT rounds — x.5 medians would
-        # diverge by 1 between the engines
-        F.expr("sum(lag_s) div count(*)").cast("bigint").alias(
-            "lag_seconds"
-        ),
-        F.max("n").cast("bigint").alias("n_converters"),
-    )
-    p90 = ranked.where(F.col("rk") == F.expr("(9 * n + 9) div 10")).agg(
-        F.lit("p90").alias("quantile"),
-        F.expr("sum(lag_s) div count(*)").cast("bigint").alias(
-            "lag_seconds"
-        ),
-        F.max("n").cast("bigint").alias("n_converters"),
-    )
-    mx = ranked.agg(
-        F.lit("max").alias("quantile"),
-        F.max("lag_s").cast("bigint").alias("lag_seconds"),
-        F.max("n").cast("bigint").alias("n_converters"),
-    )
-    return p50.unionAll(p90).unionAll(mx).orderBy("quantile")
+    schema = "quantile STRING, lag_seconds BIGINT, n_converters BIGINT"
+    aug, totals, release = global_prefix(spark, lags, [F.col("lag_s")])
+    n = totals["n"]
+    if n == 0:  # no converters: both engines emit all-NULL stat rows
+        release()
+        return spark.createDataFrame(
+            [("max", None, None), ("p50", None, None), ("p90", None, None)],
+            schema,
+        )
+    lo, hi = (n + 1) // 2, (n + 2) // 2
+    r90 = (9 * n + 9) // 10
+    vals = {
+        row["rk"]: row["lag_s"]
+        for row in aug.where(F.col("rk").isin(sorted({lo, hi, r90, n})))
+        .select("rk", "lag_s")
+        .collect()
+    }
+    release()
+    # floor(sum/count) in exact Python ints, NOT avg-then-cast: Spark
+    # CAST(double) truncates while DuckDB's ::BIGINT rounds — x.5
+    # medians would diverge by 1 between the engines. lag_s ≥ 0 by the
+    # converter filter, so floor == the oracle's truncating //.
+    rows = [
+        ("max", int(vals[n]), n),
+        ("p50", (int(vals[lo]) + int(vals[hi])) // 2, n),
+        ("p90", int(vals[r90]), n),
+    ]
+    return spark.createDataFrame(rows, schema)
 
 
 # --------------------------------------------------------------------------
@@ -7929,9 +7979,17 @@ def error_rate_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the 3σ binomial control band around the process average
     p̄ = E/N. The out-of-control test |p_d − p̄| > 3·√(p̄(1−p̄)/n_d)
     is squared and cross-multiplied into the pure-integer inequality
-    (x_d·N − E·n_d)² > 9·E·(N−E)·n_d (128-bit-safe), signed +1/−1 for
+    (x_d·N − E·n_d)² > 9·E·(N−E)·n_d, signed +1/−1 for
     an error spike vs an error drought (a drought can mean the
     error-reporting path itself broke — both directions are alarms).
+
+    Integer envelope: dev = x_d·N − E·n_d is |dev| ≤ n_d·N, so dev²
+    fits decimal(38,0) only while n_d·N < ~1.3e19 (DuckDB's HUGEINT
+    has the same ~38-digit ceiling) — comfortably past any daily
+    slice of the tested corpora, but NOT unconditional at 10¹² +
+    events/day. Beyond it Spark's non-ANSI decimal yields NULL; the
+    CASE propagates that NULL into ooc explicitly (an UNKNOWN alarm),
+    never a silent in-control 0, while DuckDB errors loudly.
 
     Determinism: integer counts, one cross-multiplied 128-bit
     comparison, two trunc-div ppm readouts. No sqrt, no float.
@@ -7972,7 +8030,16 @@ def pchart_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
                 "center_ppm"
             ),
             F.expr(
+                # dev² may overflow decimal(38,0) past n_d·N ~ 1.3e19
+                # (Spark non-ANSI → NULL); surface that as a NULL ooc
+                # (alarm state unknown), never as a silent ELSE 0
                 "CASE WHEN (cast(n_errors as decimal(38,0)) * nn"
+                "          - cast(ee as decimal(38,0)) * n_events)"
+                "        * (cast(n_errors as decimal(38,0)) * nn"
+                "          - cast(ee as decimal(38,0)) * n_events)"
+                "       IS NULL"
+                " THEN cast(NULL as int)"
+                " WHEN (cast(n_errors as decimal(38,0)) * nn"
                 "          - cast(ee as decimal(38,0)) * n_events)"
                 "        * (cast(n_errors as decimal(38,0)) * nn"
                 "          - cast(ee as decimal(38,0)) * n_events)"
@@ -8094,8 +8161,13 @@ def part_abc_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = totals["cents"]
     classed = aug.crossJoin(F.broadcast(wk)).select(
         F.expr(
-            f"CASE WHEN cum_cents * 5 <= {tot}L * 4 THEN 'A'"
-            f" WHEN cum_cents * 20 <= {tot}L * 19 THEN 'B'"
+            # decimal(38,0) operands: cum·20 (and the interpolated total
+            # itself) must not rely on bigint headroom — corpus revenue
+            # cents can approach 2⁶³/20 long before 100 TB
+            f"CASE WHEN cast(cum_cents as decimal(38,0)) * 5"
+            f"          <= cast({tot} as decimal(38,0)) * 4 THEN 'A'"
+            f" WHEN cast(cum_cents as decimal(38,0)) * 20"
+            f"      <= cast({tot} as decimal(38,0)) * 19 THEN 'B'"
             f" ELSE 'C' END"
         ).alias("abc"),
         F.expr(
@@ -8608,21 +8680,7 @@ def orders_backlog_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     day (the natural fact-fact shuffle), the sweep deltas are
     map-side, and the running sum executes on the SCHEMA-bounded day
     spine — the orders_monthly_trend single-partition exemption."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.date_trunc("day", "o_orderdate").alias("open_day")
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o_orderkey"), "l_shipdate"
-    )
-    span = (
-        orders.join(li, "o_orderkey")
-        .groupBy("o_orderkey", "open_day")
-        .agg(
-            F.expr(
-                "date_trunc('day', max(l_shipdate)) + INTERVAL 1 DAY"
-            ).alias("close_day")
-        )
-    )
+    span = order_spans(spark, sf_dir)
     from open_pulsar_spark.operators.dedup import _pin
 
     span = _pin("backlog_span", span)
@@ -8631,26 +8689,58 @@ def orders_backlog_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         span.select(F.col("close_day").alias("day"), F.lit(-1).alias("d"))
     )
+    daily = delta.groupBy("day").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_opened"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_closed"),
+    )
+    return backlog_from_daily(spark, daily)
+
+
+def order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order open interval (o_orderkey, open_day, close_day): open
+    at the order day, closed the day AFTER the last line ships (the
+    shipping day still counts as open).  Shared by the batch sweep
+    above and the streaming twin's parity test (the stream's input
+    contract is exactly these resolved spans)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_trunc("day", "o_orderdate").alias("open_day")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_shipdate"
+    )
+    return (
+        orders.join(li, "o_orderkey")
+        .groupBy("o_orderkey", "open_day")
+        .agg(
+            F.expr(
+                "date_trunc('day', max(l_shipdate)) + INTERVAL 1 DAY"
+            ).alias("close_day")
+        )
+    )
+
+
+def backlog_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """The ONE backlog close, shared by the batch orders_backlog_depth
+    and the streaming additive day-ledger readout
+    (streaming/backlog_stream.backlog_readout) — the pchart_from_daily
+    sharing contract.  `daily` must carry (day TIMESTAMP,
+    n_opened BIGINT, n_closed BIGINT), one row per active day; the
+    running sum and the peak rank execute on that SCHEMA-bounded day
+    spine — the orders_monthly_trend single-partition exemption."""
     w_run = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    daily = (
-        delta.groupBy("day")
-        .agg(
-            F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_opened"),
-            F.sum(F.when(F.col("d") == -1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_closed"),
-            F.sum("d").alias("net"),
-        )
-        .withColumn("backlog", F.sum("net").over(w_run).cast("bigint"))
-        .drop("net")
+    curve = daily.withColumn(
+        "backlog",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w_run).cast("bigint"),
     )
     w_peak = Window.orderBy(F.desc("backlog"), "day")
     return (
-        daily.withColumn(
+        curve.withColumn(
             "is_peak",
             F.when(F.row_number().over(w_peak) == 1, 1).otherwise(0),
         )

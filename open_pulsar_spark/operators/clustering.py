@@ -1142,8 +1142,14 @@ def ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .limit(N_QUERIES * PQ_RERANK)
     )
-    qq = qdf.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    # the filter keeps ≤ N_QUERIES rows; the explicit limit makes that
+    # bound STRUCTURAL (GlobalLimit) on this scan path too — the
+    # broadcast below must be bounded on EVERY path, not vouched for
+    # by the shortlist's limit alone (plan_hints per-scan-path rule)
+    qq = (
+        qdf.where(F.col("vec_id") < N_QUERIES)
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
     )
     nn = qdf.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"))
     exact = nn.join(

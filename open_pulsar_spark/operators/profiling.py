@@ -1963,14 +1963,14 @@ KS_C2_PPM = 1844164  # 1.358² · 1e6 — the α = 0.05 two-sample KS critical
     pairs AS (
         SELECT a.source AS src_a, b.source AS src_b,
                max(a.n) AS n_a, max(b.n) AS n_b,
-               max(abs(a.cum * b.n - b.cum * a.n))::BIGINT AS m
+               max(abs(a.cum::HUGEINT * b.n - b.cum::HUGEINT * a.n)) AS m
         FROM spine a JOIN spine b
           ON b.v = a.v AND b.source > a.source
         GROUP BY a.source, b.source)
     SELECT src_a, src_b, n_a, n_b,
-           (m * 1000000 // (n_a * n_b))::BIGINT AS ks_ppm,
-           CASE WHEN (m * 1000000 // (n_a * n_b))::HUGEINT
-                     * (m * 1000000 // (n_a * n_b)) * n_a * n_b
+           (m * 1000000 // (n_a::HUGEINT * n_b))::BIGINT AS ks_ppm,
+           CASE WHEN (m * 1000000 // (n_a::HUGEINT * n_b))
+                     * (m * 1000000 // (n_a::HUGEINT * n_b)) * n_a * n_b
                    > {KS_C2_PPM}::HUGEINT * (n_a + n_b) * 1000000
                 THEN 1 ELSE 0 END AS drift
     FROM pairs
@@ -1983,8 +1983,12 @@ def source_length_ks_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed EXACTLY as max |cum_a·n_b − cum_b·n_a| / (n_a·n_b) in
     integers, on a ppm grid, with the α = 0.05 significance call
     D > 1.358·√((n_a+n_b)/(n_a·n_b)) squared into the pure-integer
-    inequality ks² · n_a·n_b > {KS_C2_PPM} · (n_a+n_b) · 10⁶ (widened
-    to 128-bit so the product can't overflow at any corpus size).
+    inequality ks² · n_a·n_b > {KS_C2_PPM} · (n_a+n_b) · 10⁶. EVERY
+    cross-multiplied term — the ECDF gap m (≤ n_a·n_b, past bigint at
+    n_a·n_b > ~9.2e18), the ks_ppm numerator m·10⁶, and both sides of
+    the significance inequality — runs in decimal(38,0) on the Spark
+    side and HUGEINT in the oracle, so nothing overflows below ~10³⁸
+    (ks_ppm²·n_a·n_b tops out near 10³⁶ at 10¹² docs per source).
 
     Determinism: integer counts, integer cross-multiplied ECDF gaps,
     one trunc-div, and an integer significance inequality — no floats
@@ -2043,14 +2047,17 @@ def source_length_ks_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("na").alias("n_a"),
             F.max("nb").alias("n_b"),
+            # the cross-multiplied ECDF gap is ≤ n_a·n_b, past bigint
+            # once n_a·n_b > ~9.2e18 — decimal(38,0) end to end (m is
+            # internal only; the emitted ks_ppm is ≤ 10⁶, bigint-safe)
             F.max(
                 F.abs(
-                    F.col("cum_a") * F.col("nb")
-                    - F.col("cum_b") * F.col("na")
+                    F.expr(
+                        "cast(cum_a as decimal(38,0)) * nb"
+                        " - cast(cum_b as decimal(38,0)) * na"
+                    )
                 )
-            )
-            .cast("bigint")
-            .alias("m"),
+            ).alias("m"),
         )
     )
     return pairs.select(
@@ -2058,12 +2065,18 @@ def source_length_ks_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_b",
         "n_a",
         "n_b",
-        F.expr("cast(m * 1000000 div (n_a * n_b) as bigint)").alias(
-            "ks_ppm"
-        ),
         F.expr(
-            f"CASE WHEN cast(m * 1000000 div (n_a * n_b) as decimal(38,0))"
-            f" * (m * 1000000 div (n_a * n_b)) * n_a * n_b"
+            "cast(m * 1000000"
+            " div (cast(n_a as decimal(38,0)) * n_b) as bigint)"
+        ).alias("ks_ppm"),
+        F.expr(
+            # div yields LONG even on decimals — re-widen ks before the
+            # square so ks²·n_a·n_b stays decimal(38,0)
+            f"CASE WHEN cast(m * 1000000"
+            f"           div (cast(n_a as decimal(38,0)) * n_b)"
+            f"           as decimal(38,0))"
+            f" * (m * 1000000 div (cast(n_a as decimal(38,0)) * n_b))"
+            f" * n_a * n_b"
             f" > cast({KS_C2_PPM} as decimal(38,0)) * (n_a + n_b) * 1000000"
             f" THEN 1 ELSE 0 END"
         ).alias("drift"),

@@ -62,11 +62,28 @@ _FIRST_COL = {
 
 # logical nodes that can reduce an unbounded input to a bounded frame
 # (whether they actually do depends on the grouping domain — that human
-# judgment lives in the test's allowlist)
-_BOUNDING_NODES = ("Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate")
+# judgment lives in the test's allowlist); the physical names appear in
+# the CACHED plans rendered under InMemoryRelation leaves
+_BOUNDING_NODES = (
+    "Aggregate",
+    "GlobalLimit",
+    "LocalLimit",
+    "Deduplicate",
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+)
 
 # leaf nodes that are driver-local literal frames
 _LOCAL_LEAVES = ("LocalRelation", "LogicalRDD", "OneRowRelation", "Range")
+
+import re as _re
+
+# table name from a FileScan's Location path (cached plans under
+# InMemoryRelation render physical FileScan leaves, not Relation lines)
+_PARQUET_PATH = _re.compile(r"/([A-Za-z0-9_]+)\.parquet")
 
 
 @dataclass(frozen=True)
@@ -91,6 +108,45 @@ def _depth_and_text(line: str) -> tuple[int, str]:
     return i // 3, line[i:]
 
 
+def _scan_profile(
+    parsed: list[tuple[int, str]],
+    bounding_nodes: tuple[str, ...] = _BOUNDING_NODES,
+) -> tuple[set[str], bool, bool]:
+    """Walk a parsed (sub)tree and return ``(tables, bounded, local)``:
+    the parquet base tables read, whether EVERY SF-linear scan has a
+    bounding node strictly on its ancestor path within the walked tree
+    (not merely somewhere in the tree — an unrelated inner aggregate
+    must not vouch for a sibling raw scan), and whether the subtree
+    reads no parquet relation at all."""
+    tables: set[str] = set()
+    local = True
+    bounded = True
+    stack: list[tuple[int, bool]] = []  # (depth, node is bounding)
+    for depth, text in parsed:
+        if text.startswith("*("):  # WholeStageCodegen span marker in
+            text = text.split(" ", 1)[1] if " " in text else text  # cached plans
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        tbl = None
+        if text.startswith("Relation [") and " parquet" in text:
+            first_col = text[len("Relation [") :].split("#", 1)[0].split(",", 1)[0]
+            tbl = _FIRST_COL.get(first_col, f"?{first_col}")
+        elif text.startswith("FileScan parquet"):
+            # a persisted lineage renders its cached PHYSICAL plan under
+            # the InMemoryRelation leaf — without this, a pinned frame
+            # hides its parquet scans from the gate entirely
+            m = _PARQUET_PATH.search(text)
+            if m:
+                tbl = m.group(1)
+        if tbl is not None:
+            tables.add(tbl)
+            local = False
+            if tbl in SF_LINEAR and not any(b for _, b in stack):
+                bounded = False
+        stack.append((depth, text.startswith(bounding_nodes)))
+    return tables, bounded, local
+
+
 def broadcast_hints(df: DataFrame) -> list[BroadcastHint]:
     """Scan ``df``'s analyzed logical plan for explicit broadcast hints."""
     tree = df._jdf.queryExecution().analyzed().toString()
@@ -99,23 +155,15 @@ def broadcast_hints(df: DataFrame) -> list[BroadcastHint]:
     for idx, (depth, text) in enumerate(parsed):
         if not text.startswith("ResolvedHint") or "broadcast" not in text:
             continue
-        tables: set[str] = set()
-        bounding = False
-        local = True
+        subtree = []
         for d2, t2 in parsed[idx + 1 :]:
             if d2 <= depth:
                 break
-            if t2.startswith("Relation [") and " parquet" in t2:
-                first_col = t2[len("Relation [") :].split("#", 1)[0].split(",", 1)[0]
-                tables.add(_FIRST_COL.get(first_col, f"?{first_col}"))
-                local = False
-            elif t2.startswith(_LOCAL_LEAVES):
-                pass  # literal frame: bounded by construction
-            elif t2.startswith(_BOUNDING_NODES):
-                bounding = True
+            subtree.append((d2, t2))
+        tables, bounded, local = _scan_profile(subtree)
         hints.append(
             BroadcastHint(
-                tables=frozenset(tables), has_bounding_op=bounding, local_only=local
+                tables=frozenset(tables), has_bounding_op=bounded, local_only=local
             )
         )
     return hints
@@ -127,22 +175,100 @@ def frame_profile(df: DataFrame) -> BroadcastHint:
     every scan.  Used by the test-suite ``F.broadcast`` monkeypatch, which
     catches hints applied inside eagerly-executed driver-side jobs that
     never appear in the returned DataFrame's plan (e.g. the collected
-    cell frames of the ANOVA/DiD family)."""
+    cell frames of the ANOVA/DiD family).
+
+    Bounding is judged PER SCAN PATH: every SF-linear scan must have a
+    bounding node on its own ancestor chain — an unrelated inner
+    aggregate elsewhere in the tree does not vouch for a sibling raw
+    scan (a second unbounded hint reading the same tables would
+    otherwise ride an allowlist entry earned by a bounded one)."""
     tree = df._jdf.queryExecution().analyzed().toString()
-    tables: set[str] = set()
-    bounding = False
-    local = True
-    for ln in tree.splitlines():
-        _, text = _depth_and_text(ln)
-        if text.startswith("Relation [") and " parquet" in text:
-            first_col = text[len("Relation [") :].split("#", 1)[0].split(",", 1)[0]
-            tables.add(_FIRST_COL.get(first_col, f"?{first_col}"))
-            local = False
-        elif text.startswith(_BOUNDING_NODES):
-            bounding = True
+    parsed = [_depth_and_text(ln) for ln in tree.splitlines() if ln.strip()]
+    tables, bounded, local = _scan_profile(parsed)
     return BroadcastHint(
-        tables=frozenset(tables), has_bounding_op=bounding, local_only=local
+        tables=frozenset(tables), has_bounding_op=bounded, local_only=local
     )
+
+
+# nodes that bound the row count REACHING a global window: the standard
+# bounding set plus WindowGroupLimit (Spark's rank-filter rewrite runs a
+# Partial top-k per input partition BEFORE the single-partition exchange,
+# so the sort task receives ≤ k·partitions rows, not the corpus)
+_WINDOW_BOUNDING_NODES = _BOUNDING_NODES + ("WindowGroupLimit",)
+
+
+def _toplevel_groups(text: str) -> list[str]:
+    """Top-level ``[...]`` group contents in a plan-node line (nested
+    brackets inside expressions don't open new groups)."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in text:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def _is_global_window(text: str) -> bool:
+    """True when a logical ``Window`` node line has an EMPTY partition
+    spec.  The node renders ``Window [exprs], [partSpec], [orderSpec]``
+    with empty groups omitted, so arity alone is ambiguous: two groups
+    is either partition-only (count OVER (PARTITION BY x)) or
+    order-only (global).  An order spec's entries always carry an
+    ASC/DESC direction; partition entries never do."""
+    groups = _toplevel_groups(text)
+    if len(groups) >= 3:
+        return not groups[1].strip()
+    if len(groups) == 2:
+        tail = groups[1]
+        return not tail.strip() or " ASC" in tail or " DESC" in tail
+    return True  # no partition, no order: count(*) OVER ()
+
+
+def global_window_profiles(df: DataFrame) -> list[BroadcastHint]:
+    """Profile every GLOBAL window (empty PARTITION BY) in ``df``'s
+    optimized plan: which parquet base tables feed it, and whether
+    every SF-linear scan below it has a bounding node (Aggregate /
+    Limit / Deduplicate / WindowGroupLimit) on its own ancestor path
+    between the window and the scan.
+
+    A global window funnels its whole input through ONE partition —
+    the classic silent scale killer.  The engine's rule (SCALE.md):
+    over an SF-linear frame it must either ride the prefix scaffold
+    (``operators/prefix.py``) or sit above a bounding operator whose
+    output is volume-independent; the bounded cases need a reviewed
+    allowlist entry in ``tests/test_plans.py``.
+    """
+    tree = df._jdf.queryExecution().optimizedPlan().toString()
+    parsed = [_depth_and_text(ln) for ln in tree.splitlines() if ln.strip()]
+    profiles: list[BroadcastHint] = []
+    for idx, (depth, text) in enumerate(parsed):
+        if not text.startswith("Window ") or not _is_global_window(text):
+            continue
+        subtree = []
+        for d2, t2 in parsed[idx + 1 :]:
+            if d2 <= depth:
+                break
+            subtree.append((d2, t2))
+        tables, bounded, local = _scan_profile(subtree, _WINDOW_BOUNDING_NODES)
+        profiles.append(
+            BroadcastHint(
+                tables=frozenset(tables), has_bounding_op=bounded, local_only=local
+            )
+        )
+    return profiles
 
 
 def violating_hints(

@@ -1193,7 +1193,96 @@ def test_bench_and_audit_lists_resolve_in_registry():
     ):
         missing = [n for n in lst if n not in qs]
         assert not missing, (name, missing)
+    # AUDITED is registry-derived: every registered query gets a plan
+    # audit (a hand-maintained list silently lost 58 names in round 9)
+    assert set(explain_audit.AUDITED) == qs
     # v2 additions must be timed: every one rides EXTRA
     assert set(bench.HEADLINE_V2_ADDITIONS) <= set(bench.EXTRA) | set(
         bench.HEADLINE
     )
+
+
+def test_purchase_survival_km_hand_computed_fixture(spark, tmp_path):
+    """VERDICT r9 task #5: purchase_survival_km has never been
+    driver-sampled, and its ln-term close rides engine log() calls —
+    pin the exact output on a hand-computable KM table so a testdata
+    regeneration (or a log/rounding drift) can't silently break it.
+
+    Fixture: user 1 purchases on days 0/2/5 (gaps 2 and 3 days → two
+    EVENT observations), user 2 purchases once on day 0, and a
+    non-purchase event on day 8 sets the horizon — so user 1 is
+    censored at 3 days, user 2 at 8. By hand:
+      spine  t=2: (e=1,c=0)  t=3: (e=1,c=1)  t=8: (e=0,c=1)
+      risk   t=2: 4          t=3: 3          t=8: 1
+      terms  ln3−ln4 = −287682072 nano; ln2−ln3 = −405465108; 0
+      ln S   −287682072, −693147180, −693147180
+    """
+    import datetime
+
+    from open_pulsar_spark.registry import all_queries
+
+    D = datetime.datetime
+    rows = [
+        (1, 1, D(2024, 1, 1), "purchase"),
+        (2, 1, D(2024, 1, 3), "purchase"),
+        (3, 1, D(2024, 1, 6), "purchase"),
+        (4, 2, D(2024, 1, 1), "purchase"),
+        (5, 2, D(2024, 1, 9), "view"),  # horizon pin, not a purchase
+    ]
+    sf = tmp_path / "sf_km"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    ).write.parquet(str(sf / "events.parquet"))
+    got = [
+        tuple(r)
+        for r in all_queries()["purchase_survival_km"](
+            spark, str(sf)
+        ).collect()
+    ]
+    assert got == [
+        (2, 4, 1, 0, -287682072),
+        (3, 3, 1, 1, -693147180),
+        (8, 1, 0, 1, -693147180),
+    ]
+
+
+def test_session_conversion_attribution_hand_computed_fixture(spark, tmp_path):
+    """VERDICT r9 task #5: pin session_conversion_attribution's exact
+    output on a hand-computable session table (never driver-sampled).
+
+    Fixture (30-min session gap): user 1 session A = view→click→
+    purchase (entry view, first-touch converts, last touch = click),
+    then after a 2-h gap session B = a lone purchase (entry purchase,
+    converts, last touch = direct); user 2 session C = click→view
+    (entry click, no conversion)."""
+    import datetime
+
+    from open_pulsar_spark.registry import all_queries
+
+    D = datetime.datetime
+    rows = [
+        (1, 1, D(2024, 1, 1, 10, 0), "view"),
+        (2, 1, D(2024, 1, 1, 10, 5), "click"),
+        (3, 1, D(2024, 1, 1, 10, 10), "purchase"),
+        (4, 1, D(2024, 1, 1, 12, 0), "purchase"),
+        (5, 2, D(2024, 1, 1, 10, 0), "click"),
+        (6, 2, D(2024, 1, 1, 10, 10), "view"),
+    ]
+    sf = tmp_path / "sf_attr"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    ).write.parquet(str(sf / "events.parquet"))
+    got = [
+        tuple(r)
+        for r in all_queries()["session_conversion_attribution"](
+            spark, str(sf)
+        ).collect()
+    ]
+    assert got == [
+        ("click", 1, 0, 0, 1),
+        ("direct", 0, 0, 0, 1),
+        ("purchase", 1, 1, 1000000, 0),
+        ("view", 1, 1, 1000000, 0),
+    ]

@@ -3667,3 +3667,48 @@ def test_pchart_stream_folds_to_batch_chart(spark, workdir):
 
     with pytest.raises(ValueError, match="additive"):
         update_pchart(spark, ev, store, None)
+
+
+def test_backlog_stream_folds_to_batch_curve(spark, workdir):
+    """Streaming backlog: the additive (day, opened, closed) ledger
+    folded over three epochs of resolved order spans serves a depth
+    curve that bit-matches the batch orders_backlog_depth (shared
+    backlog_from_daily close — the running sum and the all-time peak
+    need GLOBAL state, which the ledger gives without rescanning every
+    open interval). Replays are no-ops by epoch overwrite; epoch-less
+    additive writes are refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.analytics import order_spans
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.backlog_stream import (
+        backlog_readout,
+        update_backlog,
+    )
+    from tests.conftest import SF_SMALL
+
+    spans = order_spans(spark, SF_SMALL)
+    store = f"{workdir}/backlog_store"
+    for k in range(3):
+        update_backlog(
+            spark, spans.where(F.col("o_orderkey") % 3 == k), store, k
+        )
+
+    want = [
+        tuple(r)
+        for r in all_queries()["orders_backlog_depth"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    assert want, "batch backlog curve must be non-empty"
+    got = [tuple(r) for r in backlog_readout(spark, store).collect()]
+    assert got == want
+
+    update_backlog(
+        spark, spans.where(F.col("o_orderkey") % 3 == 2), store, 2
+    )
+    assert [tuple(r) for r in backlog_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError, match="additive"):
+        update_backlog(spark, spans, store, None)
