@@ -289,6 +289,17 @@ EXTRA = [
     "part_association_rules",
     "embedding_dim_truncation_recall",
     "orders_backlog_depth",
+    "order_flow_littles_law",
+    "nation_trade_matrix",
+    "order_priority_sla_attainment",
+    "weekday_weekend_mix",
+    "events_hourly_fano",
+    "order_linecount_histogram",
+    "purchase_value_tail_risk",
+    "doc_dup_rate_by_source",
+    "order_grouping_sets",
+    "nation_balance_distribution",
+    "supplier_balance_tiers",
 ]
 
 # Fixed A/A probe (round-9, VERDICT r8 task #7): re-sampled AFTER the

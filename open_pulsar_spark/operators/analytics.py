@@ -8746,3 +8746,735 @@ def backlog_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# order_flow_littles_law — the L = λ·W queueing readout over the order
+# pipeline. orders_backlog_depth draws the depth CURVE; this distills
+# it to the three numbers a capacity planner quotes: time-averaged
+# open-order depth L, arrival rate λ, and mean days-open W — computed
+# INDEPENDENTLY from the same spans, so the pair (avg_depth_ppm,
+# lambda_x_w_ppm) doubles as a pipeline-consistency audit (they agree
+# up to ppm truncation by Little's identity).
+# --------------------------------------------------------------------------
+@query(
+    "order_flow_littles_law",
+    oracle="""
+    WITH span AS (
+        SELECT o.o_orderkey,
+               date_trunc('day', min(o.o_orderdate)) AS open_day,
+               date_trunc('day', max(l.l_shipdate)) + INTERVAL 1 DAY
+                   AS close_day
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1),
+    agg AS (
+        SELECT count(*)::BIGINT AS n_orders,
+               sum(datediff('day', open_day, close_day))::BIGINT
+                   AS open_days,
+               datediff('day', min(open_day), max(close_day))::BIGINT
+                   AS span_days
+        FROM span)
+    SELECT n_orders, open_days, span_days,
+           (open_days::HUGEINT * 1000000 // span_days)::BIGINT
+               AS avg_depth_ppm,
+           (n_orders::HUGEINT * 1000000 // span_days)::BIGINT
+               AS arrivals_per_day_ppm,
+           (open_days::HUGEINT * 1000000 // n_orders)::BIGINT
+               AS avg_days_open_ppm
+    FROM agg
+    """,
+)
+def order_flow_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's-law summary of the order pipeline: every order holds a
+    slot from its order day until the day after its last line ships;
+    over the full calendar span, L (mean open orders per day) =
+    Σ durations / span, λ = orders / span, W = Σ durations / orders —
+    three trunc-div ppm readouts from ONE exact integer triple
+    (n_orders, Σ open-days, span days). L = λ·W holds exactly in the
+    rationals, so the emitted ppms agree up to truncation — a free
+    consistency audit against the backlog sweep.
+
+    Determinism: calendar-truncated integer day arithmetic and three
+    trunc-divs on decimal(38,0)/HUGEINT (Σ open-days · 10⁶ outruns
+    bigint near 10¹² orders).
+
+    Scale: one orderkey-keyed aggregate (the natural fact-fact
+    shuffle) then ONE map-combinable global aggregate to a single
+    row. No windows, no joins after the span build."""
+    span = order_spans(spark, sf_dir)
+    agg = span.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.datediff(F.to_date("close_day"), F.to_date("open_day")))
+        .cast("bigint")
+        .alias("open_days"),
+        F.datediff(F.to_date(F.max("close_day")), F.to_date(F.min("open_day")))
+        .cast("bigint")
+        .alias("span_days"),
+    )
+    dec = "cast({} as decimal(38,0))"
+    return agg.select(
+        "n_orders",
+        "open_days",
+        "span_days",
+        F.expr(
+            f"cast({dec.format('open_days')} * 1000000 div span_days as bigint)"
+        ).alias("avg_depth_ppm"),
+        F.expr(
+            f"cast({dec.format('n_orders')} * 1000000 div span_days as bigint)"
+        ).alias("arrivals_per_day_ppm"),
+        F.expr(
+            f"cast({dec.format('open_days')} * 1000000 div n_orders as bigint)"
+        ).alias("avg_days_open_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# nation_trade_matrix — the 25×25 customer-nation × supplier-nation
+# revenue flow matrix. q7 reports two nations' bilateral volume; the
+# matrix is the full trade table an economist (or a supply-chain
+# rebalancer) reads, with each flow's share of its customer-nation row.
+# --------------------------------------------------------------------------
+@query(
+    "nation_trade_matrix",
+    oracle="""
+    WITH f AS (
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                   ::BIGINT AS cents
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn  ON sn.n_nationkey = s.s_nationkey),
+    m AS (
+        SELECT cust_nation, supp_nation, count(*)::BIGINT AS n_lines,
+               sum(cents)::BIGINT AS revenue_cents
+        FROM f GROUP BY 1, 2)
+    SELECT cust_nation, supp_nation, n_lines, revenue_cents,
+           (revenue_cents::HUGEINT * 1000000 //
+            sum(revenue_cents) OVER (PARTITION BY cust_nation))::BIGINT
+               AS row_share_ppm
+    FROM m ORDER BY cust_nation, supp_nation
+    """,
+)
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full nation-to-nation revenue flow matrix in exact cents, with
+    each cell's ppm share of its customer-nation row — who each
+    nation's customers buy from, normalized. The ≤625-cell superset
+    of q7's two-nation slice.
+
+    Determinism: exact per-line cents; integer trunc-div shares on
+    decimal(38,0)/HUGEINT (row totals · 10⁶ outrun bigint at corpus
+    revenue ≈ 10¹³ dollars).
+
+    Scale: ONE fact pass; nation joins broadcast (schema-bounded, 25
+    rows); the customer/supplier joins stay unhinted (SF-linear — AQE
+    broadcasts the 2-column projections while they fit); the share
+    window partitions by cust_nation over the ≤625-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+        ).alias("cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    f = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("cnk"),
+                F.col("n_name").alias("cust_nation"),
+            )),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("snk"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+    )
+    m = f.groupBy("cust_nation", "supp_nation").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    w_row = Window.partitionBy("cust_nation")
+    return (
+        m.withColumn(
+            "row_tot",
+            F.sum("revenue_cents").over(w_row).cast("decimal(38,0)"),
+        )
+        .select(
+            "cust_nation",
+            "supp_nation",
+            "n_lines",
+            "revenue_cents",
+            F.expr(
+                "cast(cast(revenue_cents as decimal(38,0)) * 1000000"
+                " div row_tot as bigint)"
+            ).alias("row_share_ppm"),
+        )
+        .orderBy("cust_nation", "supp_nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# order_priority_sla_attainment — fulfilled-within-30-days rate per
+# priority class per month. q4/q12 count LATE lines against commit
+# windows the slim schema lacks; this is the customer-facing SLA: did
+# the whole order ship within 30 days of placement?
+# --------------------------------------------------------------------------
+SLA_DAYS = 30
+
+
+@query(
+    "order_priority_sla_attainment",
+    oracle=f"""
+    WITH ship AS (
+        SELECT l_orderkey, max(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY 1),
+    j AS (
+        SELECT o.o_orderpriority AS priority,
+               date_trunc('month', o.o_orderdate)::TIMESTAMP AS month,
+               CASE WHEN datediff('day', date_trunc('day', o.o_orderdate),
+                                  date_trunc('day', s.last_ship))
+                         <= {SLA_DAYS}
+                    THEN 1 ELSE 0 END AS met
+        FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey)
+    SELECT priority, month, count(*)::BIGINT AS n_orders,
+           sum(met)::BIGINT AS n_met,
+           (sum(met)::HUGEINT * 1000000 // count(*))::BIGINT AS sla_ppm
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def order_priority_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA attainment: per (order priority × order month), the ppm of
+    orders whose LAST line shipped within {SLA_DAYS} days of placement
+    — the promise-keeping trend by service class, and the readout that
+    says whether 1-URGENT actually ships faster than 5-LOW.
+
+    Determinism: calendar-truncated integer day arithmetic, integer
+    counts, one trunc-div ppm (widened — a month-cell count · 10⁶ can
+    outrun bigint past ~10¹² orders per cell).
+
+    Scale: one orderkey-keyed last-ship aggregate (the natural
+    fact-fact shuffle), the orders join on the same key, then one
+    map-combinable rollup to the ≤|priorities|·|months| grid."""
+    ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    j = orders.join(ship, "o_orderkey").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.when(
+            F.datediff(
+                F.to_date(F.date_trunc("day", "last_ship")),
+                F.to_date(F.date_trunc("day", "o_orderdate")),
+            )
+            <= SLA_DAYS,
+            1,
+        )
+        .otherwise(0)
+        .alias("met"),
+    )
+    return (
+        j.groupBy("priority", "month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("met").cast("bigint").alias("n_met"),
+            F.expr(
+                "cast(cast(sum(met) as decimal(38,0)) * 1000000"
+                " div count(*) as bigint)"
+            ).alias("sla_ppm"),
+        )
+        .orderBy("priority", "month")
+    )
+
+
+# --------------------------------------------------------------------------
+# weekday_weekend_mix — traffic composition by calendar class. The dow
+# forecast/backtest family models per-weekday level; this is the
+# simpler product question: which event types are weekend-heavy, as a
+# per-day-rate lift so unequal day counts don't masquerade as lift.
+# --------------------------------------------------------------------------
+@query(
+    "weekday_weekend_mix",
+    oracle="""
+    WITH dcnt AS (
+        SELECT sum(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END)::BIGINT
+                   AS we_days,
+               sum(CASE WHEN isodow(d) >= 6 THEN 0 ELSE 1 END)::BIGINT
+                   AS wd_days
+        FROM (SELECT DISTINCT date_trunc('day', ts) AS d FROM events)),
+    cnt AS (
+        SELECT event_type,
+               sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END)::BIGINT
+                   AS we_cnt,
+               sum(CASE WHEN isodow(ts) >= 6 THEN 0 ELSE 1 END)::BIGINT
+                   AS wd_cnt
+        FROM events GROUP BY 1)
+    SELECT event_type, wd_cnt, we_cnt, wd_days, we_days,
+           CASE WHEN wd_cnt = 0 OR we_days = 0 OR wd_days = 0 THEN NULL
+                ELSE (we_cnt::HUGEINT * wd_days * 1000000 //
+                      (wd_cnt::HUGEINT * we_days))::BIGINT
+           END AS weekend_lift_ppm
+    FROM cnt CROSS JOIN dcnt ORDER BY event_type
+    """,
+)
+def weekday_weekend_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: weekday vs weekend volumes and the PER-DAY-RATE
+    weekend lift ((we/we_days) / (wd/wd_days), ppm grid) — computed
+    against the observed calendar (distinct event days by class), so a
+    span with 21 weekdays and 8 weekend days doesn't fake a weekday
+    bias. NULL lift when either class is unobserved.
+
+    Determinism: integer counts and day counts; one cross-multiplied
+    trunc-div on decimal(38,0)/HUGEINT (count · days · 10⁶ outruns
+    bigint well below 100 TB volumes). Spark's weekday() (Mon=0) ≥ 5
+    and DuckDB's isodow (Mon=1) ≥ 6 select the same Sat/Sun set.
+
+    Scale: one map-combinable (type × class) count over the stream;
+    the day-count scalar is a distinct-day aggregate broadcast as a
+    1-row frame (reviewed bounded hint)."""
+    ev = load_table(spark, sf_dir, "events")
+    is_we = F.expr("weekday(ts) >= 5")
+    dcnt = (
+        ev.select(F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .agg(
+            F.sum(F.when(F.expr("weekday(d) >= 5"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("we_days"),
+            F.sum(F.when(F.expr("weekday(d) >= 5"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("wd_days"),
+        )
+    )
+    cnt = ev.groupBy("event_type").agg(
+        F.sum(F.when(is_we, 1).otherwise(0)).cast("bigint").alias("we_cnt"),
+        F.sum(F.when(is_we, 0).otherwise(1)).cast("bigint").alias("wd_cnt"),
+    )
+    return (
+        cnt.crossJoin(F.broadcast(dcnt))
+        .select(
+            "event_type",
+            "wd_cnt",
+            "we_cnt",
+            "wd_days",
+            "we_days",
+            F.expr(
+                "CASE WHEN wd_cnt = 0 OR we_days = 0 OR wd_days = 0"
+                " THEN cast(NULL as bigint)"
+                " ELSE cast(cast(we_cnt as decimal(38,0)) * wd_days"
+                "           * 1000000"
+                "      div (cast(wd_cnt as decimal(38,0)) * we_days)"
+                "      as bigint) END"
+            ).alias("weekend_lift_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_hourly_fano — dispersion index (variance-to-mean, Fano
+# factor) of each type's HOURLY arrival counts over the full hour
+# spine. event_type_burstiness classifies the interarrival process;
+# Fano classifies the COUNT process — ≈1e6 (ppm) is Poisson, above is
+# clumped (autoscaler needs headroom), below is smoothed/rate-limited.
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly_fano",
+    oracle="""
+    WITH hr AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+    span AS (
+        SELECT ((epoch(max(date_trunc('hour', ts)))
+                 - epoch(min(date_trunc('hour', ts)))) // 3600 + 1)
+                   ::BIGINT AS nh
+        FROM events),
+    m AS (
+        SELECT event_type, sum(c)::BIGINT AS s,
+               sum(c::HUGEINT * c) AS s2
+        FROM hr GROUP BY 1)
+    SELECT event_type, s AS n_events, span.nh AS n_hours,
+           ((span.nh::HUGEINT * s2 - s::HUGEINT * s) * 1000000 //
+            (span.nh::HUGEINT * s))::BIGINT AS fano_ppm
+    FROM m CROSS JOIN span ORDER BY event_type
+    """,
+)
+def events_hourly_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor per event type over the GLOBAL hour spine (hours
+    with zero arrivals count: they add nothing to the moments but are
+    in the denominator H): F = Var/Mean = (H·Σc² − S²)/(H·S), emitted
+    on the ppm grid. The count-process complement of
+    event_type_burstiness's interarrival B.
+
+    Determinism: integer hourly counts; the moment Σc² accumulates in
+    decimal(38,0)/HUGEINT (an hourly count squared outruns bigint past
+    ~3e9 events/hour), as does the cross-multiplied close.
+
+    Scale: one (type × hour) count (map-side combinable) then a
+    per-type moment rollup; the hour-span scalar is a 1-row broadcast
+    (reviewed bounded hint)."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    return fano_from_hourly(spark, hr)
+
+
+def fano_from_hourly(spark: SparkSession, hr: DataFrame) -> DataFrame:
+    """The ONE Fano close, shared by the batch query above and the
+    streaming additive hourly-counts readout
+    (streaming/fano_stream.fano_readout) — the pchart_from_daily
+    sharing contract. `hr` must carry (event_type STRING,
+    h TIMESTAMP hour, c BIGINT), one row per (type, active hour); the
+    global hour span (zero hours included in the denominator) comes
+    from the ledger's own min/max hour."""
+    from open_pulsar_spark.operators.dedup import _pin
+
+    hr = _pin("fano_hourly", hr)
+    span = hr.agg(
+        F.expr(
+            "cast((unix_seconds(max(h)) - unix_seconds(min(h)))"
+            " div 3600 + 1 as bigint)"
+        ).alias("nh")
+    )
+    m = hr.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * c")).alias("s2"),
+    )
+    return (
+        m.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.col("s").alias("n_events"),
+            F.col("nh").alias("n_hours"),
+            F.expr(
+                "cast((cast(nh as decimal(38,0)) * s2"
+                "      - cast(s as decimal(38,0)) * s) * 1000000"
+                " div (cast(nh as decimal(38,0)) * s) as bigint)"
+            ).alias("fano_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# order_linecount_histogram — basket-width profile: how many lines do
+# orders carry, and where does the revenue sit? The data-profiling
+# primitive behind join-fanout estimates and packing decisions.
+# --------------------------------------------------------------------------
+@query(
+    "order_linecount_histogram",
+    oracle="""
+    WITH per AS (
+        SELECT l_orderkey, count(*)::BIGINT AS n_lines,
+               sum(round(l_extendedprice * (1 - l_discount) * 100)
+                   ::BIGINT)::BIGINT AS cents
+        FROM lineitem GROUP BY 1),
+    tot AS (SELECT sum(cents)::BIGINT AS t FROM per)
+    SELECT n_lines, count(*)::BIGINT AS n_orders,
+           sum(cents)::BIGINT AS revenue_cents,
+           (sum(cents)::HUGEINT * 1000000 // tot.t)::BIGINT
+               AS revenue_share_ppm
+    FROM per CROSS JOIN tot
+    GROUP BY n_lines, tot.t ORDER BY n_lines
+    """,
+)
+def order_linecount_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders histogrammed by line count (TPC-H: 1–7), with each
+    width's exact revenue and its ppm share of total revenue — the
+    basket-width profile that sizes shuffle fanout and shard packing.
+
+    Determinism: exact cents, integer counts, one widened trunc-div.
+
+    Scale: one orderkey aggregate (map-side combinable), a rollup to
+    the ≤|max lines| histogram, and a 1-row grand-total broadcast
+    (reviewed bounded hint)."""
+    per = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(
+                F.expr(
+                    "cast(round(l_extendedprice * (1 - l_discount) * 100)"
+                    " as bigint)"
+                )
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    from open_pulsar_spark.operators.dedup import _pin
+
+    per = _pin("linecount_per", per)
+    tot = per.agg(F.sum("cents").cast("bigint").alias("t"))
+    return (
+        per.groupBy("n_lines")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_lines",
+            "n_orders",
+            "revenue_cents",
+            F.expr(
+                "cast(cast(revenue_cents as decimal(38,0)) * 1000000"
+                " div t as bigint)"
+            ).alias("revenue_share_ppm"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+# --------------------------------------------------------------------------
+# purchase_value_tail_risk — VaR/CVaR of the purchase-value
+# distribution: the exact p95 order statistic and the tail mean above
+# it. Quantile queries report the middle; risk teams budget against
+# the tail — CVaR is the standard coherent tail measure.
+# --------------------------------------------------------------------------
+@query(
+    "purchase_value_tail_risk",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, round(value * 100)::BIGINT AS cents
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL),
+    n AS (SELECT count(*)::BIGINT AS n FROM p),
+    k AS (SELECT ((95 * n + 99) // 100)::BIGINT AS k, n FROM n),
+    ranked AS (
+        SELECT cents, row_number() OVER (ORDER BY cents, event_id) AS rk
+        FROM p),
+    tail AS (SELECT r.cents FROM ranked r CROSS JOIN k WHERE r.rk >= k.k)
+    SELECT k.n AS n_purchases, k.k AS var_rank,
+           (SELECT min(cents) FROM tail)::BIGINT AS var95_cents,
+           (SELECT count(*) FROM tail)::BIGINT AS tail_n,
+           (SELECT sum(cents) // count(*) FROM tail)::BIGINT
+               AS cvar95_cents
+    FROM k
+    """,
+)
+def purchase_value_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact purchase-value tail risk: VaR95 = the value at the
+    nearest-rank ceil(0.95·n) order statistic (ascending, event_id
+    tie-break), CVaR95 = the truncated mean of everything at or above
+    that rank — both in exact cents (non-negative, so the trunc-div
+    equals the oracle's //).
+
+    Scale: ranks come from the RANGE-PARTITIONED prefix scaffold
+    (prefix.global_prefix with a running cents sum — never a
+    single-partition window over the SF-linear purchase slice); the
+    close reads ONE boundary row (value + inclusive prefix sum at rank
+    k) plus the scaffold's exact totals, so the driver materializes a
+    single row."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    from open_pulsar_spark.operators.prefix import global_prefix
+
+    schema = (
+        "n_purchases BIGINT, var_rank BIGINT, var95_cents BIGINT,"
+        " tail_n BIGINT, cvar95_cents BIGINT"
+    )
+    aug, totals, release = global_prefix(
+        spark, p, [F.col("cents"), F.col("event_id")], cum_cols=["cents"]
+    )
+    n, total = totals["n"], totals["cents"]
+    if n == 0:
+        release()
+        return spark.createDataFrame([(0, 0, None, 0, None)], schema)
+    k = (95 * n + 99) // 100
+    row = (
+        aug.where(F.col("rk") == k).select("cents", "cum_cents").collect()
+    )[0]
+    release()
+    v_k, cum_k = int(row["cents"]), int(row["cum_cents"])
+    tail_n = n - k + 1
+    tail_sum = total - cum_k + v_k  # cum is INCLUSIVE of rank k
+    return spark.createDataFrame(
+        [(n, k, v_k, tail_n, tail_sum // tail_n)], schema
+    )
+
+
+# --------------------------------------------------------------------------
+# order_grouping_sets — explicit GROUPING SETS (the third grouping-set
+# surface next to order_cube's CUBE and order_priority_rollup's
+# ROLLUP): just the two one-dimension margins plus the grand total,
+# WITHOUT the cube's cross cells — the shape dashboards actually ask
+# for when the cross product is noise.
+# --------------------------------------------------------------------------
+@query(
+    "order_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           grouping(o_orderstatus, o_orderpriority) AS gid,
+           count(*)::BIGINT                 AS n,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, orderstatus, orderpriority
+    """,
+)
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status margin + priority margin + grand total via explicit
+    GROUPING SETS (Spark's DataFrame.groupingSets — same grouping_id
+    bitmask semantics as DuckDB's GROUPING, the order_cube contract),
+    in exact cents.
+
+    Scale: ONE scan with map-side partial aggregation per set — the
+    whole point of grouping sets over three separate aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [[F.col("o_orderstatus")], [F.col("o_orderpriority")], []],
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias(
+                "orderpriority"
+            ),
+            "gid",
+            "n",
+            "cents",
+        )
+        .orderBy("gid", "orderstatus", "orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# nation_balance_distribution — percent_rank + cume_dist (the two
+# §2.5 rank-family members customer_balance_ranks doesn't cover):
+# every customer's account balance positioned within its nation.
+# --------------------------------------------------------------------------
+@query(
+    "nation_balance_distribution",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           round(c_acctbal, 2) AS acctbal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY round(c_acctbal, 2), c_custkey)
+    ORDER BY c_nationkey, c_custkey
+    """,
+)
+def nation_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank ((rank−1)/(n−1)) and cume_dist (rank-with-ties/n)
+    of each customer's balance within its nation — the §2.5 relative-
+    position pair. Both are small-integer ratios computed from the
+    SAME rank integers in both engines, so the doubles are bit-equal;
+    the 6-dp round is belt-and-braces (the float-parity contract), and
+    the balance is rounded BEFORE ranking so an ulp can't reorder the
+    sort.
+
+    Scale: one customer-keyed window partitioned by nation — 25
+    partitions of n/25 rows each, the documented small-group-count
+    posture (the same shape as customer_balance_ranks); output is the
+    scored customer table, written not collected at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.round("c_acctbal", 2), "c_custkey"
+    )
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    ).orderBy("c_nationkey", "c_custkey")
+
+
+# --------------------------------------------------------------------------
+# supplier_balance_tiers — supplier credit exposure per nation from
+# the otherwise-unread s_acctbal column: how many suppliers are in
+# debit (negative balance), and how much of the nation's balance mass
+# they hold.
+# --------------------------------------------------------------------------
+@query(
+    "supplier_balance_tiers",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*)::BIGINT AS n_suppliers,
+           sum(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_debit,
+           sum(round(s.s_acctbal * 100)::BIGINT)::BIGINT AS balance_cents,
+           (sum(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END)::HUGEINT
+            * 1000000 // count(*))::BIGINT AS debit_ppm
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def supplier_balance_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: supplier count, how many carry a NEGATIVE account
+    balance (credit risk), the exact-cents balance mass, and the debit
+    incidence ppm.
+
+    Scale: one supplier scan, broadcast nation join (schema-bounded),
+    one map-combinable rollup to ≤25 rows."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        supp.join(
+            F.broadcast(nation),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum(F.when(F.col("s_acctbal") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_debit"),
+            F.sum(F.expr("cast(round(s_acctbal * 100) as bigint)"))
+            .cast("bigint")
+            .alias("balance_cents"),
+            F.expr(
+                "cast(cast(sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END)"
+                " as decimal(38,0)) * 1000000 div count(*) as bigint)"
+            ).alias("debit_ppm"),
+        )
+        .orderBy("nation")
+    )

@@ -2372,3 +2372,61 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# doc_dup_rate_by_source — which source is flooding the corpus with
+# exact duplicates? The dedup family removes duplicates; this is the
+# upstream ATTRIBUTION readout — per source, how much of its intake is
+# corpus-wide duplicated text (byte-exact), so the crawler/dump that
+# needs fixing gets named instead of silently deduped forever.
+# --------------------------------------------------------------------------
+@query(
+    "doc_dup_rate_by_source",
+    oracle="""
+    WITH h AS (SELECT doc_id, source, md5(text) AS hh FROM documents),
+    g AS (SELECT hh, count(*)::BIGINT AS c FROM h GROUP BY 1)
+    SELECT h.source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN g.c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+           (sum(CASE WHEN g.c > 1 THEN 1 ELSE 0 END)::HUGEINT * 1000000
+            // count(*))::BIGINT AS dup_ppm
+    FROM h JOIN g ON g.hh = h.hh
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def doc_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: documents whose byte-exact text (md5) appears MORE
+    THAN ONCE corpus-wide, as a count and a ppm incidence — exact-dup
+    pollution attributed to its origin (a doc duplicated across two
+    sources charges both: each copy's slot is wasted wherever it
+    lands).
+
+    Determinism: md5 hex is identical in both engines (the
+    doc_fingerprint contract); integer counts and one widened
+    trunc-div.
+
+    Scale: one hash aggregate (map-side combinable on the 32-char
+    digest, never the text), one digest-keyed join back (AQE handles
+    the SF-linear build side), one rollup to the ≤|sources| grid. At
+    10¹² docs the digest join is the standard dedup shuffle — no
+    text ever moves twice."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("hh")
+    )
+    g = docs.groupBy("hh").agg(F.count("*").cast("bigint").alias("c"))
+    return (
+        docs.join(g, "hh")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.expr(
+                "cast(cast(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)"
+                " as decimal(38,0)) * 1000000 div count(*) as bigint)"
+            ).alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -157,6 +157,10 @@ _NESTED_LOOP_ALLOWED = {
     "markov_entropy_rate",       # 1-row entropy-rate scalar, broadcast
     "token_dispersion_profile",  # 1-row n_docs scalar, broadcast
     "part_association_rules",    # 1-row basket-count scalar, broadcast
+    # round-10 wave: the same benign 1-row scalar-broadcast class
+    "weekday_weekend_mix",       # 1-row day-class counts, broadcast
+    "events_hourly_fano",        # 1-row hour-span scalar, broadcast
+    "order_linecount_histogram",  # 1-row revenue grand total, broadcast
 }
 
 
@@ -332,6 +336,12 @@ ALLOWED_BOUNDED_HINTS: dict[str, set[frozenset[str]]] = {
     "nation_supplier_hhi": set(),  # nation dim hint only (schema-bounded)
     "user_event_gini": {frozenset({"events"})},  # O(parts) offsets frame
     "part_association_rules": {frozenset({"lineitem"})},  # 1-row N scalar
+    # round-10 wave (each reviewed: 1-row scalar aggregates)
+    "weekday_weekend_mix": {frozenset({"events"})},  # 1-row day-class counts
+    "events_hourly_fano": {frozenset({"events"})},  # 1-row hour-span scalar
+    "order_linecount_histogram": {
+        frozenset({"lineitem"})
+    },  # 1-row revenue grand total
 }
 
 
@@ -467,3 +477,26 @@ def test_no_single_partition_window_over_sf_linear_frames(registry_sweep):
                 "reviewed ALLOWED_BOUNDED_GLOBAL_WINDOWS entry"
             )
     assert not failures, "\n".join(failures)
+
+
+def test_plans_md_covers_every_registered_query():
+    """PLANS.md is the generated plan-audit artifact; its `##` headers
+    must cover the registry exactly (round 9: 58 queries silently
+    missing from a hand-maintained audit list concealed a
+    single-partition window).  explain_audit derives its list from the
+    registry, so a mismatch here means PLANS.md needs regenerating:
+    `python tools/explain_audit.py > PLANS.md`."""
+    import pathlib
+    import re
+
+    plans = pathlib.Path(__file__).resolve().parents[1] / "PLANS.md"
+    names = set(
+        re.findall(r"^## (\S+)", plans.read_text(), flags=re.MULTILINE)
+    )
+    qs = set(registry.all_queries())
+    missing = sorted(qs - names)
+    stale = sorted(names - qs)
+    assert not missing and not stale, {
+        "missing_from_plans": missing[:10],
+        "stale_in_plans": stale[:10],
+    }

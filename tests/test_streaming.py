@@ -3712,3 +3712,43 @@ def test_backlog_stream_folds_to_batch_curve(spark, workdir):
 
     with pytest.raises(ValueError, match="additive"):
         update_backlog(spark, spans, store, None)
+
+
+def test_fano_stream_folds_to_batch_dispersion(spark, workdir):
+    """Streaming dispersion: the additive (type, hour) count ledger
+    folded over three epochs serves a Fano readout that bit-matches
+    the batch events_hourly_fano (shared fano_from_hourly close — the
+    moments and the hour span both come from the ledger). Replays are
+    no-ops by epoch overwrite; epoch-less additive writes are
+    refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.fano_stream import (
+        fano_readout,
+        update_fano,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    store = f"{workdir}/fano_store"
+    for k in range(3):
+        update_fano(spark, ev.where(F.col("event_id") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["events_hourly_fano"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    assert want, "batch fano readout must be non-empty"
+    got = [tuple(r) for r in fano_readout(spark, store).collect()]
+    assert got == want
+
+    update_fano(spark, ev.where(F.col("event_id") % 3 == 2), store, 2)
+    assert [tuple(r) for r in fano_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError, match="additive"):
+        update_fano(spark, ev, store, None)
