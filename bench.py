@@ -606,11 +606,17 @@ def main() -> None:
         "mins": [round(all_mins[n], 2) for n in names],
     }
     line = json.dumps(tail_doc, separators=(",", ":"))
-    if len(line) > 1900:
-        # keep the final line safely inside the 2000-char recorded
-        # tail as the query set grows: the v1 per-query dict is
-        # redundant with "mins" (name-sorted, 2 dp), so drop it first
-        del tail_doc["queries"]
+    # keep the final line safely inside the 2000-char recorded tail as
+    # the query set grows, dropping fields the BENCH_MINS.json sidecar
+    # carries verbatim (cross-checked by mins_sha), least-precious
+    # first: the v1 per-query dict is redundant with "mins"
+    # (name-sorted, 2 dp); the headline spreads live in hl_spread of
+    # the sidecar; finally the mins array itself — the sidecar remains
+    # the canonical per-query record either way.
+    for redundant in ("queries", "hl_spread", "mins"):
+        if len(line) <= 1900:
+            break
+        del tail_doc[redundant]
         line = json.dumps(tail_doc, separators=(",", ":"))
     assert len(line) <= 1900, len(line)
     print(line)

@@ -1286,3 +1286,34 @@ def test_session_conversion_attribution_hand_computed_fixture(spark, tmp_path):
         ("purchase", 1, 1, 1000000, 0),
         ("view", 1, 1, 1000000, 0),
     ]
+
+
+def test_purchase_value_tail_risk_hand_computed_fixture(spark, tmp_path):
+    """purchase_value_tail_risk closes driver-side (VaR boundary row +
+    exact totals); pin its exact output on a hand-computable tail.
+
+    Fixture: 20 purchases of 1..20 dollars. n = 20, VaR rank =
+    ceil(0.95·20) = 19 → VaR95 = 1900 cents; tail = {1900, 2000} →
+    tail_n = 2, CVaR95 = 3900 // 2 = 1950."""
+    import datetime
+
+    from open_pulsar_spark.registry import all_queries
+
+    rows = [
+        (i, 1, datetime.datetime(2024, 1, 1, 0, i), "purchase", float(i))
+        for i in range(1, 21)
+    ]
+    sf = tmp_path / "sf_tail"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts timestamp,"
+        " event_type string, value double",
+    ).write.parquet(str(sf / "events.parquet"))
+    got = [
+        tuple(r)
+        for r in all_queries()["purchase_value_tail_risk"](
+            spark, str(sf)
+        ).collect()
+    ]
+    assert got == [(20, 19, 1900, 2, 1950)]

@@ -500,3 +500,68 @@ def test_plans_md_covers_every_registered_query():
         "missing_from_plans": missing[:10],
         "stale_in_plans": stale[:10],
     }
+
+
+def test_plan_hints_parsers_on_synthetic_trees():
+    """Pure-function coverage of the plan-text primitives behind both
+    sweep gates: bracket-group splitting, global-window detection
+    (order-only vs partition-only two-group Window nodes), and the
+    per-scan-path bounding walk (an aggregate must sit ABOVE a scan to
+    vouch for it, and cached FileScan leaves resolve to their table)."""
+    from open_pulsar_spark.plan_hints import (
+        _is_global_window,
+        _scan_profile,
+        _toplevel_groups,
+    )
+
+    assert _toplevel_groups("Window [a[0] x], [b ASC], [c]") == [
+        "a[0] x",
+        "b ASC",
+        "c",
+    ]
+    # order-only two-group node = GLOBAL window
+    assert _is_global_window(
+        "Window [row_number() windowspecdefinition(x ASC NULLS FIRST, f())"
+        " AS r#1], [x ASC NULLS FIRST]"
+    )
+    # partition-only two-group node (count OVER (PARTITION BY s)) = NOT
+    assert not _is_global_window(
+        "Window [count(1) windowspecdefinition(s#2, f()) AS n#3], [s#2]"
+    )
+    # three groups with a non-empty partition spec = NOT global
+    assert not _is_global_window(
+        "Window [rank() ... AS r#1], [s#2], [x ASC NULLS FIRST]"
+    )
+
+    # per-scan-path bounding: the aggregate bounds ONLY the scan below
+    # it — the sibling raw scan stays unbounded even though an
+    # Aggregate appears in the tree
+    parsed = [
+        (1, "Join Inner"),
+        (2, "Aggregate [k], [k, count(1) AS n#1]"),
+        (3, "Relation [o_orderkey#1] parquet"),
+        (2, "Relation [l_orderkey#2] parquet"),
+    ]
+    tables, bounded, local = _scan_profile(parsed)
+    assert tables == {"orders", "lineitem"} and not bounded and not local
+    # both scans under bounding ancestors → bounded
+    parsed_ok = [
+        (1, "Join Inner"),
+        (2, "Aggregate [k], [k]"),
+        (3, "Relation [o_orderkey#1] parquet"),
+        (2, "GlobalLimit 8"),
+        (3, "Relation [l_orderkey#2] parquet"),
+    ]
+    _, bounded_ok, _ = _scan_profile(parsed_ok)
+    assert bounded_ok
+    # cached lineage: FileScan under InMemoryRelation resolves by path,
+    # and the physical HashAggregate above it counts as bounding
+    parsed_cached = [
+        (1, "HashAggregate(keys=[d], functions=[count(1)])"),
+        (2, "InMemoryRelation [d#1, c#2], StorageLevel(memory)"),
+        (3, "*(1) ColumnarToRow"),
+        (4, "FileScan parquet [user_id#3] Batched: true, Location:"
+            " InMemoryFileIndex[file:/x/sf0.001/events.parquet]"),
+    ]
+    tables_c, bounded_c, _ = _scan_profile(parsed_cached)
+    assert tables_c == {"events"} and bounded_c
