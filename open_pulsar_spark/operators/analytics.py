@@ -9054,26 +9054,48 @@ def weekday_weekend_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint well below 100 TB volumes). Spark's weekday() (Mon=0) ≥ 5
     and DuckDB's isodow (Mon=1) ≥ 6 select the same Sat/Sun set.
 
-    Scale: one map-combinable (type × class) count over the stream;
-    the day-count scalar is a distinct-day aggregate broadcast as a
-    1-row frame (reviewed bounded hint)."""
+    Scale: one map-combinable (type × day) count over the stream, then
+    the close runs on that calendar-bounded frame; the day-count
+    scalar is a distinct-day aggregate broadcast as a 1-row frame
+    (reviewed bounded hint)."""
     ev = load_table(spark, sf_dir, "events")
-    is_we = F.expr("weekday(ts) >= 5")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return weekday_mix_from_daily(spark, daily)
+
+
+def weekday_mix_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """The ONE weekday/weekend close, shared by the batch query above
+    and the streaming hourly-ledger readout
+    (streaming/fano_stream.mix_readout — one ledger, two readouts) —
+    the pchart_from_daily sharing contract. `daily` must carry
+    (event_type STRING, day TIMESTAMP, n BIGINT), one row per (type,
+    active day); the observed-calendar day counts come from the
+    frame's own distinct days."""
+    from open_pulsar_spark.operators.dedup import _pin
+
+    daily = _pin("weekday_mix_daily", daily)
     dcnt = (
-        ev.select(F.date_trunc("day", "ts").alias("d"))
+        daily.select("day")
         .distinct()
         .agg(
-            F.sum(F.when(F.expr("weekday(d) >= 5"), 1).otherwise(0))
+            F.sum(F.when(F.expr("weekday(day) >= 5"), 1).otherwise(0))
             .cast("bigint")
             .alias("we_days"),
-            F.sum(F.when(F.expr("weekday(d) >= 5"), 0).otherwise(1))
+            F.sum(F.when(F.expr("weekday(day) >= 5"), 0).otherwise(1))
             .cast("bigint")
             .alias("wd_days"),
         )
     )
-    cnt = ev.groupBy("event_type").agg(
-        F.sum(F.when(is_we, 1).otherwise(0)).cast("bigint").alias("we_cnt"),
-        F.sum(F.when(is_we, 0).otherwise(1)).cast("bigint").alias("wd_cnt"),
+    is_we = F.expr("weekday(day) >= 5")
+    cnt = daily.groupBy("event_type").agg(
+        F.sum(F.when(is_we, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("we_cnt"),
+        F.sum(F.when(is_we, 0).otherwise(F.col("n")))
+        .cast("bigint")
+        .alias("wd_cnt"),
     )
     return (
         cnt.crossJoin(F.broadcast(dcnt))

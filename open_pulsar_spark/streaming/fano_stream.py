@@ -118,3 +118,21 @@ def start_fano_stream(
         cluster_cols=_CLUSTER_COLS,
         compact_max_segments=compact_max_segments,
     )
+
+
+def mix_readout(spark: SparkSession, store_path: str) -> DataFrame:
+    """SECOND readout off the same hourly ledger (one ledger, two
+    readouts — the active_stream membership-grid pattern): the
+    weekday/weekend per-day-rate lift, via the SAME
+    weekday_mix_from_daily close as the batch weekday_weekend_mix —
+    the ledger's hours roll up to (type, day) counts, and the observed
+    calendar is the ledger's own distinct days, exactly as the batch
+    query derives it from raw events."""
+    from open_pulsar_spark.operators.analytics import weekday_mix_from_daily
+
+    daily = (
+        read_hourly(spark, store_path)
+        .groupBy("event_type", F.date_trunc("day", "h").alias("day"))
+        .agg(F.sum("c").cast("bigint").alias("n"))
+    )
+    return weekday_mix_from_daily(spark, daily)

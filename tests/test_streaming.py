@@ -3750,5 +3750,18 @@ def test_fano_stream_folds_to_batch_dispersion(spark, workdir):
     update_fano(spark, ev.where(F.col("event_id") % 3 == 2), store, 2)
     assert [tuple(r) for r in fano_readout(spark, store).collect()] == want
 
+    # SECOND readout off the SAME ledger (one ledger, two readouts):
+    # the weekday/weekend lift bit-matches the batch query too
+    from open_pulsar_spark.streaming.fano_stream import mix_readout
+
+    want_mix = [
+        tuple(r)
+        for r in all_queries()["weekday_weekend_mix"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    assert want_mix
+    assert [tuple(r) for r in mix_readout(spark, store).collect()] == want_mix
+
     with pytest.raises(ValueError, match="additive"):
         update_fano(spark, ev, store, None)
