@@ -300,6 +300,7 @@ EXTRA = [
     "order_grouping_sets",
     "nation_balance_distribution",
     "supplier_balance_tiers",
+    "embedding_intrinsic_dim",
 ]
 
 # Fixed A/A probe (round-9, VERDICT r8 task #7): re-sampled AFTER the

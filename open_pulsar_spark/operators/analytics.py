@@ -9412,24 +9412,34 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "nation_balance_distribution",
     oracle="""
-    SELECT c_nationkey, c_custkey,
-           round(c_acctbal, 2) AS acctbal,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cum_dist
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey
-                 ORDER BY round(c_acctbal, 2), c_custkey)
+    WITH r AS (
+        SELECT c_nationkey, c_custkey,
+               round(c_acctbal, 2) AS acctbal,
+               row_number() OVER w AS rn,
+               count(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY round(c_acctbal, 2), c_custkey))
+    SELECT c_nationkey, c_custkey, acctbal,
+           CASE WHEN n > 1
+                THEN ((rn - 1) * 1000000 // (n - 1))::BIGINT END
+               AS pct_rank_ppm,
+           (rn * 1000000 // n)::BIGINT AS cum_dist_ppm
+    FROM r
     ORDER BY c_nationkey, c_custkey
     """,
 )
 def nation_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank ((rank−1)/(n−1)) and cume_dist (rank-with-ties/n)
-    of each customer's balance within its nation — the §2.5 relative-
-    position pair. Both are small-integer ratios computed from the
-    SAME rank integers in both engines, so the doubles are bit-equal;
-    the 6-dp round is belt-and-braces (the float-parity contract), and
-    the balance is rounded BEFORE ranking so an ulp can't reorder the
-    sort.
+    """percent_rank ((rank−1)/(n−1)) and cume_dist (rank/n) of each
+    customer's balance within its nation — the §2.5 relative-position
+    pair, emitted on the EXACT ppm grid. The (balance, custkey) order
+    is total, so rank-with-ties ≡ row_number and both ratios are pure
+    integer trunc-divs: the builtins' double output is NOT
+    cross-engine-stable at decimal midpoints (measured at sf0.1:
+    percent_rank 41/640 = 0.0640625 rounds to 0.064063 under Spark's
+    shortest-decimal HALF_UP but 0.064062 under DuckDB's
+    binary-double rounding), while the integer grid cannot diverge.
+    Single-row nations emit NULL pct_rank_ppm (0/0) in both engines.
 
     Scale: one customer-keyed window partitioned by nation — 25
     partitions of n/25 rows each, the documented small-group-count
@@ -9439,13 +9449,29 @@ def nation_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_nationkey").orderBy(
         F.round("c_acctbal", 2), "c_custkey"
     )
-    return cust.select(
-        "c_nationkey",
-        "c_custkey",
-        F.round("c_acctbal", 2).alias("acctbal"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
-    ).orderBy("c_nationkey", "c_custkey")
+    wn = Window.partitionBy("c_nationkey")
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "acctbal",
+            F.expr(
+                "CASE WHEN n > 1 THEN cast((rn - 1) * 1000000"
+                " div (n - 1) as bigint) END"
+            ).alias("pct_rank_ppm"),
+            F.expr("cast(rn * 1000000 div n as bigint)").alias(
+                "cum_dist_ppm"
+            ),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+    )
 
 
 # --------------------------------------------------------------------------

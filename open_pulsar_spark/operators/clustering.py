@@ -2124,3 +2124,121 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_intrinsic_dim — TwoNN intrinsic-dimension estimate (Facco
+# et al. 2017): how many effective degrees of freedom does the
+# embedding manifold use? The PCA power curve measures LINEAR
+# dimension; TwoNN reads the local manifold dimension from the ratio
+# of each point's 2nd- to 1st-nearest-neighbor distance — the number
+# that says whether 128 stored dims are carrying a ~10-dim manifold
+# (cheap to compress, easy to index) or genuinely high-dim data.
+# --------------------------------------------------------------------------
+TWONN_PROBES = 64  # bounded probe set (the N_QUERIES pattern, larger
+#                    because the MLE averages over probes)
+
+
+def _intrinsic_dim_oracle() -> str:
+    return f"""
+    WITH {_QUANT_C0},
+    probes AS (SELECT vec_id AS pid, q AS pq FROM q
+               WHERE vec_id < {TWONN_PROBES}),
+    d AS (
+        SELECT p.pid, e.vec_id,
+               list_sum(list_transform(list_zip(p.pq, e.q),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
+        FROM probes p JOIN q e ON e.vec_id <> p.pid),
+    r AS (SELECT pid, vec_id, dist,
+                 row_number() OVER (PARTITION BY pid
+                                    ORDER BY dist, vec_id) AS rk
+          FROM d),
+    nn AS (SELECT pid,
+                  max(CASE WHEN rk = 1 THEN dist END)::BIGINT AS d1,
+                  max(CASE WHEN rk = 2 THEN dist END)::BIGINT AS d2
+           FROM r WHERE rk <= 2 GROUP BY pid),
+    terms AS (
+        SELECT pid,
+               CAST(round(ln(d2) * 1000000000) AS BIGINT)
+             - CAST(round(ln(d1) * 1000000000) AS BIGINT) AS l_nano
+        FROM nn WHERE d1 > 0 AND d2 > 0)
+    SELECT count(*)::BIGINT AS n_probes,
+           sum(l_nano)::BIGINT AS sum_log_nano,
+           CASE WHEN sum(l_nano) > 0
+                THEN (2 * count(*)::HUGEINT * 1000000000 * 1000000
+                      // sum(l_nano))::BIGINT
+           END AS intrinsic_dim_ppm
+    FROM terms
+    """
+
+
+@query("embedding_intrinsic_dim", oracle=_intrinsic_dim_oracle())
+def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN MLE of the embedding manifold's intrinsic dimension:
+    d̂ = n / Σ ln(r2/r1) over probe points, computed on SQUARED
+    quantized distances (so d̂ = 2n / Σ ln(d2/d1)) and emitted as
+    intrinsic_dim_ppm.
+
+    Determinism: distances are EXACT integers on the shared
+    fixed-point grid (the IVF-family quantizer); each ln is a single
+    nano-grid rounding of an integer argument (the keyness contract);
+    the MLE close is one widened trunc-div. NN rank ties break by
+    vec_id; probes whose nearest neighbor is an exact duplicate
+    (d1 = 0) are excluded in both engines (ln 0 undefined).
+
+    Scale: the {TWONN_PROBES}-probe frame broadcasts (filter + the
+    structural limit) against ONE corpus scan; the per-probe rank ≤ 2
+    filter triggers Spark's WindowGroupLimit partial top-k, so the
+    {TWONN_PROBES}-partition window sees ≤ 3·partitions rows per
+    probe, never the corpus — the bounded-probe brute-force pattern
+    the ANN family documents."""
+    from pyspark.sql import Window
+
+    qdf = _quantized(spark, sf_dir)
+    probes = (
+        qdf.where(F.col("vec_id") < TWONN_PROBES)
+        .limit(TWONN_PROBES)
+        .select(F.col("vec_id").alias("pid"), F.col("q").alias("pq"))
+    )
+    d = (
+        qdf.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(pq, q, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (a, v) -> a + v)"
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("pid").orderBy("dist", "vec_id")
+    nn = (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .groupBy("pid")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("dist")))
+            .cast("bigint")
+            .alias("d1"),
+            F.max(F.when(F.col("rk") == 2, F.col("dist")))
+            .cast("bigint")
+            .alias("d2"),
+        )
+    )
+    terms = nn.where((F.col("d1") > 0) & (F.col("d2") > 0)).select(
+        (
+            F.round(F.log("d2") * 1000000000, 0).cast("bigint")
+            - F.round(F.log("d1") * 1000000000, 0).cast("bigint")
+        ).alias("l_nano")
+    )
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_probes"),
+        F.sum("l_nano").cast("bigint").alias("sum_log_nano"),
+        F.expr(
+            "CASE WHEN sum(l_nano) > 0"
+            " THEN cast(2 * cast(count(*) as decimal(38,0))"
+            "           * 1000000000 * 1000000"
+            "      div sum(l_nano) as bigint) END"
+        ).alias("intrinsic_dim_ppm"),
+    )

@@ -161,6 +161,7 @@ _NESTED_LOOP_ALLOWED = {
     "weekday_weekend_mix",       # 1-row day-class counts, broadcast
     "events_hourly_fano",        # 1-row hour-span scalar, broadcast
     "order_linecount_histogram",  # 1-row revenue grand total, broadcast
+    "embedding_intrinsic_dim",   # TWONN_PROBES-row probe frame, broadcast
 }
 
 
@@ -342,6 +343,9 @@ ALLOWED_BOUNDED_HINTS: dict[str, set[frozenset[str]]] = {
     "order_linecount_histogram": {
         frozenset({"lineitem"})
     },  # 1-row revenue grand total
+    "embedding_intrinsic_dim": {
+        frozenset({"embeddings"})
+    },  # TWONN_PROBES-row probe frame (filter + structural limit)
 }
 
 
