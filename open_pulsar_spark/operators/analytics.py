@@ -8872,6 +8872,19 @@ def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows); the customer/supplier joins stay unhinted (SF-linear — AQE
     broadcasts the 2-column projections while they fit); the share
     window partitions by cust_nation over the ≤625-row aggregate."""
+    f = attributed_trade_lines(spark, sf_dir)
+    m = f.groupBy("cust_nation", "supp_nation").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    return trade_matrix_from_flows(spark, m)
+
+
+def attributed_trade_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each lineitem attributed to its (customer nation, supplier
+    nation) pair with exact cents — the flow rows the batch matrix
+    aggregates and the streaming twin's parity test feeds through the
+    additive ledger (l_orderkey kept for deterministic splitting)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_suppkey",
@@ -8910,10 +8923,17 @@ def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("snk"),
         )
     )
-    m = f.groupBy("cust_nation", "supp_nation").agg(
-        F.count("*").cast("bigint").alias("n_lines"),
-        F.sum("cents").cast("bigint").alias("revenue_cents"),
-    )
+    return f.select("l_orderkey", "cust_nation", "supp_nation", "cents")
+
+
+def trade_matrix_from_flows(spark: SparkSession, m: DataFrame) -> DataFrame:
+    """The ONE trade-matrix close, shared by the batch query above and
+    the streaming additive flow-ledger readout
+    (streaming/trade_stream.trade_readout) — the pchart_from_daily
+    sharing contract. `m` must carry (cust_nation STRING, supp_nation
+    STRING, n_lines BIGINT, revenue_cents BIGINT), one row per flow
+    (≤ 625); the row-share window partitions by cust_nation over that
+    schema-bounded frame."""
     w_row = Window.partitionBy("cust_nation")
     return (
         m.withColumn(

@@ -3765,3 +3765,48 @@ def test_fano_stream_folds_to_batch_dispersion(spark, workdir):
 
     with pytest.raises(ValueError, match="additive"):
         update_fano(spark, ev, store, None)
+
+
+def test_trade_stream_folds_to_batch_matrix(spark, workdir):
+    """Streaming trade flows: the additive (cust_nation, supp_nation)
+    ledger folded over three epochs of attributed lines serves a
+    matrix that bit-matches the batch nation_trade_matrix (shared
+    trade_matrix_from_flows close — the row-share ppm needs each
+    customer-nation row's GLOBAL total, which the ledger gives without
+    rescanning the joined fact). Replays are no-ops by epoch
+    overwrite; epoch-less additive writes are refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.analytics import attributed_trade_lines
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.trade_stream import (
+        trade_readout,
+        update_trade,
+    )
+    from tests.conftest import SF_SMALL
+
+    lines = attributed_trade_lines(spark, SF_SMALL)
+    store = f"{workdir}/trade_store"
+    for k in range(3):
+        update_trade(
+            spark, lines.where(F.col("l_orderkey") % 3 == k), store, k
+        )
+
+    want = [
+        tuple(r)
+        for r in all_queries()["nation_trade_matrix"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    assert want, "batch trade matrix must be non-empty"
+    got = [tuple(r) for r in trade_readout(spark, store).collect()]
+    assert got == want
+
+    update_trade(
+        spark, lines.where(F.col("l_orderkey") % 3 == 2), store, 2
+    )
+    assert [tuple(r) for r in trade_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError, match="additive"):
+        update_trade(spark, lines, store, None)
