@@ -9302,6 +9302,65 @@ def order_linecount_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # it. Quantile queries report the middle; risk teams budget against
 # the tail — CVaR is the standard coherent tail measure.
 # --------------------------------------------------------------------------
+_TAIL_RISK_SCHEMA = (
+    "n_purchases BIGINT, var_rank BIGINT, var95_cents BIGINT,"
+    " tail_n BIGINT, cvar95_cents BIGINT"
+)
+
+
+def tail_risk_from_cents_hist(spark: SparkSession, hist: DataFrame) -> DataFrame:
+    """The VaR95/CVaR95 close over a (cents, w) HISTOGRAM of purchase
+    cents — the ONE close shared by the batch purchase_value_tail_risk
+    and streaming/risk_stream's readout, so batch and stream cannot
+    drift (the fano_from_hourly contract).
+
+    Event-grain equivalence: the batch semantics rank events by
+    (cents, event_id) and read rank k = ceil(0.95·n); every reported
+    value depends only on the cents MULTISET (the tiebreaker never
+    changes which cents value sits at rank k, nor the tail sum), so
+    the histogram close is exact. With cum_w/cum_wsum the INCLUSIVE
+    prefix count/value-sum at the boundary bucket v* (the smallest
+    cents with cum_w ≥ k):
+
+      tail_sum = total − cum_wsum(v*) + v*·(cum_w(v*) − k + 1)
+
+    — the > v* buckets whole, plus the (cum_w(v*) − k + 1) tail copies
+    of v* itself.
+
+    Scale: the histogram is already ≤ |distinct cents| rows; ranks and
+    running sums come from the RANGE-PARTITIONED prefix scaffold
+    (never a single-partition window), the boundary bucket is an
+    ascending top-1 (TakeOrderedAndProject) over the ≥ k filter, and
+    the close reads ONE row plus the scaffold totals."""
+    from open_pulsar_spark.operators.prefix import global_prefix
+
+    hist = hist.select(
+        "cents",
+        F.col("w").cast("bigint").alias("w"),
+        (F.col("cents") * F.col("w")).cast("bigint").alias("wsum"),
+    )
+    aug, totals, release = global_prefix(
+        spark, hist, [F.col("cents")], cum_cols=["w", "wsum"]
+    )
+    n, total = totals["w"], totals["wsum"]
+    if n == 0:
+        release()
+        return spark.createDataFrame([(0, 0, None, 0, None)], _TAIL_RISK_SCHEMA)
+    k = (95 * n + 99) // 100
+    row = (
+        aug.where(F.col("cum_w") >= k)
+        .orderBy("cents")
+        .limit(1)
+        .select("cents", "cum_w", "cum_wsum")
+        .collect()
+    )[0]
+    release()
+    v, cum_n, cum_s = int(row["cents"]), int(row["cum_w"]), int(row["cum_wsum"])
+    tail_n = n - k + 1
+    tail_sum = total - cum_s + v * (cum_n - k + 1)
+    return spark.createDataFrame(
+        [(n, k, v, tail_n, tail_sum // tail_n)], _TAIL_RISK_SCHEMA
+    )
 @query(
     "purchase_value_tail_risk",
     oracle="""
@@ -9330,43 +9389,28 @@ def purchase_value_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     that rank — both in exact cents (non-negative, so the trunc-div
     equals the oracle's //).
 
-    Scale: ranks come from the RANGE-PARTITIONED prefix scaffold
-    (prefix.global_prefix with a running cents sum — never a
-    single-partition window over the SF-linear purchase slice); the
-    close reads ONE boundary row (value + inclusive prefix sum at rank
-    k) plus the scaffold's exact totals, so the driver materializes a
-    single row."""
-    ev = load_table(spark, sf_dir, "events")
-    p = ev.where(
-        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
-    ).select(
-        "event_id",
-        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
-    )
-    from open_pulsar_spark.operators.prefix import global_prefix
+    The purchase slice first collapses to a (cents, w) histogram (one
+    map-side-combinable aggregate), then closes via
+    tail_risk_from_cents_hist — the SAME close the streaming twin
+    (streaming/risk_stream.py) serves off its folded cents ledger, so
+    batch and stream cannot drift. The histogram grain is exact: every
+    reported value is a function of the cents multiset (see the close's
+    docstring for the rank-k equivalence).
 
-    schema = (
-        "n_purchases BIGINT, var_rank BIGINT, var95_cents BIGINT,"
-        " tail_n BIGINT, cvar95_cents BIGINT"
+    Scale: the SF-linear scan reduces to |distinct cents| rows in one
+    aggregate; ranks over the histogram come from the RANGE-PARTITIONED
+    prefix scaffold (never a single-partition window); the close reads
+    ONE boundary bucket plus the scaffold totals."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.where(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .select(F.expr("cast(round(value * 100) as bigint)").alias("cents"))
+        .groupBy("cents")
+        .agg(F.count("*").cast("bigint").alias("w"))
     )
-    aug, totals, release = global_prefix(
-        spark, p, [F.col("cents"), F.col("event_id")], cum_cols=["cents"]
-    )
-    n, total = totals["n"], totals["cents"]
-    if n == 0:
-        release()
-        return spark.createDataFrame([(0, 0, None, 0, None)], schema)
-    k = (95 * n + 99) // 100
-    row = (
-        aug.where(F.col("rk") == k).select("cents", "cum_cents").collect()
-    )[0]
-    release()
-    v_k, cum_k = int(row["cents"]), int(row["cum_cents"])
-    tail_n = n - k + 1
-    tail_sum = total - cum_k + v_k  # cum is INCLUSIVE of rank k
-    return spark.createDataFrame(
-        [(n, k, v_k, tail_n, tail_sum // tail_n)], schema
-    )
+    return tail_risk_from_cents_hist(spark, hist)
 
 
 # --------------------------------------------------------------------------

@@ -96,7 +96,13 @@ class BroadcastHint:
 
     @property
     def sf_linear_tables(self) -> frozenset[str]:
-        return self.tables & SF_LINEAR
+        # sentinel tables ('?<first_col>' from an unmapped Relation,
+        # '?filescan' from an unresolvable FileScan Location) count as
+        # SF-linear so an unresolved scan FAILS the gate rather than
+        # silently passing it (fail closed)
+        return frozenset(
+            t for t in self.tables if t in SF_LINEAR or t.startswith("?")
+        )
 
 
 def _depth_and_text(line: str) -> tuple[int, str]:
@@ -136,12 +142,18 @@ def _scan_profile(
             # the InMemoryRelation leaf — without this, a pinned frame
             # hides its parquet scans from the gate entirely
             m = _PARQUET_PATH.search(text)
-            if m:
-                tbl = m.group(1)
+            # FAIL CLOSED: a truncated Location string
+            # (spark.sql.maxMetadataStringLength, multi-path
+            # InMemoryFileIndex ellipsis) or a layout not named
+            # <table>.parquet must surface as an unresolved scan, not
+            # silently drop out of the broadcast / global-window gates
+            tbl = m.group(1) if m else "?filescan"
         if tbl is not None:
             tables.add(tbl)
             local = False
-            if tbl in SF_LINEAR and not any(b for _, b in stack):
+            if (tbl in SF_LINEAR or tbl.startswith("?")) and not any(
+                b for _, b in stack
+            ):
                 bounded = False
         stack.append((depth, text.startswith(bounding_nodes)))
     return tables, bounded, local
@@ -221,19 +233,57 @@ def _toplevel_groups(text: str) -> list[str]:
     return groups
 
 
+# one order-spec entry: ``<expr> ASC|DESC NULLS FIRST|LAST`` — SortOrder's
+# rendering since Spark 2.x; partition entries are bare expressions
+_ORDER_ENTRY = _re.compile(r"\s(ASC|DESC)\sNULLS\s(FIRST|LAST)\s*$")
+
+
+def _toplevel_commas(group: str) -> list[str]:
+    """Split a bracket-group's contents on top-level commas (commas
+    inside nested parens/brackets of expressions don't split)."""
+    depth = 0
+    parts: list[str] = []
+    buf: list[str] = []
+    for ch in group:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth = max(0, depth - 1)
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return parts
+
+
 def _is_global_window(text: str) -> bool:
     """True when a logical ``Window`` node line has an EMPTY partition
     spec.  The node renders ``Window [exprs], [partSpec], [orderSpec]``
     with empty groups omitted, so arity alone is ambiguous: two groups
     is either partition-only (count OVER (PARTITION BY x)) or
-    order-only (global).  An order spec's entries always carry an
-    ASC/DESC direction; partition entries never do."""
+    order-only (global).  Each order-spec entry ends with
+    ``ASC|DESC NULLS FIRST|LAST`` (SortOrder rendering); partition
+    entries never do.  The check is anchored per top-level entry, and
+    a mixed/unrecognized second group classifies as GLOBAL — fail
+    closed: an ambiguous rendering surfaces in the sweep gate instead
+    of silently passing as partitioned.  ``tests/test_plans.py``
+    additionally pins a live canary (a known global-window query must
+    be detected) so a Spark rendering change breaks loudly."""
     groups = _toplevel_groups(text)
     if len(groups) >= 3:
         return not groups[1].strip()
     if len(groups) == 2:
         tail = groups[1]
-        return not tail.strip() or " ASC" in tail or " DESC" in tail
+        if not tail.strip():
+            return True
+        entries = [e.strip() for e in _toplevel_commas(tail)]
+        # partition-only iff EVERY entry is a bare (direction-less)
+        # expression; anything else — order entries, or a rendering we
+        # don't recognize — is treated as global
+        return any(_ORDER_ENTRY.search(e) for e in entries)
     return True  # no partition, no order: count(*) OVER ()
 
 

@@ -1317,3 +1317,95 @@ def test_purchase_value_tail_risk_hand_computed_fixture(spark, tmp_path):
         ).collect()
     ]
     assert got == [(20, 19, 1900, 2, 1950)]
+
+
+def test_customer_rfm_segments_hand_computed_fixture(spark, tmp_path):
+    """VERDICT r10 task #3: customer_rfm_segments closes from a small
+    collected boundary map (ntile quintile boundaries located on the
+    prefix scaffold and broadcast back as literal comparisons) — pin
+    the exact output on a hand-computable 7-customer table so a
+    testdata regeneration that shifts distributions can't silently
+    break the Python close.
+
+    Fixture: 7 customers. n=7 → quintile sizes [2,2,1,1,1] (n mod 5
+    leading tiles get the extra row), boundary ranks {2,4,5,6},
+    tile = 1 + #{boundaries strictly before the row}. Customer 1 has
+    TWO orders (recency/frequency/monetary aggregation all exercised);
+    customers 2–7 one each. Recency rank == custkey (cust 1 newest);
+    frequency rank == custkey (cust 1 freq 2, rest tie at 1, custkey
+    tiebreak); monetary rank is REVERSED (cust 7 richest). By hand:
+    rank→tile: 1→1 2→1 3→2 4→2 5→3 6→4 7→5."""
+    import datetime
+
+    from open_pulsar_spark.registry import all_queries
+
+    D = datetime.date
+    rows = [(1, D(2024, 1, 6), 60.0), (1, D(2024, 1, 7), 40.0)] + [
+        (k, D(2024, 1, 8 - k), 100.0 * k) for k in range(2, 8)
+    ]
+    sf = tmp_path / "sf_rfm"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "o_custkey bigint, o_orderdate date, o_totalprice double"
+    ).write.parquet(str(sf / "orders.parquet"))
+    got = [
+        tuple(r)
+        for r in all_queries()["customer_rfm_segments"](
+            spark, str(sf)
+        ).collect()
+    ]
+    assert got == [
+        (1, D(2024, 1, 7), 2, 100.0, 1, 1, 5),
+        (2, D(2024, 1, 6), 1, 200.0, 1, 1, 4),
+        (3, D(2024, 1, 5), 1, 300.0, 2, 2, 3),
+        (4, D(2024, 1, 4), 1, 400.0, 2, 2, 2),
+        (5, D(2024, 1, 3), 1, 500.0, 3, 3, 2),
+        (6, D(2024, 1, 2), 1, 600.0, 4, 4, 1),
+        (7, D(2024, 1, 1), 1, 700.0, 5, 5, 1),
+    ]
+
+
+def test_conversion_lag_quantiles_hand_computed_fixture(spark, tmp_path):
+    """VERDICT r10 task #3: conversion_lag_quantiles closes from four
+    collected order statistics (two middle ranks, the p90 rank, rank
+    n) — pin the exact output on a hand-computable lag table.
+
+    Fixture: users 1–10 convert with lag exactly 10·u seconds (first
+    view at T0, first purchase T0+10u); a later second view/purchase
+    for user 1 exercises the min() firsts; user 11 views only, user 12
+    purchases BEFORE viewing, user 13 purchases only — all three
+    excluded. n=10 → middle ranks (5,6): (50+60)//2 = 55; p90 rank
+    (9·10+9)//10 = 9 → 90; max = 100."""
+    import datetime
+
+    from open_pulsar_spark.registry import all_queries
+
+    T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    S = datetime.timedelta(seconds=1)
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        eid += 1
+        rows.append((eid, u, T0, "view"))
+        eid += 1
+        rows.append((eid, u, T0 + 10 * u * S, "purchase"))
+    rows += [
+        (100, 1, T0 + 3600 * S, "view"),  # later extras: min() wins
+        (101, 1, T0 + 7200 * S, "purchase"),
+        (102, 11, T0, "view"),  # never purchases
+        (103, 12, T0, "purchase"),  # purchase precedes view
+        (104, 12, T0 + 5 * S, "view"),
+        (105, 13, T0, "purchase"),  # never views
+    ]
+    sf = tmp_path / "sf_lag"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    ).write.parquet(str(sf / "events.parquet"))
+    got = [
+        tuple(r)
+        for r in all_queries()["conversion_lag_quantiles"](
+            spark, str(sf)
+        ).collect()
+    ]
+    assert got == [("max", 100, 10), ("p50", 55, 10), ("p90", 90, 10)]

@@ -483,6 +483,47 @@ def test_no_single_partition_window_over_sf_linear_frames(registry_sweep):
     assert not failures, "\n".join(failures)
 
 
+def test_global_window_detection_canary(registry_sweep, spark):
+    """The window gate depends on Spark's plan-text rendering of Window
+    nodes; if a Spark upgrade changes how order specs render, the gate
+    must break LOUDLY here, not fail open silently.  Two live canaries:
+    (a) a registry query known to contain a global window over
+    SF-linear scans (it holds an ALLOWED_BOUNDED_GLOBAL_WINDOWS review
+    entry, so it must be DETECTED for that review to mean anything),
+    and (b) a synthetic order-only vs partitioned window pair built
+    against the running Spark version."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    from open_pulsar_spark.plan_hints import global_window_profiles
+
+    # (a) registry canary: a reviewed-global query must yield ≥1 profile
+    canary = "orders_backlog_depth"
+    assert registry_sweep["windows"].get(canary), (
+        f"{canary} no longer detects as a global window — Spark's "
+        "Window-node rendering changed; fix plan_hints._is_global_window"
+    )
+
+    # (b) live rendering canary on the running Spark version
+    base = spark.range(8).withColumn("grp", SF.col("id") % 2)
+    ordered = base.withColumn("r", SF.row_number().over(Window.orderBy("id")))
+    assert len(global_window_profiles(ordered)) == 1, (
+        "order-only global window not detected on this Spark version"
+    )
+    parted = base.withColumn(
+        "r", SF.row_number().over(Window.partitionBy("grp").orderBy("id"))
+    )
+    assert len(global_window_profiles(parted)) == 0, (
+        "partitioned window misclassified as global on this Spark version"
+    )
+    part_only = base.withColumn(
+        "n", SF.count("*").over(Window.partitionBy("grp"))
+    )
+    assert len(global_window_profiles(part_only)) == 0, (
+        "partition-only (two-group) window misclassified as global"
+    )
+
+
 def test_plans_md_covers_every_registered_query():
     """PLANS.md is the generated plan-audit artifact; its `##` headers
     must cover the registry exactly (round 9: 58 queries silently

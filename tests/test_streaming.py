@@ -3810,3 +3810,51 @@ def test_trade_stream_folds_to_batch_matrix(spark, workdir):
 
     with pytest.raises(ValueError, match="additive"):
         update_trade(spark, lines, store, None)
+
+
+def test_risk_stream_folds_to_batch_tail_risk(spark, workdir):
+    """Streaming tail risk (VERDICT r10 task #4): the additive
+    purchase-cents histogram ledger folded over three epochs serves a
+    VaR95/CVaR95 readout that bit-matches the batch
+    purchase_value_tail_risk (shared tail_risk_from_cents_hist close —
+    the rank-k boundary bucket and tail mean both come off the
+    ledger). Replays are no-ops by epoch overwrite; epoch-less
+    additive writes are refused; an empty store reads as the n=0
+    null-stat row."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.risk_stream import (
+        risk_readout,
+        update_risk,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    store = f"{workdir}/risk_store"
+    # empty store → the batch query's n=0 contract row
+    assert [tuple(r) for r in risk_readout(spark, store).collect()] == [
+        (0, 0, None, 0, None)
+    ]
+
+    ev = load_table(spark, SF_SMALL, "events")
+    for k in range(3):
+        update_risk(spark, ev.where(F.col("event_id") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["purchase_value_tail_risk"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    assert want and want[0][0] > 0, "batch tail risk must see purchases"
+    got = [tuple(r) for r in risk_readout(spark, store).collect()]
+    assert got == want
+
+    # replaying a committed epoch is a no-op (segment overwrite)
+    update_risk(spark, ev.where(F.col("event_id") % 3 == 2), store, 2)
+    assert [tuple(r) for r in risk_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError, match="additive"):
+        update_risk(spark, ev, store, None)
