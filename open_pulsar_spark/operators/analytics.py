@@ -3374,6 +3374,11 @@ def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and rank n = max) are collected. lag_s alone is not a total order,
     but every consumer reads only lag_s, which is rank-invariant under
     tie permutations, so the output is deterministic anyway.
+
+    The close (converter filter → scaffold ranks → Python order
+    statistics) lives in lag_quantiles_from_firsts, SHARED with the
+    streaming twin (streaming/lag_stream.py), which serves it off a
+    min-merged per-user firsts ledger.
     """
     ev = load_table(spark, sf_dir, "events")
     es = F.unix_timestamp("ts")
@@ -3383,6 +3388,15 @@ def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_purchase"
         ),
     )
+    return lag_quantiles_from_firsts(spark, firsts)
+
+
+def lag_quantiles_from_firsts(spark: SparkSession, firsts: DataFrame) -> DataFrame:
+    """The conversion-lag close over a per-user (first_view,
+    first_purchase) frame — the ONE close shared by the batch
+    conversion_lag_quantiles and streaming/lag_stream's readout off
+    its min-merged firsts ledger, so batch and stream cannot drift
+    (the tail_risk_from_cents_hist contract)."""
     lags = firsts.where(
         F.col("first_view").isNotNull()
         & F.col("first_purchase").isNotNull()

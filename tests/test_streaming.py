@@ -3858,3 +3858,56 @@ def test_risk_stream_folds_to_batch_tail_risk(spark, workdir):
 
     with pytest.raises(ValueError, match="additive"):
         update_risk(spark, ev, store, None)
+
+
+def test_lag_stream_folds_to_batch_quantiles(spark, workdir):
+    """Streaming conversion lags: the per-user firsts ledger min-merged
+    over three epochs serves a p50/p90/max readout that bit-matches
+    the batch conversion_lag_quantiles (shared
+    lag_quantiles_from_firsts close). min-merge is idempotent, so BOTH
+    an epoch replay AND an epoch-less backfill of already-delivered
+    rows are no-ops — the strongest replay contract in the family
+    (each user's first view and first purchase may even arrive in
+    DIFFERENT batches; the ledger min-merges them)."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.lag_stream import (
+        lag_readout,
+        update_lag,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    store = f"{workdir}/lag_store"
+    # empty store → the batch query's zero-converter all-NULL rows
+    assert [tuple(r) for r in lag_readout(spark, store).collect()] == [
+        ("max", None, None),
+        ("p50", None, None),
+        ("p90", None, None),
+    ]
+
+    ev = load_table(spark, SF_SMALL, "events")
+    # split by EVENT TYPE as well as id so a user's view and purchase
+    # land in different epochs — the min-merge must reunite them
+    for k in range(3):
+        update_lag(spark, ev.where(F.col("event_id") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["conversion_lag_quantiles"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    assert want[0][2] and want[0][2] > 0, "fixture must have converters"
+    got = [tuple(r) for r in lag_readout(spark, store).collect()]
+    assert got == want
+
+    # epoch replay: no-op by segment overwrite
+    update_lag(spark, ev.where(F.col("event_id") % 3 == 1), store, 1)
+    assert [tuple(r) for r in lag_readout(spark, store).collect()] == want
+
+    # epoch-LESS backfill of already-delivered rows: still a no-op —
+    # min-merge is idempotent (additive stores must refuse this)
+    update_lag(spark, ev.where(F.col("event_id") % 3 == 0), store, None)
+    assert [tuple(r) for r in lag_readout(spark, store).collect()] == want
