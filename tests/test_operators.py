@@ -1409,3 +1409,72 @@ def test_conversion_lag_quantiles_hand_computed_fixture(spark, tmp_path):
         ).collect()
     ]
     assert got == [("max", 100, 10), ("p50", 55, 10), ("p90", 90, 10)]
+
+
+def test_tail_risk_hist_close_matches_bruteforce_on_random_multisets(spark):
+    """The shared tail_risk_from_cents_hist close (batch query +
+    streaming risk ledger both serve it) vs a brute-force Python
+    oracle over seeded random cents multisets — heavy ties, skewed
+    tails, and the n < 20 small-sample edge where ceil(0.95n) = n."""
+    import random
+
+    from open_pulsar_spark.operators.analytics import tail_risk_from_cents_hist
+
+    rng = random.Random(11)
+    cases = [
+        [rng.randint(1, 6) * 100 for _ in range(rng.randint(1, 400))]
+        for _ in range(4)
+    ] + [
+        sorted(rng.randint(0, 10**7) for _ in range(50)),
+        [500],  # n=1: k=1, tail is the whole singleton
+        [100, 100, 100],  # all-ties
+    ]
+    for vals in cases:
+        hist: dict[int, int] = {}
+        for v in vals:
+            hist[v] = hist.get(v, 0) + 1
+        df = spark.createDataFrame(
+            sorted(hist.items()), "cents LONG, w LONG"
+        )
+        got = tuple(tail_risk_from_cents_hist(spark, df).collect()[0])
+        s = sorted(vals)
+        n = len(s)
+        k = (95 * n + 99) // 100
+        tail = s[k - 1 :]
+        want = (n, k, s[k - 1], len(tail), sum(tail) // len(tail))
+        assert got == want, f"vals(n={n}): {got} != {want}"
+
+
+def test_lag_quantiles_close_matches_bruteforce_on_random_lags(spark):
+    """The shared lag_quantiles_from_firsts close (batch query +
+    streaming lag ledger) vs a brute-force Python oracle on seeded
+    random firsts tables — non-converters and purchase-before-view
+    rows mixed in, odd/even n for both median branches."""
+    import random
+
+    from open_pulsar_spark.operators.analytics import lag_quantiles_from_firsts
+
+    rng = random.Random(23)
+    for n_conv in (1, 2, 7, 40, 101):
+        rows, lags = [], []
+        uid = 0
+        for _ in range(n_conv):
+            uid += 1
+            v = rng.randint(0, 10**6)
+            lag = rng.randint(0, 10**5)
+            rows.append((uid, v, v + lag))
+            lags.append(lag)
+        # excluded shapes: view-only, purchase-only, purchase < view
+        rows += [(uid + 1, 5, None), (uid + 2, None, 5), (uid + 3, 10, 3)]
+        df = spark.createDataFrame(
+            rows, "user_id LONG, first_view LONG, first_purchase LONG"
+        )
+        got = [tuple(r) for r in lag_quantiles_from_firsts(spark, df).collect()]
+        s = sorted(lags)
+        n = len(s)
+        want = [
+            ("max", s[-1], n),
+            ("p50", (s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]) // 2, n),
+            ("p90", s[(9 * n + 9) // 10 - 1], n),
+        ]
+        assert got == want, f"n={n}: {got} != {want}"
