@@ -7577,7 +7577,24 @@ def segment_revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     unhinted customer join (AQE broadcasts while it fits); the pair
     self-join runs on the SCHEMA-bounded weekly frame (~5 segments ×
     ~350 weeks → ~3e5 pairs at ANY SF), so the quadratic stage never
-    grows with data volume."""
+    grows with data volume.
+
+    The (segment, week, cents) producer and the pair-sign close are
+    split out (attributed_order_cents / mann_kendall_from_weekly) and
+    SHARED with the streaming twin (streaming/mk_stream.py), which
+    folds the weekly frame as an additive ledger."""
+    weekly = (
+        attributed_order_cents(spark, sf_dir)
+        .groupBy("segment", "week")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    return mann_kendall_from_weekly(spark, weekly)
+
+
+def attributed_order_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-grain (segment, week, cents) order lines — orders attributed
+    to their customer's market segment, the shared input of the batch
+    Mann-Kendall query and the streaming weekly ledger's partials."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.date_trunc("week", "o_orderdate").alias("week"),
@@ -7587,11 +7604,16 @@ def segment_revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_mktsegment").alias("segment"),
     )
-    weekly = (
-        orders.join(cust, "o_custkey")
-        .groupBy("segment", "week")
-        .agg(F.sum("cents").cast("bigint").alias("cents"))
-    )
+    return orders.join(cust, "o_custkey").select("segment", "week", "cents")
+
+
+def mann_kendall_from_weekly(spark: SparkSession, weekly: DataFrame) -> DataFrame:
+    """The Mann-Kendall close over a (segment, week, cents) WEEKLY
+    frame — the ONE close shared by the batch
+    segment_revenue_mann_kendall and streaming/mk_stream's readout off
+    its additive weekly ledger, so batch and stream cannot drift (the
+    tail_risk_from_cents_hist contract). The pair self-join stays on
+    the schema-bounded weekly grid regardless of who feeds it."""
     from open_pulsar_spark.operators.dedup import _pin
 
     weekly = _pin("mk_weekly", weekly)

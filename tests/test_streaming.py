@@ -3911,3 +3911,44 @@ def test_lag_stream_folds_to_batch_quantiles(spark, workdir):
     # min-merge is idempotent (additive stores must refuse this)
     update_lag(spark, ev.where(F.col("event_id") % 3 == 0), store, None)
     assert [tuple(r) for r in lag_readout(spark, store).collect()] == want
+
+
+def test_mk_stream_folds_to_batch_trend(spark, workdir):
+    """Streaming Mann-Kendall: the additive (segment, week) revenue
+    ledger folded over three epochs of attributed order lines serves a
+    trend readout that bit-matches the batch
+    segment_revenue_mann_kendall (shared mann_kendall_from_weekly
+    close — the pair-sign S statistic needs every week's FULL cent
+    total, which the ledger gives without rescanning the fact).
+    Replays are no-ops by epoch overwrite; epoch-less additive writes
+    are refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.analytics import attributed_order_cents
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.mk_stream import mk_readout, update_mk
+    from tests.conftest import SF_SMALL
+
+    lines = attributed_order_cents(spark, SF_SMALL)
+    store = f"{workdir}/mk_store"
+    # split on the cent value so single weeks accumulate ACROSS epochs
+    # — the additive fold must reassemble each week's exact total
+    for k in range(3):
+        update_mk(spark, lines.where(F.col("cents") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["segment_revenue_mann_kendall"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    assert want, "batch trend readout must be non-empty"
+    got = [tuple(r) for r in mk_readout(spark, store).collect()]
+    assert got == want
+
+    update_mk(spark, lines.where(F.col("cents") % 3 == 1), store, 1)
+    assert [tuple(r) for r in mk_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError, match="additive"):
+        update_mk(spark, lines, store, None)
