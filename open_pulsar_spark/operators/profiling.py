@@ -1998,11 +1998,25 @@ def source_length_ks_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only full-data pass; the ECDF spine is |sources| × |distinct
     lengths| — both CONTENT-bounded (length range saturates ~500
     values) — so the pair join runs on a few-thousand-row frame at
-    ANY SF, the ab_test/anova bounded-close shape."""
+    ANY SF, the ab_test/anova bounded-close shape.
+
+    The (source, v, c) count grid and the ECDF/pair close are split
+    (ks_matrix_from_counts) and SHARED with the streaming twin
+    (streaming/ks_stream.py), which folds the grid as an additive
+    ledger."""
     docs = load_table(spark, sf_dir, "documents")
     cnt = docs.groupBy(
         "source", F.col("n_chars").alias("v")
     ).agg(F.count("*").cast("bigint").alias("c"))
+    return ks_matrix_from_counts(spark, cnt)
+
+
+def ks_matrix_from_counts(spark: SparkSession, cnt: DataFrame) -> DataFrame:
+    """The pairwise-KS close over a (source, v, c) length-count grid —
+    the ONE close shared by the batch source_length_ks_matrix and
+    streaming/ks_stream's readout off its additive count ledger, so
+    batch and stream cannot drift. The ECDF spine and pair join stay
+    content-bounded regardless of who feeds the grid."""
     from open_pulsar_spark.operators.dedup import _pin
 
     cnt = _pin("ks_cnt", cnt)

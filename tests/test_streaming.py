@@ -3952,3 +3952,41 @@ def test_mk_stream_folds_to_batch_trend(spark, workdir):
 
     with pytest.raises(ValueError, match="additive"):
         update_mk(spark, lines, store, None)
+
+
+def test_ks_stream_folds_to_batch_matrix(spark, workdir):
+    """Streaming KS drift: the additive (source, length) count ledger
+    folded over three epochs of documents serves a pairwise-KS matrix
+    that bit-matches the batch source_length_ks_matrix (shared
+    ks_matrix_from_counts close — the ECDFs need each source's FULL
+    length distribution, which the ledger gives without rescanning
+    the corpus). Replays are no-ops by epoch overwrite; epoch-less
+    additive writes are refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.ks_stream import ks_readout, update_ks
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    store = f"{workdir}/ks_store"
+    for k in range(3):
+        update_ks(spark, docs.where(F.col("doc_id") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["source_length_ks_matrix"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    assert want, "batch KS matrix must be non-empty"
+    got = [tuple(r) for r in ks_readout(spark, store).collect()]
+    assert got == want
+
+    update_ks(spark, docs.where(F.col("doc_id") % 3 == 0), store, 0)
+    assert [tuple(r) for r in ks_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError, match="additive"):
+        update_ks(spark, docs, store, None)
