@@ -3990,3 +3990,95 @@ def test_ks_stream_folds_to_batch_matrix(spark, workdir):
 
     with pytest.raises(ValueError, match="additive"):
         update_ks(spark, docs, store, None)
+
+
+def test_risk_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_risk_stream wires the cents-ledger maintenance as an
+    actual Structured Streaming query (file source,
+    maxFilesPerTrigger=1 → multiple epochs): after
+    processAllAvailable the store's readout bit-matches the one-shot
+    batch fold, and forced auto-compaction (max_segments=1) leaves it
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.risk_stream import (
+        risk_readout,
+        start_risk_stream,
+        update_risk,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = f"{workdir}/ev_rsrc"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store = f"{workdir}/risk_live"
+    q = start_risk_stream(
+        spark,
+        spark.readStream.schema("event_id LONG, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/risk_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/risk_ref"
+    update_risk(spark, ev, ref, 0)
+    got = [tuple(r) for r in risk_readout(spark, store).collect()]
+    want = [tuple(r) for r in risk_readout(spark, ref).collect()]
+    assert got == want and want[0][0] > 0
+
+
+def test_lag_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_lag_stream as an actual Structured Streaming query: the
+    min-merged firsts ledger folds across real micro-batches (and
+    through forced compaction) to the same readout as the one-shot
+    batch fold."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.lag_stream import (
+        lag_readout,
+        start_lag_stream,
+        update_lag,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    src = f"{workdir}/ev_lsrc"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store = f"{workdir}/lag_live"
+    q = start_lag_stream(
+        spark,
+        spark.readStream.schema(
+            "event_id LONG, user_id LONG, ts TIMESTAMP, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/lag_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/lag_ref"
+    update_lag(spark, ev, ref, 0)
+    got = [tuple(r) for r in lag_readout(spark, store).collect()]
+    want = [tuple(r) for r in lag_readout(spark, ref).collect()]
+    assert got == want and want[0][2] > 0
