@@ -1478,3 +1478,41 @@ def test_lag_quantiles_close_matches_bruteforce_on_random_lags(spark):
             ("p90", s[(9 * n + 9) // 10 - 1], n),
         ]
         assert got == want, f"n={n}: {got} != {want}"
+
+
+def test_user_rfm_segments_hand_computed_fixture(spark, tmp_path):
+    """Pin user_rfm_segments' quintile-rank scoring and lifecycle
+    labels on the same hand-computable 7-customer table as the
+    customer_rfm pin (different scoring law: score = 1 + 5·(rk−1)//n,
+    so n=7 maps rank→score [1,1,2,3,3,4,5]).
+
+    By hand: recency ranks are custkey-REVERSED (cust 7 stalest),
+    frequency ranks put cust 1 (2 orders) last ascending, monetary
+    ranks ascend with custkey. Labels walk the CASE: c1 (5,5,1) loyal,
+    c2 (4,1,1) new, c3/c4 regular, c5–c7 (r ≤ 2, f ≥ 3) at_risk."""
+    import datetime
+
+    from open_pulsar_spark.registry import all_queries
+
+    D = datetime.date
+    rows = [(1, D(2024, 1, 6), 60.0), (1, D(2024, 1, 7), 40.0)] + [
+        (k, D(2024, 1, 8 - k), 100.0 * k) for k in range(2, 8)
+    ]
+    sf = tmp_path / "sf_urfm"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "o_custkey bigint, o_orderdate date, o_totalprice double"
+    ).write.parquet(str(sf / "orders.parquet"))
+    got = [
+        tuple(r)
+        for r in all_queries()["user_rfm_segments"](spark, str(sf)).collect()
+    ]
+    assert got == [
+        (1, 3, 4, "at_risk", 1, 60000, 5),
+        (1, 4, 5, "at_risk", 1, 70000, 6),
+        (2, 3, 3, "at_risk", 1, 50000, 4),
+        (3, 1, 2, "regular", 1, 30000, 2),
+        (3, 2, 3, "regular", 1, 40000, 3),
+        (4, 1, 1, "new", 1, 20000, 1),
+        (5, 5, 1, "loyal", 1, 10000, 0),
+    ]

@@ -599,6 +599,32 @@ def test_plan_hints_parsers_on_synthetic_trees():
     ]
     _, bounded_ok, _ = _scan_profile(parsed_ok)
     assert bounded_ok
+
+    # FAIL CLOSED (ADVICE r10): an unresolvable FileScan Location
+    # (truncated / non-<table>.parquet layout) records the ?filescan
+    # sentinel, counts as SF-linear, and an unbounded one flunks the
+    # walk instead of silently passing
+    from open_pulsar_spark.plan_hints import BroadcastHint
+
+    parsed_trunc = [
+        (1, "Project [x#1]"),
+        (2, "FileScan parquet [x#1] Location: InMemoryFileIndex(1 path"
+            ")[file:/data/part-000..., ... 3 entries]"),
+    ]
+    tables_t, bounded_t, local_t = _scan_profile(parsed_trunc)
+    assert tables_t == {"?filescan"} and not bounded_t and not local_t
+    prof = BroadcastHint(
+        tables=frozenset(tables_t), has_bounding_op=bounded_t, local_only=local_t
+    )
+    assert prof.sf_linear_tables == frozenset({"?filescan"})
+    # resolvable cached FileScan still maps to its table
+    parsed_res = [
+        (1, "Project [x#1]"),
+        (2, "FileScan parquet [x#1] Location: InMemoryFileIndex"
+            "[file:/root/testdata/sf0.01/lineitem.parquet]"),
+    ]
+    tables_r, _, _ = _scan_profile(parsed_res)
+    assert tables_r == {"lineitem"}
     # cached lineage: FileScan under InMemoryRelation resolves by path,
     # and the physical HashAggregate above it counts as bounding
     parsed_cached = [
