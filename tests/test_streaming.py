@@ -4082,3 +4082,16 @@ def test_lag_stream_runs_as_real_streaming_query(spark, workdir):
     got = [tuple(r) for r in lag_readout(spark, store).collect()]
     want = [tuple(r) for r in lag_readout(spark, ref).collect()]
     assert got == want and want[0][2] > 0
+
+
+def test_mk_and_ks_streams_empty_store_readouts(spark, workdir):
+    """Empty-store contract for the round-11 trend/drift twins: a
+    readout before any fold returns the close's empty shape (no rows —
+    both closes aggregate an empty ledger to zero groups), not a
+    crash. The risk/lag twins pin their n=0 rows in their own parity
+    tests; this covers the remaining two."""
+    from open_pulsar_spark.streaming.ks_stream import ks_readout
+    from open_pulsar_spark.streaming.mk_stream import mk_readout
+
+    assert mk_readout(spark, f"{workdir}/mk_empty").collect() == []
+    assert ks_readout(spark, f"{workdir}/ks_empty").collect() == []
