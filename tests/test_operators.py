@@ -1516,3 +1516,32 @@ def test_user_rfm_segments_hand_computed_fixture(spark, tmp_path):
         (4, 1, 1, "new", 1, 20000, 1),
         (5, 5, 1, "loyal", 1, 10000, 0),
     ]
+
+
+def test_scaffold_closes_partition_invariant(spark):
+    """The prefix-scaffold contract: rank/order-statistic closes are
+    BIT-IDENTICAL whatever the shuffle partitioning (range boundaries
+    are sampled, but rank and prefix sums over a total order are
+    partition-invariant). Re-run the three scaffold-closing queries
+    under a different spark.sql.shuffle.partitions and require equal
+    output — the end-to-end form of test_prefix's parts sweep."""
+    from open_pulsar_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    qs = all_queries()
+    names = (
+        "customer_rfm_segments",
+        "conversion_lag_quantiles",
+        "purchase_value_tail_risk",
+    )
+    base = {
+        n: [tuple(r) for r in qs[n](spark, SF_SMALL).collect()] for n in names
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        for n in names:
+            alt = [tuple(r) for r in qs[n](spark, SF_SMALL).collect()]
+            assert alt == base[n], f"{n} varies with shuffle partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
