@@ -636,3 +636,49 @@ def test_plan_hints_parsers_on_synthetic_trees():
     ]
     tables_c, bounded_c, _ = _scan_profile(parsed_cached)
     assert tables_c == {"events"} and bounded_c
+
+
+def test_round11_twin_readouts_pass_window_gate(spark, tmp_path):
+    """The registry sweep gates never see streaming READOUTS (twins
+    aren't registered queries), so profile the four round-11 readouts
+    directly: after folding one epoch, no readout may contain a global
+    window over an SF-linear or UNRESOLVED scan path — ledger scans
+    deliberately resolve to the ?filescan sentinel (fail-closed), so a
+    single-partition window over a ledger would flunk here exactly
+    like one over a fact table. (risk/lag close on the prefix
+    scaffold's pid-partitioned windows; ks's ECDF window partitions by
+    source; mk has no window at all.)"""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.analytics import attributed_order_cents
+    from open_pulsar_spark.plan_hints import global_window_profiles
+    from open_pulsar_spark.streaming.ks_stream import ks_readout, update_ks
+    from open_pulsar_spark.streaming.lag_stream import lag_readout, update_lag
+    from open_pulsar_spark.streaming.mk_stream import mk_readout, update_mk
+    from open_pulsar_spark.streaming.risk_stream import (
+        risk_readout,
+        update_risk,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    docs = load_table(spark, SF_SMALL, "documents")
+    update_risk(spark, ev, f"{tmp_path}/r", 0)
+    update_lag(spark, ev, f"{tmp_path}/l", 0)
+    update_mk(spark, attributed_order_cents(spark, SF_SMALL), f"{tmp_path}/m", 0)
+    update_ks(spark, docs, f"{tmp_path}/k", 0)
+
+    readouts = {
+        "risk": risk_readout(spark, f"{tmp_path}/r"),
+        "lag": lag_readout(spark, f"{tmp_path}/l"),
+        "mk": mk_readout(spark, f"{tmp_path}/m"),
+        "ks": ks_readout(spark, f"{tmp_path}/k"),
+    }
+    for name, df in readouts.items():
+        bad = [
+            p
+            for p in global_window_profiles(df)
+            if p.sf_linear_tables and not p.has_bounding_op
+        ]
+        assert not bad, f"{name} readout has an unbounded global window: {bad}"
