@@ -955,25 +955,44 @@ def _segment_monthly_xy(spark: SparkSession, sf_dir: str, pin_name: str) -> Data
     orders↔customer join + rollup, the only fact-table pass, must
     execute once. Callers pass a query-unique pin name (the cache
     registry is app-scoped)."""
-    from open_pulsar_spark.operators.dedup import _pin
+    monthly = (
+        attributed_order_month_cents(spark, sf_dir)
+        .groupBy("segment", "month")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    return xy_from_monthly(spark, monthly, pin_name)
 
+
+def attributed_order_month_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-grain (segment, month, cents) order lines — the monthly
+    sibling of attributed_order_cents, shared by the OLS/Theil-Sen
+    batch twins and the streaming monthly ledger's partials."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    monthly = _pin(
-        pin_name,
+    return (
         orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .groupBy(
+        .select(
             F.col("c_mktsegment").alias("segment"),
             F.date_trunc("month", "o_orderdate").alias("month"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("cents")
-        ),
     )
+
+
+def xy_from_monthly(
+    spark: SparkSession, monthly: DataFrame, pin_name: str
+) -> DataFrame:
+    """(segment, month, cents) → (segment, x, y) month-indexed series —
+    the shared reindexing step below both trend closes, whoever feeds
+    the monthly frame (the batch fact pass or the streaming ledger).
+    The monthly frame is PINNED (it feeds its own min-month aggregate
+    AND the join back; exchange reuse does not fire across two
+    consumers of one lineage)."""
+    from open_pulsar_spark.operators.dedup import _pin
+
+    monthly = _pin(pin_name, monthly)
     m0 = monthly.groupBy("segment").agg(F.min("month").alias("m0"))
     return monthly.join(F.broadcast(m0), "segment").select(
         "segment",
@@ -1028,7 +1047,13 @@ def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     config-sized frame. Degenerate series (a single month) yield NULL
     slope rather than a division error.
     """
-    xy = _segment_monthly_xy(spark, sf_dir, "trend_monthly")
+    return ols_trend_from_xy(_segment_monthly_xy(spark, sf_dir, "trend_monthly"))
+
+
+def ols_trend_from_xy(xy: DataFrame) -> DataFrame:
+    """The closed-form OLS close over a (segment, x, y) series — the
+    ONE close shared by the batch segment_revenue_trend and
+    streaming/trend_stream's OLS readout off its monthly ledger."""
     s = xy.groupBy("segment").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
@@ -1107,12 +1132,21 @@ def segment_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation) so even-count medians are the same arithmetic in
     both engines.
     """
+    return theilsen_from_xy(
+        _segment_monthly_xy(spark, sf_dir, "theilsen_monthly"), "theilsen_xy"
+    )
+
+
+def theilsen_from_xy(xy: DataFrame, pin_name: str) -> DataFrame:
+    """The Theil-Sen close over a (segment, x, y) series — the ONE
+    close shared by the batch segment_revenue_theilsen and
+    streaming/trend_stream's robust readout off its monthly ledger.
+    The O(months²) pair join runs on the config-sized series whoever
+    feeds it."""
     from open_pulsar_spark.operators.dedup import _pin
 
     # pin xy too: the pairwise self-join consumes it twice
-    xy = _pin(
-        "theilsen_xy", _segment_monthly_xy(spark, sf_dir, "theilsen_monthly")
-    )
+    xy = _pin(pin_name, xy)
     a = xy.select("segment", F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = xy.select("segment", F.col("x").alias("xb"), F.col("y").alias("yb"))
     slopes = (

@@ -4095,3 +4095,54 @@ def test_mk_and_ks_streams_empty_store_readouts(spark, workdir):
 
     assert mk_readout(spark, f"{workdir}/mk_empty").collect() == []
     assert ks_readout(spark, f"{workdir}/ks_empty").collect() == []
+
+
+def test_trend_stream_folds_to_both_batch_slopes(spark, workdir):
+    """Streaming revenue trend: ONE additive (segment, month) ledger
+    folded over three epochs serves TWO readouts — the OLS slope and
+    the robust Theil-Sen slope — each bit-matching its batch query
+    (shared xy_from_monthly reindex + ols_trend_from_xy /
+    theilsen_from_xy closes; the cusum_stream one-ledger-N-readouts
+    pattern). Replays are no-ops by epoch overwrite; epoch-less
+    additive writes are refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.analytics import (
+        attributed_order_month_cents,
+    )
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.trend_stream import (
+        theilsen_readout,
+        trend_readout,
+        update_trend,
+    )
+    from tests.conftest import SF_SMALL
+
+    lines = attributed_order_month_cents(spark, SF_SMALL)
+    store = f"{workdir}/trend_store"
+    # split on cents so every month accumulates ACROSS epochs
+    for k in range(3):
+        update_trend(spark, lines.where(F.col("cents") % 3 == k), store, k)
+
+    qs = all_queries()
+    want_ols = [
+        tuple(r) for r in qs["segment_revenue_trend"](spark, SF_SMALL).collect()
+    ]
+    assert want_ols, "batch OLS readout must be non-empty"
+    assert [tuple(r) for r in trend_readout(spark, store).collect()] == want_ols
+
+    want_ts = [
+        tuple(r)
+        for r in qs["segment_revenue_theilsen"](spark, SF_SMALL).collect()
+    ]
+    assert want_ts, "batch Theil-Sen readout must be non-empty"
+    assert [
+        tuple(r) for r in theilsen_readout(spark, store).collect()
+    ] == want_ts
+
+    update_trend(spark, lines.where(F.col("cents") % 3 == 1), store, 1)
+    assert [tuple(r) for r in trend_readout(spark, store).collect()] == want_ols
+
+    with pytest.raises(ValueError, match="additive"):
+        update_trend(spark, lines, store, None)
