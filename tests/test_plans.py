@@ -669,11 +669,25 @@ def test_round11_twin_readouts_pass_window_gate(spark, tmp_path):
     update_mk(spark, attributed_order_cents(spark, SF_SMALL), f"{tmp_path}/m", 0)
     update_ks(spark, docs, f"{tmp_path}/k", 0)
 
+    from open_pulsar_spark.operators.analytics import (
+        attributed_order_month_cents,
+    )
+    from open_pulsar_spark.streaming.trend_stream import (
+        theilsen_readout,
+        trend_readout,
+        update_trend,
+    )
+
+    update_trend(
+        spark, attributed_order_month_cents(spark, SF_SMALL), f"{tmp_path}/t", 0
+    )
     readouts = {
         "risk": risk_readout(spark, f"{tmp_path}/r"),
         "lag": lag_readout(spark, f"{tmp_path}/l"),
         "mk": mk_readout(spark, f"{tmp_path}/m"),
         "ks": ks_readout(spark, f"{tmp_path}/k"),
+        "trend_ols": trend_readout(spark, f"{tmp_path}/t"),
+        "trend_theilsen": theilsen_readout(spark, f"{tmp_path}/t"),
     }
     for name, df in readouts.items():
         bad = [
