@@ -4488,7 +4488,18 @@ def revenue_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle to the day series; everything after runs on
     the bounded 7-group frame."""
     orders = load_table(spark, sf_dir, "orders")
-    daily = daily_revenue_cents(orders)
+    return dow_anova_from_daily(spark, daily_revenue_cents(orders))
+
+
+def dow_anova_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """The weekday-ANOVA close over a (day, cents) DAILY frame — the
+    ONE close shared by the batch revenue_dow_anova and
+    streaming/anova_stream's readout off its additive per-day ledger,
+    so batch and stream cannot drift (the tail_risk_from_cents_hist
+    contract). The day series is the observation unit (squares don't
+    distribute over partial-day sums — the ledger must deliver full
+    day totals); everything below the one day-grain shuffle runs on
+    the bounded 7-group frame."""
     dowd = daily.select(
         F.expr(
             "((datediff(day, date '1970-01-01') % 7) + 7) % 7"
@@ -7641,16 +7652,22 @@ def attributed_order_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.join(cust, "o_custkey").select("segment", "week", "cents")
 
 
-def mann_kendall_from_weekly(spark: SparkSession, weekly: DataFrame) -> DataFrame:
+def mann_kendall_from_weekly(
+    spark: SparkSession, weekly: DataFrame, pin_name: str = "mk_weekly"
+) -> DataFrame:
     """The Mann-Kendall close over a (segment, week, cents) WEEKLY
     frame — the ONE close shared by the batch
     segment_revenue_mann_kendall and streaming/mk_stream's readout off
     its additive weekly ledger, so batch and stream cannot drift (the
-    tail_risk_from_cents_hist contract). The pair self-join stays on
+    tail_risk_from_cents_hist contract). ``pin_name``: callers with a
+    DIFFERENT input lineage (the streaming readout) must pass their
+    own name — app-scoped pins are keyed by name, so two interleaved
+    lazy consumers sharing one name would unpersist each other's
+    generation mid-plan (ADVICE r11). The pair self-join stays on
     the schema-bounded weekly grid regardless of who feeds it."""
     from open_pulsar_spark.operators.dedup import _pin
 
-    weekly = _pin("mk_weekly", weekly)
+    weekly = _pin(pin_name, weekly)
     a = weekly.select(
         "segment", F.col("week").alias("wa"), F.col("cents").alias("ca")
     )
@@ -7803,13 +7820,16 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def growth_accounting_from_user_days(
-    spark: SparkSession, active: DataFrame
+    spark: SparkSession, active: DataFrame, pin_name: str = "growth_seq"
 ) -> DataFrame:
     """The ONE growth-accounting close, shared by the batch query above
     and the streaming membership-ledger readout
     (streaming/active_stream.growth_readout) — same sharing contract
     as dau_wau_mau_from_user_days. `active` must be the DISTINCT
-    (user_id, day TIMESTAMP) grid."""
+    (user_id, day TIMESTAMP) grid. ``pin_name``: callers with a
+    DIFFERENT input lineage (the streaming readout) pass their own
+    name — interleaved lazy consumers sharing one app-scoped pin name
+    unpersist each other's generation (ADVICE r11)."""
     w_u = Window.partitionBy("user_id").orderBy("day")
     seq = active.select(
         "user_id",
@@ -7819,7 +7839,7 @@ def growth_accounting_from_user_days(
     )
     from open_pulsar_spark.operators.dedup import _pin
 
-    seq = _pin("growth_seq", seq)
+    seq = _pin(pin_name, seq)
     cls = seq.groupBy("day").agg(
         F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0))
         .cast("bigint")
@@ -9155,17 +9175,20 @@ def weekday_weekend_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekday_mix_from_daily(spark, daily)
 
 
-def weekday_mix_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+def weekday_mix_from_daily(
+    spark: SparkSession, daily: DataFrame, pin_name: str = "weekday_mix_daily"
+) -> DataFrame:
     """The ONE weekday/weekend close, shared by the batch query above
     and the streaming hourly-ledger readout
     (streaming/fano_stream.mix_readout — one ledger, two readouts) —
     the pchart_from_daily sharing contract. `daily` must carry
     (event_type STRING, day TIMESTAMP, n BIGINT), one row per (type,
     active day); the observed-calendar day counts come from the
-    frame's own distinct days."""
+    frame's own distinct days. ``pin_name``: lineage-distinct callers
+    (the streaming readout) pass their own name (ADVICE r11)."""
     from open_pulsar_spark.operators.dedup import _pin
 
-    daily = _pin("weekday_mix_daily", daily)
+    daily = _pin(pin_name, daily)
     dcnt = (
         daily.select("day")
         .distinct()
@@ -9258,17 +9281,20 @@ def events_hourly_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fano_from_hourly(spark, hr)
 
 
-def fano_from_hourly(spark: SparkSession, hr: DataFrame) -> DataFrame:
+def fano_from_hourly(
+    spark: SparkSession, hr: DataFrame, pin_name: str = "fano_hourly"
+) -> DataFrame:
     """The ONE Fano close, shared by the batch query above and the
     streaming additive hourly-counts readout
     (streaming/fano_stream.fano_readout) — the pchart_from_daily
     sharing contract. `hr` must carry (event_type STRING,
     h TIMESTAMP hour, c BIGINT), one row per (type, active hour); the
     global hour span (zero hours included in the denominator) comes
-    from the ledger's own min/max hour."""
+    from the ledger's own min/max hour. ``pin_name``: lineage-distinct
+    callers (the streaming readout) pass their own name (ADVICE r11)."""
     from open_pulsar_spark.operators.dedup import _pin
 
-    hr = _pin("fano_hourly", hr)
+    hr = _pin(pin_name, hr)
     span = hr.agg(
         F.expr(
             "cast((unix_seconds(max(h)) - unix_seconds(min(h)))"
@@ -9431,6 +9457,8 @@ def tail_risk_from_cents_hist(spark: SparkSession, hist: DataFrame) -> DataFrame
     return spark.createDataFrame(
         [(n, k, v, tail_n, tail_sum // tail_n)], _TAIL_RISK_SCHEMA
     )
+
+
 @query(
     "purchase_value_tail_risk",
     oracle="""

@@ -2011,15 +2011,22 @@ def source_length_ks_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_matrix_from_counts(spark, cnt)
 
 
-def ks_matrix_from_counts(spark: SparkSession, cnt: DataFrame) -> DataFrame:
+def ks_matrix_from_counts(
+    spark: SparkSession, cnt: DataFrame, pin_name: str = "ks_cnt"
+) -> DataFrame:
     """The pairwise-KS close over a (source, v, c) length-count grid —
     the ONE close shared by the batch source_length_ks_matrix and
     streaming/ks_stream's readout off its additive count ledger, so
     batch and stream cannot drift. The ECDF spine and pair join stay
-    content-bounded regardless of who feeds the grid."""
+    content-bounded regardless of who feeds the grid.
+
+    ``pin_name``: callers with a DIFFERENT input lineage (the
+    streaming readout) must pass their own name — app-scoped pins are
+    keyed by name, so two interleaved lazy consumers sharing one name
+    would unpersist each other's generation mid-plan (ADVICE r11)."""
     from open_pulsar_spark.operators.dedup import _pin
 
-    cnt = _pin("ks_cnt", cnt)
+    cnt = _pin(pin_name, cnt)
     from pyspark.sql.window import Window
 
     vals = cnt.select("v").distinct()

@@ -237,6 +237,12 @@ def _toplevel_groups(text: str) -> list[str]:
 # rendering since Spark 2.x; partition entries are bare expressions
 _ORDER_ENTRY = _re.compile(r"\s(ASC|DESC)\sNULLS\s(FIRST|LAST)\s*$")
 
+# any direction token at all — the fail-closed net under _ORDER_ENTRY: an
+# entry that mentions ASC/DESC but misses the anchored SortOrder form is a
+# rendering we don't recognize (e.g. a future Spark dropping the NULLS
+# clause) and must classify as GLOBAL, not silently as partitioned
+_DIRECTION_TOKEN = _re.compile(r"\s(ASC|DESC)\b")
+
 
 def _toplevel_commas(group: str) -> list[str]:
     """Split a bracket-group's contents on top-level commas (commas
@@ -281,9 +287,13 @@ def _is_global_window(text: str) -> bool:
             return True
         entries = [e.strip() for e in _toplevel_commas(tail)]
         # partition-only iff EVERY entry is a bare (direction-less)
-        # expression; anything else — order entries, or a rendering we
-        # don't recognize — is treated as global
-        return any(_ORDER_ENTRY.search(e) for e in entries)
+        # expression; anything else — current SortOrder entries
+        # (_ORDER_ENTRY) or a direction-bearing rendering we don't
+        # recognize (_DIRECTION_TOKEN without the anchor) — is global.
+        # This is the fail-closed direction the docstring promises: an
+        # unrecognized order-spec surfaces in the sweep gate instead of
+        # silently passing as partitioned.
+        return any(_DIRECTION_TOKEN.search(e) for e in entries)
     return True  # no partition, no order: count(*) OVER ()
 
 

@@ -122,4 +122,6 @@ def growth_readout(spark: SparkSession, store_path: str) -> DataFrame:
         "user_id",
         F.timestamp_seconds(F.col("d") * 86400).alias("day"),
     )
-    return growth_accounting_from_user_days(spark, grid)
+    return growth_accounting_from_user_days(
+        spark, grid, "active_stream_growth_seq"
+    )

@@ -96,7 +96,9 @@ def fano_readout(spark: SparkSession, store_path: str) -> DataFrame:
     bit-matched over the union of all delivered events."""
     from open_pulsar_spark.operators.analytics import fano_from_hourly
 
-    return fano_from_hourly(spark, read_hourly(spark, store_path))
+    return fano_from_hourly(
+        spark, read_hourly(spark, store_path), "fano_stream_hourly"
+    )
 
 
 def start_fano_stream(
@@ -135,4 +137,4 @@ def mix_readout(spark: SparkSession, store_path: str) -> DataFrame:
         .groupBy("event_type", F.date_trunc("day", "h").alias("day"))
         .agg(F.sum("c").cast("bigint").alias("n"))
     )
-    return weekday_mix_from_daily(spark, daily)
+    return weekday_mix_from_daily(spark, daily, "fano_stream_mix_daily")

@@ -92,7 +92,9 @@ def ks_readout(spark: SparkSession, store_path: str) -> DataFrame:
     delivered documents."""
     from open_pulsar_spark.operators.profiling import ks_matrix_from_counts
 
-    return ks_matrix_from_counts(spark, read_counts(spark, store_path))
+    return ks_matrix_from_counts(
+        spark, read_counts(spark, store_path), "ks_stream_cnt"
+    )
 
 
 def start_ks_stream(

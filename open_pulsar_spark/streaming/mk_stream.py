@@ -100,7 +100,9 @@ def mk_readout(spark: SparkSession, store_path: str) -> DataFrame:
     delivered orders."""
     from open_pulsar_spark.operators.analytics import mann_kendall_from_weekly
 
-    return mann_kendall_from_weekly(spark, read_weekly(spark, store_path))
+    return mann_kendall_from_weekly(
+        spark, read_weekly(spark, store_path), "mk_stream_weekly"
+    )
 
 
 def start_mk_stream(

@@ -523,6 +523,30 @@ def test_global_window_detection_canary(registry_sweep, spark):
         "partition-only (two-group) window misclassified as global"
     )
 
+    # (c) synthetic unrecognized renderings: a two-group Window whose
+    # second group carries a direction token but NOT the anchored
+    # SortOrder form (e.g. a future Spark dropping the NULLS clause)
+    # must classify as GLOBAL — fail closed, per the docstring contract
+    from open_pulsar_spark.plan_hints import (
+        _DIRECTION_TOKEN,
+        _ORDER_ENTRY,
+        _is_global_window,
+    )
+
+    assert _is_global_window("Window [row_number() AS r#1], [id#0L ASC]"), (
+        "NULLS-less order rendering fell open as partitioned"
+    )
+    assert _is_global_window(
+        "Window [r#1], [grp#2L, id#0L DESC NULLS LAST]"
+    ), "mixed bare+order second group fell open as partitioned"
+    assert not _is_global_window(
+        "Window [n#3L], [grp#2L, bucket(4, id#0L)]"
+    ), "bare partition entries misclassified as global"
+    # _DIRECTION_TOKEN must stay a superset of the anchored SortOrder
+    # form, or recognized order specs would stop classifying as global
+    for probe in ("x#1 ASC NULLS FIRST", "f(y#2) DESC NULLS LAST"):
+        assert _ORDER_ENTRY.search(probe) and _DIRECTION_TOKEN.search(probe)
+
 
 def test_plans_md_covers_every_registered_query():
     """PLANS.md is the generated plan-audit artifact; its `##` headers
@@ -640,14 +664,15 @@ def test_plan_hints_parsers_on_synthetic_trees():
 
 def test_round11_twin_readouts_pass_window_gate(spark, tmp_path):
     """The registry sweep gates never see streaming READOUTS (twins
-    aren't registered queries), so profile the four round-11 readouts
+    aren't registered queries), so profile the round-11/12 readouts
     directly: after folding one epoch, no readout may contain a global
     window over an SF-linear or UNRESOLVED scan path — ledger scans
     deliberately resolve to the ?filescan sentinel (fail-closed), so a
     single-partition window over a ledger would flunk here exactly
     like one over a fact table. (risk/lag close on the prefix
     scaffold's pid-partitioned windows; ks's ECDF window partitions by
-    source; mk has no window at all.)"""
+    source; mk has no window at all; anova's close runs on a ≤7-row
+    collected frame.)"""
     from pyspark.sql import functions as F
 
     from open_pulsar_spark.operators.analytics import attributed_order_cents
@@ -681,6 +706,12 @@ def test_round11_twin_readouts_pass_window_gate(spark, tmp_path):
     update_trend(
         spark, attributed_order_month_cents(spark, SF_SMALL), f"{tmp_path}/t", 0
     )
+    from open_pulsar_spark.streaming.anova_stream import (
+        anova_readout,
+        update_anova,
+    )
+
+    update_anova(spark, load_table(spark, SF_SMALL, "orders"), f"{tmp_path}/a", 0)
     readouts = {
         "risk": risk_readout(spark, f"{tmp_path}/r"),
         "lag": lag_readout(spark, f"{tmp_path}/l"),
@@ -688,6 +719,7 @@ def test_round11_twin_readouts_pass_window_gate(spark, tmp_path):
         "ks": ks_readout(spark, f"{tmp_path}/k"),
         "trend_ols": trend_readout(spark, f"{tmp_path}/t"),
         "trend_theilsen": theilsen_readout(spark, f"{tmp_path}/t"),
+        "anova": anova_readout(spark, f"{tmp_path}/a"),
     }
     for name, df in readouts.items():
         bad = [

@@ -4146,3 +4146,226 @@ def test_trend_stream_folds_to_both_batch_slopes(spark, workdir):
 
     with pytest.raises(ValueError, match="additive"):
         update_trend(spark, lines, store, None)
+
+
+def test_mk_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_mk_stream as an actual Structured Streaming query (file
+    source, maxFilesPerTrigger=1 → multiple epochs): after
+    processAllAvailable the stream-maintained weekly ledger's
+    Mann-Kendall readout bit-matches the one-shot batch fold, and
+    forced auto-compaction (max_segments=1) leaves it unchanged —
+    same harness tier as the risk/lag twins."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.analytics import attributed_order_cents
+    from open_pulsar_spark.streaming.mk_stream import (
+        mk_readout,
+        start_mk_stream,
+        update_mk,
+    )
+    from tests.conftest import SF_SMALL
+
+    lines = attributed_order_cents(spark, SF_SMALL)
+    src = f"{workdir}/mk_src"
+    lines.where(F.col("cents") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    lines.where(F.col("cents") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store = f"{workdir}/mk_live"
+    q = start_mk_stream(
+        spark,
+        spark.readStream.schema("segment STRING, week TIMESTAMP, cents LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/mk_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/mk_ref"
+    update_mk(spark, lines, ref, 0)
+    got = [tuple(r) for r in mk_readout(spark, store).collect()]
+    want = [tuple(r) for r in mk_readout(spark, ref).collect()]
+    assert got == want and want
+
+
+def test_ks_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_ks_stream as an actual Structured Streaming query: the
+    additive (source, length) count ledger folds across real
+    micro-batches (and through forced compaction) to the same
+    pairwise-KS matrix as the one-shot batch fold."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.ks_stream import (
+        ks_readout,
+        start_ks_stream,
+        update_ks,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    src = f"{workdir}/ks_src"
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store = f"{workdir}/ks_live"
+    q = start_ks_stream(
+        spark,
+        spark.readStream.schema("doc_id LONG, source STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/ks_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/ks_ref"
+    update_ks(spark, docs, ref, 0)
+    got = [tuple(r) for r in ks_readout(spark, store).collect()]
+    want = [tuple(r) for r in ks_readout(spark, ref).collect()]
+    assert got == want and want
+
+
+def test_trend_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_trend_stream as an actual Structured Streaming query: the
+    ONE monthly ledger maintained across real micro-batches (and
+    through forced compaction) serves BOTH the OLS and Theil-Sen
+    readouts bit-identically to the one-shot batch fold."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.operators.analytics import (
+        attributed_order_month_cents,
+    )
+    from open_pulsar_spark.streaming.trend_stream import (
+        start_trend_stream,
+        theilsen_readout,
+        trend_readout,
+        update_trend,
+    )
+    from tests.conftest import SF_SMALL
+
+    lines = attributed_order_month_cents(spark, SF_SMALL)
+    src = f"{workdir}/trend_src"
+    lines.where(F.col("cents") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    lines.where(F.col("cents") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store = f"{workdir}/trend_live"
+    q = start_trend_stream(
+        spark,
+        spark.readStream.schema("segment STRING, month TIMESTAMP, cents LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/trend_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/trend_ref"
+    update_trend(spark, lines, ref, 0)
+    for readout in (trend_readout, theilsen_readout):
+        got = [tuple(r) for r in readout(spark, store).collect()]
+        want = [tuple(r) for r in readout(spark, ref).collect()]
+        assert got == want and want
+
+
+def test_anova_stream_folds_to_batch_table(spark, workdir):
+    """Streaming weekday ANOVA: the additive per-DAY cents ledger
+    folded over three epochs of orders (split on o_orderkey, so every
+    day's total accumulates ACROSS epochs — the close squares day
+    totals, so the fold must reassemble each day exactly) serves an
+    η² readout that bit-matches the batch revenue_dow_anova (shared
+    dow_anova_from_daily close). Replays are no-ops by epoch
+    overwrite; epoch-less additive writes are refused; an empty store
+    reads out as the close's empty shape."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.anova_stream import (
+        anova_readout,
+        update_anova,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    store = f"{workdir}/anova_store"
+    for k in range(3):
+        update_anova(spark, orders.where(F.col("o_orderkey") % 3 == k), store, k)
+
+    want = [
+        tuple(r)
+        for r in all_queries()["revenue_dow_anova"](spark, SF_SMALL).collect()
+    ]
+    assert want, "batch ANOVA table must be non-empty"
+    got = [tuple(r) for r in anova_readout(spark, store).collect()]
+    assert got == want
+
+    update_anova(spark, orders.where(F.col("o_orderkey") % 3 == 1), store, 1)
+    assert [tuple(r) for r in anova_readout(spark, store).collect()] == want
+
+    with pytest.raises(ValueError, match="additive"):
+        update_anova(spark, orders, store, None)
+
+    assert anova_readout(spark, f"{workdir}/anova_empty").collect() == []
+
+
+def test_anova_stream_runs_as_real_streaming_query(spark, workdir):
+    """start_anova_stream as an actual Structured Streaming query
+    (file source, maxFilesPerTrigger=1 → multiple epochs): after
+    processAllAvailable the stream-maintained daily ledger's ANOVA
+    readout bit-matches the one-shot batch fold, and forced
+    auto-compaction (max_segments=1) leaves it unchanged."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.anova_stream import (
+        anova_readout,
+        start_anova_stream,
+        update_anova,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    src = f"{workdir}/anova_src"
+    orders.where(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    orders.where(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store = f"{workdir}/anova_live"
+    q = start_anova_stream(
+        spark,
+        spark.readStream.schema(
+            "o_orderkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/anova_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/anova_ref"
+    update_anova(spark, orders, ref, 0)
+    got = [tuple(r) for r in anova_readout(spark, store).collect()]
+    want = [tuple(r) for r in anova_readout(spark, ref).collect()]
+    assert got == want and want
