@@ -4369,3 +4369,211 @@ def test_anova_stream_runs_as_real_streaming_query(spark, workdir):
     got = [tuple(r) for r in anova_readout(spark, store).collect()]
     want = [tuple(r) for r in anova_readout(spark, ref).collect()]
     assert got == want and want
+
+
+# -- round-12 harness sweep: EVERY partial-stream twin runs as a real
+#    Structured Streaming query ------------------------------------------
+
+
+def _spans_frame(spark):
+    from open_pulsar_spark.operators.analytics import order_spans
+    from tests.conftest import SF_SMALL
+
+    return order_spans(spark, SF_SMALL)
+
+
+def _events_frame(spark):
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    return load_table(spark, SF_SMALL, "events")
+
+
+def _docs_frame(spark):
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    return load_table(spark, SF_SMALL, "documents")
+
+
+def _trade_frame(spark):
+    from open_pulsar_spark.operators.analytics import attributed_trade_lines
+    from tests.conftest import SF_SMALL
+
+    return attributed_trade_lines(spark, SF_SMALL)
+
+
+def _twin_spec(name, spark, workdir):
+    """(input frame, start fn, update fn, [readout fns]) for each
+    partial-stream twin that predates the per-twin execution tests —
+    the readout fns close over any extra setup (psi's frozen
+    baseline)."""
+    if name == "backlog":
+        from open_pulsar_spark.streaming.backlog_stream import (
+            backlog_readout,
+            start_backlog_stream,
+            update_backlog,
+        )
+
+        return _spans_frame(spark), start_backlog_stream, update_backlog, [
+            backlog_readout
+        ]
+    if name == "fano":
+        from open_pulsar_spark.streaming.fano_stream import (
+            fano_readout,
+            mix_readout,
+            start_fano_stream,
+            update_fano,
+        )
+
+        return _events_frame(spark), start_fano_stream, update_fano, [
+            fano_readout,
+            mix_readout,
+        ]
+    if name == "pchart":
+        from open_pulsar_spark.streaming.pchart_stream import (
+            pchart_readout,
+            start_pchart_stream,
+            update_pchart,
+        )
+
+        return _events_frame(spark), start_pchart_stream, update_pchart, [
+            pchart_readout
+        ]
+    if name == "psi":
+        from pyspark.sql import functions as F
+
+        from open_pulsar_spark.streaming.psi_stream import (
+            freeze_baseline,
+            psi_readout,
+            start_psi_stream,
+            update_psi,
+        )
+
+        ev = _events_frame(spark).select("ts", "value")
+        piv = ev.agg(
+            F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2")
+        ).first()[0]
+        baseline = f"{workdir}/psi_sweep_baseline"
+        freeze_baseline(spark, ev.where(F.expr(f"unix_micros(ts) < {piv}")), baseline)
+
+        def _readout(spark, store):
+            return psi_readout(spark, baseline, store)
+
+        cur = ev.where(F.expr(f"unix_micros(ts) >= {piv}"))
+        return cur, start_psi_stream, update_psi, [_readout]
+    if name == "trade":
+        from open_pulsar_spark.streaming.trade_stream import (
+            start_trade_stream,
+            trade_readout,
+            update_trade,
+        )
+
+        return _trade_frame(spark), start_trade_stream, update_trade, [
+            trade_readout
+        ]
+    if name == "active":
+        from open_pulsar_spark.streaming.active_stream import (
+            dau_readout,
+            growth_readout,
+            start_active_stream,
+            update_active,
+        )
+
+        return _events_frame(spark), start_active_stream, update_active, [
+            dau_readout,
+            growth_readout,
+        ]
+    if name == "bm25":
+        from open_pulsar_spark.streaming.bm25_stream import (
+            bm25_readout,
+            start_bm25_stream,
+            update_bm25,
+        )
+
+        return _docs_frame(spark), start_bm25_stream, update_bm25, [
+            bm25_readout
+        ]
+    if name == "kmv":
+        from open_pulsar_spark.streaming.kmv_stream import (
+            kmv_estimates,
+            start_kmv_stream,
+            update_kmv,
+        )
+
+        return _docs_frame(spark), start_kmv_stream, update_kmv, [
+            kmv_estimates
+        ]
+    if name == "sequential":
+        from open_pulsar_spark.streaming.sequential_stream import (
+            monitor_readout,
+            start_experiment_stream,
+            update_experiment,
+        )
+
+        return _events_frame(spark), start_experiment_stream, update_experiment, [
+            monitor_readout
+        ]
+    if name == "winnow":
+        from open_pulsar_spark.streaming.winnow_stream import (
+            overlap_pairs_readout,
+            start_winnow_stream,
+            update_winnow_index,
+        )
+
+        return _docs_frame(spark), start_winnow_stream, update_winnow_index, [
+            overlap_pairs_readout
+        ]
+    raise AssertionError(name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "backlog",
+        "fano",
+        "pchart",
+        "psi",
+        "trade",
+        "active",
+        "bm25",
+        "kmv",
+        "sequential",
+        "winnow",
+    ],
+)
+def test_partial_stream_twins_run_as_real_streaming_queries(
+    spark, workdir, name
+):
+    """Round-12 tier closure: every twin on the partial-stream
+    scaffold runs as an ACTUAL Structured Streaming query (file
+    source, 2 input files, maxFilesPerTrigger=1 → ≥2 real epochs
+    through foreachBatch, with auto-compaction forced at
+    max_segments=1), and every readout off the live store bit-matches
+    the same readout off a one-shot batch fold of the identical rows.
+    The fold-parity tests pin stream==batch-query; this pins
+    stream-executed==driver-folded through the real trigger/commit/
+    compaction path, the tier the round-11 verdict asked to close for
+    mk/ks/trend and that the older twins also lacked."""
+    frame, start, update, readouts = _twin_spec(name, spark, workdir)
+    src = f"{workdir}/{name}_sweep_src"
+    frame.repartition(2).write.parquet(src)
+    store = f"{workdir}/{name}_sweep_live"
+    q = start(
+        spark,
+        spark.readStream.schema(frame.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        f"{workdir}/{name}_sweep_ck",
+        compact_max_segments=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = f"{workdir}/{name}_sweep_ref"
+    update(spark, frame, ref, 0)
+    for readout in readouts:
+        got = [tuple(r) for r in readout(spark, store).collect()]
+        want = [tuple(r) for r in readout(spark, ref).collect()]
+        assert got == want, f"{name}:{readout.__name__} live != batch fold"
+        assert want, f"{name}:{readout.__name__} empty readout"
