@@ -1545,3 +1545,67 @@ def test_scaffold_closes_partition_invariant(spark):
             assert alt == base[n], f"{n} varies with shuffle partitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_dow_anova_close_matches_bruteforce_on_random_series(spark):
+    """The shared dow_anova_from_daily close (batch revenue_dow_anova +
+    streaming anova ledger both serve it) vs a brute-force Python
+    oracle over seeded random daily series — plus the degenerate
+    shapes: a constant series (SStotal = 0 → empty on both engines),
+    a single-day series (one observation, SStotal = 0 → empty), and a
+    hand-computed equal-group-means case where the clamped SSbetween
+    numerator lands exactly on 0."""
+    import datetime as _dt
+    import random
+
+    from open_pulsar_spark.operators.analytics import dow_anova_from_daily
+
+    def brute(pairs):
+        groups: dict[int, list[int]] = {}
+        for ed, cents in pairs:
+            groups.setdefault(((ed % 7) + 7) % 7, []).append(cents)
+        rows = sorted(
+            (dow, len(v), sum(v), sum(x * x for x in v))
+            for dow, v in groups.items()
+        )
+        n = sum(r[1] for r in rows)
+        st = sum(r[2] for r in rows)
+        s2t = sum(r[3] for r in rows)
+        sst = n * s2t - st * st
+        if sst <= 0:
+            return []
+        a = sum((s * s * 10**6) // ng for _, ng, s, _ in rows)
+        eta2 = max(a * n - st * st * 10**6, 0) * 10**6 // (sst * 10**6)
+        return [(d, ng, s, s // ng, eta2) for d, ng, s, _ in rows]
+
+    def run(pairs):
+        epoch = _dt.date(1970, 1, 1)
+        df = spark.createDataFrame(
+            [(epoch + _dt.timedelta(days=ed), c) for ed, c in pairs],
+            "day DATE, cents LONG",
+        )
+        return [tuple(r) for r in dow_anova_from_daily(spark, df).collect()]
+
+    rng = random.Random(12)
+    cases = [
+        # dense multi-week series, varied magnitudes
+        [(ed, rng.randint(0, 10**7)) for ed in range(10_000, 10_060)],
+        # sparse days with heavy ties across weekdays
+        [(ed, rng.choice([100, 100, 200])) for ed in rng.sample(range(9000, 9200), 40)],
+        # two-weekday series
+        [(7 * k, rng.randint(1, 500)) for k in range(10)]
+        + [(7 * k + 1, rng.randint(1, 500)) for k in range(10)],
+    ]
+    for pairs in cases:
+        assert run(pairs) == brute(pairs), pairs[:5]
+
+    # constant series: SStotal = 0 → empty table (both engines)
+    assert run([(ed, 4200) for ed in range(100, 121)]) == []
+    # single observation: SStotal = 0 → empty
+    assert run([(5, 12345)]) == []
+    # hand-computed equal-means: dow4 = {100, 300}, dow5 = {200} —
+    # group means both 200, SSbetween numerator exactly 0 → eta2 0
+    assert run([(4, 100), (11, 300), (5, 200)]) == [
+        (4, 2, 400, 200, 0),
+        (5, 1, 200, 200, 0),
+    ]
