@@ -4577,3 +4577,70 @@ def test_partial_stream_twins_run_as_real_streaming_queries(
         want = [tuple(r) for r in readout(spark, ref).collect()]
         assert got == want, f"{name}:{readout.__name__} live != batch fold"
         assert want, f"{name}:{readout.__name__} empty readout"
+
+
+def test_partial_stream_checkpoint_restart_is_exactly_once(spark, workdir):
+    """Exactly-once ACROSS QUERY RESTARTS for the shared partial-stream
+    scaffold (segments.start_partial_stream — every twin rides this):
+    run the anova twin over file A, stop; add file B and restart on
+    the SAME checkpoint (epoch ids continue, and Structured Streaming
+    may replay the last in-flight batch with its original epoch id —
+    the epoch-overwrite contract must absorb it); restart a third time
+    with NO new data (pure replay window). After each incarnation the
+    readout must equal the one-shot batch fold of exactly the files
+    delivered so far — never a double-add, never a gap. This is the
+    restart tier the per-call replay tests (update(..., same epoch))
+    and the single-incarnation execution sweep don't reach."""
+    from pyspark.sql import functions as F
+
+    from open_pulsar_spark.streaming.anova_stream import (
+        anova_readout,
+        start_anova_stream,
+        update_anova,
+    )
+    from open_pulsar_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    half_a = orders.where(F.col("o_orderkey") % 2 == 0)
+    half_b = orders.where(F.col("o_orderkey") % 2 == 1)
+    src = f"{workdir}/restart_src"
+    store = f"{workdir}/restart_live"
+    ckpt = f"{workdir}/restart_ck"
+
+    def run_incarnation():
+        q = start_anova_stream(
+            spark,
+            spark.readStream.schema(
+                "o_orderkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            store,
+            ckpt,
+            compact_max_segments=1,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def fold_of(df, ref):
+        update_anova(spark, df, ref, 0)
+        return [tuple(r) for r in anova_readout(spark, ref).collect()]
+
+    half_a.coalesce(1).write.mode("append").parquet(src)
+    run_incarnation()
+    want_a = fold_of(half_a, f"{workdir}/restart_ref_a")
+    assert [tuple(r) for r in anova_readout(spark, store).collect()] == want_a
+
+    # incarnation 2: new file, SAME checkpoint — offsets continue
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    run_incarnation()
+    want_ab = fold_of(orders, f"{workdir}/restart_ref_ab")
+    got2 = [tuple(r) for r in anova_readout(spark, store).collect()]
+    assert got2 == want_ab and want_ab != want_a
+
+    # incarnation 3: nothing new — pure replay window, store unchanged
+    run_incarnation()
+    assert [tuple(r) for r in anova_readout(spark, store).collect()] == want_ab
