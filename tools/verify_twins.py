@@ -14,14 +14,16 @@ sf_dir — at whatever scale the caller picks:
     python tools/verify_twins.py /root/testdata/sf0.1
     python tools/verify_twins.py /root/testdata/sf0.01 mk anova
 
-Covered: the 26 twin readouts whose contract is a FULL-ROW bit-match
-with a registered query (monitoring ledgers, privacy audits, sketch
-estimates with their documented column projections). Deliberately
-out of scope — their parity tests encode non-full-row contracts that
-pytest already covers: dq (shared-rule subset), zonemap (bucket-frame
-compare), bloom (filter bitsets), chunk (no registered anchor),
-novelty (corpus-order dependent), posting (superset-of-anchor terms),
-lww (time-travel argument).
+Covered: the 35 full-row readouts across 26 twins (monitoring
+ledgers, privacy audits, sketch estimates with their documented
+column projections), plus the special-contract twins — psi (frozen
+mid-split baseline), dq (direct-count parity on every stream rule +
+shared-rule match with dq_violation_counts), posting (anchor rows
+verbatim-contained in the maintained index), and novelty (ascending
+doc_id tercile epochs — the contract is order-dependent). Out of
+scope, pytest-covered: zonemap (bucket-frame compare), bloom (filter
+bitsets), chunk (no registered anchor), lww (time-travel over
+hand-built CDC epochs).
 """
 
 from __future__ import annotations
@@ -233,6 +235,105 @@ def run_psi(spark, sf_dir, workdir):
     return got == want and bool(want), len(want)
 
 
+def run_dq(spark, sf_dir, workdir):
+    """dq's contract is two-part: the folded ledger equals direct
+    conditional counts over the whole table for EVERY stream rule,
+    and the rules shared with the batch suite match
+    dq_violation_counts' documents rows."""
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.dq_stream import (
+        DQ_STREAM_RULES,
+        read_dq,
+        update_dq,
+    )
+
+    docs = _documents(spark, sf_dir)
+    store = f"{workdir}/dq_store"
+    _fold(spark, update_dq, docs, store)
+    got = {t[0]: (t[1], t[2]) for t in map(tuple, read_dq(spark, store).collect())}
+    n_docs = docs.count()
+    want = {
+        name: (docs.where(F.expr(pred)).count(), n_docs)
+        for name, pred in DQ_STREAM_RULES
+    }
+    ok = got == want and bool(want)
+    batch = {
+        r.rule: (r.n_violations, r.n_checked)
+        for r in all_queries()["dq_violation_counts"](spark, sf_dir).collect()
+        if r.rule.startswith("documents_")
+    }
+    for shared in ("documents_short_text", "documents_nchars_mismatch"):
+        ok = ok and got.get(shared) == batch.get(shared)
+    return ok, len(want)
+
+
+def run_posting(spark, sf_dir, workdir):
+    """posting's contract: the stream store maintains ALL terms; the
+    batch term_posting_index emits a subset — every anchor
+    (term, posting_sample) row must appear VERBATIM in the fold."""
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.posting_stream import (
+        read_postings,
+        update_postings,
+    )
+
+    docs = _documents(spark, sf_dir)
+    store = f"{workdir}/posting_store"
+    _fold(spark, update_postings, docs, store)
+    merged = {
+        (r.term, r.posting_sample)
+        for r in read_postings(spark, store).collect()
+    }
+    want = {
+        (r.term, r.posting_sample)
+        for r in all_queries()["term_posting_index"](spark, sf_dir)
+        .select("term", "posting_sample")
+        .collect()
+    }
+    return bool(want) and want <= merged, len(want)
+
+
+def run_novelty(spark, sf_dir, workdir):
+    """novelty's contract is ORDER-dependent (first-seen shingle
+    ownership = corpus-order min doc_id), so the epochs are ascending
+    doc_id terciles, not hash splits; the union of the per-epoch
+    outputs must equal doc_ngram_novelty over the whole corpus."""
+    from open_pulsar_spark.registry import all_queries
+    from open_pulsar_spark.streaming.novelty_stream import novelty_batch_step
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    lo, hi = docs.selectExpr(
+        "percentile(doc_id, 0.34)", "percentile(doc_id, 0.67)"
+    ).first()
+    index, out = f"{workdir}/novelty_index", f"{workdir}/novelty_out"
+    got = []
+    for k, pred in enumerate(
+        (
+            F.col("doc_id") <= lo,
+            (F.col("doc_id") > lo) & (F.col("doc_id") <= hi),
+            F.col("doc_id") > hi,
+        )
+    ):
+        step = novelty_batch_step(spark, docs.where(pred), index, out, k)
+        got += [
+            (r.doc_id, r.n_shingles, r.n_novel, r.novelty)
+            for r in step.collect()
+        ]
+    want = sorted(
+        (r.doc_id, r.n_shingles, r.n_novel, r.novelty)
+        for r in all_queries()["doc_ngram_novelty"](spark, sf_dir).collect()
+    )
+    return bool(want) and sorted(got) == want, len(want)
+
+
+_SPECIAL = {
+    "psi": (run_psi, "psi_readout vs events_value_psi"),
+    "dq": (run_dq, "read_dq vs direct counts + dq_violation_counts"),
+    "posting": (run_posting, "read_postings ⊇ term_posting_index"),
+    "novelty": (run_novelty, "ordered epochs vs doc_ngram_novelty"),
+}
+
+
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
@@ -281,18 +382,20 @@ def main() -> None:
             failures += 1
             print(f"FAIL {twin} ERROR {str(e)[:300]}")
 
-    if not only or "psi" in only:
+    for twin, (runner, label) in sorted(_SPECIAL.items()):
+        if only and twin not in only:
+            continue
         t0 = time.time()
         try:
-            ok, n = run_psi(spark, sf_dir, workdir)
+            ok, n = runner(spark, sf_dir, workdir)
             failures += 0 if ok else 1
             print(
-                f"{'PASS' if ok else 'FAIL'} psi.psi_readout vs"
-                f" events_value_psi rows={n} sec={time.time() - t0:.2f}"
+                f"{'PASS' if ok else 'FAIL'} {twin}: {label}"
+                f" rows={n} sec={time.time() - t0:.2f}"
             )
         except Exception as e:  # noqa: BLE001
             failures += 1
-            print(f"FAIL psi ERROR {str(e)[:300]}")
+            print(f"FAIL {twin} ERROR {str(e)[:300]}")
 
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     spark.stop()
