@@ -728,3 +728,45 @@ def test_round11_twin_readouts_pass_window_gate(spark, tmp_path):
             if p.sf_linear_tables and not p.has_bounding_op
         ]
         assert not bad, f"{name} readout has an unbounded global window: {bad}"
+
+
+def test_verify_twins_specs_resolve():
+    """tools/verify_twins.py is a per-round gate like verify_oracle;
+    its spec table hard-codes update/readout function names and batch
+    anchor query names. Pin them against the live modules and
+    registry so a rename breaks pytest loudly instead of breaking the
+    gate at round start."""
+    import importlib
+    import importlib.util
+    import pathlib
+
+    from open_pulsar_spark.registry import all_queries
+
+    tool_path = (
+        pathlib.Path(__file__).resolve().parents[1] / "tools" / "verify_twins.py"
+    )
+    spec = importlib.util.spec_from_file_location("verify_twins", tool_path)
+    vt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vt)
+
+    qs = all_queries()
+    seen_anchors = set()
+    for twin, (mod_name, upd_name, frame_fn, readouts) in vt.SPECS.items():
+        mod = importlib.import_module(
+            f"open_pulsar_spark.streaming.{mod_name}"
+        )
+        assert callable(getattr(mod, upd_name)), f"{twin}: {upd_name}"
+        assert callable(frame_fn), twin
+        for ro_name, anchor, _ in readouts:
+            assert callable(getattr(mod, ro_name)), f"{twin}: {ro_name}"
+            assert anchor in qs, f"{twin}: anchor {anchor} not registered"
+            seen_anchors.add(anchor)
+    # the special runners' anchors too
+    for anchor in (
+        "events_value_psi",
+        "dq_violation_counts",
+        "term_posting_index",
+        "doc_ngram_novelty",
+    ):
+        assert anchor in qs, anchor
+    assert len(vt.SPECS) == 26 and len(seen_anchors) == 34
