@@ -1421,30 +1421,46 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("f_score", "frequency"),
         ("m_score", "cents"),
     ]
-    n = None
+    # Cut ranks depend only on n = |customers| — one cheap count on the
+    # pinned frame (which also materializes its cache for the three
+    # dimension passes below).
+    n = per.count()
     cuts: list[int] = []
-    score_cols = []
-    for name, metric in specs:
-        aug, totals, release = global_prefix(
+    q, r = divmod(n, 5)
+    sizes = [q + 1] * r + [q] * (5 - r)
+    acc = 0
+    for s in sizes[:4]:
+        acc += s
+        cuts.append(acc)
+
+    def boundaries(metric: str) -> dict:
+        aug, _totals, release = global_prefix(
             spark,
             per.select("o_custkey", metric),
             [F.desc(metric), F.col("o_custkey")],
         )
-        if n is None:
-            n = totals["n"]
-            q, r = divmod(n, 5)
-            sizes = [q + 1] * r + [q] * (5 - r)
-            acc = 0
-            for s in sizes[:4]:
-                acc += s
-                cuts.append(acc)
-        bmap = {
-            row["rk"]: (row[metric], row["o_custkey"])
-            for row in aug.where(F.col("rk").isin(sorted(set(cuts))))
-            .select("rk", metric, "o_custkey")
-            .collect()
-        }
-        release()
+        try:
+            return {
+                row["rk"]: (row[metric], row["o_custkey"])
+                for row in aug.where(F.col("rk").isin(sorted(set(cuts))))
+                .select("rk", metric, "o_custkey")
+                .collect()
+            }
+        finally:
+            release()
+
+    # The three dimensions are independent prefix-scaffold passes over
+    # the same pinned frame: submit them concurrently so one pass's
+    # range-sampling/collect latency back-fills another's stragglers
+    # (guide §2.6) — boundary ranks are partition-invariant, so the
+    # collected cut rows are identical to the sequential run's.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(specs)) as pool:
+        bmaps = list(pool.map(boundaries, [m for _, m in specs]))
+
+    score_cols = []
+    for (name, metric), bmap in zip(specs, bmaps):
         # tile = 1 + #{cut boundaries strictly BEFORE this row in the
         # (metric DESC, custkey ASC) total order}; a zero-size tile
         # (n < 5) repeats a cut rank and counts twice, exactly as
@@ -3574,9 +3590,20 @@ def layout_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame
         release()
         return out
 
-    files = zone_maps([F.col("ts"), F.col("event_id")], "natural").unionAll(
-        zone_maps([F.col("z"), F.col("event_id")], "zorder")
-    )
+    # Both layouts are independent scaffold passes over the same
+    # projection — submit them concurrently (guide §2.6); each layout's
+    # zone maps are rank-derived and partition-invariant, so the
+    # collected rows match the sequential build's.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        nat_f = pool.submit(
+            zone_maps, [F.col("ts"), F.col("event_id")], "natural"
+        )
+        zor_f = pool.submit(
+            zone_maps, [F.col("z"), F.col("event_id")], "zorder"
+        )
+        files = nat_f.result().unionAll(zor_f.result())
     probes = (
         ev.select("user_id")
         .distinct()
@@ -7992,14 +8019,28 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("m_score", [F.col("cents"), F.col("o_custkey")]),
     ]
     base = cust
-    for name, order_cols in specs:
+
+    def rank_pass(spec):
+        name, order_cols = spec
         aug, totals, release = global_prefix(spark, base, order_cols)
         n = totals["n"]
-        scores[name] = aug.select(
+        scored = aug.select(
             "o_custkey",
             F.expr(f"cast(1 + 5 * (rk - 1) div {n} as int)").alias(name),
         )
-        releases.append(release)
+        return name, scored, release
+
+    # The three rank passes are independent scaffold builds (each runs
+    # its own range-sampling + per-partition-offsets collect): submit
+    # them concurrently (guide §2.6). Ranks over a total order are
+    # partition-invariant, so the scores are identical to the
+    # sequential build's.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(specs)) as pool:
+        for name, scored, release in pool.map(rank_pass, specs):
+            scores[name] = scored
+            releases.append(release)
     joined = (
         cust.join(scores["r_score"], "o_custkey")
         .join(scores["f_score"], "o_custkey")

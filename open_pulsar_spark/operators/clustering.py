@@ -401,10 +401,19 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the flag rule is unchanged.
     """
     qdf, cents = _fit(spark, sf_dir)
-    assigned = qdf.withColumn("asg", _assign_col(cents)).select(
-        "vec_id",
-        F.col("asg.cid").alias("cid"),
-        F.col("asg.dist").alias("sq_dist"),
+    from open_pulsar_spark.operators.dedup import _pin
+
+    # The assigned frame feeds THREE plan branches (the med aggregate,
+    # dev inside the mad subtree, dev in the final projection) and its
+    # K×DIM distance expression is the expensive map — pin it so the
+    # quantize + argmin pass runs once, not three times (guide §1.2).
+    assigned = _pin(
+        "outliers_assigned",
+        qdf.withColumn("asg", _assign_col(cents)).select(
+            "vec_id",
+            F.col("asg.cid").alias("cid"),
+            F.col("asg.dist").alias("sq_dist"),
+        ),
     )
 
     def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:

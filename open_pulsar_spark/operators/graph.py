@@ -785,7 +785,12 @@ def part_bundle_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("u", "v")
                 .persist()
             )
-            nxt.count()  # materialize before the parent cache is released
+            # NO eager count(): every parent cache stays live until the
+            # finally below, so the single final action materializes
+            # each round's frame lazily (each cached partition computes
+            # once, the round's three consumers read the cache) — the
+            # old per-round count() was KCORE_ROUNDS extra full jobs
+            # whose output was discarded.
             kept_caches.append(nxt)
             cur = nxt
         dfin = (

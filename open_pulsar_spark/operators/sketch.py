@@ -985,9 +985,13 @@ def source_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = widen_for_kernel(load_table(spark, sf_dir, "documents"))
     sh = _pin("bloom_sh", source_shingles(docs))
-    sh.count()
     bloom = _pin("bloom_rows", bloom_rows(sh))
-    bloom.count()
+    # ONE eager action: the universe count is the only scalar the plan
+    # needs, and computing it materializes the pinned `sh` en route;
+    # `bloom`'s cache fills lazily inside the final job (its first
+    # consumer computes each partition once, the second reads the
+    # cache) — the old sh.count()/bloom.count() were two extra full
+    # jobs whose output was discarded (guide §1.2).
     universe = sh.select("t").distinct()
     n_universe = universe.count()
     ks = F.explode(F.array(*[F.lit(k) for k in range(BLOOM_K)])).alias("k")

@@ -356,8 +356,13 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         " dropped_ppm BIGINT, max_lateness_s BIGINT"
     )
     grid = "array(" + ",".join(f"{s}L" for s in WATERMARK_CANDIDATES_S) + ")"
-    out_rows = []
-    for model in LATENESS_MODELS:
+
+    def profile_model(model: str) -> list[tuple]:
+        # ONE action per model: every late row carries every grid
+        # delay, so count(*)/max(lateness) per delay group equal the
+        # global n/max — the old separate totals pass was a second full
+        # scan of the prefix frame for numbers the grid aggregate
+        # already had (guide §1.2: don't compute things twice).
         aug, release = exclusive_prefix_max(spark, ev, orders[model], "es")
         try:
             late = aug.select(
@@ -368,41 +373,46 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("lateness_s")
             )
-            tot = late.agg(
-                F.count("*").cast("bigint").alias("n"),
-                F.max("lateness_s").cast("bigint").alias("mx"),
-            ).first()
-            if not tot.n:
-                continue
-            n, mx = int(tot.n), int(tot.mx)
             rows = (
                 late.select(
                     "lateness_s", F.explode(F.expr(grid)).alias("delay_s")
                 )
                 .groupBy("delay_s")
                 .agg(
+                    F.count("*").cast("bigint").alias("n"),
                     F.sum(
                         F.when(F.col("lateness_s") > F.col("delay_s"), 1)
                         .otherwise(0)
                     )
                     .cast("bigint")
-                    .alias("n_dropped")
+                    .alias("n_dropped"),
+                    F.max("lateness_s").cast("bigint").alias("mx"),
                 )
                 .collect()
             )
-            out_rows.extend(
+            return [
                 (
                     model,
                     int(r.delay_s),
-                    n,
+                    int(r.n),
                     int(r.n_dropped),
-                    int(r.n_dropped) * 1000000 // n,
-                    mx,
+                    int(r.n_dropped) * 1000000 // int(r.n),
+                    int(r.mx),
                 )
                 for r in rows
-            )
+            ]
         finally:
             release()
+
+    # The two ingest models are independent job chains over the same
+    # input: submit them concurrently so the second model's range
+    # sampling back-fills the first model's stragglers (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    out_rows: list[tuple] = []
+    with ThreadPoolExecutor(max_workers=len(LATENESS_MODELS)) as pool:
+        for rows in pool.map(profile_model, LATENESS_MODELS):
+            out_rows.extend(rows)
     return spark.createDataFrame(out_rows, schema).orderBy(
         "model", "delay_s"
     )
