@@ -613,9 +613,8 @@ def _survival_flags(docs: DataFrame) -> DataFrame:
     running conditional count over the md5 window). Contaminated is a
     small id set but NOT statically bounded at 100 TB — plain
     equi-join on doc_id, AQE turns it into a broadcast when it fits."""
-    from open_pulsar_spark.operators.text import quality_expr
+    from open_pulsar_spark.operators.text import quality_from_toks
 
-    quality_score = quality_expr(F.col("text"))
     rate = F.coalesce(
         *[
             F.when(F.col("lang") == lang, F.lit(pct))
@@ -623,12 +622,21 @@ def _survival_flags(docs: DataFrame) -> DataFrame:
         ],
         F.lit(SAMPLE_RATE_DEFAULT),
     )
+    # toks hoisted into its own projection so the quality score
+    # tokenizes each document once (performance note at
+    # text.quality_from_toks)
     flagged = docs.select(
         "doc_id",
         "lang",
         F.md5("text").alias("h"),
-        (quality_score >= 0.6).alias("q"),
+        F.split("text", " ").alias("toks"),
         (_hash_bucket_spark(F.col("doc_id")) < rate).alias("coin"),
+    ).select(
+        "doc_id",
+        "lang",
+        "h",
+        (quality_from_toks(F.col("toks")) >= 0.6).alias("q"),
+        "coin",
     )
     w = (
         Window.partitionBy("h")
@@ -1336,13 +1344,19 @@ def curation_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic runs on one driver-sized row. Integer counts all the
     way to the final division, so Spark/DuckDB parity is exact.
     """
-    from open_pulsar_spark.operators.text import llm_score_col, quality_expr
+    from open_pulsar_spark.operators.text import llm_score_col, quality_from_toks
 
     docs = load_table(spark, sf_dir, "documents")
     model = llm_score_col("text")
+    # toks hoisted (performance note at text.quality_from_toks)
     r = docs.select(
-        F.when(quality_expr(F.col("text")) >= 0.6, 1).otherwise(0).alias("ra"),
+        F.split("text", " ").alias("toks"),
         F.when(model >= 0.5, 1).otherwise(0).alias("rb"),
+    ).select(
+        F.when(quality_from_toks(F.col("toks")) >= 0.6, 1)
+        .otherwise(0)
+        .alias("ra"),
+        "rb",
     )
     m = r.agg(
         F.count("*").alias("n"),
@@ -2065,14 +2079,19 @@ def dedup_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     key join to the (small) cluster-member frame, and a
     |sources|-row aggregate."""
     from open_pulsar_spark.operators.dedup import dedup_clusters
-    from open_pulsar_spark.operators.text import quality_expr
+    from open_pulsar_spark.operators.text import quality_from_toks
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.round(quality_expr(F.col("text")) * 1000000, 0)
-        .cast("bigint")
-        .alias("q_ppm"),
+    # toks hoisted (performance note at text.quality_from_toks)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.round(quality_from_toks(F.col("toks")) * 1000000, 0)
+            .cast("bigint")
+            .alias("q_ppm"),
+        )
     )
     reps = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
     kept = F.when(
@@ -2193,8 +2212,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combinable aggregate plus a doc-grain left join. The global
     scalar rides a 1-row broadcast. Nothing quadratic, nothing
     collected."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", _bigram_col()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .select("doc_id", "lang", _bigram_col())
     )
     from open_pulsar_spark.operators.dedup import _pin
 
@@ -2231,21 +2252,19 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lt_nano"),
     )
-    tot = f.agg(
+    # The norm scalar needs only the GLOBAL raw/target feature counts,
+    # which are exactly sum(c_r)/sum(c_t) over the {DSIR_BUCKETS}-row
+    # bucket table — summing cb instead of re-scanning the pinned
+    # feature stream drops one full pass over f (guide §1.2). The ln
+    # expressions are unchanged (same engine, same integer-valued
+    # operands), so the grid values are identical.
+    tot = cb.agg(
         (
             F.round(
-                F.log(F.count("*") + DSIR_BUCKETS) * 1000000000, 0
+                F.log(F.sum("c_r") + DSIR_BUCKETS) * 1000000000, 0
             ).cast("bigint")
             - F.round(
-                F.log(
-                    F.sum(
-                        F.when(
-                            F.col("lang") == DSIR_TARGET_LANG, 1
-                        ).otherwise(0)
-                    )
-                    + DSIR_BUCKETS
-                )
-                * 1000000000,
+                F.log(F.sum("c_t") + DSIR_BUCKETS) * 1000000000,
                 0,
             ).cast("bigint")
         ).alias("norm_nano")
@@ -2282,18 +2301,25 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bigram_col():
-    """Word-bigram explode column (1-based element_at, matching the
-    oracle's 1-based list indexing). Guarded for < 2 tokens: Spark's
-    sequence(1, 0) counts DOWN ([1, 0] — element_at(_, 0) throws)
-    where DuckDB's generate_series(1, 0) is empty, so the short-doc
-    case must short-circuit to an empty array (explode then drops the
-    row, matching the oracle's zero-feature behavior)."""
+    """Word-bigram explode column over a PRE-SPLIT `toks` array column
+    (1-based element_at, matching the oracle's 1-based list indexing).
+    Guarded for < 2 tokens: Spark's sequence(1, 0) counts DOWN
+    ([1, 0] — element_at(_, 0) throws) where DuckDB's
+    generate_series(1, 0) is empty, so the short-doc case must
+    short-circuit to an empty array (explode then drops the row,
+    matching the oracle's zero-feature behavior).
+
+    Callers must project ``split(text, ' ') AS toks`` in a PRIOR
+    select: the old inline form called split() inside the transform
+    lambda — twice per bigram, interpreted — which re-tokenized each
+    document ~2·|toks| times (measured 2.6 s -> 0.34 s at sf0.1; see
+    the performance note at text.quality_from_toks)."""
     return F.explode(
         F.expr(
-            "CASE WHEN size(split(text, ' ')) < 2"
+            "CASE WHEN size(toks) < 2"
             " THEN array()"
-            " ELSE transform(sequence(1, size(split(text, ' ')) - 1),"
-            " i -> concat(element_at(split(text, ' '), i), ' ',"
-            "             element_at(split(text, ' '), i + 1))) END"
+            " ELSE transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ',"
+            "             element_at(toks, i + 1))) END"
         )
     ).alias("bg")

@@ -2987,10 +2987,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("ds") <= CONT_DF_CAP)
         .select("ds"),
     )
-    sz = (
+    # Pinned: the per-doc size frame feeds BOTH denominator joins
+    # below as separate broadcast builds (aliased a_id/b_id output, so
+    # ReuseExchange cannot canonicalize them together) — without the
+    # pin the explode+aggregate over the capped adjacency ran twice
+    # (visible as two identical HashAggregate+Exchange subtrees in
+    # plans/r12/dedup_containment_before.txt).
+    sz = _pin(
+        "containment_sz",
         grouped.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("n"))
+        .agg(F.count("*").cast("bigint").alias("n")),
     )
     inter = (
         grouped.select(

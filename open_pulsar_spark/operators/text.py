@@ -24,25 +24,65 @@ from open_pulsar_spark.tables import load_table
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 _SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
+# The doc-quality score on the 1e-6 integer grid, as a SQL expression
+# over a PRE-SPLIT `toks` array column — one tokenize per document
+# (see the performance note at quality_from_toks). Shared by
+# quality_llm_calibration and quality_token_lorenz.
+_Q_INT_TOKS_EXPR = (
+    "cast(floor((0.4 * least(size(toks) / 100.0d, 1.0d)"
+    " + 0.4 * (size(array_distinct(toks)) * 1.0d / size(toks))"
+    " + 0.2 * least((size(filter(toks,"
+    f"                x -> x IN {_SW_SQL}))"
+    "                * 1.0d / size(toks)) / 0.1d, 1.0d))"
+    " * 1000000 + 0.5d) as bigint)"
+)
+
 
 def _tokens(col):
     return F.split(col, " ")
+
+
+# PERFORMANCE NOTE (round 12): expressions containing higher-order
+# functions (transform/filter/array_distinct over a lambda) run
+# INTERPRETED (CodegenFallback), so codegen's common-subexpression
+# elimination never sees them — every textual occurrence of
+# split(text, ' ') inside such an expression re-tokenizes the document.
+# The fix is structural: project the token array ONCE into a named
+# column (its own Project node — CollapseProject declines to inline a
+# non-cheap alias referenced more than once) and reference that column.
+# Measured on the dsir bigram build at sf0.1: 2.6 s -> 0.34 s map time.
+
+
+def quality_from_toks(toks_col) -> "F.Column":
+    """quality_expr over a PRE-SPLIT token-array column — use this
+    form whenever the frame can carry the token array as a column, so
+    the document tokenizes once instead of once per sub-expression
+    (see the performance note above)."""
+    n_tokens = F.size(toks_col)
+    ttr = F.size(F.array_distinct(toks_col)) * F.lit(1.0) / n_tokens
+    swr = (
+        F.size(F.filter(toks_col, lambda x: x.isin(*STOPWORDS)))
+        * F.lit(1.0)
+        / n_tokens
+    )
+    return (
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.4 * ttr
+        + 0.2 * F.least(swr / F.lit(0.1), F.lit(1.0))
+    )
 
 
 def quality_expr(text_col) -> "F.Column":
     """The corpus quality score (0.4·length + 0.4·type-token-ratio +
     0.2·stopword signal) as a column expression — the ONE definition
     shared by doc_quality_score and the curation pipeline's quality
-    gate, so a weight change cannot silently desynchronize them."""
-    toks = _tokens(text_col)
-    n_tokens = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens
-    swr = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * F.lit(1.0) / n_tokens
-    return (
-        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-        + 0.4 * ttr
-        + 0.2 * F.least(swr / F.lit(0.1), F.lit(1.0))
-    )
+    gate, so a weight change cannot silently desynchronize them.
+
+    Prefer quality_from_toks when the caller can hoist the token array
+    into its own column (performance note above) — this form
+    re-tokenizes per sub-expression and exists for call sites that
+    score inside a single predicate (streaming filters)."""
+    return quality_from_toks(_tokens(text_col))
 
 
 # --------------------------------------------------------------------------
@@ -66,20 +106,29 @@ def quality_expr(text_col) -> "F.Column":
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document lexical statistics (map-only plan, no shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n_tokens = F.size(toks)
+    # hoist the token array into its own projection (performance note
+    # at quality_from_toks): the stats reference it six times, and the
+    # filter lambda blocks codegen CSE, so the inline form re-split the
+    # document per reference
+    n_tokens = F.size("toks")
     return (
         docs.select(
             "doc_id",
             "lang",
             F.length("text").alias("n_chars"),
+            _tokens(F.col("text")).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
             n_tokens.alias("n_tokens"),
-            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
             F.round(
-                (F.length("text") - n_tokens + 1) * F.lit(1.0) / n_tokens, 6
+                (F.col("n_chars") - n_tokens + 1) * F.lit(1.0) / n_tokens, 6
             ).alias("avg_token_len"),
             F.round(
-                F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+                F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS)))
                 * F.lit(1.0)
                 / n_tokens,
                 6,
@@ -121,12 +170,18 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal, with a keep/drop verdict — the standard pretraining-corpus
     filter shape, all JVM-side arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
-    quality = quality_expr(F.col("text"))
+    # tokenize once, score once: toks and the raw quality each live in
+    # their own projection so neither is re-evaluated per reference
+    # (performance note at quality_from_toks)
     return (
-        docs.select(
+        docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .select("doc_id", quality_from_toks(F.col("toks")).alias("q_raw"))
+        .select(
             "doc_id",
-            F.round(quality, 6).alias("quality"),
-            F.when(quality >= 0.6, "keep").otherwise("drop").alias("verdict"),
+            F.round("q_raw", 6).alias("quality"),
+            F.when(F.col("q_raw") >= 0.6, "keep")
+            .otherwise("drop")
+            .alias("verdict"),
         )
         .orderBy("doc_id")
     )
@@ -173,14 +228,18 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language-ID vote (deterministic tie order
     en>es>fr>de>zh), compared against the labeled lang column."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
 
     def _score(markers: tuple[str, ...]):
         # NB: a one-arg lambda — F.filter treats two-arg lambdas as (x, i)
-        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+        return F.size(F.filter("toks", lambda x: x.isin(*markers)))
 
     scores = {lang: _score(markers) for lang, markers in _MARKERS.items()}
-    s = docs.select("doc_id", "lang", *[v.alias(f"s_{k}") for k, v in scores.items()])
+    # toks hoisted into its own projection: five marker filters (all
+    # interpreted HOFs) would otherwise each re-split the document
+    # (performance note at quality_from_toks)
+    s = docs.select(
+        "doc_id", "lang", _tokens(F.col("text")).alias("toks")
+    ).select("doc_id", "lang", *[v.alias(f"s_{k}") for k, v in scores.items()])
     c = {k: F.col(f"s_{k}") for k in _MARKERS}
     pred = (
         F.when(F.greatest(*c.values()) == 0, "und")
@@ -873,17 +932,13 @@ def quality_llm_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_pulsar_spark.operators.prefix import global_prefix
 
     docs = load_table(spark, sf_dir, "documents")
-    q_int = F.expr(
-        "cast(floor((0.4 * least(size(split(text, ' ')) / 100.0d, 1.0d)"
-        " + 0.4 * (size(array_distinct(split(text, ' '))) * 1.0d"
-        "          / size(split(text, ' ')))"
-        " + 0.2 * least((size(filter(split(text, ' '),"
-        f"                x -> x IN {_SW_SQL}))"
-        "                * 1.0d / size(split(text, ' '))) / 0.1d, 1.0d))"
-        " * 1000000 + 0.5d) as bigint)"
-    )
     mbyte = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("bigint")
-    m = docs.select("doc_id", q_int.alias("q_int"), mbyte.alias("mbyte"))
+    # toks hoisted (performance note at quality_from_toks); the q_int
+    # expression itself is unchanged — same ops on the same array —
+    # so the 1e-6 grid values are identical
+    m = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("toks"), mbyte.alias("mbyte")
+    ).select("doc_id", F.expr(_Q_INT_TOKS_EXPR).alias("q_int"), "mbyte")
 
     aug, totals, release = global_prefix(spark, m, ["q_int", "doc_id"])
     out = (
@@ -2085,20 +2140,18 @@ def quality_token_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_pulsar_spark.operators.prefix import global_prefix
 
     docs = load_table(spark, sf_dir, "documents")
-    q_int = F.expr(
-        "cast(floor((0.4 * least(size(split(text, ' ')) / 100.0d, 1.0d)"
-        " + 0.4 * (size(array_distinct(split(text, ' '))) * 1.0d"
-        "          / size(split(text, ' ')))"
-        " + 0.2 * least((size(filter(split(text, ' '),"
-        f"                x -> x IN {_SW_SQL}))"
-        "                * 1.0d / size(split(text, ' '))) / 0.1d, 1.0d))"
-        " * 1000000 + 0.5d) as bigint)"
-    )
-    m = docs.select(
-        "doc_id",
-        q_int.alias("q_int"),
-        (-q_int).alias("q_neg"),
-        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+    # toks then q_int each hoisted into their own projection: the
+    # inline form evaluated the quality expression twice (q_int and
+    # its negation) with five tokenizes EACH (performance note at
+    # quality_from_toks); values are unchanged — same ops, same array
+    m = (
+        docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(_Q_INT_TOKS_EXPR).alias("q_int"),
+            F.size("toks").cast("bigint").alias("n_toks"),
+        )
+        .select("doc_id", "q_int", (-F.col("q_int")).alias("q_neg"), "n_toks")
     )
     aug, totals, release = global_prefix(
         spark, m, ["q_neg", "doc_id"], cum_cols=["n_toks"]

@@ -41,6 +41,35 @@ def get_spark(
         # refuses by default; read as long, converted in tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge when the planner's size
+        # conditions hold, and let AQE rewrite SMJ->SHJ at runtime for
+        # small post-shuffle partitions: skips the per-partition sort
+        # on keyed equi-joins (guide §3.1). Scale-safe: both knobs are
+        # size-gated (a build side that doesn't fit per-partition keeps
+        # sort-merge), not local-core tuning.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m",
+        )
+        # InferFiltersFromGenerate rewrites explode(arr) into
+        # Filter(isnotnull(arr) AND size(arr)>0) + explode(arr). When
+        # `arr` is an expensive derived array (this engine's universal
+        # pattern: md5 shingle hashes, basket pair structs, winnowing
+        # grams, bigrams), that inferred filter is pushed below the
+        # projection and re-evaluates the WHOLE array expression twice
+        # more per input row — in an interpreted (non-codegen) Filter.
+        # explode() drops null/empty arrays itself, so excluding the
+        # rule is semantics-free; measured 3.9 s -> 0.5 s on the
+        # containment shingle explode at sf0.1, and the same shape
+        # repeats in every explode-heavy operator. Scale-safe: the
+        # filter could only help when rows carry PRE-COMPUTED arrays
+        # that are mostly empty — no query here has that shape.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         # Stateful-streaming state store: RocksDB, not the default
         # executor-heap HDFSBackedStateStoreProvider. At 100 TB-scale
         # key cardinality (per-chat sessions, per-doc near-dup index,
