@@ -617,11 +617,12 @@ def main() -> None:
     # keep the final line safely inside the 2000-char recorded tail as
     # the query set grows, dropping fields the BENCH_MINS.json sidecar
     # carries verbatim (cross-checked by mins_sha), least-precious
-    # first: the v1 per-query dict is redundant with "mins"
-    # (name-sorted, 2 dp); the headline spreads live in hl_spread of
-    # the sidecar; finally the mins array itself — the sidecar remains
-    # the canonical per-query record either way.
-    for redundant in ("queries", "hl_spread", "mins"):
+    # first: the 291-entry "mins" array is the bulk and the sidecar is
+    # its canonical record; then the headline spreads; the 21-query
+    # "queries" dict goes LAST because the driver's per-query PERF and
+    # scaling tables parse it from this line — dropping it first (the
+    # r11/r12 order) left PERF empty both rounds (VERDICT r12 item 1).
+    for redundant in ("mins", "hl_spread", "queries"):
         if len(line) <= 1900:
             break
         del tail_doc[redundant]

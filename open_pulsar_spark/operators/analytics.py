@@ -8041,35 +8041,39 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, scored, release in pool.map(rank_pass, specs):
             scores[name] = scored
             releases.append(release)
-    joined = (
-        cust.join(scores["r_score"], "o_custkey")
-        .join(scores["f_score"], "o_custkey")
-        .join(scores["m_score"], "o_custkey")
-    )
-    out = (
-        joined.groupBy("r_score", "f_score", "m_score")
-        .agg(
-            F.count("*").cast("bigint").alias("n_customers"),
-            F.sum("cents").cast("bigint").alias("total_cents"),
-            F.expr(
-                "cast(sum(recency_days) div count(*) as bigint)"
-            ).alias("avg_recency_days"),
+    # try/finally so an exception during the joins/collect can't leak
+    # the three persisted scaffold frames for the session lifetime
+    # (mirrors the release discipline inside global_prefix itself).
+    try:
+        joined = (
+            cust.join(scores["r_score"], "o_custkey")
+            .join(scores["f_score"], "o_custkey")
+            .join(scores["m_score"], "o_custkey")
         )
-        .select(
-            "r_score",
-            "f_score",
-            "m_score",
-            F.expr(RFM_LABEL_SQL).alias("segment"),
-            "n_customers",
-            "total_cents",
-            "avg_recency_days",
+        out = (
+            joined.groupBy("r_score", "f_score", "m_score")
+            .agg(
+                F.count("*").cast("bigint").alias("n_customers"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+                F.expr(
+                    "cast(sum(recency_days) div count(*) as bigint)"
+                ).alias("avg_recency_days"),
+            )
+            .select(
+                "r_score",
+                "f_score",
+                "m_score",
+                F.expr(RFM_LABEL_SQL).alias("segment"),
+                "n_customers",
+                "total_cents",
+                "avg_recency_days",
+            )
+            .orderBy("r_score", "f_score", "m_score")
         )
-        .orderBy("r_score", "f_score", "m_score")
-    )
-    result = spark.createDataFrame(out.collect(), out.schema)
-    for release in releases:
-        release()
-    return result
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for release in releases:
+            release()
 
 
 # --------------------------------------------------------------------------

@@ -462,9 +462,11 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         oriented edge (s,t) then joins the two arrays and intersects
         them MAP-SIDE (array_intersect — no wedge shuffle at all; the
         naive wedge join measured 2.4x slower at sf0.1);
-      - per-corner attribution explodes each triangle once and
-        re-keys by node; top-{TRI_TOP} is orderBy+limit (distributed
-        TakeOrdered), never a global window.
+      - per-corner attribution folds each edge row's contributions
+        (a and b count |cs| triangles, each common neighbor counts 1)
+        into ONE exploded array and sums by node — the intersect and
+        the edge join run exactly once; top-{TRI_TOP} is orderBy+limit
+        (distributed TakeOrdered), never a global window.
     All arithmetic (counts, ppm coefficient) is integer, so the
     ranking is bit-identical across engines and partitionings.
     """
@@ -482,6 +484,10 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # oe has a SINGLE consumer now (the adjacency groupBy): the
+    # oriented edge list the triangle join needs re-derives MAP-SIDE
+    # from adj itself (explode of the cached neighbor arrays), so the
+    # r12 oe.persist() and its extra exchange into the s-join are gone.
     oe = (
         eu.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
@@ -489,49 +495,67 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
-        .persist()
     )
+    adj = oe.groupBy("s").agg(F.collect_list("t").alias("nbrs")).persist()
     try:
-        adj = oe.groupBy("s").agg(F.collect_list("t").alias("nbrs")).persist()
-        try:
-            tri = (
-                oe.join(adj.select("s", F.col("nbrs").alias("ns")), "s")
-                .join(
-                    adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nt")),
-                    "t",
+        # materialization barrier: the triangle join below reads adj
+        # from BOTH sides of one job — two concurrent shuffle-map
+        # stages racing an unmaterialized cache recompute it (the
+        # bundle_modularity lesson, OPTIMIZATION_r12)
+        adj.count()
+        # (a, b, cs): one row per oriented edge, cs = the common
+        # out-neighbors = the triangles closed over (a, b). Computed
+        # ONCE — the r12 shape exploded cs and re-keyed with a
+        # 3-branch unionAll, which re-ran the join + array_intersect
+        # per branch (union branches share exchanges, not operators).
+        pairs = adj.select(
+            F.col("s").alias("a"),
+            F.col("nbrs").alias("ns"),
+            F.explode("nbrs").alias("b"),
+        )
+        tric = pairs.join(
+            adj.select(F.col("s").alias("b"), F.col("nbrs").alias("nt")), "b"
+        ).select("a", "b", F.array_intersect("ns", "nt").alias("cs"))
+        # per-corner attribution without re-reading tric: a and b each
+        # sit in |cs| triangles, every c in cs in exactly one — emit
+        # all contributions as ONE exploded array per edge row and sum
+        # (cs stays a hoisted alias: CollapseProject keeps a non-cheap
+        # alias referenced more than once, so the intersect runs once)
+        contrib = tric.select(
+            F.explode(
+                F.expr(
+                    "concat("
+                    " transform(cs, x -> named_struct('n', x, 'c', 1L)),"
+                    " array(named_struct('n', a, 'c', cast(size(cs) as bigint)),"
+                    "       named_struct('n', b, 'c', cast(size(cs) as bigint))))"
                 )
-                .select(
-                    F.col("s").alias("a"),
-                    F.col("t").alias("b"),
-                    F.explode(F.array_intersect("ns", "nt")).alias("c"),
-                )
+            ).alias("p")
+        ).select("p.n", "p.c")
+        corner = (
+            contrib.groupBy("n")
+            .agg(F.sum("c").alias("tri_count"))
+            # zero-contribution corners (edges with no common neighbor)
+            # are not triangle participants — the oracle's corner CTE
+            # only sees nodes of actual triangles
+            .where(F.col("tri_count") > 0)
+        )
+        out = (
+            corner.join(deg, "n")
+            .select(
+                F.col("n").alias("p_partkey"),
+                F.col("d").cast("bigint").alias("degree"),
+                F.col("tri_count").cast("bigint").alias("tri_count"),
+                F.expr(
+                    f"(2 * {TRI_PPM} * tri_count) div (d * (d - 1))"
+                ).alias("coeff_ppm"),
             )
-            corner = (
-                tri.select(F.col("a").alias("n"))
-                .unionAll(tri.select(F.col("b").alias("n")))
-                .unionAll(tri.select(F.col("c").alias("n")))
-                .groupBy("n")
-                .agg(F.count("*").alias("tri_count"))
-            )
-            out = (
-                corner.join(deg, "n")
-                .select(
-                    F.col("n").alias("p_partkey"),
-                    F.col("d").cast("bigint").alias("degree"),
-                    F.col("tri_count").cast("bigint").alias("tri_count"),
-                    F.expr(
-                        f"(2 * {TRI_PPM} * tri_count) div (d * (d - 1))"
-                    ).alias("coeff_ppm"),
-                )
-                .orderBy(F.desc("tri_count"), "p_partkey")
-                .limit(TRI_TOP)
-            )
-            # bounded result: materialize while the caches are live
-            return spark.createDataFrame(out.collect(), out.schema)
-        finally:
-            adj.unpersist()
+            .orderBy(F.desc("tri_count"), "p_partkey")
+            .limit(TRI_TOP)
+        )
+        # bounded result: materialize while the caches are live
+        return spark.createDataFrame(out.collect(), out.schema)
     finally:
-        oe.unpersist()
+        adj.unpersist()
 
 
 # --------------------------------------------------------------------------
@@ -656,8 +680,8 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # eu feeds the degree aggregate AND the endpoint join: the (u, v)
     # projection of the SHARED pinned weighted edge frame (distinct by
-    # construction); endpairs feeds both directions of the symmetric
-    # union and keeps its own pin (the triangle query's rule)
+    # construction); endpairs has a single consumer (the folded
+    # symmetric aggregate below), so it needs no pin of its own
     eu = _weighted_edges(spark, sf_dir).select("u", "v")
     deg = (
         eu.select(F.col("u").alias("n"))
@@ -669,20 +693,22 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         eu.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
         .select(F.col("du").alias("x"), F.col("dv").alias("y"))
-        .persist()
     )
-    ends = endpairs.unionAll(
-        endpairs.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    )
+    # The symmetric union (every edge end in both orientations) folds
+    # into ONE aggregate pass over the edge rows: over ends = pairs ∪
+    # swap(pairs), n = 2·count, Σx = Σy = Σ(x+y), Σx² = Σy² = Σ(x²+y²),
+    # Σxy = 2·Σxy — exact decimal integer identities, so the derived
+    # doubles are bit-identical to the r12 two-pass union's (which
+    # needed a persist and raced its own cache fill; guide §1.2).
     dec = "decimal(38,0)"
     xd, yd = F.col("x").cast(dec), F.col("y").cast(dec)
-    m = ends.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum(xd).alias("sx"),
-        F.sum(yd).alias("sy"),
-        F.sum(xd * xd).alias("sxx"),
-        F.sum(yd * yd).alias("syy"),
-        F.sum(xd * yd).alias("sxy"),
+    m = endpairs.agg(
+        (F.count("*") * 2).cast("bigint").alias("n"),
+        F.sum(xd + yd).alias("sx"),
+        F.sum(xd + yd).alias("sy"),
+        F.sum(xd * xd + yd * yd).alias("sxx"),
+        F.sum(xd * xd + yd * yd).alias("syy"),
+        (F.sum(xd * yd) * 2).alias("sxy"),
     )
     nd = F.col("n").cast(dec)
     vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
@@ -694,10 +720,8 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6)
         ).alias("assortativity"),
     )
-    # one-row result: materialize while the caches are live, release
-    result = spark.createDataFrame(out.collect(), out.schema)
-    endpairs.unpersist()
-    return result
+    # one-row result: materialize while the shared edge pin is live
+    return spark.createDataFrame(out.collect(), out.schema)
 
 
 # --------------------------------------------------------------------------
@@ -1247,17 +1271,26 @@ def copurchase_negative_samples(
     collected to a LITERAL array, so the anchor×pool fan-out is a
     MAP-SIDE explode (≤{NEG_POOL} rows per anchor, no join); the
     neighbor exclusion is one left-anti equi-join against the edge
-    list; the md5 rank partitions by anchor.
+    list; the md5 rank is a per-anchor bounded-array top-{NEG_K}
+    aggregate (≤{NEG_POOL} candidates per anchor by construction),
+    never a global window sort.
 
     Determinism: degree ties in the pool cut break on part id; the
     per-anchor ranking is (md5 hex, candidate id) — total orders
     everywhere."""
+    from open_pulsar_spark.operators.dedup import _pin
+
     edges = _weighted_edges(spark, sf_dir)
-    deg = (
+    # deg feeds the eager pool cut AND the anchor explode of the main
+    # job: pin it so the pool collect (its single first consumer)
+    # fills the cache and the main job reads it instead of re-running
+    # the union+aggregate over the edge frame (guide §1.2)
+    deg = _pin(
+        "negsamp_deg",
         edges.select(F.col("u").alias("pk"), "w")
         .unionAll(edges.select(F.col("v").alias("pk"), "w"))
         .groupBy("pk")
-        .agg(F.sum("w").cast("bigint").alias("deg_w"))
+        .agg(F.sum("w").cast("bigint").alias("deg_w")),
     )
     pool = [
         (int(r.pk), int(r.deg_w))
@@ -1287,24 +1320,38 @@ def copurchase_negative_samples(
             "left_anti",
         )
     )
-    w = Window.partitionBy("anchor").orderBy(
-        F.md5(
-            F.concat(
-                F.col("anchor").cast("string"),
-                F.lit("_"),
-                F.col("cand").cast("string"),
-            )
-        ),
-        "cand",
+    # per-anchor top-{NEG_K} as a bounded-array aggregate instead of a
+    # row_number window: the window needed a FULL sort of every
+    # (anchor, cand) row by the md5 string before its group limit;
+    # collect_list + array_sort sorts ≤{NEG_POOL}-element arrays per
+    # anchor (struct order = (mk, cand, cand_deg) lexicographic — the
+    # window's (md5, cand) order; cand is unique per anchor so the
+    # third field never decides). Same rows, same rk.
+    mk = F.md5(
+        F.concat(
+            F.col("anchor").cast("string"),
+            F.lit("_"),
+            F.col("cand").cast("string"),
+        )
     )
     return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= NEG_K)
+        cand.withColumn("mk", mk)
+        .groupBy("anchor")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("mk", "cand", "cand_deg"))
+                ),
+                1,
+                NEG_K,
+            ).alias("top")
+        )
+        .selectExpr("anchor", "posexplode(top) as (pos, p)")
         .select(
             "anchor",
-            F.col("cand").alias("negative"),
-            F.col("cand_deg").alias("negative_degree"),
-            F.col("rk").cast("int").alias("rk"),
+            F.col("p.cand").alias("negative"),
+            F.col("p.cand_deg").alias("negative_degree"),
+            (F.col("pos") + 1).cast("int").alias("rk"),
         )
         .orderBy("anchor", "rk")
     )

@@ -41,17 +41,18 @@ def get_spark(
         # refuses by default; read as long, converted in tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Prefer shuffled-hash over sort-merge when the planner's size
-        # conditions hold, and let AQE rewrite SMJ->SHJ at runtime for
-        # small post-shuffle partitions: skips the per-partition sort
-        # on keyed equi-joins (guide §3.1). Scale-safe: both knobs are
-        # size-gated (a build side that doesn't fit per-partition keeps
-        # sort-merge), not local-core tuning.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        .config(
-            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            "64m",
-        )
+        # The r12 shuffled-hash-join knobs (preferSortMergeJoin=false +
+        # adaptive.maxShuffledHashJoinLocalMapThreshold=64m) are GONE:
+        # r12 adopted them from a same-session A/B on a loaded box, and
+        # the round-13 drift-free instrument (tools/knob_ab.py — both
+        # are runtime SQL confs, so configs interleave per sample in
+        # ONE session) showed them COSTING ~5-9% across the TPC-H
+        # shapes and the join-heavy graph/rfm queries vs the vanilla
+        # join config (OPTIMIZATION_r13.md §2). ADVICE r12 also flagged
+        # the static flip's OOM risk: SHJ plans from Catalyst size
+        # ESTIMATES and its build side does not spill. Sort-merge +
+        # explicit/AQE broadcasts are the measured AND scale-safe
+        # default here.
         # InferFiltersFromGenerate rewrites explode(arr) into
         # Filter(isnotnull(arr) AND size(arr)>0) + explode(arr). When
         # `arr` is an expensive derived array (this engine's universal

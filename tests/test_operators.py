@@ -19,6 +19,16 @@ ORACLE_SUBSET = [
     "doc_text_stats",
     "parse_tasks",
     "multimodal_features",
+    # round-13: every operator whose internals were restructured that
+    # round stays pinned to its oracle in-process (the full gate is
+    # still tools/verify_oracle.py)
+    "part_copurchase_triangles",
+    "copurchase_assortativity",
+    "copurchase_negative_samples",
+    "dedup_jaccard_prefix_join",
+    "lsh_s_curve",
+    "orders_profile",
+    "documents_profile",
 ]
 
 
@@ -1609,3 +1619,37 @@ def test_dow_anova_close_matches_bruteforce_on_random_series(spark):
         (4, 2, 400, 200, 0),
         (5, 1, 200, 200, 0),
     ]
+
+
+def test_prefix_join_hash_order_equals_string_order(spark):
+    """Round-13 change: the prefix-filter window orders tokens by
+    (df, xxhash64) with an in-query injectivity witness, instead of
+    carrying the shingle string as a third tiebreak. On a corpus with
+    no observed 64-bit collision the two orders are the SAME total
+    order, so the emitted pairs must be identical; the forced fallback
+    exercises the collision branch end-to-end."""
+    from open_pulsar_spark.operators.dedup import (
+        PPJ_TAU_DEN,
+        PPJ_TAU_NUM,
+        _prefix_jaccard_pairs,
+    )
+
+    fast = sorted(
+        map(
+            tuple,
+            _prefix_jaccard_pairs(
+                spark, SF_SMALL, PPJ_TAU_NUM, PPJ_TAU_DEN, "t_hashord_a",
+                with_counts=True,
+            ).collect(),
+        )
+    )
+    slow = sorted(
+        map(
+            tuple,
+            _prefix_jaccard_pairs(
+                spark, SF_SMALL, PPJ_TAU_NUM, PPJ_TAU_DEN, "t_hashord_b",
+                with_counts=True, _force_string_order=True,
+            ).collect(),
+        )
+    )
+    assert fast == slow and len(fast) > 0

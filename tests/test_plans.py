@@ -770,3 +770,34 @@ def test_verify_twins_specs_resolve():
     ):
         assert anchor in qs, anchor
     assert len(vt.SPECS) == 26 and len(seen_anchors) == 34
+
+
+def test_no_explode_of_stored_array_columns():
+    """Guards the session-wide InferFiltersFromGenerate exclusion
+    (session.py excludedRules): it is semantics-free AND a pure win
+    only because every exploded array in this engine is DERIVED inside
+    the same plan (shingles, basket pairs, grams, bigrams), where the
+    inferred isnotnull/size>0 filter re-evaluates the whole derived
+    expression. The one STORED array column in the catalog is
+    embeddings.embedding — an operator exploding it directly would be
+    the shape where the excluded rule could help (null/empty pruning
+    pushed into the parquet scan). If this fires, revisit the
+    exclusion note in session.py before adding the operator (ADVICE
+    r12)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "open_pulsar_spark"
+    pat = re.compile(
+        r"(?:pos)?explode(?:_outer)?\(\s*(?:F\.col\()?[\"']embedding[\"']"
+    )
+    hits = []
+    for py in sorted(root.rglob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if pat.search(line):
+                hits.append(f"{py.relative_to(root)}:{i}: {line.strip()}")
+    assert not hits, (
+        "stored array column exploded directly — revisit the "
+        "InferFiltersFromGenerate exclusion (session.py):\n"
+        + "\n".join(hits)
+    )
