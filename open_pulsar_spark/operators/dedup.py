@@ -1872,7 +1872,15 @@ def _bucket_profile(counts: DataFrame, family: str) -> DataFrame:
     engines (>2^63-capable counters never carry DECIMAL in a final
     schema — the round-7 driver-hash contract).
     Top-10 tie-safety: mass is monotone in cnt, so the top-10 SUM is
-    invariant to which tied boundary buckets are chosen."""
+    invariant to which tied boundary buckets are chosen.
+
+    The bucket-count frame is pinned: the eager top-10 scalar below is
+    its single first consumer (TakeOrdered reads every partition, so
+    the fill is complete and serialized), and without the pin the
+    returned profile frame RECOMPUTED the whole band groupBy pipeline
+    a second time at collect (r13; the part_copurchase_triangles
+    build-then-recompute class)."""
+    counts = _pin(f"bucket_profile_{family}", counts)
     pair_mass = F.sum(F.expr("(cnt * (cnt - 1)) div 2")).cast("decimal(38,0)")
     top10 = (
         counts.orderBy(F.desc("cnt"))
